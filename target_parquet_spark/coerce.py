@@ -1,0 +1,108 @@
+"""Value coercion as Catalyst ``Column`` expressions (C4-C11 in SURVEY §2).
+
+The reference coerces record values one at a time in a Python loop
+(reference target_parquet/sinks.py:72-112, 165-166).  Here each declared
+field becomes ONE vectorized Column expression applied to the whole
+micro-batch — the per-record loop disappears and the coercions run inside
+whole-stage codegen on the JVM.
+
+Input convention: the Singer RECORD payload is parsed with
+``from_json(record, <all-string struct>)`` so every declared field arrives
+as its *raw JSON text* (Spark captures nested objects/arrays as their JSON
+serialization — this is the engine's row-raw representation).  The
+expressions below implement, per resolved type (schema.resolve_type — the
+same resolution as the schema path, fixing reference BUG-3):
+
+- C9  null preservation: raw NULL stays NULL (falsy ``0``/``0.0``/``False``/
+      ``""`` survive — native SQL null semantics; reference sinks.py:73-74).
+- C10 empty-string -> null for non-string targets (reference sinks.py:87-88).
+- C4  number: ``try_cast(double)``  (reference float(), sinks.py:90-91;
+      unparseable values become null instead of crashing the pipe).
+- C5  integer: ``try_cast(long)``  (reference int(), sinks.py:93-94).
+- C6/C11 date-time: lenient multi-format parse, malformed -> NULL
+      (``datetime_error_treatment = NULL``, reference sinks.py:141-143,
+      177-208), truncated to millisecond precision to match the reference's
+      ``pa.timestamp("ms")`` sink type (reference sinks.py:40-41).
+- C7  string: raw text passthrough (JSON numbers keep their literal text,
+      matching Python ``str()``; JSON ``true`` arrives as ``"true"`` — the
+      reference's ``str(True) == "True"`` spelling is available via the
+      exact-compat ingest path in io/singer_source.py).
+- C8  nested array/object -> JSON string: the raw captured subtree text
+      (reference json.dumps, sinks.py:106-110; equality is JSON round-trip,
+      not byte-identical whitespace).
+
+BUG-2 fix (reference tests/README.md:38-50): a null in a non-nullable
+column never produces an unreadable file — strict mode rejects the batch,
+lenient mode writes null and counts a violation (see target.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from target_parquet_spark.schema import ResolvedField
+
+__all__ = ["coerce_expr", "coerce_columns", "lenient_timestamp"]
+
+# Fallback patterns tried after Spark's ISO-8601 cast, approximating
+# dateutil-grade leniency (reference uses dateutil.parser, sinks.py:96-101)
+# for the formats that actually appear in Singer taps.
+_TS_FORMATS = [
+    "M/d/yyyy H:m:s",
+    "M/d/yyyy",
+    "yyyyMMdd",
+    "MMM d yyyy H:m:s",
+    "MMM d, yyyy",
+    "MMMM d, yyyy",
+    "d MMM yyyy",
+]
+
+
+def lenient_timestamp(raw: Column) -> Column:
+    """Best-effort string -> timestamp; null (never error) on failure.
+
+    ``try_cast(timestamp)`` handles the ISO-8601 family (``T`` separator,
+    ``Z`` / numeric offsets, date-only, fractional seconds); the
+    ``try_to_timestamp`` chain picks up common non-ISO spellings.  Result is
+    truncated to millisecond precision (reference pa.timestamp("ms")).
+    """
+    parsed = F.coalesce(
+        raw.try_cast("timestamp"),
+        *[F.try_to_timestamp(raw, F.lit(fmt)) for fmt in _TS_FORMATS],
+    )
+    return F.date_trunc("millisecond", parsed)
+
+
+def coerce_expr(raw: Column, rf: ResolvedField) -> Column:
+    """One vectorized Column implementing the reference's parse_record_value
+    (reference sinks.py:72-112) for the resolved field ``rf``."""
+    if rf.type_id == "null":
+        # All-null column (see schema.py for the NullType->string deviation).
+        return F.lit(None).cast("string").alias(rf.name)
+
+    if rf.type_id == "string" and rf.format == "date-time":
+        out = F.when(raw == "", F.lit(None)).otherwise(lenient_timestamp(raw))
+    elif rf.type_id == "number":
+        out = F.when(raw == "", F.lit(None)).otherwise(raw.try_cast("double"))
+    elif rf.type_id == "integer":
+        # Spark's string->long cast rejects "3.2" (→ null) just as Python
+        # int() raises; unlike the reference, the pipe survives.
+        out = F.when(raw == "", F.lit(None)).otherwise(raw.try_cast("long"))
+    elif rf.type_id == "boolean":
+        out = F.when(raw == "", F.lit(None)).otherwise(raw.try_cast("boolean"))
+    else:
+        # string / array / object / unknown: raw JSON text passthrough.
+        out = raw
+    return out.alias(rf.name)
+
+
+def coerce_columns(fields: list[ResolvedField], source_col: str = "record") -> list[Column]:
+    """The full projection: one coercion expression per declared field.
+
+    ``source_col`` is the struct column produced by the all-string
+    ``from_json`` parse.  The resulting select is the entire RECORD hot path
+    of the reference (validate/coerce/append, sinks.py:162-170) as a single
+    Catalyst plan.
+    """
+    return [coerce_expr(F.col(f"{source_col}.`{rf.name}`"), rf) for rf in fields]

@@ -1,0 +1,89 @@
+"""Parquet sink: per-stream directories with a real path/naming scheme.
+
+The reference declared ``filepath`` and ``file_naming_scheme`` in its
+config schema but never read them — output always landed in CWD as
+``{stream}-{YYYYMMDDTHHMMSS}.parquet`` (W5, reference target.py:16-25 vs
+writers.py:10-11,31-33).  This sink implements them for real:
+
+- ``filepath``            output root (default: CWD)
+- ``file_naming_scheme``  directory-name template, placeholders
+                          ``{stream}`` and ``{timestamp}``; default
+                          ``{stream}-{timestamp}`` mirrors the reference
+- ``compression``         parquet codec (default snappy = reference's
+                          pyarrow default, reference writers.py:31-33)
+- ``partition_cols``      optional hive-style partitioning per stream
+- ``max_records_per_file`` row-group-ish granularity (the reference's
+                          10k batch buffer, reference sinks.py:118)
+
+Key-properties metadata (W4, reference sinks.py:152-155): Spark's parquet
+writer cannot inject footer metadata, so the primary-key declaration is
+written as a ``_key_properties.json`` sidecar in the stream directory —
+same information, readable without opening any data file.
+
+Schema evolution (BUG-4 fix, reference tests/README.md:73-87): each schema
+version appends its own part files to the same stream directory; readers
+use ``spark.read.option("mergeSchema", "true")`` — no writer crash, no
+corrupt file.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+__all__ = ["ParquetStreamSink", "read_stream_output"]
+
+
+class ParquetStreamSink:
+    def __init__(self, config: dict | None = None):
+        self.config = config or {}
+        self.root = self.config.get("filepath") or os.getcwd()
+        self.scheme = self.config.get("file_naming_scheme") or "{stream}-{timestamp}"
+        self.compression = self.config.get("compression", "snappy")
+        self.max_records_per_file = int(self.config.get("max_records_per_file", 0))
+        self._dirs: dict[str, str] = {}
+        self._timestamp = _dt.datetime.now().strftime("%Y%m%dT%H%M%S")
+
+    def stream_dir(self, stream: str) -> str:
+        """Stable per-stream output directory for the run (idempotent, like
+        the reference's writer registry W2 — reference writers.py:27-29)."""
+        if stream not in self._dirs:
+            name = self.scheme.format(stream=stream, timestamp=self._timestamp)
+            self._dirs[stream] = os.path.join(self.root, name)
+        return self._dirs[stream]
+
+    def write(
+        self,
+        stream: str,
+        df: DataFrame,
+        key_properties: list[str] | None = None,
+    ) -> str:
+        path = self.stream_dir(stream)
+        writer = df.write.mode("append").option("compression", self.compression)
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        partition_cols = (self.config.get("partition_cols") or {}).get(stream)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        if key_properties is not None:
+            with open(os.path.join(path, "_key_properties.json"), "w") as fh:
+                json.dump({"key_properties": key_properties}, fh)
+        return path
+
+    def row_count(self, stream: str) -> int:
+        """Metadata-only count from parquet footers (no data scan)."""
+        import pyarrow.dataset as ds
+
+        path = self._dirs.get(stream)
+        if not path or not os.path.isdir(path):
+            return 0
+        return ds.dataset(path, format="parquet").count_rows()
+
+
+def read_stream_output(spark, path: str) -> DataFrame:
+    """Read-back contract for evolved streams: mergeSchema on."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

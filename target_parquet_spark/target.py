@@ -1,0 +1,207 @@
+"""The batch Singer target: message lines in, per-stream Parquet out.
+
+End-to-end equivalent of the reference's CLI pipeline (reference
+target_parquet/target.py + singer-sdk Target.listen), restructured for
+Spark's execution model:
+
+- ONE text scan; envelope parse and RECORD decoding/coercion are Catalyst
+  plans that run on executors (S1/S3).
+- SCHEMA and STATE messages (rare, tiny) are collected to the driver —
+  stream DDL is driver-side by nature (S2/S4).
+- Per stream × schema-version, records are routed by arrival order
+  (``_mid`` ranges), decoded, validated and appended to the stream's
+  parquet directory (B1/B2/W1-W4; BUG-4 fixed by version-append +
+  mergeSchema read).
+- Job metrics are observed on the write itself (``df.observe``) and
+  ``job_metrics.json`` is written ONCE per run — the reference rewrote it
+  per record, an O(n²) anti-pattern called out in SURVEY §4 (reference
+  writers.py:52-74).
+
+Validation (V1-V4): the compiled predicate runs JVM-side.  Lenient
+(default): invalid records pass through and the violation count lands in
+metrics (the reference silently passes the raw record, sinks.py:136-139).
+Strict: any invalid record fails the run *before* anything is written.
+BUG-2 fix: nulls in non-nullable columns are counted the same way — strict
+rejects, lenient writes a readable file with nulls.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from target_parquet_spark.io.parquet_sink import ParquetStreamSink
+from target_parquet_spark.io.singer_source import (
+    decode_records_exact,
+    decode_records_jvm,
+    parse_envelope,
+    raw_record_struct,
+)
+from target_parquet_spark.schema import ResolvedField, resolve_schema
+from target_parquet_spark.validation import compile_predicate
+
+__all__ = ["SingerTarget", "SingerValidationError"]
+
+
+class SingerValidationError(Exception):
+    pass
+
+
+class _StreamVersion:
+    def __init__(self, mid: int, schema: dict, key_properties: list[str]):
+        self.mid = mid
+        self.schema = schema
+        self.key_properties = key_properties
+        self.end_mid: int | None = None  # next version's mid, exclusive
+
+
+class SingerTarget:
+    """Batch Singer target.  ``config`` keys (all the reference's, honored
+    for real): filepath, file_naming_scheme, compression, fixed_headers,
+    strict_validation, partition_cols, max_records_per_file, exact_compat.
+    """
+
+    def __init__(self, spark: SparkSession, config: dict | None = None):
+        self.spark = spark
+        self.config = config or {}
+        self.sink = ParquetStreamSink(self.config)
+        self.exact = bool(self.config.get("exact_compat", False))
+        self.strict = bool(self.config.get("strict_validation", False))
+
+    # -- entry points --------------------------------------------------------
+
+    def run_strings(self, lines: list[str]) -> dict:
+        df = self.spark.createDataFrame([(l,) for l in lines], "value string")
+        return self.run_lines(df)
+
+    def run_path(self, path: str) -> dict:
+        return self.run_lines(self.spark.read.text(path))
+
+    def run_lines(self, lines: DataFrame) -> dict:
+        env = parse_envelope(lines)
+        env.cache()  # envelope is re-filtered per stream-version
+        try:
+            versions = self._collect_schemas(env)
+            state = self._collect_state(env)
+            metrics = self._process_records(env, versions)
+        finally:
+            env.unpersist()
+        self._write_job_metrics(metrics)
+        return {
+            "state": state,
+            "metrics": metrics,
+            "paths": {s: self.sink.stream_dir(s) for s in versions},
+        }
+
+    # -- driver-side DDL / state --------------------------------------------
+
+    def _collect_schemas(self, env: DataFrame) -> dict[str, list[_StreamVersion]]:
+        rows = (
+            env.filter(F.col("msg_type") == "SCHEMA")
+            .select("_mid", "stream", "schema_json", "key_properties")
+            .orderBy("_mid")
+            .collect()
+        )
+        versions: dict[str, list[_StreamVersion]] = {}
+        for r in rows:
+            schema = json.loads(r.schema_json) if r.schema_json else {}
+            v = _StreamVersion(r["_mid"], schema, list(r.key_properties or []))
+            prev = versions.setdefault(r.stream, [])
+            if prev:
+                prev[-1].end_mid = v.mid
+            prev.append(v)
+        return versions
+
+    def _collect_state(self, env: DataFrame):
+        rows = (
+            env.filter(F.col("msg_type") == "STATE")
+            .select("_mid", "state_json")
+            .orderBy(F.col("_mid").desc())
+            .limit(1)
+            .collect()
+        )
+        return json.loads(rows[0].state_json) if rows and rows[0].state_json else None
+
+    # -- record path ---------------------------------------------------------
+
+    def _process_records(
+        self, env: DataFrame, versions: dict[str, list[_StreamVersion]]
+    ) -> dict:
+        counts: dict[str, int] = {}
+        violations: dict[str, int] = {}
+        for stream, vers in versions.items():
+            for i, v in enumerate(vers):
+                cond = (
+                    (F.col("msg_type") == "RECORD")
+                    & (F.col("stream") == stream)
+                    & (F.col("_mid") > v.mid)
+                )
+                if v.end_mid is not None:
+                    cond = cond & (F.col("_mid") < v.end_mid)
+                records = env.filter(cond)
+                if records.isEmpty():
+                    continue
+                n, bad = self._write_version(stream, v, records, version_idx=i)
+                counts[stream] = counts.get(stream, 0) + n
+                violations[stream] = violations.get(stream, 0) + bad
+        return {"recordCount": counts, "validationViolations": violations}
+
+    def _write_version(
+        self, stream: str, v: _StreamVersion, records: DataFrame, version_idx: int
+    ) -> tuple[int, int]:
+        fixed = (self.config.get("fixed_headers") or {}).get(stream)
+        fields = resolve_schema(v.schema, fixed_headers=fixed)
+        pred = compile_predicate(v.schema, source_col="_rec")
+        non_nullable = [f.name for f in fields if not f.nullable]
+
+        parsed = records.withColumn(
+            "_rec", F.from_json(F.col("record_json"), raw_record_struct(fields))
+        )
+
+        if self.strict:
+            # Fail BEFORE writing (reference raises at _validate_and_parse).
+            bad_pred = F.sum(F.when(~pred, 1).otherwise(0)).alias("bad")
+            bad_null = [
+                F.sum(
+                    F.when(F.col(f"_rec.`{c}`").isNull(), 1).otherwise(0)
+                ).alias(f"null_{c}")
+                for c in non_nullable
+            ]
+            row = parsed.agg(bad_pred, *bad_null).collect()[0]
+            if row["bad"]:
+                raise SingerValidationError(
+                    f"stream {stream!r}: {row['bad']} record(s) failed schema validation"
+                )
+            for c in non_nullable:
+                if row[f"null_{c}"]:
+                    raise SingerValidationError(
+                        f"stream {stream!r}: null in non-nullable column {c!r}"
+                    )
+
+        if self.exact:
+            typed = decode_records_exact(parsed, fields)
+            obs = None
+        else:
+            obs = Observation(f"{stream}-v{version_idx}")
+            indicators = [F.count(F.lit(1)).alias("n")]
+            indicators.append(F.sum(F.when(~pred, 1).otherwise(0)).alias("invalid"))
+            parsed = parsed.observe(obs, *indicators)
+            typed = decode_records_jvm(parsed, fields)
+
+        self.sink.write(stream, typed, key_properties=v.key_properties)
+
+        if obs is not None:
+            got = obs.get
+            return int(got["n"]), int(got["invalid"] or 0)
+        # exact path: count the (cached) envelope subset for this version
+        return records.count(), 0
+
+    # -- metrics -------------------------------------------------------------
+
+    def _write_job_metrics(self, metrics: dict) -> None:
+        path = os.path.join(self.sink.root, "job_metrics.json")
+        with open(path, "w") as fh:
+            json.dump(metrics, fh, indent=2)
