@@ -1,0 +1,97 @@
+"""As-of and range joins — operators Spark lacks natively (SURVEY §2.10).
+
+As-of join (``left`` row matched to the latest ``right`` row with
+``right.ts <= left.ts`` per key) via the union+window technique:
+
+    tag both sides -> union -> window per key ordered by (ts, side) ->
+    last_value(right cols, ignorenulls) -> keep left rows
+
+One shuffle on the key (the same shuffle a sort-merge join would pay), no
+per-key Python, no ``collect`` — scales to arbitrarily many keys and is
+skew-tolerant under AQE.  This beats the per-group ``pd.merge_asof``
+approach (no Arrow transfer, no group materialization).
+
+Range join: equi-join on a coarse bucket of the range key + residual
+filter, turning an O(n*m) theta join into a banded equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: columns of the latest right row at-or-before it.
+
+    Right rows with equal timestamps sort before left rows (a right event
+    AT the left timestamp matches, like ``pd.merge_asof`` default /
+    DuckDB ``ASOF JOIN`` with ``>=``).
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ats"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    rt = rt.withColumn(f"{right_ts}{suffix}", F.col("_ats"))
+
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ats"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    for c in carried:
+        unioned = unioned.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return unioned.filter(F.col("_side") == 1).drop("_side", "_ats")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """left.val BETWEEN right.lo AND right.hi as a banded equi-join.
+
+    Each right interval is exploded to the buckets it overlaps; left rows
+    join on their single bucket, then the exact BETWEEN filter runs on the
+    (small) banded candidate set.  Choose ``bucket_width`` ~ the median
+    interval length so the explode factor stays near 1.
+    """
+    extra_on = extra_on or []
+    lb = left.withColumn("_bucket", F.floor(F.col(left_val) / bucket_width))
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor(F.col(right_hi) / bucket_width),
+            )
+        ),
+    )
+    cond = [lb["_bucket"] == rb["_bucket"]] + [lb[c] == rb[c] for c in extra_on]
+    joined = lb.join(rb, cond).filter(
+        (lb[left_val] >= rb[right_lo]) & (lb[left_val] <= rb[right_hi])
+    )
+    return joined.drop(lb["_bucket"]).drop(rb["_bucket"])

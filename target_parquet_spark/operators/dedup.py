@@ -1,0 +1,281 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design (the point of each variant):
+
+- **exact**: hash-groupBy on a content key — one shuffle on md5(text),
+  uniformly distributed, no skew.  ``keep='first'`` is a window over the
+  hash, not a driver-side loop.
+- **n-gram Jaccard**: exact near-dup via shingle inverted index
+  (explode -> self-join on shingle).  Quadratic in the worst case — use
+  only after LSH candidate pruning or on bounded corpora.
+- **MinHash+LSH**: the 100-TB path.  Signatures are computed per-row with
+  higher-order array functions (NO shuffle, no UDF); banding turns the
+  all-pairs problem into an equi-join on (band, band_hash) — candidates
+  share a bucket, then one exact Jaccard verification on the candidate set
+  only.  Hash = md5 (JVM-side, and portable so DuckDB can oracle-check
+  signatures and pairs bit-for-bit; lexicographic min over hex prefixes is
+  an order-isomorphic stand-in for numeric min over uniform hashes).
+- **SimHash**: vectorized numpy over Arrow batches (mapInPandas) — 64-bit
+  fingerprints whose Hamming distance approximates cosine similarity on
+  token multisets; banding its 16-bit quarters gives the same LSH join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators.text import shingles, tokens
+
+__all__ = [
+    "exact_dedup",
+    "duplicate_groups",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep: str = "first") -> DataFrame:
+    """Exact dedup on content hash; keeps the lowest ``id_col`` per group."""
+    h = F.md5(F.col(text_col))
+    if keep == "any":
+        return df.dropDuplicates([text_col])
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content-hash groups with >1 member (the exact-dup report)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig array<string>) — null components for docs with no shingles."""
+    sh = shingles(F.col(text_col), n=shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 16
+                ),
+            )
+        ),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def _jaccard(sh_a, sh_b):
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = (F.size(sh_a) + F.size(sh_b)).cast("double") - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash with exact Jaccard verification.
+
+    Plan shape: per-row signature -> explode to ``bands`` rows -> self
+    equi-join on (band_idx, band_hash) -> distinct candidate pairs ->
+    verify with array_intersect Jaccard.  The only shuffles are the band
+    join and the final distinct — both on uniformly-hashed keys.
+    """
+    rows_per_band = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n=shingle_n).alias("sh"),
+    )
+    sig = base.withColumn(
+        "sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.substring(
+                        F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 16
+                    ),
+                )
+            ),
+        ),
+    ).filter(F.size(F.col("sh")) > 0)
+
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs Jaccard via the shingle inverted index."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n=n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    posting = sh.select("doc_id", F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh"))
+    a, b = posting.alias("a"), posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        4,
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints, numpy-vectorized over Arrow batches.
+
+    Per token: md5 -> first 8 bytes as the token hash; the fingerprint's
+    bit b is 1 iff the sum over tokens of (+1 if bit set else -1) is
+    positive.  Pure-Python per token hashing is unavoidable (Spark lacks a
+    per-element 64-bit stable hash *inside* arrays without exploding), so
+    this is the designated mapInPandas slow path — still Arrow-batched.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    id_field = df.schema[id_col]
+
+    def _batches(it):
+        for pdf in it:
+            out_ids, out_fp = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = (txt or "").lower().split()
+                if not toks:
+                    out_ids.append(i)
+                    out_fp.append(0)
+                    continue
+                hashes = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+                    dtype=">u8",
+                )
+                bits_mat = ((hashes[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                votes = (2 * bits_mat - 1).sum(axis=0)
+                fp = np.uint64(0)
+                for b in np.nonzero(votes > 0)[0]:
+                    fp |= np.uint64(1) << np.uint64(b)
+                out_ids.append(i)
+                out_fp.append(int(np.int64(fp)))  # two's-complement into long
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_fp})
+
+    out_schema = f"doc_id {id_field.dataType.simpleString()}, simhash long"
+    return df.select(id_col, text_col).mapInPandas(_batches, schema=out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH on the four 16-bit quarters (any pair
+    within Hamming distance 3 must agree on >=1 quarter), verified with
+    bit_count on the XOR."""
+    fp = simhash(df, text_col, id_col)
+    quarters = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("q_idx", "q_val"),
+    )
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q_idx") == F.col("b.q_idx"))
+            & (F.col("a.q_val") == F.col("b.q_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

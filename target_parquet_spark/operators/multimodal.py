@@ -1,0 +1,130 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Contract (the 100-TB layout): media rides in a ``binary`` column next to a
+``media_meta`` struct (modality, format, width/height/duration, byte
+length, content hash).  Heavy per-item work (decode, resize,
+frame-sample, feature-extract) runs as Arrow-batched ``mapInPandas``
+functions whose *plumbing* — schema, batch shape, partition strategy — is
+real and tested here; the codec call itself is stubbed because the
+image/audio libraries are not in this container:
+
+- ``decode_media``: raises ``NotImplementedError`` at the exact seam where
+  PIL/ffmpeg would be invoked (clearly marked, import-gated).
+- ``fake_features``: a deterministic md5-driven stand-in with the same
+  signature/batch shape as a real embedding extractor, so downstream
+  pipelines (dedup by content hash, ANN over features) are testable.
+
+Scale note: binary payloads make rows wide — partition by size
+(``maxRecordsPerFile`` / repartition on content hash) so Arrow batches
+stay under the 2 GB record-batch ceiling, and NEVER collect media columns
+to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_META_TYPE",
+    "attach_media",
+    "media_manifest",
+    "decode_media",
+    "fake_features",
+]
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministically fabricate a media column from a text corpus: the
+    UTF-8 bytes play the role of an encoded payload, with md5-derived fake
+    dimensions.  This is the test harness for the multimodal plumbing —
+    schema and sizes behave like real media."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    h = F.md5(F.col(text_col))
+    n_bytes = F.octet_length(payload).cast("long")
+    meta = F.struct(
+        F.lit("image").alias("modality"),
+        F.lit("fake/raw").alias("format"),
+        (16 + (n_bytes % 240)).cast("int").alias("width"),
+        (16 + ((n_bytes * 7) % 240)).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        n_bytes.alias("n_bytes"),
+        h.alias("content_hash"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("media"),
+        meta.alias("media_meta"),
+    )
+
+
+def media_manifest(df: DataFrame) -> DataFrame:
+    """Metadata-only scan: never touches the binary column, so Parquet
+    column pruning skips the payload bytes entirely."""
+    return df.select(
+        "media_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_hash").alias("content_hash"),
+    )
+
+
+def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 224) -> DataFrame:
+    """Decode+resize plumbing.  The Spark side (signature, Arrow batching,
+    output schema) is real; the codec call is the stub seam."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("pixels", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            # STUB: real implementation decodes pdf["media"] with
+            # PIL/libvips/ffmpeg and resizes to (target_width, target_height).
+            # Those libraries are not available in this container.
+            raise NotImplementedError(
+                "media codecs unavailable: install pillow/ffmpeg and replace "
+                "this seam with the real decode+resize"
+            )
+            yield pd.DataFrame()  # pragma: no cover
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
+def fake_features(df: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic stand-in feature extractor (same shape as a real one):
+    ``dim`` doubles in [-1, 1) derived from md5(content_hash, i) — so ANN /
+    dedup pipelines downstream of 'feature extraction' are fully testable
+    without codecs."""
+    h = F.col("media_meta.content_hash")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.conv(F.substring(F.md5(F.concat(h, F.lit(":"), i.cast("string"))), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(0x80000000))
+            - 1.0
+        ),
+    )
+    return df.select("media_id", vec.alias("features"))

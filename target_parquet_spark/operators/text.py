@@ -1,0 +1,121 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All pure Column expressions (no UDFs): at 100 TB these run inside
+whole-stage codegen and scale linearly with no shuffle — each document is
+scored independently.  The token/shingle definitions are deliberately
+portable (regex split + md5) so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "shingles",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+# Tiny built-in stopword list for quality scoring (English-ish corpus).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# Distinctive-marker lists for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "los", "es", "una"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text; '' -> []."""
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (0.0 for empty docs)."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks).cast("double")
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    clean = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(clean).cast("double") / F.length(text).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + low punctuation noise.  The standard pre-training filter shape
+    (length/punct/stopword ratios)."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    sw = stopword_ratio(text)
+    sw_ok = F.when((sw > 0.01) & (sw < 0.8), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.0)
+    return F.round((len_ok + sw_ok + punct_ok) / F.lit(3.0), 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword language ID: the language whose marker list hits the
+    most tokens wins; ties and zero hits -> 'und'.  Deterministic, fully
+    JVM-side."""
+    toks = tokens(text)
+
+    def _hits(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(toks, lambda tok: F.array_contains(arr, tok)))
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    # Deterministic tie-break: first language (in LANG_MARKERS order) hitting max.
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token multiset.  Two docs that are word-order shuffles of each other
+    collide — the cheap near-dup key before MinHash."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash/Jaccard unit).
+
+    Docs with fewer than ``n`` tokens produce an empty set (guarded —
+    ``sequence`` would otherwise generate a descending range)."""
+    toks = tokens(text)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(sh)
+    )

@@ -1,0 +1,585 @@
+"""Extension queries: text analysis, dedup, similarity search, multimodal,
+and the ingest-operator parity checks.
+
+These register into the same QUERIES/ORACLES registry as queries.py.  The
+dedup/similarity oracles reproduce the Spark math exactly in DuckDB SQL
+(portable md5 hashing, identical shingle/token definitions, same fold
+order for dot products) — so MinHash signatures, LSH candidate pairs and
+cosine scores are checked bit-for-bit, not just row counts.
+
+Near-dup corpora: the source ``documents`` table has no duplicates, so
+dedup queries build a deterministic augmented corpus inline — each doc is
+unioned with a perturbed copy (id+1000000, last 2 tokens dropped), giving
+known high-Jaccard pairs the operators must find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators import dedup as D
+from target_parquet_spark.operators import multimodal as M
+from target_parquet_spark.operators import similarity as S
+from target_parquet_spark.operators import text as X
+from target_parquet_spark.queries import ORACLES, QUERIES, query, t
+
+# ---------------------------------------------------------------------------
+# shared DuckDB fragments (must mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+SQL_TOKS = (
+    "CASE WHEN trim(lower({c})) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(lower({c})), '\\s+') END"
+)
+
+SQL_SHINGLES = (
+    "CASE WHEN len({t}) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_distinct(list_transform(range(1, len({t}) - 1), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) END"
+)
+
+# doubled corpus: original docs + perturbed copies (drop last 2 tokens)
+SQL_CORPUS = f"""
+  corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(tt[1:len(tt) - 2], ' ') AS text
+    FROM (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents)
+  )
+"""
+
+
+def _spark_corpus(spark, sf_dir):
+    """The Spark twin of SQL_CORPUS."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    perturbed = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 2)).alias("text"),
+    )
+    return docs.unionByName(perturbed)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+_SW = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+
+@query(
+    "text_token_stats",
+    f"""
+    WITH d AS (
+      SELECT lang, {SQL_TOKS.format(c='text')} AS toks, text FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+           round(avg(CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE) END), 4) AS avg_stopword_ratio,
+           round(avg(CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                               / CAST(length(text) AS DOUBLE) END), 4) AS avg_punct_ratio
+    FROM d GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Per-language corpus statistics — tokenization, stopword and
+    punctuation ratios as pure Column expressions (no shuffle besides the
+    5-key agg)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(X.stopword_ratio(F.col("text"))), 4).alias("avg_stopword_ratio"),
+        F.round(F.avg(X.punct_ratio(F.col("text"))), 4).alias("avg_punct_ratio"),
+    )
+
+
+_MARK_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in X.LANG_MARKERS.items()
+}
+
+_LANG_SCORES = ", ".join(
+    f"len(list_filter(toks, x -> list_contains({_MARK_SQL[lang]}, x))) AS s_{lang}"
+    for lang in X.LANG_MARKERS
+)
+_LANG_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in X.LANG_MARKERS) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in X.LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH d AS (SELECT {SQL_TOKS.format(c='text')} AS toks FROM documents),
+    s AS (SELECT {_LANG_SCORES} FROM d),
+    b AS (SELECT *, {_LANG_BEST} AS best FROM s)
+    SELECT {_LANG_CASE} AS lang_pred, count(*) AS n_docs
+    FROM b GROUP BY 1
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(X.lang_id(F.col("text")).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "text_quality_filter",
+    f"""
+    WITH d AS (
+      SELECT source, text, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+    q AS (
+      SELECT source,
+             round(((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN len(toks) = 0 THEN 0.0
+                          WHEN CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE) > 0.01
+                           AND CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE)
+                               / CAST(len(toks) AS DOUBLE) < 0.8 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                                ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                                     / CAST(length(text) AS DOUBLE) END) < 0.2
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+      FROM d)
+    SELECT source, count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE quality >= 0.66) AS BIGINT) AS n_keep,
+           round(avg(quality), 4) AS avg_quality
+    FROM q GROUP BY source
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """The pre-training quality gate: score every doc, report keep-rate
+    per source."""
+    d = t(spark, sf_dir, "documents")
+    q = d.select("source", X.quality_score(F.col("text")).alias("quality"))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("quality") >= 0.66, 1)).alias("n_keep"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH d AS (SELECT source, {SQL_TOKS.format(c='text')} AS toks FROM documents)
+    SELECT source,
+           count(DISTINCT md5(array_to_string(list_sort(list_distinct(toks)), ' ')))
+             AS n_fingerprints,
+           count(*) AS n_docs
+    FROM d GROUP BY source
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive doc fingerprints (bag-of-words md5) per source."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.countDistinct(X.fingerprint(F.col("text"))).alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_keep_first",
+    f"""
+    WITH {SQL_CORPUS},
+    r AS (SELECT doc_id, md5(text) AS content_hash,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM corpus)
+    SELECT doc_id, content_hash FROM r WHERE rn = 1
+    """,
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    """Exact dedup keep-first over a corpus with injected duplicates: one
+    shuffle on the uniformly-distributed content hash."""
+    corpus = _spark_corpus(spark, sf_dir)
+    kept = D.exact_dedup(corpus, "text", "doc_id", keep="first")
+    return kept.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+
+
+@query(
+    "dedup_minhash_signature",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks)
+    SELECT doc_id,
+           array_to_string(
+             list_transform(range(0, 8),
+               i -> list_min(list_transform(s,
+                      x -> substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 16)))),
+             '|') AS sig
+    FROM sh WHERE len(s) > 0
+    """,
+)
+def dedup_minhash_signature(spark, sf_dir):
+    """Per-doc MinHash signature — nested higher-order functions, zero
+    shuffle, zero Python; checked bit-for-bit against DuckDB."""
+    docs = t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8)
+    return sig.filter(F.size(F.filter("sig", lambda x: x.isNotNull())) > 0).select(
+        "doc_id", F.concat_ws("|", "sig").alias("sig")
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {SQL_CORPUS},
+    toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks),
+    sig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 8),
+               i -> list_min(list_transform(s,
+                      x -> substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 16)))) AS g
+      FROM sh WHERE len(s) > 0),
+    bands AS (
+      SELECT doc_id, s, u.b AS band_idx,
+             md5(g[2*u.b + 1] || '|' || g[2*u.b + 2]) AS band_hash
+      FROM sig, unnest(range(0, 4)) AS u(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
+                 4) AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
+                4) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """The 100-TB near-dup path: banded MinHash candidates (equi-join on
+    band hash — no all-pairs), exact Jaccard verification on candidates
+    only.  Finds every (doc, perturbed-doc) planted pair."""
+    corpus = _spark_corpus(spark, sf_dir)
+    return D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {SQL_CORPUS},
+    toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
+           WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
+    posting AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jaccard
+    FROM common
+    WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact all-pairs Jaccard via the shingle inverted index (the
+    LSH-free baseline — quadratic worst case, for bounded corpora)."""
+    corpus = _spark_corpus(spark, sf_dir)
+    return D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.6)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (numpy over Arrow batches).  No oracle:
+    bit-twiddling is not SQL-expressible in DuckDB without a UDF — driver
+    records the rows-only check."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id")
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: LSH on 16-bit quarters + Hamming verify."""
+    corpus = _spark_corpus(spark, sf_dir)
+    return D.simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "sim_brute_force",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS sim
+    FROM embeddings e, q
+    WHERE round({_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                   * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) >= 0.15
+    """,
+)
+def sim_brute_force(spark, sf_dir):
+    """Exact cosine scan: broadcast 1-row query, linear corpus pass, no
+    shuffle.  Threshold (not top-k) so the result set is deterministic."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
+    )
+    return (
+        emb.crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("_qvec")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.15)
+    )
+
+
+_SQL_PLANE = (
+    "CASE WHEN substr(md5(CAST({p} AS VARCHAR) || ':' || CAST({i} AS VARCHAR)), 1, 1)"
+    " IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
+)
+
+_SQL_BUCKET = (
+    "array_to_string(list_transform(range(0, 8), p -> "
+    "CASE WHEN list_sum(list_transform(range(0, len({v})), "
+    f"i -> CAST({{v}}[i + 1] AS DOUBLE) * {_SQL_PLANE.format(p='p', i='i')}"
+    ")) > 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@query(
+    "sim_ann_bucket_histogram",
+    f"""
+    SELECT {_SQL_BUCKET.format(v='embedding')} AS bucket, count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def sim_ann_bucket_histogram(spark, sf_dir):
+    """Hyperplane-LSH bucket layout: at 100 TB this bucket id is the
+    partition key (write partitionBy(bucket); queries prune to one)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.groupBy(
+        S.lsh_bucket(F.col("embedding"), n_planes=8).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@query(
+    "sim_ann_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_SQL_BUCKET.format(v='embedding')} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.bucket,
+           round({_SQL_DOT.format(a='b.embedding', b='q.qv')}
+                 / (sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})
+                    * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS sim
+    FROM b, q WHERE b.bucket = q.qbucket
+    """,
+)
+def sim_ann_lsh(spark, sf_dir):
+    """ANN: exact cosine restricted to the query's LSH bucket — touches
+    1/2^8 of the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", S.lsh_bucket(F.col("embedding"), n_planes=8))
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("_qvec"), F.col("bucket").alias("_qbucket")
+        )
+    )
+    return bucketed.join(q, F.col("bucket") == F.col("_qbucket")).select(
+        "vec_id",
+        "bucket",
+        F.round(S.cosine(F.col("embedding"), F.col("_qvec")), 4).alias("sim"),
+    )
+
+
+@query(
+    "sim_embedding_dedup",
+    f"""
+    WITH doubled AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+    b AS (SELECT vec_id, embedding,
+                 {_SQL_BUCKET.format(v='embedding')} AS bucket FROM doubled)
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round({_SQL_DOT.format(a='x.embedding', b='y.embedding')}
+                 / (sqrt({_SQL_DOT.format(a='x.embedding', b='x.embedding')})
+                    * sqrt({_SQL_DOT.format(a='y.embedding', b='y.embedding')})), 4) AS sim
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE round({_SQL_DOT.format(a='x.embedding', b='y.embedding')}
+                / (sqrt({_SQL_DOT.format(a='x.embedding', b='x.embedding')})
+                   * sqrt({_SQL_DOT.format(a='y.embedding', b='y.embedding')})), 4) >= 0.98
+    """,
+)
+def sim_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH bucket join (identical vectors land
+    in the same bucket by construction) + exact cosine >= 0.98 on the
+    bucket-local candidate set.  Finds every planted duplicate."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    b = doubled.withColumn("bucket", S.lsh_bucket(F.col("embedding"), n_planes=8))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.round(S.cosine(F.col("x.embedding"), F.col("y.embedding")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.98)
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_manifest",
+    """
+    SELECT doc_id AS media_id,
+           'image' AS modality,
+           CAST(16 + (octet_length(encode(text)) % 240) AS INTEGER) AS width,
+           CAST(16 + ((octet_length(encode(text)) * 7) % 240) AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark, sf_dir):
+    """Binary media column + typed metadata struct; the manifest reads
+    ONLY metadata (parquet column pruning skips the payload)."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_media(docs, "text", "doc_id")
+    return M.media_manifest(media)
+
+
+@query("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Deterministic stand-in feature extraction over media (the stubbed
+    codec seam is decode_media; features derive from content hash).  No
+    oracle: hex->int needs DuckDB's from_hex on blobs — rows-only check."""
+    docs = t(spark, sf_dir, "documents")
+    media = M.attach_media(docs, "text", "doc_id")
+    feats = M.fake_features(media, dim=16)
+    return feats.select(
+        "media_id", F.round(F.aggregate("features", F.lit(0.0), lambda a, b: a + b), 4).alias("feature_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ingest-operator parity (the engine's own coercion/validation in the gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ingest_coerce_props",
+    """
+    SELECT event_id,
+           TRY_CAST(NULLIF(json_extract_string(props, '$.k'), '') AS BIGINT)  AS k_int,
+           TRY_CAST(NULLIF(json_extract_string(props, '$.k'), '') AS DOUBLE)  AS k_double,
+           json_extract_string(props, '$.k')                                  AS k_str
+    FROM events
+    """,
+)
+def ingest_coerce_props(spark, sf_dir):
+    """Runs the engine's ACTUAL coercion expressions (coerce.py C4/C5/C7 +
+    C10 empty-string guard) against raw JSON — the same path the Singer
+    target uses, oracle-checked against TRY_CAST/NULLIF SQL."""
+    from target_parquet_spark.coerce import coerce_columns
+    from target_parquet_spark.schema import resolve_schema
+
+    schema = {
+        "properties": {
+            "k_int": {"type": ["integer", "null"]},
+            "k_double": {"type": ["number", "null"]},
+            "k_str": {"type": ["string", "null"]},
+        }
+    }
+    fields = resolve_schema(schema)
+    e = t(spark, sf_dir, "events")
+    # all three coerced fields read the same raw key 'k'
+    raw = F.from_json(
+        F.col("props"), "k string"
+    )
+    rec = F.struct(
+        raw["k"].alias("k_int"), raw["k"].alias("k_double"), raw["k"].alias("k_str")
+    )
+    parsed = e.select("event_id", rec.alias("_rec"))
+    return parsed.select("event_id", *coerce_columns(fields, source_col="_rec"))
+
+
+@query(
+    "ingest_validation_counts",
+    """
+    WITH v AS (
+      SELECT event_type,
+             json_extract_string(props, '$.k') AS raw,
+             TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS num
+      FROM events)
+    SELECT event_type,
+           CAST(sum(CASE WHEN (num IS NULL OR num >= 10)
+                          AND (num IS NULL OR num <= 90)
+                          AND (raw IS NULL OR raw = '' OR num IS NOT NULL)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           count(*) AS n_total
+    FROM v GROUP BY event_type
+    """,
+)
+def ingest_validation_counts(spark, sf_dir):
+    """Runs the engine's ACTUAL compiled validation predicate
+    (validation.py V1) over raw JSON records."""
+    from target_parquet_spark.validation import compile_predicate
+
+    schema = {
+        "properties": {"k": {"type": ["integer", "null"], "minimum": 10, "maximum": 90}}
+    }
+    pred = compile_predicate(schema, source_col="_rec")
+    e = t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type", F.from_json(F.col("props"), "k string").alias("_rec")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -32,6 +32,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Pin UTC so parquet timestamps agree with UTC-naive oracles (DuckDB).
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table stores TIMESTAMP(NANOS); read as long.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Arrow transfer for the pandas-UDF slow paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
