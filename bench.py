@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query executes fully via the noop sink (write.format("noop")) so
+projections are not pruned the way a bare count() would allow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# The headline set: one per operator family, weighted toward the shapes
+# that matter at scale (joins, aggs, windows, LSH dedup, similarity).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "agg_distinct_count",
+    "agg_rollup",
+    "window_topk_per_group",
+    "window_running_total",
+    "sort_limit_topk",
+    "json_extract_props",
+    "events_tumbling_window",
+    "events_sessionize",
+    "asof_join_events",
+    "text_token_stats",
+    "text_quality_filter",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "sim_brute_force",
+    "sim_ann_lsh",
+    "multimodal_manifest",
+    "ingest_coerce_props",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry
+    from target_parquet_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = entry.queries()
+
+    # Warm the JVM + parquet footers with one tiny action (not timed).
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,23 +63,42 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _sig_expr(sh, n_hashes: int):
+    """MinHash signature as ONE fold over the shingle array.
+
+    Two md5 calls per shingle produce 64 hex chars, chopped into
+    ``n_hashes`` 8-hex (32-bit) chunks; the signature is the element-wise
+    minimum across shingles, computed with aggregate+zip_with+least so
+    each shingle is hashed exactly once (higher-order lambdas are
+    interpreted, so md5 count dominates — this is 4x fewer than the naive
+    per-seed pass).  Lexicographic min over fixed-width hex == numeric min.
+    """
+    assert n_hashes <= 8
+    hs = F.transform(
+        sh, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x:"), s)))
+    )
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    init = F.array_repeat(F.lit("g"), n_hashes)  # 'g' > any hex digit
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(idx, lambda j: h.substr(j * 8 + 1, F.lit(8))),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig array<string>) — null components for docs with no shingles."""
+    """(id, sig array<string>) — the 'g' sentinel remains for docs with no
+    shingles (filter on shingle count for real corpora)."""
     sh = shingles(F.col(text_col), n=shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.substring(
-                    F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 16
-                ),
-            )
-        ),
+    return df.select(
+        F.col(id_col).alias("doc_id"), _sig_expr(sh, n_hashes).alias("sig")
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def _jaccard(sh_a, sh_b):
@@ -109,20 +128,9 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n=shingle_n).alias("sh"),
     )
-    sig = base.withColumn(
-        "sig",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    F.col("sh"),
-                    lambda s: F.substring(
-                        F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 16
-                    ),
-                )
-            ),
-        ),
-    ).filter(F.size(F.col("sh")) > 0)
+    sig = base.filter(F.size(F.col("sh")) > 0).withColumn(
+        "sig", _sig_expr(F.col("sh"), n_hashes)
+    )
 
     banded = sig.select(
         "doc_id",
@@ -138,6 +146,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # Self-join branches would each recompute the interpreted shingle+md5
+    # pipeline; persist the banded index so it is computed once.  (At real
+    # scale: checkpoint / write the index table instead.)
+    banded = banded.persist()
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -170,7 +182,9 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n=n).alias("sh")
     ).filter(F.size("sh") > 0)
-    posting = sh.select("doc_id", F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh"))
+    posting = sh.select(
+        "doc_id", F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
+    ).persist()  # both self-join branches read it; compute the explode once
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -56,32 +56,45 @@ def brute_force_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
-def _plane_component(plane: Column, dim: Column) -> Column:
-    """Deterministic ±1 hyperplane component from md5 parity — the planes
-    are a pure function of (plane, dim), reproducible anywhere."""
-    h = F.md5(F.concat(plane.cast("string"), F.lit(":"), dim.cast("string")))
-    nib = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
-    return F.when(nib % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def plane_weights(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 parity of "plane:dim" — a pure
+    function, reproducible anywhere (the DuckDB oracle embeds the same
+    literals).  Computed driver-side ONCE so the per-row expression does no
+    hashing at all."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] in "02468ace" else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Sign-bit bucket string, e.g. '10110010' for 8 planes."""
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.when(
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-bit bucket string, e.g. '10110010' for 8 planes.
+
+    The plane matrix is inlined as literal arrays: each bit is one
+    zip_with+aggregate fold over the vector — no hashing, no shuffle."""
+    planes = plane_weights(n_planes, dim)
+    bits = [
+        F.when(
             F.aggregate(
-                F.transform(
+                F.zip_with(
                     vec,
-                    lambda x, i: x.cast("double") * _plane_component(p, i),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
             > 0,
             F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return F.concat_ws("", bits)
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
 
 
 def lsh_ann_topk(

@@ -214,27 +214,34 @@ def dedup_exact_keep_first(spark, sf_dir):
     return kept.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
 
 
+# Chunked MinHash: 2 md5 per shingle -> 64 hex chars -> 8 x 8-hex chunks;
+# signature = element-wise min (see operators/dedup._sig_expr).
+SQL_SIG = (
+    "list_transform(range(0, 8), j -> list_min(list_transform({s}, "
+    "x -> substr(md5(x) || md5('x:' || x), j*8 + 1, 8))))"
+)
+
+
 @query(
     "dedup_minhash_signature",
     f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks)
-    SELECT doc_id,
-           array_to_string(
-             list_transform(range(0, 8),
-               i -> list_min(list_transform(s,
-                      x -> substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 16)))),
-             '|') AS sig
+    SELECT doc_id, array_to_string({SQL_SIG.format(s='s')}, '|') AS sig
     FROM sh WHERE len(s) > 0
     """,
 )
 def dedup_minhash_signature(spark, sf_dir):
-    """Per-doc MinHash signature — nested higher-order functions, zero
+    """Per-doc MinHash signature — one fold over the shingle array, zero
     shuffle, zero Python; checked bit-for-bit against DuckDB."""
+    from target_parquet_spark.operators.text import shingles
+
     docs = t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8)
-    return sig.filter(F.size(F.filter("sig", lambda x: x.isNotNull())) > 0).select(
-        "doc_id", F.concat_ws("|", "sig").alias("sig")
+    sh = shingles(F.col("text"))
+    return (
+        docs.select("doc_id", sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", F.concat_ws("|", D._sig_expr(F.col("sh"), 8)).alias("sig"))
     )
 
 
@@ -245,10 +252,7 @@ def dedup_minhash_signature(spark, sf_dir):
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks),
     sig AS (
-      SELECT doc_id, s,
-             list_transform(range(0, 8),
-               i -> list_min(list_transform(s,
-                      x -> substr(md5(CAST(i AS VARCHAR) || ':' || x), 1, 16)))) AS g
+      SELECT doc_id, s, {SQL_SIG.format(s='s')} AS g
       FROM sh WHERE len(s) > 0),
     bands AS (
       SELECT doc_id, s, u.b AS band_idx,
@@ -363,17 +367,16 @@ def sim_brute_force(spark, sf_dir):
     )
 
 
-_SQL_PLANE = (
-    "CASE WHEN substr(md5(CAST({p} AS VARCHAR) || ':' || CAST({i} AS VARCHAR)), 1, 1)"
-    " IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
-)
+# The same literal ±1 hyperplanes the Spark expression inlines
+# (operators/similarity.plane_weights — md5-parity derived, fixed).
+_PLANES = S.plane_weights(n_planes=8, dim=64)
 
-_SQL_BUCKET = (
-    "array_to_string(list_transform(range(0, 8), p -> "
-    "CASE WHEN list_sum(list_transform(range(0, len({v})), "
-    f"i -> CAST({{v}}[i + 1] AS DOUBLE) * {_SQL_PLANE.format(p='p', i='i')}"
-    ")) > 0 THEN '1' ELSE '0' END), '')"
-)
+_SQL_BUCKET = "(" + " || ".join(
+    "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
+    f"i -> CAST({{v}}[i] AS DOUBLE) * ([{', '.join(str(w) for w in plane)}])[i]"
+    ")) > 0 THEN '1' ELSE '0' END)"
+    for plane in _PLANES
+) + ")"
 
 
 @query(
