@@ -48,9 +48,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer div, NOT `/`: epoch-nanos (~1.7e18) exceed double's 53-bit
+            # mantissa, so float division drifts by +/-1us on some rows
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -888,3 +888,74 @@ def asof_join_events(spark, sf_dir):
             F.col("ts").cast("double") - F.col("ts_right").cast("double"), 3
         ).alias("secs_since_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming-module window operators, batch-applied (the same transforms run
+# incrementally under watermarks in target_parquet_spark/streaming/windows.py;
+# tests/test_streaming.py proves streaming == batch, this oracle pins batch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_window_tumbling_exact",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY time_bucket(INTERVAL '1 day', ts), event_type
+    """,
+)
+def events_window_tumbling_exact(spark, sf_dir):
+    """window('1 day') tumbling agg via the streaming module's transform.
+    One shuffle on (window, event_type) with map-side partial agg."""
+    from target_parquet_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_window_sliding",
+    """
+    SELECT make_timestamp(CAST(((floor(epoch(ts) / 1800) - g.i) * 1800) * 1000000
+                          AS BIGINT)) AS window_start,
+           event_type, count(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) g(i)
+    GROUP BY 1, 2
+    """,
+)
+def events_window_sliding(spark, sf_dir):
+    """window('1 hour', '30 minutes') sliding agg: each event multiplies
+    into duration/slide = 2 windows before the shuffle (the fan-out ratio
+    to watch at 100 TB).  Oracle enumerates the same 2 aligned starts."""
+    from target_parquet_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_window_session",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_window_session(spark, sf_dir):
+    """session_window(gap=30min) per user: dynamic-length windows that
+    merge while events arrive within the gap.  Oracle reconstructs the
+    identical sessions with lag + cumulative break-sum (a session breaks
+    when the gap is >= 30min — session_window's exclusive end)."""
+    from target_parquet_spark.streaming.windows import session_agg
+
+    return session_agg(t(spark, sf_dir, "events"))

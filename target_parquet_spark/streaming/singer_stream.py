@@ -1,0 +1,147 @@
+"""Unbounded Singer ingestion via Structured Streaming.
+
+The reference processes an unbounded stdin pipe single-threaded on the
+driver and flushes every 10k records (reference target_parquet/sinks.py:118
+batch buffer; singer-sdk drain loop).  The Spark-native shape:
+
+- source: ``spark.readStream.text(dir)`` over a drop-directory of Singer
+  message files (the file source is the durable stand-in for a stdin pipe;
+  any line-oriented streaming source — Kafka, socket — plugs in the same).
+- ``foreachBatch``: each micro-batch IS the reference's batch buffer (B1).
+  Inside the batch the existing batch-path machinery runs unchanged:
+  envelope parse (JVM ``from_json``), SCHEMA collect (rare, driver-side
+  DDL), per-stream vectorized decode + validation, parquet append.
+- the checkpoint directory is Spark's commit log == Singer STATE (S4): on
+  restart, already-committed files are not re-ingested.  The latest STATE
+  message seen is additionally written to ``state.json`` per epoch so a
+  downstream tap-orchestrator can read it exactly as it would read the
+  reference's stdout state emission.
+
+Schema registry semantics: a SCHEMA message governs all later RECORDs of
+its stream — across micro-batches — until re-declared (schema evolution →
+version-append + mergeSchema read, BUG-4 fixed; reference
+tests/README.md:73-87).  The registry lives on the driver inside the
+``foreachBatch`` closure, exactly where the reference kept its sink
+registry (reference writers.py:14-24), but rebuilt from the checkpoint's
+replayed batches on restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from target_parquet_spark.io.parquet_sink import ParquetStreamSink
+from target_parquet_spark.io.singer_source import (
+    decode_records_jvm,
+    parse_envelope,
+    raw_record_struct,
+)
+from target_parquet_spark.schema import resolve_schema
+
+__all__ = ["SingerStreamTarget"]
+
+
+class SingerStreamTarget:
+    """Streaming Singer target.  Config keys are the batch target's
+    (filepath, file_naming_scheme, compression, fixed_headers,
+    partition_cols, max_records_per_file) plus ``checkpoint``."""
+
+    def __init__(self, spark: SparkSession, config: dict | None = None):
+        self.spark = spark
+        self.config = config or {}
+        self.sink = ParquetStreamSink(self.config)
+        self.checkpoint = self.config.get("checkpoint") or os.path.join(
+            self.sink.root, "_checkpoint"
+        )
+        # stream -> (schema dict, key_properties, version_idx)
+        self._registry: dict[str, tuple[dict, list[str], int]] = {}
+        self._metrics: dict[str, int] = {}
+
+    # -- public API ----------------------------------------------------------
+
+    def start(self, input_dir: str, available_now: bool = False):
+        """Begin ingesting ``*.jsonl``-style Singer line files dropped into
+        ``input_dir``.  Returns the StreamingQuery."""
+        lines = self.spark.readStream.text(input_dir)
+        writer = (
+            lines.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .queryName("singer-stream-target")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- micro-batch processor ----------------------------------------------
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        env = parse_envelope(batch_df)
+        env = env.persist()
+        try:
+            self._apply_schemas(env)
+            streams_in_batch = [
+                r.stream
+                for r in env.filter(F.col("msg_type") == "RECORD")
+                .select("stream")
+                .distinct()
+                .collect()
+            ]
+            for stream in streams_in_batch:
+                self._write_stream_records(env, stream)
+            self._emit_state(env, epoch_id)
+        finally:
+            env.unpersist()
+
+    def _apply_schemas(self, env: DataFrame) -> None:
+        rows = (
+            env.filter(F.col("msg_type") == "SCHEMA")
+            .select("_mid", "stream", "schema_json", "key_properties")
+            .orderBy("_mid")
+            .collect()
+        )
+        for r in rows:
+            prev = self._registry.get(r.stream)
+            version = prev[2] + 1 if prev else 0
+            schema = json.loads(r.schema_json) if r.schema_json else {}
+            self._registry[r.stream] = (schema, list(r.key_properties or []), version)
+
+    def _write_stream_records(self, env: DataFrame, stream: str) -> None:
+        reg = self._registry.get(stream)
+        if reg is None:
+            return  # RECORD before any SCHEMA: reference's SDK errors; we skip
+        schema, key_properties, _version = reg
+        fixed = (self.config.get("fixed_headers") or {}).get(stream)
+        fields = resolve_schema(schema, fixed_headers=fixed)
+        records = env.filter(
+            (F.col("msg_type") == "RECORD") & (F.col("stream") == stream)
+        )
+        parsed = records.withColumn(
+            "_rec", F.from_json(F.col("record_json"), raw_record_struct(fields))
+        )
+        typed = decode_records_jvm(parsed, fields)
+        self.sink.write(stream, typed, key_properties=key_properties)
+        self._metrics[stream] = self._metrics.get(stream, 0) + records.count()
+        self._write_metrics()
+
+    def _emit_state(self, env: DataFrame, epoch_id: int) -> None:
+        rows = (
+            env.filter(F.col("msg_type") == "STATE")
+            .select("_mid", "state_json")
+            .orderBy(F.col("_mid").desc())
+            .limit(1)
+            .collect()
+        )
+        if rows and rows[0].state_json:
+            payload = {"epoch": epoch_id, "state": json.loads(rows[0].state_json)}
+            with open(os.path.join(self.sink.root, "state.json"), "w") as fh:
+                json.dump(payload, fh)
+
+    def _write_metrics(self) -> None:
+        # Once per micro-batch — the reference rewrote this file per RECORD
+        # (O(n^2) I/O anti-pattern, reference writers.py:52-74).
+        with open(os.path.join(self.sink.root, "job_metrics.json"), "w") as fh:
+            json.dump({"recordCount": dict(self._metrics)}, fh)

@@ -1,0 +1,68 @@
+"""Custom per-key stateful streaming via ``applyInPandasWithState``.
+
+The extension point the reference never had (its only state was the STATE
+passthrough, SURVEY §2 S4).  Pattern: arbitrary per-key accumulators that
+survive across micro-batches — the Spark-native equivalent of a keyed
+process function.  Used where window()/session_window can't express the
+semantics (running totals emitted every batch, custom eviction, per-key
+ML-ish counters).
+
+Scale notes: state is partitioned by the grouping key across executors;
+each micro-batch shuffles only that batch's rows.  State size is bounded
+by (distinct keys x state row width) — keep the state row narrow and rely
+on timeouts for eviction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_user_totals", "RUNNING_TOTALS_SCHEMA"]
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("v", T.DoubleType())]
+)
+
+
+def _update_totals(
+    key: tuple[Any, ...], pdfs: Iterable, state: GroupState
+) -> Iterator:
+    import pandas as pd
+
+    n, v = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += int(len(pdf))
+        v += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, v))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(v, 2)]}
+    )
+
+
+def running_user_totals(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-user running (count, sum(value)) emitted every micro-batch the
+    user appears in — state persists across batches.  Works only on
+    streaming frames (batch equivalent: a plain groupBy)."""
+    return (
+        events.select("user_id", "value", ts_col)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

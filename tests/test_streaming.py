@@ -1,0 +1,285 @@
+"""Streaming layer tests (SURVEY §7 M4).
+
+Strategy: every streaming pipeline runs with trigger(availableNow=True)
+against file sources in tmp dirs, then the materialized output is compared
+to the equivalent batch computation on the same data — the batch side is
+itself oracle-checked (scripts/check_oracle.py), so equivalence here
+transitively pins the streaming semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from target_parquet_spark.io.parquet_sink import read_stream_output
+from target_parquet_spark.queries import t
+from target_parquet_spark.streaming import (
+    SingerStreamTarget,
+    running_user_totals,
+    session_agg,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _msg(**kw):
+    return json.dumps(kw)
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    assert not query.isActive
+
+
+# ---------------------------------------------------------------------------
+# Singer streaming target
+# ---------------------------------------------------------------------------
+
+
+def test_singer_stream_two_batches_schema_carries_over(spark, tmp_path):
+    """SCHEMA arrives in batch 1; RECORDs keep flowing in batch 2 — the
+    driver-side registry must carry the stream DDL across micro-batches."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": ["integer", "null"]},
+            "v": {"type": ["number", "null"]},
+        },
+    }
+    (inbox / "f1.jsonl").write_text(
+        "\n".join(
+            [_msg(type="SCHEMA", stream="s", schema=schema, key_properties=["id"])]
+            + [
+                _msg(type="RECORD", stream="s", record={"id": i, "v": i * 1.5})
+                for i in range(50)
+            ]
+        )
+    )
+    tgt = SingerStreamTarget(
+        spark,
+        {"filepath": str(out), "file_naming_scheme": "{stream}"},
+    )
+    _await(tgt.start(str(inbox), available_now=True))
+
+    # second drop: records only (schema must come from the registry)
+    (inbox / "f2.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(type="RECORD", stream="s", record={"id": i, "v": 2.0})
+                for i in range(50, 80)
+            ]
+            + [_msg(type="STATE", value={"bookmark": 80})]
+        )
+    )
+    _await(tgt.start(str(inbox), available_now=True))
+
+    got = spark.read.parquet(str(out / "s"))
+    assert got.count() == 80
+    assert dict(got.dtypes) == {"id": "bigint", "v": "double"}
+    assert got.agg(F.countDistinct("id")).collect()[0][0] == 80
+
+    state = json.loads((out / "state.json").read_text())
+    assert state["state"] == {"bookmark": 80}
+    metrics = json.loads((out / "job_metrics.json").read_text())
+    assert metrics["recordCount"] == {"s": 80}
+
+
+def test_singer_stream_checkpoint_no_reprocess(spark, tmp_path):
+    """Restarting against the same checkpoint must not re-ingest committed
+    files (checkpoint == Singer STATE semantics)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    schema = {"type": "object", "properties": {"id": {"type": ["integer", "null"]}}}
+    (inbox / "f1.jsonl").write_text(
+        "\n".join(
+            [_msg(type="SCHEMA", stream="s", schema=schema)]
+            + [_msg(type="RECORD", stream="s", record={"id": i}) for i in range(10)]
+        )
+    )
+    cfg = {"filepath": str(out), "file_naming_scheme": "{stream}"}
+    tgt = SingerStreamTarget(spark, cfg)
+    _await(tgt.start(str(inbox), available_now=True))
+    # relaunch with no new files: nothing should be appended
+    tgt2 = SingerStreamTarget(spark, cfg)
+    tgt2._registry = dict(tgt._registry)
+    _await(tgt2.start(str(inbox), available_now=True))
+    assert spark.read.parquet(str(out / "s")).count() == 10
+
+
+def test_singer_stream_schema_evolution_across_batches(spark, tmp_path):
+    """Re-declared SCHEMA with a new column: version-append + mergeSchema
+    read (BUG-4 fixed; reference crashed at flush)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    v1 = {"type": "object", "properties": {"id": {"type": ["integer", "null"]}}}
+    v2 = {
+        "type": "object",
+        "properties": {
+            "id": {"type": ["integer", "null"]},
+            "name": {"type": ["string", "null"]},
+        },
+    }
+    (inbox / "f1.jsonl").write_text(
+        "\n".join(
+            [_msg(type="SCHEMA", stream="s", schema=v1)]
+            + [_msg(type="RECORD", stream="s", record={"id": i}) for i in range(5)]
+        )
+    )
+    tgt = SingerStreamTarget(spark, {"filepath": str(out), "file_naming_scheme": "{stream}"})
+    _await(tgt.start(str(inbox), available_now=True))
+    (inbox / "f2.jsonl").write_text(
+        "\n".join(
+            [_msg(type="SCHEMA", stream="s", schema=v2)]
+            + [
+                _msg(type="RECORD", stream="s", record={"id": i, "name": f"n{i}"})
+                for i in range(5, 8)
+            ]
+        )
+    )
+    _await(tgt.start(str(inbox), available_now=True))
+    got = read_stream_output(spark, str(out / "s"))
+    assert got.count() == 8
+    assert set(got.columns) == {"id", "name"}
+    assert got.filter(F.col("name").isNotNull()).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# windows: streaming == batch on the same data
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, sf_dir, tmp_path_factory):
+    """events table re-materialized as a plain parquet dir usable as a
+    streaming file source (ts already micros)."""
+    d = str(tmp_path_factory.mktemp("events_src"))
+    batch = t(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(d)
+    return d, spark.read.parquet(d).schema
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_src):
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).parquet(path)
+    got = _run_stream_to_memory(
+        spark,
+        tumbling_counts(stream, watermark="1 hour"),
+        "t_tumbling",
+    )
+    want = tumbling_counts(spark.read.parquet(path))
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_matches_batch(spark, events_src):
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).parquet(path)
+    got = _run_stream_to_memory(
+        spark,
+        sliding_counts(stream, watermark="1 hour"),
+        "t_sliding",
+    )
+    want = sliding_counts(spark.read.parquet(path))
+    cols = ["window_start", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # each event appears in exactly duration/slide = 2 windows
+    n_events = spark.read.parquet(path).count()
+    assert want.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
+
+
+def test_session_stream_matches_batch(spark, events_src):
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).parquet(path)
+    got = _run_stream_to_memory(
+        spark,
+        session_agg(stream, watermark="1 hour"),
+        "t_session",
+    )
+    want = session_agg(spark.read.parquet(path))
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_dedup(spark, events_src):
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).parquet(path)
+    deduped = streaming_dedup(stream, ["user_id"], watermark="365 days")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table("t_dedup")
+    n_users = spark.read.parquet(path).select("user_id").distinct().count()
+    assert got.count() == n_users
+    assert got.select("user_id").distinct().count() == n_users
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator
+# ---------------------------------------------------------------------------
+
+
+def test_running_user_totals_state_across_batches(spark, events_src):
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table("t_state")
+    # final emission per user == the batch groupBy (state accumulated)
+    last = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("tv"))
+    )
+    want = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("tv"),
+        )
+    )
+    cols = ["user_id", "n_events", "tv"]
+    assert _rows(last, cols) == _rows(want, cols)
