@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "sim_brute_force",
     "sim_ann_lsh",
+    "sim_ann_ivf",
+    "text_bpe_token_stats",
     "multimodal_manifest",
     "ingest_coerce_props",
 ]

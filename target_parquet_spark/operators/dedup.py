@@ -124,10 +124,14 @@ def minhash_lsh_pairs(
     join and the final distinct — both on uniformly-hashed keys.
     """
     rows_per_band = n_hashes // bands
+    # Persist BEFORE the size filter: Catalyst collapses projections and
+    # would inline the (interpreted, expensive) shingle expression into the
+    # filter AND every downstream consumer — cache it so it runs once per
+    # doc.  (At real scale: checkpoint / write the shingle table instead.)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n=shingle_n).alias("sh"),
-    )
+    ).persist()
     sig = base.filter(F.size(F.col("sh")) > 0).withColumn(
         "sig", _sig_expr(F.col("sh"), n_hashes)
     )
@@ -179,12 +183,15 @@ def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
     """Exact all-pairs Jaccard via the shingle inverted index."""
+    # Persist the shingle table before size/explode so the interpreted
+    # shingle expression is evaluated once per doc (projection collapse
+    # would otherwise inline it into the filter and both join branches).
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n=n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    ).persist()
     posting = sh.select(
-        "doc_id", F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
-    ).persist()  # both self-join branches read it; compute the explode once
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))

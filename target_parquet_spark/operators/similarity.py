@@ -97,6 +97,97 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return F.concat(*bits)
 
 
+def ivf_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float], float]]:
+    """Driver-side centroid codebook: the first ``n_centroids`` vectors by
+    id (deterministic seed-point 'training'; swap in k-means offline and
+    the query path is unchanged).  Returns (cid, vector, norm) with the
+    norm computed as the same sequential fold the executors use — bit-for-
+    bit reproducible in DuckDB."""
+    rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    import math
+
+    out = []
+    for r in rows:
+        v = [float(x) for x in r[1]]
+        s = 0.0
+        for x in v:
+            s += x * x
+        out.append((int(r[0]), v, math.sqrt(s)))
+    return out
+
+
+def ivf_cell(vec: Column, codebook: list[tuple[int, list[float], float]]) -> Column:
+    """IVF cell assignment as a pure per-row expression — no join, no
+    shuffle: one dot product per centroid against a literal codebook, cell
+    = argmax of norm-scaled score (ties -> lowest cid, via first-position
+    semantics of array_position).  Requires cid == list index."""
+    assert [c[0] for c in codebook] == list(range(len(codebook)))
+    scores = F.array(
+        *[
+            dot(vec, F.array(*[F.lit(x) for x in cv])) / F.lit(nrm)
+            for _cid, cv, nrm in codebook
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    query_vec: list[float],
+    codebook: list[tuple[int, list[float], float]],
+    nprobe: int = 2,
+    threshold: float = 0.1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN search: assign every vector to its cell, probe only the
+    ``nprobe`` cells nearest the query, exact cosine + threshold inside
+    them.
+
+    At 100 TB the cell id is the partition key (write the corpus
+    ``partitionBy('cell')``); probing prunes the scan to nprobe/n_centroids
+    of the data and the whole query is shuffle-free."""
+    import math
+
+    qv = [float(x) for x in query_vec]
+    s = 0.0
+    for x in qv:
+        s += x * x
+    qnorm = math.sqrt(s)
+    # driver-side probe selection — same arithmetic as the executors' fold
+    cell_scores = []
+    for cid, cv, nrm in codebook:
+        d = 0.0
+        for a, b in zip(qv, cv):
+            d += a * b
+        cell_scores.append((-(d / nrm), cid))
+    probe = [cid for _neg, cid in sorted(cell_scores)[:nprobe]]
+
+    qlit = F.array(*[F.lit(x) for x in qv])
+    assigned = corpus.withColumn("cell", ivf_cell(F.col(vec_col), codebook))
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.round(
+                dot(F.col(vec_col), qlit) / (norm(F.col(vec_col)) * F.lit(qnorm)), 4
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     query: DataFrame,

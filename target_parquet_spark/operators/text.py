@@ -19,6 +19,8 @@ __all__ = [
     "punct_ratio",
     "quality_score",
     "lang_id",
+    "bpe_tokens",
+    "bpe_token_count",
     "fingerprint",
     "shingles",
     "STOPWORDS",
@@ -99,6 +101,21 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# GPT-2-ish pre-tokenization over lowercased text: letter runs, digit
+# runs, and single punctuation marks each become one token.  RE2/Java-regex
+# portable so DuckDB oracles can reproduce counts exactly.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (the unit a subword tokenizer would split)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("long")
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token multiset.  Two docs that are word-order shuffles of each other
@@ -109,12 +126,17 @@ def fingerprint(text: Column) -> Column:
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the MinHash/Jaccard unit).
 
-    Docs with fewer than ``n`` tokens produce an empty set (guarded —
-    ``sequence`` would otherwise generate a descending range)."""
+    O(tokens) per doc: n-1 shifted copies of the token array are zipped and
+    each struct concatenated — higher-order functions are interpreted (no
+    codegen), so the naive one-``slice``-per-position form is O(tokens^2)
+    and measured ~4x slower.  Docs with fewer than ``n`` tokens produce an
+    empty set."""
     toks = tokens(text)
+    shifted = [toks] + [F.slice(toks, k + 1, 1 << 30) for k in range(1, n)]
+    zipped = F.arrays_zip(*shifted)  # padded to size(toks); tail structs hold nulls
     sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.slice(zipped, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]),
     )
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(sh)

@@ -50,9 +50,23 @@ SQL_CORPUS = f"""
 """
 
 
+def td(spark, sf_dir, name):
+    """Load a table and widen it to the session's parallelism when the scan
+    yields fewer partitions (single small file locally).  The text/dedup/
+    similarity operators are CPU-bound per row (interpreted higher-order
+    functions, md5 folds) — a few-MB round-robin shuffle buys full-width
+    execution.  On a real cluster the scan is already wide and this guard
+    makes it a no-op."""
+    df = t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def _spark_corpus(spark, sf_dir):
     """The Spark twin of SQL_CORPUS."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = td(spark, sf_dir, "documents").select("doc_id", "text")
     toks = X.tokens(F.col("text"))
     perturbed = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -90,7 +104,7 @@ def text_token_stats(spark, sf_dir):
     """Per-language corpus statistics — tokenization, stopword and
     punctuation ratios as pure Column expressions (no shuffle besides the
     5-key agg)."""
-    d = t(spark, sf_dir, "documents")
+    d = td(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
@@ -129,7 +143,7 @@ _LANG_CASE = (
     """,
 )
 def text_lang_id(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = td(spark, sf_dir, "documents")
     return d.groupBy(X.lang_id(F.col("text")).alias("lang_pred")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -162,7 +176,7 @@ def text_lang_id(spark, sf_dir):
 def text_quality_filter(spark, sf_dir):
     """The pre-training quality gate: score every doc, report keep-rate
     per source."""
-    d = t(spark, sf_dir, "documents")
+    d = td(spark, sf_dir, "documents")
     q = d.select("source", X.quality_score(F.col("text")).alias("quality"))
     return q.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -184,10 +198,51 @@ def text_quality_filter(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """Order-insensitive doc fingerprints (bag-of-words md5) per source."""
-    d = t(spark, sf_dir, "documents")
+    d = td(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.countDistinct(X.fingerprint(F.col("text"))).alias("n_fingerprints"),
         F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "text_bpe_token_stats",
+    f"""
+    WITH d AS (
+      SELECT source,
+             len({SQL_TOKS.format(c='text')}) AS n_ws,
+             len(regexp_extract_all(lower(text), '{X.BPE_PATTERN}')) AS n_bpe
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           round(avg(CASE WHEN n_ws = 0 THEN 0.0
+                          ELSE CAST(n_bpe AS DOUBLE) / n_ws END), 4) AS avg_expansion
+    FROM d GROUP BY source
+    """,
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """Whitespace vs BPE-style token counts per source — the token-budget
+    estimate a training pipeline runs before tokenizing for real."""
+    d = td(spark, sf_dir, "documents")
+    n_ws = X.token_count(F.col("text"))
+    n_bpe = X.bpe_token_count(F.col("text"))
+    return (
+        d.select("source", n_ws.alias("n_ws"), n_bpe.alias("n_bpe"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(
+                F.avg(
+                    F.when(F.col("n_ws") == 0, 0.0).otherwise(
+                        F.col("n_bpe").cast("double") / F.col("n_ws")
+                    )
+                ),
+                4,
+            ).alias("avg_expansion"),
+        )
     )
 
 
@@ -236,7 +291,7 @@ def dedup_minhash_signature(spark, sf_dir):
     shuffle, zero Python; checked bit-for-bit against DuckDB."""
     from target_parquet_spark.operators.text import shingles
 
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     sh = shingles(F.col("text"))
     return (
         docs.select("doc_id", sh.alias("sh"))
@@ -315,7 +370,7 @@ def dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (numpy over Arrow batches).  No oracle:
     bit-twiddling is not SQL-expressible in DuckDB without a UDF — driver
     records the rows-only check."""
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     return D.simhash(docs, "text", "doc_id")
 
 
@@ -353,7 +408,7 @@ _SQL_DOT = (
 def sim_brute_force(spark, sf_dir):
     """Exact cosine scan: broadcast 1-row query, linear corpus pass, no
     shuffle.  Threshold (not top-k) so the result set is deterministic."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
     )
@@ -389,7 +444,7 @@ _SQL_BUCKET = "(" + " || ".join(
 def sim_ann_bucket_histogram(spark, sf_dir):
     """Hyperplane-LSH bucket layout: at 100 TB this bucket id is the
     partition key (write partitionBy(bucket); queries prune to one)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     return emb.groupBy(
         S.lsh_bucket(F.col("embedding"), n_planes=8).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -411,7 +466,7 @@ def sim_ann_bucket_histogram(spark, sf_dir):
 def sim_ann_lsh(spark, sf_dir):
     """ANN: exact cosine restricted to the query's LSH bucket — touches
     1/2^8 of the corpus."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("bucket", S.lsh_bucket(F.col("embedding"), n_planes=8))
     q = F.broadcast(
         bucketed.filter(F.col("vec_id") == 0).select(
@@ -423,6 +478,54 @@ def sim_ann_lsh(spark, sf_dir):
         "bucket",
         F.round(S.cosine(F.col("embedding"), F.col("_qvec")), 4).alias("sim"),
     )
+
+
+_SQL_IVF_SCORE = (
+    f"{_SQL_DOT.format(a='{e}', b='c.cv')} / sqrt({_SQL_DOT.format(a='c.cv', b='c.cv')})"
+)
+
+
+@query(
+    "sim_ann_ivf",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < 16),
+    s AS (SELECT e.vec_id, e.embedding, c.cid,
+                 {_SQL_IVF_SCORE.format(e='e.embedding')} AS score
+          FROM embeddings e CROSS JOIN c),
+    r AS (SELECT vec_id, embedding, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY score DESC, cid) AS rn
+          FROM s),
+    assign AS (SELECT vec_id, embedding, CAST(cid AS INTEGER) AS cell
+               FROM r WHERE rn = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qs AS (SELECT c.cid, {_SQL_IVF_SCORE.format(e='q.qv')} AS score FROM c, q),
+    probe AS (SELECT cid FROM qs ORDER BY score DESC, cid LIMIT 2)
+    SELECT a.vec_id, a.cell,
+           round({_SQL_DOT.format(a='a.embedding', b='q.qv')}
+                 / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS sim
+    FROM assign a, q
+    WHERE a.cell IN (SELECT cid FROM probe)
+      AND round({_SQL_DOT.format(a='a.embedding', b='q.qv')}
+                / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+                   * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) >= 0.1
+    """,
+)
+def sim_ann_ivf(spark, sf_dir):
+    """IVF ANN: 16-cell codebook (driver-side, the 'load trained codebook'
+    seam), per-row literal-argmax cell assignment — zero shuffle, zero
+    join — then exact cosine in the query's 2 probed cells.  At 100 TB the
+    cell is the partition key and probing prunes the scan to nprobe/16.
+    Oracle reproduces assignment + probe with identical fold arithmetic."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = S.ivf_codebook(emb, n_centroids=16)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return S.ivf_ann(emb, qv, codebook, nprobe=2, threshold=0.1)
 
 
 @query(
@@ -448,11 +551,14 @@ def sim_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup: LSH bucket join (identical vectors land
     in the same bucket by construction) + exact cosine >= 0.98 on the
     bucket-local candidate set.  Finds every planted duplicate."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    b = doubled.withColumn("bucket", S.lsh_bucket(F.col("embedding"), n_planes=8))
+    # persist: both self-join branches need the 8-plane bucket folds
+    b = doubled.withColumn(
+        "bucket", S.lsh_bucket(F.col("embedding"), n_planes=8)
+    ).persist()
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(
@@ -489,7 +595,7 @@ def sim_embedding_dedup(spark, sf_dir):
 def multimodal_manifest(spark, sf_dir):
     """Binary media column + typed metadata struct; the manifest reads
     ONLY metadata (parquet column pruning skips the payload)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     media = M.attach_media(docs, "text", "doc_id")
     return M.media_manifest(media)
 
@@ -499,7 +605,7 @@ def multimodal_features(spark, sf_dir):
     """Deterministic stand-in feature extraction over media (the stubbed
     codec seam is decode_media; features derive from content hash).  No
     oracle: hex->int needs DuckDB's from_hex on blobs — rows-only check."""
-    docs = t(spark, sf_dir, "documents")
+    docs = td(spark, sf_dir, "documents")
     media = M.attach_media(docs, "text", "doc_id")
     feats = M.fake_features(media, dim=16)
     return feats.select(

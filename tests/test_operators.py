@@ -1,0 +1,109 @@
+"""Operator-level unit tests: text primitives, dedup folds, IVF ANN.
+
+The query registry is oracle-checked end-to-end by scripts/check_oracle.py;
+these tests pin the operator edge cases (empty/null/short docs, tie-breaks)
+that the synthetic corpus may not hit.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators import dedup as D
+from target_parquet_spark.operators import similarity as S
+from target_parquet_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy"),  # near dup (1 tok off)
+        (3, "completely different text about spark engines here"),
+        (4, "xy zz"),  # too short for 3-shingles
+        (5, ""),
+        (6, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_edges(spark, docs):
+    got = {
+        r.doc_id: (None if r.sh is None else list(r.sh))
+        for r in docs.select("doc_id", X.shingles(F.col("text")).alias("sh")).collect()
+    }
+    assert got[0][0] == "the quick brown"
+    assert len(got[0]) == 7  # 9 tokens -> 7 trigrams, all distinct
+    assert got[4] == [] and got[5] == []
+    assert got[6] is None  # null text propagates null (filtered upstream)
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    kept = D.exact_dedup(docs.filter("text is not null"), "text", "doc_id")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids  # dup group keeps doc 0
+    assert ids == {0, 2, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dup_pair(spark, docs):
+    pairs = D.minhash_lsh_pairs(
+        docs.filter("text is not null"), "text", "doc_id", threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got  # exact dup: jaccard 1.0
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs.filter("text is not null"), "text", "doc_id", threshold=0.1
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # doc0 has 7 trigrams, doc2 has 6, sharing 6 -> 6/7
+    assert pairs[(0, 2)] == round(6 / 7, 4)
+
+
+def test_bpe_tokens(spark):
+    df = spark.createDataFrame([("Hello, world! abc123 x.y",)], "text string")
+    got = df.select(X.bpe_tokens(F.col("text")).alias("t")).collect()[0].t
+    assert list(got) == ["hello", ",", "world", "!", "abc", "123", "x", ".", "y"]
+
+
+def test_ivf_cell_assignment_and_probe(spark):
+    # 4 centroids on coordinate axes; vectors near axis k land in cell k
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+    rows += [(10, [0.9, 0.1, 0.0, 0.0]), (11, [0.0, 0.1, 0.0, 0.9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = S.ivf_codebook(df, n_centroids=4)
+    assert [c[0] for c in cb] == [0, 1, 2, 3]
+    cells = {
+        r.vec_id: r.cell
+        for r in df.select(
+            "vec_id", S.ivf_cell(F.col("embedding"), cb).alias("cell")
+        ).collect()
+    }
+    assert cells[10] == 0 and cells[11] == 3
+    # probe=1 around query [0.9,...] must return only cell-0 members
+    got = S.ivf_ann(df, [0.9, 0.1, 0.0, 0.0], cb, nprobe=1, threshold=-1.0).collect()
+    assert {r.vec_id for r in got} == {0, 10}
+    sims = {r.vec_id: r.sim for r in got}
+    assert sims[10] == 1.0  # identical direction
+
+
+def test_simhash_identical_docs_same_fp(spark, docs):
+    fp = {
+        r.doc_id: r.simhash
+        for r in D.simhash(docs.filter("text is not null"), "text", "doc_id").collect()
+    }
+    assert fp[0] == fp[1]
+    # near-dup within hamming 3; different doc far away
+    ham = bin((fp[0] ^ fp[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 16
+    far = bin((fp[0] ^ fp[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert far > ham
