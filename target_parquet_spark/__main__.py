@@ -18,6 +18,13 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="target-parquet-spark")
     ap.add_argument("--config", help="path to JSON config", default=None)
     ap.add_argument("--input", help="read messages from file instead of stdin", default=None)
+    ap.add_argument(
+        "--watch",
+        metavar="DIR",
+        default=None,
+        help="streaming mode: continuously ingest Singer line files dropped "
+        "into DIR (Structured Streaming; checkpoint under the output root)",
+    )
     args = ap.parse_args(argv)
 
     config = {}
@@ -29,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     from target_parquet_spark.target import SingerTarget
 
     spark = get_spark(app_name="target-parquet-spark-cli")
+
+    if args.watch:
+        from target_parquet_spark.streaming import SingerStreamTarget
+
+        query = SingerStreamTarget(spark, config).start(args.watch)
+        query.awaitTermination()  # runs until killed; checkpoint resumes
+        return 0
+
     target = SingerTarget(spark, config)
 
     if args.input:

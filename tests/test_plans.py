@@ -1,0 +1,59 @@
+"""Physical-plan regression tests: the scale properties SURVEY §4 claims.
+
+A query that returns right answers with the wrong plan fails at 100 TB —
+these tests pin predicate pushdown, column pruning, broadcast joins, and
+partial aggregation by inspecting the optimized/formatted plans.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from target_parquet_spark.queries import QUERIES
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "q6_forecast_revenue")
+    # every filterable predicate reaches the parquet scan
+    assert "PushedFilters:" in p
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in p or col in p.split("PushedFilters:")[1].split("\n")[0]
+    # column pruning: the scan reads only the 4 referenced columns
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_broadcast_dim_join_no_shuffle_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # dim-side filter pushed to its scan
+    assert "p_size" in p.split("PushedFilters:")[-1].split("\n")[0] or "LessThanOrEqual(p_size" in p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    # map-side partial agg before the exchange: two HashAggregate nodes
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_topk_uses_takeordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "sort_limit_topk")
+    # global sort+limit should compile to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    p = plan(spark, sf_dir, "join_semi")
+    assert "LeftSemi" in p
