@@ -32,6 +32,7 @@ HEADLINE = [
     "join_left_outer",
     "agg_distinct_count",
     "agg_rollup",
+    "agg_salted_skew",
     "window_topk_per_group",
     "window_running_total",
     "sort_limit_topk",
@@ -47,6 +48,7 @@ HEADLINE = [
     "sim_brute_force",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "sim_topk_per_query",
     "text_bpe_token_stats",
     "multimodal_manifest",
     "ingest_coerce_props",

@@ -959,3 +959,33 @@ def events_window_session(spark, sf_dir):
     from target_parquet_spark.streaming.windows import session_agg
 
     return session_agg(t(spark, sf_dir, "events"))
+
+
+@query(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-stage salted aggregation — the skew-mitigation pattern: partial
+    agg on (key, salt) spreads one hot key over 8 reducers, final agg on
+    key re-combines.  Result is identical to the direct groupBy (the
+    oracle), only the shuffle distribution differs; sums/counts
+    re-associate exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.hash("l_orderkey"), F.lit(8)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("l_quantity").alias("_q"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n_rows"),
+        F.round(F.sum("_q"), 2).alias("total_qty"),
+    )

@@ -692,3 +692,49 @@ def ingest_validation_counts(spark, sf_dir):
 
 
 __all__ = ["QUERIES", "ORACLES"]
+
+
+@query(
+    "sim_topk_per_query",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 8),
+    s AS (SELECT q.query_id, e.vec_id,
+                 {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})) AS sim_raw
+          FROM embeddings e CROSS JOIN q),
+    r AS (SELECT query_id, vec_id, sim_raw,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim_raw DESC, vec_id)
+                      AS INTEGER) AS rank
+          FROM s)
+    SELECT query_id, vec_id, rank, round(sim_raw, 4) AS sim
+    FROM r WHERE rank <= 5
+    """,
+)
+def sim_topk_per_query(spark, sf_dir):
+    """Batch ANN workload shape: top-5 neighbors for EACH of 8 query
+    vectors in one pass — broadcast the query block, score corpus x query,
+    per-query window top-k.  One shuffle (on query_id, 8 keys); at scale
+    swap the scan side for the IVF-pruned corpus and this is the
+    production retrieval join."""
+    from pyspark.sql import Window
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        )
+    )
+    scored = emb.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        S.cosine(F.col("embedding"), F.col("_qv")).alias("sim_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", F.round("sim_raw", 4).alias("sim"))
+    )
