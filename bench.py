@@ -51,6 +51,7 @@ HEADLINE = [
     "sim_topk_per_query",
     "text_bpe_token_stats",
     "multimodal_manifest",
+    "pipeline_training_data",
     "ingest_coerce_props",
 ]
 

@@ -738,3 +738,53 @@ def sim_topk_per_query(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "rank", F.round("sim_raw", 4).alias("sim"))
     )
+
+
+@query(
+    "pipeline_training_data",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, source, text, len(toks) AS n_tok,
+             ((CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN len(toks) = 0 THEN 0.0
+                    WHEN CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) > 0.01
+                     AND CAST(len(list_filter(toks, x -> list_contains([{_SW}], x))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE) < 0.8 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                               / CAST(length(text) AS DOUBLE) END) < 0.2
+                    THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+      FROM d),
+    kept AS (SELECT * FROM scored WHERE quality >= 0.66),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM ranked WHERE rn = 1
+    GROUP BY source
+    """,
+)
+def pipeline_training_data(spark, sf_dir):
+    """The composed pre-training pipeline: quality gate -> exact dedup
+    (keep lowest id per content hash) -> per-source token budget.  Three
+    stages, two shuffles (content-hash window, source agg); every stage is
+    the oracle-checked operator used standalone elsewhere."""
+    d = td(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        X.token_count(F.col("text")).alias("n_tok"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.66)
+    deduped = D.exact_dedup(kept, "text", "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )

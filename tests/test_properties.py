@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis) — the reference had none (SURVEY §5).
+
+Two layers:
+- pure driver-side invariants of the schema translator, hammered with
+  random JSON-Schema property dicts;
+- equivalence of the two record-decode paths (vectorized JVM expressions
+  vs exact-compat pandas) on the value domain where their semantics are
+  defined to agree.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from target_parquet_spark.schema import resolve_property, resolve_type
+
+TYPE_NAMES = ["null", "number", "integer", "boolean", "string", "array", "object"]
+
+type_entry = st.sampled_from(TYPE_NAMES)
+type_value = st.one_of(
+    st.none(),
+    type_entry,
+    st.lists(type_entry, min_size=1, max_size=4),
+)
+prop_dict = st.fixed_dictionaries(
+    {},
+    optional={
+        "type": type_value,
+        "format": st.sampled_from([None, "date-time", "email"]),
+    },
+)
+
+
+def _types_of(prop):
+    t = prop.get("type")
+    if t is None:
+        return ["string", "null"]
+    return [t] if isinstance(t, str) else list(t)
+
+
+@given(prop_dict)
+def test_resolve_property_invariants(prop):
+    rf = resolve_property("f", prop)
+    types = _types_of(prop)
+    # nullability: any null/array/object variant or date-time format forces it
+    if "null" in types or "array" in types or "object" in types:
+        assert rf.nullable
+    if prop.get("format") == "date-time" and rf.type_id == "string":
+        assert rf.nullable and rf.spark_type == T.TimestampType()
+    # resolved type comes from the declared non-null set (BUG-3: single path)
+    non_null = [t for t in types if t != "null"]
+    if non_null:
+        assert rf.type_id == resolve_type(non_null)
+        if "boolean" in non_null:
+            assert rf.type_id == "boolean"
+        elif "string" in non_null:
+            assert rf.type_id == "string"
+    else:
+        assert rf.type_id == "null" and rf.nullable
+
+
+@given(st.lists(type_entry.filter(lambda t: t != "null"), min_size=1, max_size=4))
+def test_resolve_type_total_and_member(types):
+    got = resolve_type(types)
+    assert got in types  # never invents a type
+
+
+anyof_variant = st.fixed_dictionaries({}, optional={"type": type_value})
+
+
+@given(st.lists(anyof_variant, min_size=1, max_size=3))
+def test_anyof_nullability_union(variants):
+    """BUG-1 fix: a null ANYWHERE in anyOf makes the field nullable."""
+    rf = resolve_property("f", {"anyOf": variants})
+    if any("null" in _types_of(v) for v in variants):
+        assert rf.nullable
+
+
+# ---------------------------------------------------------------------------
+# decode-path equivalence (JVM vectorized vs exact-compat pandas)
+# ---------------------------------------------------------------------------
+
+# Values on which both paths are defined to agree per type (SURVEY §2 C4-C10;
+# the known divergences — Python str(True)/"true", float repr — are pinned
+# separately in tests/test_target_integration.py).
+scalar_by_type = {
+    "integer": st.one_of(
+        st.none(), st.integers(min_value=-(2**53), max_value=2**53), st.just("")
+    ),
+    "number": st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.just(""),
+    ),
+    "boolean": st.one_of(st.none(), st.booleans(), st.just("")),
+    "string": st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=40,
+        ),
+    ),
+}
+
+record_case = st.sampled_from(list(scalar_by_type)).flatmap(
+    lambda tid: st.tuples(st.just(tid), scalar_by_type[tid])
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(record_case, min_size=1, max_size=8))
+def test_decode_paths_agree(spark, cases):
+    from target_parquet_spark.io.singer_source import (
+        decode_records_exact,
+        decode_records_jvm,
+    )
+    from target_parquet_spark.schema import resolve_schema
+
+    schema = {
+        "type": "object",
+        "properties": {
+            f"c{i}": {"type": [tid, "null"]} for i, (tid, _v) in enumerate(cases)
+        },
+    }
+    fields = resolve_schema(schema)
+    rec = {f"c{i}": v for i, (_t, v) in enumerate(cases)}
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.io.singer_source import raw_record_struct
+
+    records = spark.createDataFrame(
+        [(json.dumps(rec),)], "record_json string"
+    ).withColumn("_rec", F.from_json(F.col("record_json"), raw_record_struct(fields)))
+
+    jvm = decode_records_jvm(records, fields).collect()[0].asDict()
+    exact = decode_records_exact(records, fields).collect()[0].asDict()
+
+    for i, (tid, _v) in enumerate(cases):
+        a, b = jvm[f"c{i}"], exact[f"c{i}"]
+        if tid == "number" and a is not None:
+            assert b is not None and abs(a - b) <= 1e-9 * max(1.0, abs(a))
+        else:
+            assert a == b, f"{tid}: jvm={a!r} exact={b!r}"
