@@ -164,8 +164,10 @@ def jsonschema_error_udf(schema: dict):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _validate(raw: pd.Series) -> pd.Series:
+    # NB: module uses `from __future__ import annotations`, so inline hints
+    # on the inner function would be strings pandas_udf cannot resolve (pd
+    # is not in module globals); attach real class objects instead.
+    def _validate(raw):
         validator = _build_relaxed_validator(schema)
 
         def check(txt):
@@ -180,4 +182,5 @@ def jsonschema_error_udf(schema: dict):
 
         return raw.map(check)
 
-    return _validate
+    _validate.__annotations__ = {"raw": pd.Series, "return": pd.Series}
+    return pandas_udf(_validate, returnType="string")

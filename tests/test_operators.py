@@ -107,3 +107,31 @@ def test_simhash_identical_docs_same_fp(spark, docs):
     assert ham <= 16
     far = bin((fp[0] ^ fp[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert far > ham
+
+
+def test_jsonschema_udf_full_fidelity(spark):
+    """The vectorized fallback validator: full draft-7 keywords with the
+    reference's relaxations (float multipleOf never fails)."""
+    import json
+
+    pytest.importorskip("jsonschema")
+    from target_parquet_spark.validation import jsonschema_error_udf
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "n": {"type": "number", "multipleOf": 0.3},  # float: never fails
+            "m": {"type": "integer", "multipleOf": 3},
+            "s": {"type": "string", "pattern": "^a"},
+        },
+    }
+    udf = jsonschema_error_udf(schema)
+    assert udf is not None
+    rows = [
+        (json.dumps({"n": 0.7, "m": 9, "s": "abc"}), True),   # float multipleOf relaxed
+        (json.dumps({"n": 1.0, "m": 10, "s": "abc"}), False), # 10 % 3 != 0
+        (json.dumps({"n": 1.0, "m": 9, "s": "xbc"}), False),  # pattern miss
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in rows], "raw string")
+    got = [r.err for r in df.select(udf("raw").alias("err")).collect()]
+    assert [e is None for e in got] == [ok for _, ok in rows]
