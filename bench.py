@@ -28,11 +28,14 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "q10_returned_items",
     "join_broadcast_dim",
     "join_left_outer",
     "agg_distinct_count",
     "agg_rollup",
     "agg_salted_skew",
+    "agg_percentiles",
     "window_topk_per_group",
     "window_running_total",
     "sort_limit_topk",
