@@ -87,3 +87,42 @@ class ParquetStreamSink:
 def read_stream_output(spark, path: str) -> DataFrame:
     """Read-back contract for evolved streams: mergeSchema on."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_stream_dir(
+    spark,
+    path: str,
+    target_records_per_file: int = 1_000_000,
+    compression: str = "snappy",
+) -> int:
+    """Rewrite a stream directory's many small part files (one+ per
+    micro-batch under the streaming target) into ~target-sized files.
+
+    The at-scale maintenance job for any streaming parquet sink: small
+    files destroy scan parallelism economics (per-file open cost, tiny row
+    groups).  Rewrites into a sibling dir then atomically swaps, so
+    readers never see a half-compacted directory.  Returns the row count.
+    """
+    import shutil
+
+    df = read_stream_output(spark, path)
+    n = df.count()
+    files = max(1, -(-n // target_records_per_file))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    (
+        df.repartition(files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    # preserve sidecars (key-properties etc.) through the swap
+    for name in os.listdir(path):
+        if name.startswith("_") and not name.startswith("_SUCCESS"):
+            src = os.path.join(path, name)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(tmp, name))
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n

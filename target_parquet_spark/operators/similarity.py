@@ -16,7 +16,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "cosine", "brute_force_topk", "lsh_bucket", "lsh_ann_topk"]
+__all__ = [
+    "dot",
+    "cosine",
+    "brute_force_topk",
+    "lsh_bucket",
+    "lsh_ann_topk",
+    "lsh_ann_multiprobe",
+    "hamming_leq",
+    "ivf_codebook",
+    "ivf_cell",
+    "ivf_ann",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -95,6 +106,53 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def hamming_leq(a: Column, b: Column, n_bits: int, max_d: int) -> Column:
+    """Hamming distance between two fixed-width bit-strings <= max_d, as a
+    sum of per-position inequality indicators (portable to any SQL engine)."""
+    d = sum(
+        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
+        for i in range(n_bits)
+    )
+    return d <= max_d
+
+
+def lsh_ann_multiprobe(
+    corpus: DataFrame,
+    query: DataFrame,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    threshold: float = 0.15,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multiprobe ANN: score every corpus vector whose bucket is within
+    ``max_hamming`` bit-flips of the query's bucket — 1+n_planes buckets at
+    distance<=1, i.e. ~(1+n)/2^n of the corpus, with much better recall
+    than single-bucket probing (vectors near a hyperplane flip one bit).
+
+    The probe predicate stays a broadcast-join residual: no shuffle, the
+    corpus is scanned once.  Threshold (not top-k) keeps it deterministic.
+    """
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket(F.col(vec_col), n_planes).alias("_qbucket"),
+        )
+    )
+    return (
+        bucketed.join(
+            q, hamming_leq(F.col("bucket"), F.col("_qbucket"), n_planes, max_hamming)
+        )
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def ivf_codebook(

@@ -788,3 +788,37 @@ def pipeline_training_data(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+_SQL_HAMMING1 = "(" + " + ".join(
+    f"(CASE WHEN substr(b.bucket, {i+1}, 1) <> substr(q.qbucket, {i+1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(8)
+) + ") <= 1"
+
+
+@query(
+    "sim_ann_multiprobe",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_SQL_BUCKET.format(v='embedding')} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.bucket,
+           round({_SQL_DOT.format(a='b.embedding', b='q.qv')}
+                 / (sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})
+                    * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS sim
+    FROM b, q
+    WHERE {_SQL_HAMMING1}
+      AND round({_SQL_DOT.format(a='b.embedding', b='q.qv')}
+                / (sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})
+                   * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) >= 0.15
+    """,
+)
+def sim_ann_multiprobe(spark, sf_dir):
+    """Multiprobe LSH ANN: probe every bucket within Hamming distance 1 of
+    the query's bucket (9 of 256) — recovers the neighbors single-bucket
+    probing loses to near-hyperplane bit flips, still pruning ~96% of the
+    corpus."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") == 0)
+    return S.lsh_ann_multiprobe(emb, q, n_planes=8, max_hamming=1, threshold=0.15)

@@ -283,3 +283,34 @@ def test_running_user_totals_state_across_batches(spark, events_src):
     )
     cols = ["user_id", "n_events", "tv"]
     assert _rows(last, cols) == _rows(want, cols)
+
+
+def test_compact_stream_dir(spark, tmp_path):
+    """Small-file maintenance: many micro-batch part files -> few target-
+    sized files, same rows, sidecars preserved, swap is atomic-ish."""
+    import glob
+    import json as _json
+
+    from target_parquet_spark.io.parquet_sink import compact_stream_dir
+
+    d = tmp_path / "stream_s"
+    d.mkdir()
+    # simulate 10 micro-batch appends (10+ part files)
+    for b in range(10):
+        spark.createDataFrame(
+            [(b * 100 + i, float(i)) for i in range(100)], "id long, v double"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+    (d / "_key_properties.json").write_text(_json.dumps({"key_properties": ["id"]}))
+    before = len(glob.glob(str(d / "*.parquet")))
+    assert before >= 10
+
+    n = compact_stream_dir(spark, str(d), target_records_per_file=500)
+    assert n == 1000
+    after = glob.glob(str(d / "*.parquet"))
+    assert len(after) == 2  # 1000 rows / 500 per file
+    got = spark.read.parquet(str(d))
+    assert got.count() == 1000
+    assert got.select(F.sum("id")).collect()[0][0] == sum(range(1000))
+    assert _json.loads((d / "_key_properties.json").read_text()) == {
+        "key_properties": ["id"]
+    }
