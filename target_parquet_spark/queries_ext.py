@@ -365,18 +365,81 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.6)
 
 
-@query("dedup_simhash")
+# SimHash reproduced bit-for-bit in SQL: token hash = big-endian u64 of the
+# first 16 md5 hex chars (== numpy '>u8' over the first 8 digest bytes);
+# per-bit votes over the token multiset; fingerprint bits -> UBIGINT ->
+# two's-complement BIGINT (matching numpy int64 on the Spark side).
+_SQL_VOTES = ",\n             ".join(
+    f"list_sum(list_transform(hs, x -> 2 * CAST((x >> {b}) & 1 AS BIGINT) - 1))"
+    f" AS v{b}"
+    for b in range(64)
+)
+_SQL_UFP = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN ({1 << b}::UBIGINT) ELSE (0::UBIGINT) END)"
+    for b in range(64)
+)
+_SQL_FP = (
+    f"CASE WHEN nt = 0 THEN 0 ELSE (CASE WHEN ({_SQL_UFP}) >= 9223372036854775808"
+    f" THEN CAST(CAST(({_SQL_UFP}) AS HUGEINT) - 18446744073709551616 AS BIGINT)"
+    f" ELSE CAST(({_SQL_UFP}) AS BIGINT) END) END"
+)
+
+
+def _sql_simhash(from_clause: str) -> str:
+    return f"""
+    d AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM {from_clause}),
+    h AS (SELECT doc_id, len(toks) AS nt,
+                 list_transform(toks,
+                   t -> ('0x' || substr(md5(t), 1, 16))::UBIGINT) AS hs
+          FROM d),
+    v AS (SELECT doc_id, nt, {_SQL_VOTES} FROM h),
+    fp AS (SELECT doc_id, {_SQL_FP} AS simhash FROM v)
+    """
+
+
+@query("dedup_simhash", f"WITH {_sql_simhash('documents')} SELECT doc_id, simhash FROM fp")
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (numpy over Arrow batches).  No oracle:
-    bit-twiddling is not SQL-expressible in DuckDB without a UDF — driver
-    records the rows-only check."""
+    """64-bit SimHash fingerprints (numpy over Arrow batches — the
+    designated mapInPandas slow path).  Oracle reproduces the exact
+    bit-twiddling via UBIGINT hex casts and per-bit vote sums."""
     docs = td(spark, sf_dir, "documents")
     return D.simhash(docs, "text", "doc_id")
 
 
-@query("dedup_simhash_pairs")
+@query(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {SQL_CORPUS},
+    {_sql_simhash('corpus')},
+    u AS (SELECT doc_id, simhash,
+                 CASE WHEN simhash < 0
+                      THEN CAST(simhash AS HUGEINT) + 18446744073709551616
+                      ELSE CAST(simhash AS HUGEINT) END AS ufp
+          FROM fp),
+    quarters AS (
+      -- literal divisors: DuckDB's ** operator returns DOUBLE, which is
+      -- inexact beyond 2^53 and corrupts the high quarters
+      SELECT doc_id, simhash, 0 AS q_idx,
+             CAST(ufp % 65536 AS BIGINT) AS q_val FROM u
+      UNION ALL SELECT doc_id, simhash, 1,
+             CAST((ufp // 65536::HUGEINT) % 65536 AS BIGINT) FROM u
+      UNION ALL SELECT doc_id, simhash, 2,
+             CAST((ufp // 4294967296::HUGEINT) % 65536 AS BIGINT) FROM u
+      UNION ALL SELECT doc_id, simhash, 3,
+             CAST((ufp // 281474976710656::HUGEINT) % 65536 AS BIGINT) FROM u),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS h_a, b.simhash AS h_b
+      FROM quarters a JOIN quarters b
+        ON a.q_idx = b.q_idx AND a.q_val = b.q_val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: LSH on 16-bit quarters + Hamming verify."""
+    """SimHash near-dup pairs: LSH on 16-bit quarters (any pair within
+    Hamming 3 agrees on >=1 quarter) + bit_count(xor) verification.
+    Oracle mirrors the quarter split on the unsigned fingerprint."""
     corpus = _spark_corpus(spark, sf_dir)
     return D.simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
 
@@ -600,11 +663,21 @@ def multimodal_manifest(spark, sf_dir):
     return M.media_manifest(media)
 
 
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           round(list_sum(list_transform(range(0, 16),
+             i -> ('0x' || substr(md5(md5(text) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                  / 2147483648.0 - 1.0)), 4) AS feature_sum
+    FROM documents
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Deterministic stand-in feature extraction over media (the stubbed
-    codec seam is decode_media; features derive from content hash).  No
-    oracle: hex->int needs DuckDB's from_hex on blobs — rows-only check."""
+    codec seam is decode_media; features derive from content hash =
+    md5(payload)).  Oracle reproduces the md5-derived components via
+    DuckDB's hex-literal cast."""
     docs = td(spark, sf_dir, "documents")
     media = M.attach_media(docs, "text", "doc_id")
     feats = M.fake_features(media, dim=16)
