@@ -150,3 +150,86 @@ def test_decode_paths_agree(spark, cases):
             assert b is not None and abs(a - b) <= 1e-9 * max(1.0, abs(a))
         else:
             assert a == b, f"{tid}: jvm={a!r} exact={b!r}"
+
+
+# ---------------------------------------------------------------------------
+# compiled validation predicate vs jsonschema fallback equivalence
+# ---------------------------------------------------------------------------
+
+# Keyword/value generators restricted to the domain where the compiled
+# predicate and draft-7 jsonschema are defined to agree: non-null values of
+# the declared type (divergences — null handling, cross-type enum — are
+# documented in validation.py and pinned by the integration tests).
+num_keywords = st.fixed_dictionaries(
+    {},
+    optional={
+        "minimum": st.integers(-50, 50),
+        "maximum": st.integers(-50, 50),
+        "exclusiveMinimum": st.integers(-50, 50),
+        "exclusiveMaximum": st.integers(-50, 50),
+        "multipleOf": st.integers(1, 9),
+    },
+)
+str_keywords = st.fixed_dictionaries(
+    {},
+    optional={
+        "minLength": st.integers(0, 6),
+        "maxLength": st.integers(0, 10),
+        "pattern": st.sampled_from(["^a", "b$", "c", "^[ab]+$"]),
+        "enum": st.lists(st.sampled_from(["a", "b", "ab", "cc"]), min_size=1, max_size=3),
+    },
+)
+
+validation_case = st.one_of(
+    st.tuples(
+        st.just("number"),
+        num_keywords,
+        st.one_of(st.integers(-60, 60), st.floats(-60, 60, allow_nan=False)),
+    ),
+    st.tuples(
+        st.just("integer"),
+        num_keywords,
+        st.integers(-60, 60),
+    ),
+    st.tuples(
+        st.just("string"),
+        str_keywords,
+        st.text(alphabet="abc", max_size=8),
+    ),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(validation_case, min_size=1, max_size=3))
+def test_compiled_predicate_matches_jsonschema(spark, cases):
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.io.singer_source import raw_record_struct
+    from target_parquet_spark.schema import resolve_schema
+    from target_parquet_spark.validation import (
+        _build_relaxed_validator,
+        compile_predicate,
+    )
+
+    schema = {
+        "type": "object",
+        "properties": {
+            f"x{i}": {"type": tid, **kw} for i, (tid, kw, _v) in enumerate(cases)
+        },
+    }
+    record = {f"x{i}": v for i, (_t, _k, v) in enumerate(cases)}
+
+    fields = resolve_schema(schema)
+    df = spark.createDataFrame(
+        [(json.dumps(record),)], "record_json string"
+    ).withColumn("_rec", F.from_json(F.col("record_json"), raw_record_struct(fields)))
+    compiled = df.select(
+        compile_predicate(schema, source_col="_rec").alias("ok")
+    ).collect()[0].ok
+
+    ref_ok = next(iter(_build_relaxed_validator(schema).iter_errors(record)), None) is None
+    assert compiled == ref_ok, f"schema={schema} record={record}"
