@@ -91,10 +91,26 @@ def _sig_expr(sh, n_hashes: int):
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8, shingle_n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    drop_empty: bool = False,
 ) -> DataFrame:
-    """(id, sig array<string>) — the 'g' sentinel remains for docs with no
-    shingles (filter on shingle count for real corpora)."""
+    """(doc_id, sig array<string>).
+
+    ``drop_empty=True`` filters docs with no shingles (persisting the
+    shingle table first so the interpreted expression runs once); otherwise
+    the 'g' sentinel remains in their signature components."""
+    if drop_empty:
+        base = df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n=shingle_n).alias("sh"),
+        ).persist()
+        return base.filter(F.size("sh") > 0).select(
+            "doc_id", _sig_expr(F.col("sh"), n_hashes).alias("sig")
+        )
     sh = shingles(F.col(text_col), n=shingle_n)
     return df.select(
         F.col(id_col).alias("doc_id"), _sig_expr(sh, n_hashes).alias("sig")

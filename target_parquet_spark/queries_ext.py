@@ -289,15 +289,9 @@ SQL_SIG = (
 def dedup_minhash_signature(spark, sf_dir):
     """Per-doc MinHash signature — one fold over the shingle array, zero
     shuffle, zero Python; checked bit-for-bit against DuckDB."""
-    from target_parquet_spark.operators.text import shingles
-
     docs = td(spark, sf_dir, "documents")
-    sh = shingles(F.col("text"))
-    return (
-        docs.select("doc_id", sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", F.concat_ws("|", D._sig_expr(F.col("sh"), 8)).alias("sig"))
-    )
+    sig = D.minhash_signature(docs, "text", "doc_id", n_hashes=8, drop_empty=True)
+    return sig.select("doc_id", F.concat_ws("|", "sig").alias("sig"))
 
 
 @query(
@@ -895,3 +889,72 @@ def sim_ann_multiprobe(spark, sf_dir):
     emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") == 0)
     return S.lsh_ann_multiprobe(emb, q, n_planes=8, max_hamming=1, threshold=0.15)
+
+
+@query(
+    "dedup_duplicate_groups",
+    """
+    WITH tripled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 2000000, text FROM documents
+      UNION ALL SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 2 = 0)
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_dupes,
+           min(doc_id) AS keeper_id
+    FROM tripled GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_duplicate_groups(spark, sf_dir):
+    """The exact-dup report: content-hash groups with >1 member and the
+    id each group keeps — one uniformly-hashed shuffle."""
+    docs = td(spark, sf_dir, "documents").select("doc_id", "text")
+    tripled = docs.unionByName(
+        docs.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+        )
+    )
+    return D.duplicate_groups(tripled, "text", "doc_id")
+
+
+@query(
+    "sim_brute_force_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                 / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                    * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS sim
+    FROM embeddings e, q
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def sim_brute_force_topk(spark, sf_dir):
+    """Exact top-k via the operator: broadcast query, linear scan,
+    TakeOrderedAndProject (no global sort materialization)."""
+    emb = td(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return S.brute_force_topk(emb, q, k=10)
+
+
+@query(
+    "sim_ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_SQL_BUCKET.format(v='embedding')} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.bucket,
+           round({_SQL_DOT.format(a='b.embedding', b='q.qv')}
+                 / (sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})
+                    * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})), 4) AS sim
+    FROM b, q WHERE b.bucket = q.qbucket
+    ORDER BY sim DESC, b.vec_id LIMIT 10
+    """,
+)
+def sim_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k via the operator: exact cosine ranking restricted to the
+    query's LSH bucket."""
+    emb = td(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return S.lsh_ann_topk(emb, q, k=10, n_planes=8)
