@@ -36,6 +36,8 @@ HEADLINE = [
     "agg_rollup",
     "agg_salted_skew",
     "agg_percentiles",
+    "join_salted_skew",
+    "q18_large_orders",
     "window_topk_per_group",
     "window_running_total",
     "sort_limit_topk",

@@ -1109,3 +1109,77 @@ def window_rank_distribution(spark, sf_dir):
             F.round(F.cume_dist().over(w), 4).alias("cd"),
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Manual salted join — the pre-AQE skew cure, shown for when runtime
+    re-planning is unavailable (streaming joins, very hot keys): the fact
+    side gets a random-ish salt, the dimension side is exploded across all
+    salt values, and the join key becomes (key, salt) so one hot orderkey
+    spreads over 8 reducers.  Result identical to the plain join (the
+    oracle); AQE's skewJoin does this adaptively for batch."""
+    n_salt = 8
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(n_salt))
+    )
+    o = t(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 100)
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a HAVING-filtered aggregate = aggregate ->
+    semi join back to the fact on the same key (exchange reuse), then the
+    customer join and top-k."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 100)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bok"),
+                F.col("l_orderkey") == F.col("_bok"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
