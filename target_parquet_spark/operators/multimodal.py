@@ -31,6 +31,7 @@ __all__ = [
     "attach_media",
     "media_manifest",
     "decode_media",
+    "sample_frames",
     "fake_features",
 ]
 
@@ -108,6 +109,45 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
                 "this seam with the real decode+resize"
             )
             yield pd.DataFrame()  # pragma: no cover
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling plumbing (video → n evenly-spaced frames).
+
+    The Spark side is real and runs: Arrow-batched ``mapInPandas``, one
+    output row per (media_id, frame_idx), binary frame payloads.  The
+    decode seam is faked deterministically — evenly-spaced byte slices of
+    the payload stand in for decoded frames (a real implementation calls
+    ffmpeg/pyav at the marked line).  Output partitioning follows the
+    input, so a downstream per-frame feature extractor needs no shuffle.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(payload or b"")
+                # CODEC SEAM: replace this slicing with real frame decode
+                # (ffmpeg/pyav) — evenly-spaced byte windows stand in.
+                step = max(1, len(data) // n_frames)
+                for k in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(data[k * step : k * step + step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
 
     return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
 

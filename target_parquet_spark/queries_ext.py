@@ -958,3 +958,35 @@ def sim_ann_lsh_topk(spark, sf_dir):
     emb = td(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return S.lsh_ann_topk(emb, q, k=10, n_planes=8)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS mediahex,
+                      octet_length(encode(text)) AS nb FROM documents),
+    s AS (SELECT media_id, mediahex, greatest(1, nb // 4) AS step FROM m),
+    f AS (SELECT media_id, g.k AS frame_idx,
+                 substr(mediahex, g.k * step * 2 + 1, step * 2) AS framehex
+          FROM s CROSS JOIN (VALUES (0), (1), (2), (3)) g(k))
+    SELECT media_id, frame_idx,
+           CAST(length(framehex) // 2 AS BIGINT) AS frame_bytes,
+           md5(framehex) AS frame_hash
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling pipeline: mapInPandas slices 4 evenly-spaced frames
+    per media item (codec seam faked with byte windows), then a per-frame
+    manifest (size + content hash).  The oracle reproduces the identical
+    slicing arithmetic on the raw payload bytes."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_media(docs, "text", "doc_id")
+    frames = M.sample_frames(media, n_frames=4)
+    # hash over the HEX TEXT of the frame: DuckDB's md5 takes strings only
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.md5(F.hex("frame")).alias("frame_hash"),
+    )

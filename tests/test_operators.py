@@ -135,3 +135,22 @@ def test_jsonschema_udf_full_fidelity(spark):
     df = spark.createDataFrame([(r,) for r, _ in rows], "raw string")
     got = [r.err for r in df.select(udf("raw").alias("err")).collect()]
     assert [e is None for e in got] == [ok for _, ok in rows]
+
+
+def test_sample_frames_plumbing(spark):
+    """Frame sampling: one row per (media_id, frame_idx), binary frames,
+    deterministic fake decode."""
+    from target_parquet_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh" * 4), (2, "xy")], "doc_id long, text string"
+    )
+    media = M.attach_media(docs, "text", "doc_id")
+    frames = M.sample_frames(media, n_frames=4).collect()
+    assert len(frames) == 8
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert [r.frame_idx for r in by_media[1]] == [0, 1, 2, 3]
+    assert bytes(by_media[1][0].frame) == b"abcdefgh"  # 32 bytes / 4 frames
+    assert all(len(bytes(r.frame)) >= 0 for r in by_media[2])
