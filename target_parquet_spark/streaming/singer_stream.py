@@ -20,10 +20,11 @@ batch buffer; singer-sdk drain loop).  The Spark-native shape:
 Schema registry semantics: a SCHEMA message governs all later RECORDs of
 its stream — across micro-batches — until re-declared (schema evolution →
 version-append + mergeSchema read, BUG-4 fixed; reference
-tests/README.md:73-87).  The registry lives on the driver inside the
-``foreachBatch`` closure, exactly where the reference kept its sink
-registry (reference writers.py:14-24), but rebuilt from the checkpoint's
-replayed batches on restart.
+tests/README.md:73-87).  The registry lives on the driver (exactly where
+the reference kept its sink registry, reference writers.py:14-24) and is
+persisted to ``_schema_registry.json`` in the output root after every
+SCHEMA message — committed micro-batches are NOT replayed on restart, so
+a relaunched target reloads stream DDL from the sidecar, not the stream.
 """
 
 from __future__ import annotations
@@ -60,6 +61,7 @@ class SingerStreamTarget:
         # stream -> (schema dict, key_properties, version_idx)
         self._registry: dict[str, tuple[dict, list[str], int]] = {}
         self._metrics: dict[str, int] = {}
+        self._load_registry()
 
     # -- public API ----------------------------------------------------------
 
@@ -108,6 +110,33 @@ class SingerStreamTarget:
             version = prev[2] + 1 if prev else 0
             schema = json.loads(r.schema_json) if r.schema_json else {}
             self._registry[r.stream] = (schema, list(r.key_properties or []), version)
+        if rows:
+            self._save_registry()
+
+    # -- registry persistence (restart DDL: batches are not replayed) --------
+
+    @property
+    def _registry_path(self) -> str:
+        return os.path.join(self.sink.root, "_schema_registry.json")
+
+    def _load_registry(self) -> None:
+        if os.path.isfile(self._registry_path):
+            with open(self._registry_path) as fh:
+                raw = json.load(fh)
+            self._registry = {
+                s: (v["schema"], v["key_properties"], v["version"])
+                for s, v in raw.items()
+            }
+
+    def _save_registry(self) -> None:
+        payload = {
+            s: {"schema": schema, "key_properties": kp, "version": ver}
+            for s, (schema, kp, ver) in self._registry.items()
+        }
+        tmp = self._registry_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, self._registry_path)
 
     def _write_stream_records(self, env: DataFrame, stream: str) -> None:
         reg = self._registry.get(stream)

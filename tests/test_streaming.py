@@ -113,9 +113,19 @@ def test_singer_stream_checkpoint_no_reprocess(spark, tmp_path):
     _await(tgt.start(str(inbox), available_now=True))
     # relaunch with no new files: nothing should be appended
     tgt2 = SingerStreamTarget(spark, cfg)
-    tgt2._registry = dict(tgt._registry)
     _await(tgt2.start(str(inbox), available_now=True))
     assert spark.read.parquet(str(out / "s")).count() == 10
+    # a fresh instance must also recover stream DDL from the persisted
+    # registry (committed batches are NOT replayed): records-only drop works
+    (inbox / "f2.jsonl").write_text(
+        "\n".join(
+            [_msg(type="RECORD", stream="s", record={"id": i}) for i in range(10, 15)]
+        )
+    )
+    tgt3 = SingerStreamTarget(spark, cfg)
+    assert tgt3._registry  # loaded from _schema_registry.json
+    _await(tgt3.start(str(inbox), available_now=True))
+    assert spark.read.parquet(str(out / "s")).count() == 15
 
 
 def test_singer_stream_schema_evolution_across_batches(spark, tmp_path):
