@@ -76,7 +76,7 @@ def compare(name, spark_rows, duck_rows, spark_cols, duck_cols):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("-k", default=None, help="substring filter on query names")
+    ap.add_argument("-k", default=None, help="comma-separated substring filters on query names")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01"))
     args = ap.parse_args()
 
@@ -94,7 +94,8 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = [n for n in qs if args.k is None or args.k in n]
+    ks = args.k.split(",") if args.k else None
+    names = [n for n in qs if ks is None or any(k in n for k in ks)]
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         t0 = time.time()

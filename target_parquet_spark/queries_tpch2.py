@@ -1,0 +1,616 @@
+"""TPC-H query shapes 2/7/8/9/13/14/15/16/17/19/20/22 adapted to the
+driver's reduced star schema (no partsupp / commit-receipt dates / phone:
+lineitem serves as the part<->supplier link; lateness = shipdate more than
+60 days after orderdate).
+
+These widen the relational surface beyond queries.py with the optimizer
+shapes a complete engine must handle: correlated scalar subqueries
+(decorrelated to window/pre-agg joins on the DataFrame side), null-aware
+NOT IN, multi-EXISTS, disjunctive multi-table predicates, conditional
+aggregation ratios, and scalar-subquery thresholds.
+
+Reference context: hotgluexyz/target-parquet implements none of these
+(SURVEY.md section 2.10 — absent categories); they are pure Spark
+built-ins exercised over the driver test data.
+
+Conventions (same as queries.py): identical aliases both engines, sums
+rounded to 2 dp, ratios/avgs to 4 dp, computed ints cast to BIGINT/long.
+Scalar comparison thresholds (0.2*avg, avg acctbal) are rounded to 4 dp in
+BOTH engines BEFORE comparing, so last-bit aggregation drift can't flip a
+borderline row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from target_parquet_spark.queries import query, t
+
+
+def _eu_suppliers(spark, sf_dir):
+    """supplier ⨝ nation ⨝ region filtered to EUROPE — a genuinely small
+    dim (|supplier| ~ SF*10k): always broadcast."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT c.l_partkey, c.cost, s.s_name, n.n_name
+      FROM costs c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    best AS (
+      SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS mc FROM eu)
+    SELECT p.p_partkey, p.p_name, b.s_name, b.n_name,
+           round(b.cost, 2) AS min_cost
+    FROM best b JOIN part p ON p.p_partkey = b.l_partkey
+    WHERE p.p_size < 15 AND b.cost = b.mc
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp -> lineitem link): min-cost EUROPE supplier
+    per small part.  The reference's correlated `cost = (SELECT min ...)`
+    is decorrelated Spark-side into a single window min over the
+    region-filtered cost table — one shuffle on l_partkey instead of a
+    per-row re-scan; supplier/nation/region broadcast.  min() (not sum)
+    is drift-free across engines; round is display-only."""
+    li = t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    eu = costs.join(
+        F.broadcast(_eu_suppliers(spark, sf_dir)),
+        costs.l_suppkey == F.col("s_suppkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eu.withColumn("mc", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("mc")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    return best.join(F.broadcast(p), best.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name", "s_name", "n_name",
+        F.round("cost", 2).alias("min_cost"),
+    )
+
+
+@query(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair trade volume per year.  Plan at
+    scale: lineitem⨝orders and ⨝customer shuffle on their keys (AQE may
+    broadcast customer at small SF); supplier+nation broadcast; the
+    nation-pair disjunction is applied AFTER the cheap broadcast joins so
+    the big joins see pre-filtered supplier/customer sides."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    sn = s.join(
+        F.broadcast(n.filter(F.col("n_name").isin(pair))),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = c.join(
+        F.broadcast(n.filter(F.col("n_name").isin(pair))),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: NATION_3's share of PROMO-part volume sold to ASIA
+    customers, per order year.  Conditional-aggregation ratio — the
+    numerator CASE rides the same single shuffle as the denominator (one
+    pass, no self-join).  part is filtered before the join; supplier/
+    nation/region broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(asia_cust, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(sum(amount_e4) AS BIGINT) / 10000.0 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                   - 0.6 * p.p_retailprice * l.l_quantity) * 10000) AS BIGINT) AS amount_e4
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%gear%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (supplycost ~ 0.6*retailprice): profit on gear parts
+    by supplier nation and order year.  part filtered by LIKE before the
+    join (predicate evaluated once in the scan stage); supplier+nation
+    broadcast; single shuffle for the final 2-key agg.  Float sums of this
+    amount land exactly on .xx5 rounding boundaries (ext/retail have 2 dp,
+    x0.6 gives 3-4 dp), where Spark (shortest-string HALF_UP) and DuckDB
+    (binary half-away) disagree — so the sum is taken in exact integer
+    1e-4 fixed point (BIGINT) in BOTH engines and divided once for
+    display; no post-sum rounding at all."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("nation")
+    )
+    amount_e4 = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount_e4.alias("amount_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_e4") / 10000.0).alias("sum_profit"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of non-urgent order counts per customer,
+    including zero-order customers (the outer-join-with-ON-filter shape:
+    the priority predicate must NOT eliminate unmatched customers, so it
+    filters the right side BEFORE the left join).  Two aggs: the first
+    shuffles on c_custkey, the second on the tiny c_count domain."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: PROMO revenue share for one ship month.  The date range
+    is pushed to the parquet scan (row-group pruning at scale when data is
+    laid out by date); part joins broadcast; single-row conditional ratio
+    needs no final shuffle beyond the scalar agg."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(rev.alias("rev"), "p_type")
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0.0))
+                / F.sum("rev"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with max quarterly revenue.  The CTE's
+    scalar-max subquery is decorrelated Spark-side as a 1-row broadcast
+    cross join against the (reused) revenue aggregate; revenue is rounded
+    to 2 dp BEFORE the max comparison in both engines so ties are
+    identical.  revenue is computed once (Spark reuses the exchange)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_revenue == mx.mx)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier count per (brand,type,size)
+    excluding complaint suppliers.  The NOT IN is a null-aware anti join
+    in SQL; s_suppkey is non-null here so the Spark side uses a plain
+    left_anti against the (broadcast) negative list — the scale-correct
+    plan.  countDistinct shuffles on the 3-part grouping key with partial
+    distinct-aggregation map-side."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 4)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from small-quantity orders of one brand.  The
+    correlated per-part avg subquery is decorrelated Spark-side into a
+    pre-aggregated per-part threshold joined back (broadcast: |parts of
+    one brand| is tiny) — one extra scan of lineitem instead of a per-row
+    re-scan.  The 0.2*avg threshold is rounded to 4 dp in BOTH engines so
+    float summation order can't flip a borderline row (quantities are
+    integral)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    thresholds = brand_li.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 4).alias("qty_threshold")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresholds.withColumnRenamed("l_partkey", "tp")),
+            F.col("l_partkey") == F.col("tp"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: OR-of-conjuncts across both join sides.  Catalyst
+    derives the common single-side implications (p_brand IN (...),
+    p_size<=15, l_quantity<=30) and pushes them below the join — the part
+    side shrinks to 3 brands before broadcasting; the residual disjunction
+    evaluates post-join in one codegen stage."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "q20_heavy_shippers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%gear%'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 2000)
+    """,
+)
+def q20_heavy_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (availqty -> shipped qty): suppliers that moved
+    >2000 units of gear parts.  The IN-subquery-with-HAVING becomes a
+    semi join against the aggregated shipper list; part's LIKE filter is
+    applied before its (broadcast) join so the aggregate sees only gear
+    lineitems."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2000)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                        ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (lateness = shipped >60 days after order date):
+    suppliers who were the SOLE late supplier on a finished multi-supplier
+    order.  EXISTS -> left_semi on (orderkey, suppkey<>), NOT EXISTS ->
+    left_anti against the late set itself — both shuffle on l_orderkey,
+    and AQE can reuse the exchange; no per-row subquery re-scan."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(fo, li.l_orderkey == fo.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    multi = late.join(
+        other,
+        (late.l_orderkey == F.col("o2_orderkey"))
+        & (late.l_suppkey != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    sole = multi.join(
+        other_late,
+        (multi.l_orderkey == F.col("x_orderkey"))
+        & (multi.l_suppkey != F.col("x_suppkey")),
+        "left_anti",
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > (SELECT round(avg(c2.c_acctbal), 4) FROM customer c2
+                         WHERE c2.c_acctbal > 0
+                           AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (phone-prefix -> nationkey subset; "no orders" ->
+    "no urgent orders"): positive-balance-above-average customers with no
+    urgent orders, per nation.  Exercises Catalyst's actual scalar-subquery
+    + NOT EXISTS path via spark.sql: the scalar avg becomes a 1-row
+    broadcast, NOT EXISTS a left_anti on o_custkey.  The avg threshold is
+    rounded to 4 dp in both engines (acctbals have 2 dp, so no borderline
+    ambiguity)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("tpch2_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("tpch2_orders")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM tpch2_customer c
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c.c_acctbal > (SELECT round(avg(c2.c_acctbal), 4)
+                             FROM tpch2_customer c2
+                             WHERE c2.c_acctbal > 0
+                               AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (SELECT 1 FROM tpch2_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+        """
+    )
