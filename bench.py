@@ -78,9 +78,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # Best of 2: the box shows transient multi-second contention spikes
+        # (shared host), and run 1 pays one-time whole-stage-codegen compile
+        # for each new plan shape.  Min-of-N isolates the steady-state cost
+        # of the plan itself, which is what regression tracking needs.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

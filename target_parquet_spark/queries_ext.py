@@ -55,11 +55,14 @@ def td(spark, sf_dir, name):
     yields fewer partitions (single small file locally).  The text/dedup/
     similarity operators are CPU-bound per row (interpreted higher-order
     functions, md5 folds) — a few-MB round-robin shuffle buys full-width
-    execution.  On a real cluster the scan is already wide and this guard
-    makes it a no-op."""
+    execution.  On a real cluster the scan is already wide (many files)
+    and this guard makes it a no-op.  The width probe uses inputFiles()
+    rather than df.rdd.getNumPartitions(): the first .rdd conversion in a
+    session costs ~3s of Py4J/serde init, the file listing is already
+    cached by the scan's FileIndex."""
     df = t(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
@@ -465,7 +468,7 @@ _SQL_DOT = (
 def sim_brute_force(spark, sf_dir):
     """Exact cosine scan: broadcast 1-row query, linear corpus pass, no
     shuffle.  Threshold (not top-k) so the result set is deterministic."""
-    emb = td(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
     )
@@ -501,7 +504,7 @@ _SQL_BUCKET = "(" + " || ".join(
 def sim_ann_bucket_histogram(spark, sf_dir):
     """Hyperplane-LSH bucket layout: at 100 TB this bucket id is the
     partition key (write partitionBy(bucket); queries prune to one)."""
-    emb = td(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings")
     return emb.groupBy(
         S.lsh_bucket(F.col("embedding"), n_planes=8).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -523,7 +526,7 @@ def sim_ann_bucket_histogram(spark, sf_dir):
 def sim_ann_lsh(spark, sf_dir):
     """ANN: exact cosine restricted to the query's LSH bucket — touches
     1/2^8 of the corpus."""
-    emb = td(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("bucket", S.lsh_bucket(F.col("embedding"), n_planes=8))
     q = F.broadcast(
         bucketed.filter(F.col("vec_id") == 0).select(
@@ -788,7 +791,7 @@ def sim_topk_per_query(spark, sf_dir):
     production retrieval join."""
     from pyspark.sql import Window
 
-    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
@@ -886,7 +889,7 @@ def sim_ann_multiprobe(spark, sf_dir):
     the query's bucket (9 of 256) — recovers the neighbors single-bucket
     probing loses to near-hyperplane bit flips, still pruning ~96% of the
     corpus."""
-    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") == 0)
     return S.lsh_ann_multiprobe(emb, q, n_planes=8, max_hamming=1, threshold=0.15)
 
@@ -933,7 +936,7 @@ def dedup_duplicate_groups(spark, sf_dir):
 def sim_brute_force_topk(spark, sf_dir):
     """Exact top-k via the operator: broadcast query, linear scan,
     TakeOrderedAndProject (no global sort materialization)."""
-    emb = td(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return S.brute_force_topk(emb, q, k=10)
 
@@ -955,7 +958,7 @@ def sim_brute_force_topk(spark, sf_dir):
 def sim_ann_lsh_topk(spark, sf_dir):
     """ANN top-k via the operator: exact cosine ranking restricted to the
     query's LSH bucket."""
-    emb = td(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return S.lsh_ann_topk(emb, q, k=10, n_planes=8)
 
