@@ -1,0 +1,244 @@
+"""Operator families absent from both the reference and the earlier query
+modules: lateral explode (UNNEST), array aggregation (collect_set /
+array_agg), full outer join, deterministic hash sampling (whole-table and
+stratified), time-series gap fill via sequence+explode, and the array
+scalar-function family.
+
+Reference context: hotgluexyz/target-parquet implements none of these
+(SURVEY.md section 2.10 — absent categories); they are pure Spark
+built-ins exercised over the driver test data.
+
+Sampling uses content hashes, not rand(): `md5(key) -> int -> % N` is
+reproducible across engines, retries, and cluster sizes — the property a
+training-data pipeline actually needs (a re-run must pick the same
+sample).  Conventions as queries.py: identical aliases both engines,
+count(*) results are BIGINT in both, arrays are sorted before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators import text as X
+from target_parquet_spark.queries import query, t
+from target_parquet_spark.queries_ext import SQL_TOKS, td
+
+
+def _hash_mod(col, mod: int):
+    """Deterministic uniform bucket in [0, mod): first 8 md5 hex chars of
+    the key's string form as an unsigned int.  Pure per-row expression —
+    pushes into the scan stage, no shuffle, identical on any engine."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % mod
+    )
+
+
+_SQL_HASH_MOD = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {m})"
+
+
+@query(
+    "lateral_explode_tokens",
+    f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKS.format(c='text')}) AS token FROM documents)
+    SELECT token, count(*) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def lateral_explode_tokens(spark, sf_dir):
+    """Lateral/UNNEST shape: explode every document into tokens, global
+    top-20 by frequency.  explode runs inside the scan stage (no shuffle
+    until the count agg); the final top-k is a TakeOrdered, not a full
+    sort.  At 100 TB the token agg is the shuffle — partial map-side
+    counts make it |vocab|-sized, not |corpus|-sized."""
+    d = td(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_collect_sets",
+    """
+    SELECT c.c_mktsegment,
+           list_sort(list_distinct(array_agg(n.n_name))) AS nations,
+           count(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 7500
+    GROUP BY c.c_mktsegment
+    """,
+)
+def agg_collect_sets(spark, sf_dir):
+    """Array aggregation: per market segment, the sorted set of nations
+    with a high-balance customer.  collect_set is order-insensitive by
+    construction; sort_array makes the output deterministic so the array
+    column itself is value-checked, not just its size.  nation broadcast;
+    one shuffle on the segment key."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7500)
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH a AS (SELECT o_custkey, count(*) AS n97 FROM orders
+               WHERE year(o_orderdate) = 1997 GROUP BY o_custkey),
+    b AS (SELECT o_custkey, count(*) AS n98 FROM orders
+          WHERE year(o_orderdate) = 1998 GROUP BY o_custkey)
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           coalesce(a.n97, 0) AS n97,
+           coalesce(b.n98, 0) AS n98
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join: customers active in 1997 vs 1998 — either side can
+    be missing, so the key must coalesce across sides.  Both inputs are
+    aggregates of the same scan; the outer join shuffles both on custkey
+    (full outer cannot broadcast).  At scale both aggs and the join share
+    the custkey partitioning, so AQE reuses one exchange per side."""
+    o = t(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.col("o_custkey").alias("k97"))
+        .agg(F.count(F.lit(1)).alias("n97"))
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 1998)
+        .groupBy(F.col("o_custkey").alias("k98"))
+        .agg(F.count(F.lit(1)).alias("n98"))
+    )
+    return a.join(b, a.k97 == b.k98, "full_outer").select(
+        F.coalesce("k97", "k98").alias("custkey"),
+        F.coalesce("n97", F.lit(0)).alias("n97"),
+        F.coalesce("n98", F.lit(0)).alias("n98"),
+    )
+
+
+@query(
+    "sample_hash_pct",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {_SQL_HASH_MOD.format(c='o_orderkey', m=20)} = 0
+    """,
+)
+def sample_hash_pct(spark, sf_dir):
+    """Deterministic ~5% table sample: md5(o_orderkey) % 20 = 0.  Unlike
+    TABLESAMPLE/rand(), the same rows are picked on every engine, retry,
+    and cluster size — the reproducibility a training-data subsample
+    needs.  Pure per-row predicate: evaluates in the scan stage, zero
+    shuffle, trivially parallel at any scale."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(_hash_mod(F.col("o_orderkey"), 20) == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "sample_stratified",
+    f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT source, doc_id FROM r WHERE rn <= 40
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified fixed-n sample: 40 docs per source, chosen by md5 order
+    (a deterministic uniform shuffle within each stratum).  One shuffle on
+    the stratum key; the window's rank-then-filter truncates per group.
+    At 100 TB strata are processed independently — skew in stratum sizes
+    only affects the window sort, which AQE skew-splits."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("source", "doc_id")
+    )
+
+
+@query(
+    "events_gap_fill",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(hour) FROM c),
+                                    (SELECT max(hour) FROM c),
+                                    INTERVAL 1 HOUR)) AS hour)
+    SELECT s.hour, coalesce(c.n, 0) AS n
+    FROM spine s LEFT JOIN c ON s.hour = c.hour
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap fill: hourly event counts with empty hours
+    zero-filled.  The spine is sequence(min,max,1h) exploded from a 1-row
+    aggregate — generated, not scanned; counts left-join onto it
+    (broadcast: the hourly agg is tiny next to raw events).  The only
+    big-data shuffle is the hour agg, which map-side combines to
+    |hours| rows."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        counts.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    return spine.join(F.broadcast(counts), "hour", "left_outer").select(
+        "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM documents
+      WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           array_to_string(list_sort(list_distinct(toks))[1:3], '|') AS first3,
+           list_contains(toks, 'the') AS has_the
+    FROM d
+    """,
+)
+def scalar_array_funcs(spark, sf_dir):
+    """Array scalar-function family over the token array: array_distinct,
+    sort_array, slice, array_join, array_contains — all codegen'd
+    per-row expressions in the scan stage; zero shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = X.tokens(F.col("text"))
+    dist = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(dist).alias("n_distinct"),
+        F.array_join(F.slice(F.sort_array(dist), 1, 3), "|").alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
