@@ -1,4 +1,4 @@
-"""TPC-H query shapes 2/7/8/9/13/14/15/16/17/19/20/22 adapted to the
+"""TPC-H query shapes 2/7/8/9/11/12/13/14/15/16/17/19/20/22 adapted to the
 driver's reduced star schema (no partsupp / commit-receipt dates / phone:
 lineitem serves as the part<->supplier link; lateness = shipdate more than
 60 days after orderdate).
@@ -613,4 +613,95 @@ def q22_dormant_customers(spark, sf_dir):
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY c.c_nationkey
         """
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH de AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_9'),
+    v AS (
+      SELECT l_partkey,
+             CAST(sum(l_quantity) AS BIGINT) AS qty,
+             round(sum(l_extendedprice * l_quantity), 2) AS value
+      FROM lineitem l JOIN de ON l.l_suppkey = de.s_suppkey
+      GROUP BY l_partkey)
+    SELECT l_partkey, qty, value
+    FROM v, (SELECT sum(qty) AS total_qty FROM v)
+    WHERE qty > 0.001 * total_qty
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (partsupp value -> lineitem link): parts whose
+    NATION_9-supplied quantity exceeds a fraction of the nation total.
+    The global-total scalar subquery is a 1-row aggregate broadcast-cross-
+    joined onto the per-part frame — no driver collect, no re-scan.  The
+    share predicate compares exact integers (l_quantity sums are exactly
+    representable doubles), so the borderline row set is engine-independent;
+    `value` (a float product sum) is display-only, rounded 2 dp.  At 100 TB
+    the one big shuffle is the partkey agg (map-side combined); supplier
+    dim and the 1-row total broadcast.
+    Reference: hotgluexyz/target-parquet has no joins or aggregation
+    (SURVEY.md section 2.10)."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    de = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(de), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "value"
+            ),
+        )
+    )
+    tot = v.agg(F.sum("qty").alias("total_qty"))
+    return (
+        v.join(F.broadcast(tot))
+        .filter(F.col("qty") > 0.001 * F.col("total_qty"))
+        .select("l_partkey", "qty", "value")
+    )
+
+
+@query(
+    "q12_late_priority",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND year(l.l_shipdate) = 1997
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (no shipmode column: returnflag as the mode axis;
+    lateness = shipped >60 days after order date, the module convention):
+    for 1997's late lines, how many belonged to high- vs low-priority
+    orders.  Conditional-count aggregation over a fact-fact equi-join on
+    orderkey — both sides shuffle on the same key (co-partitioned at scale;
+    AQE picks shuffle-hash).  The lateness predicate is a per-row date
+    comparison evaluated join-side, and the year filter pushes into the
+    lineitem scan.  Counts are exact integers: no cross-engine drift.
+    Reference: hotgluexyz/target-parquet has no joins or aggregation
+    (SURVEY.md section 2.10)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    o = t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
     )
