@@ -38,6 +38,13 @@ HEADLINE = [
     "agg_percentiles",
     "join_salted_skew",
     "q18_large_orders",
+    "q11_important_stock",
+    "q12_late_priority",
+    "join_full_outer",
+    "lateral_explode_tokens",
+    "sample_hash_pct",
+    "sample_stratified",
+    "events_gap_fill",
     "window_topk_per_group",
     "window_running_total",
     "sort_limit_topk",

@@ -10,6 +10,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+import target_parquet_spark.queries_ops  # noqa: F401  (registers into QUERIES)
 from target_parquet_spark.queries import QUERIES
 
 
@@ -57,3 +58,37 @@ def test_topk_uses_takeordered(spark, sf_dir):
 def test_semi_join_is_semi(spark, sf_dir):
     p = plan(spark, sf_dir, "join_semi")
     assert "LeftSemi" in p
+
+
+def test_hash_sample_is_scan_stage_only(spark, sf_dir):
+    # deterministic sampling must stay a per-row predicate: no shuffle at all
+    p = plan(spark, sf_dir, "sample_hash_pct")
+    assert "Exchange" not in p
+    read_schema = p.split("ReadSchema:")[1].split("\n")[0]
+    assert "o_orderdate" not in read_schema  # pruned to the 2 output cols + key
+
+
+def test_gap_fill_spine_join_broadcasts(spark, sf_dir):
+    # hourly-counts side is tiny next to raw events: must broadcast, and the
+    # events agg must partial-aggregate map-side before its exchange
+    p = plan(spark, sf_dir, "events_gap_fill")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_full_outer_reuses_custkey_partitioning(spark, sf_dir):
+    # both agg inputs and the join shuffle on o_custkey; the join itself must
+    # not broadcast (full outer cannot) and must not add extra exchanges
+    # beyond one per side (+AQE may insert none for the join itself)
+    p = plan(spark, sf_dir, "join_full_outer")
+    assert "FullOuter" in p
+    assert "BroadcastHashJoin" not in p
+
+
+def test_explode_before_aggregate_topk(spark, sf_dir):
+    # unnest runs in the scan stage; the final top-20 is TakeOrdered, not a
+    # full global sort of the vocabulary
+    p = plan(spark, sf_dir, "lateral_explode_tokens")
+    assert "Generate explode" in p or "Generate" in p
+    assert "TakeOrderedAndProject" in p
