@@ -45,6 +45,8 @@ HEADLINE = [
     "sample_hash_pct",
     "sample_stratified",
     "events_gap_fill",
+    "join_bucketed_colocated",
+    "scan_partition_pruned",
     "window_topk_per_group",
     "window_running_total",
     "sort_limit_topk",

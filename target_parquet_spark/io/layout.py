@@ -1,0 +1,119 @@
+"""Physical data layout for scale: bucketed and partitioned tables.
+
+The reference (hotgluexyz/target-parquet) writes one flat parquet file per
+stream in CWD (`target_parquet/writers.py:31-33`) — no layout control at
+all.  At 100 TB, layout IS the optimization: a fact table bucketed on its
+join key turns every subsequent join on that key into a zero-shuffle
+co-located merge, and a table partitioned on a filter column turns scans
+into partition-pruned reads that never open irrelevant files.
+
+Two materializers, both idempotent per (table, sf_dir, layout):
+
+- :func:`ensure_bucketed` — a catalog-registered parquet table written
+  with ``bucketBy(n, keys).sortBy(keys)``.  The input is first
+  ``repartition(n, keys)``-ed so each write task holds exactly one
+  bucket's rows → ONE file per bucket → Spark treats the bucket as sorted
+  and can elide both the Exchange and the Sort under a sort-merge join.
+- :func:`ensure_partitioned` — a path-based parquet table written with
+  ``partitionBy(col)``; readers filtering on the partition column get
+  `PartitionFilters` (directory-level pruning: unmatched partitions are
+  never listed, opened, or scanned).
+
+Bucket layout is engine-internal (Murmur3 pmod), so results of queries
+over these tables are layout-independent — the DuckDB oracles run the
+same logical query on the original flat files.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from target_parquet_spark.queries import t
+
+__all__ = ["ensure_bucketed", "ensure_partitioned", "warehouse_dir"]
+
+
+def warehouse_dir() -> str:
+    """Root for materialized layout copies (env-overridable; defaults to a
+    stable tmp path so repeated sessions reuse the same files)."""
+    return os.environ.get("SPARK_GRAFT_WAREHOUSE") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_warehouse"
+    )
+
+
+def _tag(sf_dir: str) -> str:
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def ensure_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    keys: list[str],
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Materialize (once) and return a bucketed+sorted copy of a test
+    table.  On a real deployment this is the one-time layout decision made
+    at ingest (`io/parquet_sink.py` owns the streaming write path); here it
+    doubles as the fixture for the co-location queries/plan tests.
+
+    The pre-write ``repartition(n_buckets, *keys)`` uses the same Murmur3
+    hash pmod as bucketBy's bucket assignment, so every task receives
+    exactly one bucket and writes exactly one file — the single-file-per-
+    bucket layout Spark requires to mark the scan output as sorted.
+    """
+    # Read policy for bucketed tables, set once per session:
+    # - keep the bucket-aligned scan even when no operator *requires* the
+    #   distribution (the planner's auto-disable rule would otherwise also
+    #   drop bucket PRUNING on point lookups);
+    # - derive output ordering from the sortBy metadata — Spark gates this
+    #   behind a legacy flag because multi-file buckets concatenate
+    #   unsorted, but it still verifies one-file-per-bucket at planning
+    #   time, which the repartition-before-write above guarantees.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    name = f"bkt_{table}_{'_'.join(keys)}_{n_buckets}_{_tag(sf_dir)}"
+    path = os.path.join(warehouse_dir(), name)
+    if not spark.catalog.tableExists(name):
+        (
+            t(spark, sf_dir, table)
+            .repartition(n_buckets, *[F.col(k) for k in keys])
+            .write.format("parquet")
+            .mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def ensure_partitioned(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    part_col: str,
+    part_expr,
+) -> DataFrame:
+    """Materialize (once) a copy of a test table partitioned by a derived
+    column (e.g. ``o_year = year(o_orderdate)``) and return the re-read
+    DataFrame.  Filters on ``part_col`` become directory-pruning
+    `PartitionFilters` — at 100 TB a year-filtered scan touches 1/N of the
+    files instead of relying on row-group statistics alone.
+    """
+    name = f"prt_{table}_{part_col}_{_tag(sf_dir)}"
+    path = os.path.join(warehouse_dir(), name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            t(spark, sf_dir, table)
+            .withColumn(part_col, part_expr)
+            .write.mode("overwrite")
+            .partitionBy(part_col)
+            .parquet(path)
+        )
+    return spark.read.parquet(path)

@@ -1,0 +1,101 @@
+"""Layout-aware queries: co-located bucketed joins, bucket-pruned point
+lookups, partition-pruned scans.
+
+The reference has no layout control (flat per-stream files in CWD,
+`target_parquet/writers.py:31-33`); these queries demonstrate the three
+physical-layout levers a 100-TB deployment lives on, over materialized
+copies of the driver test tables (`io/layout.py`).  Results are
+layout-independent, so each oracle runs the same logical query on the
+original flat parquet — the layout only changes the PLAN, which
+`tests/test_layout.py` pins (zero-exchange join, SelectedBucketsCount,
+PartitionFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_parquet_spark.io.layout import ensure_bucketed, ensure_partitioned
+from target_parquet_spark.queries import query
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Fact-to-dim join with BOTH sides bucketed on the join key (8
+    buckets, sorted, one file per bucket): the sort-merge join consumes the
+    bucket layout directly — no Exchange and no Sort on either side; the
+    only shuffle in the whole plan is the final 5-row segment aggregate.
+    The `merge` hint stands in for a real deployment's broadcast-threshold
+    config; the point is the big-big case where broadcast is impossible —
+    at 100 TB both sides stream bucket-by-bucket with zero network cost."""
+    o = ensure_bucketed(spark, sf_dir, "orders", ["o_custkey"])
+    c = ensure_bucketed(spark, sf_dir, "customer", ["c_custkey"])
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "scan_bucket_pruned",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = 371
+    """,
+)
+def scan_bucket_pruned(spark, sf_dir):
+    """Point lookup on the bucket key: Spark prunes to the ONE bucket that
+    can contain the key (`SelectedBucketsCount: 1 out of 8` in the scan
+    node) — 1/8th of the files opened before any row-level filtering.  At
+    100 TB with 4096 buckets this is the difference between a key lookup
+    touching 25 GB and touching all 100 TB."""
+    o = ensure_bucketed(spark, sf_dir, "orders", ["o_custkey"])
+    return o.filter(F.col("o_custkey") == 371).select("o_orderkey", "o_totalprice")
+
+
+@query(
+    "scan_partition_pruned",
+    """
+    SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Monthly revenue for one year over an orders table partitioned by
+    `o_year`: the year predicate is a PartitionFilter — non-1997
+    directories are never listed or opened (directory-level pruning, ahead
+    of parquet row-group stats).  The layout mirrors how the streaming
+    sink (`io/parquet_sink.py`) lands time-series data; the only shuffle
+    is the 12-row month aggregate."""
+    o = ensure_partitioned(
+        spark, sf_dir, "orders", "o_year", F.year(F.col("o_orderdate"))
+    )
+    return (
+        o.filter(F.col("o_year") == 1997)
+        .groupBy(F.month("o_orderdate").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
