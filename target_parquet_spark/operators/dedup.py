@@ -38,6 +38,15 @@ __all__ = [
 ]
 
 
+def _width(df: DataFrame) -> int:
+    """Explicit shuffle width for the candidate-pair joins.  The pair
+    verification stages are CPU-bound per row (interpreted array lambdas),
+    so the repartition pins the session's full parallelism: AQE's
+    size-based coalescing would otherwise fold these byte-small,
+    CPU-heavy shuffles onto a single core."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep: str = "first") -> DataFrame:
     """Exact dedup on content hash; keeps the lowest ``id_col`` per group."""
     h = F.md5(F.col(text_col))
@@ -100,16 +109,18 @@ def minhash_signature(
 ) -> DataFrame:
     """(doc_id, sig array<string>).
 
-    ``drop_empty=True`` filters docs with no shingles (persisting the
-    shingle table first so the interpreted expression runs once); otherwise
-    the 'g' sentinel remains in their signature components."""
+    ``drop_empty=True`` filters docs with no shingles; otherwise the 'g'
+    sentinel remains in their signature components.
+
+    The empty-doc filter runs on the RAW text (``size(tokens) >= n``, the
+    exact precondition for a non-empty shingle set) — a filter on the
+    shingle column itself would be inlined through the projection by
+    predicate pushdown and evaluate the interpreted shingle expression
+    twice per row."""
     if drop_empty:
-        base = df.select(
+        return df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
             F.col(id_col).alias("doc_id"),
-            shingles(F.col(text_col), n=shingle_n).alias("sh"),
-        ).persist()
-        return base.filter(F.size("sh") > 0).select(
-            "doc_id", _sig_expr(F.col("sh"), n_hashes).alias("sig")
+            _sig_expr(shingles(F.col(text_col), n=shingle_n), n_hashes).alias("sig"),
         )
     sh = shingles(F.col(text_col), n=shingle_n)
     return df.select(
@@ -134,24 +145,29 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash with exact Jaccard verification.
 
-    Plan shape: per-row signature -> explode to ``bands`` rows -> self
-    equi-join on (band_idx, band_hash) -> distinct candidate pairs ->
-    verify with array_intersect Jaccard.  The only shuffles are the band
-    join and the final distinct — both on uniformly-hashed keys.
+    Plan shape: per-row signature -> explode to ``bands`` rows ->
+    repartition on (band_idx, band_hash) -> self equi-join on the same
+    keys -> distinct candidate pairs -> verify with array_intersect
+    Jaccard.  The explicit repartition IS the join's required shuffle, so
+    both self-join branches read ONE exchange (ReusedExchange): the
+    interpreted shingle+md5 pipeline executes exactly once per doc, with
+    the reuse backed by shuffle files — no executor storage memory pinned,
+    nothing to unpersist, and the same plan holds on a 1000-executor
+    cluster (where a persist of the index would not fit).
+
+    The empty-doc guard runs on raw text (``size(tokens) >= shingle_n``):
+    a filter on the shingle column would be pushed through the projection
+    and evaluate the expensive expression twice per row; empty docs must
+    be dropped BEFORE banding or they all collide in one bucket.
     """
     rows_per_band = n_hashes // bands
-    # Persist BEFORE the size filter: Catalyst collapses projections and
-    # would inline the (interpreted, expensive) shingle expression into the
-    # filter AND every downstream consumer — cache it so it runs once per
-    # doc.  (At real scale: checkpoint / write the shingle table instead.)
-    base = df.select(
+    base = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), n=shingle_n).alias("sh"),
-    ).persist()
-    sig = base.filter(F.size(F.col("sh")) > 0).withColumn(
-        "sig", _sig_expr(F.col("sh"), n_hashes)
     )
-
+    # Chained single-reference projections: CollapseProject's cost guard
+    # keeps each expensive, multi-referenced alias materialized once.
+    sig = base.select("doc_id", "sh", _sig_expr(F.col("sh"), n_hashes).alias("sig"))
     banded = sig.select(
         "doc_id",
         "sh",
@@ -165,11 +181,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band_idx", "band_hash"),
-    )
-    # Self-join branches would each recompute the interpreted shingle+md5
-    # pipeline; persist the banded index so it is computed once.  (At real
-    # scale: checkpoint / write the index table instead.)
-    banded = banded.persist()
+    ).repartition(_width(df), "band_idx", "band_hash")
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -198,16 +210,27 @@ def minhash_lsh_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact all-pairs Jaccard via the shingle inverted index."""
-    # Persist the shingle table before size/explode so the interpreted
-    # shingle expression is evaluated once per doc (projection collapse
-    # would otherwise inline it into the filter and both join branches).
+    """Exact all-pairs Jaccard via the shingle inverted index.
+
+    The posting list is repartitioned on the shingle — the very shuffle
+    the self-join requires — so both join branches read one reused
+    exchange and the interpreted shingle expression runs once per doc
+    (shuffle-file-backed reuse; no persist, no storage memory).
+
+    The round-robin exchange between the shingle projection and the
+    explode is a deliberate optimization BARRIER, not a balancing
+    shuffle: without it Catalyst pulls ``size(sh)`` above the
+    ``Generate`` and inlines the interpreted shingle expression into a
+    projection that runs per EXPLODED row — O(shingles) re-evaluations
+    per doc (measured 7x on the bench).  The exchange materializes the
+    array once per doc; at warehouse scale this is the "write the
+    shingle table, then index it" pattern expressed as one shuffle."""
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n=n).alias("sh")
-    ).persist()
+    ).repartition(_width(df))
     posting = sh.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-    )
+    ).repartition(_width(df), "shingle")
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -280,7 +303,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: LSH on the four 16-bit quarters (any pair
     within Hamming distance 3 must agree on >=1 quarter), verified with
-    bit_count on the XOR."""
+    bit_count on the XOR.  The quarter index is repartitioned on the join
+    key so both self-join branches share one exchange and the Python
+    simhash stage runs exactly once per doc."""
     fp = simhash(df, text_col, id_col)
     quarters = fp.select(
         "doc_id",
@@ -293,7 +318,7 @@ def simhash_pairs(
                 ]
             )
         ).alias("q_idx", "q_val"),
-    )
+    ).repartition(_width(df), "q_idx", "q_val")
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (
         a.join(

@@ -615,10 +615,16 @@ def sim_embedding_dedup(spark, sf_dir):
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    # persist: both self-join branches need the 8-plane bucket folds
+    # Repartition on the join key: both self-join branches read ONE
+    # exchange (ReusedExchange), so the 8-plane bucket folds run once per
+    # vector — shuffle-backed reuse instead of pinned storage memory.  The
+    # partition count is EXPLICIT: the downstream join evaluates the
+    # interpreted cosine per bucket-colliding pair, and AQE's size-based
+    # coalescing would otherwise squeeze this byte-tiny but CPU-heavy
+    # stage onto one core.
     b = doubled.withColumn(
         "bucket", S.lsh_bucket(F.col("embedding"), n_planes=8)
-    ).persist()
+    ).repartition(spark.sparkContext.defaultParallelism, "bucket")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(
