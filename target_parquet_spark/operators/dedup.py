@@ -217,30 +217,31 @@ def ngram_jaccard_pairs(
     exchange and the interpreted shingle expression runs once per doc
     (shuffle-file-backed reuse; no persist, no storage memory).
 
-    The round-robin exchange between the shingle projection and the
-    explode is a deliberate optimization BARRIER, not a balancing
-    shuffle: without it Catalyst pulls ``size(sh)`` above the
-    ``Generate`` and inlines the interpreted shingle expression into a
-    projection that runs per EXPLODED row — O(shingles) re-evaluations
-    per doc (measured 7x on the bench).  The exchange materializes the
-    array once per doc; at warehouse scale this is the "write the
-    shingle table, then index it" pattern expressed as one shuffle."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n=n).alias("sh")
-    ).repartition(_width(df))
-    posting = sh.select(
-        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    The posting projection is ONLY (doc_id, explode(sh)): the generator
+    evaluates the interpreted shingle expression once per doc.  Putting
+    ``size(sh)`` alongside the explode would let Catalyst inline the
+    shingle expression into a projection that runs per EXPLODED row —
+    O(shingles) re-evaluations per doc (measured 7x on the bench) — so
+    per-doc set sizes are instead counted FROM the posting exchange
+    (a second read of the same shuffle files, grouped on doc_id) and
+    joined onto the ~sparse verified-pair set at the end."""
+    posting = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n=n)).alias("shingle"),
     ).repartition(_width(df), "shingle")
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = posting.alias("a"), posting.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    pairs = (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
     )
     jac = F.round(
         F.col("inter").cast("double")
@@ -248,7 +249,7 @@ def ngram_jaccard_pairs(
         4,
     )
     return (
-        common.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -468,7 +468,7 @@ _SQL_DOT = (
 def sim_brute_force(spark, sf_dir):
     """Exact cosine scan: broadcast 1-row query, linear corpus pass, no
     shuffle.  Threshold (not top-k) so the result set is deterministic."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_qvec"))
     )
@@ -504,7 +504,7 @@ _SQL_BUCKET = "(" + " || ".join(
 def sim_ann_bucket_histogram(spark, sf_dir):
     """Hyperplane-LSH bucket layout: at 100 TB this bucket id is the
     partition key (write partitionBy(bucket); queries prune to one)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     return emb.groupBy(
         S.lsh_bucket(F.col("embedding"), n_planes=8).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -526,7 +526,7 @@ def sim_ann_bucket_histogram(spark, sf_dir):
 def sim_ann_lsh(spark, sf_dir):
     """ANN: exact cosine restricted to the query's LSH bucket — touches
     1/2^8 of the corpus."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn("bucket", S.lsh_bucket(F.col("embedding"), n_planes=8))
     q = F.broadcast(
         bucketed.filter(F.col("vec_id") == 0).select(
@@ -797,7 +797,7 @@ def sim_topk_per_query(spark, sf_dir):
     production retrieval join."""
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
@@ -895,7 +895,7 @@ def sim_ann_multiprobe(spark, sf_dir):
     the query's bucket (9 of 256) — recovers the neighbors single-bucket
     probing loses to near-hyperplane bit flips, still pruning ~96% of the
     corpus."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") == 0)
     return S.lsh_ann_multiprobe(emb, q, n_planes=8, max_hamming=1, threshold=0.15)
 
@@ -942,7 +942,7 @@ def dedup_duplicate_groups(spark, sf_dir):
 def sim_brute_force_topk(spark, sf_dir):
     """Exact top-k via the operator: broadcast query, linear scan,
     TakeOrderedAndProject (no global sort materialization)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return S.brute_force_topk(emb, q, k=10)
 
@@ -964,7 +964,7 @@ def sim_brute_force_topk(spark, sf_dir):
 def sim_ann_lsh_topk(spark, sf_dir):
     """ANN top-k via the operator: exact cosine ranking restricted to the
     query's LSH bucket."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = td(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
     return S.lsh_ann_topk(emb, q, k=10, n_planes=8)
 
