@@ -56,6 +56,8 @@ HEADLINE = [
     "asof_join_events",
     "text_token_stats",
     "text_quality_filter",
+    "text_contamination",
+    "sample_token_budget",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",

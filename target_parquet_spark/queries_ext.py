@@ -999,3 +999,124 @@ def multimodal_frame_sample(spark, sf_dir):
         F.octet_length("frame").cast("long").alias("frame_bytes"),
         F.md5(F.hex("frame")).alias("frame_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline ops: contamination check, token-budget sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_contamination",
+    f"""
+    WITH d AS (
+      SELECT doc_id, tt, tt[1:len(tt) - 2] AS bt
+      FROM (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents)),
+    bench AS (
+      SELECT DISTINCT unnest({SQL_SHINGLES.format(t='bt')}) AS shingle
+      FROM d WHERE doc_id % 50 = 0),
+    post AS (
+      SELECT doc_id, unnest({SQL_SHINGLES.format(t='tt')}) AS shingle FROM d),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id),
+    hits AS (SELECT p.doc_id, count(*) AS n_hit
+             FROM post p JOIN bench USING (shingle) GROUP BY p.doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_sh AS BIGINT) AS n_sh,
+           CAST(h.n_hit AS BIGINT) AS n_hit,
+           round(CAST(h.n_hit AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 4) AS contamination
+    FROM sizes s JOIN hits h USING (doc_id)
+    WHERE round(CAST(h.n_hit AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 4) >= 0.2
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each corpus doc's
+    distinct 3-gram shingles that appear in a held-out benchmark set
+    (here: perturbed copies of every 50th doc, standing in for an eval
+    suite loaded from elsewhere).
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus,
+    so the membership probe is a BROADCAST hash join against the exploded
+    corpus postings — the 100 TB side never shuffles for the probe.  The
+    postings are hash-partitioned once on doc_id (one exchange, reused by
+    both the size and hit branches); both downstream aggregations and the
+    final join are then exchange-free because partitioning is preserved.
+    """
+    docs = td(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = X.tokens(F.col("text"))
+    bench_text = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 2))
+    bench_sh = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(X.shingles(bench_text, n=3)).alias("shingle"))
+        .distinct()
+    )
+    posting = docs.select(
+        "doc_id", F.explode(X.shingles(F.col("text"), n=3)).alias("shingle")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        posting.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_sh").cast("long").alias("n_sh"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_sh").cast("double"), 4
+            ).alias("contamination"),
+        )
+        .filter(F.col("contamination") >= 0.2)
+    )
+
+
+@query(
+    "sample_token_budget",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, text,
+             len({SQL_TOKS.format(c='text')}) AS n_tok
+      FROM documents),
+    r AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source
+                              ORDER BY md5(text), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tok
+      FROM d)
+    SELECT source, doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM r WHERE cum_tok - n_tok < 500
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Data-mixing sampler: take docs per source until a per-source TOKEN
+    budget is spent (greedy in deterministic md5 order, so the sample is
+    reproducible across engines, retries, and cluster sizes — unlike
+    rand()).  A doc is taken iff the budget was not exhausted before it.
+
+    One shuffle (hash on source for the window).  At scale source
+    cardinality is large (domains), so the window partitions are small;
+    a skewed giant source would call for the two-pass salted variant of
+    the running total."""
+    from pyspark.sql import Window
+
+    docs = td(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    d = docs.select(
+        "source",
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tok"),
+        F.md5(F.col("text")).alias("_h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .filter(F.col("cum_tok") - F.col("n_tok") < 500)
+        .select("source", "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "cum_tok")
+    )

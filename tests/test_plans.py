@@ -92,3 +92,22 @@ def test_explode_before_aggregate_topk(spark, sf_dir):
     p = plan(spark, sf_dir, "lateral_explode_tokens")
     assert "Generate explode" in p or "Generate" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_contamination_probe_broadcasts(spark, sf_dir):
+    import target_parquet_spark.queries_ext  # noqa: F401  (registers)
+
+    p = plan(spark, sf_dir, "text_contamination")
+    # the benchmark n-gram set must broadcast: the corpus posting side of
+    # the membership probe never shuffles on the shingle
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_token_budget_single_window_shuffle(spark, sf_dir):
+    import target_parquet_spark.queries_ext  # noqa: F401  (registers)
+
+    p = plan(spark, sf_dir, "sample_token_budget")
+    # one running-total window over one hash exchange on source
+    assert p.count("Window") >= 1
+    assert p.count("Exchange hashpartitioning") <= 2
