@@ -34,6 +34,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # The driver's events table stores TIMESTAMP(NANOS); read as long.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # MIN/MAX/COUNT without filter/group-by answered from parquet
+        # footer statistics — no row scan at all.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # Arrow transfer for the pandas-UDF slow paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
