@@ -65,8 +65,11 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "sim_topk_per_query",
+    "sim_embedding_dedup",
     "text_bpe_token_stats",
+    "text_lang_id",
     "multimodal_manifest",
+    "multimodal_frame_sample",
     "pipeline_training_data",
     "ingest_coerce_props",
 ]
