@@ -359,3 +359,36 @@ def test_key_properties_sidecar(spark, tmp_out):
 
     with open(os.path.join(res["paths"]["pk"], "_key_properties.json")) as fh:
         assert json.load(fh) == {"key_properties": ["id"]}
+
+
+# Reference edge cases: test_no_records_no_crash, test_handles_empty_file,
+# test_state_before_any_records_does_not_crash,
+# test_schema_only_with_other_stream_having_records
+def test_empty_input_no_crash(spark, tmp_out):
+    _, res = run(spark, tmp_out, [])
+    assert res["state"] is None
+    assert res["metrics"]["recordCount"] == {}
+
+
+def test_state_only_input(spark, tmp_out):
+    _, res = run(spark, tmp_out, [msg_state({"bookmark": 7})])
+    assert res["state"] == {"bookmark": 7}
+
+
+def test_schema_only_stream_writes_nothing_but_sibling_writes(spark, tmp_out):
+    lines = [
+        msg_schema("empty_stream", {"id": STR_NULL}),
+        msg_schema("full_stream", {"id": STR_NULL}),
+        msg_record("full_stream", {"id": 1}),
+        msg_state({"done": True}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    assert res["state"] == {"done": True}
+    _, rows = rows_of(spark, f"{tmp_out}/full_stream")
+    assert [r["id"] for r in rows] == ["1"]
+    # the record-less stream must not produce an output directory with rows
+    import glob
+    import os
+
+    empty_files = glob.glob(os.path.join(tmp_out, "empty_stream", "*.parquet"))
+    assert empty_files == []
