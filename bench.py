@@ -70,6 +70,7 @@ HEADLINE = [
     "text_lang_id",
     "multimodal_manifest",
     "multimodal_frame_sample",
+    "multimodal_resize",
     "pipeline_training_data",
     "ingest_coerce_props",
 ]

@@ -31,6 +31,7 @@ __all__ = [
     "attach_media",
     "media_manifest",
     "decode_media",
+    "resize_media",
     "sample_frames",
     "fake_features",
 ]
@@ -109,6 +110,57 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
                 "this seam with the real decode+resize"
             )
             yield pd.DataFrame()  # pragma: no cover
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
+def resize_media(
+    df: DataFrame, target_width: int = 32, target_height: int = 32
+) -> DataFrame:
+    """Resize plumbing (image → fixed ``target_width x target_height``).
+
+    The Spark side is real and runs: Arrow-batched ``mapInPandas``, one
+    output row per media item, fixed-size binary payload.  The resampler
+    is the deterministic fake — nearest-neighbor over the BYTE stream
+    (out[i] = data[i*len//n]) stands in for pixel-space resampling; a
+    real implementation calls PIL/libvips at the marked seam.  Output
+    partitioning follows the input: a downstream batch featurizer reads
+    fixed-shape payloads with no shuffle.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+    n = target_width * target_height
+
+    def _batches(it):
+        for pdf in it:
+            ids, pix = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(payload or b"")
+                # CODEC SEAM: replace with real decode+resize (PIL/libvips)
+                # — nearest-neighbor byte resample stands in.
+                if data:
+                    nb = len(data)
+                    out = bytes(data[(i * nb) // n] for i in range(n))
+                else:
+                    out = b""
+                ids.append(mid)
+                pix.append(out)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [target_width] * len(ids),
+                    "height": [target_height] * len(ids),
+                    "pixels": pix,
+                }
+            )
 
     return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
 

@@ -1120,3 +1120,41 @@ def sample_token_budget(spark, sf_dir):
         .filter(F.col("cum_tok") - F.col("n_tok") < 500)
         .select("source", "doc_id", F.col("n_tok").cast("long").alias("n_tok"), "cum_tok")
     )
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS mediahex,
+                      octet_length(encode(text)) AS nb FROM documents),
+    r AS (SELECT media_id,
+                 CASE WHEN nb = 0 THEN ''
+                      ELSE array_to_string(list_transform(range(0, 1024),
+                           i -> substr(mediahex, ((i * nb) // 1024) * 2 + 1, 2)), '')
+                 END AS pixhex
+          FROM m)
+    SELECT media_id,
+           CAST(32 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height,
+           CAST(length(pixhex) // 2 AS BIGINT) AS n_bytes,
+           md5(pixhex) AS pixels_hash
+    FROM r
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize pipeline: mapInPandas nearest-neighbor-resamples each media
+    payload to a fixed 32x32-byte grid (codec seam faked; the Spark
+    plumbing — Arrow batches, fixed output schema, no shuffle — is real).
+    The oracle reproduces the identical byte-index arithmetic over the
+    payload hex."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_media(docs, "text", "doc_id")
+    resized = M.resize_media(media, target_width=32, target_height=32)
+    # hash over the HEX TEXT of the payload: DuckDB's md5 takes strings only
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("pixels").cast("long").alias("n_bytes"),
+        F.md5(F.hex("pixels")).alias("pixels_hash"),
+    )

@@ -154,3 +154,19 @@ def test_sample_frames_plumbing(spark):
     assert [r.frame_idx for r in by_media[1]] == [0, 1, 2, 3]
     assert bytes(by_media[1][0].frame) == b"abcdefgh"  # 32 bytes / 4 frames
     assert all(len(bytes(r.frame)) >= 0 for r in by_media[2])
+
+
+def test_resize_media_plumbing(spark):
+    """Resize: fixed-shape output, deterministic byte resample, empty-safe."""
+    from target_parquet_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "z" * 100), (3, "")], "doc_id long, text string"
+    )
+    media = M.attach_media(docs, "text", "doc_id")
+    out = {r["media_id"]: r for r in M.resize_media(media, 4, 4).collect()}
+    assert out[1]["width"] == 4 and out[1]["height"] == 4
+    # nearest-neighbor over b"abcd" to 16 bytes: index (i*4)//16
+    assert bytes(out[1]["pixels"]) == b"aaaabbbbccccdddd"
+    assert bytes(out[2]["pixels"]) == b"z" * 16
+    assert bytes(out[3]["pixels"]) == b""
