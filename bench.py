@@ -60,6 +60,7 @@ HEADLINE = [
     "sample_token_budget",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh_pairs",
+    "dedup_connected_components",
     "dedup_ngram_jaccard",
     "sim_brute_force",
     "sim_ann_lsh",

@@ -297,10 +297,9 @@ def dedup_minhash_signature(spark, sf_dir):
     return sig.select("doc_id", F.concat_ws("|", "sig").alias("sig"))
 
 
-@query(
-    "dedup_minhash_lsh_pairs",
-    f"""
-    WITH {SQL_CORPUS},
+# Full MinHash-LSH candidate+verify pipeline as a reusable CTE chain:
+# ends in `pairs(id_a, id_b, jaccard)` with the >= 0.5 threshold applied.
+SQL_MINHASH_PAIR_CTES = f"""
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks),
     sig AS (
@@ -314,15 +313,25 @@ def dedup_minhash_signature(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id)
-    SELECT c.id_a, c.id_b,
-           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                 / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
-                 4) AS jaccard
-    FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
-    WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
-                4) >= 0.5
+       AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
+                   4) AS jaccard
+      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                  / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
+                  4) >= 0.5)
+"""
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
@@ -332,6 +341,47 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     corpus = _spark_corpus(spark, sf_dir)
     return D.minhash_lsh_pairs(
         corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u AS r FROM sym
+      UNION
+      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component_id FROM reach GROUP BY u)
+    SELECT c.doc_id, c.component_id, g.group_size
+    FROM comp c
+    JOIN (SELECT component_id, count(*) AS group_size
+          FROM comp GROUP BY component_id) g USING (component_id)
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup pairs -> transitive dup GROUPS: MinHash-LSH candidate
+    pairs fed through distributed connected components (min-label
+    propagation + pointer jumping; operators/dedup.connected_components).
+    The group representative is the smallest doc_id; group_size lets a
+    downstream keep-one policy weight by cluster mass.  Oracle computes
+    the same closure via a recursive CTE over the identical pair set."""
+    from pyspark.sql import Window
+
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    ).withColumn(
+        "group_size", F.count(F.lit(1)).over(Window.partitionBy("component_id"))
     )
 
 

@@ -170,3 +170,35 @@ def test_resize_media_plumbing(spark):
     assert bytes(out[1]["pixels"]) == b"aaaabbbbccccdddd"
     assert bytes(out[2]["pixels"]) == b"z" * 16
     assert bytes(out[3]["pixels"]) == b""
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D is ONE group even though A~C / A~D never paired;
+    disjoint E~F stays its own group; representative = min id."""
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component
+        for r in D.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7), (8, 9)], "id_a long, id_b long")
+    got = {r.node: r.component for r in D.connected_components(loops).collect()}
+    assert got == {7: 7, 8: 8, 9: 8}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Path graph 0-1-2-...-12: diameter 12, but pointer jumping must
+    converge well inside max_iters and label everything 0."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    rows = D.connected_components(edges, max_iters=8).collect()
+    assert len(rows) == 13
+    assert {r.component for r in rows} == {0}
