@@ -20,7 +20,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "range_join", "interval_join"]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    upper: str = "1 hour",
+    strict_after: bool = True,
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Time-interval equi-join: each left row pairs with same-key right
+    rows whose timestamp falls in ``(left_ts, left_ts + upper]`` (closed
+    at the left end instead when ``strict_after=False``).  Right columns
+    come back suffixed.
+
+    Batch frames: Catalyst plans the equi-key as an ordinary hash/SMJ
+    join and the time band as a residual filter — one shuffle on the key.
+    Streaming frames: set BOTH watermarks and this is Spark's stateful
+    stream-stream inner join; the band condition is what lets each side's
+    state store evict rows older than ``watermark + upper`` (without it
+    state grows forever — never ship that).
+    """
+    if left_watermark:
+        left = left.withWatermark(left_ts, left_watermark)
+    if right_watermark:
+        right = right.withWatermark(right_ts, right_watermark)
+
+    keep = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in keep],
+    )
+    lo = left[left_ts]
+    rts = r[f"{right_ts}{suffix}"]
+    after = rts > lo if strict_after else rts >= lo
+    cond = (
+        (left[on] == r[f"{on}{suffix}"])
+        & after
+        & (rts <= lo + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(r, cond, "inner").drop(f"{on}{suffix}")
 
 
 def asof_join(

@@ -890,6 +890,43 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+@query(
+    "events_interval_join",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.click_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS wait_us
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """Time-interval equi-join (operators/asof.interval_join): every
+    click paired with same-user purchases in the following hour.  Batch
+    plan = one key shuffle + residual band filter; the identical
+    transform with watermarks on both sides is the stateful
+    stream-stream join proven in tests/test_streaming.py."""
+    from target_parquet_spark.operators.asof import interval_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(clicks, purchases, on="user_id", upper="1 hour")
+    return j.select(
+        "click_id",
+        F.col("event_id_right").alias("purchase_id"),
+        (F.unix_micros("ts_right") - F.unix_micros("ts")).alias("wait_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming-module window operators, batch-applied (the same transforms run
 # incrementally under watermarks in target_parquet_spark/streaming/windows.py;

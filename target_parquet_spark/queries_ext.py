@@ -386,6 +386,47 @@ def dedup_connected_components(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_canonical",
+    f"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u AS r FROM sym
+      UNION
+      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component_id FROM reach GROUP BY u)
+    SELECT c.doc_id, md5(c.text) AS content_hash
+    FROM corpus c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp WHERE comp.doc_id = c.doc_id
+                           AND comp.doc_id <> comp.component_id)
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """The end-to-end dedup OUTPUT: the corpus minus every near-dup group
+    member except the group representative (smallest doc_id).  Pairs ->
+    connected components -> left-anti join of the non-representative
+    members back against the corpus; singletons pass through untouched.
+    This is the query a training-data pipeline actually materializes —
+    the others are its diagnostic stages."""
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return corpus.join(drop, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     f"""
     WITH {SQL_CORPUS},

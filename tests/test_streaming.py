@@ -324,3 +324,49 @@ def test_compact_stream_dir(spark, tmp_path):
     assert _json.loads((d / "_key_properties.json").read_text()) == {
         "key_properties": ["id"]
     }
+
+
+def test_interval_join_stream_stream_matches_batch(spark, events_src):
+    """Stateful stream-stream inner join: clicks x purchases within 1h,
+    watermarks on BOTH sides (state eviction), append output.  Must equal
+    the batch interval_join on the same data (batch form is
+    oracle-checked as events_interval_join)."""
+    from target_parquet_spark.operators.asof import interval_join
+
+    path, schema = events_src
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        purch = df.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        return clicks, purch
+
+    sc, sp = split(spark.readStream.schema(schema).parquet(path))
+    joined = interval_join(
+        sc,
+        sp,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        upper="1 hour",
+        left_watermark="2 hours",
+        right_watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table("t_ssjoin")
+
+    bc, bp = split(spark.read.parquet(path))
+    want = interval_join(bc, bp, on="user_id", upper="1 hour")
+    cols = ["click_id", "event_id_right", "user_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
