@@ -23,6 +23,7 @@ __all__ = [
     "bpe_token_count",
     "fingerprint",
     "shingles",
+    "SplitSentences",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -141,3 +142,32 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(sh)
     )
+
+
+try:  # pyspark >= 4: Python UDTF (table-valued function) surface
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, n_tokens: int")
+    class SplitSentences:
+        """Sentence-split table function: one input document -> N rows.
+
+        This is the engine's designated seam for real NLP segmenters
+        (spaCy/BPE/sentencepiece): a Python UDTF gives row->rows semantics
+        that pure SQL lacks when the segmenter is a library call.  The
+        built-in rule is deliberately regex-portable (split on
+        ``[.!?]\\s+`` — RE2-safe, no lookbehind) so DuckDB can oracle-check
+        the plumbing exactly; swap ``eval`` internals for a real model.
+        UDTFs are row-at-a-time Python — keep off the 100 TB hot path or
+        batch the heavy model inside ``terminate``-less eval with care.
+        """
+
+        def eval(self, text):  # noqa: D102 — interface fixed by Spark
+            import re
+
+            for s in re.split(r"[.!?]\s+", text or ""):
+                s = s.strip()
+                if s:
+                    yield s, len(s.split())
+
+except ImportError:  # pragma: no cover
+    SplitSentences = None

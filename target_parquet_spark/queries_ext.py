@@ -209,6 +209,43 @@ def text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "lateral_udtf_sentences",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             unnest(list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]\s+'),
+                              x -> trim(x)),
+               x -> x <> '')) AS sentence
+      FROM documents)
+    SELECT lang, count(*) AS n_sentences,
+           CAST(sum(len(regexp_split_to_array(sentence, '\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM s GROUP BY lang
+    """,
+)
+def lateral_udtf_sentences(spark, sf_dir):
+    """Python UDTF (Spark 4 table-valued function) under a LATERAL join:
+    each document fans out to sentence rows in Python, then a per-lang
+    aggregate.  The UDTF is the seam for real segmenter libraries
+    (row->rows semantics SQL lacks); the built-in rule is regex-portable
+    so the whole pipeline still oracle-checks exactly."""
+    from target_parquet_spark.operators.text import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = td(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    rows = spark.sql(
+        "SELECT d.lang, s.n_tokens FROM _udtf_docs d, "
+        "LATERAL split_sentences(d.text) s"
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
     "text_bpe_token_stats",
     f"""
     WITH d AS (

@@ -37,6 +37,12 @@ def get_spark(
         # MIN/MAX/COUNT without filter/group-by answered from parquet
         # footer statistics — no row scan at all.
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Runtime bloom-filter join pruning: when one join side is
+        # selectively filtered, inject a bloom filter of its keys into the
+        # other side's scan.  Irrelevant at sf0.1 (thresholds keep it off
+        # for tiny inputs) but it is the difference between scanning and
+        # skipping terabytes of probe side on the 100 TB fact joins.
+        .config("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
         # Arrow transfer for the pandas-UDF slow paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
