@@ -242,3 +242,72 @@ def scalar_array_funcs(spark, sf_dir):
         F.array_join(F.slice(F.sort_array(dist), 1, 3), "|").alias("first3"),
         F.array_contains(toks, "the").alias("has_the"),
     )
+
+
+@query(
+    "fuzzy_match_names",
+    """
+    WITH v AS (SELECT DISTINCT p_name FROM part),
+    cand AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM v a JOIN v b
+        ON a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 3)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 3
+    """,
+)
+def fuzzy_match_names(spark, sf_dir):
+    """Fuzzy entity matching, the scale way: collapse the corpus to its
+    DISTINCT name vocabulary first (sublinear in corpus size), then
+    all-pairs edit distance on the small side with a SOUND length-band
+    pre-filter (|len_a - len_b| <= k is implied by dist <= k — no
+    candidate loss, unlike ad-hoc prefix blocking).  Matches broadcast
+    back to the full table afterwards; the 100 TB side is never paired."""
+    v = t(spark, sf_dir, "part").select("p_name").distinct()
+    a = v.select(F.col("p_name").alias("name_a"))
+    b = v.select(F.col("p_name").alias("name_b"))
+    cand = a.join(
+        b,
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 3
+        ),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.withColumn("dist", dist).filter(
+        (F.col("dist") >= 1) & (F.col("dist") <= 3)
+    )
+
+
+@query(
+    "agg_unpivot_measures",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, value
+    FROM m UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def agg_unpivot_measures(spark, sf_dir):
+    """UNPIVOT/melt (wide measures -> long rows): the relational dual of
+    pivot, a pure projection+generate — no shuffle beyond the feeding
+    aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return m.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
