@@ -311,3 +311,69 @@ def agg_unpivot_measures(spark, sf_dir):
         "measure",
         "value",
     )
+
+
+@query(
+    "sample_weighted_quality",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             round((CASE WHEN len({SQL_TOKS.format(c='text')})
+                              BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN len(list_filter({SQL_TOKS.format(c='text')},
+                              x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                              > 0.01 * len({SQL_TOKS.format(c='text')})
+                          AND len(list_filter({SQL_TOKS.format(c='text')},
+                              x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+                              < 0.8 * len({SQL_TOKS.format(c='text')})
+                         THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN length(text) = 0 THEN 1.0
+                         WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                              < 0.2 * length(text) THEN 1.0 ELSE 0.0 END) / 3.0,
+                   4) AS quality,
+             ({_SQL_HASH_MOD.format(c='doc_id', m=10000)}) / 10000.0 AS u
+      FROM documents)
+    SELECT doc_id, quality FROM q WHERE u < quality * 0.5
+    """,
+)
+def sample_weighted_quality(spark, sf_dir):
+    """Propensity sampling: keep each doc with probability proportional
+    to its quality score (here 0.5 * quality), decided by a DETERMINISTIC
+    per-doc uniform draw (md5(doc_id) -> [0,1)) instead of rand() — the
+    same docs survive on every engine, retry, and cluster size, and the
+    expected quality distribution of the kept set is shifted upward the
+    way curriculum-style training-data selection wants.  Pure per-row
+    predicate: scan-stage evaluation, zero shuffle."""
+    d = td(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    u = _hash_mod(F.col("doc_id"), 10000).cast("double") / 10000.0
+    return (
+        d.select("doc_id", q.alias("quality"), u.alias("u"))
+        .filter(F.col("u") < F.col("quality") * 0.5)
+        .select("doc_id", "quality")
+    )
+
+
+@query(
+    "join_cross_grid",
+    """
+    SELECT r.r_name, t.l_returnflag, count(*) AS n
+    FROM region r CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) t
+    CROSS JOIN nation n
+    WHERE n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, t.l_returnflag
+    """,
+)
+def join_cross_grid(spark, sf_dir):
+    """Explicit cross join (the dimension-grid use: every region x every
+    return flag) — broadcast nested loop on a deliberately tiny side;
+    the only sane cartesian at scale is small x small."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    flags = t(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+    grid = r.crossJoin(flags)
+    return (
+        grid.join(n, n["n_regionkey"] == grid["r_regionkey"])
+        .groupBy("r_name", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
