@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from target_parquet_spark.queries import t
 
-__all__ = ["ensure_bucketed", "ensure_partitioned", "warehouse_dir"]
+__all__ = [
+    "ensure_bucketed",
+    "ensure_partitioned",
+    "ensure_zordered",
+    "zorder_value",
+    "warehouse_dir",
+]
 
 
 def warehouse_dir() -> str:
@@ -91,6 +97,81 @@ def ensure_bucketed(
             .saveAsTable(name)
         )
     return spark.table(name)
+
+
+def zorder_value(
+    cols: list,
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+):
+    """Z-curve (Morton) value of N numeric columns as a pure Column
+    expression: each column is linearly quantized to ``bits`` bits over
+    its [min, max] span, then the bit planes are interleaved.  Rows close
+    in z-value are close in EVERY quantized dimension, so a z-sorted file
+    layout gives tight per-file min/max ranges on all participating
+    columns at once — the multi-column data-skipping that single-column
+    sort order cannot provide.  Entirely JVM-side (shifts/ands/adds,
+    whole-stage codegen); linear quantization assumes roughly uniform key
+    distributions — swap in range-bucket boundaries for heavy skew.
+    """
+    n = len(cols)
+    cap = (1 << bits) - 1
+    qs = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi - lo) if hi > lo else 1.0
+        q = F.floor((c.cast("double") - float(lo)) / span * cap).cast("long")
+        qs.append(F.least(F.lit(cap), F.greatest(F.lit(0), q)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(qs):
+            z = z + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return z
+
+
+def ensure_zordered(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Materialize (once) a z-order-clustered copy of a test table:
+    compute the Morton value over ``cols``, range-partition into
+    ``n_files`` contiguous z-ranges, sort within each, write one file
+    per range.  A conjunctive range predicate over the z columns then
+    touches only the few files whose z-interval intersects the query
+    box — parquet row-group min/max stats prune the rest without
+    scanning.  This is the layout move for fact tables filtered on TWO+
+    dimensions at 100 TB (single-dim sort or partitioning only skips on
+    its own column).
+    """
+    name = f"zrd_{table}_{'_'.join(cols)}_{n_files}_{_tag(sf_dir)}"
+    path = os.path.join(warehouse_dir(), name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = t(spark, sf_dir, table)
+        stats = df.agg(
+            *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+        ).first()
+        z = zorder_value(
+            [F.col(c) for c in cols],
+            [stats[f"lo_{c}"] for c in cols],
+            [stats[f"hi_{c}"] for c in cols],
+            bits=bits,
+        )
+        (
+            df.withColumn("_z", z)
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
 
 
 def ensure_partitioned(

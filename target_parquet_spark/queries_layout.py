@@ -99,3 +99,35 @@ def scan_partition_pruned(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "scan_zorder_pruned",
+    """
+    SELECT count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 10000 AND 14999
+      AND l_partkey BETWEEN 200 AND 499
+    """,
+)
+def scan_zorder_pruned(spark, sf_dir):
+    """Conjunctive 2-D range scan over a z-order-clustered lineitem copy
+    (io/layout.ensure_zordered): both predicates push into the parquet
+    scan and the Morton layout makes per-file min/max tight on BOTH
+    columns, so row-group stats prune nearly every file — the layout
+    single-column sorting cannot deliver.  tests/test_layout.py asserts
+    the file-concentration win vs a shuffled copy; result is
+    layout-independent (oracle runs on the flat table)."""
+    from target_parquet_spark.io.layout import ensure_zordered
+
+    z = ensure_zordered(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return z.filter(
+        F.col("l_orderkey").between(10000, 14999)
+        & F.col("l_partkey").between(200, 499)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )

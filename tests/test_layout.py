@@ -51,3 +51,59 @@ def test_year_filter_becomes_partition_filter(spark, sf_dir):
     read_schema = p.split("ReadSchema:")[1].split("\n")[0]
     assert "o_totalprice" in read_schema
     assert "o_custkey" not in read_schema and "o_comment" not in read_schema
+
+
+def test_zorder_concentrates_2d_range_hits(spark, sf_dir, tmp_path):
+    """Morton clustering: a 2-D range box should land in a small fraction
+    of the z-ordered files, while the same box spreads across ~all files
+    of a hash-shuffled copy of identical file count."""
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.io.layout import ensure_zordered
+    from target_parquet_spark.queries import t
+
+    n_files = 16
+    li = t(spark, sf_dir, "lineitem")
+    st = li.agg(
+        F.min("l_orderkey").alias("ok_lo"), F.max("l_orderkey").alias("ok_hi"),
+        F.min("l_partkey").alias("pk_lo"), F.max("l_partkey").alias("pk_hi"),
+    ).first()
+    ok_span = st.ok_hi - st.ok_lo
+    pk_span = st.pk_hi - st.pk_lo
+    # ~8% x ~15% box in the middle of both ranges
+    box = (
+        F.col("l_orderkey").between(
+            st.ok_lo + ok_span * 20 // 100, st.ok_lo + ok_span * 28 // 100
+        )
+        & F.col("l_partkey").between(
+            st.pk_lo + pk_span * 40 // 100, st.pk_lo + pk_span * 55 // 100
+        )
+    )
+
+    z = ensure_zordered(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+                        n_files=n_files)
+    z_hit_files = z.filter(box).select(F.input_file_name()).distinct().count()
+
+    shuf = str(tmp_path / "shuffled")
+    t(spark, sf_dir, "lineitem").repartition(n_files).write.parquet(shuf)
+    s = spark.read.parquet(shuf)
+    s_hit_files = s.filter(box).select(F.input_file_name()).distinct().count()
+
+    assert z.filter(box).count() == s.filter(box).count() > 0
+    assert s_hit_files >= n_files * 3 // 4          # random layout: no skipping
+    assert z_hit_files <= n_files // 4              # z-order: tight concentration
+    assert z_hit_files < s_hit_files
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.io.layout import zorder_value
+
+    df = spark.range(1)
+    # 2 cols, 2 bits each, spans [0,3]: x=3 (bits 11), y=0 -> z = 0b0101 = 5
+    z = zorder_value([F.lit(3), F.lit(0)], [0, 0], [3, 3], bits=2)
+    assert df.select(z.alias("z")).first().z == 5
+    # x=0, y=3 -> 0b1010 = 10
+    z2 = zorder_value([F.lit(0), F.lit(3)], [0, 0], [3, 3], bits=2)
+    assert df.select(z2.alias("z")).first().z == 10
