@@ -233,3 +233,51 @@ def test_compiled_predicate_matches_jsonschema(spark, cases):
 
     ref_ok = next(iter(_build_relaxed_validator(schema).iter_errors(record)), None) is None
     assert compiled == ref_ok, f"schema={schema} record={record}"
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a union-find reference
+# ---------------------------------------------------------------------------
+
+edge = st.tuples(
+    st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+)
+
+
+def _uf_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    # canonical label = min node of the component
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(edge, min_size=1, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed label-prop fixpoint must equal a sequential
+    union-find on arbitrary graphs (chains, cycles, self-loops, stars,
+    parallel edges)."""
+    from target_parquet_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
