@@ -1,0 +1,83 @@
+"""Graph operators over edge-list DataFrames: weighted PageRank.
+
+Companion to :func:`target_parquet_spark.operators.dedup.connected_components`
+(the other iterative graph op).  The reference implements no graph
+processing at all (SURVEY.md §2.10); in a training-data pipeline,
+PageRank over the near-dup similarity graph scores how *central* a
+document is inside its duplication web — a keep-one policy can prefer
+the most-connected variant instead of the lowest id, and boilerplate
+hubs (docs similar to thousands of others) surface with outsized rank.
+
+Scale design: every iteration is one edges→ranks hash join on the
+source id plus one groupBy(dst) — the same two shuffles a SQL engine
+pays, with partial aggregation map-side.  Per-round state is one double
+per node.  Fixed iteration count (no convergence action) keeps the job
+graph static and the result exactly reproducible — which is also what
+lets DuckDB oracle-check it via an unrolled CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank)`` after exactly ``iters`` power iterations from the
+    uniform start.  ``weight=None`` treats every edge as 1.0.
+
+    Mass from dangling nodes (no out-edges) is NOT redistributed — feed
+    a symmetrized graph (every node has out-edges) or accept the leak;
+    the dup-similarity graph is symmetric by construction.  Lineage is
+    cut per round with ``localCheckpoint`` (reliable ``checkpoint`` on a
+    real cluster); ranks are tiny (one double per node) so the pinned
+    blocks are negligible next to the edge shuffle.
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
+    ).localCheckpoint()
+
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct().localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            e.join(outw, "u")
+            .join(ranks, ranks["node"] == e["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("outw") * F.col("w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

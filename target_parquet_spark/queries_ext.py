@@ -422,6 +422,74 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
+def _sql_pagerank_ctes(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain over the `pairs` CTE — the
+    DuckDB twin of operators/graph.pagerank on the symmetrized
+    similarity graph.  All literals are ::DOUBLE (a bare 1.0 is DECIMAL
+    in DuckDB, whose division semantics would diverge from Spark)."""
+    d = repr(damping)
+    parts = [
+        """e AS (SELECT id_a AS u, id_b AS v, jaccard AS w FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v, jaccard AS w FROM pairs)""",
+        "nd AS (SELECT DISTINCT u AS node FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd)",
+        "ow AS (SELECT u, sum(w) AS outw FROM e GROUP BY u)",
+        "r0 AS (SELECT node, 1.0::DOUBLE / n.n AS rank FROM nd, nn n)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS (SELECT e.v AS node, sum(r.rank / ow.outw * e.w) AS c
+                FROM e JOIN ow ON ow.u = e.u
+                       JOIN r{k - 1} r ON r.node = e.u
+                GROUP BY e.v)"""
+        )
+        parts.append(
+            f"""r{k} AS (SELECT nd.node,
+                       (1.0::DOUBLE - {d}::DOUBLE) / n.n
+                         + {d}::DOUBLE * coalesce(c{k}.c, 0.0::DOUBLE) AS rank
+                FROM nd CROSS JOIN nn n
+                LEFT JOIN c{k} ON c{k}.node = nd.node)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "graph_pagerank_dupweb",
+    f"""
+    WITH {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    {_sql_pagerank_ctes(iters=5, damping=0.85)}
+    SELECT node AS doc_id, round(rank * 1000.0::DOUBLE, 4) AS rank_pm
+    FROM r5
+    """,
+)
+def graph_pagerank_dupweb(spark, sf_dir):
+    """Similarity-weighted PageRank over the near-dup graph (5 power
+    iterations, damping 0.85): centrality inside the duplication web —
+    boilerplate hubs rank high, so a keep-one policy can prefer the
+    most-connected variant.  Oracle is the identical computation as an
+    unrolled CTE chain; ranks reported per-mille at 4dp."""
+    from target_parquet_spark.operators.graph import pagerank
+
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "jaccard"
+        )
+    )
+    ranks = pagerank(sym, "src", "dst", weight="jaccard", iters=5, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * 1000.0, 4).alias("rank_pm"),
+    )
+
+
 @query(
     "dedup_keep_canonical",
     f"""

@@ -202,3 +202,35 @@ def test_connected_components_long_chain_converges(spark):
     rows = D.connected_components(edges, max_iters=8).collect()
     assert len(rows) == 13
     assert {r.component for r in rows} == {0}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from target_parquet_spark.operators.graph import pagerank
+
+    edges = [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 2.0), (3, 1, 1.0), (1, 3, 0.5)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, "src", "dst", weight="w", iters=5).collect()
+    }
+
+    nodes = [1, 2, 3]
+    idx = {n: i for i, n in enumerate(nodes)}
+    outw = {1: 1.5, 2: 3.0, 3: 1.0}
+    r = np.full(3, 1 / 3)
+    for _ in range(5):
+        c = np.zeros(3)
+        for u, v, w in edges:
+            c[idx[v]] += r[idx[u]] / outw[u] * w
+        r = 0.15 / 3 + 0.85 * c
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12
+
+
+def test_pagerank_empty_edges(spark):
+    from target_parquet_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
