@@ -39,6 +39,7 @@ __all__ = [
     "ensure_bucketed",
     "ensure_partitioned",
     "ensure_zordered",
+    "ensure_rollup",
     "zorder_value",
     "warehouse_dir",
 ]
@@ -195,6 +196,34 @@ def ensure_partitioned(
             .withColumn(part_col, part_expr)
             .write.mode("overwrite")
             .partitionBy(part_col)
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def ensure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once) the day-grain continuous aggregate of `events`:
+    per (day, event_type) counts and RAW value sums — sufficient
+    statistics, not final answers, so any coarser grain (week, month,
+    quarter) and any algebraic aggregate (count, sum, avg = sum/count)
+    is answerable from this table without touching the base events.
+    At 100 TB this is the hypertable-rollup move: the streaming sink
+    appends to the base table AND upserts these per-epoch partial
+    aggregates; month-grain dashboards then scan KB instead of TB.
+    """
+    name = f"rlp_events_day_{_tag(sf_dir)}"
+    path = os.path.join(warehouse_dir(), name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "events")
+            .groupBy(
+                F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .write.mode("overwrite")
             .parquet(path)
         )
     return spark.read.parquet(path)

@@ -131,3 +131,39 @@ def scan_zorder_pruned(spark, sf_dir):
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "rollup_navigate_month",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY CAST(date_trunc('month', ts) AS DATE), event_type
+    """,
+)
+def rollup_navigate_month(spark, sf_dir):
+    """Aggregation navigation: the month-grain answer computed ONLY from
+    the day-grain rollup (io/layout.ensure_rollup) by merging sufficient
+    statistics — counts add, sums add, avg = merged sum / merged count.
+    The oracle aggregates the raw base table; matching proves the rollup
+    loses nothing for algebraic aggregates.  At scale this is the
+    pre-aggregated dashboard path (KB scanned, not TB)."""
+    from target_parquet_spark.io.layout import ensure_rollup
+
+    r = ensure_rollup(spark, sf_dir)
+    return (
+        r.groupBy(
+            F.date_trunc("month", F.col("day")).cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+            F.round(
+                F.sum("sum_value") / F.sum("n_events").cast("double"), 4
+            ).alias("avg_value"),
+        )
+    )

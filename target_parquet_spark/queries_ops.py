@@ -377,3 +377,107 @@ def join_cross_grid(spark, sf_dir):
         .groupBy("r_name", "l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_funnel_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  > 1800000000 OR lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (
+      SELECT user_id, event_type, tu,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o),
+    v AS (SELECT user_id, session_id,
+                 min(CASE WHEN event_type = 'view' THEN tu END) AS t_view
+          FROM s GROUP BY user_id, session_id),
+    c AS (SELECT s.user_id, s.session_id,
+                 min(CASE WHEN s.event_type = 'click'
+                          AND s.tu >= v.t_view THEN s.tu END) AS t_click,
+                 any_value(v.t_view) AS t_view
+          FROM s JOIN v ON s.user_id = v.user_id AND s.session_id = v.session_id
+          GROUP BY s.user_id, s.session_id),
+    p AS (SELECT s.user_id, s.session_id,
+                 min(CASE WHEN s.event_type = 'purchase'
+                          AND s.tu >= c.t_click THEN s.tu END) AS t_purchase,
+                 any_value(c.t_view) AS t_view,
+                 any_value(c.t_click) AS t_click
+          FROM s JOIN c ON s.user_id = c.user_id AND s.session_id = c.session_id
+          GROUP BY s.user_id, s.session_id)
+    SELECT count(*) AS n_sessions,
+           count(t_view) AS reached_view,
+           count(t_click) AS reached_click,
+           count(t_purchase) AS reached_purchase
+    FROM p
+    """,
+)
+def events_funnel_sessions(spark, sf_dir):
+    """Session funnel (view -> click -> purchase, in order, within a
+    30-min-gap session): sessionize with a window cumsum, then one
+    aggregate per stage with the previous stage's timestamp as the
+    ordering constraint.  Three shuffles, all on the same
+    (user, session) key — on a cluster the exchange is reused.  Counts
+    are exact integers, so the oracle is bit-stable by construction."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("tu")
+    )
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    gap = F.col("tu") - F.lag("tu").over(w)
+    s = e.withColumn(
+        "new_s", F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("tu", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    key = ["user_id", "session_id"]
+    v = s.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("tu"))).alias("t_view")
+    )
+    c = (
+        s.join(v, key)
+        .groupBy(*key)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("tu") >= F.col("t_view")),
+                    F.col("tu"),
+                )
+            ).alias("t_click"),
+            F.first("t_view").alias("t_view"),
+        )
+    )
+    p = (
+        s.join(c, key)
+        .groupBy(*key)
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("tu") >= F.col("t_click")),
+                    F.col("tu"),
+                )
+            ).alias("t_purchase"),
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count("t_view").alias("reached_view"),
+        F.count("t_click").alias("reached_click"),
+        F.count("t_purchase").alias("reached_purchase"),
+    )
