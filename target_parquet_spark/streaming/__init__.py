@@ -21,9 +21,11 @@ from target_parquet_spark.streaming.windows import (
     tumbling_counts,
 )
 from target_parquet_spark.streaming.stateful import running_user_totals
+from target_parquet_spark.streaming.rollup import StreamingRollup
 
 __all__ = [
     "SingerStreamTarget",
+    "StreamingRollup",
     "tumbling_counts",
     "sliding_counts",
     "session_agg",

@@ -370,3 +370,52 @@ def test_interval_join_stream_stream_matches_batch(spark, events_src):
     cols = ["click_id", "event_id_right", "user_id"]
     assert _rows(got, cols) == _rows(want, cols)
     assert got.count() > 0
+
+
+def test_streaming_rollup_matches_batch_and_replays_idempotently(
+    spark, events_src, tmp_path
+):
+    """Epoch-delta rollup: multi-epoch stream result == batch aggregate;
+    replaying an epoch rewrites the identical partial (no double count);
+    compaction preserves totals."""
+    from target_parquet_spark.streaming.rollup import StreamingRollup
+
+    path, schema = events_src
+    out = str(tmp_path / "rollup")
+    r = StreamingRollup(spark, out)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    _await(r.start(stream, available_now=True))
+
+    cols = ["day", "event_type", "n_events", "sum_value"]
+    want = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    assert _rows(r.read(), cols) == _rows(want, cols)
+
+    # replay epoch 0 with a half batch: overwrite, not append
+    half = spark.read.parquet(path).limit(100)
+    r._merge_batch(half, 0)
+    half_rollup = _rows(r.read(), cols)
+    r._merge_batch(half, 0)
+    assert _rows(r.read(), cols) == half_rollup
+
+    # compaction folds epochs without changing totals
+    before = _rows(r.read(), cols)
+    r.compact()
+    assert _rows(r.read(), cols) == before
+    import os as _os
+    assert (
+        len([d for d in _os.listdir(out) if d.startswith("epoch=")]) == 1
+    )
