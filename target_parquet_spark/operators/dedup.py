@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "simhash",
     "simhash_pairs",
     "connected_components",
@@ -283,10 +284,9 @@ def minhash_lsh_pairs(
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """Exact all-pairs Jaccard via the shingle inverted index.
+def _ngram_pair_stats(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Candidate pairs (id_a < id_b) with shingle-set intersection and
+    per-doc set sizes, via the shingle inverted index.
 
     The posting list is repartitioned on the shingle — the very shuffle
     the self-join requires — so both join branches read one reused
@@ -315,10 +315,18 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    pairs = (
+    return (
         common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact all-pairs Jaccard via the shingle inverted index (see
+    :func:`_ngram_pair_stats` for the exchange-reuse plan notes)."""
+    pairs = _ngram_pair_stats(df, text_col, id_col, n)
     jac = F.round(
         F.col("inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
@@ -328,6 +336,27 @@ def ngram_jaccard_pairs(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-dup: containment = |A∩B| / |smaller set|.  Catches
+    doc-inside-doc (quotes, concatenations, truncated copies) that
+    Jaccard misses — a 10x-longer superset drags Jaccard under any sane
+    threshold while containment of the smaller side stays ~1.0.  Same
+    inverted-index plan as Jaccard; only the final scalar differs."""
+    pairs = _ngram_pair_stats(df, text_col, id_col, n)
+    cont = F.round(
+        F.col("inter").cast("double")
+        / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
+        4,
+    )
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

@@ -558,6 +558,36 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.6)
 
 
+@query(
+    "dedup_ngram_containment",
+    f"""
+    WITH {SQL_CORPUS},
+    toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
+           WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
+    posting AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 4)
+             AS containment
+    FROM common
+    WHERE round(CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 4) >= 0.8
+    """,
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric doc-in-doc detection: containment of the smaller
+    shingle set (|A∩B| / min set size).  The planted perturbed docs are
+    strict-prefix truncations, so their containment in the original is
+    ~1.0 even where Jaccard falls below a dedup threshold."""
+    corpus = _spark_corpus(spark, sf_dir)
+    return D.ngram_containment_pairs(corpus, "text", "doc_id", n=3, threshold=0.8)
+
+
 # SimHash reproduced bit-for-bit in SQL: token hash = big-endian u64 of the
 # first 16 md5 hex chars (== numpy '>u8' over the first 8 digest bytes);
 # per-bit votes over the token multiset; fingerprint bits -> UBIGINT ->
