@@ -551,6 +551,70 @@ def window_running_total(spark, sf_dir):
 
 
 @query(
+    "window_time_range_rolling",
+    """
+    SELECT user_id, event_id,
+           count(*) OVER w AS n_last_hour,
+           round(sum(value) OVER w, 2) AS value_last_hour
+    FROM (SELECT user_id, event_id, value, epoch_us(ts) AS tu FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tu
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_rolling(spark, sf_dir):
+    """RANGE-framed window (value-based frame, not row-based): per event,
+    activity over the TRAILING HOUR of the same user — the frame holds
+    every row whose event-time lies within 1h, however many that is.
+    Ordering on integer epoch-micros makes the frame arithmetic exact
+    and portable.  One shuffle on user_id; the frame scan is a sliding
+    two-pointer inside each sorted partition."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("tu")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tu")
+        .rangeBetween(-3600000000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    """
+    SELECT o_orderpriority, quartile,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (SELECT o_orderpriority, o_totalprice,
+                 ntile(4) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS quartile
+          FROM orders)
+    GROUP BY o_orderpriority, quartile
+    """,
+)
+def window_ntile_quartiles(spark, sf_dir):
+    """ntile quartile assignment per priority class (deterministic
+    tie-break on the key), folded to per-quartile bands."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
     "window_lag_delta",
     """
     SELECT o_custkey, o_orderkey,
