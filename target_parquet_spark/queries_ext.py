@@ -708,6 +708,30 @@ def sim_brute_force(spark, sf_dir):
     )
 
 
+@query(
+    "sim_label_centroids",
+    """
+    SELECT label, i AS dim, round(avg(x), 4) AS c
+    FROM (SELECT label, t.i, embedding[t.i + 1] AS x
+          FROM embeddings, unnest(range(0, len(embedding))) AS t(i))
+    GROUP BY label, i
+    """,
+)
+def sim_label_centroids(spark, sf_dir):
+    """Vector aggregation: per-label mean embedding, dim-wise.  Explode
+    to (label, dim, component) and aggregate — the shuffle keys on
+    (label, dim) so every dimension of every class aggregates in
+    parallel with map-side partial sums; no vector ever passes through
+    Python.  The long output shape (one row per label x dim) is itself
+    the cluster-friendly layout for the downstream IVF codebook build."""
+    emb = td(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+    )
+
+
 # The same literal ±1 hyperplanes the Spark expression inlines
 # (operators/similarity.plane_weights — md5-parity derived, fixed).
 _PLANES = S.plane_weights(n_planes=8, dim=64)
