@@ -10,6 +10,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+import target_parquet_spark.queries_layout  # noqa: F401  (registers into QUERIES)
 import target_parquet_spark.queries_ops  # noqa: F401  (registers into QUERIES)
 from target_parquet_spark.queries import QUERIES
 
@@ -111,3 +112,37 @@ def test_token_budget_single_window_shuffle(spark, sf_dir):
     # one running-total window over one hash exchange on source
     assert p.count("Window") >= 1
     assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_interval_join_pushes_filters_and_keys_on_equikey(spark, sf_dir):
+    p = plan(spark, sf_dir, "events_interval_join")
+    # event-type filters reach both scans; the band is a residual, the
+    # join itself is an equi-join on user_id (broadcast at this size)
+    pushed = [seg.split("\n")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("EqualTo(event_type,click)" in s for s in pushed)
+    assert any("EqualTo(event_type,purchase)" in s for s in pushed)
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_hll_sketch_partial_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "agg_hll_sketch")
+    # register maxima must partial-aggregate map-side (mergeable sketch);
+    # the 64-row exchange is the only data that moves
+    assert p.count("HashAggregate") >= 2
+    assert "partial_max" in p
+
+
+def test_zorder_scan_pushes_both_range_predicates(spark, sf_dir):
+    p = plan(spark, sf_dir, "scan_zorder_pruned")
+    pushed = p.split("PushedFilters:")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(l_orderkey" in pushed
+    assert "LessThanOrEqual(l_orderkey" in pushed
+    assert "GreaterThanOrEqual(l_partkey" in pushed
+    assert "LessThanOrEqual(l_partkey" in pushed
+
+
+def test_centroids_partial_aggregation_after_generate(spark, sf_dir):
+    p = plan(spark, sf_dir, "sim_label_centroids")
+    assert "Generate" in p  # posexplode in the scan stage
+    assert p.count("HashAggregate") >= 2  # dim-wise partial avg map-side
