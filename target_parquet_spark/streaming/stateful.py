@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "RUNNING_TOTALS_SCHEMA"]
+__all__ = ["running_user_totals", "running_user_totals_v2", "RUNNING_TOTALS_SCHEMA"]
 
 RUNNING_TOTALS_SCHEMA = T.StructType(
     [
@@ -66,3 +66,63 @@ def running_user_totals(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 state API v2): same running totals, richer
+# state surface (typed ValueState handles, timers, state TTL) — the
+# successor API to applyInPandasWithState above.  Keeping both forms lets
+# a deployment migrate without touching query semantics.
+# ---------------------------------------------------------------------------
+
+try:
+    # The v2 state server speaks protobuf to the Python worker; without
+    # the protobuf package the driver worker crashes at init, so gate the
+    # whole surface on it (this container ships pyspark 4 but no
+    # protobuf — the applyInPandasWithState form above stays the
+    # operational path there).
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """ValueState-backed per-user running (count, sum(value))."""
+
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, v = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                v += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(v, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def running_user_totals_v2(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+        """`running_user_totals` on the transformWithState API: identical
+        emissions, but state is a named typed handle (inspectable via the
+        state data source, TTL-able, timer-capable)."""
+        return (
+            events.select("user_id", "value", ts_col)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=RunningTotalsProcessor(),
+                outputStructType=RUNNING_TOTALS_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+except ImportError:  # pragma: no cover — pyspark < 4
+    running_user_totals_v2 = None

@@ -419,3 +419,41 @@ def test_streaming_rollup_matches_batch_and_replays_idempotently(
     assert (
         len([d for d in _os.listdir(out) if d.startswith("epoch=")]) == 1
     )
+
+
+def test_running_user_totals_v2_transform_with_state(spark, events_src):
+    """Spark 4 transformWithState API: same final per-user totals as the
+    applyInPandasWithState form and the batch groupBy."""
+    from target_parquet_spark.streaming.stateful import running_user_totals_v2
+
+    if running_user_totals_v2 is None:
+        pytest.skip("transformWithState needs protobuf (not in this env)")
+
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    q = (
+        running_user_totals_v2(stream)
+        .writeStream.format("memory")
+        .queryName("t_state_v2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    last = (
+        spark.table("t_state_v2")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("tv"))
+    )
+    want = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("tv"),
+        )
+    )
+    cols = ["user_id", "n_events", "tv"]
+    assert _rows(last, cols) == _rows(want, cols)
