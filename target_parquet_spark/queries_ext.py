@@ -1408,3 +1408,127 @@ def multimodal_resize(spark, sf_dir):
         F.octet_length("pixels").cast("long").alias("n_bytes"),
         F.md5(F.hex("pixels")).alias("pixels_hash"),
     )
+
+
+# RE2-portable PII patterns (no lookbehind/lookahead) shared verbatim by
+# both engines.  The synthetic corpus has no organic PII, so the query
+# plants one deterministic contact line per doc and proves the scrubber
+# removes exactly that — a round-trip check, not just a row count.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +555 123 4567' AS text
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_PHONE}', '[PHONE]', 'g') AS clean
+      FROM planted)
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN clean LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_redactions,
+           CAST(sum(CASE WHEN clean LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_redactions,
+           CAST(sum(CASE WHEN regexp_matches(clean, '{PII_EMAIL}')
+                          OR regexp_matches(clean, '{PII_PHONE}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): RE2-portable email/phone
+    redaction as pure scan-stage regexp_replace — zero shuffle, linear
+    at any corpus size.  One deterministic contact line is planted per
+    doc (the corpus is synthetic word-salad with no organic PII) and the
+    output proves every planted item was redacted and NO pattern
+    survives scrubbing (n_leaks = 0)."""
+    d = td(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +555 123 4567"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "[EMAIL]"),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    s = planted.select("doc_id", clean.alias("clean"))
+    leak = F.col("clean").rlike(PII_EMAIL) | F.col("clean").rlike(PII_PHONE)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("clean").contains("[EMAIL]"), 1).otherwise(0)).alias(
+            "n_email_redactions"
+        ),
+        F.sum(F.when(F.col("clean").contains("[PHONE]"), 1).otherwise(0)).alias(
+            "n_phone_redactions"
+        ),
+        F.sum(F.when(leak, 1).otherwise(0)).alias("n_leaks"),
+    )
+
+
+@query(
+    "dedup_lsh_recall",
+    f"""
+    WITH {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+                  4) >= 0.5)
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM pairs) AS n_lsh,
+           round(CAST((SELECT count(*) FROM pairs) AS DOUBLE)
+                 / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall
+    """,
+)
+def dedup_lsh_recall(spark, sf_dir):
+    """Self-evaluation of the LSH pipeline: recall of banded-MinHash
+    verified pairs against ground-truth all-pairs Jaccard at the same
+    threshold (precision is 1.0 by construction — candidates are
+    exact-verified).  The all-pairs side is quadratic and exists only as
+    the eval harness; at 100 TB you run it on a sampled stratum to keep
+    monitoring the recall the bands actually deliver."""
+    corpus = _spark_corpus(spark, sf_dir)
+    lsh = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    sh = corpus.select(
+        "doc_id", X.shingles(F.col("text"), n=3).alias("s")
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("sa") + F.size("sb") - inter).cast("double"),
+        4,
+    )
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= 0.5)
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return n_exact.crossJoin(n_lsh).select(
+        "n_exact",
+        "n_lsh",
+        F.round(
+            F.col("n_lsh").cast("double") / F.col("n_exact").cast("double"), 4
+        ).alias("recall"),
+    )

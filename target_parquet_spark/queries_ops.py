@@ -540,3 +540,26 @@ def agg_hll_sketch(spark, sf_dir):
         ).alias("est_distinct"),
         "n_exact",
     )
+
+
+@query(
+    "agg_cube_grouping_marker",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_grouping_marker(spark, sf_dir):
+    """CUBE with GROUPING() markers: distinguishes a real NULL group key
+    from a rolled-up level — the piece that makes cube output machine-
+    consumable."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
