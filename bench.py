@@ -49,6 +49,9 @@ HEADLINE = [
     "scan_partition_pruned",
     "window_topk_per_group",
     "window_running_total",
+    "window_time_range_rolling",
+    "events_funnel_sessions",
+    "agg_hll_sketch",
     "sort_limit_topk",
     "json_extract_props",
     "events_tumbling_window",
