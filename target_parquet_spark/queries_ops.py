@@ -563,3 +563,51 @@ def agg_cube_grouping_marker(spark, sf_dir):
         F.grouping("l_linestatus").cast("int").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "audit_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT count(*) FROM lineitem) AS n_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)),
+           (SELECT count(*) FROM lineitem)
+    """,
+)
+def audit_referential_integrity(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema: one left-anti
+    join per relation (each a broadcast against the dim's key column or
+    a shuffle join at scale), counts unioned into a single report.  The
+    data-quality gate a pipeline runs before training-data export."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+
+    def _audit(name, child, key, parent, pkey):
+        orphans = child.join(
+            parent.select(pkey), child[key] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("relation"), "n_orphans", "n_rows"
+        )
+
+    return (
+        _audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(_audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(_audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+    )
