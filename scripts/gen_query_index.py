@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Regenerate docs/QUERIES.md: one line per registry query, grouped by
+module, with its docstring summary and oracle status."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    by_module: dict[str, list[tuple[str, str]]] = {}
+    for name, fn in qs.items():
+        doc = " ".join((fn.__doc__ or "").split())
+        if ". " in doc:
+            doc = doc.split(". ")[0]
+        doc = doc.rstrip(".")
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        by_module.setdefault(mod, []).append((name, doc))
+
+    lines = [
+        "# Query index",
+        "",
+        f"{len(qs)} registry queries, {len(oracles)} with exact DuckDB oracles",
+        "(the rest are rows-only checks).  Regenerate with",
+        "`python scripts/gen_query_index.py`.",
+        "",
+    ]
+    for mod in sorted(by_module):
+        lines.append(f"## {mod}")
+        lines.append("")
+        for name, doc in sorted(by_module[mod]):
+            mark = "" if name in oracles else " *(rows-only)*"
+            lines.append(f"- **{name}**{mark} — {doc}")
+        lines.append("")
+
+    out = os.path.join(REPO, "docs", "QUERIES.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}: {len(qs)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
