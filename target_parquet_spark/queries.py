@@ -262,6 +262,7 @@ def join_broadcast_dim(spark, sf_dir):
     """,
 )
 def join_left_outer(spark, sf_dir):
+    """Left outer fact-dim join preserving unmatched left rows; null-safe aggregation downstream."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
@@ -306,6 +307,7 @@ def join_semi(spark, sf_dir):
     """,
 )
 def join_anti(spark, sf_dir):
+    """Left-anti join: customers with NO orders (the NOT EXISTS plan, broadcastable key side)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
@@ -363,6 +365,7 @@ def join_range_banded(spark, sf_dir):
     """,
 )
 def agg_distinct_count(spark, sf_dir):
+    """count(DISTINCT suppkey) per returnflag — two-phase distinct aggregate (dedup shuffle, then count)."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("distinct_parts"),
@@ -394,6 +397,7 @@ def agg_approx_distinct(spark, sf_dir):
     """,
 )
 def agg_stats(spark, sf_dir):
+    """Moment aggregates per group: avg/stddev/skew-adjacent stats in a single shuffle."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
@@ -412,6 +416,7 @@ def agg_stats(spark, sf_dir):
     """,
 )
 def agg_having(spark, sf_dir):
+    """Post-aggregation HAVING filter on group count."""
     o = t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -429,6 +434,7 @@ def agg_having(spark, sf_dir):
     """,
 )
 def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (flag, status): subtotal and grand-total levels from one Expand."""
     li = t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -445,6 +451,7 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def agg_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 4 grouping levels in one pass — Expand feeds a single shuffle, not 4 scans."""
     o = t(spark, sf_dir, "orders")
     return o.cube(
         "o_orderstatus", F.year("o_orderdate").cast("long").alias("order_year")
@@ -463,6 +470,7 @@ def agg_cube(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS: per-flag, per-status, and grand-total rows from one scan."""
     li = t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("gs_lineitem")
     return spark.sql(
@@ -484,6 +492,7 @@ def agg_grouping_sets(spark, sf_dir):
     """,
 )
 def agg_pivot(spark, sf_dir):
+    """pivot(linestatus) to per-flag wide columns; fixed value list keeps the plan static (no extra distinct job)."""
     li = t(spark, sf_dir, "lineitem")
     out = (
         li.groupBy("l_returnflag")
@@ -537,6 +546,7 @@ def window_topk_per_group(spark, sf_dir):
     """,
 )
 def window_running_total(spark, sf_dir):
+    """Running sum per customer: unbounded-preceding frame over one key shuffle."""
     o = t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -625,6 +635,7 @@ def window_ntile_quartiles(spark, sf_dir):
     """,
 )
 def window_lag_delta(spark, sf_dir):
+    """lag() delta per customer: order-sensitive window over one key shuffle."""
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -645,6 +656,7 @@ def window_lag_delta(spark, sf_dir):
     """,
 )
 def window_ntile(spark, sf_dir):
+    """Rank/percent windows per group (row_number + percent_rank) over a single partition-sort."""
     c = t(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
     return c.select(
@@ -665,6 +677,7 @@ def window_ntile(spark, sf_dir):
     """,
 )
 def sort_limit_topk(spark, sf_dir):
+    """Global top-k via orderBy+limit — planned as TakeOrdered (per-partition heap + driver merge), never a full sort."""
     o = t(spark, sf_dir, "orders")
     return (
         o.select("o_orderkey", "o_totalprice")
@@ -684,6 +697,7 @@ def sort_limit_topk(spark, sf_dir):
     """,
 )
 def set_union(spark, sf_dir):
+    """UNION (distinct) of two filtered projections — one dedup shuffle over the unioned scan."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     u = (
@@ -707,6 +721,7 @@ def set_union(spark, sf_dir):
     """,
 )
 def set_intersect(spark, sf_dir):
+    """INTERSECT of two filtered key sets — dedup + hash semi."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return (
@@ -729,6 +744,7 @@ def set_intersect(spark, sf_dir):
     """,
 )
 def set_except(spark, sf_dir):
+    """EXCEPT: keys active in 1997 minus those active in 1998 (hash anti-semantics)."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
@@ -741,6 +757,7 @@ def set_except(spark, sf_dir):
     "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
 def distinct_projection(spark, sf_dir):
+    """DISTINCT over a 2-column projection — hash-aggregate dedup, pruned scan."""
     li = t(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
 
@@ -763,6 +780,7 @@ def distinct_projection(spark, sf_dir):
     """,
 )
 def scalar_string_funcs(spark, sf_dir):
+    """String scalar family (lower/substr/length/concat/trim) as scan-stage expressions."""
     p = t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -788,6 +806,7 @@ def scalar_string_funcs(spark, sf_dir):
     """,
 )
 def scalar_math_funcs(spark, sf_dir):
+    """Numeric scalar family (round/abs/ceil/floor/log) as scan-stage expressions."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -814,6 +833,7 @@ def scalar_math_funcs(spark, sf_dir):
     """,
 )
 def scalar_date_funcs(spark, sf_dir):
+    """Date scalar family: year/month extraction, truncation, date arithmetic — all codegen, pushed into the scan stage."""
     o = t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -837,6 +857,7 @@ def scalar_date_funcs(spark, sf_dir):
     """,
 )
 def scalar_case_when(spark, sf_dir):
+    """CASE WHEN banding into a low-cardinality label, aggregated per band."""
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.sum(F.when(F.col("o_totalprice") > 300000, 1).otherwise(0))

@@ -146,6 +146,7 @@ _LANG_CASE = (
     """,
 )
 def text_lang_id(spark, sf_dir):
+    """Marker-stopword language ID per doc, aggregated to per-language counts (pure Column expressions, zero Python)."""
     d = td(spark, sf_dir, "documents")
     return d.groupBy(X.lang_id(F.col("text")).alias("lang_pred")).agg(
         F.count(F.lit(1)).alias("n_docs")
