@@ -1533,3 +1533,35 @@ def dedup_lsh_recall(spark, sf_dir):
             F.col("n_lsh").cast("double") / F.col("n_exact").cast("double"), 4
         ).alias("recall"),
     )
+
+
+@query(
+    "text_hash_embedding",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS token
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           (('0x' || substr(md5(token), 1, 8))::BIGINT % 64) AS bucket,
+           count(*) AS tf
+    FROM tok GROUP BY doc_id, bucket
+    """,
+)
+def text_hash_embedding(spark, sf_dir):
+    """Feature hashing (the hashing trick): token counts folded into 64
+    md5-addressed buckets — a fixed-width sparse TF vector for every doc
+    with NO vocabulary build, no driver state, no second pass.  This is
+    the text->vector bridge when no learned embedding exists: the long
+    (doc, bucket, tf) output pivots into the array<float> shape the
+    similarity operators consume.  Explode + one (doc,bucket) agg with
+    map-side combine; vocabulary-free means it streams too."""
+    d = td(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % 64
+    )
+    return (
+        d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
