@@ -1565,3 +1565,93 @@ def text_hash_embedding(spark, sf_dir):
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def _sql_bpe_ctes(steps: int = 3) -> str:
+    """Unrolled BPE merge induction: v0 holds each distinct word as a
+    space-separated symbol string; per step, count adjacent symbol pairs
+    weighted by word frequency, pick the top pair (freq desc, pair asc),
+    and replace() it everywhere — non-overlapping left-to-right replace
+    IS the greedy BPE merge in both engines."""
+    parts = [
+        """w AS (SELECT token AS word, count(*) AS cnt
+             FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+                   FROM documents WHERE trim(lower(text)) <> '')
+             GROUP BY token)""",
+        "v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s, cnt FROM w)",
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f"""p{k} AS (
+              SELECT pr, CAST(sum(cnt) AS BIGINT) AS f
+              FROM (SELECT unnest(list_transform(range(1, len(l)),
+                             i -> l[i] || ' ' || l[i + 1])) AS pr, cnt
+                    FROM (SELECT string_split(trim(s), ' ') AS l, cnt FROM v{k - 1}))
+              GROUP BY pr)"""
+        )
+        parts.append(
+            f"b{k} AS (SELECT pr, f FROM p{k} ORDER BY f DESC, pr LIMIT 1)"
+        )
+        parts.append(
+            f"""v{k} AS (SELECT replace(s, ' ' || (SELECT pr FROM b{k}) || ' ',
+                            ' ' || (SELECT replace(pr, ' ', '') FROM b{k}) || ' ') AS s,
+                     cnt FROM v{k - 1})"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "text_bpe_merge_induction",
+    f"""
+    WITH {_sql_bpe_ctes(steps=3)}
+    SELECT 1 AS step, (SELECT pr FROM b1) AS pair, (SELECT f FROM b1) AS freq
+    UNION ALL
+    SELECT 2, (SELECT pr FROM b2), (SELECT f FROM b2)
+    UNION ALL
+    SELECT 3, (SELECT pr FROM b3), (SELECT f FROM b3)
+    """,
+)
+def text_bpe_merge_induction(spark, sf_dir):
+    """Distributed BPE tokenizer training (first 3 merges): count
+    frequency-weighted adjacent symbol pairs over the distinct-word
+    vocabulary, take the argmax, apply the merge everywhere, repeat.
+    The pair count is the distributed work (explode + map-side-combined
+    agg over the vocab — sublinear in corpus size); each step collects
+    exactly ONE row (the winning pair), matching how real BPE trainers
+    pair a distributed counter with a driver-side merge table.  Greedy
+    left-to-right merge semantics come from non-overlapping string
+    replace, identical in Spark and DuckDB, so the oracle unrolls the
+    same three steps as CTEs."""
+    d = td(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spaced = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    v = words.select(spaced.alias("s"), "cnt").localCheckpoint()
+
+    out = []
+    for step in range(1, 4):
+        syms = F.split(F.trim(F.col("s")), " ")
+        zipped = F.arrays_zip(syms, F.slice(syms, 2, 1 << 30))
+        prs = F.transform(
+            F.slice(zipped, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+            lambda z: F.concat_ws(" ", z["0"], z["1"]),
+        )
+        best = (
+            v.select(F.explode(prs).alias("pr"), "cnt")
+            .groupBy("pr")
+            .agg(F.sum("cnt").alias("f"))
+            .orderBy(F.col("f").desc(), "pr")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((step, best.pr, int(best.f)))
+        merged = best.pr.replace(" ", "").replace("'", "''")
+        pat = best.pr.replace("'", "''")
+        v = v.select(
+            F.expr(f"replace(s, ' {pat} ', ' {merged} ')").alias("s"), "cnt"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(out, "step int, pair string, freq long")
