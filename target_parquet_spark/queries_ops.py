@@ -611,3 +611,91 @@ def audit_referential_integrity(spark, sf_dir):
         .unionByName(_audit("orders->customer", o, "o_custkey", c, "c_custkey"))
         .unionByName(_audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
     )
+
+
+@query(
+    "agg_histogram_bins",
+    """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bin
+    """,
+)
+def agg_histogram_bins(spark, sf_dir):
+    """Fixed-width histogram of order totals: the bin id is a scan-stage
+    expression, so the whole profile is one map-side-combined aggregate
+    over |bins| keys — the data-profiling shape that costs one pass at
+    any scale."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "agg_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(stddev_samp(l_discount), 4) AS sd_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_correlation(spark, sf_dir):
+    """Bivariate statistics per group: corr/covar/stddev are all
+    single-pass algebraic aggregates (sum, sum-of-squares, cross-sum
+    moments merge associatively), so they partial-aggregate map-side
+    like any sum."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 4).alias("sd_discount"),
+    )
+
+
+@query(
+    "audit_value_outliers",
+    """
+    WITH thr AS (
+      SELECT event_type,
+             quantile_cont(value, 0.995) AS p995
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n_outliers,
+           round(min(e.value), 2) AS min_outlier
+    FROM events e JOIN thr ON e.event_type = thr.event_type
+    WHERE e.value > thr.p995
+    GROUP BY e.event_type
+    """,
+)
+def audit_value_outliers(spark, sf_dir):
+    """Outlier audit: per-type p99.5 threshold (exact interpolated
+    percentile, a tiny per-type aggregate) broadcast-joined back against
+    the stream — counts everything above it.  The anomaly gate before
+    metrics ingestion; the big side is scanned once, never sorted."""
+    e = t(spark, sf_dir, "events")
+    thr = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.995)").alias("p995")
+    )
+    return (
+        e.join(F.broadcast(thr), "event_type")
+        .filter(F.col("value") > F.col("p995"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 2).alias("min_outlier"),
+        )
+    )
