@@ -1655,3 +1655,55 @@ def text_bpe_merge_induction(spark, sf_dir):
         ).localCheckpoint()
 
     return spark.createDataFrame(out, "step int, pair string, freq long")
+
+
+@query(
+    "model_per_source_regression",
+    f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len({SQL_TOKS.format(c='text')}) AS DOUBLE) AS x,
+             CAST(length(text) AS DOUBLE) AS y
+      FROM documents)
+    SELECT source,
+           round(regr_slope(y, x), 4) AS slope,
+           round(regr_intercept(y, x), 4) AS intercept,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY source
+    """,
+)
+def model_per_source_regression(spark, sf_dir):
+    """Group-wise model fitting via applyInPandas: one OLS fit
+    (chars ~ tokens) per source, each group handed to numpy as an Arrow
+    batch — the canonical per-group modeling seam (swap the closed-form
+    normal equations for any sklearn-style fit).  Groups are independent
+    and shuffle once on the group key; a group must fit one executor,
+    which per-source document sets do.  Oracle: DuckDB's regr_slope /
+    regr_intercept over identical (x, y) pairs."""
+    import pandas as pd
+
+    d = td(spark, sf_dir, "documents").select(
+        "source",
+        X.token_count(F.col("text")).cast("double").alias("x"),
+        F.length("text").cast("double").alias("y"),
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        n = len(pdf)
+        mx, my = x.mean(), y.mean()
+        sxx = ((x - mx) ** 2).sum()
+        slope = float(((x - mx) * (y - my)).sum() / sxx) if sxx > 0 else 0.0
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "slope": [round(slope, 4)],
+                "intercept": [round(my - slope * mx, 4)],
+                "n": [n],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        _fit, "source string, slope double, intercept double, n long"
+    )
