@@ -281,3 +281,57 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == _uf_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# interval join vs brute-force pairing
+# ---------------------------------------------------------------------------
+
+iv_event = st.tuples(
+    st.integers(min_value=0, max_value=3),        # key
+    st.integers(min_value=0, max_value=10_000),   # epoch seconds
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(iv_event, min_size=1, max_size=25),
+    st.lists(iv_event, min_size=1, max_size=25),
+)
+def test_interval_join_matches_bruteforce(spark, lefts, rights):
+    """Banded equi-join == the quadratic definition: same key, right ts
+    strictly after left, within the band."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.operators.asof import interval_join
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(rights)],
+        "rid long, k long, ts timestamp",
+    )
+    got = sorted(
+        (r.lid, r.rid_right)
+        for r in interval_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", upper="1 hour"
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, ls) in enumerate(lefts)
+        for ri, (rk, rs) in enumerate(rights)
+        if lk == rk and ls < rs <= ls + 3600
+    )
+    assert got == want
