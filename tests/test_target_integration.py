@@ -392,3 +392,24 @@ def test_schema_only_stream_writes_nothing_but_sibling_writes(spark, tmp_out):
 
     empty_files = glob.glob(os.path.join(tmp_out, "empty_stream", "*.parquet"))
     assert empty_files == []
+
+
+def test_unknown_message_types_are_skipped(spark, tmp_out):
+    """Messages outside {SCHEMA, RECORD, STATE} (e.g. the SDK's
+    ACTIVATE_VERSION) must pass through harmlessly: records around them
+    land, state still emits.  Reference context: the singer-sdk can emit
+    ACTIVATE_VERSION but target-parquet implements no handler — ignoring
+    is the compatible behavior."""
+    import json
+
+    lines = [
+        msg_schema("s", {"id": {"type": ["integer", "null"]}}),
+        msg_record("s", {"id": 1}),
+        json.dumps({"type": "ACTIVATE_VERSION", "stream": "s", "version": 9}),
+        msg_record("s", {"id": 2}),
+        msg_state({"done": 1}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    assert res["state"] == {"done": 1}
+    _, rows = rows_of(spark, f"{tmp_out}/s")
+    assert sorted(r["id"] for r in rows) == [1, 2]
