@@ -335,3 +335,26 @@ def test_interval_join_matches_bruteforce(spark, lefts, rights):
         if lk == rk and ls < rs <= ls + 3600
     )
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(edge, min_size=1, max_size=30))
+def test_pagerank_invariants_on_symmetric_graphs(spark, edges):
+    """On a symmetrized graph (no dangling nodes): ranks are positive,
+    sum to ~1, and every node gets at least the teleport floor."""
+    from target_parquet_spark.operators.graph import pagerank
+
+    sym = list({(u, v) for u, v in edges}) + [
+        (v, u) for u, v in {(u, v) for u, v in edges}
+    ]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    rows = pagerank(df, iters=4).collect()
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    floor = 0.15 / n
+    assert all(r.rank >= floor - 1e-12 for r in rows)
