@@ -457,3 +457,45 @@ def test_running_user_totals_v2_transform_with_state(spark, events_src):
     )
     cols = ["user_id", "n_events", "tv"]
     assert _rows(last, cols) == _rows(want, cols)
+
+
+def test_text_quality_filter_works_on_stream(spark, tmp_path):
+    """The text operators are pure Column expressions, so the same
+    quality filter runs unchanged on a stream — proves the curation
+    pipeline is stream-ready (stateless: no watermark needed)."""
+    from target_parquet_spark.operators.text import quality_score, token_count
+
+    src = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog " * 3),
+         (2, "x"),
+         (3, "a b " * 40)],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = stream.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("n_tok"),
+    ).filter(F.col("q") >= 0.5)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("t_quality_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table("t_quality_stream")
+
+    batch = spark.read.parquet(src).select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("n_tok"),
+    ).filter(F.col("q") >= 0.5)
+    cols = ["doc_id", "q", "n_tok"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() >= 1

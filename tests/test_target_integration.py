@@ -413,3 +413,21 @@ def test_unknown_message_types_are_skipped(spark, tmp_out):
     assert res["state"] == {"done": 1}
     _, rows = rows_of(spark, f"{tmp_out}/s")
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_malformed_json_lines_are_dropped_not_fatal(spark, tmp_out):
+    """A garbage line in the Singer feed must not kill the job or the
+    surrounding records: from_json yields a null envelope, which the
+    dispatch filter drops."""
+    lines = [
+        msg_schema("s", {"id": {"type": ["integer", "null"]}}),
+        msg_record("s", {"id": 1}),
+        "{this is not json",
+        "",
+        msg_record("s", {"id": 2}),
+        msg_state({"ok": 1}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    assert res["state"] == {"ok": 1}
+    _, rows = rows_of(spark, f"{tmp_out}/s")
+    assert sorted(r["id"] for r in rows) == [1, 2]
