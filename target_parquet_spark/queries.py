@@ -744,12 +744,57 @@ def set_intersect(spark, sf_dir):
     """,
 )
 def set_except(spark, sf_dir):
-    """EXCEPT: keys active in 1997 minus those active in 1998 (hash anti-semantics)."""
+    """EXCEPT: customers with no orders at all, as a set difference."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
         o.select(F.col("o_custkey").alias("custkey"))
     ).distinct()
+
+
+@query(
+    "set_except_all_bag",
+    """
+    SELECT custkey, count(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT c_custkey AS custkey FROM customer
+    ) GROUP BY custkey
+    """,
+)
+def set_except_all_bag(spark, sf_dir):
+    """EXCEPT ALL (bag semantics): each customer key keeps (orders - 1)
+    copies, so the surviving multiplicity = order count minus the one
+    customer-row occurrence — multiset difference, not the set EXCEPT.
+    Folded to (key, count) so the oracle checks multiplicities
+    exactly."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "set_intersect_all_bag",
+    """
+    SELECT custkey, count(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+      INTERSECT ALL
+      SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1998
+    ) GROUP BY custkey
+    """,
+)
+def set_intersect_all_bag(spark, sf_dir):
+    """INTERSECT ALL (bag semantics): per key, min(multiplicity in 1997,
+    multiplicity in 1998) copies survive — the multiset overlap that
+    plain INTERSECT collapses to 0/1."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.year("o_orderdate") == 1998).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(
