@@ -699,3 +699,47 @@ def audit_value_outliers(spark, sf_dir):
             F.round(F.min("value"), 2).alias("min_outlier"),
         )
     )
+
+
+@query(
+    "scalar_null_semantics",
+    """
+    WITH j AS (
+      SELECT c.c_custkey,
+             o.o_custkey,
+             o.o_totalprice
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                        AND o.o_totalprice > 300000)
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched,
+           CAST(sum(CASE WHEN c_custkey IS NOT DISTINCT FROM o_custkey
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_coalesced,
+           count(o_totalprice) AS n_nonnull_prices
+    FROM j
+    """,
+)
+def scalar_null_semantics(spark, sf_dir):
+    """Null semantics in one frame: outer-join-produced NULLs counted
+    via IS NULL, null-safe equality (<=> / IS NOT DISTINCT FROM — never
+    equal to a real key here, so it counts exactly the matches), COALESCE
+    defaulting, and count(col)'s null-skipping vs count(*)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey", "o_custkey", "o_totalprice"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_unmatched"
+        ),
+        F.sum(
+            F.when(F.col("c_custkey").eqNullSafe(F.col("o_custkey")), 1).otherwise(0)
+        ).alias("n_nullsafe_eq"),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+            "total_coalesced"
+        ),
+        F.count("o_totalprice").alias("n_nonnull_prices"),
+    )
