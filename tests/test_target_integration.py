@@ -431,3 +431,31 @@ def test_malformed_json_lines_are_dropped_not_fatal(spark, tmp_out):
     assert res["state"] == {"ok": 1}
     _, rows = rows_of(spark, f"{tmp_out}/s")
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_gzip_compressed_singer_input(spark, tmp_out, tmp_path):
+    """Singer feeds arrive gzipped in practice; spark.read.text
+    decompresses *.jsonl.gz transparently, so the whole ingest path works
+    unchanged (note: a single .gz file is not splittable — at scale ship
+    many files, which the driver already does per micro-batch)."""
+    import gzip
+
+    lines = [
+        msg_schema("s", {"id": {"type": ["integer", "null"]}}),
+        msg_record("s", {"id": 1}),
+        msg_record("s", {"id": 2}),
+        msg_state({"ok": 1}),
+    ]
+    p = tmp_path / "feed.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines))
+
+    from target_parquet_spark.target import SingerTarget
+
+    tgt = SingerTarget(
+        spark, {"filepath": tmp_out, "file_naming_scheme": "{stream}"}
+    )
+    res = tgt.run_path(str(p))
+    assert res["state"] == {"ok": 1}
+    _, rows = rows_of(spark, f"{tmp_out}/s")
+    assert sorted(r["id"] for r in rows) == [1, 2]
