@@ -1707,3 +1707,118 @@ def model_per_source_regression(spark, sf_dir):
     return d.groupBy("source").applyInPandas(
         _fit, "source string, slope double, intercept double, n long"
     )
+
+
+_SQL_D2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i])))"
+)
+
+
+def _sql_kmeans_ctes(iters: int = 2) -> str:
+    """Unrolled Lloyd iterations.  Centroids are ROUNDED to 6dp after
+    every mean — the quantization that makes the data-dependent model
+    state bitwise identical across engines (a raw avg differs in the
+    last ulp with summation order, and k-means feeds it back into the
+    next round's distances)."""
+    parts = [
+        """c0 AS (SELECT vec_id AS k,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+             FROM embeddings WHERE vec_id < 4)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""d{t} AS (SELECT e.vec_id, c.k,
+                    {_SQL_D2.format(e='e.embedding', c='c.c')} AS d
+                FROM embeddings e CROSS JOIN c{t - 1} c)"""
+        )
+        parts.append(
+            f"""a{t} AS (SELECT vec_id, k FROM (
+                    SELECT vec_id, k,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+                    FROM d{t}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{t} AS (SELECT a.k, i.i AS dim,
+                       round(avg(CAST(e.embedding[i.i + 1] AS DOUBLE)), 6) AS c
+                FROM a{t} a JOIN embeddings e USING (vec_id),
+                     unnest(range(0, 64)) AS i(i)
+                GROUP BY a.k, i.i)"""
+        )
+        if t < iters:
+            parts.append(
+                f"c{t} AS (SELECT k, list(c ORDER BY dim) AS c FROM m{t} GROUP BY k)"
+            )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "sim_kmeans_lloyd",
+    f"""
+    WITH {_sql_kmeans_ctes(iters=2)}
+    SELECT a.k AS cluster, count(*) AS n_members, s.centroid_sum
+    FROM a2 a JOIN (SELECT k, round(sum(c), 4) AS centroid_sum
+                    FROM m2 GROUP BY k) s ON s.k = a.k
+    GROUP BY a.k, s.centroid_sum
+    """,
+)
+def sim_kmeans_lloyd(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding table (K=4, 2
+    iterations, deterministic init = vectors 0-3).  Assignment is a
+    per-row argmin against a LITERAL codebook (array_min over (dist, k)
+    structs — broadcast-free, scan-stage, exactly the IVF cell-assign
+    shape); the update step is a dim-wise mean via posexplode + one
+    (cluster, dim) aggregate.  Centroids quantize to 6dp each round so
+    the data-dependent model state stays engine-exact, letting DuckDB
+    replay both iterations as unrolled CTEs and hash-match."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = {
+        r.k: [float(x) for x in r.c]
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("k"), F.col("embedding").alias("c"))
+        .collect()
+    }
+
+    def _dist2(cvec):
+        lit = F.array(*[F.lit(v) for v in cvec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                lit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    centroids = init
+    assigned = None
+    means = None
+    for step in range(2):
+        assign = F.array_min(
+            F.array(
+                *[
+                    F.struct(_dist2(c).alias("d"), F.lit(k).alias("k"))
+                    for k, c in sorted(centroids.items())
+                ]
+            )
+        )["k"]
+        assigned = emb.select("vec_id", "embedding", assign.alias("k"))
+        means = (
+            assigned.select("k", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("k", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        )
+        if step == 0:
+            rows = means.collect()
+            centroids = {}
+            for r in rows:
+                centroids.setdefault(r.k, [0.0] * 64)[r.dim] = r.c
+
+    sums = means.groupBy("k").agg(F.round(F.sum("c"), 4).alias("centroid_sum"))
+    return (
+        assigned.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(sums, "k")
+        .select(F.col("k").alias("cluster"), "n_members", "centroid_sum")
+    )
