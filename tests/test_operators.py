@@ -234,3 +234,16 @@ def test_pagerank_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty).count() == 0
+
+
+def test_kmeans_query_partitions_all_vectors(spark):
+    """sim_kmeans_lloyd: clusters partition the table (member counts sum
+    to N), centroids are finite, and at most K=4 clusters exist."""
+    from target_parquet_spark.queries_ext import sim_kmeans_lloyd
+
+    sf = "/root/testdata/sf0.001"
+    out = sim_kmeans_lloyd(spark, sf).collect()
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r.n_members for r in out) == n
+    assert len(out) <= 4
+    assert all(abs(r.centroid_sum) < 1e6 for r in out)
