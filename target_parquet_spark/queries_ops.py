@@ -743,3 +743,41 @@ def scalar_null_semantics(spark, sf_dir):
         ),
         F.count("o_totalprice").alias("n_nonnull_prices"),
     )
+
+
+@query(
+    "agg_arg_extremum",
+    """
+    WITH k AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey
+               AS ord_key
+      FROM orders)
+    SELECT o_custkey,
+           max_by(o_orderkey, ord_key) AS best_order,
+           min_by(o_orderkey, ord_key) AS worst_order,
+           count(*) AS n
+    FROM k GROUP BY o_custkey
+    """,
+)
+def agg_arg_extremum(spark, sf_dir):
+    """arg-extremum aggregates (max_by/min_by): the id of each
+    customer's highest/lowest-priced order.  Raw prices tie, which would
+    make the answer engine-dependent — the composite key (exact cents
+    * 1e7 + orderkey) is unique by construction, so the extremum is
+    deterministic everywhere.  Single map-side-combinable aggregate, no
+    window, no sort."""
+    o = t(spark, sf_dir, "orders")
+    key = (
+        F.round(F.col("o_totalprice") * 100).cast("long") * 10000000
+        + F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", key.alias("ord_key"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "ord_key").alias("best_order"),
+            F.min_by("o_orderkey", "ord_key").alias("worst_order"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
