@@ -47,6 +47,8 @@ HEADLINE = [
     "events_gap_fill",
     "join_bucketed_colocated",
     "scan_partition_pruned",
+    "scan_zorder_pruned",
+    "rollup_navigate_month",
     "window_topk_per_group",
     "window_running_total",
     "window_time_range_rolling",
