@@ -781,3 +781,29 @@ def agg_arg_extremum(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "scalar_try_arithmetic",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN (CASE WHEN l_discount = 0 THEN NULL
+                              ELSE round(l_extendedprice / l_discount, 2)
+                         END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_div,
+           round(sum(coalesce(CASE WHEN l_discount = 0 THEN NULL
+                                   ELSE round(l_extendedprice / l_discount, 2)
+                              END, 0.0)), 2) AS total_ratio
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def scalar_try_arithmetic(spark, sf_dir):
+    """ANSI-safe arithmetic: try_divide yields NULL on division by zero
+    instead of erroring or producing Inf — counted and coalesced per
+    group.  (Oracle spells it NULLIF-style since DuckDB's `/` on zero
+    raises under strict math.)"""
+    li = t(spark, sf_dir, "lineitem")
+    ratio = F.round(F.try_divide("l_extendedprice", F.nullif(F.col("l_discount"), F.lit(0))), 2)
+    return li.groupBy("l_returnflag").agg(
+        F.sum(ratio.isNull().cast("long")).alias("n_null_div"),
+        F.round(F.sum(F.coalesce(ratio, F.lit(0.0))), 2).alias("total_ratio"),
+    )
