@@ -1822,3 +1822,36 @@ def sim_kmeans_lloyd(spark, sf_dir):
         .join(sums, "k")
         .select(F.col("k").alias("cluster"), "n_members", "centroid_sum")
     )
+
+
+@query(
+    "scalar_hof_predicates",
+    f"""
+    WITH d AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks
+               FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           len(list_filter(toks, x -> list_contains(['the','a'], x))) > 0
+             AS has_article,
+           len(list_filter(toks, x -> length(x) >= 12)) = 0
+             AS all_short,
+           CAST(len(list_filter(toks, x -> length(x) >= 6)) AS INTEGER)
+             AS n_long
+    FROM d
+    """,
+)
+def scalar_hof_predicates(spark, sf_dir):
+    """Higher-order predicate functions over the token array: exists()
+    (any article token), forall() (no 12+-char token), filter+size —
+    per-row lambda evaluation in the scan stage, no explode, no
+    shuffle.  (HOF lambdas are interpreted, not codegen'd — fine for
+    predicates, but see operators/text.shingles for the cost cliff when
+    the lambda allocates.)"""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = X.tokens(F.col("text"))
+    art = F.array(F.lit("the"), F.lit("a"))
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda x: F.array_contains(art, x)).alias("has_article"),
+        F.forall(toks, lambda x: F.length(x) < 12).alias("all_short"),
+        F.size(F.filter(toks, lambda x: F.length(x) >= 6)).alias("n_long"),
+    )
