@@ -1855,3 +1855,99 @@ def scalar_hof_predicates(spark, sf_dir):
         F.forall(toks, lambda x: F.length(x) < 12).alias("all_short"),
         F.size(F.filter(toks, lambda x: F.length(x) >= 6)).alias("n_long"),
     )
+
+
+# quality_score reproduced in SQL (same 3-part rubric as operators/text.py)
+_SQL_QSCORE = f"""round((
+    CASE WHEN len({{t}}) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+  + CASE WHEN len(list_filter({{t}}, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+              > 0.01 * len({{t}})
+          AND len(list_filter({{t}}, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))
+              < 0.8 * len({{t}})
+         THEN 1.0 ELSE 0.0 END
+  + CASE WHEN length({{x}}) = 0 THEN 1.0
+         WHEN length(regexp_replace({{x}}, '[A-Za-z0-9\\s]', '', 'g'))
+              < 0.2 * length({{x}}) THEN 1.0 ELSE 0.0 END) / 3.0, 4)"""
+
+
+@query(
+    "pipeline_curation_full",
+    f"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u AS r FROM sym
+      UNION
+      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component_id FROM reach GROUP BY u),
+    kept AS (
+      SELECT c.doc_id, c.text, {SQL_TOKS.format(c='c.text')} AS toks
+      FROM corpus c
+      WHERE NOT EXISTS (SELECT 1 FROM comp
+                        WHERE comp.doc_id = c.doc_id
+                          AND comp.doc_id <> comp.component_id)),
+    good AS (
+      SELECT doc_id, len(toks) AS n_tok
+      FROM kept
+      WHERE {_SQL_QSCORE.format(t='toks', x='text')} >= 0.6),
+    r AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM good),
+    final AS (SELECT doc_id, n_tok FROM r WHERE cum - n_tok < 20000)
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS selection_hash
+    FROM final
+    """,
+)
+def pipeline_curation_full(spark, sf_dir):
+    """The end-to-end curation capstone over the dirty (dup-injected)
+    corpus: MinHash-LSH pairs -> connected-components transitive dedup
+    (keep smallest id) -> quality gate (>=2 of 3 rubric points) ->
+    deterministic md5-ordered 20k-token budget.  Output is a single-row
+    SIGNATURE of the selected set (count, token total, md5 of the sorted
+    id list) so the oracle verifies the exact selection, not just its
+    size.  Global running total is one single-partition window over the
+    already-tiny survivor set; at 100 TB budget per source instead
+    (sample_token_budget) or use the two-pass salted running total."""
+    from pyspark.sql import Window
+
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    drop = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = corpus.join(drop, "doc_id", "left_anti")
+    good = kept.filter(X.quality_score(F.col("text")) >= 0.6).select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    final = good.withColumn("cum", F.sum("n_tok").over(w)).filter(
+        F.col("cum") - F.col("n_tok") < 20000
+    )
+    return final.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("selection_hash"),
+    )
