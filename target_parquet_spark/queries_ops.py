@@ -807,3 +807,20 @@ def scalar_try_arithmetic(spark, sf_dir):
         F.sum(ratio.isNull().cast("long")).alias("n_null_div"),
         F.round(F.sum(F.coalesce(ratio, F.lit(0.0))), 2).alias("total_ratio"),
     )
+
+
+_SQL_GBA = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ALL
+"""
+
+
+@query("sql_group_by_all", _SQL_GBA)
+def sql_group_by_all(spark, sf_dir):
+    """Pure-SQL entry point: the IDENTICAL SQL text (GROUP BY ALL sugar
+    included) runs on spark.sql and on DuckDB — demonstrating that the
+    engine's SQL surface, not just the DataFrame API, matches the
+    oracle's dialect for the shared core."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_GBA)
