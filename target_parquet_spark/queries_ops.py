@@ -824,3 +824,42 @@ def sql_group_by_all(spark, sf_dir):
     oracle's dialect for the shared core."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_SQL_GBA)
+
+
+@query(
+    "scalar_map_funcs",
+    """
+    WITH q AS (
+      SELECT l_linestatus, l_returnflag, round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY l_linestatus, l_returnflag)
+    SELECT l_linestatus,
+           CAST(count(*) AS INTEGER) AS n_keys,
+           round(sum(CASE WHEN l_returnflag = 'R' THEN qty END), 2) AS qty_r,
+           string_agg(l_returnflag, ',' ORDER BY l_returnflag) AS keys
+    FROM q GROUP BY l_linestatus
+    """,
+)
+def scalar_map_funcs(spark, sf_dir):
+    """Map-type function family: per linestatus, build a real
+    MapType(flag -> qty) via map_from_entries(collect_list(struct)),
+    then interrogate it with size / element_at / map_keys.  Output is
+    map-DERIVED scalars (maps themselves don't canonicalize across
+    engines), and the oracle computes the same values relationally —
+    proving the map path loses nothing."""
+    li = t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct("l_returnflag", "qty"))
+    )
+    return (
+        q.groupBy("l_linestatus")
+        .agg(m.alias("m"))
+        .select(
+            "l_linestatus",
+            F.size("m").alias("n_keys"),
+            F.element_at("m", "R").alias("qty_r"),
+            F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys"),
+        )
+    )
