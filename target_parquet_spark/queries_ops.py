@@ -863,3 +863,44 @@ def scalar_map_funcs(spark, sf_dir):
             F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("keys"),
         )
     )
+
+
+@query(
+    "lateral_explode_outer",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT -1 AS doc_id, CAST([] AS VARCHAR[]) AS toks),
+    x AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS token
+      FROM d)
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_rows,
+           count(DISTINCT doc_id) AS n_docs
+    FROM x
+    """,
+)
+def lateral_explode_outer(spark, sf_dir):
+    """explode_outer semantics: a doc with an EMPTY token array keeps
+    one (doc, NULL) row instead of vanishing — the difference between
+    'every input row accounted for' and silent row loss in fan-out
+    pipelines.  One planted empty doc proves the null path; the oracle
+    emulates outer-unnest with a CASE-wrapped [NULL]."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", X.tokens(F.col("text")).alias("toks")
+    )
+    empty = d.sparkSession.createDataFrame(
+        [(-1, [])], "doc_id long, toks array<string>"
+    )
+    x = d.unionByName(empty).select(
+        "doc_id", F.explode_outer("toks").alias("token")
+    )
+    return x.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("token").isNull().cast("long")).alias("n_null_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
