@@ -13,9 +13,11 @@ sys.path.insert(0, REPO)
 
 def main() -> int:
     import __spark_entry__ as entry
+    from bench import HEADLINE
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    benched = set(HEADLINE)
 
     by_module: dict[str, list[tuple[str, str]]] = {}
     for name, fn in qs.items():
@@ -39,6 +41,8 @@ def main() -> int:
         lines.append("")
         for name, doc in sorted(by_module[mod]):
             mark = "" if name in oracles else " *(rows-only)*"
+            if name in benched:
+                mark += " *(bench)*"
             lines.append(f"- **{name}**{mark} — {doc}")
         lines.append("")
 
