@@ -34,11 +34,15 @@ def interval_join(
     left_watermark: str | None = None,
     right_watermark: str | None = None,
     suffix: str = "_right",
+    how: str = "inner",
 ) -> DataFrame:
     """Time-interval equi-join: each left row pairs with same-key right
     rows whose timestamp falls in ``(left_ts, left_ts + upper]`` (closed
     at the left end instead when ``strict_after=False``).  Right columns
-    come back suffixed.
+    come back suffixed.  ``how='left_outer'`` keeps band-less left rows
+    null-padded (the conversion-funnel denominator); for STREAMING outer
+    joins both watermarks are mandatory and rows emit only once the
+    watermark passes the band.
 
     Batch frames: Catalyst plans the equi-key as an ordinary hash/SMJ
     join and the time band as a residual filter — one shuffle on the key.
@@ -65,7 +69,7 @@ def interval_join(
         & after
         & (rts <= lo + F.expr(f"INTERVAL {upper}"))
     )
-    return left.join(r, cond, "inner").drop(f"{on}{suffix}")
+    return left.join(r, cond, how).drop(f"{on}{suffix}")
 
 
 def asof_join(

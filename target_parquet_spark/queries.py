@@ -1384,3 +1384,50 @@ def q18_large_orders(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(20)
     )
+
+
+@query(
+    "events_interval_join_outer",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT count(DISTINCT c.click_id) AS n_clicks,
+           count(DISTINCT CASE WHEN p.event_id IS NOT NULL
+                               THEN c.click_id END) AS n_converted,
+           round(CAST(count(DISTINCT CASE WHEN p.event_id IS NOT NULL
+                                          THEN c.click_id END) AS DOUBLE)
+                 / CAST(count(DISTINCT c.click_id) AS DOUBLE), 4) AS conv_rate
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_interval_join_outer(spark, sf_dir):
+    """Left-outer interval join: every click kept, null-padded when no
+    same-user purchase follows within the hour — the conversion-rate
+    denominator the inner form cannot provide.  Same single key shuffle
+    with the band as the join residual."""
+    from target_parquet_spark.operators.asof import interval_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(
+        clicks, purchases, on="user_id", upper="1 hour", how="left_outer"
+    )
+    converted = F.countDistinct(
+        F.when(F.col("event_id_right").isNotNull(), F.col("click_id"))
+    )
+    return j.agg(
+        F.countDistinct("click_id").alias("n_clicks"),
+        converted.alias("n_converted"),
+        F.round(
+            converted.cast("double") / F.countDistinct("click_id").cast("double"), 4
+        ).alias("conv_rate"),
+    )
