@@ -26,6 +26,7 @@ import target_parquet_spark.queries_ext as _qe  # noqa: E402  (registers into _q
 import target_parquet_spark.queries_tpch2 as _qt2  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_ops as _qo  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_layout as _ql  # noqa: E402  (registers into _q)
+import target_parquet_spark.queries_r2 as _qr2  # noqa: E402  (registers into _q)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,677 @@
+"""Round-2 operator families: event analytics (retention cohorts,
+concurrency sweep, OHLC bars, cumulative-distinct), sketch-based heavy
+hitters (count-min), bloom-filter join pre-filtering, correlated
+subqueries (pure-SQL parity), equi-depth histograms, group entropy,
+TF-IDF, duplicate n-gram span detection, and leakage-free grouped
+train/test splits.
+
+Reference context: hotgluexyz/target-parquet implements none of these
+(SURVEY.md §2.10 — absent categories); they extend the training-data
+pipeline surface the same way queries_ext.py does, with the same oracle
+contract: every computed column aliased identically in Spark and DuckDB,
+floats rounded in both engines, deterministic tie-breaks everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators import text as X
+from target_parquet_spark.queries import query, t
+from target_parquet_spark.queries_ext import SQL_CORPUS, SQL_TOKS, _spark_corpus, td
+from target_parquet_spark.queries_ops import _SQL_HASH_MOD, _hash_mod
+
+
+# ---------------------------------------------------------------------------
+# event analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+         c AS (SELECT user_id, w,
+                      min(w) OVER (PARTITION BY user_id) AS cw
+               FROM e)
+    SELECT CAST(cw AS DATE)            AS cohort_week,
+           datediff('day', cw, w) // 7 AS week_offset,
+           count(DISTINCT user_id)     AS active_users,
+           count(*)                    AS events
+    FROM c GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen week, activity
+    counted per week-offset since the cohort week.  The cohort week comes
+    from a window min over user_id — ONE shuffle on user_id, no self-join
+    (the naive first-seen-join shuffles the event table twice).  The final
+    agg is matrix-sized (weeks x offsets), so the second shuffle is tiny.
+    At 100 TB: partition by user_id is the natural event-table layout, so
+    the window min is often exchange-free."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+    c = e.withColumn("cw", F.min("w").over(Window.partitionBy("user_id")))
+    return (
+        c.select(
+            F.col("cw").cast("date").alias("cohort_week"),
+            F.expr("datediff(w, cw) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
+@query(
+    "events_concurrency_sweep",
+    """
+    WITH iv AS (SELECT ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events),
+         dd AS (SELECT s, e,
+                       unnest(generate_series(date_trunc('day', s),
+                                              date_trunc('day', e - INTERVAL 1 MICROSECOND),
+                                              INTERVAL 1 DAY)) AS day
+                FROM iv),
+         cl AS (SELECT day, greatest(s, day) AS t1,
+                       least(e, day + INTERVAL 1 DAY) AS t2
+                FROM dd),
+         pts AS (SELECT day, t1 AS tp, 1 AS d FROM cl
+                 UNION ALL
+                 SELECT day, t2 AS tp, -1 AS d FROM cl),
+         run AS (SELECT day,
+                        sum(d) OVER (PARTITION BY day ORDER BY tp, d) AS c
+                 FROM pts)
+    SELECT CAST(day AS DATE) AS day, CAST(max(c) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY 1
+    """,
+)
+def events_concurrency_sweep(spark, sf_dir):
+    """Max concurrent intervals per day (each event opens a 5-minute
+    half-open interval), by the classic sweep-line: +1 at start, -1 at
+    end, running sum, max.  Intervals are CLIPPED to day boundaries so the
+    sweep partitions by day — the running-sum window is per-day, never a
+    single global sort.  Ends sort before starts at equal timestamps
+    (d=-1 < +1), matching half-open [s, e) semantics.  At 100 TB: days
+    are independent, so the sweep scales with the day count; only the
+    midnight-crossing intervals duplicate (here <=2 rows each)."""
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    dd = iv.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col("s")),
+                F.date_trunc("day", F.col("e") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    cl = dd.select(
+        "day",
+        F.greatest("s", "day").alias("t1"),
+        F.least(F.col("e"), F.col("day") + F.expr("INTERVAL 1 DAY")).alias("t2"),
+    )
+    pts = cl.select("day", F.col("t1").alias("tp"), F.lit(1).alias("d")).unionAll(
+        cl.select("day", F.col("t2").alias("tp"), F.lit(-1).alias("d"))
+    )
+    run = pts.withColumn(
+        "c", F.sum("d").over(Window.partitionBy("day").orderBy("tp", "d"))
+    )
+    return run.groupBy(F.col("day").cast("date").alias("day")).agg(
+        F.max("c").cast("long").alias("peak_concurrency")
+    )
+
+
+@query(
+    "events_ohlc_bars",
+    """
+    WITH k AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+               || lpad(CAST(event_id AS VARCHAR), 8, '0') AS ord_key
+      FROM events)
+    SELECT event_type, day,
+           arg_min(value, ord_key)  AS open,
+           max(value)               AS high,
+           min(value)               AS low,
+           arg_max(value, ord_key)  AS close,
+           count(*)                 AS volume,
+           round(sum(value), 2)     AS turnover
+    FROM k GROUP BY event_type, day
+    """,
+)
+def events_ohlc_bars(spark, sf_dir):
+    """Time-series resample to daily OHLC bars per event type — the
+    standard downsampling shape for metric/tick stores.  open/close are
+    arg-extrema over a zero-padded (epoch-micros, event_id) string key, so
+    ties are impossible and the answer engine-exact.  Single
+    map-side-combinable aggregate: no window, no sort, one shuffle on
+    (type, day) — the partition key a 100 TB metrics table would already
+    be laid out by."""
+    ev = t(spark, sf_dir, "events")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 8, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "value",
+            ord_key.alias("ord_key"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", "ord_key").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ord_key").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 2).alias("turnover"),
+        )
+    )
+
+
+@query(
+    "window_cumulative_distinct",
+    """
+    WITH f AS (SELECT user_id,
+                      min(CAST(date_trunc('day', ts) AS DATE)) AS day
+               FROM events GROUP BY user_id),
+         nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM nu
+    """,
+)
+def window_cumulative_distinct(spark, sf_dir):
+    """Running distinct-user count by day WITHOUT a distinct-per-prefix
+    blowup: each user contributes once at their first-seen day, then a
+    cumulative sum over the per-day new-user counts equals the running
+    distinct count.  Two small shuffles (user_id, then day); the window
+    runs over |days| rows, not |events| — the trick that makes 'daily
+    cumulative uniques' feasible at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("day")
+    )
+    nu = f.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    return nu.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(Window.orderBy("day")).cast("long").alias("cum_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketches & join pre-filtering
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+_SQL_CMS_B = (
+    "(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {c}), 1, 8))::BIGINT % "
+    f"{_CMS_W})"
+)
+
+
+def _cms_bucket(j, col):
+    """Row-j count-min bucket of a token: md5('j:token') % width — the
+    same deterministic uniform hash family as the MinHash/LSH operators."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    f"""
+    WITH tok AS (SELECT unnest({SQL_TOKS.format(c='text')}) AS token
+                 FROM documents),
+         js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         buck AS (SELECT token, j, {_SQL_CMS_B.format(j='j', c='token')} AS b
+                  FROM tok CROSS JOIN js),
+         sketch AS (SELECT j, b, count(*) AS c FROM buck GROUP BY j, b),
+         true_c AS (SELECT token, count(*) AS true_n FROM tok GROUP BY token),
+         top AS (SELECT token, true_n FROM true_c
+                 ORDER BY true_n DESC, token LIMIT 20),
+         tb AS (SELECT token, true_n, j,
+                       {_SQL_CMS_B.format(j='j', c='token')} AS b
+                FROM top CROSS JOIN js),
+         est AS (SELECT t.token, t.true_n, min(s.c) AS cms_est
+                 FROM tb t JOIN sketch s ON s.j = t.j AND s.b = t.b
+                 GROUP BY t.token, t.true_n)
+    SELECT token, true_n, cms_est, cms_est - true_n AS overcount FROM est
+    """,
+)
+def agg_heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters via a count-min sketch built in pure relational
+    algebra: d=4 md5 hash rows x w=256 buckets, register counts as a
+    (j, bucket)->count table, point estimate = min over the d rows.  The
+    sketch build is ONE map-side-combinable aggregate over d x |tokens|
+    rows into a fixed d*w-row state — the mergeable-summary shape that
+    replaces a full vocabulary shuffle at 100 TB (estimates here are
+    checked against exact counts: overcount >= 0 by construction).
+    Deterministic md5 hashing makes the sketch bit-identical on any
+    engine — unlike builtin sketch UDAFs, whose serialized state is
+    implementation-defined."""
+    docs = td(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+    buckets = F.array(*[_cms_bucket(j, F.col("token")) for j in range(_CMS_D)])
+    buck = tok.select("token", F.posexplode(buckets).alias("j", "b"))
+    sketch = buck.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    true_c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    top = true_c.orderBy(F.desc("true_n"), "token").limit(20)
+    tb = top.select("token", "true_n", F.posexplode(buckets).alias("j", "b"))
+    est = (
+        tb.join(sketch, ["j", "b"])
+        .groupBy("token", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        "true_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_n")).alias("overcount"),
+    )
+
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # hash functions
+
+_SQL_BLOOM_POS = (
+    "(('0x' || substr(md5(CAST({i} AS VARCHAR) || '#' || CAST({c} AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {_BLOOM_M})"
+)
+
+
+def _bloom_pos(i, col):
+    h = F.md5(F.concat(F.lit(f"{i}#"), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BLOOM_M
+
+
+@query(
+    "join_bloom_prefilter",
+    f"""
+    WITH build AS (SELECT DISTINCT s_suppkey AS k
+                   FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                   WHERE n_name = 'GERMANY'),
+         js AS (SELECT unnest([0, 1, 2]) AS i),
+         bloom AS (SELECT DISTINCT {_SQL_BLOOM_POS.format(i='i', c='k')} AS pos
+                   FROM build CROSS JOIN js),
+         probe AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+         pp AS (SELECT k, {_SQL_BLOOM_POS.format(i='i', c='k')} AS pos
+                FROM probe CROSS JOIN js),
+         hits AS (SELECT pp.k,
+                         CAST(sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+                              AS BIGINT) AS nhit
+                  FROM pp LEFT JOIN bloom b ON pp.pos = b.pos
+                  GROUP BY pp.k),
+         flags AS (SELECT h.k, h.nhit = {_BLOOM_K} AS pass,
+                          bu.k IS NOT NULL AS truth
+                   FROM hits h LEFT JOIN build bu ON h.k = bu.k)
+    SELECT count(*) AS n_probe_keys,
+           CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN pass AND NOT truth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           CAST(sum(CASE WHEN truth AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_neg
+    FROM flags
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join pre-filtering, spelled out in relational algebra
+    (m=4096 bits, k=3 md5 hashes): the filtered dim side's keys set bits,
+    the fact side's distinct keys pass only if all k of their bits are
+    set.  Output is the filter's confusion report — false negatives are
+    structurally zero (checked as a column), false positives are what the
+    residual join discards.  This is the math behind
+    spark.sql.optimizer.runtimeFilter.bloomFilter (enabled in
+    session.py): at 100 TB the bloom side is a broadcast of m bits, and
+    the probe prunes shuffle input before the join — here it is made
+    observable and oracle-checked."""
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "GERMANY")
+    sup = t(spark, sf_dir, "supplier")
+    build = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("s_suppkey").alias("k"))
+        .distinct()
+    )
+    positions = lambda df: df.select(  # noqa: E731
+        "k", F.explode(F.array(*[_bloom_pos(i, F.col("k")) for i in range(_BLOOM_K)])).alias("pos")
+    )
+    bloom = positions(build).select("pos").distinct()
+    probe = t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k")).distinct()
+    pp = positions(probe)
+    hits = (
+        pp.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0)).cast("long")).alias("nhit"))
+    )
+    flags = hits.join(
+        F.broadcast(build.withColumn("truth0", F.lit(True))), "k", "left"
+    ).select(
+        (F.col("nhit") == _BLOOM_K).alias("pass"),
+        F.coalesce(F.col("truth0"), F.lit(False)).alias("truth"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.col("pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("truth").cast("long")).alias("n_true"),
+        F.sum((F.col("pass") & ~F.col("truth")).cast("long")).alias("n_false_pos"),
+        F.sum((F.col("truth") & ~F.col("pass")).cast("long")).alias("n_false_neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface parity: correlated subqueries
+# ---------------------------------------------------------------------------
+
+_SQL_CORRELATED = """
+    WITH cents AS (SELECT o_custkey, o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                   FROM orders)
+    SELECT o.o_orderkey, o.c AS total_cents
+    FROM cents o
+    WHERE o.c * 2 * (SELECT count(*) FROM cents o2
+                     WHERE o2.o_custkey = o.o_custkey)
+          > 3 * (SELECT sum(o2.c) FROM cents o2
+                 WHERE o2.o_custkey = o.o_custkey)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+"""
+
+
+@query("sql_correlated_subqueries", _SQL_CORRELATED)
+def sql_correlated_subqueries(spark, sf_dir):
+    """Correlated scalar subqueries + EXISTS, as IDENTICAL SQL text on
+    spark.sql and DuckDB: orders priced >1.5x their customer's average
+    that shipped a returned item.  Catalyst DECORRELATES both correlated
+    aggregates into one grouped join and the EXISTS into a left-semi —
+    no per-row re-execution (the naive reading is O(n^2)).  Exact integer
+    cents arithmetic (price*count vs sum comparisons) so the boundary
+    rows are engine-independent — a float avg threshold would make
+    borderline rows flip on summation order."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_CORRELATED)
+
+
+# ---------------------------------------------------------------------------
+# distribution statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_equidepth_histogram",
+    """
+    WITH r AS (SELECT o_totalprice,
+                      ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS decile
+               FROM orders)
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM r GROUP BY decile
+    """,
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-count) histogram of order prices via ntile(10)
+    over a UNIQUE total order (price, orderkey) — ties broken so bucket
+    membership is engine-exact.  This is the exact single-sort variant;
+    at 100 TB the same bucket boundaries come from approx_percentile
+    (mergeable KLL-style state, no global sort) and this query is the
+    correctness oracle for that fast path."""
+    o = t(spark, sf_dir, "orders")
+    r = o.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+    )
+    return r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@query(
+    "agg_group_entropy",
+    """
+    WITH c AS (SELECT source, lang, count(*) AS n
+               FROM documents GROUP BY source, lang),
+         p AS (SELECT source, lang, n,
+                      CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source)
+                        AS pr
+               FROM c)
+    SELECT source,
+           CAST(sum(n) AS BIGINT)       AS n_docs,
+           CAST(count(*) AS INTEGER)    AS n_langs,
+           round(-sum(pr * ln(pr)), 4)  AS entropy,
+           round(1 - sum(pr * pr), 4)   AS gini
+    FROM p GROUP BY source
+    """,
+)
+def agg_group_entropy(spark, sf_dir):
+    """Label-distribution health per corpus source: Shannon entropy and
+    Gini impurity of the language mix.  Counts first (one |group x label|
+    shuffle), probabilities from a window sum over the tiny count table,
+    entropy as a second tiny agg — the event-scale data is touched
+    exactly once.  The standard 'is this source monolingual/collapsed'
+    curation signal."""
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    pr = F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("source"))
+    p = c.withColumn("pr", pr)
+    return p.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+        F.round(-F.sum(F.col("pr") * F.log("pr")), 4).alias("entropy"),
+        F.round(1 - F.sum(F.col("pr") * F.col("pr")), 4).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: TF-IDF, duplicate n-gram spans
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tfidf_topterms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS token
+                 FROM documents WHERE doc_id < 200),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY doc_id, token),
+         tfl AS (SELECT doc_id, token, tf,
+                        CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT)
+                          AS dlen
+                 FROM tf),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+                GROUP BY token),
+         nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+         sc AS (SELECT t.doc_id, t.token,
+                       round((CAST(t.tf AS DOUBLE) / t.dlen)
+                             * (ln((nd.n + 1.0) / (d.df + 1.0)) + 1.0), 4)
+                         AS tfidf
+                FROM tfl t JOIN df d ON t.token = d.token CROSS JOIN nd),
+         rk AS (SELECT doc_id, token, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, token) AS rnk
+                FROM sc)
+    SELECT doc_id, rnk, token, tfidf FROM rk WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/(df+1))+1,
+    tf normalized by doc length).  All three aggregates are
+    map-side-combinable; the df table is |vocab|-sized and BROADCAST back
+    to the term rows, and the top-k is a per-doc window (never a global
+    sort).  Ties rank by token text, and equal (tf, df) pairs produce
+    bit-identical scores, so ordering is engine-exact.  The canonical
+    'what is this document about' feature used by quality classifiers."""
+    docs = td(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tfl = tf.withColumn(
+        "dlen", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+    )
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    nd = tok.select(F.countDistinct("doc_id").alias("n"))
+    sc = (
+        tfl.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf").cast("double") / F.col("dlen"))
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "token", "tfidf")
+    )
+
+
+# 5-gram positional shingles: [] when the doc has <5 tokens.
+_SQL_GRAMS5 = (
+    "CASE WHEN len({t}) < 5 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len({t}) - 3), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]"
+    " || ' ' || {t}[i+4]) END"
+)
+
+
+def _grams5(toks):
+    n = F.size(toks)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(5)]
+    )
+    return F.when(n < 5, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - 4), gram)
+    )
+
+
+@query(
+    "dedup_span_ngram",
+    f"""
+    WITH {SQL_CORPUS},
+         g AS (SELECT doc_id,
+                      unnest({_SQL_GRAMS5.format(t=SQL_TOKS.format(c='text'))})
+                        AS gram
+               FROM corpus),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(DISTINCT doc_id) >= 2),
+         tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+         hit AS (SELECT g.doc_id, count(*) AS n_dup
+                 FROM g JOIN dup ON g.gram = dup.gram GROUP BY g.doc_id)
+    SELECT t.doc_id, t.n_grams,
+           coalesce(h.n_dup, 0) AS n_dup,
+           round(CAST(coalesce(h.n_dup, 0) AS DOUBLE) / t.n_grams, 4)
+             AS dup_ratio
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def dedup_span_ngram(spark, sf_dir):
+    """Duplicate-span detection at 5-gram granularity (the
+    exact-substring-dedup signal of Lee et al., 'Deduplicating Training
+    Data Makes Language Models Better'): every positional 5-gram that
+    occurs in >=2 distinct documents marks its positions as duplicated;
+    per-doc output is the duplicated-gram instance count and ratio.
+    Runs on the doubled corpus (each doc + a perturbed near-copy), so
+    high dup_ratio rows are guaranteed.  The dup-gram list is
+    |repeated-vocab|-sized — broadcast back against the gram stream; at
+    100 TB the gram agg shuffles hashes, not text, by hashing grams
+    first (here text is kept for oracle readability)."""
+    corpus = _spark_corpus(spark, sf_dir)
+    g = corpus.select(
+        "doc_id", F.explode(_grams5(X.tokens(F.col("text")))).alias("gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hit = g.join(dup, "gram").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_grams"), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline: leakage-free grouped split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split_train_test_grouped",
+    f"""
+    WITH s AS (SELECT CASE
+                        WHEN {_SQL_HASH_MOD.format(c='user_id', m=10)} < 8
+                          THEN 'train'
+                        WHEN {_SQL_HASH_MOD.format(c='user_id', m=10)} = 8
+                          THEN 'valid'
+                        ELSE 'test'
+                      END AS split,
+                      user_id
+               FROM events),
+         agg AS (SELECT split, count(*) AS n_events,
+                        count(DISTINCT user_id) AS n_users
+                 FROM s GROUP BY split)
+    SELECT split, n_events, n_users,
+           round(CAST(n_events AS DOUBLE)
+                 / sum(n_events) OVER (), 4) AS pct_events
+    FROM agg
+    """,
+)
+def split_train_test_grouped(spark, sf_dir):
+    """Leakage-free train/valid/test split: the unit of assignment is the
+    USER (hash_mod(user_id, 10) -> 8/1/1), so no user's events straddle
+    splits — the group-coherence property an eval split needs.  Content
+    hashing (not rand()) means the split is reproducible across engines,
+    retries, and cluster sizes.  Pure scan-stage expression + one tiny
+    agg; the split column would be a partition column at write time."""
+    ev = t(spark, sf_dir, "events")
+    h = _hash_mod(F.col("user_id"), 10)
+    s = ev.select(
+        F.when(h < 8, "train").when(h == 8, "valid").otherwise("test").alias("split"),
+        "user_id",
+    )
+    agg = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return agg.select(
+        "split",
+        "n_events",
+        "n_users",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(Window.partitionBy()),
+            4,
+        ).alias("pct_events"),
+    )
