@@ -79,6 +79,13 @@ HEADLINE = [
     "multimodal_resize",
     "pipeline_training_data",
     "ingest_coerce_props",
+    "events_retention_cohorts",
+    "events_concurrency_sweep",
+    "events_ohlc_bars",
+    "agg_heavy_hitters_cms",
+    "join_bloom_prefilter",
+    "dedup_span_ngram",
+    "text_tfidf_topterms",
 ]
 
 

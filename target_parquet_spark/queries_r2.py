@@ -571,19 +571,22 @@ def _grams5(toks):
     f"""
     WITH {SQL_CORPUS},
          g AS (SELECT doc_id,
-                      unnest({_SQL_GRAMS5.format(t=SQL_TOKS.format(c='text'))})
-                        AS gram
+                      ('0x' || substr(md5(unnest(
+                        {_SQL_GRAMS5.format(t=SQL_TOKS.format(c='text'))}
+                      )), 1, 15))::BIGINT AS gh
                FROM corpus),
-         dup AS (SELECT gram FROM g GROUP BY gram
-                 HAVING count(DISTINCT doc_id) >= 2),
-         tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
-         hit AS (SELECT g.doc_id, count(*) AS n_dup
-                 FROM g JOIN dup ON g.gram = dup.gram GROUP BY g.doc_id)
-    SELECT t.doc_id, t.n_grams,
-           coalesce(h.n_dup, 0) AS n_dup,
-           round(CAST(coalesce(h.n_dup, 0) AS DOUBLE) / t.n_grams, 4)
-             AS dup_ratio
-    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+         g2 AS (SELECT doc_id, gh, count(*) AS cnt
+                FROM g GROUP BY doc_id, gh),
+         g3 AS (SELECT doc_id, cnt,
+                       count(*) OVER (PARTITION BY gh) AS nd
+                FROM g2)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           round(CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / sum(cnt), 4) AS dup_ratio
+    FROM g3 GROUP BY doc_id
     """,
 )
 def dedup_span_ngram(spark, sf_dir):
@@ -593,32 +596,29 @@ def dedup_span_ngram(spark, sf_dir):
     occurs in >=2 distinct documents marks its positions as duplicated;
     per-doc output is the duplicated-gram instance count and ratio.
     Runs on the doubled corpus (each doc + a perturbed near-copy), so
-    high dup_ratio rows are guaranteed.  The dup-gram list is
-    |repeated-vocab|-sized — broadcast back against the gram stream; at
-    100 TB the gram agg shuffles hashes, not text, by hashing grams
-    first (here text is kept for oracle readability)."""
+    high dup_ratio rows are guaranteed.  Scale shape: grams are hashed
+    to 60-bit ints IN THE SCAN STAGE, so every shuffle moves fixed-width
+    longs instead of ~50-char strings; one linear pipeline — (doc, gram)
+    pre-agg, window count over gram (= distinct-doc count, since the
+    pre-agg left one row per doc x gram), per-doc rollup — touches the
+    exploded gram stream exactly once and joins nothing."""
     corpus = _spark_corpus(spark, sf_dir)
-    g = corpus.select(
-        "doc_id", F.explode(_grams5(X.tokens(F.col("text")))).alias("gram")
-    )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hit = g.join(dup, "gram").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
-    return (
-        tot.join(hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
-            F.round(
-                F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_grams"), 4
-            ).alias("dup_ratio"),
-        )
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    # tokenize into a bound column FIRST: inlining tokens() into _grams5
+    # would duplicate the regex-split subtree into every element_at inside
+    # the transform lambda (HOF lambdas don't share subexpressions), i.e.
+    # 5 re-tokenizations per gram
+    toked = corpus.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    g = toked.select(
+        "doc_id", F.explode(_grams5(F.col("toks"))).alias("gram")
+    ).select("doc_id", gh.alias("gh"))
+    g2 = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("cnt"))
+    g3 = g2.withColumn("nd", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    n_dup = F.sum(F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(0))
+    return g3.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        n_dup.cast("long").alias("n_dup"),
+        F.round(n_dup.cast("double") / F.sum("cnt"), 4).alias("dup_ratio"),
     )
 
 
