@@ -623,6 +623,182 @@ def dedup_span_ngram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_pattern_match",
+    """
+    WITH s AS (SELECT user_id,
+                      string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id) AS seq
+               FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS INTEGER) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INTEGER)
+             AS n_view_to_purchase,
+           CAST(len(regexp_extract_all(seq, 'ep')) AS INTEGER)
+             AS n_error_then_purchase
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'v[^p]*p')) > 0
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence patterns: each user's event history
+    becomes one ordered symbol string (first letter of the type — the 5
+    types are first-letter-distinct), then patterns are regexes —
+    'view then (eventually) purchase' as non-overlapping 'v[^p]*p'
+    matches, 'error immediately before purchase' as 'ep'.  Ordering is
+    (ts, event_id)-tie-proof via array_sort on structs.  One shuffle on
+    user_id; the per-user string is bounded by per-user activity (at
+    100 TB, sessionize first and pattern-match per session — same
+    pipeline with the session key added)."""
+    ev = t(spark, sf_dir, "events")
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: F.substring(s["event_type"], 1, 1),
+        ),
+    )
+    s = ev.groupBy("user_id").agg(seq.alias("seq"))
+    n_vp = F.regexp_count(F.col("seq"), F.lit(r"v[^p]*p")).cast("int")
+    return (
+        s.select(
+            "user_id",
+            F.length("seq").alias("seq_len"),
+            n_vp.alias("n_view_to_purchase"),
+            F.regexp_count(F.col("seq"), F.lit("ep")).cast("int").alias(
+                "n_error_then_purchase"
+            ),
+        )
+        .filter(F.col("n_view_to_purchase") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-projection (Johnson-Lindenstrauss) similarity
+# ---------------------------------------------------------------------------
+
+_RP_K = 16  # projected dimensions
+_RP_D = 64  # input dimensions
+
+
+def _rp_sign(k: int, j: int) -> float:
+    """Deterministic +/-1 from md5('k:j') — computable identically as a
+    SQL expression (DuckDB side) and as a plan-time literal (Spark side)."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{k}:{j}".encode()).hexdigest()[0] < "8" else -1.0
+
+
+_SQL_RP_SIGN = (
+    "CASE WHEN substr(md5(CAST({k} AS VARCHAR) || ':' || CAST({j} AS VARCHAR)), 1, 1)"
+    " < '8' THEN 1.0 ELSE -1.0 END"
+)
+
+_SQL_DOT16 = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "sim_random_projection",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         proj AS (
+           SELECT vec_id,
+                  list_transform(range(0, {_RP_K}), k ->
+                    list_sum(list_transform(range(1, {_RP_D} + 1), j ->
+                      CAST(embedding[j] AS DOUBLE)
+                      * {_SQL_RP_SIGN.format(k='k', j='j - 1')}))) AS p
+           FROM sub),
+         q AS (SELECT p AS qp FROM proj WHERE vec_id = 1),
+         qe AS (SELECT embedding AS qv FROM sub WHERE vec_id = 1),
+         sc AS (
+           SELECT c.vec_id,
+                  round({_SQL_DOT16.format(a='c.p', b='q.qp')}
+                        / (sqrt({_SQL_DOT16.format(a='c.p', b='c.p')})
+                           * sqrt({_SQL_DOT16.format(a='q.qp', b='q.qp')})), 4)
+                    AS proj_cos,
+                  round({{dot64}}
+                        / (sqrt({{dot64aa}}) * sqrt({{dot64qq}})), 4) AS true_cos
+           FROM proj c CROSS JOIN q CROSS JOIN qe
+           JOIN sub e ON e.vec_id = c.vec_id
+           WHERE c.vec_id <> 1),
+         rk AS (SELECT vec_id, proj_cos, true_cos,
+                       row_number() OVER (ORDER BY proj_cos DESC, vec_id) AS rnk
+                FROM sc)
+    SELECT rnk, vec_id, proj_cos, true_cos FROM rk WHERE rnk <= 10
+    """.format(
+        dot64=(
+            "list_sum(list_transform(range(1, 65), "
+            "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)))"
+        ),
+        dot64aa=(
+            "list_sum(list_transform(range(1, 65), "
+            "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))"
+        ),
+        dot64qq=(
+            "list_sum(list_transform(range(1, 65), "
+            "i -> CAST(qe.qv[i] AS DOUBLE) * CAST(qe.qv[i] AS DOUBLE)))"
+        ),
+    ),
+)
+def sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sign random projection (64 -> 16 dims): the
+    +/-1 matrix comes from md5('k:j'), so DuckDB derives it as an
+    expression while Spark embeds the identical values as PLAN-TIME
+    LITERALS — the projection itself is then pure codegen arithmetic
+    with zero hashing on the data path.  Top-10 by projected cosine,
+    with the true 64-d cosine alongside (the JL quality check).  At
+    100 TB the projection is a scan-stage map that cuts every downstream
+    shuffle/LSH byte count 4x; fold order matches the oracle term-by-term
+    so scores are bit-reproducible."""
+    from target_parquet_spark.operators.similarity import dot, norm
+
+    emb = td(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    signs = [
+        F.array(*[F.lit(_rp_sign(k, j)) for j in range(_RP_D)]) for k in range(_RP_K)
+    ]
+    p = emb.select(
+        "vec_id",
+        "embedding",
+        F.array(*[dot(F.col("embedding"), s) for s in signs]).alias("p"),
+    )
+    q = F.broadcast(
+        p.filter(F.col("vec_id") == 1).select(
+            F.col("p").alias("qp"), F.col("embedding").alias("qv")
+        )
+    )
+    sc = (
+        p.filter(F.col("vec_id") != 1)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("p"), F.col("qp"))
+                / (norm(F.col("p")) * norm(F.col("qp"))),
+                4,
+            ).alias("proj_cos"),
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+                4,
+            ).alias("true_cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("proj_cos"), "vec_id")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "vec_id", "proj_cos", "true_cos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # pipeline: leakage-free grouped split
 # ---------------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ __all__ = [
     "sliding_counts",
     "session_agg",
     "streaming_dedup",
+    "ohlc_bars",
 ]
 
 
@@ -87,6 +88,37 @@ def session_agg(
         "n_events",
         "total_value",
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    duration: str = "1 day",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str | None = None,
+) -> DataFrame:
+    """OHLC resample over tumbling event-time windows — the streaming twin
+    of the ``events_ohlc_bars`` registry query (same tie-proof zero-padded
+    (epoch-us, event_id) ordering key).  min_by/max_by are declarative
+    aggregates, so the same expression is an incremental stateful agg on a
+    stream and a map-side-combinable groupBy on a batch frame."""
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 8, "0"),
+    )
+    g = (
+        _maybe_watermark(events, ts_col, watermark)
+        .withColumn("_ord", ord_key)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+    )
+    return g.agg(
+        F.min_by("value", "_ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "_ord").alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.round(F.sum("value"), 2).alias("turnover"),
+    ).select(F.col("w.start").alias("window_start"), *keys, "open", "high", "low", "close", "volume", "turnover")
 
 
 def streaming_dedup(

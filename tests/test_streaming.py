@@ -240,6 +240,23 @@ def test_session_stream_matches_batch(spark, events_src):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_ohlc_stream_matches_batch(spark, events_src):
+    """Streaming OHLC bars == batch OHLC bars on the same data: min_by/
+    max_by over the tie-proof ordering key are declarative aggregates, so
+    the identical expression runs as an incremental stateful agg."""
+    from target_parquet_spark.streaming.windows import ohlc_bars
+
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).parquet(path)
+    got = _run_stream_to_memory(
+        spark, ohlc_bars(stream, watermark="1 hour"), "t_ohlc"
+    )
+    want = ohlc_bars(spark.read.parquet(path))
+    cols = ["window_start", "event_type", "open", "high", "low", "close", "volume", "turnover"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+
+
 def test_streaming_dedup(spark, events_src):
     path, schema = events_src
     stream = spark.readStream.schema(schema).parquet(path)
