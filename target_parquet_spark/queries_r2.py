@@ -799,6 +799,247 @@ def sim_random_projection(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# window value functions, extended stats, null-safe join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_value_functions",
+    """
+    WITH e AS (SELECT event_id, value, ts
+               FROM events
+               WHERE event_type = 'purchase' AND user_id < 100)
+    SELECT event_id,
+           first_value(value) OVER w3 AS fv3,
+           last_value(value)  OVER w3 AS lv3,
+           nth_value(value, 2) OVER w3 AS nth2,
+           round(cume_dist() OVER wall, 4)    AS cd,
+           round(percent_rank() OVER wall, 4) AS pr
+    FROM e
+    WINDOW w3  AS (ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wall AS (ORDER BY value, event_id)
+    """,
+)
+def window_value_functions(spark, sf_dir):
+    """Window VALUE-function family: first/last/nth over an explicit
+    trailing ROWS frame, plus the distribution functions cume_dist and
+    percent_rank over the full ordering.  Both orderings carry a unique
+    tie-break (event_id), so frame contents are engine-exact.  The frame
+    is ROWS (physical), not RANGE — the variant that stays O(1) memory
+    per row in Spark's window exec."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 100))
+    w3 = Window.orderBy("ts", "event_id").rowsBetween(-2, 0)
+    wall = Window.orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        F.first("value").over(w3).alias("fv3"),
+        F.last("value").over(w3).alias("lv3"),
+        F.nth_value("value", 2).over(w3).alias("nth2"),
+        F.round(F.cume_dist().over(wall), 4).alias("cd"),
+        F.round(F.percent_rank().over(wall), 4).alias("pr"),
+    )
+
+
+@query(
+    "agg_extended_stats",
+    """
+    SELECT l_returnflag,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS cov_p,
+           round(stddev_pop(l_discount), 6)                  AS sd_pop,
+           round(var_pop(l_quantity), 4)                     AS var_p,
+           bool_and(l_quantity > 0)                          AS all_positive,
+           bool_or(l_discount > 0.09)                        AS any_high_disc,
+           bit_and(CAST(l_linenumber AS BIGINT))             AS lineno_and,
+           bit_or(CAST(l_linenumber AS BIGINT))              AS lineno_or
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_extended_stats(spark, sf_dir):
+    """Extended aggregate family: sample/population covariance,
+    population stddev/variance, boolean every/any, bitwise AND/OR — all
+    single-pass map-side-combinable (covariance from the co-moment
+    sufficient statistics, booleans/bits trivially mergeable).  Rounded
+    in both engines to absorb partial-aggregation fold-order drift."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_p"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sd_pop"),
+        F.round(F.var_pop("l_quantity"), 4).alias("var_p"),
+        F.every((F.col("l_quantity") > 0)).alias("all_positive"),
+        F.some((F.col("l_discount") > 0.09)).alias("any_high_disc"),
+        F.bit_and(F.col("l_linenumber").cast("long")).alias("lineno_and"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("lineno_or"),
+    )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH c AS (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+                           ELSE c_custkey % 25 END AS ck
+               FROM customer),
+         s AS (SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+                           ELSE s_suppkey % 25 END AS sk
+               FROM supplier)
+    SELECT c.ck AS k, count(*) AS n_pairs
+    FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+    GROUP BY c.ck
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics entity-resolution
+    pipelines want when 'unknown' is a joinable bucket.  Spark plans
+    eqNullSafe as a plain hash join (null hashes to a regular bucket),
+    NOT a nested loop; the NULL bucket is the skew key to salt if
+    'unknown' dominates at scale."""
+    c = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_custkey") % 25)
+        .alias("ck")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_suppkey") % 5 == 0, None)
+        .otherwise(F.col("s_suppkey") % 25)
+        .alias("sk")
+    )
+    return (
+        c.join(s, c["ck"].eqNullSafe(s["sk"]))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("ck").alias("k"), "n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantized (SQ8) approximate similarity
+# ---------------------------------------------------------------------------
+
+_SQL_SQ8 = """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         dims AS (SELECT d.i AS dim, min(CAST(sub.embedding[d.i] AS DOUBLE)) AS mn,
+                         max(CAST(sub.embedding[d.i] AS DOUBLE)) AS mx
+                  FROM sub CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+                  GROUP BY d.i),
+         bounds AS (SELECT list(mn ORDER BY dim) AS mins,
+                           list(mx ORDER BY dim) AS maxs
+                    FROM dims),
+         rec AS (SELECT s.vec_id, s.embedding,
+                        list_transform(range(1, 65), i ->
+                          b.mins[i]
+                          + round((CAST(s.embedding[i] AS DOUBLE) - b.mins[i])
+                                  / (b.maxs[i] - b.mins[i]) * 255)
+                            * (b.maxs[i] - b.mins[i]) / 255) AS rv
+                 FROM sub s CROSS JOIN bounds b),
+         q AS (SELECT embedding AS qv FROM sub WHERE vec_id = 1),
+         sc AS (SELECT r.vec_id,
+                       round({dq_rv}
+                             / (sqrt({drv_rv}) * sqrt({dq_q})), 4) AS sq8_cos,
+                       round({dq_ev}
+                             / (sqrt({dev_ev}) * sqrt({dq_q})), 4) AS true_cos
+                FROM rec r CROSS JOIN q
+                WHERE r.vec_id <> 1),
+         rk AS (SELECT vec_id, sq8_cos, true_cos,
+                       row_number() OVER (ORDER BY sq8_cos DESC, vec_id) AS rnk
+                FROM sc)
+    SELECT rnk, vec_id, sq8_cos, true_cos FROM rk WHERE rnk <= 10
+""".format(
+    dq_rv=(
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * r.rv[i]))"
+    ),
+    drv_rv="list_sum(list_transform(range(1, 65), i -> r.rv[i] * r.rv[i]))",
+    dq_q=(
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))"
+    ),
+    dq_ev=(
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.qv[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))"
+    ),
+    dev_ev=(
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)))"
+    ),
+)
+
+
+@query("sim_sq8_ann", _SQL_SQ8)
+def sim_sq8_ann(spark, sf_dir):
+    """Scalar-quantized similarity (FAISS-SQ8 style): per-dimension
+    [min, max] bounds over the corpus map each float to an 8-bit code;
+    search scores against the RECONSTRUCTED vectors, with the exact
+    cosine alongside as the quality check.  The bounds are one 64-row
+    aggregate broadcast to the scan — at 100 TB the corpus is stored as
+    codes (4x smaller, cache-resident) and only the top-k candidates are
+    re-scored in float.  Quantize/reconstruct arithmetic is identical
+    expression-for-expression in both engines, so scores match bitwise."""
+    from target_parquet_spark.operators.similarity import dot, norm
+
+    emb = td(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    dims = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim0", "v")
+    ).groupBy("dim0").agg(
+        F.min(F.col("v").cast("double")).alias("mn"),
+        F.max(F.col("v").cast("double")).alias("mx"),
+    )
+    bounds = F.broadcast(
+        dims.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mn"))),
+                lambda s: s["mn"],
+            ).alias("mins"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "mx"))),
+                lambda s: s["mx"],
+            ).alias("maxs"),
+        )
+    )
+    rv = F.transform(
+        F.sequence(F.lit(1), F.lit(_RP_D)),
+        lambda i: F.element_at("mins", i)
+        + F.round(
+            (F.element_at(F.col("embedding"), i).cast("double") - F.element_at("mins", i))
+            / (F.element_at("maxs", i) - F.element_at("mins", i))
+            * 255
+        )
+        * (F.element_at("maxs", i) - F.element_at("mins", i))
+        / 255,
+    )
+    rec = emb.crossJoin(bounds).select("vec_id", "embedding", rv.alias("rv"))
+    q = F.broadcast(
+        rec.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qv"))
+    )
+    sc = (
+        rec.filter(F.col("vec_id") != 1)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("qv"), F.col("rv"))
+                / (norm(F.col("rv")) * norm(F.col("qv"))),
+                4,
+            ).alias("sq8_cos"),
+            F.round(
+                dot(F.col("qv"), F.col("embedding"))
+                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+                4,
+            ).alias("true_cos"),
+        )
+    )
+    w = Window.orderBy(F.desc("sq8_cos"), "vec_id")
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "vec_id", "sq8_cos", "true_cos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # pipeline: leakage-free grouped split
 # ---------------------------------------------------------------------------
 
