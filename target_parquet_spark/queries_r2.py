@@ -1040,6 +1040,221 @@ def sim_sq8_ann(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# graph: triangle counting over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 10 = 0),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                  AND a.l_partkey < b.l_partkey),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u
+                           JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT count(*)                 AS n_triangles,
+           count(DISTINCT a)        AS n_apex_nodes,
+           (SELECT count(*) FROM e) AS n_edges
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting over the part co-purchase graph (parts appearing
+    in the same order are linked).  Edges are canonically ordered (u < v)
+    so each triangle is counted exactly once via the standard two-join
+    wedge-close: (a,b)+(b,c) wedges semi-closed by (a,c).  At 100 TB the
+    join order matters: close wedges from the LOW-degree endpoint first
+    (degree-ordered edge direction) to keep the wedge intermediate near
+    |E|^1.5 instead of sum(deg^2) — here the canonical order plays that
+    role on the skew-free synthetic graph."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v"))
+    )
+    n_edges = e.count()  # tiny driver-side scalar (edge count is one agg)
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.countDistinct(F.col("e1.u")).alias("n_apex_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC: MERGE/upsert semantics (insert + update + delete in one pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cdc_merge_upsert",
+    """
+    WITH base AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+         changes AS (
+           SELECT c_custkey AS k, 'U' AS op,
+                  round(c_acctbal + 100.0, 2) AS new_bal
+           FROM customer WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey AS k, 'D' AS op, NULL AS new_bal
+           FROM customer WHERE c_custkey % 17 = 0 AND c_custkey % 10 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000 AS k, 'I' AS op, 50.0 AS new_bal
+           FROM customer WHERE c_custkey % 23 = 0),
+         merged AS (
+           SELECT coalesce(c.k, b.k) AS k,
+                  CASE WHEN c.op = 'U' THEN c.new_bal
+                       WHEN c.op = 'I' THEN c.new_bal
+                       ELSE b.bal END AS bal,
+                  c.op
+           FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+           WHERE c.op IS NULL OR c.op <> 'D')
+    SELECT count(*) AS n_rows,
+           round(sum(bal), 2) AS total_bal,
+           CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated,
+           CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM merged
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """MERGE/upsert semantics (the Delta-style MERGE INTO, as a pure
+    relational transform): one full outer join of the keyed base snapshot
+    against a change batch applies inserts, updates, and deletes in a
+    single pass and yields the next snapshot — the reference can only
+    append (SURVEY §2 W1), so CDC is a capability gap this closes.  The
+    change batch is derived deterministically from the base (disjoint
+    U/D key classes, I keys offset by 1e6).  At 100 TB both sides
+    bucket/partition by key, making the merge a co-located join; the
+    snapshot rewrite touches only matched partitions (partition-pruned
+    dynamic overwrite)."""
+    cust = t(spark, sf_dir, "customer")
+    base = cust.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal"))
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+    )
+    dele = cust.filter(
+        (F.col("c_custkey") % 17 == 0) & (F.col("c_custkey") % 10 != 0)
+    ).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 23 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.lit(50.0).alias("new_bal"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    b, c = base.alias("b"), changes.alias("c")
+    merged = (
+        b.join(c, F.col("b.k") == F.col("c.k"), "full_outer")
+        .filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("c.k"), F.col("b.k")).alias("k"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.new_bal"))
+            .otherwise(F.col("b.bal"))
+            .alias("bal"),
+            F.col("c.op").alias("op"),
+        )
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("bal"), 2).alias("total_bal"),
+        F.sum((F.col("op") == "U").cast("long")).alias("n_updated"),
+        F.sum((F.col("op") == "I").cast("long")).alias("n_inserted"),
+        F.max("k").cast("long").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# filtered aggregates & regexp scalar family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_filtered_aggregates",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05)        AS n_high_disc,
+           round(sum(l_quantity) FILTER (WHERE l_tax > 0.04), 2)
+                                                            AS qty_taxed,
+           round(avg(l_extendedprice)
+                 FILTER (WHERE l_linestatus = 'F'), 4)      AS avg_price_f,
+           count(*)                                         AS n_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_aggregates(spark, sf_dir):
+    """FILTER-clause aggregates (count_if / conditional sum / conditional
+    avg): many differently-filtered measures in ONE aggregation pass over
+    the fact table — the alternative (one scan per filter, union) reads
+    the 100 TB input k times.  All map-side-combinable; null-safe because
+    sum/avg ignore the NULLs the when() injects."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_high_disc"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_quantity"))), 2
+        ).alias("qty_taxed"),
+        F.round(
+            F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 4
+        ).alias("avg_price_f"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@query(
+    "scalar_regexp_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)$', 1)            AS last_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g')        AS devoweled,
+           CAST(strpos(p_type, 'BRASS') AS INTEGER)          AS brass_at,
+           split_part(p_type, ' ', 1)                        AS first_token,
+           CASE WHEN regexp_matches(p_type, '^(STANDARD|SMALL)')
+                THEN 1 ELSE 0 END                            AS is_std_small
+    FROM part WHERE p_partkey % 37 = 0
+    """,
+)
+def scalar_regexp_funcs(spark, sf_dir):
+    """Regexp scalar family: anchored capture-group extraction, global
+    replace, substring position, field split, boolean match — all
+    JVM-side codegen expressions (never Python), all with RE2-safe
+    patterns so DuckDB evaluates the identical regex semantics."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 37 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), r"([A-Z]+)$", 1).alias("last_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("devoweled"),
+        F.instr(F.col("p_type"), "BRASS").alias("brass_at"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_token"),
+        F.when(F.col("p_type").rlike("^(STANDARD|SMALL)"), 1)
+        .otherwise(0)
+        .alias("is_std_small"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # pipeline: leakage-free grouped split
 # ---------------------------------------------------------------------------
 

@@ -257,6 +257,30 @@ def test_ohlc_stream_matches_batch(spark, events_src):
     assert got.count() > 0
 
 
+def test_stream_static_broadcast_enrichment(spark, events_src):
+    """Stream-static join: a streaming fact enriched against a small
+    static dimension is planned as a broadcast hash join per micro-batch
+    (no stream-side state), and matches the batch join exactly."""
+    path, schema = events_src
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "commerce"),
+         ("signup", "funnel"), ("error", "ops")],
+        "event_type string, family string",
+    )
+
+    def enrich(df):
+        return (
+            df.join(F.broadcast(dim), "event_type")
+            .groupBy("family")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    got = _run_stream_to_memory(spark, enrich(stream), "t_enrich")
+    want = enrich(spark.read.parquet(path))
+    assert _rows(got, ["family", "n"]) == _rows(want, ["family", "n"])
+
+
 def test_streaming_dedup(spark, events_src):
     path, schema = events_src
     stream = spark.readStream.schema(schema).parquet(path)
