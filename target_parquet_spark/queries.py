@@ -37,22 +37,30 @@ def query(name: str, oracle: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a test table.  ``events.parquet`` carries TIMESTAMP(NANOS),
-    which Spark's parquet reader rejects; read nanos as long (runtime conf)
-    and convert to a microsecond timestamp — same truncation DuckDB applies
-    when it reads nanos into its microsecond timestamps."""
+    """Load a test table.
+
+    ``events.parquet`` stores naive timestamps (parquet
+    isAdjustedToUTC=false), which Spark 4 reads as TIMESTAMP_NTZ — a type
+    the epoch/interval toolchain (``unix_micros``, double casts, interval
+    arithmetic against LTZ literals) rejects.  Normalize ``ts`` to the
+    session TIMESTAMP type; every session here (and the driver's JVM) runs
+    UTC, so the cast is an exact reinterpretation and epochs agree with
+    DuckDB's naive-timestamp ``epoch()``.  Older nanos-encoded drops read
+    as bigint under ``nanosAsLong`` and take the integer-div path (``/``
+    would drift: epoch-nanos exceed double's 53-bit mantissa).
+
+    Fact-table date columns (l_shipdate, o_orderdate) are left NTZ —
+    literal comparisons coerce the literal, not the column, so parquet
+    predicate pushdown is preserved (verified via .explain in tests).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer div, NOT `/`: epoch-nanos (~1.7e18) exceed double's 53-bit
-            # mantissa, so float division drifts by +/-1us on some rows
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------
