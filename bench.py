@@ -86,6 +86,14 @@ HEADLINE = [
     "join_bloom_prefilter",
     "dedup_span_ngram",
     "text_tfidf_topterms",
+    "cdc_scd2_history",
+    "events_markov_transitions",
+    "text_chunk_sliding",
+    "text_unigram_logprob",
+    "sample_mixture_quota",
+    "audit_key_skew",
+    "agg_median_mode",
+    "window_rolling_quantile",
 ]
 
 

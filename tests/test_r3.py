@@ -1,0 +1,140 @@
+"""Invariant tests for the session-2 operator families (queries_r3.py).
+
+The oracle gate proves engine-vs-DuckDB equality; these pin structural
+guarantees equality checks can't express: SCD2 intervals tile without
+overlap, Markov rows are proper distributions, chunking covers every
+token, quotas never overfill, rolling quantiles are order statistics.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import target_parquet_spark.queries_r3  # noqa: F401  (registers queries)
+from target_parquet_spark.queries import QUERIES
+from target_parquet_spark.queries_r3 import _CHUNK, _MIX, _STRIDE
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return _run
+
+
+def test_scd2_intervals_tile(run):
+    rows = run("cdc_scd2_history").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.version)
+        # versions dense from 1, exactly one open (current) interval
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current == 1 and hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no gap/overlap
+            assert a.event_type != b.event_type  # change rows only
+
+
+def test_markov_rows_are_distributions(run, spark, sf_dir):
+    rows = run("events_markov_transitions").collect()
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r.from_state, []).append(r)
+    for state, outs in by_from.items():
+        assert math.isclose(sum(r.p for r in outs), 1.0, abs_tol=0.001)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # every event except each user's first contributes one transition
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_chunking_covers_every_token(run, spark, sf_dir):
+    chunks = run("text_chunk_sliding").collect()
+    docs = {
+        r.doc_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n"),
+        )
+        .filter(F.trim("text") != "")
+        .collect()
+    }
+    by_doc: dict = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert set(by_doc) == set(docs)
+    for doc_id, cs in by_doc.items():
+        n = docs[doc_id]
+        cs.sort(key=lambda c: c.chunk_idx)
+        assert [c.chunk_idx for c in cs] == list(range(1, len(cs) + 1))
+        assert len(cs) == (n - 1) // _STRIDE + 1
+        # every chunk full-size except possibly trailing ones; last chunk
+        # reaches the final token
+        last_start = (len(cs) - 1) * _STRIDE + 1
+        assert cs[-1].n_tokens == min(_CHUNK, n - last_start + 1)
+        assert all(c.n_tokens == _CHUNK for c in cs if c.chunk_idx * _STRIDE + (_CHUNK - _STRIDE) <= n)
+
+
+def test_unigram_logprob_bounds(run):
+    rows = run("text_unigram_logprob").collect()
+    assert rows
+    for r in rows:
+        assert r.min_logprob <= r.avg_logprob < 0  # probs < 1 -> logs < 0
+
+
+def test_mixture_quota_never_overfills_and_is_deterministic(run):
+    quota = dict(_MIX)
+    a = {r.lang: r for r in run("sample_mixture_quota").collect()}
+    b = {r.lang: r for r in run("sample_mixture_quota").collect()}
+    assert set(a) <= set(quota)
+    for lang, r in a.items():
+        assert 0 < r.n_selected <= quota[lang]
+        assert r.sel_sig == b[lang].sel_sig  # reproducible selection
+
+
+def test_key_skew_factors_sane(run):
+    rows = {r.key_col: r for r in run("audit_key_skew").collect()}
+    assert set(rows) == {
+        "orders.o_custkey",
+        "lineitem.l_partkey",
+        "events.user_id",
+    }
+    for r in rows.values():
+        assert r.n_keys > 0
+        assert r.skew_factor >= 1.0  # max/avg by construction
+        assert r.max_n >= r.avg_n
+        assert r.top_key is not None
+
+
+def test_median_mode_are_order_statistics(run, spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bounds = {
+        r.flag: r
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi"))
+        .collect()
+    }
+    for r in run("agg_median_mode").collect():
+        b = bounds[r.l_returnflag]
+        assert b.lo <= r.median_qty <= b.hi
+        assert b.lo <= r.mode_qty <= b.hi
+
+
+def test_rolling_quantile_ordering(run):
+    rows = run("window_rolling_quantile").collect()
+    assert rows
+    for r in rows:
+        assert r.p90_last10 >= r.med_last10  # p90 dominates median
