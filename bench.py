@@ -94,6 +94,9 @@ HEADLINE = [
     "audit_key_skew",
     "agg_median_mode",
     "window_rolling_quantile",
+    "events_merge_intervals",
+    "audit_null_profile",
+    "sim_ivf_recall",
 ]
 
 

@@ -17,7 +17,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from target_parquet_spark.queries import query, t
-from target_parquet_spark.queries_ext import SQL_TOKS, td
+from target_parquet_spark.queries_ext import SQL_TOKS, _SQL_DOT, td
+from target_parquet_spark.operators import similarity as S
 from target_parquet_spark.operators import text as X
 
 
@@ -495,4 +496,293 @@ def window_rolling_quantile(spark, sf_dir):
         F.round(F.expr(f"percentile(value, 0.5) OVER ({frame})"), 4).alias(
             "med_last10"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval merging (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_merge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e, event_id
+      FROM events),
+    o AS (
+      SELECT user_id, s, e, event_id,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max_e
+      FROM iv),
+    fl AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS new_island
+      FROM o),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id) AS BIGINT) AS island
+      FROM fl)
+    SELECT user_id, island,
+           min(s) AS island_start,
+           max(e) AS island_end,
+           count(*) AS n_events,
+           epoch_us(max(e)) - epoch_us(min(s)) AS span_us
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def events_merge_intervals(spark, sf_dir):
+    """Gaps-and-islands interval merge: each event opens a 5-minute
+    activity interval; overlapping intervals per user coalesce into
+    maximal islands (running-max of interval end detects overlap, a
+    cumulative flag sum numbers the islands).  The classic shape behind
+    downtime stitching, session coverage, and IP-activity windows.
+
+    Plan: ONE shuffle on user_id serves the running-max window, the
+    island-number window, and the final per-island agg — all three reuse
+    the same sort order, so Catalyst plans a single Exchange + Sort.  No
+    self-join: the naive overlap-pairs approach is O(n^2) per user and
+    reshuffles twice."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fl = iv.withColumn(
+        "new_island",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("s", "event_id")
+    isl = fl.withColumn(
+        "island", F.sum("new_island").over(w_cum).cast("long")
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("e")) - F.unix_micros(F.min("s"))).alias("span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# data profiling audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audit_null_profile",
+    """
+    SELECT 'documents' AS tbl, 'text' AS col,
+           count(*) AS n_rows,
+           CAST(count(*) - count(text) AS BIGINT) AS n_null,
+           CAST(count(*) FILTER (WHERE trim(text) = '') AS BIGINT) AS n_empty,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'lang', count(*),
+           CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(*) FILTER (WHERE trim(lang) = '') AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'events', 'props', count(*),
+           CAST(count(*) - count(props) AS BIGINT),
+           CAST(count(*) FILTER (WHERE trim(props) = '') AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'event_type', count(*),
+           CAST(count(*) - count(event_type) AS BIGINT),
+           CAST(count(*) FILTER (WHERE trim(event_type) = '') AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'customer', 'c_mktsegment', count(*),
+           CAST(count(*) - count(c_mktsegment) AS BIGINT),
+           CAST(count(*) FILTER (WHERE trim(c_mktsegment) = '') AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+    FROM customer
+    """,
+)
+def audit_null_profile(spark, sf_dir):
+    """Column-level data-quality profile — the pre-training audit every
+    corpus ingestion runs: row count, null count, blank-string count, and
+    distinct cardinality per audited column.  (The synthetic tables are
+    clean; the zeros ARE the assertion.)
+
+    Plan: one scan per table computes all four aggregates for its columns
+    map-side (count/count-distinct partials), and only the 5-row summary
+    unions — raw rows never union, never reshuffle.  count(DISTINCT) over
+    a high-cardinality column is the one scale hazard: it expands to a
+    two-phase agg keyed on the value, which is exactly what it must do;
+    swap in approx_count_distinct for monitoring dashboards."""
+
+    def profile(name, col):
+        c = F.col(col)
+        return t(spark, sf_dir, name).agg(
+            F.lit(name).alias("tbl"),
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+            F.count(F.when(F.trim(c) == "", 1)).cast("long").alias("n_empty"),
+            F.countDistinct(c).cast("long").alias("n_distinct"),
+        )
+
+    parts = [
+        profile("documents", "text"),
+        profile("documents", "lang"),
+        profile("events", "props"),
+        profile("events", "event_type"),
+        profile("customer", "c_mktsegment"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ANN candidate-generation recall
+# ---------------------------------------------------------------------------
+
+_SQL_EMB_SCORE = (
+    f"{_SQL_DOT.format(a='{e}', b='{q}')} / sqrt({_SQL_DOT.format(a='{e}', b='{e}')})"
+)
+
+
+@query(
+    "sim_ivf_recall",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < 16),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id < 10),
+    s AS (SELECT e.vec_id, c.cid,
+                 {_SQL_DOT.format(a='e.embedding', b='c.cv')}
+                   / sqrt({_SQL_DOT.format(a='c.cv', b='c.cv')}) AS score
+          FROM embeddings e CROSS JOIN c),
+    assign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) AS rn
+        FROM s) WHERE rn = 1),
+    qs AS (SELECT q.qid, c.cid,
+                  {_SQL_DOT.format(a='q.qv', b='c.cv')}
+                    / sqrt({_SQL_DOT.format(a='c.cv', b='c.cv')}) AS score
+           FROM q CROSS JOIN c),
+    probe AS (SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cid) AS rn
+        FROM qs) WHERE rn <= 2),
+    truth AS (SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                            / sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                          DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        WHERE rn <= 10),
+    cand AS (SELECT p.qid, a.vec_id FROM probe p
+             JOIN assign a ON a.cell = p.cid),
+    hits AS (SELECT t.qid, count(*) AS n_hits FROM truth t
+             JOIN cand cd ON cd.qid = t.qid AND cd.vec_id = t.vec_id
+             GROUP BY t.qid),
+    nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid)
+    SELECT q.qid,
+           CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(hits.n_hits, 0) / 10.0, 4) AS recall_at_10
+    FROM q LEFT JOIN nc ON q.qid = nc.qid
+           LEFT JOIN hits ON q.qid = hits.qid
+    """,
+)
+def sim_ivf_recall(spark, sf_dir):
+    """Recall@10 of the IVF candidate-generation stage, per query: what
+    fraction of each query's true top-10 neighbors survives 2-of-16 cell
+    probing — the monitoring harness for ANN quality (the companion of
+    dedup_lsh_recall on the embedding side).  nprobe tuning IS this
+    query run at a few settings.
+
+    Plan: cell assignment is the literal-codebook argmax (zero join,
+    zero shuffle — ivf_cell); the 10-query truth set is an exact cosine
+    against a BROADCAST query table (the 100 TB corpus streams past it
+    once, no shuffle), topped per query by a window over qid.  At scale
+    the ground truth comes from a sampled query stratum, exactly as
+    here; candidates-per-query (n_cand) is the cost axis, recall the
+    quality axis."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = S.ivf_codebook(emb, n_centroids=16)
+    assign = emb.select(
+        "vec_id", S.ivf_cell(F.col("embedding"), cb).alias("cell")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "cid",
+        (S.dot(F.col("qv"), F.col("cv")) / F.sqrt(S.dot(F.col("cv"), F.col("cv")))).alias(
+            "score"
+        ),
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("score"), "cid")
+    probe = (
+        qs.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", "cid")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                S.dot(F.col("embedding"), F.col("qv"))
+                / F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+            ).alias("score"),
+        )
+    )
+    w_truth = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w_truth))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    cand = F.broadcast(probe).join(assign, probe.cid == assign.cell).select(
+        "qid", "vec_id"
+    )
+    hits = truth.join(cand, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        q.select("qid")
+        .join(nc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 4).alias("recall_at_10"),
+        )
     )

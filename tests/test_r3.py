@@ -138,3 +138,40 @@ def test_rolling_quantile_ordering(run):
     assert rows
     for r in rows:
         assert r.p90_last10 >= r.med_last10  # p90 dominates median
+
+
+def test_merged_islands_disjoint(run):
+    rows = run("events_merge_intervals").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, isl in by_user.items():
+        isl.sort(key=lambda r: r.island)
+        assert [r.island for r in isl] == list(range(1, len(isl) + 1))
+        for r in isl:
+            assert r.n_events >= 1
+            assert r.span_us >= 300_000_000  # at least one 5-min interval
+        for a, b in zip(isl, isl[1:]):
+            assert b.island_start > a.island_end  # maximal merge: a gap
+
+
+def test_null_profile_shape(run):
+    rows = {(r.tbl, r.col): r for r in run("audit_null_profile").collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r.n_rows > 0
+        assert 0 <= r.n_null <= r.n_rows
+        assert 0 <= r.n_empty <= r.n_rows
+        assert 1 <= r.n_distinct <= r.n_rows
+
+
+def test_ivf_recall_bounds(run):
+    rows = run("sim_ivf_recall").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert r.n_hits <= r.n_cand
+        assert math.isclose(r.recall_at_10, r.n_hits / 10.0, abs_tol=1e-9)
+        # the query vector's own cell is always probed first, so the
+        # candidate set is never empty
+        assert r.n_cand >= 1
