@@ -97,6 +97,8 @@ HEADLINE = [
     "events_merge_intervals",
     "audit_null_profile",
     "sim_ivf_recall",
+    "agg_hll_set_ops",
+    "cdc_snapshot_diff",
 ]
 
 

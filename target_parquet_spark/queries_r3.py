@@ -786,3 +786,205 @@ def sim_ivf_recall(spark, sf_dir):
             F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 4).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch algebra: HLL set operations
+# ---------------------------------------------------------------------------
+
+_SQL_HLL_REGS = """
+    SELECT h >> 54 AS reg,
+           CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1)))
+           END AS rho
+    FROM (SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT AS h
+          FROM events WHERE event_type = '{et}')
+"""
+
+_SQL_HLL_EST = (
+    "round(0.709::DOUBLE * 4096.0::DOUBLE / "
+    "(sum(power(2.0::DOUBLE, -mx)) + CAST(64 - count(*) AS DOUBLE)), 2)"
+)
+
+
+@query(
+    "agg_hll_set_ops",
+    f"""
+    WITH ma AS (SELECT reg, max(rho) AS mx FROM ({_SQL_HLL_REGS.format(et="click")}) GROUP BY reg),
+    mb AS (SELECT reg, max(rho) AS mx FROM ({_SQL_HLL_REGS.format(et="purchase")}) GROUP BY reg),
+    mu AS (SELECT reg, max(mx) AS mx FROM
+           (SELECT * FROM ma UNION ALL SELECT * FROM mb) GROUP BY reg),
+    ea AS (SELECT {_SQL_HLL_EST} AS est FROM ma),
+    eb AS (SELECT {_SQL_HLL_EST} AS est FROM mb),
+    eu AS (SELECT {_SQL_HLL_EST} AS est FROM mu),
+    ex AS (SELECT
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = 'click') AS n_a,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type = 'purchase') AS n_b,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE event_type IN ('click', 'purchase')) AS n_union)
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           round(ea.est + eb.est - eu.est, 2) AS est_intersect,
+           ex.n_a AS n_exact_a, ex.n_b AS n_exact_b,
+           ex.n_union AS n_exact_union,
+           ex.n_a + ex.n_b - ex.n_union AS n_exact_intersect
+    FROM ea, eb, eu, ex
+    """,
+)
+def agg_hll_set_ops(spark, sf_dir):
+    """Sketch ALGEBRA, not just sketch estimation: HyperLogLog register
+    tables for two user sets (clickers, purchasers) merged by register
+    max — the union sketch — with the intersection estimated by
+    inclusion-exclusion over the (rounded) estimates.  This is the
+    operation that makes sketches infrastructure: per-segment sketches
+    computed once, audience overlaps answered without rescanning.
+
+    Plan: each set's registers are a 64-group partial-max agg over one
+    filtered scan (both filters pushed to parquet); the union merge is a
+    64+64-row unionByName + re-max — bytes.  Exact distinct counts ride
+    alongside for the error report.  The register layout matches
+    agg_hll_sketch exactly (60-bit md5, exact bin-length rho), so every
+    double is order-independent and the oracle hash-matches."""
+    e = t(spark, sf_dir, "events")
+
+    def regs(et):
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        w = h.bitwiseAND(F.lit((1 << 54) - 1))
+        rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+        return (
+            e.filter(F.col("event_type") == et)
+            .select(F.shiftright(h, 54).alias("reg"), rho.alias("rho"))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("mx"))
+        )
+
+    def est(m, name):
+        return m.agg(
+            F.round(
+                F.lit(0.709)
+                * F.lit(4096.0)
+                / (
+                    F.sum(F.pow(F.lit(2.0), -F.col("mx")))
+                    + (F.lit(64) - F.count(F.lit(1))).cast("double")
+                ),
+                2,
+            ).alias(name)
+        )
+
+    ma, mb = regs("click"), regs("purchase")
+    mu = ma.unionByName(mb).groupBy("reg").agg(F.max("mx").alias("mx"))
+    ex = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("event_type") == "click", F.col("user_id"))
+            ).alias("n_a"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("n_b"),
+            F.countDistinct("user_id").alias("n_union"),
+        )
+    )
+    return (
+        est(ma, "est_a")
+        .crossJoin(est(mb, "est_b"))
+        .crossJoin(est(mu, "est_union"))
+        .crossJoin(ex)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 2).alias(
+                "est_intersect"
+            ),
+            F.col("n_a").alias("n_exact_a"),
+            F.col("n_b").alias("n_exact_b"),
+            F.col("n_union").alias("n_exact_union"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias(
+                "n_exact_intersect"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC: snapshot diff
+# ---------------------------------------------------------------------------
+
+_T1, _T2 = "2024-01-15 00:00:00", "2024-01-25 00:00:00"
+
+
+@query(
+    "cdc_snapshot_diff",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_T1}') WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_T2}') WHERE rn = 1)
+    SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'added'
+                WHEN s2.user_id IS NULL THEN 'removed'
+                WHEN s1.event_type <> s2.event_type
+                     OR s1.value <> s2.value THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           s1.event_type AS old_state,
+           s2.event_type AS new_state
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the third leg of the CDC family (merge_upsert =
+    SCD1 apply, scd2_history = full history, this = what changed between
+    two as-of states): per entity, the latest state at T1 vs at T2,
+    classified added / removed / changed / unchanged.  The audit that
+    validates an incremental pipeline against a full recompute.
+
+    Plan: both as-of snapshots are latest-row-per-key windows over the
+    SAME user_id shuffle (Catalyst reuses the exchange; the T1 scan is a
+    subset of T2's by predicate pushdown), then one key-partitioned full
+    outer join.  At 100 TB snapshots live as materialized tables
+    bucketed by key and the join is exchange-free; 'removed' is
+    structurally empty here because events are append-only — the branch
+    exists for real tombstone feeds."""
+    e = t(spark, sf_dir, "events")
+
+    def snap(cutoff):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            e.filter(F.col("ts") < cutoff)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    s1 = snap(_T1).alias("s1")
+    s2 = snap(_T2).alias("s2")
+    status = (
+        F.when(F.col("s1.user_id").isNull(), "added")
+        .when(F.col("s2.user_id").isNull(), "removed")
+        .when(
+            (F.col("s1.event_type") != F.col("s2.event_type"))
+            | (F.col("s1.value") != F.col("s2.value")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return s1.join(s2, F.col("s1.user_id") == F.col("s2.user_id"), "full_outer").select(
+        F.coalesce(F.col("s2.user_id"), F.col("s1.user_id")).alias("user_id"),
+        status.alias("status"),
+        F.col("s1.event_type").alias("old_state"),
+        F.col("s2.event_type").alias("new_state"),
+    )

@@ -175,3 +175,36 @@ def test_ivf_recall_bounds(run):
         # the query vector's own cell is always probed first, so the
         # candidate set is never empty
         assert r.n_cand >= 1
+
+
+def test_hll_set_ops_error_bounds(run):
+    r = run("agg_hll_set_ops").collect()[0]
+    # standard error 1.04/sqrt(64) = 13%; allow 3 sigma — but only above
+    # the linear-counting regime (the raw HLL estimator is biased high
+    # for n << m, and sf0.001 has ~15 users per set)
+    for est, exact in [
+        (r.est_a, r.n_exact_a),
+        (r.est_b, r.n_exact_b),
+        (r.est_union, r.n_exact_union),
+    ]:
+        assert est > 0
+        if exact >= 500:
+            assert abs(est - exact) / exact < 0.4
+    # union never smaller than either input set's estimate (register-max
+    # dominance), intersection via inclusion-exclusion stays consistent
+    assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+    assert abs(r.est_intersect - (r.est_a + r.est_b - r.est_union)) < 0.011
+
+
+def test_snapshot_diff_partitions_users(run, spark, sf_dir):
+    rows = run("cdc_snapshot_diff").collect()
+    statuses = {r.status for r in rows}
+    assert statuses <= {"added", "removed", "changed", "unchanged"}
+    assert "removed" not in statuses  # append-only source: no tombstones
+    # every user at T2 appears exactly once
+    assert len({r.user_id for r in rows}) == len(rows)
+    for r in rows:
+        if r.status == "added":
+            assert r.old_state is None and r.new_state is not None
+        elif r.status == "unchanged":
+            assert r.old_state == r.new_state
