@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import target_parquet_spark.queries_layout  # noqa: F401  (registers into QUERIES)
 import target_parquet_spark.queries_ops  # noqa: F401  (registers into QUERIES)
@@ -146,3 +147,42 @@ def test_centroids_partial_aggregation_after_generate(spark, sf_dir):
     p = plan(spark, sf_dir, "sim_label_centroids")
     assert "Generate" in p  # posexplode in the scan stage
     assert p.count("HashAggregate") >= 2  # dim-wise partial avg map-side
+
+
+def test_scd2_single_exchange_shared_by_both_windows(spark, sf_dir):
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "cdc_scd2_history")
+    # change detection and interval stitching share one user_id
+    # hash-partitioning: exactly one shuffle in the whole plan
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_merge_intervals_single_exchange(spark, sf_dir):
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "events_merge_intervals")
+    # running-max window, island numbering, and per-island agg all reuse
+    # the user_id partitioning; the agg keys (user_id, island) are a
+    # superset-prefix so no re-shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_unigram_vocab_join_broadcasts(spark, sf_dir):
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "text_unigram_logprob")
+    # the corpus-side token stream is never reshuffled for the scoring
+    # join: vocab and (N, V) stats arrive by broadcast
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_rolling_quantile_single_window_shuffle(spark, sf_dir):
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "window_rolling_quantile")
+    # p90 and median share one Window node over one user_id shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
