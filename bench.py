@@ -99,6 +99,9 @@ HEADLINE = [
     "sim_ivf_recall",
     "agg_hll_set_ops",
     "cdc_snapshot_diff",
+    "agg_bitmap_distinct",
+    "events_time_weighted_avg",
+    "scalar_struct_funcs",
 ]
 
 

@@ -988,3 +988,165 @@ def cdc_snapshot_diff(spark, sf_dir):
         F.col("s1.event_type").alias("old_state"),
         F.col("s2.event_type").alias("new_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bitmap-index distinct counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    """
+    WITH w AS (
+      SELECT event_type,
+             user_id // 32 AS word,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+      FROM events GROUP BY event_type, word)
+    SELECT event_type,
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct_users,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM w GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via bitmap words — the roaring-bitmap idea
+    in relational algebra: dense integer keys pack 32-per-word
+    (word = id div 32, bit = id mod 32), words OR together under
+    group-by, popcount-sum gives the exact cardinality.  Unlike
+    count(DISTINCT) the state is MERGEABLE (OR is associative and
+    idempotent): per-day word tables union and re-OR into exact
+    month/year distincts without ever re-touching raw events — the exact
+    twin of the HLL register table, for when approximate isn't
+    acceptable.
+
+    Plan: one shuffle on (event_type, word) with map-side partial
+    bit_or — the exchanged state is one long per 32 users per group, a
+    32x reduction before the wire even with no local key overlap; the
+    per-type rollup is a 5-key agg over word counts.  At 100 TB with a
+    dense user dimension this is both smaller and faster than the
+    shuffle-the-ids exact distinct, and it IS the materializable
+    incremental state."""
+    e = t(spark, sf_dir, "events")
+    w = e.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))")
+        ).alias("bits")
+    )
+    return w.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_distinct_users"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events),
+    seg AS (
+      SELECT user_id, value,
+             CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE) / 1e6 AS dur_s
+      FROM o WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           round(sum(value * dur_s) / sum(dur_s), 4) AS twa_value,
+           round(avg(value), 4) AS naive_avg,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (the hypertable/TimescaleDB `time_weight`
+    operator): each observation holds its value until the next one, so
+    the mean weights each value by its holding duration — the correct
+    average for irregularly-sampled gauges (sensor readings, account
+    balances, queue depths), where the naive row-average over-weights
+    busy periods.  Both averages emitted side by side: their gap is the
+    sampling-bias measure.
+
+    Plan: lead() is one shuffle on user_id; the weighted agg reuses the
+    same partitioning (group key == window partition key, Catalyst
+    elides the second exchange).  Segment durations come from exact
+    integer epoch-micros before the double division."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).filter(F.col("next_ts").isNotNull())
+    seg = o.select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros("next_ts") - F.unix_micros("ts")).cast("double") / 1e6
+        ).alias("dur_s"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dur_s")) / F.sum("dur_s"), 4).alias(
+            "twa_value"
+        ),
+        F.round(F.avg("value"), 4).alias("naive_avg"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nested/struct scalar surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_struct_funcs",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             {'status': o_orderstatus,
+              'total_cents': CAST(round(o_totalprice * 100) AS BIGINT),
+              'priority': o_orderpriority} AS ord
+      FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT o_orderkey,
+           ord.status AS status,
+           ord.total_cents AS total_cents,
+           upper(ord.priority) AS priority_uc,
+           to_json(ord) AS ord_json
+    FROM s
+    """,
+)
+def scalar_struct_funcs(spark, sf_dir):
+    """Struct construction, field access, and JSON serialization — the
+    nested-data scalar surface (reference C8 serializes nested values to
+    JSON strings at the sink; here the struct stays TYPED through the
+    plan and JSON is just one projection at the edge).  Field order and
+    key names are pinned so the JSON text matches byte-for-byte across
+    engines.
+
+    Plan: pure scan-stage projection, filter pushed to parquet; structs
+    are columnar in Tungsten (no boxing), so the nested hop costs
+    nothing."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("total_cents"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("ord"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("ord.status").alias("status"),
+        F.col("ord.total_cents").alias("total_cents"),
+        F.upper(F.col("ord.priority")).alias("priority_uc"),
+        F.to_json(F.col("ord")).alias("ord_json"),
+    )

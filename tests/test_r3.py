@@ -208,3 +208,46 @@ def test_snapshot_diff_partitions_users(run, spark, sf_dir):
             assert r.old_state is None and r.new_state is not None
         elif r.status == "unchanged":
             assert r.old_state == r.new_state
+
+
+def test_bitmap_distinct_equals_exact(run, spark, sf_dir):
+    got = {r.event_type: r for r in run("agg_bitmap_distinct").collect()}
+    exact = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, r in got.items():
+        assert r.n_distinct_users == exact[et]  # bitmaps are EXACT
+        assert r.n_words <= r.n_distinct_users  # >=1 user per word
+
+
+def test_time_weighted_avg_within_value_range(run, spark, sf_dir):
+    bounds = {
+        r.user_id: r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in run("events_time_weighted_avg").collect():
+        b = bounds[r.user_id]
+        # a weighted mean cannot escape the value range (tolerance: the
+        # two dropped endpoints and 4dp rounding)
+        assert b.lo - 1e-3 <= r.twa_value <= b.hi + 1e-3
+        assert b.lo - 1e-3 <= r.naive_avg <= b.hi + 1e-3
+
+
+def test_struct_json_roundtrip(run, spark):
+    rows = run("scalar_struct_funcs").collect()
+    assert rows
+    import json as _json
+
+    for r in rows:
+        parsed = _json.loads(r.ord_json)
+        assert parsed["status"] == r.status
+        assert parsed["total_cents"] == r.total_cents
+        assert list(parsed) == ["status", "total_cents", "priority"]
