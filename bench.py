@@ -102,6 +102,7 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "events_time_weighted_avg",
     "scalar_struct_funcs",
+    "agg_weighted_percentile",
 ]
 
 

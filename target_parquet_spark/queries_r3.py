@@ -1150,3 +1150,65 @@ def scalar_struct_funcs(spark, sf_dir):
         F.upper(F.col("ord.priority")).alias("priority_uc"),
         F.to_json(F.col("ord")).alias("ord_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted percentile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_percentile",
+    """
+    WITH o AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             l_quantity AS wt,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber) AS cum_wt,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_wt
+      FROM lineitem),
+    hit AS (
+      SELECT flag, price,
+             row_number() OVER (PARTITION BY flag
+                                ORDER BY cum_wt, price) AS rn
+      FROM o WHERE cum_wt >= 0.5 * tot_wt)
+    SELECT flag AS l_returnflag,
+           round(price, 2) AS weighted_median_price
+    FROM hit WHERE rn = 1
+    """,
+)
+def agg_weighted_percentile(spark, sf_dir):
+    """Exact weighted median: the smallest value whose cumulative weight
+    reaches half the group's total (weight = quantity, so this is the
+    median PRICE PER UNIT SHIPPED, not per line item) — the estimator
+    quantity-weighted SLAs and cost models need, which plain
+    percentile() cannot express.
+
+    Plan: one shuffle on the group key; the running weight, the total,
+    and the threshold probe all share that partitioning (two Window
+    nodes, one Exchange+Sort).  The generalization to any q is the same
+    plan with 0.5 swapped; Spark 4's percentile(col, q, weight)
+    three-argument form is the built-in fast path when interpolation
+    semantics are acceptable."""
+    li = t(spark, sf_dir, "lineitem")
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    o = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(w_cum).alias("cum_wt"),
+        F.sum("l_quantity").over(w_tot).alias("tot_wt"),
+    )
+    w_hit = Window.partitionBy("flag").orderBy("cum_wt", "price")
+    return (
+        o.filter(F.col("cum_wt") >= 0.5 * F.col("tot_wt"))
+        .withColumn("rn", F.row_number().over(w_hit))
+        .filter(F.col("rn") == 1)
+        .select("flag", F.round("price", 2).alias("weighted_median_price"))
+        .select(
+            F.col("flag").alias("l_returnflag"), "weighted_median_price"
+        )
+    )

@@ -251,3 +251,21 @@ def test_struct_json_roundtrip(run, spark):
         assert parsed["status"] == r.status
         assert parsed["total_cents"] == r.total_cents
         assert list(parsed) == ["status", "total_cents", "priority"]
+
+
+def test_weighted_median_differs_from_unweighted_sanely(run, spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bounds = {
+        r.flag: r
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    rows = run("agg_weighted_percentile").collect()
+    assert {r.l_returnflag for r in rows} == set(bounds)
+    for r in rows:
+        b = bounds[r.l_returnflag]
+        assert b.lo <= r.weighted_median_price <= b.hi
