@@ -103,6 +103,7 @@ HEADLINE = [
     "events_time_weighted_avg",
     "scalar_struct_funcs",
     "agg_weighted_percentile",
+    "sim_mmr_select",
 ]
 
 

@@ -1212,3 +1212,121 @@ def agg_weighted_percentile(spark, sf_dir):
             F.col("flag").alias("l_returnflag"), "weighted_median_price"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# diversity-aware selection (MMR)
+# ---------------------------------------------------------------------------
+
+_SQL_COS = (
+    f"({_SQL_DOT.format(a='{a}', b='{b}')}"
+    f" / (sqrt({_SQL_DOT.format(a='{a}', b='{a}')})"
+    f" * sqrt({_SQL_DOT.format(a='{b}', b='{b}')})))"
+)
+
+
+@query(
+    "sim_mmr_select",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding,
+             {_SQL_COS.format(a='e.embedding', b='q.qv')} AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 12),
+    s1 AS (SELECT vec_id, embedding, rel, 0.7 * rel AS mmr FROM cand
+           ORDER BY mmr DESC, vec_id LIMIT 1),
+    r2 AS (SELECT c.vec_id, c.embedding, c.rel,
+                  0.7 * c.rel
+                  - 0.3 * {_SQL_COS.format(a='c.embedding', b='s1.embedding')} AS mmr
+           FROM cand c, s1 WHERE c.vec_id <> s1.vec_id),
+    s2 AS (SELECT vec_id, embedding, rel, mmr FROM r2
+           ORDER BY mmr DESC, vec_id LIMIT 1),
+    r3 AS (SELECT c.vec_id, c.embedding, c.rel,
+                  0.7 * c.rel - 0.3 * greatest(
+                    {_SQL_COS.format(a='c.embedding', b='s1.embedding')},
+                    {_SQL_COS.format(a='c.embedding', b='s2.embedding')}) AS mmr
+           FROM cand c, s1, s2
+           WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+    s3 AS (SELECT vec_id, embedding, rel, mmr FROM r3
+           ORDER BY mmr DESC, vec_id LIMIT 1),
+    r4 AS (SELECT c.vec_id, c.embedding, c.rel,
+                  0.7 * c.rel - 0.3 * greatest(
+                    {_SQL_COS.format(a='c.embedding', b='s1.embedding')},
+                    {_SQL_COS.format(a='c.embedding', b='s2.embedding')},
+                    {_SQL_COS.format(a='c.embedding', b='s3.embedding')}) AS mmr
+           FROM cand c, s1, s2, s3
+           WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)),
+    s4 AS (SELECT vec_id, embedding, rel, mmr FROM r4
+           ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT 1 AS sel_rank, vec_id, round(rel, 4) AS rel_score,
+           round(mmr, 4) AS mmr_score FROM s1
+    UNION ALL SELECT 2, vec_id, round(rel, 4), round(mmr, 4) FROM s2
+    UNION ALL SELECT 3, vec_id, round(rel, 4), round(mmr, 4) FROM s3
+    UNION ALL SELECT 4, vec_id, round(rel, 4), round(mmr, 4) FROM s4
+    """,
+)
+def sim_mmr_select(spark, sf_dir):
+    """Maximal-marginal-relevance selection: from the query's top-12
+    candidates, greedily pick 4 that balance relevance against
+    redundancy (score = 0.7*rel - 0.3*max-sim-to-already-picked) — the
+    diversity-aware sampling step of corpus curation and RAG context
+    packing, where plain top-k returns four near-copies.
+
+    Plan: the candidate generation is the distributed stage (exact
+    cosine vs a broadcast query vector, TakeOrdered top-12 — at 100 TB
+    this is the ANN stage, and it is where the data-sized work ends);
+    each greedy round is then an argmax reduction over the candidate
+    table with the selected prefix as literal vectors — the same
+    collect-tiny-model-state seam as sim_kmeans_lloyd (k rounds collect
+    k vectors, never data).  The k=4 selection sequence is returned as
+    plan-time literals re-verified by the oracle's unrolled CTEs with
+    identical fold arithmetic."""
+    lam = 0.7
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            S.cosine(F.col("embedding"), F.lit(qv)).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(12)
+    )
+    cand = cand.persist()
+    try:
+        picked: list[tuple[int, float, float]] = []  # (vec_id, rel, mmr)
+        sel_vecs: list[list[float]] = []
+        for _rank in range(4):
+            if sel_vecs:
+                sims = [S.cosine(F.col("embedding"), F.lit(v)) for v in sel_vecs]
+                div = sims[0] if len(sims) == 1 else F.greatest(*sims)
+                mmr = F.lit(lam) * F.col("rel") - F.lit(1 - lam) * div
+            else:
+                mmr = F.lit(lam) * F.col("rel")
+            top = (
+                cand.filter(
+                    ~F.col("vec_id").isin([p[0] for p in picked])
+                    if picked
+                    else F.lit(True)
+                )
+                .select("vec_id", "embedding", "rel", mmr.alias("mmr"))
+                .orderBy(F.desc("mmr"), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            picked.append((int(top["vec_id"]), float(top["rel"]), float(top["mmr"])))
+            sel_vecs.append([float(x) for x in top["embedding"]])
+    finally:
+        cand.unpersist()
+    rows = [
+        (i + 1, vid, round(rel, 4), round(mmr, 4))
+        for i, (vid, rel, mmr) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, "sel_rank int, vec_id bigint, rel_score double, mmr_score double"
+    )

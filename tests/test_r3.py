@@ -269,3 +269,15 @@ def test_weighted_median_differs_from_unweighted_sanely(run, spark, sf_dir):
     for r in rows:
         b = bounds[r.l_returnflag]
         assert b.lo <= r.weighted_median_price <= b.hi
+
+
+def test_mmr_selection_is_diverse_and_ordered(run):
+    rows = sorted(run("sim_mmr_select").collect(), key=lambda r: r.sel_rank)
+    assert [r.sel_rank for r in rows] == [1, 2, 3, 4]
+    assert len({r.vec_id for r in rows}) == 4  # no repeats
+    # rank 1 is the pure-relevance argmax: nothing later beats its rel
+    assert all(rows[0].rel_score >= r.rel_score - 1e-9 for r in rows[1:])
+    for r in rows:
+        # mmr = 0.7*rel - 0.3*maxsim with maxsim in [-1, 1] (anti-aligned
+        # neighbors make the penalty a bonus, so no one-sided bound)
+        assert abs(r.mmr_score - 0.7 * r.rel_score) <= 0.3 + 1e-9
