@@ -104,6 +104,8 @@ HEADLINE = [
     "scalar_struct_funcs",
     "agg_weighted_percentile",
     "sim_mmr_select",
+    "agg_bitmap_set_ops",
+    "audit_robust_outliers",
 ]
 
 

@@ -1330,3 +1330,134 @@ def sim_mmr_select(spark, sf_dir):
     return spark.createDataFrame(
         rows, "sel_rank int, vec_id bigint, rel_score double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# bitmap set operations (exact audience overlap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_bitmap_set_ops",
+    """
+    WITH wa AS (
+      SELECT user_id // 32 AS word,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+      FROM events WHERE event_type = 'click' GROUP BY word),
+    wb AS (
+      SELECT user_id // 32 AS word,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+      FROM events WHERE event_type = 'purchase' GROUP BY word),
+    j AS (
+      SELECT coalesce(wa.word, wb.word) AS word,
+             coalesce(wa.bits, 0) AS ba,
+             coalesce(wb.bits, 0) AS bb
+      FROM wa FULL OUTER JOIN wb ON wa.word = wb.word)
+    SELECT CAST(sum(bit_count(ba)) AS BIGINT) AS n_a,
+           CAST(sum(bit_count(bb)) AS BIGINT) AS n_b,
+           CAST(sum(bit_count(ba | bb)) AS BIGINT) AS n_union,
+           CAST(sum(bit_count(ba & bb)) AS BIGINT) AS n_intersect
+    FROM j
+    """,
+)
+def agg_bitmap_set_ops(spark, sf_dir):
+    """EXACT set algebra on bitmap state — the companion of
+    agg_hll_set_ops with the error bars removed: per-segment word tables
+    (32 users per long, as in agg_bitmap_distinct) joined word-to-word,
+    union = OR, intersection = AND, cardinalities = popcount sums.
+    Audience overlap answered exactly without ever shuffling raw ids —
+    only word tables (32x smaller, pre-reduced map-side) move.
+
+    Plan: two filtered scans (filters pushed) -> two word aggs sharing
+    the word partitioning -> one full outer join on word, already
+    co-partitioned, -> scalar popcount rollup.  The word tables are the
+    materializable per-segment state: N segments need N single-scan word
+    tables, and every pairwise overlap is a word-join over those."""
+    e = t(spark, sf_dir, "events")
+
+    def words(et):
+        return (
+            e.filter(F.col("event_type") == et)
+            .groupBy(F.expr("user_id div 32").alias("word"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))")
+                ).alias("bits")
+            )
+        )
+
+    wa, wb = words("click").alias("wa"), words("purchase").alias("wb")
+    j = wa.join(wb, F.col("wa.word") == F.col("wb.word"), "full_outer").select(
+        F.coalesce(F.col("wa.bits"), F.lit(0)).alias("ba"),
+        F.coalesce(F.col("wb.bits"), F.lit(0)).alias("bb"),
+    )
+    return j.agg(
+        F.sum(F.bit_count("ba")).cast("long").alias("n_a"),
+        F.sum(F.bit_count("bb")).cast("long").alias("n_b"),
+        F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb"))))
+        .cast("long")
+        .alias("n_union"),
+        F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+        .cast("long")
+        .alias("n_intersect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust (MAD) outlier detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audit_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med.med,
+             median(abs(e.value - med.med)) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type, med.med)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_outliers,
+           round(min(e.value), 4) AS min_outlier_value,
+           round(any_value(mad.med), 4) AS med,
+           round(any_value(mad.mad), 4) AS mad
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    WHERE abs(e.value - mad.med) > 3 * 1.4826 * mad.mad
+    GROUP BY e.event_type
+    """,
+)
+def audit_robust_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: flag
+    |x - median| > 3 * 1.4826 * MAD per group — the estimator that keeps
+    working when the outliers themselves corrupt mean and stddev (the
+    z-score of audit_value_outliers breaks down at >5% contamination;
+    MAD has a 50% breakdown point).  1.4826 rescales MAD to sigma-units
+    under normality.
+
+    Plan: two exact-median passes (group medians, then deviation
+    medians) + one flagging pass, each a 5-key agg with the tiny
+    median/MAD table broadcast back onto the scan — the fact table is
+    scanned three times but never shuffled.  At 100 TB swap
+    approx_percentile into the two median passes for one-pass behavior;
+    the flagging pass is unchanged."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    flagged = e.join(F.broadcast(mad), "event_type").filter(
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_outliers"),
+        F.round(F.min("value"), 4).alias("min_outlier_value"),
+        F.round(F.any_value("med"), 4).alias("med"),
+        F.round(F.any_value("mad"), 4).alias("mad"),
+    )

@@ -281,3 +281,51 @@ def test_mmr_selection_is_diverse_and_ordered(run):
         # mmr = 0.7*rel - 0.3*maxsim with maxsim in [-1, 1] (anti-aligned
         # neighbors make the penalty a bonus, so no one-sided bound)
         assert abs(r.mmr_score - 0.7 * r.rel_score) <= 0.3 + 1e-9
+
+
+def test_bitmap_set_ops_exact_and_consistent(run, spark, sf_dir):
+    r = run("agg_bitmap_set_ops").collect()[0]
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_a = e.filter(F.col("event_type") == "click").select("user_id").distinct().count()
+    n_b = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct().count()
+    )
+    n_u = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert (r.n_a, r.n_b, r.n_union) == (n_a, n_b, n_u)
+    assert r.n_intersect == n_a + n_b - n_u  # inclusion-exclusion, exactly
+
+
+def test_bitmap_words_merge_across_splits(spark, sf_dir):
+    # the mergeability claim: word tables built per-split re-OR into the
+    # same exact distinct as one global pass
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bit = F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))")
+    halves = [
+        e.filter(F.col("event_id") % 2 == i)
+        .groupBy(F.expr("user_id div 32").alias("word"))
+        .agg(F.bit_or(bit).alias("bits"))
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .agg(F.sum(F.bit_count("bits")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert merged == e.select("user_id").distinct().count()
+
+
+def test_robust_outliers_are_actually_far(run, spark, sf_dir):
+    for r in run("audit_robust_outliers").collect():
+        assert r.n_outliers >= 1
+        assert r.mad >= 0
+        # the flagged minimum lies outside the +/-3 sigma-equivalent band
+        assert abs(r.min_outlier_value - r.med) > 3 * 1.4826 * r.mad - 1e-2
