@@ -106,6 +106,7 @@ HEADLINE = [
     "sim_mmr_select",
     "agg_bitmap_set_ops",
     "audit_robust_outliers",
+    "dedup_chunk_overlap",
 ]
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from target_parquet_spark.queries import query, t
-from target_parquet_spark.queries_ext import SQL_TOKS, _SQL_DOT, td
+from target_parquet_spark.queries_ext import SQL_CORPUS, SQL_TOKS, _SQL_DOT, td
 from target_parquet_spark.operators import similarity as S
 from target_parquet_spark.operators import text as X
 
@@ -1460,4 +1460,89 @@ def audit_robust_outliers(spark, sf_dir):
         F.round(F.min("value"), 4).alias("min_outlier_value"),
         F.round(F.any_value("med"), 4).alias("med"),
         F.round(F.any_value("mad"), 4).alias("mad"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level dedup (chunking x dedup composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_chunk_overlap",
+    f"""
+    WITH {SQL_CORPUS},
+    d AS (
+      SELECT doc_id, {SQL_TOKS.format(c="text")} AS toks FROM corpus),
+    s AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(generate_series(1, len(toks), {_STRIDE})) AS start
+      FROM d WHERE len(toks) >= 1),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, start,
+                                            start + {_CHUNK} - 1), ' ')) AS h
+      FROM s),
+    dup AS (SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+    flag AS (
+      SELECT c.doc_id,
+             CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM ch c LEFT JOIN dup ON c.h = dup.h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks,
+           round(avg(CAST(is_dup AS DOUBLE)), 4) AS dup_chunk_ratio
+    FROM flag GROUP BY doc_id
+    HAVING sum(is_dup) > 0
+    """,
+)
+def dedup_chunk_overlap(spark, sf_dir):
+    """Chunk-level duplication report — the composition of
+    text_chunk_sliding with exact dedup, run over the doubled corpus:
+    every doc's sliding chunks content-hashed, a chunk flagged
+    duplicated when its hash appears in 2+ docs, docs reported with
+    their duplicated-chunk ratio.  This is the Lee-et-al-style partial-
+    overlap signal at chunk granularity: near-copies surface with ratio
+    ~1 even when doc-level hashes differ (the perturbed copies here
+    differ in their tails, exactly the case doc-hash dedup misses).
+
+    Plan: chunk generation is scan-stage (explode after narrow
+    projection); the duplicate-hash table is one shuffle keyed on the
+    chunk hash with map-side countDistinct partials, and the flagging
+    join reuses that hash partitioning (Exchange reuse, no second wide
+    shuffle of chunks).  At 100 TB the hash-keyed chunk table IS the
+    dedup index — the same exchange a written index would be."""
+    from target_parquet_spark.queries_ext import _spark_corpus
+
+    corpus = _spark_corpus(spark, sf_dir)
+    d = corpus.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    s = (
+        d.withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+        .withColumn(
+            "start", F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(_STRIDE)))
+        )
+    )
+    ch = s.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.col("toks"), F.col("start"), _CHUNK))).alias(
+            "h"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism, "h")
+    dup = ch.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") > 1).select("h")
+    flag = ch.join(dup.withColumn("is_dup", F.lit(1)), "h", "left").select(
+        "doc_id", F.coalesce("is_dup", F.lit(0)).alias("is_dup")
+    )
+    return (
+        flag.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+            F.round(F.avg(F.col("is_dup").cast("double")), 4).alias(
+                "dup_chunk_ratio"
+            ),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
     )

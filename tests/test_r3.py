@@ -329,3 +329,16 @@ def test_robust_outliers_are_actually_far(run, spark, sf_dir):
         assert r.mad >= 0
         # the flagged minimum lies outside the +/-3 sigma-equivalent band
         assert abs(r.min_outlier_value - r.med) > 3 * 1.4826 * r.mad - 1e-2
+
+
+def test_chunk_overlap_flags_perturbed_copies(run):
+    rows = run("dedup_chunk_overlap").collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    # perturbed copies (doc_id + 1_000_000) share all leading chunks with
+    # their originals, so both sides of at least one pair must be flagged
+    pairs = [i for i in by_id if i + 1_000_000 in by_id]
+    assert pairs
+    for r in rows:
+        assert 0 < r.n_dup_chunks <= r.n_chunks
+        assert 0 < r.dup_chunk_ratio <= 1.0
