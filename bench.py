@@ -107,6 +107,7 @@ HEADLINE = [
     "agg_bitmap_set_ops",
     "audit_robust_outliers",
     "dedup_chunk_overlap",
+    "scan_dpp_join",
 ]
 
 

@@ -167,3 +167,53 @@ def rollup_navigate_month(spark, sf_dir):
             ).alias("avg_value"),
         )
     )
+
+
+@query(
+    "scan_dpp_join",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE year(o_orderdate) IN (
+      SELECT DISTINCT year(l_shipdate) FROM lineitem WHERE l_discount > 0.09)
+    GROUP BY o_year
+    """,
+)
+def scan_dpp_join(spark, sf_dir):
+    """DYNAMIC partition pruning — the runtime twin of
+    scan_partition_pruned's static pruning: the years to keep are not a
+    literal but the output of a dim-side filter (years with deep-discount
+    shipping activity), so the pruning predicate only exists at runtime.
+    Spark broadcasts the filtered dim, reuses that broadcast as an IN
+    subquery on the fact's PARTITION column, and skips non-qualifying
+    year directories before any fact I/O (`dynamicpruningexpression` on
+    the scan, pinned in tests/test_layout.py).  At 100 TB this is the
+    date-dim star-join pattern: the fact never scans years the dim
+    filter excludes, with zero query rewrites.
+
+    The oracle runs the same logical query on the flat table — layout
+    changes the plan, never the result.
+
+    Reference: hotgluexyz/target-parquet has no notion of partitioned
+    layout at all (flat files in CWD, writers.py:31-33)."""
+    from target_parquet_spark.queries import t
+
+    o = ensure_partitioned(
+        spark, sf_dir, "orders", "o_year", F.year(F.col("o_orderdate"))
+    )
+    yrs = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.09)
+        .select(F.year("l_shipdate").alias("o_year"))
+        .distinct()
+    )
+    return (
+        o.join(yrs, "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -750,16 +750,19 @@ def sim_ivf_recall(spark, sf_dir):
         .filter(F.col("rn") <= 2)
         .select("qid", "cid")
     )
+    # hoist ||e|| above the query fan-out: one norm fold per vector
+    # instead of one per (vector, query) pair — same IEEE double as the
+    # inline sqrt (the oracle keeps the inline form, values identical)
+    embn = emb.withColumn(
+        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+    )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        embn.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            (
-                S.dot(F.col("embedding"), F.col("qv"))
-                / F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
-            ).alias("score"),
+            (S.dot(F.col("embedding"), F.col("qv")) / F.col("nrm")).alias("score"),
         )
     )
     w_truth = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")

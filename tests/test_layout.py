@@ -127,3 +127,19 @@ def test_materializers_are_idempotent(spark, sf_dir):
     r1 = ensure_rollup(spark, sf_dir)
     n1 = r1.count()
     assert ensure_rollup(spark, sf_dir).count() == n1
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    import contextlib
+    import io as _io
+
+    from target_parquet_spark.queries import QUERIES
+
+    df = QUERIES["scan_dpp_join"](spark, sf_dir)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # the fact scan's partition filter is a runtime subquery, not a literal
+    assert "dynamicpruningexpression" in p
+    assert "PartitionFilters" in p
