@@ -540,3 +540,45 @@ def test_text_quality_filter_works_on_stream(spark, tmp_path):
     cols = ["doc_id", "q", "n_tok"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() >= 1
+
+
+def test_streaming_bitmap_distinct_exact_and_replay_safe(
+    spark, events_src, tmp_path
+):
+    """Incremental bitmap-word distinct: multi-epoch stream == batch
+    countDistinct; replaying an epoch (and even DOUBLE-merging one, OR
+    being idempotent) cannot change counts; compaction preserves them."""
+    from target_parquet_spark.streaming.distinct import StreamingBitmapDistinct
+
+    path, schema = events_src
+    out = str(tmp_path / "bdist")
+    d = StreamingBitmapDistinct(spark, out)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    _await(d.start(stream, available_now=True))
+
+    cols = ["event_type", "n_distinct_users"]
+    want = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_distinct_users"))
+    )
+    assert _rows(d.counts(), cols) == _rows(want, cols)
+
+    # replaying epoch 0 with a SUBSET is still exact for the whole: the
+    # subset's bits were already in the merged OR state from other epochs
+    # only if re-delivered rows overlap; to test pure idempotence, replay
+    # the identical full first-file batch twice
+    first_file = spark.read.parquet(path).limit(200)
+    d._merge_batch(first_file, 0)
+    once = _rows(d.counts(), cols)
+    d._merge_batch(first_file, 0)
+    assert _rows(d.counts(), cols) == once
+
+    # compaction folds epochs without changing counts
+    d.compact()
+    assert _rows(d.counts(), cols) == once
