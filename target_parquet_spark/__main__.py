@@ -25,7 +25,43 @@ def main(argv: list[str] | None = None) -> int:
         help="streaming mode: continuously ingest Singer line files dropped "
         "into DIR (Structured Streaming; checkpoint under the output root)",
     )
+    ap.add_argument(
+        "--about",
+        action="store_true",
+        help="print capabilities + settings schema as JSON and exit "
+        "(reference: singer-sdk Target --about)",
+    )
     args = ap.parse_args(argv)
+
+    if args.about:
+        # Settings surface: the reference's config_jsonschema
+        # (reference target_parquet/target.py:16-25) plus the options it
+        # declared but never read (W5), implemented for real here.
+        print(
+            json.dumps(
+                {
+                    "name": "target-parquet-spark",
+                    "capabilities": ["about", "stream-maps", "batch", "watch"],
+                    "settings": {
+                        "type": "object",
+                        "properties": {
+                            "filepath": {"type": "string"},
+                            "file_naming_scheme": {"type": "string"},
+                            "compression": {
+                                "type": "string",
+                                "enum": ["snappy", "zstd", "gzip", "none"],
+                            },
+                            "partition_cols": {"type": "object"},
+                            "max_records_per_file": {"type": "integer"},
+                            "fixed_headers": {"type": "object"},
+                            "strict_validation": {"type": "boolean"},
+                            "exact_compat": {"type": "boolean"},
+                        },
+                    },
+                }
+            )
+        )
+        return 0
 
     config = {}
     if args.config:

@@ -459,3 +459,21 @@ def test_gzip_compressed_singer_input(spark, tmp_out, tmp_path):
     assert res["state"] == {"ok": 1}
     _, rows = rows_of(spark, f"{tmp_out}/s")
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_cli_about_lists_settings():
+    import json as _json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "target_parquet_spark", "--about"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    about = _json.loads(out)
+    assert about["name"] == "target-parquet-spark"
+    for key in ("filepath", "file_naming_scheme", "compression",
+                "partition_cols", "strict_validation"):
+        assert key in about["settings"]["properties"]
