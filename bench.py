@@ -108,6 +108,7 @@ HEADLINE = [
     "audit_robust_outliers",
     "dedup_chunk_overlap",
     "scan_dpp_join",
+    "rollup_day_over_day",
 ]
 
 

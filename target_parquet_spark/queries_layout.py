@@ -217,3 +217,52 @@ def scan_dpp_join(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "rollup_day_over_day",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n
+      FROM events GROUP BY day, event_type)
+    SELECT day, event_type,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(n AS DOUBLE) / lag(n) OVER w - 1, 4) AS dod_change,
+           round(avg(CAST(n AS DOUBLE)) OVER
+                 (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def rollup_day_over_day(spark, sf_dir):
+    """Period-over-period navigation on the continuous aggregate:
+    day-over-day percent change and 7-day moving average per event type,
+    computed ONLY from the day-grain rollup — the standard monitoring
+    dashboard pair (trend + smoothing), served from KBs of pre-aggregate
+    instead of the raw stream.
+
+    Plan: the rollup read is days x types rows; both window functions
+    share one partitioning on event_type (5 keys x ~30 days — trivially
+    small, and always will be: the rollup's size is calendar-bounded no
+    matter how many raw events feed it — that invariant is the whole
+    point of the continuous aggregate)."""
+    from pyspark.sql import Window
+
+    from target_parquet_spark.io.layout import ensure_rollup
+
+    r = ensure_rollup(spark, sf_dir)
+    d = r.groupBy(
+        F.col("day").cast("date").alias("day"), "event_type"
+    ).agg(F.sum("n_events").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, Window.currentRow)
+    return d.select(
+        "day",
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(F.col("n").cast("double") / F.lag("n").over(w) - 1, 4).alias(
+            "dod_change"
+        ),
+        F.round(F.avg(F.col("n").cast("double")).over(w7), 4).alias("ma7"),
+    )

@@ -143,3 +143,19 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
     # the fact scan's partition filter is a runtime subquery, not a literal
     assert "dynamicpruningexpression" in p
     assert "PartitionFilters" in p
+
+
+def test_day_over_day_first_row_null_and_ma_bounded(spark, sf_dir):
+    from target_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["rollup_day_over_day"](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, days in by_type.items():
+        days.sort(key=lambda r: r.day)
+        assert days[0].dod_change is None  # no prior period
+        assert all(r.dod_change is not None for r in days[1:])
+        for i, r in enumerate(days):
+            window = [d.n_events for d in days[max(0, i - 6): i + 1]]
+            assert min(window) <= r.ma7 <= max(window)
