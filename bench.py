@@ -109,6 +109,7 @@ HEADLINE = [
     "dedup_chunk_overlap",
     "scan_dpp_join",
     "rollup_day_over_day",
+    "audit_k_anonymity",
 ]
 
 

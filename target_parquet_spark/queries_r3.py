@@ -1549,3 +1549,53 @@ def dedup_chunk_overlap(spark, sf_dir):
         )
         .filter(F.col("n_dup_chunks") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audit_k_anonymity",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY event_type, day)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS n_violating,
+           CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(CASE WHEN min(n) >= 5 THEN 1 ELSE 0 END AS INTEGER)
+             AS k5_satisfied
+    FROM g
+    """,
+)
+def audit_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier (event_type, day):
+    group sizes, the count of groups below k=5, rows at re-identification
+    risk, and a pass/fail flag — the release gate a training-data export
+    runs before shipping event-derived features (groups smaller than k
+    get suppressed or generalized to a coarser quasi-identifier).
+
+    Plan: one map-combinable count shuffle on the quasi-identifier, then
+    a scalar rollup of group sizes — the audit's cost is the
+    cardinality of the quasi-identifier space, not the table.  At 100 TB
+    the generalization ladder (hour -> day -> week) re-runs only the
+    final rollup if the grain table is the day-level continuous
+    aggregate."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count(F.when(F.col("n") < 5, 1)).cast("long").alias("n_violating"),
+        F.coalesce(F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("n").cast("long").alias("min_group_size"),
+        F.when(F.min("n") >= 5, 1).otherwise(0).cast("int").alias("k5_satisfied"),
+    )

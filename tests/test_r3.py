@@ -342,3 +342,20 @@ def test_chunk_overlap_flags_perturbed_copies(run):
     for r in rows:
         assert 0 < r.n_dup_chunks <= r.n_chunks
         assert 0 < r.dup_chunk_ratio <= 1.0
+
+
+def test_k_anonymity_report_consistent(run, spark, sf_dir):
+    r = run("audit_k_anonymity").collect()[0]
+    n_groups = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).cast("date"))
+        .count()
+        .count()
+    )
+    assert r.n_groups == n_groups
+    assert 0 <= r.n_violating <= r.n_groups
+    assert (r.n_violating == 0) == (r.k5_satisfied == 1)
+    if r.n_violating:
+        assert 0 < r.n_rows_at_risk < 5 * r.n_violating
+    else:
+        assert r.n_rows_at_risk == 0
