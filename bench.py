@@ -110,6 +110,7 @@ HEADLINE = [
     "scan_dpp_join",
     "rollup_day_over_day",
     "audit_k_anonymity",
+    "audit_ks_drift",
 ]
 
 

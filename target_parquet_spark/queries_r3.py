@@ -1599,3 +1599,85 @@ def audit_k_anonymity(spark, sf_dir):
         F.min("n").cast("long").alias("min_group_size"),
         F.when(F.min("n") >= 5, 1).otherwise(0).cast("int").alias("k5_satisfied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (exact two-sample KS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audit_ks_drift",
+    f"""
+    WITH x AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{_T1}' THEN 1 ELSE 0 END AS a
+      FROM events),
+    n AS (SELECT event_type,
+                 CAST(sum(a) AS BIGINT) AS na,
+                 CAST(sum(1 - a) AS BIGINT) AS nb
+          FROM x GROUP BY event_type),
+    v AS (SELECT event_type, value,
+                 sum(a) AS ca, sum(1 - a) AS cb
+          FROM x GROUP BY event_type, value),
+    c AS (SELECT event_type, value,
+                 sum(ca) OVER (PARTITION BY event_type ORDER BY value) AS cum_a,
+                 sum(cb) OVER (PARTITION BY event_type ORDER BY value) AS cum_b
+          FROM v)
+    SELECT c.event_type,
+           round(max(abs(CAST(cum_a AS DOUBLE) / n.na
+                         - CAST(cum_b AS DOUBLE) / n.nb)), 4) AS ks_stat,
+           n.na, n.nb
+    FROM c JOIN n ON c.event_type = n.event_type
+    GROUP BY c.event_type, n.na, n.nb
+    """,
+)
+def audit_ks_drift(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov statistic per event type,
+    comparing the value distribution before vs after a cutover date —
+    the distribution-drift monitor behind model-retrain triggers and
+    pipeline regression alarms, computed relationally: collapse to
+    per-value counts, running sums give both ECDFs at every jump point,
+    KS = max gap.  Grouping by value BEFORE the window makes ties exact
+    (the ECDF gap is evaluated after all equal values accumulate, the
+    textbook definition).
+
+    Plan: one count shuffle on (event_type, value), one window over the
+    per-value table (distinct-value-sized, not row-sized), one 5-row
+    max.  At 100 TB with continuous values, quantize `value` to the
+    monitoring resolution first — same plan, bounded value table."""
+    e = t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < _T1, 1).otherwise(0).alias("a"),
+    )
+    n = x.groupBy("event_type").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum(1 - F.col("a")).cast("long").alias("nb"),
+    )
+    v = x.groupBy("event_type", "value").agg(
+        F.sum("a").alias("ca"), F.sum(1 - F.col("a")).alias("cb")
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    c = v.select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    return (
+        c.join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "na", "nb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a").cast("double") / F.col("na")
+                        - F.col("cum_b").cast("double") / F.col("nb")
+                    )
+                ),
+                4,
+            ).alias("ks_stat")
+        )
+        .select("event_type", "ks_stat", "na", "nb")
+    )

@@ -359,3 +359,20 @@ def test_k_anonymity_report_consistent(run, spark, sf_dir):
         assert 0 < r.n_rows_at_risk < 5 * r.n_violating
     else:
         assert r.n_rows_at_risk == 0
+
+
+def test_ks_drift_bounds_and_counts(run, spark, sf_dir):
+    rows = run("audit_ks_drift").collect()
+    assert len(rows) == 5
+    totals = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0  # KS is a sup of ECDF gaps
+        assert r.na + r.nb == totals[r.event_type]
+        assert r.na > 0 and r.nb > 0
