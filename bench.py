@@ -111,6 +111,7 @@ HEADLINE = [
     "rollup_day_over_day",
     "audit_k_anonymity",
     "audit_ks_drift",
+    "asof_join_forward",
 ]
 
 

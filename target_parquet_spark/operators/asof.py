@@ -80,13 +80,21 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row at-or-before it.
+    """For each left row: columns of the latest right row at-or-before it
+    (``direction='backward'``, the default) or the earliest right row
+    at-or-after it (``direction='forward'`` — the time-to-next-event
+    shape: next quote after a trade, next purchase after a click).
 
     Right rows with equal timestamps sort before left rows (a right event
     AT the left timestamp matches, like ``pd.merge_asof`` default /
-    DuckDB ``ASOF JOIN`` with ``>=``).
+    DuckDB ``ASOF JOIN`` with ``>=`` — or ``<=`` for forward).  Both
+    directions are the same one-shuffle union+window plan; forward just
+    traverses the per-key timeline descending.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
@@ -101,9 +109,12 @@ def asof_join(
     rt = rt.withColumn(f"{right_ts}{suffix}", F.col("_ats"))
 
     unioned = lt.unionByName(rt, allowMissingColumns=True)
+    order = (
+        F.col("_ats").desc() if direction == "forward" else F.col("_ats").asc()
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ats"), F.col("_side"))
+        .orderBy(order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]

@@ -1681,3 +1681,43 @@ def audit_ks_drift(spark, sf_dir):
         )
         .select("event_type", "ks_stat", "na", "nb")
     )
+
+
+# ---------------------------------------------------------------------------
+# forward as-of join (time-to-next-event)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_forward",
+    """
+    SELECT c.event_id, c.user_id,
+           round(epoch(p.ts) - epoch(c.ts), 3) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join: each click matched to the user's next purchase
+    at-or-after it — the time-to-convert measurement, and the direction
+    pd.merge_asof calls 'forward'.  Same union+window operator as the
+    backward as-of (operators/asof.py), traversing each user's timeline
+    descending; still exactly one shuffle on the key.  Oracle: DuckDB's
+    native ASOF JOIN with the inequality flipped."""
+    from target_parquet_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("ts_right").cast("double") - F.col("ts").cast("double"), 3
+        ).alias("secs_to_purchase"),
+    )

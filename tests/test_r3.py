@@ -376,3 +376,34 @@ def test_ks_drift_bounds_and_counts(run, spark, sf_dir):
         assert 0.0 <= r.ks_stat <= 1.0  # KS is a sup of ECDF gaps
         assert r.na + r.nb == totals[r.event_type]
         assert r.na > 0 and r.nb > 0
+
+
+def test_forward_asof_is_nonnegative_and_nearest(run, spark, sf_dir):
+    rows = run("asof_join_forward").collect()
+    assert rows
+    matched = [r for r in rows if r.secs_to_purchase is not None]
+    assert matched
+    for r in matched:
+        assert r.secs_to_purchase >= 0  # next purchase is at-or-after
+    # spot-check nearest-ness for one user via the raw table
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = matched[0].user_id
+    clicks = sorted(
+        x.ts for x in e.filter(
+            (F.col("user_id") == uid) & (F.col("event_type") == "click")
+        ).collect()
+    )
+    purchases = sorted(
+        x.ts for x in e.filter(
+            (F.col("user_id") == uid) & (F.col("event_type") == "purchase")
+        ).collect()
+    )
+    got = sorted(
+        r.secs_to_purchase for r in matched if r.user_id == uid
+    )
+    want = sorted(
+        min((p - c).total_seconds() for p in purchases if p >= c)
+        for c in clicks
+        if any(p >= c for p in purchases)
+    )
+    assert [round(x, 3) for x in got] == [round(x, 3) for x in want]
