@@ -112,6 +112,7 @@ HEADLINE = [
     "audit_k_anonymity",
     "audit_ks_drift",
     "asof_join_forward",
+    "audit_psi_drift",
 ]
 
 

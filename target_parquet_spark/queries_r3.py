@@ -1721,3 +1721,97 @@ def asof_join_forward(spark, sf_dir):
             F.col("ts_right").cast("double") - F.col("ts").cast("double"), 3
         ).alias("secs_to_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (binned PSI)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audit_psi_drift",
+    f"""
+    WITH x AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{_T1}' THEN 1 ELSE 0 END AS a
+      FROM events),
+    rng AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM x GROUP BY event_type),
+    b AS (
+      SELECT x.event_type,
+             least(9, greatest(0, CAST(floor((x.value - rng.lo)
+                    / nullif(rng.hi - rng.lo, 0) * 10) AS INTEGER))) AS bin,
+             x.a
+      FROM x JOIN rng ON x.event_type = rng.event_type),
+    c AS (
+      SELECT event_type, bin,
+             sum(a) AS ca, sum(1 - a) AS cb
+      FROM b GROUP BY event_type, bin),
+    n AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+          FROM c GROUP BY event_type),
+    p AS (
+      SELECT c.event_type, c.bin,
+             (c.ca + 0.5) / (n.na + 5.0) AS pa,
+             (c.cb + 0.5) / (n.nb + 5.0) AS pb
+      FROM c JOIN n ON c.event_type = n.event_type)
+    SELECT event_type,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_bins
+    FROM p GROUP BY event_type
+    """,
+)
+def audit_psi_drift(spark, sf_dir):
+    """Population stability index — the binned, magnitude-weighted drift
+    companion of audit_ks_drift (KS finds the worst ECDF gap; PSI sums
+    shift across all 10 equal-width bins; industry rule of thumb:
+    <0.1 stable, >0.25 retrain).  Laplace-smoothed bin shares (+0.5 per
+    bin) keep empty bins finite in both engines identically.
+
+    Plan: one min/max pass per group (footer-stats cheap), one binned
+    count shuffle on (event_type, bin) — 50 keys — then scalar algebra
+    on the bin table.  The bin edges are data-derived but broadcast
+    back; at 100 TB pin the edges from the BASELINE period instead so
+    monitoring windows stay comparable across runs."""
+    e = t(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < _T1, 1).otherwise(0).alias("a"),
+    )
+    rng = x.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = x.join(F.broadcast(rng), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / F.nullif(F.col("hi") - F.col("lo"), F.lit(0))
+                    * 10
+                ).cast("int"),
+            ),
+        ).alias("bin"),
+        "a",
+    )
+    c = b.groupBy("event_type", "bin").agg(
+        F.sum("a").alias("ca"), F.sum(1 - F.col("a")).alias("cb")
+    )
+    n = c.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    p = c.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        ((F.col("ca") + 0.5) / (F.col("na") + 5.0)).alias("pa"),
+        ((F.col("cb") + 0.5) / (F.col("nb") + 5.0)).alias("pb"),
+    )
+    return p.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            6,
+        ).alias("psi"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )

@@ -407,3 +407,11 @@ def test_forward_asof_is_nonnegative_and_nearest(run, spark, sf_dir):
         if any(p >= c for p in purchases)
     )
     assert [round(x, 3) for x in got] == [round(x, 3) for x in want]
+
+
+def test_psi_nonneg_and_bins_bounded(run):
+    rows = run("audit_psi_drift").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.psi >= 0  # PSI is a symmetrized KL: nonnegative
+        assert 1 <= r.n_bins <= 10
