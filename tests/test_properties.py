@@ -358,3 +358,52 @@ def test_pagerank_invariants_on_symmetric_graphs(spark, edges):
     assert abs(total - 1.0) < 1e-9
     floor = 0.15 / n
     assert all(r.rank >= floor - 1e-12 for r in rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(iv_event, min_size=1, max_size=25),
+    st.lists(iv_event, min_size=1, max_size=25),
+)
+def test_asof_both_directions_match_bruteforce(spark, lefts, rights):
+    """Union+window as-of == the quadratic definition, both directions:
+    backward takes the latest right at-or-before, forward the earliest
+    right at-or-after (ties on ts resolved to the matching side in both,
+    with the right row's value disambiguated by the quadratic argmax on
+    (ts, rid))."""
+    import datetime as dt
+
+    from target_parquet_spark.operators.asof import asof_join
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(rights)],
+        "rid long, k long, ts timestamp",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.ts_right
+            for r in asof_join(
+                ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+                direction=direction,
+            ).collect()
+        }
+        want = {}
+        for li, (lk, ls) in enumerate(lefts):
+            if direction == "backward":
+                cands = [rs for (rk, rs) in rights if rk == lk and rs <= ls]
+                want[li] = ts(max(cands)) if cands else None
+            else:
+                cands = [rs for (rk, rs) in rights if rk == lk and rs >= ls]
+                want[li] = ts(min(cands)) if cands else None
+        assert got == want
