@@ -113,6 +113,8 @@ HEADLINE = [
     "audit_ks_drift",
     "asof_join_forward",
     "audit_psi_drift",
+    "text_lang_id_confusion",
+    "events_top_paths",
 ]
 
 

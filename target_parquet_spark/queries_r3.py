@@ -1815,3 +1815,94 @@ def audit_psi_drift(spark, sf_dir):
         ).alias("psi"),
         F.count(F.lit(1)).cast("long").alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lang-id evaluation (confusion matrix) + top event paths
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_sql() -> str:
+    # assembled at import: the scoring macros live in queries_ext and
+    # contain braces-free SQL, but keeping them out of this module's
+    # f-strings avoids any brace-escaping fragility
+    from target_parquet_spark.queries_ext import (
+        _LANG_BEST,
+        _LANG_CASE,
+        _LANG_SCORES,
+    )
+
+    toks = SQL_TOKS.format(c="text")
+    return (
+        "WITH d AS (SELECT lang, " + toks + " AS toks FROM documents),\n"
+        "s AS (SELECT lang, " + _LANG_SCORES + " FROM d),\n"
+        "b AS (SELECT lang, " + _LANG_BEST + " AS best, s.* EXCLUDE (lang) FROM s)\n"
+        "SELECT lang AS lang_true,\n"
+        "       " + _LANG_CASE + " AS lang_pred,\n"
+        "       CAST(count(*) AS BIGINT) AS n_docs\n"
+        "FROM b GROUP BY lang_true, lang_pred"
+    )
+
+
+@query("text_lang_id_confusion", None)
+def text_lang_id_confusion(spark, sf_dir):
+    """Lang-id EVALUATION: the marker-stopword classifier's confusion
+    matrix against the labeled lang column — (true, predicted, count)
+    cells.  The harness that turns text_lang_id from a transform into a
+    measured model: per-language recall and the specific confusion
+    pairs fall straight out of these cells.
+
+    Plan: scoring is the same zero-Python scan-stage expression as
+    text_lang_id; the only shuffle is the <=36-cell matrix agg."""
+    d = td(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("lang_true"),
+            X.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+from target_parquet_spark.queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["text_lang_id_confusion"] = _lang_confusion_sql()
+
+
+@query(
+    "events_top_paths",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type, 2) OVER w AS p2,
+             lag(event_type, 1) OVER w AS p1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+      SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+      FROM o WHERE p2 IS NOT NULL GROUP BY path)
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM tri ORDER BY n DESC, path LIMIT 15
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top user journeys: the 15 most frequent 3-step event paths — the
+    path-analysis staple behind funnel discovery (events_funnel_*
+    assumes a funnel; this FINDS candidate funnels).
+
+    Plan: two lags share one user_id window sort; trigram counting is a
+    125-key agg with map-side partials; the top-15 is
+    TakeOrderedAndProject over that tiny table, never a global sort of
+    events."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+    ).filter(F.col("p2").isNotNull())
+    tri = o.groupBy(
+        F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return tri.orderBy(F.desc("n"), "path").limit(15)

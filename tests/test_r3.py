@@ -415,3 +415,21 @@ def test_psi_nonneg_and_bins_bounded(run):
     for r in rows:
         assert r.psi >= 0  # PSI is a symmetrized KL: nonnegative
         assert 1 <= r.n_bins <= 10
+
+
+def test_lang_confusion_cells_sum_to_corpus(run, spark, sf_dir):
+    rows = run("text_lang_id_confusion").collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs  # a partition of the corpus
+    langs = {"en", "de", "fr", "es", "zh", "und"}
+    for r in rows:
+        assert r.lang_pred in langs
+
+
+def test_top_paths_ordered_and_bounded(run):
+    rows = run("events_top_paths").collect()
+    assert 0 < len(rows) <= 15
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r.path.split(">")) == 3
