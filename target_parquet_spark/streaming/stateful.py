@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_totals", "running_user_totals_v2", "RUNNING_TOTALS_SCHEMA"]
+__all__ = [
+    "running_user_totals",
+    "running_user_totals_v2",
+    "RUNNING_TOTALS_SCHEMA",
+    "user_profile_accumulator",
+    "PROFILE_SCHEMA",
+]
 
 RUNNING_TOTALS_SCHEMA = T.StructType(
     [
@@ -126,3 +132,82 @@ try:
 
 except ImportError:  # pragma: no cover — pyspark < 4
     running_user_totals_v2 = None
+
+
+# ---------------------------------------------------------------------------
+# user profile accumulator: order-insensitive multi-facet state
+# ---------------------------------------------------------------------------
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("type_mask", T.LongType()),
+        T.StructField("n_types", T.IntegerType()),
+    ]
+)
+
+_PROFILE_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("mask", T.LongType()),
+    ]
+)
+
+# stable id per known event type; unknown types fold into bit 62
+_TYPE_BITS = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+
+
+def _update_profile(
+    key: tuple[Any, ...], pdfs: Iterable, state: GroupState
+) -> Iterator:
+    import pandas as pd
+
+    n, first_us, last_us, mask = (
+        state.get if state.exists else (0, None, None, 0)
+    )
+    for pdf in pdfs:
+        n += int(len(pdf))
+        us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        lo, hi = int(us.min()), int(us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+        for et in pdf["event_type"]:
+            mask |= 1 << _TYPE_BITS.get(et, 62)
+    state.update((n, first_us, last_us, mask))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "type_mask": [mask],
+            "n_types": [bin(mask).count("1")],
+        }
+    )
+
+
+def user_profile_accumulator(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-user profile state — event count, first/last seen, and a
+    bitmask of event types observed — emitted every micro-batch the user
+    appears in.  Every facet is ORDER-INSENSITIVE (sum, min, max, OR), so
+    the accumulated profile equals the batch groupBy regardless of
+    arrival order across micro-batches — the property that makes this
+    safe under file-source replay, unlike order-sensitive state (gap
+    sessionization), which needs event-time buffering instead.  The
+    feature-store primitive behind realtime user features."""
+    return (
+        events.select("user_id", "event_type", ts_col)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=PROFILE_SCHEMA,
+            stateStructType=_PROFILE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -582,3 +582,46 @@ def test_streaming_bitmap_distinct_exact_and_replay_safe(
     # compaction folds epochs without changing counts
     d.compact()
     assert _rows(d.counts(), cols) == once
+
+
+def test_user_profile_state_equals_batch_groupby(spark, events_src):
+    """Order-insensitive profile facets accumulate to exactly the batch
+    answer regardless of how events split across micro-batches."""
+    from target_parquet_spark.streaming.stateful import user_profile_accumulator
+
+    path, schema = events_src
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    q = (
+        user_profile_accumulator(stream)
+        .writeStream.format("memory")
+        .queryName("t_profile")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = spark.table("t_profile")
+    # last emission per user carries the fully-accumulated profile
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+            F.max("n_types").alias("n_types"),
+        )
+    )
+    want = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("event_type").cast("int").alias("n_types"),
+        )
+    )
+    cols = ["user_id", "n_events", "first_ts", "last_ts", "n_types"]
+    assert _rows(final, cols) == _rows(want, cols)
