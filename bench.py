@@ -115,6 +115,7 @@ HEADLINE = [
     "audit_psi_drift",
     "text_lang_id_confusion",
     "events_top_paths",
+    "events_hourly_profile",
 ]
 
 

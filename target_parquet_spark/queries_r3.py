@@ -1906,3 +1906,55 @@ def events_top_paths(spark, sf_dir):
         F.concat_ws(">", "p2", "p1", "event_type").alias("path")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     return tri.orderBy(F.desc("n"), "path").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# seasonality profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_profile",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             count(*) AS n
+      FROM events GROUP BY event_type, hour),
+    hx AS (SELECT event_type, hour, n,
+                  max(n) OVER (PARTITION BY event_type) AS mx,
+                  sum(n) OVER (PARTITION BY event_type) AS tot
+           FROM h)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_active_hours,
+           CAST(min(CASE WHEN n = mx THEN hour END) AS INTEGER) AS peak_hour,
+           round(CAST(max(n) AS DOUBLE) / max(tot), 4) AS peak_share,
+           round(CAST(max(tot) AS DOUBLE) / 24.0, 4) AS avg_per_hour
+    FROM hx GROUP BY event_type
+    """,
+)
+def events_hourly_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type: active hours, the
+    peak hour (deterministic min tie-break), its traffic share, and the
+    flat-rate baseline — the capacity-planning / anomaly-baseline shape
+    (a peak_share far above 1/24 means bursty traffic that flat
+    provisioning overpays for).
+
+    Plan: one map-combinable count shuffle on (event_type, hour) — 120
+    keys — then windows and the final rollup over that tiny table; the
+    raw events are touched once."""
+    e = t(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    hx = h.withColumn("mx", F.max("n").over(w)).withColumn(
+        "tot", F.sum("n").over(w)
+    )
+    return hx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_hours"),
+        F.min(F.when(F.col("n") == F.col("mx"), F.col("hour")))
+        .cast("int")
+        .alias("peak_hour"),
+        F.round(F.max("n").cast("double") / F.max("tot"), 4).alias("peak_share"),
+        F.round(F.max("tot").cast("double") / 24.0, 4).alias("avg_per_hour"),
+    )

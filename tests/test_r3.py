@@ -433,3 +433,14 @@ def test_top_paths_ordered_and_bounded(run):
     assert ns == sorted(ns, reverse=True)
     for r in rows:
         assert len(r.path.split(">")) == 3
+
+
+def test_hourly_profile_shares_and_peaks(run):
+    rows = run("events_hourly_profile").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r.n_active_hours <= 24
+        assert 0 <= r.peak_hour <= 23
+        # the peak's share is at least the uniform share over active hours
+        assert r.peak_share >= 1.0 / r.n_active_hours - 1e-9
+        assert r.peak_share <= 1.0
