@@ -116,6 +116,8 @@ HEADLINE = [
     "text_lang_id_confusion",
     "events_top_paths",
     "events_hourly_profile",
+    "agg_ordered_string_agg",
+    "sql_lateral_topk",
 ]
 
 

@@ -1958,3 +1958,91 @@ def events_hourly_profile(spark, sf_dir):
         F.round(F.max("n").cast("double") / F.max("tot"), 4).alias("peak_share"),
         F.round(F.max("tot").cast("double") / 24.0, 4).alias("avg_per_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation + correlated LATERAL top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_ordered_string_agg",
+    """
+    WITH top3 AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    SELECT n.n_name,
+           string_agg(t.c_name, ',' ORDER BY t.rn) AS top_customers,
+           CAST(count(*) AS BIGINT) AS n_listed
+    FROM top3 t JOIN nation n ON t.c_nationkey = n.n_nationkey
+    WHERE t.rn <= 3
+    GROUP BY n.n_name
+    """,
+)
+def agg_ordered_string_agg(spark, sf_dir):
+    """Ordered LISTAGG: each nation's top-3 customers by balance as one
+    ordered CSV cell — the report-friendly aggregate SQL calls
+    string_agg/listagg WITHIN GROUP.  Spark has no ordered string_agg;
+    the deterministic equivalent is collect_list of (rank, name) structs,
+    array_sort (ranks are unique so the struct order is total), then
+    join — same one window + one agg shuffle as the SQL.
+
+    Plan: rank window on c_nationkey, rn<=3 filter collapses the input
+    to 3 rows per nation BEFORE the string agg; the nation join is
+    broadcast."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    top3 = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_name", "rn")
+    )
+    agg = top3.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+        ).alias("top_customers"),
+        F.count(F.lit(1)).cast("long").alias("n_listed"),
+    )
+    return agg.join(
+        F.broadcast(n), agg.c_nationkey == n.n_nationkey
+    ).select("n_name", "top_customers", "n_listed")
+
+
+@query(
+    "sql_lateral_topk",
+    """
+    SELECT n.n_name, s.s_name, s.s_acctbal
+    FROM nation n,
+         LATERAL (SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+                  FROM supplier
+                  WHERE s_nationkey = n.n_nationkey
+                  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
+    """,
+)
+def sql_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    SQL spelling of top-k-per-group.  Catalyst decorrelates this into
+    the same ranked-window plan the DataFrame version writes by hand
+    (window_topk_per_group); having both proves the SQL surface, not
+    just the operator.  Identical SQL text runs on both engines."""
+    for name in ("nation", "supplier"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT n.n_name, s.s_name, s.s_acctbal
+        FROM nation n,
+             LATERAL (SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+                      FROM supplier
+                      WHERE s_nationkey = n.n_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
+        """
+    )

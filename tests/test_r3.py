@@ -444,3 +444,31 @@ def test_hourly_profile_shares_and_peaks(run):
         # the peak's share is at least the uniform share over active hours
         assert r.peak_share >= 1.0 / r.n_active_hours - 1e-9
         assert r.peak_share <= 1.0
+
+
+def test_ordered_string_agg_order_and_size(run):
+    rows = run("agg_ordered_string_agg").collect()
+    assert rows
+    for r in rows:
+        names = r.top_customers.split(",")
+        assert 1 <= r.n_listed <= 3
+        assert len(names) == r.n_listed
+
+
+def test_lateral_topk_matches_window_form(run, spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    got = sorted(
+        (r.n_name, r.s_name) for r in run("sql_lateral_topk").collect()
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    want = sorted(
+        (r.n_name, r.s_name)
+        for r in s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .collect()
+    )
+    assert got == want
