@@ -118,6 +118,7 @@ HEADLINE = [
     "events_hourly_profile",
     "agg_ordered_string_agg",
     "sql_lateral_topk",
+    "events_multitouch_attribution",
 ]
 
 

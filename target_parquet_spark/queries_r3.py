@@ -2046,3 +2046,70 @@ def sql_lateral_topk(spark, sf_dir):
                       ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_multitouch_attribution",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT p.purchase_id, p.value, c.click_id,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR),
+    credit AS (
+      SELECT click_id, value / n_touches AS cr FROM touch)
+    SELECT CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+           round(sum(cr), 2) AS attributed_value,
+           round(max(cr), 4) AS max_single_credit
+    FROM credit
+    """,
+)
+def events_multitouch_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value split
+    equally across the user's clicks in the preceding 24 hours — the
+    marketing-measurement shape between last-touch (asof_join_events)
+    and first-touch.  The attribution window is the same banded
+    interval join as events_interval_join, so the plan is one key
+    shuffle + residual band filter; the per-purchase touch count is a
+    window over the join output partitioned by the purchase (no second
+    self-join).
+
+    The corpus-level report (credited clicks, total attributed value —
+    which conservation says equals the value of multi-touch-reachable
+    purchases — and the largest single credit) is what an attribution
+    dashboard headlines."""
+    e = t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touch = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("purchase_id", "value", "click_id")
+    w = Window.partitionBy("purchase_id")
+    credit = touch.withColumn("n_touches", F.count(F.lit(1)).over(w)).select(
+        "click_id", (F.col("value") / F.col("n_touches")).alias("cr")
+    )
+    return credit.agg(
+        F.countDistinct("click_id").cast("long").alias("n_credited_clicks"),
+        F.round(F.sum("cr"), 2).alias("attributed_value"),
+        F.round(F.max("cr"), 4).alias("max_single_credit"),
+    )

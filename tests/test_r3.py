@@ -472,3 +472,30 @@ def test_lateral_topk_matches_window_form(run, spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_attribution_conserves_value(run, spark, sf_dir):
+    r = run("events_multitouch_attribution").collect()[0]
+    assert r.n_credited_clicks > 0
+    assert r.attributed_value > 0
+    # conservation: total credit equals the value of purchases that had
+    # at least one click touch in the window
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("p_ts"), "value"
+    )
+    reachable = (
+        p.join(
+            c,
+            (p.user_id == c.user_id)
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+            "left_semi",
+        )
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(r.attributed_value - reachable) < 0.05
