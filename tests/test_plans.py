@@ -186,3 +186,39 @@ def test_rolling_quantile_single_window_shuffle(spark, sf_dir):
     # p90 and median share one Window node over one user_id shuffle
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "agg_bitmap_distinct")
+    # word-level bit_or must combine map-side (the mergeable-state claim):
+    # two HashAggregate pairs (word agg + type rollup), partial_bit_or visible
+    assert "partial_bit_or" in p
+    assert p.count("HashAggregate") >= 4
+
+
+def test_ks_drift_windows_over_value_table_not_rows(spark, sf_dir):
+    import re as _re
+
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "audit_ks_drift")
+    # the ECDF window must sit above the per-value aggregate (distinct-
+    # value-sized input), never directly over the raw scan
+    agg_pos = p.find("partial_sum")
+    win_pos = p.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # and the whole plan still shuffles only on hash keys (no global sort)
+    assert len(_re.findall(r"\(\d+\) Sort", p)) <= 3  # window-local sorts only
+
+
+def test_hourly_profile_single_count_shuffle(spark, sf_dir):
+    import re as _re
+
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "events_hourly_profile")
+    # raw events touched once: one scan node only
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "partial_count" in p
