@@ -119,6 +119,7 @@ HEADLINE = [
     "agg_ordered_string_agg",
     "sql_lateral_topk",
     "events_multitouch_attribution",
+    "dedup_exact_normalized",
 ]
 
 

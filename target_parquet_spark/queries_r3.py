@@ -2113,3 +2113,65 @@ def events_multitouch_attribution(spark, sf_dir):
         F.round(F.sum("cr"), 2).alias("attributed_value"),
         F.round(F.max("cr"), 4).alias("max_single_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# normalized exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_normalized",
+    """
+    WITH corpus2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, upper(text) FROM documents),
+    h AS (
+      SELECT doc_id,
+             md5(text) AS h_raw,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h_norm
+      FROM corpus2),
+    raw_g AS (SELECT h_raw FROM h GROUP BY h_raw HAVING count(*) > 1),
+    norm_g AS (SELECT h_norm FROM h GROUP BY h_norm HAVING count(*) > 1)
+    SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM raw_g) AS BIGINT) AS n_raw_dup_groups,
+           CAST((SELECT count(*) FROM norm_g) AS BIGINT) AS n_norm_dup_groups
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """Normalization-aware exact dedup vs raw content hashing, over a
+    corpus doubled with case-perturbed copies: the raw md5 sees almost
+    no duplicates (only case-invariant texts collide), the normalized
+    hash (lowercase, trim, whitespace collapse) recovers every planted
+    pair — the canonicalization step that production exact-dedup runs
+    before hashing, measured as a side-by-side group count.
+
+    Plan: both hashes are computed in the same scan-stage projection
+    (one pass over the corpus); each group count is a hash-keyed
+    map-combinable agg.  At 100 TB the normalized hash IS the dedup
+    key — raw bytes never shuffle, only 16-byte digests."""
+    docs = td(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus2 = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    h = corpus2.select(
+        F.md5("text").alias("h_raw"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("h_norm"),
+    )
+    raw_g = h.groupBy("h_raw").count().filter(F.col("count") > 1)
+    norm_g = h.groupBy("h_norm").count().filter(F.col("count") > 1)
+    return (
+        h.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(
+            raw_g.agg(F.count(F.lit(1)).cast("long").alias("n_raw_dup_groups"))
+        )
+        .crossJoin(
+            norm_g.agg(F.count(F.lit(1)).cast("long").alias("n_norm_dup_groups"))
+        )
+    )

@@ -499,3 +499,13 @@ def test_attribution_conserves_value(run, spark, sf_dir):
         .collect()[0][0]
     )
     assert abs(r.attributed_value - reachable) < 0.05
+
+
+def test_normalized_dedup_recovers_case_pairs(run, spark, sf_dir):
+    r = run("dedup_exact_normalized").collect()[0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert r.n_docs == 2 * n_docs
+    # normalization can only merge more: every raw collision survives it
+    assert r.n_norm_dup_groups >= r.n_raw_dup_groups
+    # every original/uppercased pair collides under the normalized hash
+    assert r.n_norm_dup_groups > 0
