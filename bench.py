@@ -120,6 +120,8 @@ HEADLINE = [
     "sql_lateral_topk",
     "events_multitouch_attribution",
     "dedup_exact_normalized",
+    "events_conversion_latency",
+    "audit_benford_digits",
 ]
 
 

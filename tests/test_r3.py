@@ -509,3 +509,21 @@ def test_normalized_dedup_recovers_case_pairs(run, spark, sf_dir):
     assert r.n_norm_dup_groups >= r.n_raw_dup_groups
     # every original/uppercased pair collides under the normalized hash
     assert r.n_norm_dup_groups > 0
+
+
+def test_conversion_latency_consistent(run):
+    r = run("events_conversion_latency").collect()[0]
+    assert 0 < r.n_converted <= r.n_clicks
+    assert math.isclose(
+        r.conversion_rate, r.n_converted / r.n_clicks, abs_tol=1e-4
+    )
+    assert 0 <= r.p50_secs <= r.p90_secs
+
+
+def test_benford_is_probability_profile(run):
+    rows = run("audit_benford_digits").collect()
+    assert {r.lead_digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_p for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.benford_p for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert r.abs_dev >= 0
