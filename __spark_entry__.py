@@ -5,8 +5,9 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-The actual query library lives in ``target_parquet_spark/queries.py`` and
-``queries_ext.py`` (registry pattern); this file is the thin adapter.
+The actual query library lives in ``target_parquet_spark/queries*.py``
+(registry pattern — queries, queries_ext, queries_tpch2, queries_ops,
+queries_layout, queries_r2, queries_r3); this file is the thin adapter.
 """
 
 from __future__ import annotations
