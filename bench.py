@@ -122,6 +122,8 @@ HEADLINE = [
     "dedup_exact_normalized",
     "events_conversion_latency",
     "audit_benford_digits",
+    "agg_histogram2d",
+    "text_cooccurrence_pmi",
 ]
 
 

@@ -2282,3 +2282,133 @@ def audit_benford_digits(spark, sf_dir):
             4,
         ).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram + token co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_histogram2d",
+    """
+    WITH rng AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events),
+    b AS (
+      SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+             least(7, greatest(0, CAST(floor((value - rng.lo)
+                    / nullif(rng.hi - rng.lo, 0) * 8) AS INTEGER))) AS vbin
+      FROM events, rng)
+    SELECT hour, vbin, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY hour, vbin
+    """,
+)
+def agg_histogram2d(spark, sf_dir):
+    """2-D density grid (hour-of-day x value octile bins) — the heatmap
+    behind load/value seasonality dashboards and the joint-distribution
+    input to anomaly baselines.  Value edges are data-derived global
+    min/max broadcast back onto the scan; at scale pin them from the
+    baseline period (same note as audit_psi_drift).
+
+    Plan: one scalar min/max pass, then ONE map-combinable count
+    shuffle on the (hour, vbin) grid — at most 24x8 = 192 keys no
+    matter the row count."""
+    e = t(spark, sf_dir, "events")
+    rng = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = e.crossJoin(F.broadcast(rng)).select(
+        F.hour("ts").cast("int").alias("hour"),
+        F.least(
+            F.lit(7),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / F.nullif(F.col("hi") - F.col("lo"), F.lit(0))
+                    * 8
+                ).cast("int"),
+            ),
+        ).alias("vbin"),
+    )
+    return b.groupBy("hour", "vbin").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
+    "text_cooccurrence_pmi",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({SQL_TOKS.format(c="text")}) AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM d),
+    vocab AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk
+              HAVING count(*) >= 25),
+    vt AS (SELECT t.doc_id, t.tk, v.df FROM tok t
+           JOIN vocab v ON t.tk = v.tk),
+    pair AS (
+      SELECT a.tk AS tk_a, b.tk AS tk_b, count(*) AS n_ab
+      FROM vt a JOIN vt b
+        ON a.doc_id = b.doc_id AND a.tk < b.tk
+      GROUP BY a.tk, b.tk HAVING count(*) >= 10),
+    nd AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT p.tk_a, p.tk_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           round(log10((CAST(p.n_ab AS DOUBLE) * nd.n_docs)
+                       / (CAST(va.df AS DOUBLE) * vb.df)), 4) AS pmi
+    FROM pair p
+    JOIN vocab va ON p.tk_a = va.tk
+    JOIN vocab vb ON p.tk_b = vb.tk
+    CROSS JOIN nd
+    """,
+)
+def text_cooccurrence_pmi(spark, sf_dir):
+    """Document-level token co-occurrence with pointwise mutual
+    information — the collocation/phrase-mining signal (PMI >> 0 means
+    the pair travels together far more than chance).  Restricted to the
+    min-df vocabulary and min-support pairs so the pair space stays
+    tractable — exactly the pruning a 100 TB run needs, where the full
+    token-pair cross product is the classic blowup.
+
+    Plan: distinct tokens per doc (dedup inside the scan stage), vocab
+    df filter broadcasts back, and the pair generation is a self-join
+    keyed on doc_id — co-partitioned, with the a.tk < b.tk predicate
+    halving the output; PMI is scalar algebra over the pair table plus
+    two broadcast df lookups."""
+    docs = td(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("tk")
+    )
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 25
+    )
+    vt = tok.join(F.broadcast(vocab), "tk").select("doc_id", "tk")
+    a, b = vt.alias("a"), vt.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tk") < F.col("b.tk")),
+        )
+        .groupBy(F.col("a.tk").alias("tk_a"), F.col("b.tk").alias("tk_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 10)
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    va = vocab.select(F.col("tk").alias("tk_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tk").alias("tk_b"), F.col("df").alias("df_b"))
+    return (
+        pair.join(F.broadcast(va), "tk_a")
+        .join(F.broadcast(vb), "tk_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tk_a",
+            "tk_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log10(
+                    (F.col("n_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

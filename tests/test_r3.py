@@ -527,3 +527,19 @@ def test_benford_is_probability_profile(run):
     assert abs(sum(r.benford_p for r in rows) - 1.0) < 0.01
     for r in rows:
         assert r.abs_dev >= 0
+
+
+def test_histogram2d_covers_all_events(run, spark, sf_dir):
+    rows = run("agg_histogram2d").collect()
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n for r in rows) == n  # a partition of the table
+    for r in rows:
+        assert 0 <= r.hour <= 23 and 0 <= r.vbin <= 7
+
+
+def test_pmi_symmetric_support_and_order(run):
+    rows = run("text_cooccurrence_pmi").collect()
+    assert rows
+    for r in rows:
+        assert r.tk_a < r.tk_b  # canonical pair order, no double count
+        assert r.n_ab >= 10
