@@ -124,6 +124,7 @@ HEADLINE = [
     "audit_benford_digits",
     "agg_histogram2d",
     "text_cooccurrence_pmi",
+    "pipeline_corpus_datasheet",
 ]
 
 

@@ -2412,3 +2412,86 @@ def text_cooccurrence_pmi(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet (capstone report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_corpus_datasheet",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             {SQL_TOKS.format(c="text")} AS toks
+      FROM documents),
+    m AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avg_doc_tokens,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+               / count(*) AS pct_en,
+             median(n_chars) AS median_chars,
+             count(*) - count(DISTINCT md5(text)) AS n_exact_dup_docs
+      FROM d)
+    SELECT metric, round(value, 4) AS value FROM (
+      SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM m
+      UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM m
+      UNION ALL SELECT 'avg_doc_tokens', avg_doc_tokens FROM m
+      UNION ALL SELECT 'pct_en', pct_en FROM m
+      UNION ALL SELECT 'median_chars', CAST(median_chars AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_exact_dup_docs', CAST(n_exact_dup_docs AS DOUBLE) FROM m)
+    """,
+)
+def pipeline_corpus_datasheet(spark, sf_dir):
+    """Corpus datasheet: the one-screen summary a dataset release ships
+    with — volume (docs, tokens), composition (languages, sources,
+    English share), shape (tokens per doc, median length), and hygiene
+    (exact-duplicate count) — as (metric, value) rows ready for
+    dashboards or release notes.
+
+    Plan: every metric folds in ONE aggregation over ONE scan (the
+    distinct counts expand internally, everything else is
+    map-combinable), then the 8-row unpivot is free.  This is the
+    cheap always-on report; the deep numbers (near-dup ratio, quality,
+    drift, contamination) come from the dedicated queries it links to."""
+    d = td(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars", "text", X.tokens(F.col("text")).alias("toks")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_doc_tokens"
+        ),
+        (
+            F.count(F.when(F.col("lang") == "en", 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pct_en"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias(
+            "n_exact_dup_docs"
+        ),
+    )
+    rows = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        ("n_tokens", F.col("n_tokens").cast("double")),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("avg_doc_tokens", F.col("avg_doc_tokens")),
+        ("pct_en", F.col("pct_en")),
+        ("median_chars", F.col("median_chars").cast("double")),
+        ("n_exact_dup_docs", F.col("n_exact_dup_docs").cast("double")),
+    ]
+    out = None
+    for name, col in rows:
+        part = m.select(F.lit(name).alias("metric"), F.round(col, 4).alias("value"))
+        out = part if out is None else out.unionByName(part)
+    return out

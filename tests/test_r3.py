@@ -543,3 +543,14 @@ def test_pmi_symmetric_support_and_order(run):
     for r in rows:
         assert r.tk_a < r.tk_b  # canonical pair order, no double count
         assert r.n_ab >= 10
+
+
+def test_corpus_datasheet_metrics_consistent(run, spark, sf_dir):
+    m = {r.metric: r.value for r in run("pipeline_corpus_datasheet").collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert m["n_docs"] == n_docs
+    assert m["n_tokens"] > 0
+    assert abs(m["avg_doc_tokens"] - m["n_tokens"] / m["n_docs"]) < 1e-3
+    assert 0 <= m["pct_en"] <= 1
+    assert m["n_exact_dup_docs"] >= 0
+    assert len(m) == 8
