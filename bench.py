@@ -125,6 +125,7 @@ HEADLINE = [
     "agg_histogram2d",
     "text_cooccurrence_pmi",
     "pipeline_corpus_datasheet",
+    "agg_higher_moments",
 ]
 
 

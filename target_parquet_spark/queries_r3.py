@@ -2495,3 +2495,97 @@ def pipeline_corpus_datasheet(spark, sf_dir):
         part = m.select(F.lit(name).alias("metric"), F.round(col, 4).alias("value"))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# portable higher moments + bitwise scalar family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_higher_moments",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(value) AS s1,
+             sum(value * value) AS s2,
+             sum(value * value * value) AS s3
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3
+      FROM s)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round(mean, 4) AS mean,
+           round(sqrt(m2), 4) AS pop_stddev,
+           round(m3 / (m2 * sqrt(m2)), 4) AS pop_skewness
+    FROM m
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    """Population skewness from explicit power sums — NOT the built-in
+    skewness(): Spark's builtin is the population form, DuckDB's the
+    sample form, so an oracle over the builtins can never hash-match.
+    Deriving mean/variance/skewness from (n, sum x, sum x^2, sum x^3)
+    is engine-portable AND the mergeable-state form: the power sums are
+    map-side-combinable and day-partials merge by addition, same
+    property as the rollup / bitmap / HLL state tables.
+
+    Plan: one map-combinable shuffle on event_type carrying four doubles
+    per group; the moment algebra is scalar post-processing.  (Numeric
+    caveat at scale: raw power sums cancel catastrophically when
+    |mean| >> stddev — center on an approximate mean first, same plan.)"""
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.sum(F.col("value") * F.col("value") * F.col("value")).alias("s3"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * mean * (F.col("s2") / F.col("n"))
+        + 2 * mean * mean * mean
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(m2), 4).alias("pop_stddev"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 4).alias("pop_skewness"),
+    )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT) AS or_mask,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey >> 4 AS BIGINT) AS shifted,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+    FROM orders WHERE o_orderkey % 101 = 0
+    """,
+)
+def scalar_bitwise_funcs(spark, sf_dir):
+    """Bitwise scalar surface: AND/OR/XOR/shift/popcount as pure
+    projections — the primitives the bitmap-distinct and hash-sketch
+    operators build on, pinned here as standalone scalar coverage.
+    Scan-stage only; the filter prunes at the parquet footer."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("long").alias("or_mask"),
+        k.bitwiseXOR(c).cast("long").alias("key_xor"),
+        F.shiftright(k, 4).cast("long").alias("shifted"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )

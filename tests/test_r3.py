@@ -554,3 +554,27 @@ def test_corpus_datasheet_metrics_consistent(run, spark, sf_dir):
     assert 0 <= m["pct_en"] <= 1
     assert m["n_exact_dup_docs"] >= 0
     assert len(m) == 8
+
+
+def test_higher_moments_match_builtin_population_forms(run, spark, sf_dir):
+    got = {r.event_type: r for r in run("agg_higher_moments").collect()}
+    want = {
+        r.event_type: r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.stddev_pop("value").alias("sd"),
+            F.skewness("value").alias("sk"),  # Spark builtin = population
+        )
+        .collect()
+    }
+    for et, r in got.items():
+        assert abs(r.pop_stddev - want[et].sd) < 1e-3
+        assert abs(r.pop_skewness - want[et].sk) < 1e-3
+
+
+def test_bitwise_funcs_algebra(run):
+    for r in run("scalar_bitwise_funcs").collect():
+        assert r.low_byte == r.o_orderkey & 255
+        assert r.shifted == r.o_orderkey >> 4
+        assert r.popcount == bin(r.o_orderkey).count("1")
