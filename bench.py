@@ -126,6 +126,7 @@ HEADLINE = [
     "text_cooccurrence_pmi",
     "pipeline_corpus_datasheet",
     "agg_higher_moments",
+    "sim_pq_ann",
 ]
 
 

@@ -270,3 +270,75 @@ def lsh_ann_topk(
         )
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as the same sequential fold shape as dot():
+    zip_with difference-squares, then an ordered aggregate sum — bit-
+    reproducible against DuckDB's list_sum(list_transform(...))."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Driver-side product-quantization codebook: the first ``k`` vectors
+    by id sliced into ``m`` subspaces of ``dim/m`` dims (deterministic
+    seed-point 'training', same seam as ivf_codebook — swap in per-
+    subspace k-means offline and the query path is unchanged).  Returns
+    ``[m][k][dim/m]`` floats."""
+    d = dim // m
+    rows = (
+        corpus.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    assert len(rows) == k, f"need {k} seed vectors, got {len(rows)}"
+    return [
+        [[float(x) for x in r[1][j * d : (j + 1) * d]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_code(vec: Column, codebook: list[list[list[float]]], j: int) -> Column:
+    """Sub-code for subspace ``j``: argmin squared-L2 over that
+    subspace's centroid literals (ties -> lowest centroid id via
+    array_position-first semantics).  Pure per-row expression — encoding
+    shuffles nothing."""
+    d = len(codebook[j][0])
+    sub = F.slice(vec, j * d + 1, d)
+    dists = F.transform(F.lit(codebook[j]), lambda c: l2sq(sub, c))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_adc_table(
+    qv: list[float], codebook: list[list[list[float]]]
+) -> list[list[float]]:
+    """Asymmetric-distance lookup table: ``t[j][k]`` = squared L2 between
+    the query's subspace-j slice and centroid k — computed with the same
+    sequential fold the executors and the SQL oracle use."""
+    m = len(codebook)
+    d = len(codebook[0][0])
+    out = []
+    for j in range(m):
+        row = []
+        for cent in codebook[j]:
+            s = 0.0
+            for a, b in zip(qv[j * d : (j + 1) * d], cent):
+                s += (a - b) * (a - b)
+            row.append(s)
+        out.append(row)
+    return out

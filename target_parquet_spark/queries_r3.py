@@ -2589,3 +2589,98 @@ def scalar_bitwise_funcs(spark, sf_dir):
         F.shiftright(k, 4).cast("long").alias("shifted"),
         F.bit_count(k).cast("int").alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization ANN (ADC)
+# ---------------------------------------------------------------------------
+
+_SQL_L2SQ = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "sim_pq_ann",
+    f"""
+    WITH cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                WHERE vec_id < 16),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    js AS (SELECT unnest(range(1, 9)) AS j),
+    enc AS (
+      SELECT e.vec_id, js.j, cb.cid,
+             {_SQL_L2SQ.format(
+                 a="list_slice(e.embedding, (js.j - 1) * 8 + 1, js.j * 8)",
+                 b="list_slice(cb.cv, (js.j - 1) * 8 + 1, js.j * 8)")} AS dist
+      FROM embeddings e, js, cb),
+    code AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, cid) AS rn
+        FROM enc) WHERE rn = 1),
+    qt AS (
+      SELECT js.j, cb.cid,
+             {_SQL_L2SQ.format(
+                 a="list_slice(q.qv, (js.j - 1) * 8 + 1, js.j * 8)",
+                 b="list_slice(cb.cv, (js.j - 1) * 8 + 1, js.j * 8)")} AS t
+      FROM q, js, cb),
+    adc AS (
+      SELECT c.vec_id, sum(qt.t) AS adc_dist
+      FROM code c JOIN qt ON c.j = qt.j AND c.cid = qt.cid
+      GROUP BY c.vec_id),
+    topk AS (
+      SELECT vec_id, adc_dist FROM (
+        SELECT vec_id, adc_dist,
+               row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc WHERE vec_id <> 0) WHERE rn <= 10)
+    SELECT t.vec_id,
+           round(t.adc_dist, 4) AS adc_dist,
+           round({_SQL_L2SQ.format(a="e.embedding", b="q.qv")}, 4) AS exact_dist
+    FROM topk t JOIN embeddings e ON t.vec_id = e.vec_id CROSS JOIN q
+    """,
+)
+def sim_pq_ann(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation —
+    the canonical vector-compression search: 64-dim floats become 8
+    sub-codes of 4 bits each (16 centroids per subspace, 256 bytes ->
+    8 bytes per vector), and query distance is 8 table lookups summed
+    instead of 64 multiplies.  Completes the quantization family (SQ8 =
+    scalar, JL = projection, IVF = partition, PQ = codebook product).
+
+    Plan: encoding is a per-row literal-codebook argmin (pure scan
+    stage, zero joins — pq_code); the ADC lookup table is 8x16 python
+    floats computed from the collected query vector with the same
+    sequential fold the SQL oracle uses, so every double matches; the
+    top-10 is a TakeOrdered over the ADC-scored rows; exact distances
+    ride along to show the quantization error.  At 100 TB the 8-byte
+    codes ARE the index — the float vectors stay in cold storage and
+    only rerank candidates."""
+    from target_parquet_spark.operators.similarity import (
+        l2sq,
+        pq_adc_table,
+        pq_code,
+        pq_codebook,
+    )
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebook(emb, m=8, k=16, dim=64)
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    t_tab = pq_adc_table(qv, cb)
+    adc = None
+    for j in range(8):
+        term = F.element_at(F.lit(t_tab[j]), pq_code(F.col("embedding"), cb, j) + 1)
+        adc = term if adc is None else adc + term
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", adc.alias("adc_dist"), "embedding"
+    )
+    topk = scored.orderBy("adc_dist", "vec_id").limit(10)
+    return topk.select(
+        "vec_id",
+        F.round("adc_dist", 4).alias("adc_dist"),
+        F.round(l2sq(F.col("embedding"), F.lit(qv)), 4).alias("exact_dist"),
+    )

@@ -578,3 +578,27 @@ def test_bitwise_funcs_algebra(run):
         assert r.low_byte == r.o_orderkey & 255
         assert r.shifted == r.o_orderkey >> 4
         assert r.popcount == bin(r.o_orderkey).count("1")
+
+
+def test_pq_ann_scores_sane(run, spark, sf_dir):
+    rows = run("sim_pq_ann").collect()
+    assert len(rows) == 10
+    assert len({r.vec_id for r in rows}) == 10
+    adcs = [r.adc_dist for r in rows]
+    assert adcs == sorted(adcs)  # ranked by ADC ascending
+    for r in rows:
+        assert r.adc_dist >= 0 and r.exact_dist >= 0
+    # seed vectors ARE centroids: vec 1..15 encode to themselves in every
+    # subspace, so their ADC == the exact distance of their reconstruction
+    from target_parquet_spark.operators.similarity import pq_adc_table, pq_codebook
+    from target_parquet_spark.queries_ext import td
+    from pyspark.sql import functions as FF
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebook(emb, m=8, k=16, dim=64)
+    qv = [float(x) for x in emb.filter(FF.col("vec_id") == 0).collect()[0][1]]
+    t = pq_adc_table(qv, cb)
+    for r in rows:
+        if 1 <= r.vec_id < 16:
+            want = round(sum(t[j][r.vec_id] for j in range(8)), 4)
+            assert abs(r.adc_dist - want) < 1e-3
