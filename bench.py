@@ -127,6 +127,7 @@ HEADLINE = [
     "pipeline_corpus_datasheet",
     "agg_higher_moments",
     "sim_pq_ann",
+    "sim_ivfpq_ann",
 ]
 
 

@@ -2684,3 +2684,124 @@ def sim_pq_ann(spark, sf_dir):
         F.round("adc_dist", 4).alias("adc_dist"),
         F.round(l2sq(F.col("embedding"), F.lit(qv)), 4).alias("exact_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed (cell-pruned ADC search)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_ivfpq_ann",
+    f"""
+    WITH c AS (SELECT vec_id AS ivf_cid, embedding AS cv FROM embeddings
+               WHERE vec_id < 16),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id, c.ivf_cid,
+                 {_SQL_DOT.format(a="e.embedding", b="c.cv")}
+                   / sqrt({_SQL_DOT.format(a="c.cv", b="c.cv")}) AS score
+          FROM embeddings e CROSS JOIN c),
+    assign AS (SELECT vec_id, ivf_cid AS cell FROM (
+        SELECT vec_id, ivf_cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, ivf_cid) AS rn
+        FROM s) WHERE rn = 1),
+    qs AS (SELECT c.ivf_cid,
+                  {_SQL_DOT.format(a="q.qv", b="c.cv")}
+                    / sqrt({_SQL_DOT.format(a="c.cv", b="c.cv")}) AS score
+           FROM q CROSS JOIN c),
+    probe AS (SELECT ivf_cid FROM (
+        SELECT ivf_cid, row_number() OVER (ORDER BY score DESC, ivf_cid) AS rn
+        FROM qs) WHERE rn <= 3),
+    cand AS (SELECT a.vec_id FROM assign a
+             WHERE a.cell IN (SELECT ivf_cid FROM probe) AND a.vec_id <> 0),
+    js AS (SELECT unnest(range(1, 9)) AS j),
+    enc AS (
+      SELECT e.vec_id, js.j, cb.cid,
+             {_SQL_L2SQ.format(
+                 a="list_slice(e.embedding, (js.j - 1) * 8 + 1, js.j * 8)",
+                 b="list_slice(cb.cv, (js.j - 1) * 8 + 1, js.j * 8)")} AS dist
+      FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id,
+           js, (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                WHERE vec_id < 16) cb),
+    code AS (
+      SELECT vec_id, j, cid FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, cid) AS rn
+        FROM enc) WHERE rn = 1),
+    qt AS (
+      SELECT js.j, cb.cid,
+             {_SQL_L2SQ.format(
+                 a="list_slice(q.qv, (js.j - 1) * 8 + 1, js.j * 8)",
+                 b="list_slice(cb.cv, (js.j - 1) * 8 + 1, js.j * 8)")} AS t
+      FROM q, js, (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                   WHERE vec_id < 16) cb),
+    adc AS (
+      SELECT c.vec_id, sum(qt.t) AS adc_dist
+      FROM code c JOIN qt ON c.j = qt.j AND c.cid = qt.cid
+      GROUP BY c.vec_id)
+    SELECT vec_id, round(adc_dist, 4) AS adc_dist FROM (
+      SELECT vec_id, adc_dist,
+             row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 10
+    """,
+)
+def sim_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ — the composition production vector indexes actually ship
+    (FAISS IVFx,PQy): coarse IVF cells prune the scan to nprobe-of-16
+    partitions, then 8-byte PQ codes score the survivors by ADC table
+    lookups.  Memory per vector: 1 int (cell) + 8 nibbles (codes);
+    floats never touch the query path.
+
+    Plan: both the cell assignment and the PQ encoding are per-row
+    literal-codebook expressions (zero joins, zero shuffles — pq_code /
+    ivf_cell); the probe filter IS partition pruning at 100 TB where
+    cell is the storage partition key; the top-10 is a TakeOrdered over
+    ADC sums of the candidate subset only."""
+    from target_parquet_spark.operators.similarity import (
+        ivf_cell,
+        ivf_codebook,
+        pq_adc_table,
+        pq_code,
+        pq_codebook,
+    )
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ivf_cb = ivf_codebook(emb, n_centroids=16)
+    pq_cb = pq_codebook(emb, m=8, k=16, dim=64)
+    qv = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    # probe cells: rank centroids by the same normalized dot the SQL uses
+    import math
+
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qscores = [
+        (cid, _dot(qv, cv) / math.sqrt(_dot(cv, cv))) for cid, cv, _n in ivf_cb
+    ]
+    probe = [
+        cid for cid, _s in sorted(qscores, key=lambda p: (-p[1], p[0]))[:3]
+    ]
+    t_tab = pq_adc_table(qv, pq_cb)
+    cand = emb.filter(
+        ivf_cell(F.col("embedding"), ivf_cb).isin(probe)
+        & (F.col("vec_id") != 0)
+    )
+    adc = None
+    for j in range(8):
+        term = F.element_at(
+            F.lit(t_tab[j]), pq_code(F.col("embedding"), pq_cb, j) + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        cand.select("vec_id", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("adc_dist", 4).alias("adc_dist"))
+    )

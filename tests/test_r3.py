@@ -602,3 +602,16 @@ def test_pq_ann_scores_sane(run, spark, sf_dir):
         if 1 <= r.vec_id < 16:
             want = round(sum(t[j][r.vec_id] for j in range(8)), 4)
             assert abs(r.adc_dist - want) < 1e-3
+
+
+def test_ivfpq_is_subset_of_pq_universe(run):
+    ivfpq = run("sim_ivfpq_ann").collect()
+    assert 0 < len(ivfpq) <= 10
+    adcs = [r.adc_dist for r in ivfpq]
+    assert adcs == sorted(adcs)
+    pq_all = {r.vec_id: r.adc_dist for r in run("sim_pq_ann").collect()}
+    # any ivfpq hit that also made the unpruned PQ top-10 must carry the
+    # identical ADC score (same codes, same table)
+    for r in ivfpq:
+        if r.vec_id in pq_all:
+            assert abs(r.adc_dist - pq_all[r.vec_id]) < 1e-6
