@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from target_parquet_spark.operators.text import shingles, tokens
 
 __all__ = [
+    "lsh_band_index",
+    "streaming_near_dup",
     "exact_dedup",
     "duplicate_groups",
     "minhash_signature",
@@ -447,3 +449,84 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def lsh_band_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The banded-LSH index as a standalone frame: (doc_id, sh,
+    band_idx, band_hash) — one row per (doc, band).  Works on BATCH and
+    STREAMING inputs alike (every expression is deterministic and
+    per-row), which is what lets a static corpus index meet a stream of
+    new documents in a stream-static join (streaming_near_dup)."""
+    rows_per_band = n_hashes // bands
+    base = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), n=shingle_n).alias("sh"),
+    )
+    sig = base.select("doc_id", "sh", _sig_expr(F.col("sh"), n_hashes).alias("sig"))
+    return sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def streaming_near_dup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Online near-dup screening: each arriving document is banded with
+    the SAME expressions as the static corpus index and joined
+    stream-static on (band_idx, band_hash); band collisions are verified
+    with exact Jaccard before a (new_id, dup_of, jaccard) match emits.
+
+    Scale notes: the stream side carries only the current micro-batch;
+    the static index is a bucketed table on the band keys, so the join
+    is the canonical stream-static enrichment with no streaming state
+    beyond the in-flight batch (dedup of repeated candidate pairs within
+    a doc is a batch-local dropDuplicates — band collisions for the same
+    pair land in the same micro-batch because banding is per-row).  This
+    is the ingest-time gate that keeps an ever-growing corpus from
+    re-admitting what it already holds."""
+    new_banded = lsh_band_index(
+        new_docs, text_col, id_col, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n,
+    )
+    j = new_banded.alias("n").join(
+        corpus_index.alias("c"),
+        (F.col("n.band_idx") == F.col("c.band_idx"))
+        & (F.col("n.band_hash") == F.col("c.band_hash")),
+    )
+    cand = j.select(
+        F.col("n.doc_id").alias("new_id"),
+        F.col("c.doc_id").alias("dup_of"),
+        F.col("n.sh").alias("sh_a"),
+        F.col("c.sh").alias("sh_b"),
+    ).dropDuplicates(["new_id", "dup_of"])
+    return cand.select(
+        "new_id",
+        "dup_of",
+        F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

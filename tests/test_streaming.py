@@ -625,3 +625,57 @@ def test_user_profile_state_equals_batch_groupby(spark, events_src):
     )
     cols = ["user_id", "n_events", "first_ts", "last_ts", "n_types"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_streaming_near_dup_matches_batch(spark, sf_dir, tmp_path):
+    """Online LSH screening: a stream of perturbed copies joined against
+    the static corpus index yields exactly the pairs the batch form
+    finds between the same two sides."""
+    from target_parquet_spark.operators.dedup import (
+        lsh_band_index,
+        streaming_near_dup,
+    )
+    from target_parquet_spark.operators.text import tokens
+    from target_parquet_spark.queries import t as load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # perturbed copies = the arriving stream (drop last 2 tokens)
+    toks = tokens(F.col("text"))
+    newdocs = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 2)).alias("text"),
+    )
+    src = str(tmp_path / "newdocs")
+    newdocs.repartition(4).write.mode("overwrite").parquet(src)
+
+    corpus_index = lsh_band_index(docs, "text", "doc_id")
+
+    stream = (
+        spark.readStream.schema(newdocs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_near_dup(stream, corpus_index)
+        .writeStream.format("memory")
+        .queryName("t_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = sorted(
+        (r.new_id, r.dup_of, r.jaccard)
+        for r in spark.table("t_neardup").collect()
+    )
+    want = sorted(
+        (r.new_id, r.dup_of, r.jaccard)
+        for r in streaming_near_dup(
+            spark.read.parquet(src), corpus_index
+        ).collect()
+    )
+    assert got == want
+    assert got  # the perturbed copies DO collide with their originals
+    # every original matched by its own perturbed copy at high jaccard
+    self_pairs = [(a, b) for a, b, _ in got if a - 1000000 == b]
+    assert len(self_pairs) >= 0.5 * len(set(x[0] for x in got))
