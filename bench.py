@@ -128,6 +128,7 @@ HEADLINE = [
     "agg_higher_moments",
     "sim_pq_ann",
     "sim_ivfpq_ann",
+    "events_bot_regularity",
 ]
 
 

@@ -2805,3 +2805,69 @@ def sim_ivfpq_ann(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("adc_dist", 4).alias("adc_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# automation / bot detection (gap regularity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_bot_regularity",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) AS gap
+      FROM events),
+    s AS (
+      SELECT user_id, count(gap) AS n, sum(gap) AS s1, sum(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY user_id HAVING count(gap) >= 30),
+    m AS (
+      SELECT user_id, n, s1 / n AS mean,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) AS sd
+      FROM s)
+    SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           round(mean, 3) AS mean_gap_s,
+           round(sd / mean, 4) AS gap_cv
+    FROM m ORDER BY gap_cv, user_id LIMIT 10
+    """,
+)
+def events_bot_regularity(spark, sf_dir):
+    """Automation detection by timing regularity: the 10 users whose
+    inter-event gaps have the lowest coefficient of variation (humans
+    are bursty, schedulers are metronomes — CV near 0 over many events
+    is the classic bot signature).  Moments come from explicit power
+    sums (the cross-engine-exact AND mergeable form, as in
+    agg_higher_moments), so per-day gap-sum partials roll up into the
+    same detector without rescanning.
+
+    Plan: one shuffle on user_id for the lag window; the per-user power
+    sums reuse that partitioning (group key == window key); the top-10
+    is TakeOrdered over user-cardinality rows."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (
+            F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap").alias("n"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    ).filter(F.col("n") >= 30)
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0)))
+    return (
+        s.select(
+            "user_id",
+            F.col("n").cast("long").alias("n_gaps"),
+            F.round(mean, 3).alias("mean_gap_s"),
+            F.round(sd / mean, 4).alias("gap_cv"),
+        )
+        .orderBy("gap_cv", "user_id")
+        .limit(10)
+    )

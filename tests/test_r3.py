@@ -615,3 +615,14 @@ def test_ivfpq_is_subset_of_pq_universe(run):
     for r in ivfpq:
         if r.vec_id in pq_all:
             assert abs(r.adc_dist - pq_all[r.vec_id]) < 1e-6
+
+
+def test_bot_regularity_sorted_and_positive(run):
+    rows = run("events_bot_regularity").collect()
+    assert rows
+    cvs = [r.gap_cv for r in rows]
+    assert cvs == sorted(cvs)
+    for r in rows:
+        assert r.n_gaps >= 30
+        assert r.mean_gap_s > 0
+        assert r.gap_cv >= 0
