@@ -2871,3 +2871,97 @@ def events_bot_regularity(spark, sf_dir):
         .orderBy("gap_cv", "user_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic duplicate clusters (embedding pairs -> transitive groups)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_semantic_clusters",
+    None,
+)
+def sim_semantic_clusters(spark, sf_dir):
+    """Embedding near-dup pairs closed into transitive clusters — the
+    semantic twin of dedup_connected_components (there: MinHash text
+    pairs; here: LSH-bucketed cosine >= 0.98 vector pairs over the
+    doubled corpus).  Cluster id = smallest member vec_id; group_size
+    feeds the keep-one-per-cluster policy.
+
+    Plan: pair generation is the reused-exchange bucket self-join of
+    sim_embedding_dedup; the closure is min-label propagation + pointer
+    jumping keyed on the node id (operators/dedup.connected_components)
+    — dup graphs are star-shaped, 2-4 rounds in practice.  Oracle: the
+    identical pair set closed by a recursive CTE."""
+    from pyspark.sql import Window
+
+    from target_parquet_spark.operators import dedup as D
+    from target_parquet_spark.operators import similarity as S
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    b = doubled.withColumn(
+        "bucket", S.lsh_bucket(F.col("embedding"), n_planes=8)
+    ).repartition(spark.sparkContext.defaultParallelism, "bucket")
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.round(
+                S.cosine(F.col("x.embedding"), F.col("y.embedding")), 4
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.98)
+        .select("id_a", "id_b")
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    ).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+
+
+from target_parquet_spark.queries_ext import _SQL_BUCKET, _SQL_DOT as _DOT  # noqa: E402
+
+_ORACLES_SEMANTIC = f"""
+    WITH RECURSIVE doubled AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+    b AS (SELECT vec_id, embedding,
+                 {_SQL_BUCKET.format(v="embedding")} AS bucket FROM doubled),
+    pairs AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE round({_DOT.format(a="x.embedding", b="y.embedding")}
+                  / (sqrt({_DOT.format(a="x.embedding", b="x.embedding")})
+                     * sqrt({_DOT.format(a="y.embedding", b="y.embedding")})), 4)
+            >= 0.98),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u AS r FROM sym
+      UNION
+      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+    comp AS (SELECT u AS vec_id, min(r) AS cluster_id FROM reach GROUP BY u)
+    SELECT c.vec_id, c.cluster_id, g.cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id) g USING (cluster_id)
+"""
+
+from target_parquet_spark.queries import ORACLES as _OR2  # noqa: E402
+
+_OR2["sim_semantic_clusters"] = _ORACLES_SEMANTIC

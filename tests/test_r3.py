@@ -626,3 +626,17 @@ def test_bot_regularity_sorted_and_positive(run):
         assert r.n_gaps >= 30
         assert r.mean_gap_s > 0
         assert r.gap_cv >= 0
+
+
+def test_semantic_clusters_contain_planted_pairs(run):
+    rows = run("sim_semantic_clusters").collect()
+    assert rows
+    by_node = {r.vec_id: r for r in rows}
+    # every planted copy (vec_id + 1_000_000) clusters with its original
+    planted = [v for v in by_node if v >= 1_000_000 and v - 1_000_000 in by_node]
+    assert planted
+    for v in planted:
+        assert by_node[v].cluster_id == by_node[v - 1_000_000].cluster_id
+    for r in rows:
+        assert r.cluster_size >= 2  # only multi-member clusters emit
+        assert r.cluster_id <= r.vec_id  # representative = min member
