@@ -129,6 +129,7 @@ HEADLINE = [
     "sim_pq_ann",
     "sim_ivfpq_ann",
     "events_bot_regularity",
+    "events_active_users",
 ]
 
 

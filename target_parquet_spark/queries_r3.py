@@ -2965,3 +2965,81 @@ _ORACLES_SEMANTIC = f"""
 from target_parquet_spark.queries import ORACLES as _OR2  # noqa: E402
 
 _OR2["sim_semantic_clusters"] = _ORACLES_SEMANTIC
+
+
+# ---------------------------------------------------------------------------
+# engagement: DAU / WAU / MAU
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN du u
+        ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day),
+    mau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS mau
+      FROM days d JOIN du u
+        ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+      GROUP BY d.day)
+    SELECT dau.day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day
+    """,
+)
+def events_active_users(spark, sf_dir):
+    """DAU / WAU / MAU with the DAU/MAU stickiness ratio — the product
+    engagement headline.  Built from the (day, user) DISTINCT table (one
+    dedup shuffle over raw events; everything after runs on
+    days x users rows, not events), with trailing windows as banded day
+    joins.
+
+    Scale note: the exact trailing distinct here is the textbook use
+    for mergeable sketch state — at 100 TB you materialize per-day HLL
+    registers or bitmap words (agg_hll_set_ops / agg_bitmap_set_ops)
+    and a trailing window is a 7- or 30-way register merge, never a
+    rescan; this query is that pipeline's exact oracle at test scale."""
+    e = t(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n, name):
+        d, u = days.alias("d"), du.alias("u")
+        return (
+            d.join(
+                u,
+                (F.col("u.day") >= F.date_sub(F.col("d.day"), n - 1))
+                & (F.col("u.day") <= F.col("d.day")),
+            )
+            .groupBy(F.col("d.day").alias("day"))
+            .agg(F.countDistinct("u.user_id").alias(name))
+        )
+
+    wau, mau = trailing(7, "wau"), trailing(30, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )

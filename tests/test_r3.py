@@ -640,3 +640,11 @@ def test_semantic_clusters_contain_planted_pairs(run):
     for r in rows:
         assert r.cluster_size >= 2  # only multi-member clusters emit
         assert r.cluster_id <= r.vec_id  # representative = min member
+
+
+def test_active_users_monotone_windows(run):
+    rows = run("events_active_users").collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau  # nested trailing windows
+        assert 0 < r.stickiness <= 1
