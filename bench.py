@@ -130,6 +130,7 @@ HEADLINE = [
     "sim_ivfpq_ann",
     "events_bot_regularity",
     "events_active_users",
+    "text_zipf_fit",
 ]
 
 

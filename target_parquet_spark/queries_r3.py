@@ -3043,3 +3043,71 @@ def events_active_users(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+    WITH d AS (SELECT {SQL_TOKS.format(c="text")} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS tk FROM d),
+    c AS (SELECT tk, count(*) AS f FROM tok GROUP BY tk),
+    r AS (SELECT f, row_number() OVER (ORDER BY f DESC, tk) AS rank FROM c),
+    pts AS (SELECT log10(CAST(rank AS DOUBLE)) AS x,
+                   log10(CAST(f AS DOUBLE)) AS y
+            FROM r WHERE rank <= 100),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+             AS log10_intercept
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit: least-squares slope of log-frequency vs log-rank
+    over the top-100 tokens (natural language sits near -1; a flat slope
+    flags templated/generated text, a cliff flags boilerplate) — the
+    corpus-level statistical fingerprint next to the per-doc quality
+    scores.
+
+    Plan: one token-count shuffle, a 100-row ranked window, and the
+    regression reduced to five classical sums — portable closed-form
+    least squares, no ML library, mergeable like every other power-sum
+    state here."""
+    toks = td(spark, sf_dir, "documents").select(
+        F.explode(X.tokens(F.col("text"))).alias("tk")
+    )
+    c = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), "tk")
+    pts = (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select(
+            F.log10(F.col("rank").cast("double")).alias("x"),
+            F.log10(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "log10_intercept"
+        ),
+    )

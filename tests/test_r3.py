@@ -648,3 +648,10 @@ def test_active_users_monotone_windows(run):
     for r in rows:
         assert r.dau <= r.wau <= r.mau  # nested trailing windows
         assert 0 < r.stickiness <= 1
+
+
+def test_zipf_slope_negative(run):
+    r = run("text_zipf_fit").collect()[0]
+    assert r.n_terms > 10
+    assert r.zipf_slope < 0  # frequency decreases with rank, always
+    assert r.log10_intercept > 0  # top term occurs more than once
