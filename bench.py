@@ -131,6 +131,7 @@ HEADLINE = [
     "events_bot_regularity",
     "events_active_users",
     "text_zipf_fit",
+    "events_interval_overlap_join",
 ]
 
 

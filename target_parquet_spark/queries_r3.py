@@ -3111,3 +3111,118 @@ def text_zipf_fit(spark, sf_dir):
             "log10_intercept"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join (sessions x incident windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_interval_overlap_join",
+    """
+    WITH s AS (
+      SELECT user_id, island AS session_id, island_start AS s_start,
+             island_end AS s_end
+      FROM (
+        WITH iv AS (
+          SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e, event_id
+          FROM events),
+        o AS (
+          SELECT user_id, s, e, event_id,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max_e
+          FROM iv),
+        fl AS (
+          SELECT user_id, s, e, event_id,
+                 CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END AS new_island
+          FROM o),
+        isl AS (
+          SELECT user_id, s, e,
+                 CAST(sum(new_island) OVER (PARTITION BY user_id
+                                            ORDER BY s, event_id) AS BIGINT)
+                   AS island
+          FROM fl)
+        SELECT user_id, island, min(s) AS island_start, max(e) AS island_end
+        FROM isl GROUP BY user_id, island)),
+    inc AS (
+      SELECT event_id AS incident_id, ts AS i_start,
+             ts + INTERVAL 10 MINUTE AS i_end
+      FROM events WHERE event_type = 'error'),
+    hit AS (
+      SELECT s.user_id, s.session_id, inc.incident_id,
+             epoch_us(least(s.s_end, inc.i_end))
+               - epoch_us(greatest(s.s_start, inc.i_start)) AS overlap_us
+      FROM s JOIN inc
+        ON s.s_start < inc.i_end AND inc.i_start < s.s_end)
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions_hit,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(max(overlap_us) AS BIGINT) AS max_overlap_us
+    FROM hit GROUP BY user_id
+    """,
+)
+def events_interval_overlap_join(spark, sf_dir):
+    """Interval x interval overlap join — the temporal shape the
+    point-in-band joins (interval_join, asof) don't cover: user activity
+    sessions (merged islands) intersected with system incident windows
+    (10 minutes after every error event), reporting per user how much of
+    their activity an incident touched.  The blast-radius query of
+    incident response.
+
+    Plan: both interval sets derive from one events scan each; the
+    overlap predicate (s.start < i.end AND i.start < s.end) runs as a
+    join with range conditions — at test scale Spark broadcasts the
+    incident side and evaluates the band as a residual; at 100 TB you
+    bucket both sides by day (exactly as events_concurrency_sweep clips
+    by day) so the theta join becomes a day-key equi-join with the same
+    residual.  Overlap length from exact integer epoch-micros."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fl = iv.withColumn(
+        "new_island",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        ).otherwise(0),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("s", "event_id")
+    sessions = (
+        fl.withColumn("island", F.sum("new_island").over(w_cum).cast("long"))
+        .groupBy("user_id", F.col("island").alias("session_id"))
+        .agg(F.min("s").alias("s_start"), F.max("e").alias("s_end"))
+    )
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("i_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
+    )
+    hit = sessions.join(
+        F.broadcast(inc),
+        (F.col("s_start") < F.col("i_end")) & (F.col("i_start") < F.col("s_end")),
+    ).select(
+        "user_id",
+        "session_id",
+        (
+            F.unix_micros(F.least("s_end", "i_end"))
+            - F.unix_micros(F.greatest("s_start", "i_start"))
+        ).alias("overlap_us"),
+    )
+    return hit.groupBy("user_id").agg(
+        F.countDistinct("session_id").cast("long").alias("n_sessions_hit"),
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.max("overlap_us").cast("long").alias("max_overlap_us"),
+    )

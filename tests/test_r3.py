@@ -655,3 +655,15 @@ def test_zipf_slope_negative(run):
     assert r.n_terms > 10
     assert r.zipf_slope < 0  # frequency decreases with rank, always
     assert r.log10_intercept > 0  # top term occurs more than once
+
+
+def test_interval_overlap_positive_and_bounded(run):
+    rows = run("events_interval_overlap_join").collect()
+    assert rows
+    for r in rows:
+        assert r.n_overlaps >= r.n_sessions_hit >= 1
+        # overlap of open intervals is strictly positive and cannot
+        # exceed the incident window length (10 min)... unless the
+        # session fully contains it — then it equals it; sessions can be
+        # longer, so bound by session-side is not fixed; incident side is
+        assert 0 < r.max_overlap_us <= 600_000_000
