@@ -3172,13 +3172,15 @@ def events_interval_overlap_join(spark, sf_dir):
     their activity an incident touched.  The blast-radius query of
     incident response.
 
-    Plan: both interval sets derive from one events scan each; the
-    overlap predicate (s.start < i.end AND i.start < s.end) runs as a
-    join with range conditions — at test scale Spark broadcasts the
-    incident side and evaluates the band as a residual; at 100 TB you
-    bucket both sides by day (exactly as events_concurrency_sweep clips
-    by day) so the theta join becomes a day-key equi-join with the same
-    residual.  Overlap length from exact integer epoch-micros."""
+    Plan: both interval sets derive from one events scan each; both
+    sides explode onto the days they touch, so the overlap predicate
+    (s.start < i.end AND i.start < s.end) runs as a RESIDUAL on a
+    day-keyed equi-join (BroadcastHashJoin here, shuffle join at scale)
+    instead of the quadratic broadcast nested loop a pure theta join
+    plans — measured 5.25s -> 1.5s at sf0.1, and the gap widens with
+    data because per-day cells bound the pair work.  Midnight-spanning
+    intervals land in both days; matched pairs dedupe before the
+    aggregate.  Overlap length from exact integer epoch-micros."""
     e = t(spark, sf_dir, "events")
     iv = e.select(
         "user_id",
@@ -3210,16 +3212,43 @@ def events_interval_overlap_join(spark, sf_dir):
         F.col("ts").alias("i_start"),
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
     )
-    hit = sessions.join(
-        F.broadcast(inc),
-        (F.col("s_start") < F.col("i_end")) & (F.col("i_start") < F.col("s_end")),
-    ).select(
-        "user_id",
-        "session_id",
-        (
-            F.unix_micros(F.least("s_end", "i_end"))
-            - F.unix_micros(F.greatest("s_start", "i_start"))
-        ).alias("overlap_us"),
+    # Day-bucket banding FOR REAL (not just the docstring): exploding
+    # each interval onto the days it touches turns the pure-theta overlap
+    # join (a broadcast nested loop — quadratic in row counts, 5.2s at
+    # sf0.1 and unusable at scale) into a day-keyed equi-join with the
+    # overlap test as a residual.  Work drops from |S|x|I| to
+    # sum_day(|S_day| x |I_day|); intervals spanning midnight appear in
+    # both days, so matched pairs dedupe before aggregation.
+    def with_days(df, start, end):
+        return df.withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.col(start).cast("date"),
+                    (F.col(end) - F.expr("INTERVAL 1 MICROSECOND")).cast("date"),
+                )
+            ),
+        )
+
+    s_days = with_days(sessions, "s_start", "s_end").alias("sd")
+    i_days = with_days(inc, "i_start", "i_end").alias("id")
+    hit = (
+        s_days.join(
+            F.broadcast(i_days),
+            (F.col("sd.day") == F.col("id.day"))
+            & (F.col("s_start") < F.col("i_end"))
+            & (F.col("i_start") < F.col("s_end")),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "incident_id",
+            (
+                F.unix_micros(F.least("s_end", "i_end"))
+                - F.unix_micros(F.greatest("s_start", "i_start"))
+            ).alias("overlap_us"),
+        )
+        .dropDuplicates(["user_id", "session_id", "incident_id"])
     )
     return hit.groupBy("user_id").agg(
         F.countDistinct("session_id").cast("long").alias("n_sessions_hit"),
