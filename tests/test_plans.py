@@ -222,3 +222,24 @@ def test_hourly_profile_single_count_shuffle(spark, sf_dir):
     # raw events touched once: one scan node only
     assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "partial_count" in p
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark, sf_dir):
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "events_interval_overlap_join")
+    # the day banding must plan a hash join with the overlap test as a
+    # residual — never the quadratic nested loop of a pure theta join
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pq_encoding_is_scan_stage(spark, sf_dir):
+    import target_parquet_spark.queries_r3  # noqa: F401
+
+    p = plan(spark, sf_dir, "sim_pq_ann")
+    # codebook argmin encoding joins nothing; the only ordering operator
+    # is the top-k itself
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
