@@ -132,6 +132,8 @@ HEADLINE = [
     "events_active_users",
     "text_zipf_fit",
     "events_interval_overlap_join",
+    "events_changepoint_cusum",
+    "events_threshold_episodes",
 ]
 
 

@@ -3255,3 +3255,135 @@ def events_interval_overlap_join(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_overlaps"),
         F.max("overlap_us").cast("long").alias("max_overlap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# changepoint detection (CUSUM) + threshold episodes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_changepoint_cusum",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY event_type, day),
+    m AS (
+      SELECT event_type, avg(n) AS mu FROM d GROUP BY event_type),
+    c AS (
+      SELECT d.event_type, d.day,
+             sum(d.n - m.mu) OVER (PARTITION BY d.event_type
+                                   ORDER BY d.day) AS cusum
+      FROM d JOIN m ON d.event_type = m.event_type),
+    x AS (
+      SELECT event_type, day, cusum,
+             max(abs(cusum)) OVER (PARTITION BY event_type) AS mx
+      FROM c)
+    SELECT event_type,
+           min(CASE WHEN abs(cusum) = mx THEN day END) AS changepoint_day,
+           round(max(mx), 2) AS max_abs_cusum
+    FROM x GROUP BY event_type
+    """,
+)
+def events_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection on daily volumes: the day where the
+    cumulative deviation from the series mean peaks is the most likely
+    single shift point (classic offline CUSUM) — the localization step
+    that runs after a drift monitor (audit_ks_drift / psi) fires,
+    answering WHEN the distribution moved.
+
+    Plan: daily counts are a calendar-bounded agg; the mean broadcasts
+    back; cumulative sums and the arg-max run as windows over
+    days x types rows.  Raw events are touched once."""
+    e = t(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = d.groupBy("event_type").agg(F.avg("n").alias("mu"))
+    w_cum = Window.partitionBy("event_type").orderBy("day")
+    c = d.join(F.broadcast(m), "event_type").withColumn(
+        "cusum", F.sum(F.col("n") - F.col("mu")).over(w_cum)
+    )
+    x = c.withColumn(
+        "mx", F.max(F.abs("cusum")).over(Window.partitionBy("event_type"))
+    )
+    return x.groupBy("event_type").agg(
+        F.min(
+            F.when(F.abs(F.col("cusum")) == F.col("mx"), F.col("day"))
+        ).alias("changepoint_day"),
+        F.round(F.max("mx"), 2).alias("max_abs_cusum"),
+    )
+
+
+@query(
+    "events_threshold_episodes",
+    """
+    WITH thr AS (
+      SELECT event_type, quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type),
+    fl AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             CASE WHEN e.value > thr.p95 THEN 1 ELSE 0 END AS hot
+      FROM events e JOIN thr ON e.event_type = thr.event_type),
+    gr AS (
+      SELECT user_id, event_type, ts, event_id, hot,
+             CAST(row_number() OVER w
+                  - sum(hot) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+               AS grp
+      FROM fl
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)),
+    ep AS (
+      SELECT user_id, event_type, grp, count(*) AS run_len
+      FROM gr WHERE hot = 1 GROUP BY user_id, event_type, grp)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_episodes,
+           CAST(count(*) FILTER (WHERE run_len >= 3) AS BIGINT)
+             AS n_sustained,
+           CAST(max(run_len) AS BIGINT) AS longest_run
+    FROM ep GROUP BY event_type
+    """,
+)
+def events_threshold_episodes(spark, sf_dir):
+    """Threshold-crossing episodes: consecutive runs of above-p95 values
+    per (user, event_type), found with the gaps-and-islands identity
+    (row_number minus running hot-count is constant within a run) —
+    alert engines page on SUSTAINED breaches (run >= 3), not single
+    spikes, exactly to suppress noise.
+
+    Plan: the p95 table broadcasts back onto one events scan; the run
+    grouping is one window over (user, type) ordering, the episode agg
+    reuses that partitioning.  Same island trick as
+    events_merge_intervals, applied to a boolean instead of time
+    overlap."""
+    e = t(spark, sf_dir, "events")
+    thr = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.95)").alias("p95")
+    )
+    fl = e.join(F.broadcast(thr), "event_type").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("value") > F.col("p95"), 1).otherwise(0).alias("hot"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gr = fl.withColumn(
+        "grp",
+        (
+            F.row_number().over(w)
+            - F.sum("hot").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).cast("long"),
+    )
+    ep = (
+        gr.filter(F.col("hot") == 1)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return ep.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_episodes"),
+        F.count(F.when(F.col("run_len") >= 3, 1)).cast("long").alias("n_sustained"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )

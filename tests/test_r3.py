@@ -667,3 +667,21 @@ def test_interval_overlap_positive_and_bounded(run):
         # session fully contains it — then it equals it; sessions can be
         # longer, so bound by session-side is not fixed; incident side is
         assert 0 < r.max_overlap_us <= 600_000_000
+
+
+def test_cusum_changepoint_shape(run):
+    rows = run("events_changepoint_cusum").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.changepoint_day is not None
+        assert r.max_abs_cusum >= 0
+
+
+def test_threshold_episodes_consistent(run):
+    rows = run("events_threshold_episodes").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.n_sustained <= r.n_episodes
+        assert r.longest_run >= 1
+        if r.n_sustained:
+            assert r.longest_run >= 3
