@@ -134,6 +134,7 @@ HEADLINE = [
     "events_interval_overlap_join",
     "events_changepoint_cusum",
     "events_threshold_episodes",
+    "agg_pareto_concentration",
 ]
 
 

@@ -3387,3 +3387,82 @@ def events_threshold_episodes(spark, sf_dir):
         F.count(F.when(F.col("run_len") >= 3, 1)).cast("long").alias("n_sustained"),
         F.max("run_len").cast("long").alias("longest_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# concentration analysis (Pareto)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pareto_concentration",
+    """
+    WITH cr AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+             count(*) OVER () AS n_cust,
+             sum(rev) OVER () AS total,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum
+      FROM cr)
+    SELECT CAST(max(n_cust) AS BIGINT) AS n_customers,
+           round(max(CASE WHEN rn <= CAST(ceil(n_cust * 0.1) AS BIGINT)
+                          THEN cum END) / max(total), 4) AS top_decile_share,
+           CAST(min(CASE WHEN cum >= 0.5 * total THEN rn END) AS BIGINT)
+             AS n_for_half_revenue,
+           round(CAST(min(CASE WHEN cum >= 0.5 * total THEN rn END) AS DOUBLE)
+                 / max(n_cust), 4) AS frac_for_half_revenue
+    FROM r
+    """,
+)
+def agg_pareto_concentration(spark, sf_dir):
+    """Revenue concentration — the Pareto questions: what share does the
+    top customer decile hold, and how few customers carry half the
+    revenue?  The numbers behind account prioritization and the
+    continuous-measure complement of agg_group_entropy's categorical
+    Gini.
+
+    Plan: per-customer revenue is one map-combinable shuffle; the
+    ranked cumulative share runs as a single global-ordered window over
+    CUSTOMER-cardinality rows (already reduced ~10x from orders) — at
+    100 TB that window input is the dimension table's size, and the
+    global sort is a range-partitioned TakeOrdered-scale operation, not
+    an event-table sort."""
+    o = t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w_rank = Window.orderBy(F.desc("rev"), "o_custkey")
+    w_all = Window.partitionBy()
+    r = cr.select(
+        "rev",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+        F.sum("rev").over(w_all).alias("total"),
+        F.sum("rev").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    return r.agg(
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.round(
+            F.max(
+                F.when(
+                    F.col("rn") <= F.ceil(F.col("n_cust") * 0.1).cast("long"),
+                    F.col("cum"),
+                )
+            )
+            / F.max("total"),
+            4,
+        ).alias("top_decile_share"),
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("total"), F.col("rn")))
+        .cast("long")
+        .alias("n_for_half_revenue"),
+        F.round(
+            F.min(
+                F.when(F.col("cum") >= 0.5 * F.col("total"), F.col("rn"))
+            ).cast("double")
+            / F.max("n_cust"),
+            4,
+        ).alias("frac_for_half_revenue"),
+    )

@@ -685,3 +685,14 @@ def test_threshold_episodes_consistent(run):
         assert r.longest_run >= 1
         if r.n_sustained:
             assert r.longest_run >= 3
+
+
+def test_pareto_concentration_bounds(run):
+    r = run("agg_pareto_concentration").collect()[0]
+    assert r.n_customers > 0
+    # the top decile holds at least its uniform share
+    assert 0.1 - 1e-9 <= r.top_decile_share <= 1.0
+    assert 1 <= r.n_for_half_revenue <= r.n_customers
+    # half the revenue never needs more than ~half the customers when
+    # sorted descending
+    assert r.frac_for_half_revenue <= 0.5 + 1.0 / r.n_customers
