@@ -135,6 +135,8 @@ HEADLINE = [
     "events_changepoint_cusum",
     "events_threshold_episodes",
     "agg_pareto_concentration",
+    "text_charset_profile",
+    "events_first_touch_attribution",
 ]
 
 

@@ -3466,3 +3466,117 @@ def agg_pareto_concentration(spark, sf_dir):
             4,
         ).alias("frac_for_half_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# character-class profile + first-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_charset_profile",
+    """
+    WITH d AS (
+      SELECT lang, text, length(text) AS n FROM documents
+      WHERE length(text) > 0),
+    c AS (
+      SELECT lang, n,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[^\\s]', '', 'g')) AS n_space
+      FROM d)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_alpha AS DOUBLE) / n), 4) AS alpha_ratio,
+           round(avg(CAST(n_digit AS DOUBLE) / n), 4) AS digit_ratio,
+           round(avg(CAST(n_space AS DOUBLE) / n), 4) AS space_ratio,
+           round(avg(CAST(n - n_alpha - n_digit - n_space AS DOUBLE) / n), 4)
+             AS other_ratio
+    FROM c GROUP BY lang
+    """,
+)
+def text_charset_profile(spark, sf_dir):
+    """Character-class composition per language: ASCII-letter, digit,
+    whitespace, and other (punctuation + non-Latin scripts) ratios — the
+    script-level fingerprint next to the token-level quality metrics
+    (zh shows near-zero alpha_ratio and high other_ratio, a cheap
+    sanity check on language labels; spikes in digit/other flag tables
+    and markup masquerading as prose).
+
+    Plan: three regexp strips per row in the scan stage, a 5-key agg —
+    zero Python, one shuffle of per-language partials."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    c = d.select(
+        "lang",
+        F.length("text").alias("n"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        F.length(F.regexp_replace("text", r"[^\s]", "")).alias("n_space"),
+    )
+    r = lambda col: F.round(F.avg(col.cast("double") / F.col("n")), 4)  # noqa: E731
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        r(F.col("n_alpha")).alias("alpha_ratio"),
+        r(F.col("n_digit")).alias("digit_ratio"),
+        r(F.col("n_space")).alias("space_ratio"),
+        r(F.col("n") - F.col("n_alpha") - F.col("n_digit") - F.col("n_space")).alias(
+            "other_ratio"
+        ),
+    )
+
+
+@query(
+    "events_first_touch_attribution",
+    """
+    WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT p.purchase_id, p.value, c.click_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts, c.click_id) AS rn
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR)
+    SELECT CAST(count(*) AS BIGINT) AS n_attributed_purchases,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_first_touch_clicks,
+           round(sum(value), 2) AS attributed_value
+    FROM touch WHERE rn = 1
+    """,
+)
+def events_first_touch_attribution(spark, sf_dir):
+    """First-touch attribution — completing the triad (last-touch =
+    asof_join_events, linear = events_multitouch_attribution): each
+    purchase's full value credited to the EARLIEST click in its 24-hour
+    window.  Marketing's discovery-channel view; the three models on the
+    same joined base are how attribution disputes get quantified.
+
+    Plan: identical banded interval join as the linear model; the
+    earliest-touch pick is a row_number over the join output partitioned
+    by purchase — no second join, same single key shuffle."""
+    e = t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touch = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    first = touch.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return first.agg(
+        F.count(F.lit(1)).cast("long").alias("n_attributed_purchases"),
+        F.countDistinct("click_id").cast("long").alias("n_first_touch_clicks"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )

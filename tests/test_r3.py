@@ -696,3 +696,23 @@ def test_pareto_concentration_bounds(run):
     # half the revenue never needs more than ~half the customers when
     # sorted descending
     assert r.frac_for_half_revenue <= 0.5 + 1.0 / r.n_customers
+
+
+def test_charset_ratios_partition_unity(run):
+    rows = run("text_charset_profile").collect()
+    assert len(rows) == 5
+    for r in rows:
+        total = r.alpha_ratio + r.digit_ratio + r.space_ratio + r.other_ratio
+        assert abs(total - 1.0) < 0.01  # the four classes partition text
+        # synthetic corpus is Latin-script for every lang label, so the
+        # informative signal here is alpha+space dominance, not script mix
+        assert r.alpha_ratio > 0.5
+
+
+def test_first_touch_consistent_with_multitouch(run):
+    ft = run("events_first_touch_attribution").collect()[0]
+    mt = run("events_multitouch_attribution").collect()[0]
+    assert ft.n_attributed_purchases > 0
+    assert ft.n_first_touch_clicks <= ft.n_attributed_purchases
+    # all three models conserve the same attributable value pool
+    assert abs(ft.attributed_value - mt.attributed_value) < 0.05
