@@ -137,6 +137,7 @@ HEADLINE = [
     "agg_pareto_concentration",
     "text_charset_profile",
     "events_first_touch_attribution",
+    "agg_mean_family",
 ]
 
 

@@ -3580,3 +3580,42 @@ def events_first_touch_attribution(spark, sf_dir):
         F.countDistinct("click_id").cast("long").alias("n_first_touch_clicks"),
         F.round(F.sum("value"), 2).alias("attributed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pythagorean means
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mean_family",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 4) AS arith_mean,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean,
+           round(count(*) / sum(1.0 / o_totalprice), 4) AS harm_mean
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_mean_family(spark, sf_dir):
+    """The three Pythagorean means per order status: arithmetic,
+    geometric (exp of mean log — the right average for ratios and
+    growth rates), harmonic (n over reciprocal sum — the right average
+    for rates like price-per-unit).  AM >= GM >= HM always; the gaps
+    measure dispersion.
+
+    Plan: all three reduce to ordinary sums (log-sum and
+    reciprocal-sum are just projections before the agg), so one
+    map-combinable shuffle carries the whole family — and the states
+    merge by addition like every power-sum aggregate here."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("arith_mean"),
+        F.round(F.exp(F.avg(F.log("o_totalprice"))), 4).alias("geo_mean"),
+        F.round(
+            F.count(F.lit(1)) / F.sum(1.0 / F.col("o_totalprice")), 4
+        ).alias("harm_mean"),
+    )

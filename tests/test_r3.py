@@ -716,3 +716,12 @@ def test_first_touch_consistent_with_multitouch(run):
     assert ft.n_first_touch_clicks <= ft.n_attributed_purchases
     # all three models conserve the same attributable value pool
     assert abs(ft.attributed_value - mt.attributed_value) < 0.05
+
+
+def test_mean_inequality_chain(run):
+    rows = run("agg_mean_family").collect()
+    assert rows
+    for r in rows:
+        # AM >= GM >= HM, with equality only for constant data
+        assert r.arith_mean >= r.geo_mean - 1e-6
+        assert r.geo_mean >= r.harm_mean - 1e-6
