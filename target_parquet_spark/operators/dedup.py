@@ -286,7 +286,13 @@ def minhash_lsh_pairs(
     )
 
 
-def _ngram_pair_stats(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _ngram_pair_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int | None = 100,
+) -> DataFrame:
     """Candidate pairs (id_a < id_b) with shingle-set intersection and
     per-doc set sizes, via the shingle inverted index.
 
@@ -294,6 +300,21 @@ def _ngram_pair_stats(df: DataFrame, text_col: str, id_col: str, n: int) -> Data
     the self-join requires — so both join branches read one reused
     exchange and the interpreted shingle expression runs once per doc
     (shuffle-file-backed reuse; no persist, no storage memory).
+
+    ``max_df`` caps the hot-shingle blowup: a shingle appearing in k
+    postings contributes k² candidate rows to the self-join, so one
+    boilerplate sentence ("terms of service …") shared by a million
+    docs would alone produce 10^12 rows.  Postings whose shingle
+    occurs more than ``max_df`` times are dropped BEFORE the join —
+    both the intersection AND the per-doc sizes are computed in the
+    filtered shingle space, so the score stays a true Jaccard /
+    containment over the discriminative shingles (ubiquitous shingles
+    carry no signal for thresholds ≥ 0.5 anyway).  The frequency is
+    counted with a window over the posting exchange — same shuffle the
+    join needs, so the cap costs no extra exchange.  The per-shingle
+    candidate work is then O(max_df²) regardless of corpus size: the
+    quadratic worst case is gone.  ``max_df=None`` restores the
+    uncapped exact baseline for bounded corpora.
 
     The posting projection is ONLY (doc_id, explode(sh)): the generator
     evaluates the interpreted shingle expression once per doc.  Putting
@@ -307,6 +328,14 @@ def _ngram_pair_stats(df: DataFrame, text_col: str, id_col: str, n: int) -> Data
         F.col(id_col).alias("doc_id"),
         F.explode(shingles(F.col(text_col), n=n)).alias("shingle"),
     ).repartition(_width(df), "shingle")
+    if max_df is not None:
+        posting = (
+            posting.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = posting.alias("a"), posting.alias("b")
     common = (
@@ -324,11 +353,18 @@ def _ngram_pair_stats(df: DataFrame, text_col: str, id_col: str, n: int) -> Data
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 100,
 ) -> DataFrame:
-    """Exact all-pairs Jaccard via the shingle inverted index (see
-    :func:`_ngram_pair_stats` for the exchange-reuse plan notes)."""
-    pairs = _ngram_pair_stats(df, text_col, id_col, n)
+    """All-pairs Jaccard via the shingle inverted index, exact over the
+    shingles kept by the ``max_df`` hot-shingle cap (see
+    :func:`_ngram_pair_stats` for the cap + exchange-reuse plan notes;
+    ``max_df=None`` for the uncapped baseline on bounded corpora)."""
+    pairs = _ngram_pair_stats(df, text_col, id_col, n, max_df=max_df)
     jac = F.round(
         F.col("inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
@@ -342,14 +378,20 @@ def ngram_jaccard_pairs(
 
 
 def ngram_containment_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Asymmetric near-dup: containment = |A∩B| / |smaller set|.  Catches
     doc-inside-doc (quotes, concatenations, truncated copies) that
     Jaccard misses — a 10x-longer superset drags Jaccard under any sane
     threshold while containment of the smaller side stays ~1.0.  Same
-    inverted-index plan as Jaccard; only the final scalar differs."""
-    pairs = _ngram_pair_stats(df, text_col, id_col, n)
+    inverted-index plan (and ``max_df`` hot-shingle cap) as Jaccard;
+    only the final scalar differs."""
+    pairs = _ngram_pair_stats(df, text_col, id_col, n, max_df=max_df)
     cont = F.round(
         F.col("inter").cast("double")
         / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
@@ -464,6 +506,12 @@ def lsh_band_index(
     STREAMING inputs alike (every expression is deterministic and
     per-row), which is what lets a static corpus index meet a stream of
     new documents in a stream-static join (streaming_near_dup)."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}): "
+            "trailing hash rows would be silently dropped, weakening the "
+            "signature"
+        )
     rows_per_band = n_hashes // bands
     base = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
         F.col(id_col).alias("doc_id"),
@@ -504,12 +552,32 @@ def streaming_near_dup(
 
     Scale notes: the stream side carries only the current micro-batch;
     the static index is a bucketed table on the band keys, so the join
-    is the canonical stream-static enrichment with no streaming state
-    beyond the in-flight batch (dedup of repeated candidate pairs within
-    a doc is a batch-local dropDuplicates — band collisions for the same
-    pair land in the same micro-batch because banding is per-row).  This
-    is the ingest-time gate that keeps an ever-growing corpus from
+    is the canonical stream-static enrichment with ZERO streaming state.
+    A pair whose signatures collide on k bands emerges from the join k
+    times; instead of a stateful dropDuplicates (which on a streaming
+    frame would accumulate unbounded global state — ADVICE r2), each
+    candidate row recomputes both band arrays from the two shingle sets
+    it already carries (deterministic expressions, same as the index
+    build) and survives only if its band_idx is the FIRST index where
+    the arrays agree — a pure per-row filter that keeps exactly one row
+    per pair.  The signature recompute is per-candidate CPU, not state.
+    This is the ingest-time gate that keeps an ever-growing corpus from
     re-admitting what it already holds."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = n_hashes // bands
+
+    def _bands_of(sh_col):
+        sig = _sig_expr(sh_col, n_hashes)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+            ),
+        )
+
     new_banded = lsh_band_index(
         new_docs, text_col, id_col, n_hashes=n_hashes, bands=bands,
         shingle_n=shingle_n,
@@ -522,9 +590,24 @@ def streaming_near_dup(
     cand = j.select(
         F.col("n.doc_id").alias("new_id"),
         F.col("c.doc_id").alias("dup_of"),
+        F.col("n.band_idx").alias("band_idx"),
         F.col("n.sh").alias("sh_a"),
         F.col("c.sh").alias("sh_b"),
-    ).dropDuplicates(["new_id", "dup_of"])
+    )
+    # first index (0-based) where the two band arrays agree; the join
+    # guarantees at least one, so array_position is always >= 1
+    first_match = (
+        F.array_position(
+            F.zip_with(
+                _bands_of(F.col("sh_a")),
+                _bands_of(F.col("sh_b")),
+                lambda x, y: x == y,
+            ),
+            F.lit(True),
+        )
+        - 1
+    )
+    cand = cand.filter(F.col("band_idx") == first_match)
     return cand.select(
         "new_id",
         "dup_of",

@@ -539,24 +539,41 @@ def dedup_keep_canonical(spark, sf_dir):
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
            WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
-    posting AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM posting)
+      WHERE df <= 100),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
     common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-             count(*) AS inter
-      FROM posting a JOIN posting b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT c.id_a, c.id_b, c.inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b)
     SELECT id_a, id_b,
            round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4) AS jaccard
-    FROM common
+    FROM scored
     WHERE round(CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE), 4) >= 0.6
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact all-pairs Jaccard via the shingle inverted index (the
-    LSH-free baseline — quadratic worst case, for bounded corpora)."""
+    """All-pairs Jaccard via the shingle inverted index — the LSH-free
+    baseline, with the max_df=100 hot-shingle cap (r3): ubiquitous
+    shingles are dropped before the posting self-join, bounding the
+    per-shingle candidate work at O(max_df²) and killing the quadratic
+    worst case the r2 verdict flagged.  Scores are exact Jaccard over
+    the kept (discriminative) shingle space, mirrored in the oracle."""
     corpus = _spark_corpus(spark, sf_dir)
-    return D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.6)
+    return D.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.6, max_df=100
+    )
 
 
 @query(
@@ -566,17 +583,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
            WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
-    posting AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n_sh FROM sh),
+    posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    kept AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM posting)
+      WHERE df <= 100),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
     common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-             count(*) AS inter
-      FROM posting a JOIN posting b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT c.id_a, c.id_b, c.inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b)
     SELECT id_a, id_b,
            round(CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 4)
              AS containment
-    FROM common
+    FROM scored
     WHERE round(CAST(inter AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE), 4) >= 0.8
     """,
 )
@@ -584,9 +612,12 @@ def dedup_ngram_containment(spark, sf_dir):
     """Asymmetric doc-in-doc detection: containment of the smaller
     shingle set (|A∩B| / min set size).  The planted perturbed docs are
     strict-prefix truncations, so their containment in the original is
-    ~1.0 even where Jaccard falls below a dedup threshold."""
+    ~1.0 even where Jaccard falls below a dedup threshold.  Same
+    max_df=100 hot-shingle cap as dedup_ngram_jaccard (r3)."""
     corpus = _spark_corpus(spark, sf_dir)
-    return D.ngram_containment_pairs(corpus, "text", "doc_id", n=3, threshold=0.8)
+    return D.ngram_containment_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.8, max_df=100
+    )
 
 
 # SimHash reproduced bit-for-bit in SQL: token hash = big-endian u64 of the

@@ -4,12 +4,17 @@ words).
 The batch twin is ``agg_bitmap_distinct`` (queries_r3.py): dense integer
 keys pack 32-per-long (word = id div 32, bit = id mod 32), words OR
 together, popcount-sum is the exact cardinality.  This module maintains
-the word table INCREMENTALLY over an event stream with the same
-epoch-directory protocol as ``streaming/rollup.py`` — each micro-batch
-overwrites only its own ``epoch=<id>`` partial, so crash replays are
-idempotent.  Bitmap state is even friendlier to that protocol than sums:
-OR is idempotent as well as associative, so even a DOUBLE-merged epoch
-cannot change the answer.
+the word table INCREMENTALLY over an event stream on the shared
+``EpochStore`` protocol (``streaming/epoch_store.py``) — each
+micro-batch overwrites only its own ``epoch=<id>`` partial, so crash
+replays are idempotent.  Bitmap state is even friendlier to that
+protocol than sums: OR is idempotent as well as associative, so even a
+DOUBLE-merged epoch cannot change the answer.
+
+Compaction folds the partials into a ``base-v<N>`` directory — a
+namespace that can never collide with a stream batchId (writing the
+fold to ``epoch=<max+1>`` would be overwritten by the checkpoint's next
+micro-batch, silently undercounting; see epoch_store docstring).
 
 Scale notes: the per-batch shuffle is on (event_type, word) with
 map-side partial bit_or — 32x key-space reduction before the wire; the
@@ -26,6 +31,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .epoch_store import EpochStore
+
 __all__ = ["StreamingBitmapDistinct"]
 
 _BIT = "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
@@ -41,6 +48,9 @@ class StreamingBitmapDistinct:
         self.spark = spark
         self.out_dir = out_dir
         self.checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
+        self._store = EpochStore(
+            spark, out_dir, "event_type string, word bigint, bits bigint"
+        )
 
     # -- write path ----------------------------------------------------------
 
@@ -58,21 +68,22 @@ class StreamingBitmapDistinct:
         delta = batch_df.groupBy(
             "event_type", F.expr("user_id div 32").alias("word")
         ).agg(F.bit_or(F.expr(_BIT)).alias("bits"))
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
-        )
+        self._store.write_epoch(delta, epoch_id)
 
     # -- read path -----------------------------------------------------------
 
+    @staticmethod
+    def _fold(df: DataFrame) -> DataFrame:
+        return (
+            df.select("event_type", "word", "bits")
+            .groupBy("event_type", "word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+
     def words(self) -> DataFrame:
-        """Merged word table: epoch partials re-ORed — the same state one
-        global batch pass would produce."""
-        df = self.spark.read.option("basePath", self.out_dir).parquet(
-            os.path.join(self.out_dir, "epoch=*")
-        )
-        return df.groupBy("event_type", "word").agg(
-            F.bit_or("bits").alias("bits")
-        )
+        """Merged word table: base + epoch partials re-ORed — the same
+        state one global batch pass would produce."""
+        return self._fold(self._store.state_df())
 
     def counts(self) -> DataFrame:
         """Exact distinct user_id per event_type from the merged words."""
@@ -81,20 +92,8 @@ class StreamingBitmapDistinct:
         )
 
     def compact(self) -> None:
-        """Fold all epoch partials into one directory (OR is associative
-        and idempotent, so readers racing a compaction see identical
-        counts either way)."""
-        import shutil
-
-        merged = self.words()
-        epochs = [
-            d
-            for d in os.listdir(self.out_dir)
-            if d.startswith("epoch=") and d != "_checkpoint"
-        ]
-        next_id = 1 + max(int(d.split("=", 1)[1]) for d in epochs)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"epoch={next_id}")
-        )
-        for d in epochs:
-            shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
+        """Fold all current partials into one ``base-v<N>`` directory.
+        Safe to run while the stream is live: future batchIds land in
+        ``epoch=*`` and merge with the base on read; a no-op when there
+        is nothing to fold."""
+        self._store.compact(self._fold)

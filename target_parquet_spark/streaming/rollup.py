@@ -6,14 +6,18 @@ rollup INCREMENTALLY over an event stream — the hypertable/materialized
 -view pattern the reference cannot express (its only aggregation is the
 per-stream record count, reference target_parquet/writers.py:52-74).
 
-Exactly-once on plain parquet, without a transactional table format:
+Exactly-once on plain parquet, without a transactional table format,
+via the shared ``EpochStore`` protocol (``streaming/epoch_store.py``):
 each micro-batch writes its partial aggregate to an ``epoch=<id>``
-directory, OVERWRITING that directory alone.  Replays of an epoch (after
-a crash between write and checkpoint commit) rewrite the identical
-partial — idempotent — and never touch other epochs' data.  Readers
-merge the partials (counts add, sums add), which is cheap because
-partials are tiny relative to the base stream; ``compact`` folds all
-current epochs into one to bound the directory count.
+directory, OVERWRITING that directory alone.  Replays of an epoch
+(after a crash between write and checkpoint commit) rewrite the
+identical partial — idempotent — and never touch other epochs' data.
+Readers merge the partials (counts add, sums add), which is cheap
+because partials are tiny relative to the base stream; ``compact``
+folds current partials into a ``base-v<N>`` directory whose namespace
+can never collide with a stream batchId, and records what it folded in
+a manifest so a racing reader never double-counts (sums, unlike bitmap
+ORs, are NOT idempotent — the manifest is load-bearing here).
 
 Scale notes: the per-batch aggregate is a map-side-combined shuffle on
 (day, event_type) — cardinality ~days x types, thousands at most, so
@@ -30,6 +34,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .epoch_store import EpochStore
+
 __all__ = ["StreamingRollup"]
 
 
@@ -41,6 +47,11 @@ class StreamingRollup:
         self.spark = spark
         self.out_dir = out_dir
         self.checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
+        self._store = EpochStore(
+            spark,
+            out_dir,
+            "day timestamp, event_type string, n_events bigint, sum_value double",
+        )
 
     # -- write path ----------------------------------------------------------
 
@@ -65,37 +76,28 @@ class StreamingRollup:
             F.sum("value").alias("sum_value"),
         )
         # Overwrite THIS epoch's directory only: replay-idempotent.
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
-        )
+        self._store.write_epoch(delta, epoch_id)
 
     # -- read path -----------------------------------------------------------
 
+    @staticmethod
+    def _fold(df: DataFrame) -> DataFrame:
+        return (
+            df.select("day", "event_type", "n_events", "sum_value")
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+
     def read(self) -> DataFrame:
-        """Merged rollup: counts and sums folded across epoch partials."""
-        df = self.spark.read.option("basePath", self.out_dir).parquet(
-            os.path.join(self.out_dir, "epoch=*")
-        )
-        return df.groupBy("day", "event_type").agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
-        )
+        """Merged rollup: counts and sums folded across base + epochs."""
+        return self._fold(self._store.state_df())
 
     def compact(self) -> None:
-        """Fold all epoch partials into a single fresh epoch directory and
-        drop the old ones.  Readers racing a compaction see either layout
-        — both merge to identical totals (the fold is associative)."""
-        import shutil
-
-        merged = self.read()
-        epochs = [
-            d
-            for d in os.listdir(self.out_dir)
-            if d.startswith("epoch=") and d != "_checkpoint"
-        ]
-        next_id = 1 + max(int(d.split("=", 1)[1]) for d in epochs)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"epoch={next_id}")
-        )
-        for d in epochs:
-            shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)
+        """Fold all current partials into one ``base-v<N>`` directory.
+        Safe to run while the stream is live: future batchIds land in
+        ``epoch=*`` and merge with the base on read; a no-op when there
+        is nothing to fold."""
+        self._store.compact(self._fold)

@@ -172,10 +172,14 @@ def _update_profile(
     )
     for pdf in pdfs:
         n += int(len(pdf))
-        us = pdf["ts"].astype("int64") // 1000  # ns -> us
-        lo, hi = int(us.min()), int(us.max())
-        first_us = lo if first_us is None else min(first_us, lo)
-        last_us = hi if last_us is None else max(last_us, hi)
+        # NaT.astype('int64') is int64-min, which would poison first_ts;
+        # null timestamps count toward n but are skipped for first/last
+        ts_valid = pdf["ts"].dropna()
+        if len(ts_valid):
+            us = ts_valid.astype("int64") // 1000  # ns -> us
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
         for et in pdf["event_type"]:
             mask |= 1 << _TYPE_BITS.get(et, 62)
     state.update((n, first_us, last_us, mask))
@@ -183,8 +187,12 @@ def _update_profile(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "first_ts": [pd.Timestamp(first_us, unit="us")],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "first_ts": [
+                pd.Timestamp(first_us, unit="us") if first_us is not None else pd.NaT
+            ],
+            "last_ts": [
+                pd.Timestamp(last_us, unit="us") if last_us is not None else pd.NaT
+            ],
             "type_mask": [mask],
             "n_types": [bin(mask).count("1")],
         }

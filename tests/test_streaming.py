@@ -452,14 +452,28 @@ def test_streaming_rollup_matches_batch_and_replays_idempotently(
     r._merge_batch(half, 0)
     assert _rows(r.read(), cols) == half_rollup
 
-    # compaction folds epochs without changing totals
+    # compaction folds epochs into a base-v dir without changing totals
     before = _rows(r.read(), cols)
     r.compact()
     assert _rows(r.read(), cols) == before
     import os as _os
-    assert (
-        len([d for d in _os.listdir(out) if d.startswith("epoch=")]) == 1
-    )
+    assert [d for d in _os.listdir(out) if d.startswith("epoch=")] == []
+    assert [d for d in _os.listdir(out) if d.startswith("base-v")] == ["base-v1"]
+
+    # THE bug class compaction must survive: the checkpoint's NEXT
+    # micro-batch lands after compact().  With compacted state in
+    # epoch=<max+1> that batch's overwrite would wipe all history; in
+    # the base-v namespace it merges.  (ADVICE r2, streaming/distinct.)
+    tot_before = sum(row[2] for row in before)  # n_events column
+    r._merge_batch(half, 6)
+    tot_after = r.read().agg(F.sum("n_events")).collect()[0][0]
+    assert tot_after == tot_before + half.count()
+
+    # repeated compaction is a fold-then-no-op, never a double count
+    r.compact()
+    after_two = _rows(r.read(), cols)
+    r.compact()
+    assert _rows(r.read(), cols) == after_two
 
 
 def test_running_user_totals_v2_transform_with_state(spark, events_src):
@@ -583,6 +597,33 @@ def test_streaming_bitmap_distinct_exact_and_replay_safe(
     d.compact()
     assert _rows(d.counts(), cols) == once
 
+    # next checkpoint batchId landing AFTER compact() must merge with
+    # (not overwrite) compacted history — the ADVICE r2 bug class
+    d._merge_batch(first_file, 7)
+    assert _rows(d.counts(), cols) == once
+    import os as _os
+    assert [x for x in _os.listdir(out) if x.startswith("base-v")] == ["base-v1"]
+
+    # compact again: folds the new epoch into base-v2, still exact,
+    # and a further compact with nothing to fold is a no-op
+    d.compact()
+    assert _rows(d.counts(), cols) == once
+    d.compact()
+    assert _rows(d.counts(), cols) == once
+
+
+def test_epoch_store_empty_and_fresh_compact(spark, tmp_path):
+    """compact() before any micro-batch commits is a no-op (ADVICE r2:
+    used to raise max-of-empty ValueError); reads on an empty store
+    return an empty frame with the declared schema."""
+    from target_parquet_spark.streaming.distinct import StreamingBitmapDistinct
+
+    out = str(tmp_path / "empty_bdist")
+    d = StreamingBitmapDistinct(spark, out)
+    d.compact()  # must not raise
+    assert d.counts().count() == 0
+    assert d.words().columns == ["event_type", "word", "bits"]
+
 
 def test_user_profile_state_equals_batch_groupby(spark, events_src):
     """Order-insensitive profile facets accumulate to exactly the batch
@@ -679,3 +720,46 @@ def test_streaming_near_dup_matches_batch(spark, sf_dir, tmp_path):
     # every original matched by its own perturbed copy at high jaccard
     self_pairs = [(a, b) for a, b, _ in got if a - 1000000 == b]
     assert len(self_pairs) >= 0.5 * len(set(x[0] for x in got))
+
+
+def test_update_profile_skips_null_ts():
+    """ADVICE r2: a NaT ts row must not poison first_ts with int64-min;
+    it counts toward n_events but is skipped for first/last."""
+    import pandas as pd
+
+    from target_parquet_spark.streaming.stateful import _update_profile
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "event_type": ["click", "view", "click"],
+            "ts": pd.to_datetime(
+                [None, "2024-01-02 03:04:05", "2024-01-03 00:00:00"]
+            ),
+        }
+    )
+    st = _FakeState()
+    out = next(_update_profile((1,), [pdf], st))
+    assert out["n_events"].iloc[0] == 3
+    assert out["first_ts"].iloc[0] == pd.Timestamp("2024-01-02 03:04:05")
+    assert out["last_ts"].iloc[0] == pd.Timestamp("2024-01-03 00:00:00")
+    assert st.value[0] == 3 and st.value[1] == 1704164645000000
+
+    # all-null ts: profile emits NaT rather than int64-min garbage
+    pdf2 = pd.DataFrame(
+        {
+            "user_id": [2],
+            "event_type": ["click"],
+            "ts": pd.to_datetime([None]),
+        }
+    )
+    st2 = _FakeState()
+    out2 = next(_update_profile((2,), [pdf2], st2))
+    assert out2["n_events"].iloc[0] == 1
+    assert pd.isna(out2["first_ts"].iloc[0])
