@@ -97,6 +97,7 @@ HEADLINE = [
     "events_merge_intervals",
     "audit_null_profile",
     "sim_ivf_recall",
+    "sim_ivf_recall_trained",
     "agg_hll_set_ops",
     "cdc_snapshot_diff",
     "agg_bitmap_distinct",

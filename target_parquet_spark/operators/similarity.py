@@ -25,6 +25,7 @@ __all__ = [
     "lsh_ann_multiprobe",
     "hamming_leq",
     "ivf_codebook",
+    "kmeans_codebook",
     "ivf_cell",
     "ivf_ann",
 ]
@@ -177,6 +178,125 @@ def ivf_codebook(
         for x in v:
             s += x * x
         out.append((int(r[0]), v, math.sqrt(s)))
+    return out
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    metric: str = "cos",
+) -> list[tuple[int, list[float], float]]:
+    """Lloyd-TRAINED centroid codebook — same return shape as
+    :func:`ivf_codebook`, so it drops into ``ivf_cell``/``ivf_ann``
+    with the query path unchanged (the seam both docstrings promised).
+
+    ``metric="cos"`` (default) is SPHERICAL k-means: assignment uses
+    the exact cosine-argmax expression ``ivf_cell`` runs at query time
+    (dot/||c|| — scale-invariant in the centroid, so the un-normalized
+    dim-wise mean is a valid spherical centroid).  Training with the
+    query path's own metric is what makes the trained cells improve
+    cosine recall; ``metric="l2"`` gives classic Lloyd for L2 indexes.
+
+    Distributed Lloyd: assignment is a per-row argmin/argmax over K
+    literal centroids (scan-stage, no join); the update step is a
+    dim-wise mean via posexplode + one (cluster, dim) aggregate — one
+    shuffle per round whose output is K*dim rows.  Only that tiny model
+    state is collected per round (the collect-tiny-model-state seam
+    shared with sim_kmeans_lloyd).  Deterministic end to end: init =
+    first ``n_centroids`` vectors by id, ties break to the lowest
+    cluster id, and every round's means quantize to 6dp — the rounding
+    that makes the data-dependent centroids bit-identical when a SQL
+    oracle replays training as unrolled CTEs (a raw avg differs in the
+    last ulp with summation order, and Lloyd feeds it back into the
+    next round's distances).
+
+    At 100 TB: train on a deterministic sample (the assignment scan is
+    the only full pass and is only needed at index-build time); K*dim
+    floats of model state are driver-trivial at any corpus size.
+    """
+    import math
+
+    if metric not in ("cos", "l2"):
+        raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
+    emb = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    init_rows = (
+        emb.filter(F.col("_id") < n_centroids).orderBy("_id").collect()
+    )
+    assert len(init_rows) == n_centroids, (
+        f"need {n_centroids} seed vectors with {id_col} < {n_centroids}, "
+        f"got {len(init_rows)}"
+    )
+    centroids: dict[int, list[float]] = {
+        int(r._id): [float(x) for x in r._v] for r in init_rows
+    }
+
+    def _d2(cvec: list[float]) -> Column:
+        lit = F.array(*[F.lit(v) for v in cvec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                lit,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _negscore(cvec: list[float]) -> Column:
+        # -(v·c)/||c||: negated so argmax-with-lowest-id-ties is the same
+        # array_min over (d, k) structs as the l2 branch
+        s = 0.0
+        for x in cvec:
+            s += x * x
+        nrm = math.sqrt(s)
+        lit = F.array(*[F.lit(v) for v in cvec])
+        return -(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_v"), lit, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(nrm)
+        )
+
+    dist = _d2 if metric == "l2" else _negscore
+    for _ in range(n_iters):
+        assign = F.array_min(
+            F.array(
+                *[
+                    F.struct(dist(c).alias("d"), F.lit(k).alias("k"))
+                    for k, c in sorted(centroids.items())
+                ]
+            )
+        )["k"]
+        # two selects: a generator (posexplode) alongside the struct-field
+        # access mis-analyzes the struct's field names in one projection
+        assigned = emb.select("_v", assign.alias("k"))
+        means = (
+            assigned.select("k", F.posexplode("_v").alias("dim", "x"))
+            .groupBy("k", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+        )
+        rows = means.collect()
+        centroids = {}
+        for r in rows:
+            centroids.setdefault(int(r.k), [0.0] * dim)[r.dim] = float(r.c)
+    assert sorted(centroids) == list(range(n_centroids)), (
+        "empty cluster during Lloyd training — reseed or lower n_centroids"
+    )
+    out = []
+    for k in range(n_centroids):
+        v = centroids[k]
+        s = 0.0
+        for x in v:
+            s += x * x
+        out.append((k, v, math.sqrt(s)))
     return out
 
 

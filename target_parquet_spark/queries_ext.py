@@ -1746,21 +1746,34 @@ _SQL_D2 = (
 )
 
 
-def _sql_kmeans_ctes(iters: int = 2) -> str:
-    """Unrolled Lloyd iterations.  Centroids are ROUNDED to 6dp after
-    every mean — the quantization that makes the data-dependent model
-    state bitwise identical across engines (a raw avg differs in the
-    last ulp with summation order, and k-means feeds it back into the
-    next round's distances)."""
+def _sql_kmeans_ctes(iters: int = 2, k: int = 4, metric: str = "l2") -> str:
+    """Unrolled Lloyd iterations (K seed vectors = ids 0..k-1).
+    Centroids are ROUNDED to 6dp after every mean — the quantization
+    that makes the data-dependent model state bitwise identical across
+    engines (a raw avg differs in the last ulp with summation order,
+    and k-means feeds it back into the next round's distances).
+    ``metric='cos'`` replays spherical k-means (assignment = cosine
+    argmax, negated so the shared ORDER BY d, k clause still breaks
+    ties to the lowest cluster id — mirroring kmeans_codebook's
+    array_min over (-score, k) structs).  The final ``c{iters}`` CTE
+    carries the trained centroid lists so a downstream oracle
+    (sim_ivf_recall_trained) can consume the trained codebook."""
+    if metric == "l2":
+        d_expr = _SQL_D2.format(e="e.embedding", c="c.c")
+    else:
+        d_expr = (
+            f"-({_SQL_DOT.format(a='e.embedding', b='c.c')}"
+            f" / sqrt({_SQL_DOT.format(a='c.c', b='c.c')}))"
+        )
     parts = [
-        """c0 AS (SELECT vec_id AS k,
+        f"""c0 AS (SELECT vec_id AS k,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-             FROM embeddings WHERE vec_id < 4)"""
+             FROM embeddings WHERE vec_id < {k})"""
     ]
     for t in range(1, iters + 1):
         parts.append(
             f"""d{t} AS (SELECT e.vec_id, c.k,
-                    {_SQL_D2.format(e='e.embedding', c='c.c')} AS d
+                    {d_expr} AS d
                 FROM embeddings e CROSS JOIN c{t - 1} c)"""
         )
         parts.append(
@@ -1776,10 +1789,9 @@ def _sql_kmeans_ctes(iters: int = 2) -> str:
                      unnest(range(0, 64)) AS i(i)
                 GROUP BY a.k, i.i)"""
         )
-        if t < iters:
-            parts.append(
-                f"c{t} AS (SELECT k, list(c ORDER BY dim) AS c FROM m{t} GROUP BY k)"
-            )
+        parts.append(
+            f"c{t} AS (SELECT k, list(c ORDER BY dim) AS c FROM m{t} GROUP BY k)"
+        )
     return ",\n    ".join(parts)
 
 

@@ -670,7 +670,7 @@ _SQL_EMB_SCORE = (
     WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
                WHERE vec_id < 16),
     q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-          WHERE vec_id < 10),
+          WHERE vec_id >= 100 AND vec_id < 110),
     s AS (SELECT e.vec_id, c.cid,
                  {_SQL_DOT.format(a='e.embedding', b='c.cv')}
                    / sqrt({_SQL_DOT.format(a='c.cv', b='c.cv')}) AS score
@@ -717,7 +717,11 @@ def sim_ivf_recall(spark, sf_dir):
     fraction of each query's true top-10 neighbors survives 2-of-16 cell
     probing — the monitoring harness for ANN quality (the companion of
     dedup_lsh_recall on the embedding side).  nprobe tuning IS this
-    query run at a few settings.
+    query run at a few settings.  The query stratum (ids 100-109) is
+    DISJOINT from the seed-centroid ids (0-15): evaluating recall on
+    queries that are themselves centroids inflates recall (~0.88 vs
+    ~0.19 here) because each query gets a perfectly query-centered
+    cell — leakage, fixed in r3.
 
     Plan: cell assignment is the literal-codebook argmax (zero join,
     zero shuffle — ivf_cell); the 10-query truth set is an exact cosine
@@ -731,9 +735,9 @@ def sim_ivf_recall(spark, sf_dir):
     assign = emb.select(
         "vec_id", S.ivf_cell(F.col("embedding"), cb).alias("cell")
     )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
+    q = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
     cents = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -753,6 +757,131 @@ def sim_ivf_recall(spark, sf_dir):
     # hoist ||e|| above the query fan-out: one norm fold per vector
     # instead of one per (vector, query) pair — same IEEE double as the
     # inline sqrt (the oracle keeps the inline form, values identical)
+    embn = emb.withColumn(
+        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = (
+        embn.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (S.dot(F.col("embedding"), F.col("qv")) / F.col("nrm")).alias("score"),
+        )
+    )
+    w_truth = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w_truth))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    cand = F.broadcast(probe).join(assign, probe.cid == assign.cell).select(
+        "qid", "vec_id"
+    )
+    hits = truth.join(cand, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        q.select("qid")
+        .join(nc, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 10.0, 4).alias("recall_at_10"),
+        )
+    )
+
+
+from target_parquet_spark.queries_ext import _sql_kmeans_ctes  # noqa: E402
+
+# assembled by concat (not an f-string over the macro — brace collisions)
+_SQL_IVF_TRAINED_RECALL = (
+    "WITH "
+    + _sql_kmeans_ctes(iters=2, k=16, metric="cos")
+    + f""",
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 110),
+    s AS (SELECT e.vec_id, c.k AS cid,
+                 {_SQL_DOT.format(a='e.embedding', b='c.c')}
+                   / sqrt({_SQL_DOT.format(a='c.c', b='c.c')}) AS score
+          FROM embeddings e CROSS JOIN c2 c),
+    assign AS (SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) AS rn
+        FROM s) WHERE rn = 1),
+    qs AS (SELECT q.qid, c.k AS cid,
+                  {_SQL_DOT.format(a='q.qv', b='c.c')}
+                    / sqrt({_SQL_DOT.format(a='c.c', b='c.c')}) AS score
+           FROM q CROSS JOIN c2 c),
+    probe AS (SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cid) AS rn
+        FROM qs) WHERE rn <= 2),
+    truth AS (SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+                            / sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                          DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        WHERE rn <= 10),
+    cand AS (SELECT p.qid, a.vec_id FROM probe p
+             JOIN assign a ON a.cell = p.cid),
+    hits AS (SELECT t.qid, count(*) AS n_hits FROM truth t
+             JOIN cand cd ON cd.qid = t.qid AND cd.vec_id = t.vec_id
+             GROUP BY t.qid),
+    nc AS (SELECT qid, count(*) AS n_cand FROM cand GROUP BY qid)
+    SELECT q.qid,
+           CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(hits.n_hits, 0) / 10.0, 4) AS recall_at_10
+    FROM q LEFT JOIN nc ON q.qid = nc.qid
+           LEFT JOIN hits ON q.qid = hits.qid
+    """
+)
+
+
+@query("sim_ivf_recall_trained", _SQL_IVF_TRAINED_RECALL)
+def sim_ivf_recall_trained(spark, sf_dir):
+    """sim_ivf_recall with the codebook TRAINED by distributed Lloyd
+    (kmeans_codebook: K=16, 2 rounds, 6dp-quantized means) instead of
+    first-16 seed vectors — the wiring the r2 verdict asked for (#2).
+    The query path is byte-identical to the seed variant (literal
+    codebook, scan-stage ivf_cell, driver-side probe selection over the
+    same fold arithmetic); only the centroid VALUES differ.  The oracle
+    replays training as unrolled CTEs (c2 = trained centroid lists) and
+    hash-matches, proving the trained model state is engine-exact.
+    tests/test_r3_hardening.py pins that trained mean recall@10 beats
+    the seed codebook at the same nprobe."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = S.kmeans_codebook(emb, n_centroids=16, n_iters=2)
+    assign = emb.select(
+        "vec_id", S.ivf_cell(F.col("embedding"), cb).alias("cell")
+    )
+    q = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    # driver-side probe selection over the literal codebook — the same
+    # sequential fold the executors (and the oracle) run
+    probe_pairs = []
+    for r in q.collect():
+        qv = [float(x) for x in r.qv]
+        scores = []
+        for cid, cv, nrm in cb:
+            d = 0.0
+            for a, b in zip(qv, cv):
+                d += a * b
+            scores.append((-(d / nrm), cid))
+        for _neg, cid in sorted(scores)[:2]:
+            probe_pairs.append((int(r.qid), cid))
+    probe = spark.createDataFrame(probe_pairs, "qid long, cid int")
+
     embn = emb.withColumn(
         "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
     )
