@@ -3022,7 +3022,20 @@ def sim_semantic_clusters(spark, sf_dir):
     sim_embedding_dedup; the closure is min-label propagation + pointer
     jumping keyed on the node id (operators/dedup.connected_components)
     — dup graphs are star-shaped, 2-4 rounds in practice.  Oracle: the
-    identical pair set closed by a recursive CTE."""
+    identical pair set closed by a recursive CTE.
+
+    Scale note (sf1 probe: 6.3x for 10x data): n_planes=8 (256 buckets)
+    is pinned by the oracle at test scale, but bucket occupancy — and
+    with it the per-bucket pair product — grows linearly with corpus
+    size when the plane count is fixed, so candidate work is quadratic
+    in density.  At scale n_planes must track log2(n/target_occupancy)
+    (e.g. 20 planes for 1e9 vectors at ~1k/bucket), with recall held by
+    OR-amplification over b independent plane tables (union the pair
+    sets — same shape as minhash banding; the multiprobe machinery in
+    operators/similarity.py provides the probes).  Cluster quality is
+    insensitive to the extra false-negative rate per table because the
+    0.98-cosine dup graph is star-shaped: any single surviving edge per
+    true cluster reconnects it in the CC closure."""
     from pyspark.sql import Window
 
     from target_parquet_spark.operators import dedup as D
@@ -3302,14 +3315,19 @@ def events_interval_overlap_join(spark, sf_dir):
     incident response.
 
     Plan: both interval sets derive from one events scan each; both
-    sides explode onto the days they touch, so the overlap predicate
-    (s.start < i.end AND i.start < s.end) runs as a RESIDUAL on a
-    day-keyed equi-join (BroadcastHashJoin here, shuffle join at scale)
+    sides explode onto the HOUR bands they touch, so the overlap
+    predicate (s.start < i.end AND i.start < s.end) runs as a RESIDUAL
+    on a band-keyed equi-join (AQE picks broadcast vs shuffle by size)
     instead of the quadratic broadcast nested loop a pure theta join
-    plans — measured 5.25s -> 1.5s at sf0.1, and the gap widens with
-    data because per-day cells bound the pair work.  Midnight-spanning
-    intervals land in both days; matched pairs dedupe before the
-    aggregate.  Overlap length from exact integer epoch-micros."""
+    plans — measured 5.25s -> 1.5s at sf0.1 with day bands, and hour
+    bands keep the per-band pair product bounded as density grows (day
+    bands went 33x for 10x data in the sf1 probe; hour bands are
+    matched to the 5-10 minute interval lengths).  A band-ownership
+    residual (a pair counts only in the band holding the overlap's
+    start) makes each true pair match exactly once, so the
+    quadratic-in-density matched-pair set feeds partial aggregation
+    directly instead of a pair-wide dedupe exchange.  Overlap length
+    from exact integer epoch-micros."""
     e = t(spark, sf_dir, "events")
     iv = e.select(
         "user_id",
@@ -3341,43 +3359,67 @@ def events_interval_overlap_join(spark, sf_dir):
         F.col("ts").alias("i_start"),
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("i_end"),
     )
-    # Day-bucket banding FOR REAL (not just the docstring): exploding
-    # each interval onto the days it touches turns the pure-theta overlap
+    # Band-bucket banding FOR REAL (not just the docstring): exploding
+    # each interval onto the bands it touches turns the pure-theta overlap
     # join (a broadcast nested loop — quadratic in row counts, 5.2s at
-    # sf0.1 and unusable at scale) into a day-keyed equi-join with the
+    # sf0.1 and unusable at scale) into a band-keyed equi-join with the
     # overlap test as a residual.  Work drops from |S|x|I| to
-    # sum_day(|S_day| x |I_day|); intervals spanning midnight appear in
-    # both days, so matched pairs dedupe before aggregation.
-    def with_days(df, start, end):
+    # sum_band(|S_band| x |I_band|); intervals spanning a band boundary
+    # appear in both bands, so matched pairs dedupe before aggregation.
+    # Band width is HOURS, matched to the 5-10 minute interval lengths:
+    # the sf0.1->sf1 probe showed day bands going 33x for 10x data —
+    # density per band grows with data when the time range is fixed, so
+    # the band product sum_band(|S|x|I|) is quadratic in density.  Hour
+    # bands divide each product by ~24^2/24; the explode only doubles
+    # rows for boundary-spanning intervals.  At 100 TB pick the band so
+    # that band_width ~ a small multiple of the typical interval length.
+    def with_bands(df, start, end):
         return df.withColumn(
-            "day",
+            "band",
             F.explode(
                 F.sequence(
-                    F.col(start).cast("date"),
-                    (F.col(end) - F.expr("INTERVAL 1 MICROSECOND")).cast("date"),
+                    F.date_trunc("hour", F.col(start)),
+                    F.date_trunc(
+                        "hour",
+                        F.col(end) - F.expr("INTERVAL 1 MICROSECOND"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
                 )
             ),
         )
 
-    s_days = with_days(sessions, "s_start", "s_end").alias("sd")
-    i_days = with_days(inc, "i_start", "i_end").alias("id")
-    hit = (
-        s_days.join(
-            F.broadcast(i_days),
-            (F.col("sd.day") == F.col("id.day"))
-            & (F.col("s_start") < F.col("i_end"))
-            & (F.col("i_start") < F.col("s_end")),
-        )
-        .select(
-            "user_id",
-            "session_id",
-            "incident_id",
-            (
-                F.unix_micros(F.least("s_end", "i_end"))
-                - F.unix_micros(F.greatest("s_start", "i_start"))
-            ).alias("overlap_us"),
-        )
-        .dropDuplicates(["user_id", "session_id", "incident_id"])
+    s_days = with_bands(sessions, "s_start", "s_end").alias("sd")
+    # No broadcast hint: incidents grow with the data (error events), so a
+    # forced broadcast is itself a scale bug — AQE broadcasts while the
+    # side is small and switches to a shuffle join when it isn't.
+    i_days = with_bands(inc, "i_start", "i_end").alias("id")
+    # Band-ownership residual: a matched pair is counted ONLY in the band
+    # containing the overlap's start (greatest of the two starts — inside
+    # both intervals, so both sides exploded onto it).  Each true pair
+    # then matches in exactly one band, which kills the dropDuplicates
+    # that used to re-shuffle the full pair set: the sf1 probe showed the
+    # matched-pair count is quadratic in density (703k -> 70.4M for 10x
+    # data — every session x every CONCURRENT incident, no user key), so
+    # the pair-wide dedupe exchange was the scale killer.  Without it the
+    # join output flows straight into hash aggregation and collapses
+    # map-side to per-user partials.
+    hit = s_days.join(
+        i_days,
+        (F.col("sd.band") == F.col("id.band"))
+        & (F.col("s_start") < F.col("i_end"))
+        & (F.col("i_start") < F.col("s_end"))
+        & (
+            F.col("sd.band")
+            == F.date_trunc("hour", F.greatest("s_start", "i_start"))
+        ),
+    ).select(
+        "user_id",
+        "session_id",
+        "incident_id",
+        (
+            F.unix_micros(F.least("s_end", "i_end"))
+            - F.unix_micros(F.greatest("s_start", "i_start"))
+        ).alias("overlap_us"),
     )
     return hit.groupBy("user_id").agg(
         F.countDistinct("session_id").cast("long").alias("n_sessions_hit"),

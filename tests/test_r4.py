@@ -1,0 +1,106 @@
+"""Invariant tests for the round-3 additions (queries_r4.py): BM25
+ranked retrieval and Gopher-style repetition screening.
+
+The oracle gate proves engine-vs-DuckDB equality; these pin what
+equality can't: the BM25 formula against a hand-computed tiny corpus,
+ranking monotonicity, and the probability-range invariants of the
+repetition signals.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import target_parquet_spark.queries_r4 as r4  # noqa: F401  (registers queries)
+from target_parquet_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return _run
+
+
+def test_bm25_topk_sorted_positive(run):
+    rows = run("text_bm25_search").collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_bm25_formula_hand_check(spark, tmp_out):
+    """3-doc corpus small enough to hand-compute: the query path must
+    reproduce the Okapi formula exactly (k1=1.2, b=0.75, smoothed idf)."""
+    docs = [
+        (0, "spark join spark filter"),        # tf(spark)=2, tf(join)=1, dl=4
+        (1, "window scan scan scan"),          # tf(window)=1, dl=4
+        (2, "filter scan merge sort agg big"), # no query terms, dl=6
+    ]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/documents.parquet")
+    )
+
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in QUERIES["text_bm25_search"](spark, tmp_out).collect()
+    }
+
+    n, avgdl, k1, b = 3, 14 / 3, 1.2, 0.75
+
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def part(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp0 = idf(1) * part(2, 4) + idf(1) * part(1, 4)  # spark + join
+    exp1 = idf(1) * part(1, 4)                        # window
+    assert got.keys() == {0, 1}
+    assert got[0] == pytest.approx(round(exp0, 4), abs=1e-4)
+    assert got[1] == pytest.approx(round(exp1, 4), abs=1e-4)
+    assert got[0] > got[1]
+
+
+def test_gopher_signals_in_range(run):
+    rows = run("text_repetition_gopher").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["avg_ttr"] <= 1.0
+        assert 0 < r["avg_top_bigram_share"] <= 1.0
+        assert r["avg_word_len"] > 0
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert r["pass_rate"] == pytest.approx(
+            r["n_pass"] / r["n_docs"], abs=5e-4
+        )
+
+
+def test_gopher_flags_repetitive_doc(spark, tmp_out):
+    """A doc that is one phrase repeated must fail the gate; a normal
+    varied doc of the same length must pass."""
+    bad = " ".join(["ad click now"] * 20)          # 60 words, 1 bigram dominates
+    good = " ".join(f"tok{i} word{i * 7 % 13}" for i in range(30))  # 60 varied
+    spark.createDataFrame(
+        [(0, bad, "en", "srcbad", len(bad)), (1, good, "en", "srcgood", len(good))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_out}/documents.parquet")
+    rows = {
+        r["source"]: r
+        for r in QUERIES["text_repetition_gopher"](spark, tmp_out).collect()
+    }
+    assert rows["srcbad"]["n_pass"] == 0
+    assert rows["srcgood"]["n_pass"] == 1
+    assert (
+        rows["srcbad"]["avg_top_bigram_share"]
+        > rows["srcgood"]["avg_top_bigram_share"]
+    )
