@@ -139,6 +139,8 @@ HEADLINE = [
     "text_charset_profile",
     "events_first_touch_attribution",
     "agg_mean_family",
+    "text_bm25_search",
+    "text_repetition_gopher",
 ]
 
 

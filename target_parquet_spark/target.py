@@ -85,6 +85,7 @@ class SingerTarget:
         env.cache()  # envelope is re-filtered per stream-version
         try:
             versions = self._collect_schemas(env)
+            self._check_orphan_records(env, versions)
             state = self._collect_state(env)
             metrics = self._process_records(env, versions)
         finally:
@@ -108,12 +109,53 @@ class SingerTarget:
         versions: dict[str, list[_StreamVersion]] = {}
         for r in rows:
             schema = json.loads(r.schema_json) if r.schema_json else {}
+            # Contract parity (SDK "invalid schema" standard test): a SCHEMA
+            # message whose schema is not an object, or whose `properties`
+            # is not a mapping, is a hard error.  A MISSING/empty
+            # `properties` stays accepted (SDK "schema with no properties").
+            if not isinstance(schema, dict) or not isinstance(
+                schema.get("properties", {}), dict
+            ):
+                raise SingerValidationError(
+                    f"stream {r.stream!r}: SCHEMA message carries an invalid "
+                    f"JSON schema: {r.schema_json[:200]}"
+                )
             v = _StreamVersion(r["_mid"], schema, list(r.key_properties or []))
             prev = versions.setdefault(r.stream, [])
             if prev:
                 prev[-1].end_mid = v.mid
             prev.append(v)
         return versions
+
+    def _check_orphan_records(
+        self, env: DataFrame, versions: dict[str, list[_StreamVersion]]
+    ) -> None:
+        """Contract parity (SDK "record before schema" standard test): a
+        RECORD whose stream has no SCHEMA yet — either never declared, or
+        declared only later in the pipe — fails the run.  The check is one
+        executor-side filter + limit(1) over the cached envelope; the
+        per-stream first-SCHEMA position is a tiny driver-built predicate."""
+        cond = F.lit(False)
+        declared = list(versions)
+        if declared:
+            cond = cond | ~F.col("stream").isin(declared)
+        else:
+            cond = F.lit(True)
+        for s, vs in versions.items():
+            cond = cond | (
+                (F.col("stream") == s) & (F.col("_mid") < vs[0].mid)
+            )
+        orphan = (
+            env.filter((F.col("msg_type") == "RECORD") & cond)
+            .select("stream")
+            .limit(1)
+            .collect()
+        )
+        if orphan:
+            raise SingerValidationError(
+                f"RECORD for stream {orphan[0].stream!r} arrived before its "
+                "SCHEMA message"
+            )
 
     def _collect_state(self, env: DataFrame):
         rows = (
@@ -157,9 +199,38 @@ class SingerTarget:
         pred = compile_predicate(v.schema, source_col="_rec")
         non_nullable = [f.name for f in fields if not f.nullable]
 
+        if not fields:
+            # SDK "schema with no properties" standard test: a declared
+            # stream with zero resolvable columns is processed (counted)
+            # without writing a zero-column parquet file.
+            return records.count(), 0
+
         parsed = records.withColumn(
             "_rec", F.from_json(F.col("record_json"), raw_record_struct(fields))
         )
+
+        # Contract parity (SDK "record missing key property" standard
+        # test): every declared key property must be present and non-null
+        # in every record, regardless of validation mode — key integrity
+        # is a structural guarantee, not a JSON-schema keyword.  One
+        # column-null count over the already-parsed batch, failing BEFORE
+        # anything is written.
+        key_cols = [f.name for f in fields if f.name in set(v.key_properties)]
+        if key_cols:
+            row = parsed.agg(
+                *[
+                    F.sum(
+                        F.when(F.col(f"_rec.`{c}`").isNull(), 1).otherwise(0)
+                    ).alias(c)
+                    for c in key_cols
+                ]
+            ).collect()[0]
+            missing = sorted(c for c in key_cols if row[c])
+            if missing:
+                raise SingerValidationError(
+                    f"stream {stream!r}: record(s) missing key_properties "
+                    f"{missing}"
+                )
 
         if self.strict:
             # Fail BEFORE writing (reference raises at _validate_and_parse).

