@@ -28,6 +28,7 @@ __all__ = [
     "kmeans_codebook",
     "ivf_cell",
     "ivf_ann",
+    "semantic_dup_pairs",
 ]
 
 
@@ -68,23 +69,36 @@ def brute_force_topk(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
-def plane_weights(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+def plane_weights(
+    n_planes: int = 8, dim: int = 64, table: int = 0
+) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 parity of "plane:dim" — a pure
     function, reproducible anywhere (the DuckDB oracle embeds the same
     literals).  Computed driver-side ONCE so the per-row expression does no
-    hashing at all."""
+    hashing at all.  ``table`` selects an independent plane family for
+    OR-amplification; table 0 keeps the original keys so every existing
+    oracle stays bit-exact."""
     import hashlib
 
     return [
         [
-            1.0 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] in "02468ace" else -1.0
+            1.0
+            if hashlib.md5(
+                (
+                    f"{p}:{i}" if table == 0 else f"t{table}:{p}:{i}"
+                ).encode()
+            ).hexdigest()[0]
+            in "02468ace"
+            else -1.0
             for i in range(dim)
         ]
         for p in range(n_planes)
     ]
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def lsh_bucket(
+    vec: Column, n_planes: int = 8, dim: int = 64, table: int = 0
+) -> Column:
     """Sign-bit bucket string, e.g. '10110010' for 8 planes.
 
     The plane matrix is ONE nested-array literal and the bits one
@@ -93,7 +107,7 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     expressions keeps driver-side analysis O(1) in the matrix size
     (measured 0.96s -> 0.74s at sf0.1; per-plane trees dominate cost on
     small data)."""
-    planes = plane_weights(n_planes, dim)
+    planes = plane_weights(n_planes, dim, table)
     return F.array_join(
         F.transform(
             F.lit(planes),
@@ -462,3 +476,66 @@ def pq_adc_table(
             row.append(s)
         out.append(row)
     return out
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    target_occupancy: int = 128,
+) -> DataFrame:
+    """Near-dup embedding pairs at ADAPTIVE bucket granularity with
+    OR-amplification — the scale path behind sim_semantic_clusters.
+
+    The oracle-pinned query uses a fixed 8-plane table, whose bucket
+    occupancy (and therefore per-bucket pair product) grows linearly with
+    corpus size: quadratic candidate work in density (sf1 probe: 6.3x for
+    10x data).  Here ``n_planes`` defaults to
+    ceil(log2(n / target_occupancy)) — bucket count tracks corpus size so
+    expected occupancy (and per-bucket work) stays CONSTANT as data grows.
+    The false-negative rate each extra plane introduces is bought back by
+    OR-amplification: ``n_tables`` independent plane families (salted
+    ``plane_weights`` tables), pair sets unioned then distinct'd — the
+    same AND/OR banding algebra as MinHash-LSH.  Exact duplicates
+    (cosine 1.0) are found by construction: identical vectors share every
+    bucket in every table.
+
+    Plan: per table, one bucket-keyed self-join (equi-join, map-side
+    bucket derivation); the distinct runs over the near-dup pair set,
+    which is corpus-bounded, not candidate-bounded.  The adaptive count()
+    is one cheap job, model-state style like the codebook collects.
+    """
+    import math
+
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(8, min(24, math.ceil(math.log2(max(n, 2) / target_occupancy)) + 7))
+    pair_sets = []
+    for t_idx in range(n_tables):
+        b = corpus.withColumn(
+            "bucket", lsh_bucket(F.col(vec_col), n_planes, table=t_idx)
+        )
+        x, y = b.alias("x"), b.alias("y")
+        pair_sets.append(
+            x.join(
+                y,
+                (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+                F.round(
+                    cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
+                ).alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b")
+        )
+    out = pair_sets[0]
+    for p in pair_sets[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

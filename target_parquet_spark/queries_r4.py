@@ -236,3 +236,49 @@ def text_repetition_gopher(spark, sf_dir):
             F.avg(F.when(passed, 1.0).otherwise(0.0)), 4
         ).alias("pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dup clusters — the adaptive scale path
+# ---------------------------------------------------------------------------
+
+
+@query("sim_semantic_clusters_scaled", None)
+def sim_semantic_clusters_scaled(spark, sf_dir):
+    """The 100 TB path of sim_semantic_clusters: identical output shape
+    (vec_id, cluster_id, cluster_size over the doubled corpus), but pair
+    generation runs through operators/similarity.semantic_dup_pairs —
+    bucket count adapts to corpus size (n_planes ~ log2(n/occupancy)) so
+    per-bucket pair work stays constant as data grows, and recall is held
+    by OR-amplification over two independent plane families.  The
+    oracle-pinned twin keeps its fixed 8-plane single-table definition
+    (bit-exact vs DuckDB); this one is registered rows-only because the
+    adaptive plane count is a function of corpus size, which a static SQL
+    string cannot replay.  Exact duplicates are found by construction
+    (identical vectors share every bucket in every table), so the planted
+    copy pairs of the doubled corpus always close into their clusters —
+    pinned by tests/test_r4.py."""
+    from pyspark.sql import Window
+
+    from target_parquet_spark.operators import dedup as D
+    from target_parquet_spark.operators import similarity as S
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    pairs = S.semantic_dup_pairs(
+        doubled, id_col="vec_id", vec_col="embedding", threshold=0.98,
+        n_tables=2,
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return (
+        comp.select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("cluster_id"),
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+    )

@@ -104,3 +104,31 @@ def test_gopher_flags_repetitive_doc(spark, tmp_out):
         rows["srcbad"]["avg_top_bigram_share"]
         > rows["srcgood"]["avg_top_bigram_share"]
     )
+
+
+def test_scaled_semantic_clusters_always_find_planted_copies(run):
+    """Exact duplicates (the doubled corpus's vec_id / vec_id+1000000
+    copies) share every LSH bucket in every table regardless of the
+    adaptive plane count, so each copy pair MUST land in one cluster."""
+    rows = run("sim_semantic_clusters_scaled").collect()
+    cluster_of = {r["vec_id"]: r["cluster_id"] for r in rows}
+    originals = [v for v in cluster_of if v < 1000000]
+    assert originals
+    for v in originals:
+        assert cluster_of.get(v + 1000000) == cluster_of[v]
+
+
+def test_plane_tables_are_independent():
+    from target_parquet_spark.operators.similarity import plane_weights
+
+    t0 = plane_weights(8, 16, table=0)
+    t1 = plane_weights(8, 16, table=1)
+    assert t0 != t1
+    # table 0 must keep the original (oracle-pinned) keys
+    import hashlib
+
+    assert t0[0][0] == (
+        1.0
+        if hashlib.md5(b"0:0").hexdigest()[0] in "02468ace"
+        else -1.0
+    )
