@@ -141,6 +141,9 @@ HEADLINE = [
     "agg_mean_family",
     "text_bm25_search",
     "text_repetition_gopher",
+    "agg_hdr_quantile_sketch",
+    "sample_sequence_packing",
+    "sim_semantic_clusters_scaled",
 ]
 
 

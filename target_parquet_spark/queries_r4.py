@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from target_parquet_spark.operators import text as X
-from target_parquet_spark.queries import query
+from target_parquet_spark.queries import query, t
 from target_parquet_spark.queries_ext import SQL_TOKS, td
 
 # ---------------------------------------------------------------------------
@@ -281,4 +281,276 @@ def sim_semantic_clusters_scaled(spark, sf_dir):
             "cluster_size",
             F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable log-binned quantile sketch (HDR-histogram style)
+# ---------------------------------------------------------------------------
+
+# ln(1.1) as one Python-computed double embedded in BOTH engines' plans, so
+# the bin boundary arithmetic is the identical IEEE operation everywhere.
+import math as _math
+
+_LN_BASE = _math.log(1.1)
+
+
+def hdr_bin(col):
+    """10%-relative-error log bin: floor(ln(v)/ln(1.1)).  The quotient is
+    rounded to 9 dp before floor so last-ulp libm differences between
+    engines cannot flip a boundary value into the neighboring bin."""
+    return F.floor(F.round(F.log(col) / F.lit(_LN_BASE), 9)).cast("long")
+
+
+_SQL_HDR_BIN = f"CAST(floor(round(ln({{c}}) / {_LN_BASE!r}, 9)) AS BIGINT)"
+
+
+@query(
+    "agg_hdr_quantile_sketch",
+    f"""
+    WITH o AS (
+      SELECT o_orderstatus, o_totalprice,
+             {_SQL_HDR_BIN.format(c='o_totalprice')} AS bin
+      FROM orders WHERE o_totalprice > 0),
+    c AS (
+      SELECT o_orderstatus, bin, count(*) AS n FROM o
+      GROUP BY o_orderstatus, bin),
+    w AS (
+      SELECT o_orderstatus, bin, n,
+             sum(n) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY o_orderstatus) AS total,
+             round(power(1.1, bin + 0.5), 4) AS rep
+      FROM c),
+    est AS (
+      SELECT o_orderstatus,
+             CAST(max(total) AS BIGINT) AS n,
+             round(min(CASE WHEN cum >= 0.5 * total THEN rep END), 4)
+               AS est_p50,
+             round(min(CASE WHEN cum >= 0.9 * total THEN rep END), 4)
+               AS est_p90,
+             round(min(CASE WHEN cum >= 0.99 * total THEN rep END), 4)
+               AS est_p99
+      FROM w GROUP BY o_orderstatus),
+    ex AS (
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS exact_p90,
+             round(quantile_cont(o_totalprice, 0.99), 4) AS exact_p99
+      FROM orders WHERE o_totalprice > 0 GROUP BY o_orderstatus)
+    SELECT e.o_orderstatus, e.n,
+           e.est_p50, x.exact_p50,
+           round(abs(e.est_p50 - x.exact_p50) / x.exact_p50, 4) AS err_p50,
+           e.est_p90, x.exact_p90,
+           round(abs(e.est_p90 - x.exact_p90) / x.exact_p90, 4) AS err_p90,
+           e.est_p99, x.exact_p99,
+           round(abs(e.est_p99 - x.exact_p99) / x.exact_p99, 4) AS err_p99
+    FROM est e JOIN ex x ON e.o_orderstatus = x.o_orderstatus
+    """,
+)
+def agg_hdr_quantile_sketch(spark, sf_dir):
+    """Mergeable log-binned quantile sketch (HDR-histogram style) next to
+    its exact oracle: 10%-wide geometric bins over o_totalprice, per-status
+    (bin -> count) tables as the sketch state, quantile estimates read off
+    the running CDF at the bin's geometric midpoint, and the exact
+    interpolated percentiles + relative errors alongside.  Completes the
+    mergeable-summary family (HLL distinct, CMS heavy hitters, bitmap
+    exact-distinct): the bin counts merge by ADDITION across shards, days,
+    or streaming epochs — pinned by a split-merge test — so a 100 TB
+    percentile dashboard rolls up day-grain sketch partials without ever
+    rescanning, with a guaranteed half-bin (~5%) relative error bound.
+
+    Plan: bin is a scan-stage expression; the sketch is one
+    map-combinable (status, bin) count shuffle (bin cardinality ~ log of
+    the value range, a few hundred rows total); CDF windows and the
+    estimate run over the tiny count table.  The exact-percentile branch
+    exists only to measure the sketch — at scale you ship the sketch."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    binned = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        hdr_bin(F.col("o_totalprice")).alias("bin"),
+    )
+    c = binned.groupBy("o_orderstatus", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("o_orderstatus")
+    w = (
+        c.withColumn("cum", F.sum("n").over(part.orderBy("bin")))
+        .withColumn("total", F.sum("n").over(part))
+        .withColumn(
+            "rep", F.round(F.pow(F.lit(1.1), F.col("bin") + 0.5), 4)
+        )
+    )
+    est = w.groupBy("o_orderstatus").agg(
+        F.max("total").cast("long").alias("n"),
+        *[
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= q * F.col("total"), F.col("rep")
+                    )
+                ),
+                4,
+            ).alias(f"est_p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    )
+    ex = o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(
+                F.expr(f"percentile(o_totalprice, {q})"), 4
+            ).alias(f"exact_p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+    out = est.join(ex, "o_orderstatus")
+    for q in (50, 90, 99):
+        out = out.withColumn(
+            f"err_p{q}",
+            F.round(
+                F.abs(F.col(f"est_p{q}") - F.col(f"exact_p{q}"))
+                / F.col(f"exact_p{q}"),
+                4,
+            ),
+        )
+    return out.select(
+        "o_orderstatus", "n",
+        "est_p50", "exact_p50", "err_p50",
+        "est_p90", "exact_p90", "err_p90",
+        "est_p99", "exact_p99", "err_p99",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (context-window fill planning)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 512
+_PACK_SHARDS = 8
+
+_SQL_PACK_HASH = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {m})"
+
+
+@query(
+    "sample_sequence_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len({SQL_TOKS.format(c='text')}) AS tok
+      FROM documents),
+    sized AS (SELECT * FROM d WHERE tok > 0),
+    packed AS (
+      SELECT doc_id, tok,
+             {_SQL_PACK_HASH.format(c='doc_id', m=_PACK_SHARDS)} AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS ok
+      FROM sized WHERE tok <= {_PACK_CAP}),
+    runs AS (
+      SELECT shard, tok,
+             COALESCE(sum(tok) OVER (
+               PARTITION BY shard ORDER BY ok, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_excl
+      FROM packed),
+    bins AS (
+      SELECT shard, CAST(floor(CAST(cum_excl AS DOUBLE) / {_PACK_CAP})
+                          AS BIGINT) AS bin,
+             sum(tok) AS fill, count(*) AS n_docs_bin
+      FROM runs GROUP BY shard, bin),
+    summary AS (
+      SELECT CAST(sum(n_docs_bin) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(fill) AS BIGINT) AS total_tokens,
+             round(CAST(sum(fill) AS DOUBLE)
+                   / (count(*) * {_PACK_CAP}), 4) AS avg_fill,
+             round(avg(CASE WHEN fill > {_PACK_CAP} THEN 1.0 ELSE 0.0 END), 4)
+               AS overflow_bin_share,
+             round(sum(CASE WHEN fill < {_PACK_CAP}
+                            THEN {_PACK_CAP} - fill ELSE 0 END)
+                   / (CAST(count(*) AS DOUBLE) * {_PACK_CAP}), 4)
+               AS waste_share
+      FROM bins),
+    over AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_oversize FROM sized
+      WHERE tok > {_PACK_CAP})
+    SELECT s.n_docs, o.n_oversize, s.n_bins, s.total_tokens,
+           s.avg_fill, s.overflow_bin_share, s.waste_share
+    FROM summary s CROSS JOIN over o
+    """,
+)
+def sample_sequence_packing(spark, sf_dir):
+    """Context-window packing plan: documents streamed in a deterministic
+    md5 order into {cap}-token bins, reported as fill/overflow/waste
+    statistics — the capacity-planning step before packing training
+    sequences (how many windows a corpus needs, how much padding it
+    wastes, how often a document straddles a boundary).  Docs longer than
+    the capacity are counted out separately (they need chunking first —
+    text_chunk_sliding is the companion).
+
+    Plan shape for 100 TB: packing is SHARDED ({shards} here, thousands at
+    scale) — the running-total window partitions by a hash shard, so no
+    global sort and no single-partition window ever exists; each shard
+    packs independently, which is exactly how a distributed packer writes
+    its output shards.  Token counts are scan-stage size(tokens); the
+    window and per-bin aggregate share the shard partitioning (one
+    exchange); the final report folds a few thousand bin rows.""".format(
+        cap=_PACK_CAP, shards=_PACK_SHARDS
+    )
+    from pyspark.sql import Window
+
+    from target_parquet_spark.queries_ops import _hash_mod
+
+    d = td(spark, sf_dir, "documents").select(
+        "doc_id", F.size(X.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") > 0)
+    packed = d.filter(F.col("tok") <= _PACK_CAP).select(
+        "doc_id",
+        "tok",
+        _hash_mod(F.col("doc_id"), _PACK_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("ok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ok", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = packed.select(
+        "shard",
+        "tok",
+        F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("cum_excl"),
+    )
+    bins = runs.groupBy(
+        "shard",
+        F.floor(F.col("cum_excl").cast("double") / _PACK_CAP)
+        .cast("long")
+        .alias("bin"),
+    ).agg(F.sum("tok").alias("fill"), F.count(F.lit(1)).alias("n_docs_bin"))
+    summary = bins.agg(
+        F.sum("n_docs_bin").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("fill").cast("double")
+            / (F.count(F.lit(1)) * _PACK_CAP),
+            4,
+        ).alias("avg_fill"),
+        F.round(
+            F.avg(F.when(F.col("fill") > _PACK_CAP, 1.0).otherwise(0.0)), 4
+        ).alias("overflow_bin_share"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("fill") < _PACK_CAP, _PACK_CAP - F.col("fill")
+                ).otherwise(0)
+            )
+            / (F.count(F.lit(1)).cast("double") * _PACK_CAP),
+            4,
+        ).alias("waste_share"),
+    )
+    oversize = d.filter(F.col("tok") > _PACK_CAP).agg(
+        F.count(F.lit(1)).cast("long").alias("n_oversize")
+    )
+    return summary.crossJoin(F.broadcast(oversize)).select(
+        "n_docs", "n_oversize", "n_bins", "total_tokens",
+        "avg_fill", "overflow_bin_share", "waste_share",
     )

@@ -132,3 +132,52 @@ def test_plane_tables_are_independent():
         if hashlib.md5(b"0:0").hexdigest()[0] in "02468ace"
         else -1.0
     )
+
+
+def test_hdr_sketch_error_within_bin_bound(run):
+    """Geometric 1.1-wide bins put every estimate within a half bin
+    (~4.9%) of the true quantile; allow a hair for interpolation."""
+    rows = run("agg_hdr_quantile_sketch").collect()
+    assert rows
+    for r in rows:
+        for q in (50, 90, 99):
+            assert 0 <= r[f"err_p{q}"] <= 0.06
+            assert r[f"est_p{q}"] > 0
+
+
+def test_hdr_sketch_state_merges_by_addition(spark, sf_dir):
+    """The sketch state (status, bin) -> count must merge across shards
+    by plain addition: counts built from two disjoint halves of orders,
+    summed, equal the whole-table counts."""
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.queries import t
+    from target_parquet_spark.queries_r4 import hdr_bin
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+
+    def sketch(df):
+        return df.groupBy(
+            "o_orderstatus", hdr_bin(F.col("o_totalprice")).alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    whole = {(r[0], r[1]): r[2] for r in sketch(o).collect()}
+    h1 = sketch(o.filter(F.col("o_orderkey") % 2 == 0))
+    h2 = sketch(o.filter(F.col("o_orderkey") % 2 == 1))
+    merged = {}
+    for r in h1.collect() + h2.collect():
+        merged[(r[0], r[1])] = merged.get((r[0], r[1]), 0) + r[2]
+    assert merged == whole
+
+
+def test_sequence_packing_invariants(run):
+    r = run("sample_sequence_packing").collect()[0]
+    assert r["n_docs"] > 0 and r["n_bins"] > 0
+    assert r["n_oversize"] >= 0
+    # fill ratio: bins average near capacity; straddling docs can push a
+    # bin over, padding under — both bounded
+    assert 0.5 < r["avg_fill"] < 1.5
+    assert 0 <= r["waste_share"] < 0.5
+    assert 0 <= r["overflow_bin_share"] <= 1.0
+    # every bin holds at least one doc
+    assert r["n_docs"] >= r["n_bins"]
