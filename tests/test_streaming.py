@@ -763,3 +763,60 @@ def test_update_profile_skips_null_ts():
     out2 = next(_update_profile((2,), [pdf2], st2))
     assert out2["n_events"].iloc[0] == 1
     assert pd.isna(out2["first_ts"].iloc[0])
+
+
+def test_streaming_quantile_sketch_matches_batch_and_replays(
+    spark, events_src, tmp_path
+):
+    """Streaming HDR quantile sketch: multi-epoch stream state == the
+    batch-built sketch; estimates match the batch CDF math; replaying an
+    epoch is idempotent; compaction preserves the state."""
+    from target_parquet_spark.queries_r4 import hdr_bin
+    from target_parquet_spark.streaming.quantile import StreamingQuantileSketch
+
+    path, schema = events_src
+    out = str(tmp_path / "qsketch")
+    qs = StreamingQuantileSketch(spark, out)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    _await(qs.start(stream, available_now=True))
+
+    cols = ["key", "bin", "n"]
+    v = F.col("value")
+    want = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.col("event_type").cast("string").alias("key"),
+            F.when(v > 0, hdr_bin(v)).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(qs.read(), cols) == _rows(want, cols)
+
+    # estimates bounded by half-bin error vs the exact per-key percentile
+    exact = {
+        r[0]: r[1]
+        for r in spark.read.parquet(path)
+        .filter(v > 0)
+        .groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.9)"))
+        .collect()
+    }
+    for r in qs.quantiles().collect():
+        assert abs(r["est_p90"] - exact[r["key"]]) / exact[r["key"]] <= 0.06
+        assert r["n_nonpositive"] >= 0
+
+    # replay idempotence: same epoch, same half-batch, state unchanged
+    half = spark.read.parquet(path).limit(200)
+    qs._merge_batch(half, 0)
+    state = _rows(qs.read(), cols)
+    qs._merge_batch(half, 0)
+    assert _rows(qs.read(), cols) == state
+
+    # compaction folds without changing the state
+    qs.compact()
+    assert _rows(qs.read(), cols) == state
