@@ -144,6 +144,8 @@ HEADLINE = [
     "agg_hdr_quantile_sketch",
     "sample_sequence_packing",
     "sim_semantic_clusters_scaled",
+    "cdc_point_in_time_join",
+    "events_ab_experiment",
 ]
 
 

@@ -470,7 +470,17 @@ def graph_pagerank_dupweb(spark, sf_dir):
     iterations, damping 0.85): centrality inside the duplication web —
     boilerplate hubs rank high, so a keep-one policy can prefer the
     most-connected variant.  Oracle is the identical computation as an
-    unrolled CTE chain; ranks reported per-mille at 4dp."""
+    unrolled CTE chain; ranks reported per-mille at 4dp.
+
+    Scale note (sf1 probe: 3.26x for 10x data, still sublinear): the
+    growth above linear comes from the EDGE GENERATION — the fixed
+    (8 hashes, 4 bands) minhash banding has the same density property
+    as fixed-plane LSH: band-bucket occupancy grows with the corpus, so
+    candidate pairs grow superlinearly.  The remedy is the one already
+    shipped for embeddings (operators/similarity.semantic_dup_pairs):
+    scale rows-per-band with corpus size and hold recall with more
+    bands (AND/OR re-balance).  The pagerank iterations themselves are
+    one key-join + one groupBy per round — linear in edges."""
     from target_parquet_spark.operators.graph import pagerank
 
     corpus = _spark_corpus(spark, sf_dir)

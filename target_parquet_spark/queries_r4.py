@@ -554,3 +554,154 @@ def sample_sequence_packing(spark, sf_dir):
         "n_docs", "n_oversize", "n_bins", "total_tokens",
         "avg_fill", "overflow_bin_share", "waste_share",
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (SCD2) join + deterministic A/B read-out
+# ---------------------------------------------------------------------------
+
+from target_parquet_spark import queries_r3 as _r3  # noqa: E402  (SCD2 oracle)
+from target_parquet_spark.queries import ORACLES as _ORA  # noqa: E402
+
+
+@query(
+    "cdc_point_in_time_join",
+    f"""
+    WITH scd AS ({_ORA['cdc_scd2_history']}),
+    purch AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT s.event_type AS state_at_purchase,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(p.value), 2) AS sum_value
+    FROM purch p JOIN scd s
+      ON p.user_id = s.user_id
+     AND s.valid_from <= p.ts
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    GROUP BY s.event_type
+    """,
+)
+def cdc_point_in_time_join(spark, sf_dir):
+    """Point-in-time join — the classic warehouse question the SCD2 build
+    exists to answer: join each fact (purchase) to the dimension state
+    that was valid WHEN it happened (``valid_from <= ts < valid_to``),
+    here "what was the user's latest event-type state at purchase time",
+    aggregated per state.  Completes the CDC family: scd2_history builds
+    the intervals, snapshot_diff compares two times, this joins facts
+    against the full history.
+
+    Plan: the interval predicate rides as a RESIDUAL on the user_id
+    equi-join — both sides share the user_id partitioning the SCD2
+    windows already created, so no banding is needed (intervals are
+    per-user, a user's history is small) and Catalyst reuses the
+    exchange.  At 100 TB this is the fact-to-dimension-history join
+    pattern: shuffle on the entity key, never on time."""
+    hist = _r3.cdc_scd2_history(spark, sf_dir).select(
+        "user_id",
+        F.col("event_type").alias("state_at_purchase"),
+        "valid_from",
+        "valid_to",
+    )
+    purch = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "value")
+    joined = purch.join(
+        hist,
+        (purch["user_id"] == hist["user_id"])
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("state_at_purchase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_AB_MOD = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % 2)"
+
+
+@query(
+    "events_ab_experiment",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             {_AB_MOD.format(c='user_id')} AS arm,
+             sum(value) AS metric
+      FROM events GROUP BY user_id),
+    s AS (
+      SELECT arm,
+             count(*) AS n,
+             sum(metric) AS s1,
+             sum(metric * metric) AS s2
+      FROM u GROUP BY arm),
+    m AS (
+      SELECT arm, n, s1 / n AS mean,
+             (s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1) AS var
+      FROM s),
+    ab AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             max(CASE WHEN arm = 0 THEN mean END) AS mean_a,
+             max(CASE WHEN arm = 1 THEN mean END) AS mean_b,
+             max(CASE WHEN arm = 0 THEN var END) AS var_a,
+             max(CASE WHEN arm = 1 THEN var END) AS var_b
+      FROM m)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+           round(100.0 * (mean_b - mean_a) / mean_a, 4) AS lift_pct,
+           round((mean_b - mean_a)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) AS welch_t
+    FROM ab
+    """,
+)
+def events_ab_experiment(spark, sf_dir):
+    """Deterministic A/B experiment read-out: users hash-assigned to two
+    arms (md5 — the same engine-portable assignment the sampling family
+    uses, so the split is reproducible across reruns and engines),
+    per-user metric = total event value, then per-arm mean/variance from
+    power sums and the Welch t statistic for the lift.  The standard
+    experiment-analysis shape: an A/A test on this data should (and
+    does) show |t| small.
+
+    Plan: one user_id shuffle for the per-user metric, then a 2-row
+    power-sum aggregate — the same mergeable-moments form as
+    agg_higher_moments, so arm summaries roll up from shard partials
+    without touching user rows again."""
+    u = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum("value").alias("metric")
+    )
+    from target_parquet_spark.queries_ops import _hash_mod
+
+    u = u.withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metric").alias("s1"),
+        F.sum(F.col("metric") * F.col("metric")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") / F.col("n") - mean * mean) * F.col("n") / (
+        F.col("n") - 1
+    )
+    m = s.select("arm", "n", mean.alias("mean"), var.alias("var"))
+    ab = m.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}_{l}")
+            for a, l in ((0, "a"), (1, "b"))
+            for c in ("n", "mean", "var")
+        ]
+    )
+    return ab.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round(
+            100.0 * (F.col("mean_b") - F.col("mean_a")) / F.col("mean_a"), 4
+        ).alias("lift_pct"),
+        F.round(
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.sqrt(
+                F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+            ),
+            4,
+        ).alias("welch_t"),
+    )

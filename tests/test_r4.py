@@ -181,3 +181,32 @@ def test_sequence_packing_invariants(run):
     assert 0 <= r["overflow_bin_share"] <= 1.0
     # every bin holds at least one doc
     assert r["n_docs"] >= r["n_bins"]
+
+
+def test_point_in_time_join_partitions_all_purchases(run, spark, sf_dir):
+    """SCD2 validity intervals tile [first-event, inf) per user and every
+    purchase IS an event of that user, so each purchase matches EXACTLY
+    one interval: state counts must partition the purchase count."""
+    from target_parquet_spark.queries import QUERIES, t
+
+    rows = run("cdc_point_in_time_join").collect()
+    total = sum(r["n_purchases"] for r in rows)
+    want = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total == want
+    assert all(r["sum_value"] >= 0 for r in rows)
+
+
+def test_ab_experiment_is_aa_neutral(run):
+    """Arms are a hash split of the SAME population (an A/A test), so the
+    lift must be small and the Welch t statistic far from significance
+    blowups; both arms populated."""
+    r = run("events_ab_experiment").collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    # hash split is near 50/50
+    assert abs(r["n_a"] - r["n_b"]) / (r["n_a"] + r["n_b"]) < 0.2
+    assert abs(r["welch_t"]) < 4.0
+    assert abs(r["lift_pct"]) < 25.0
