@@ -146,6 +146,7 @@ HEADLINE = [
     "sim_semantic_clusters_scaled",
     "cdc_point_in_time_join",
     "events_ab_experiment",
+    "multimodal_phash_pairs",
 ]
 
 

@@ -705,3 +705,98 @@ def events_ab_experiment(spark, sf_dir):
             4,
         ).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal perceptual-hash near-dup pairs (bit-exact oracle)
+# ---------------------------------------------------------------------------
+
+# dHash geometry: 7x8 comparison grid from 63 resampled bytes -> 56-bit
+# hash, banded 4 x 14 bits.  The DuckDB oracle replays the FAKE codec path
+# exactly: on ASCII text the media payload bytes equal the character
+# codes, so the byte gather, grid compare, bit packing, banding, and
+# hamming verification are all expressible in SQL.  Both engines filter
+# to ASCII docs (byte length == char length) so a testdata regeneration
+# with non-ASCII text cannot desynchronize the payload byte view.
+_PH_ROWS, _PH_COLS, _PH_MAXH = 7, 8, 6
+_PH_N = (_PH_COLS + 1) * _PH_ROWS  # 63 samples
+
+
+@query(
+    "multimodal_phash_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE strlen(text) = length(text) AND length(text) > 0),
+    corpus AS (
+      SELECT doc_id, text FROM d
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM d),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(0, {_PH_N}),
+               i -> ascii(substr(text,
+                      CAST((i * length(text)) // {_PH_N} AS INTEGER) + 1,
+                      1))) AS s
+      FROM corpus),
+    hsh AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, {_PH_ROWS * _PH_COLS}),
+               k -> CASE WHEN s[(k // {_PH_COLS}) * {_PH_COLS + 1}
+                              + (k % {_PH_COLS}) + 1]
+                        > s[(k // {_PH_COLS}) * {_PH_COLS + 1}
+                              + (k % {_PH_COLS}) + 2]
+                         THEN (1::BIGINT << k) ELSE 0 END)) AS phash
+      FROM g),
+    bk AS (
+      SELECT doc_id, phash, k, (phash >> (k * 14)) & 16383 AS bv
+      FROM hsh, (SELECT unnest(range(0, 4)) AS k)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+      FROM bk x JOIN bk y
+        ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_PH_MAXH}
+    """,
+)
+def multimodal_phash_pairs(spark, sf_dir):
+    """Image near-dup search by perceptual hash — the multimodal twin of
+    the MinHash text pipeline: per-item dHash at the codec seam
+    (operators/multimodal.phash_media — real PIL grayscale resize when
+    pillow exists, the deterministic byte-resample fake here), then PURE
+    relational banding (operators/multimodal.phash_near_dup_pairs:
+    shift/mask band keys, equi-join, codegen bit_count verify).  Planted
+    exact copies (doc_id + 1000000) are found at hamming 0 in every band
+    by construction.
+
+    This is the only mapInPandas path in the repo with a bit-exact SQL
+    oracle: on the (guarded) ASCII corpus the fake payload bytes are the
+    character codes, so DuckDB replays the gather/grid/pack pipeline
+    exactly.  Plan: hashing is scan-stage (media bytes never shuffle);
+    the pair path shuffles only (band, 14-bit key) rows — band_bits is
+    the standard LSH density knob, growing with log2(corpus)."""
+    from target_parquet_spark.operators.multimodal import (
+        attach_media,
+        phash_media,
+        phash_near_dup_pairs,
+    )
+
+    d = td(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    ).select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    media = attach_media(corpus, "text", "doc_id")
+    hashed = phash_media(media, rows=_PH_ROWS, cols=_PH_COLS)
+    return phash_near_dup_pairs(
+        hashed,
+        bands=4,
+        band_bits=14,
+        max_hamming=_PH_MAXH,
+        id_col="media_id",
+    ).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )

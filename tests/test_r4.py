@@ -210,3 +210,25 @@ def test_ab_experiment_is_aa_neutral(run):
     assert abs(r["n_a"] - r["n_b"]) / (r["n_a"] + r["n_b"]) < 0.2
     assert abs(r["welch_t"]) < 4.0
     assert abs(r["lift_pct"]) < 25.0
+
+
+def test_phash_pairs_find_all_planted_copies(run, spark, sf_dir):
+    """Every ASCII doc's planted exact copy (doc_id + 1000000) shares the
+    identical dHash, hence every band: the pair MUST appear at hamming 0."""
+    from target_parquet_spark.queries import t
+
+    rows = run("multimodal_phash_pairs").collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    n_ascii = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text"))
+            & (F.length("text") > 0)
+        )
+        .count()
+    )
+    planted = [
+        (i, i + 1000000) for i in range(n_ascii) if (i, i + 1000000) in got
+    ]
+    assert len(planted) == n_ascii
+    assert all(got[p] == 0 for p in planted)
