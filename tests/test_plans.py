@@ -243,3 +243,38 @@ def test_pq_encoding_is_scan_stage(spark, sf_dir):
     # is the top-k itself
     assert "Join" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_r4_new_joins_are_equi_not_nested_loop(spark, sf_dir):
+    import target_parquet_spark.queries_r4  # noqa: F401
+
+    for name in ("multimodal_phash_pairs", "cdc_point_in_time_join"):
+        p = plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, name
+
+
+def test_bm25_is_topk_with_broadcast_stats(spark, sf_dir):
+    import target_parquet_spark.queries_r4  # noqa: F401
+
+    p = plan(spark, sf_dir, "text_bm25_search")
+    # the final top-20 must be a TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in p
+    # no unbroadcast cartesian anywhere (the 1-row corpus-stats cross
+    # join IS a BroadcastNestedLoopJoin — the scalar-broadcast pattern)
+    assert "CartesianProduct" not in p
+    # df table and corpus stats join as broadcasts
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_sequence_packing_windows_are_sharded(spark, sf_dir):
+    import re as _re
+
+    import target_parquet_spark.queries_r4  # noqa: F401
+
+    p = plan(spark, sf_dir, "sample_sequence_packing")
+    # every window must carry a partition spec (the shard) — an empty
+    # partitionBy would funnel the corpus through ONE task at scale
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+        assert m.group(1).strip().startswith("shard"), m.group(0)
