@@ -196,7 +196,9 @@ class SingerTarget:
     ) -> tuple[int, int]:
         fixed = (self.config.get("fixed_headers") or {}).get(stream)
         fields = resolve_schema(v.schema, fixed_headers=fixed)
-        pred = compile_predicate(v.schema, source_col="_rec")
+        pred = compile_predicate(
+            v.schema, source_col="_rec", raw_json_col="record_json"
+        )
         non_nullable = [f.name for f in fields if not f.nullable]
 
         if not fields:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from target_parquet_spark.schema import resolve_property
 
-__all__ = ["compile_predicate", "jsonschema_error_udf", "ValidationMode"]
+__all__ = ["compile_predicate", "resolve_refs", "jsonschema_error_udf", "ValidationMode"]
 
 
 class ValidationMode:
@@ -186,10 +186,96 @@ def _property_predicate(name: str, prop: dict, raw: Column) -> list[Column]:
     return _keyword_preds(prop, raw, rf.type_id)
 
 
-def _object_preds(schema: dict, source_col: str) -> list[Column]:
+def resolve_refs(schema: dict, _depth: int = 0) -> dict:
+    """Driver-side expansion of LOCAL ``$ref`` pointers
+    (``#/definitions/...`` / ``#/$defs/...`` / any ``#/`` path) so the
+    compiled path covers referenced subschemas.  Draft-7 semantics:
+    siblings next to ``$ref`` are ignored — the node is replaced by the
+    (recursively expanded) target.  Depth-capped: a cyclic reference
+    stops expanding and the remaining ``$ref`` node compiles permissive
+    (the UDF fallback validates cycles with full fidelity).  External
+    refs (URLs) are never fetched — also left permissive."""
+
+    def resolve_pointer(root: dict, ref: str):
+        if not ref.startswith("#/"):
+            return None
+        node = root
+        for part in ref[2:].split("/"):
+            part = part.replace("~1", "/").replace("~0", "~")
+            if not isinstance(node, dict) or part not in node:
+                return None
+            node = node[part]
+        return node
+
+    def walk(node, depth):
+        if depth > 32:
+            return node
+        if isinstance(node, dict):
+            if isinstance(node.get("$ref"), str):
+                target = resolve_pointer(schema, node["$ref"])
+                if isinstance(target, dict):
+                    return walk(target, depth + 1)
+                return {}  # unresolvable/external: permissive
+            return {k: walk(v, depth + 1) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, depth + 1) for v in node]
+        return node
+
+    return walk(schema, _depth)
+
+
+def _raw_object_preds(schema: dict, raw_json_col: str) -> list[Column]:
+    """Object-shape keywords that need the UNDECLARED keys of the raw
+    record text — compiled over ``json_object_keys`` (JVM-side, null on
+    malformed JSON -> permissive, matching the per-keyword null guards):
+    min/maxProperties, propertyNames, additionalProperties=false (only
+    when no patternProperties carve out extra legal names)."""
+    preds: list[Column] = []
+    needs = (
+        "minProperties" in schema
+        or "maxProperties" in schema
+        or isinstance(schema.get("propertyNames"), dict)
+        or schema.get("additionalProperties") is False
+    )
+    if not needs:
+        return preds
+    keys = F.json_object_keys(F.col(raw_json_col))
+    guard = keys.isNull()
+    if "minProperties" in schema:
+        preds.append(guard | (F.size(keys) >= int(schema["minProperties"])))
+    if "maxProperties" in schema:
+        preds.append(guard | (F.size(keys) <= int(schema["maxProperties"])))
+    if isinstance(schema.get("propertyNames"), dict):
+        sub = schema["propertyNames"]
+        preds.append(
+            guard
+            | F.forall(
+                keys, lambda k: _and_all(_keyword_preds(sub, k, "string"))
+            )
+        )
+    if schema.get("additionalProperties") is False and not schema.get(
+        "patternProperties"
+    ):
+        declared = list(schema.get("properties", {}).keys())
+        preds.append(
+            guard
+            | F.forall(
+                keys,
+                lambda k: k.isin(declared) if declared else F.lit(False),
+            )
+        )
+    return preds
+
+
+def _object_preds(
+    schema: dict, source_col: str, raw_json_col: str | None = None
+) -> list[Column]:
     """Object-level compilation: properties + required + combinators +
     dependencies + if/then/else, recursing into subschemas against the
-    same record struct."""
+    same record struct.  ``raw_json_col`` (when the caller has the raw
+    record text) additionally compiles the object-shape keywords; the
+    combinator recursion keeps it — every branch describes the SAME
+    object instance."""
     preds: list[Column] = []
     for name, prop in schema.get("properties", {}).items():
         if not isinstance(prop, dict):
@@ -198,21 +284,32 @@ def _object_preds(schema: dict, source_col: str) -> list[Column]:
         preds.extend(_property_predicate(name, prop, raw))
     for req in schema.get("required", []):
         preds.append(F.col(f"{source_col}.`{req}`").isNotNull())
+    if raw_json_col is not None:
+        preds.extend(_raw_object_preds(schema, raw_json_col))
 
     for sub in schema.get("allOf", []):
-        preds.extend(_object_preds(sub, source_col))
+        preds.extend(_object_preds(sub, source_col, raw_json_col))
     if schema.get("anyOf"):
         preds.append(
-            _or_any([_and_all(_object_preds(sub, source_col)) for sub in schema["anyOf"]])
+            _or_any(
+                [
+                    _and_all(_object_preds(sub, source_col, raw_json_col))
+                    for sub in schema["anyOf"]
+                ]
+            )
         )
     if schema.get("oneOf"):
         cnt = None
         for sub in schema["oneOf"]:
-            b = F.when(_and_all(_object_preds(sub, source_col)), 1).otherwise(0)
+            b = F.when(
+                _and_all(_object_preds(sub, source_col, raw_json_col)), 1
+            ).otherwise(0)
             cnt = b if cnt is None else cnt + b
         preds.append(cnt == 1)
     if isinstance(schema.get("not"), dict):
-        preds.append(~_and_all(_object_preds(schema["not"], source_col)))
+        preds.append(
+            ~_and_all(_object_preds(schema["not"], source_col, raw_json_col))
+        )
 
     for key, dep in (schema.get("dependencies") or {}).items():
         trigger = F.col(f"{source_col}.`{key}`").isNotNull()
@@ -221,20 +318,20 @@ def _object_preds(schema: dict, source_col: str) -> list[Column]:
                 [F.col(f"{source_col}.`{d}`").isNotNull() for d in dep]
             )
         elif isinstance(dep, dict):
-            need = _and_all(_object_preds(dep, source_col))
+            need = _and_all(_object_preds(dep, source_col, raw_json_col))
         else:
             continue
         preds.append(~trigger | need)
 
     if isinstance(schema.get("if"), dict):
-        cond = _and_all(_object_preds(schema["if"], source_col))
+        cond = _and_all(_object_preds(schema["if"], source_col, raw_json_col))
         then_p = (
-            _and_all(_object_preds(schema["then"], source_col))
+            _and_all(_object_preds(schema["then"], source_col, raw_json_col))
             if isinstance(schema.get("then"), dict)
             else F.lit(True)
         )
         else_p = (
-            _and_all(_object_preds(schema["else"], source_col))
+            _and_all(_object_preds(schema["else"], source_col, raw_json_col))
             if isinstance(schema.get("else"), dict)
             else F.lit(True)
         )
@@ -242,7 +339,9 @@ def _object_preds(schema: dict, source_col: str) -> list[Column]:
     return preds
 
 
-def compile_predicate(schema: dict, source_col: str = "record") -> Column:
+def compile_predicate(
+    schema: dict, source_col: str = "record", raw_json_col: str | None = None
+) -> Column:
     """Compile the stream's JSON Schema to one is-valid boolean Column.
 
     Covers (r3, VERDICT #3): enum, const, pattern, min/maxLength,
@@ -254,17 +353,27 @@ def compile_predicate(schema: dict, source_col: str = "record") -> Column:
     all as ONE Catalyst boolean tree.  Returns ``lit(True)`` when the
     schema carries no compilable constraints.
 
-    Remaining UDF-only keywords ($ref, format, patternProperties,
-    propertyNames, additionalItems/Properties, min/maxProperties) are
-    simply not constrained by the compiled path — it is strictly
-    PERMISSIVE on them, never false-rejecting.  One raw-capture limit:
+    r3 additions: local ``$ref`` pointers are expanded DRIVER-SIDE before
+    compilation (resolve_refs — draft-7 sibling-ignoring semantics,
+    cycle-capped), and when the caller supplies ``raw_json_col`` (the raw
+    record text) the object-shape keywords compile too via
+    ``json_object_keys``: minProperties / maxProperties / propertyNames /
+    ``additionalProperties: false`` (the last only when no
+    patternProperties widen the legal key set).
+
+    Remaining UDF-only keywords (external $ref, format — which the
+    reference itself disables via format_checker=None, reference
+    sinks.py:129 — patternProperties, additionalItems) are simply not
+    constrained by the compiled path — it is strictly PERMISSIVE on
+    them, never false-rejecting.  One raw-capture limit:
     scalar provenance is erased (JSON ``"3"`` and ``3`` both capture as
     text '3'), so combinator branches discriminated ONLY by ``type``
     cannot be told apart — discriminate branches by value constraints,
     or use the UDF fallback (tests/test_validation_matrix.py pins both
     the agreement surface and these documented seams).
     """
-    preds = _object_preds(schema, source_col)
+    schema = resolve_refs(schema)
+    preds = _object_preds(schema, source_col, raw_json_col)
     return _and_all(preds) if preds else F.lit(True)
 
 

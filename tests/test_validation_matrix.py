@@ -195,24 +195,68 @@ UDF_ONLY_CASES = {
         {"x": "v", "n_a": 3},
         {"x": "v", "n_a": "many"},
     ),
+    "additionalItems": (
+        {"properties": {"x": {"type": "array",
+                              "items": [{"type": "integer"}],
+                              "additionalItems": False}}},
+        {"x": [1]},
+        {"x": [1, 2]},
+    ),
+}
+
+# r3: object-shape keywords compile when the caller passes raw_json_col
+# (target.py does); local $ref expands driver-side before compilation.
+RAW_COMPILED_CASES = {
+    "ref-local": (
+        {"definitions": {"pos": {"type": "number", "minimum": 0}},
+         "properties": {"x": {"$ref": "#/definitions/pos"}}},
+        {"x": 3},
+        {"x": -1},
+    ),
+    "ref-nested": (
+        {"$defs": {"short": {"type": "string", "maxLength": 3}},
+         "properties": {"x": {"type": "array",
+                              "items": {"$ref": "#/$defs/short"}}}},
+        {"x": ["ab", "c"]},
+        {"x": ["toolong"]},
+    ),
+    "minProperties": (
+        {"properties": {"x": {"type": "string"}}, "minProperties": 2},
+        {"x": "v", "y": 1},
+        {"x": "v"},
+    ),
     "maxProperties": (
         {"properties": {"x": {"type": "string"}}, "maxProperties": 1},
         {"x": "v"},
         {"x": "v", "y": 1},
     ),
+    "propertyNames": (
+        {"properties": {}, "propertyNames": {"pattern": "^[a-z_]+$"}},
+        {"snake_case": 1},
+        {"BadName": 1},
+    ),
+    "additionalProperties-false": (
+        {"properties": {"x": {"type": "string"}},
+         "additionalProperties": False},
+        {"x": "v"},
+        {"x": "v", "extra": 1},
+    ),
 }
 
 
-def _compiled_verdict(spark, schema, record) -> bool:
+def _compiled_verdict(spark, schema, record, with_raw=False) -> bool:
     fields = resolve_schema(schema)
     df = spark.createDataFrame(
         [(json.dumps(record),)], "record_json string"
     ).withColumn(
         "_rec", F.from_json(F.col("record_json"), raw_record_struct(fields))
     )
-    return df.select(
-        compile_predicate(schema, source_col="_rec").alias("ok")
-    ).collect()[0].ok
+    pred = compile_predicate(
+        schema,
+        source_col="_rec",
+        raw_json_col="record_json" if with_raw else None,
+    )
+    return df.select(pred.alias("ok")).collect()[0].ok
 
 
 def _jsonschema_verdict(schema, record) -> bool:
@@ -238,6 +282,19 @@ def test_udf_only_keywords_are_permissive_compiled(spark, kw):
     # false-rejecting); full fidelity lives in jsonschema_error_udf
     assert _compiled_verdict(spark, schema, good) is True
     assert _compiled_verdict(spark, schema, bad) is True
+
+
+@pytest.mark.parametrize("kw", sorted(RAW_COMPILED_CASES))
+def test_raw_compiled_keyword_agrees_with_jsonschema(spark, kw):
+    schema, good, bad = RAW_COMPILED_CASES[kw]
+    assert _jsonschema_verdict(schema, good) is True, f"{kw}: bad fixture (good)"
+    assert _jsonschema_verdict(schema, bad) is False, f"{kw}: bad fixture (bad)"
+    assert _compiled_verdict(spark, schema, good, with_raw=True) is True, (
+        f"{kw}: compiled rejects valid"
+    )
+    assert _compiled_verdict(spark, schema, bad, with_raw=True) is False, (
+        f"{kw}: compiled passes invalid"
+    )
 
 
 def test_format_is_noop_in_both_engines(spark):
