@@ -25,8 +25,14 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        # Shuffle width ~ cores locally; on a cluster AQE coalesces anyway.
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Shuffle width 4x cores: the canonical over-provision-then-coalesce
+        # setup.  AQE coalesces byte-small shuffles back down, so tiny
+        # queries pay nothing, while CPU-bound wide shuffles (interpreted
+        # higher-order-function folds in the dedup/text posting joins) get
+        # task-level pipelining and skew smoothing — measured at sf1:
+        # dedup_ngram_jaccard 35.0s @ 1x cores -> 9.1s @ 4x.  On a real
+        # cluster this number is thousands; AQE still right-sizes it.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 4 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
