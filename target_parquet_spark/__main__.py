@@ -56,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
                             "fixed_headers": {"type": "object"},
                             "strict_validation": {"type": "boolean"},
                             "exact_compat": {"type": "boolean"},
+                            "quarantine_path": {"type": "string"},
                         },
                     },
                 }

@@ -61,7 +61,9 @@ class _StreamVersion:
 class SingerTarget:
     """Batch Singer target.  ``config`` keys (all the reference's, honored
     for real): filepath, file_naming_scheme, compression, fixed_headers,
-    strict_validation, partition_cols, max_records_per_file, exact_compat.
+    strict_validation, partition_cols, max_records_per_file, exact_compat,
+    quarantine_path (lenient mode: invalid records land there instead of
+    the main sink).
     """
 
     def __init__(self, spark: SparkSession, config: dict | None = None):
@@ -254,6 +256,31 @@ class SingerTarget:
                         f"stream {stream!r}: null in non-nullable column {c!r}"
                     )
 
+        # Quarantine (lenient mode only — strict already failed above):
+        # when ``quarantine_path`` is configured, invalid records are
+        # REROUTED to <quarantine_path>/<stream>/ as JSON lines carrying
+        # the raw Singer record text (re-playable: wrap each line back
+        # into a RECORD message once the tap is fixed) and the main sink
+        # receives only valid rows.  This is the badRecordsPath pattern SURVEY V4 sketches;
+        # without the option, lenient keeps the reference's pass-through
+        # (reference sinks.py:136-139).  One extra filtered write off the
+        # same cached envelope; the quarantine count rides an Observation
+        # on that write, no extra scan.
+        quarantine_root = self.config.get("quarantine_path")
+        n_quarantined = 0
+        if quarantine_root and not self.strict:
+            qobs = Observation(f"{stream}-v{version_idx}-quarantine")
+            bad = (
+                parsed.filter(~pred)
+                .select(F.lit(stream).alias("stream"), "record_json")
+                .observe(qobs, F.count(F.lit(1)).alias("n"))
+            )
+            bad.write.mode("append").json(
+                os.path.join(quarantine_root, stream)
+            )
+            n_quarantined = int(qobs.get["n"] or 0)
+            parsed = parsed.filter(pred)
+
         if self.exact:
             typed = decode_records_exact(parsed, fields)
             obs = None
@@ -268,9 +295,9 @@ class SingerTarget:
 
         if obs is not None:
             got = obs.get
-            return int(got["n"]), int(got["invalid"] or 0)
+            return int(got["n"]), int(got["invalid"] or 0) + n_quarantined
         # exact path: count the (cached) envelope subset for this version
-        return records.count(), 0
+        return records.count() - n_quarantined, n_quarantined
 
     # -- metrics -------------------------------------------------------------
 

@@ -270,3 +270,64 @@ def test_cli_about_prints_capabilities_and_settings():
     assert about["name"]
     assert "about" in about["capabilities"]
     assert "filepath" in about["settings"]["properties"]
+
+
+# --- quarantine path (badRecordsPath pattern, lenient mode) ----------------
+
+
+def test_quarantine_reroutes_invalid_records(spark, tmp_out):
+    import glob
+    import os
+
+    props = {
+        "id": STR_NULL,
+        "v": {"type": ["integer", "null"], "minimum": 0},
+    }
+    lines = [msg_schema("q", props)] + [
+        msg_record("q", {"id": "ok1", "v": 1}),
+        msg_record("q", {"id": "bad", "v": -5}),
+        msg_record("q", {"id": "ok2", "v": 2}),
+    ]
+    qdir = os.path.join(tmp_out, "_quarantine")
+    _, res = run(spark, tmp_out, lines, config={"quarantine_path": qdir})
+    # main sink holds only the valid rows
+    _, rows = rows_of(spark, res["paths"]["q"])
+    assert sorted(r["id"] for r in rows) == ["ok1", "ok2"]
+    assert res["metrics"]["recordCount"] == {"q": 2}
+    assert res["metrics"]["validationViolations"] == {"q": 1}
+    # the quarantine dir carries the raw record text, replayable
+    payloads = []
+    for f in glob.glob(os.path.join(qdir, "q", "*.json")):
+        with open(f) as fh:
+            payloads += [json.loads(l) for l in fh if l.strip()]
+    assert len(payloads) == 1
+    assert json.loads(payloads[0]["record_json"]) == {"id": "bad", "v": -5}
+
+    # replay: wrap the quarantined text back into RECORD messages — after
+    # "fixing the tap" (flipping the sign) the record lands in the main sink
+    fixed = json.loads(payloads[0]["record_json"])
+    fixed["v"] = abs(fixed["v"])
+    replay = [msg_schema("q", props), msg_record("q", fixed)]
+    _, res2 = run(spark, tmp_out, replay, config={"quarantine_path": qdir})
+    _, rows2 = rows_of(spark, res2["paths"]["q"])
+    assert sorted(r["id"] for r in rows2) == ["bad", "ok1", "ok2"]
+
+
+def test_quarantine_ignored_in_strict_mode(spark, tmp_out):
+    import os
+
+    lines = [
+        msg_schema("s", {"v": {"type": ["integer", "null"], "minimum": 0}}),
+        msg_record("s", {"v": -1}),
+    ]
+    with pytest.raises(SingerValidationError):
+        run(
+            spark,
+            tmp_out,
+            lines,
+            config={
+                "quarantine_path": os.path.join(tmp_out, "_q"),
+                "strict_validation": True,
+            },
+        )
+    assert not os.path.exists(os.path.join(tmp_out, "_q", "s"))
