@@ -141,7 +141,20 @@ class SingerStreamTarget:
     def _write_stream_records(self, env: DataFrame, stream: str) -> None:
         reg = self._registry.get(stream)
         if reg is None:
-            return  # RECORD before any SCHEMA: reference's SDK errors; we skip
+            # RECORD whose stream has no SCHEMA in the registry (this or
+            # any earlier checkpointed batch).  Strict mode fails the
+            # query — the batch target's contract (SDK record-before-
+            # schema).  Lenient skips: in a long-lived stream the SCHEMA
+            # may simply be in flight, and failing the whole query for
+            # one early record is the wrong default.
+            if self.config.get("strict_validation"):
+                from target_parquet_spark.target import SingerValidationError
+
+                raise SingerValidationError(
+                    f"RECORD for stream {stream!r} arrived before its "
+                    "SCHEMA message"
+                )
+            return
         schema, key_properties, _version = reg
         fixed = (self.config.get("fixed_headers") or {}).get(stream)
         fields = resolve_schema(schema, fixed_headers=fixed)
@@ -151,9 +164,40 @@ class SingerStreamTarget:
         parsed = records.withColumn(
             "_rec", F.from_json(F.col("record_json"), raw_record_struct(fields))
         )
+        # Validation parity with the batch target (V1-V4): strict fails
+        # the streaming query before the batch writes; lenient with a
+        # quarantine_path reroutes invalid records and keeps the main
+        # sink clean; plain lenient passes through.
+        from target_parquet_spark.validation import compile_predicate
+
+        pred = compile_predicate(
+            schema, source_col="_rec", raw_json_col="record_json"
+        )
+        n_bad = 0
+        if self.config.get("strict_validation"):
+            from target_parquet_spark.target import SingerValidationError
+
+            n_bad = parsed.filter(~pred).count()
+            if n_bad:
+                raise SingerValidationError(
+                    f"stream {stream!r}: {n_bad} record(s) failed schema "
+                    "validation in streaming batch"
+                )
+        elif self.config.get("quarantine_path"):
+            bad = parsed.filter(~pred).select(
+                F.lit(stream).alias("stream"), "record_json"
+            )
+            n_bad = bad.count()
+            if n_bad:
+                bad.write.mode("append").json(
+                    os.path.join(self.config["quarantine_path"], stream)
+                )
+            parsed = parsed.filter(pred)
         typed = decode_records_jvm(parsed, fields)
         self.sink.write(stream, typed, key_properties=key_properties)
-        self._metrics[stream] = self._metrics.get(stream, 0) + records.count()
+        self._metrics[stream] = (
+            self._metrics.get(stream, 0) + records.count() - n_bad
+        )
         self._write_metrics()
 
     def _emit_state(self, env: DataFrame, epoch_id: int) -> None:

@@ -820,3 +820,51 @@ def test_streaming_quantile_sketch_matches_batch_and_replays(
     # compaction folds without changing the state
     qs.compact()
     assert _rows(qs.read(), cols) == state
+
+
+def test_singer_stream_quarantine_reroutes_invalid(spark, tmp_path):
+    """Streaming validation parity: with quarantine_path set, invalid
+    records land in the quarantine dir and only valid rows reach the main
+    sink — same contract as the batch target."""
+    import glob
+    import json as _json
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    qdir = tmp_path / "quarantine"
+    schema = {
+        "type": "object",
+        "properties": {"v": {"type": ["integer", "null"], "minimum": 0}},
+    }
+    (inbox / "f1.jsonl").write_text(
+        "\n".join(
+            [_msg(type="SCHEMA", stream="s", schema=schema, key_properties=[])]
+            + [
+                _msg(type="RECORD", stream="s", record={"v": v})
+                for v in (1, -2, 3, -4, 5)
+            ]
+        )
+    )
+    tgt = SingerStreamTarget(
+        spark,
+        {
+            "filepath": str(out),
+            "file_naming_scheme": "{stream}",
+            "quarantine_path": str(qdir),
+        },
+    )
+    _await(tgt.start(str(inbox), available_now=True))
+
+    got = spark.read.parquet(str(out / "s"))
+    assert sorted(r.v for r in got.collect()) == [1, 3, 5]
+    quarantined = []
+    for f in glob.glob(str(qdir / "s" / "*.json")):
+        with open(f) as fh:
+            quarantined += [
+                _json.loads(_json.loads(l)["record_json"])["v"]
+                for l in fh
+                if l.strip()
+            ]
+    assert sorted(quarantined) == [-4, -2]
+    assert tgt._metrics["s"] == 3
