@@ -407,3 +407,109 @@ def test_asof_both_directions_match_bruteforce(spark, lefts, rights):
                 cands = [rs for (rk, rs) in rights if rk == lk and rs >= ls]
                 want[li] = ts(min(cands)) if cands else None
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-3 operator properties
+# ---------------------------------------------------------------------------
+
+
+@given(
+    h=st.integers(min_value=0, max_value=(1 << 56) - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=55), max_size=3),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_phash_banding_pigeonhole(spark, h, flips):
+    """Pigeonhole guarantee of 4-band banding: any pair within 3 bit
+    flips shares at least one untouched 14-bit band, so it MUST surface
+    as a candidate and pass hamming <= 3 verification."""
+    from target_parquet_spark.operators.multimodal import phash_near_dup_pairs
+
+    h2 = h
+    for b in flips:
+        h2 ^= 1 << b
+    df = spark.createDataFrame(
+        [(0, h), (1, h2)], "media_id long, phash long"
+    )
+    pairs = phash_near_dup_pairs(
+        df, bands=4, band_bits=14, max_hamming=3
+    ).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["hamming"] == len(flips)
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+        min_size=20,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hdr_bin_quantile_error_bound(spark, values):
+    """The log-binned estimate is within one 1.1-factor bin of the true
+    quantile for ANY positive distribution — the sketch's contract."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.queries_r4 import hdr_bin
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = sorted(
+        r["b"]
+        for r in df.select(hdr_bin(F.col("v")).alias("b")).collect()
+    )
+    # CDF-read estimate for p50 from the bin counts
+    k = math.ceil(0.5 * len(got))
+    est = 1.1 ** (got[k - 1] + 0.5)
+    true = sorted(values)[k - 1]
+    assert est / true < 1.1 * 1.001 and true / est < 1.1 * 1.001
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sequence_packing_order_invariant(spark, seed, tmp_path_factory):
+    """Packing is keyed on md5 order inside hash shards, so the SAME
+    corpus in any row order produces the identical packing report."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.queries import QUERIES
+
+    rng = random.Random(seed)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(5, 60))))
+        for i in range(80)
+    ]
+    out = str(tmp_path_factory.mktemp("pack"))
+    base = spark.createDataFrame(docs, "doc_id long, text string")
+    shuffled = spark.createDataFrame(
+        sorted(docs, key=lambda d: rng.random()), "doc_id long, text string"
+    )
+    results = []
+    for df in (base, shuffled):
+        (
+            df.withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text"))
+            .write.mode("overwrite")
+            .parquet(f"{out}/documents.parquet")
+        )
+        results.append(
+            tuple(QUERIES["sample_sequence_packing"](spark, out).collect()[0])
+        )
+    assert results[0] == results[1]
