@@ -800,3 +800,84 @@ def multimodal_phash_pairs(spark, sf_dir):
         F.col("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.5
+_TEMP_BUDGET = 300
+
+
+@query(
+    "sample_temperature_mixture",
+    f"""
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n, pow(n, {_TEMP_ALPHA}) AS wgt,
+             sum(pow(n, {_TEMP_ALPHA})) OVER () AS tot
+      FROM c),
+    q AS (
+      SELECT source, n,
+             CAST(floor(round({_TEMP_BUDGET} * wgt / tot, 9)) AS BIGINT)
+               AS quota
+      FROM w),
+    r AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT r.source, r.doc_id
+    FROM r JOIN q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    """,
+)
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture sampling: per-source quotas
+    proportional to n^alpha (alpha={alpha} — the multinomial temperature
+    used to rebalance multilingual/multi-source corpora: alpha=1 keeps
+    natural proportions, alpha=0 gives uniform, 0.3-0.7 is the standard
+    up-weighting of small sources), normalized to a {budget}-doc budget,
+    members chosen by deterministic md5 rank within each source.  The
+    data-derived companion of sample_mixture_quota's fixed quotas.
+
+    Plan: quotas come from a |sources|-row count aggregate (one
+    map-combinable shuffle + a window over a handful of rows) broadcast
+    back onto the md5-ranked stratum window; at 100 TB the rank window
+    partitions by source and AQE skew-splits any whale stratum.  Same
+    reproducibility contract as the whole sampling family: no rand(),
+    identical picks on any engine, retry, or cluster size.""".format(
+        alpha=_TEMP_ALPHA, budget=_TEMP_BUDGET
+    )
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = c.withColumn("wgt", F.pow("n", F.lit(_TEMP_ALPHA))).withColumn(
+        "tot", F.sum(F.pow("n", F.lit(_TEMP_ALPHA))).over(
+            Window.partitionBy()
+        )
+    )
+    q = w.select(
+        "source",
+        F.floor(
+            F.round(_TEMP_BUDGET * F.col("wgt") / F.col("tot"), 9)
+        ).cast("long").alias("quota"),
+    )
+    r = d.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return r.join(F.broadcast(q), "source").filter(
+        F.col("rn") <= F.col("quota")
+    ).select("source", "doc_id")

@@ -232,3 +232,34 @@ def test_phash_pairs_find_all_planted_copies(run, spark, sf_dir):
     ]
     assert len(planted) == n_ascii
     assert all(got[p] == 0 for p in planted)
+
+
+def test_temperature_mixture_upweights_small_sources(run, spark, sf_dir):
+    """alpha < 1 compresses the size distribution: sampled shares must be
+    strictly more uniform than natural shares (small sources get a larger
+    fraction of the sample than of the corpus), quotas deterministic."""
+    from target_parquet_spark.queries import t
+
+    rows = run("sample_temperature_mixture").collect()
+    got = {}
+    for r in rows:
+        got[r["source"]] = got.get(r["source"], 0) + 1
+    nat = {
+        r["source"]: r["n"]
+        for r in t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(nat.values())
+    s_total = sum(got.values())
+    small = min(nat, key=nat.get)
+    big = max(nat, key=nat.get)
+    if nat[small] < nat[big]:  # only meaningful when sizes differ
+        assert got[small] / s_total >= nat[small] / n_total
+        assert got[big] / s_total <= nat[big] / n_total
+    # deterministic: second run picks the identical doc set
+    again = run("sample_temperature_mixture").collect()
+    assert sorted((r["source"], r["doc_id"]) for r in rows) == sorted(
+        (r["source"], r["doc_id"]) for r in again
+    )
