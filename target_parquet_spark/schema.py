@@ -42,6 +42,8 @@ __all__ = [
     "resolve_type",
     "build_struct_field",
     "json_schema_to_struct",
+    "widen_field",
+    "widen_versions",
 ]
 
 _SPARK_TYPES: dict[str, T.DataType] = {
@@ -175,3 +177,44 @@ def resolve_schema(
         for k, v in props.items()
         if fixed_headers is None or k in fixed_headers
     ]
+
+
+def widen_field(a: ResolvedField, b: ResolvedField) -> ResolvedField | None:
+    """Common supertype of one column across two schema versions, or
+    ``None`` when the resolved Spark types already agree.
+
+    The reference crashes on mid-stream type changes (BUG-4 family); this
+    engine's contract is "never emit an unreadable directory", and
+    parquet ``mergeSchema`` cannot reconcile conflicting column types —
+    so conflicting versions WIDEN at write time: integer+number -> number
+    (lossless numeric widening), anything else -> string (the universal
+    supertype of this type lattice; every scalar has a canonical string
+    form and nested values are already JSON text).  The widened field is
+    nullable — one version's records may lack the column entirely."""
+    if a.spark_type == b.spark_type:
+        return None
+    ids = {a.type_id, b.type_id}
+    if ids == {"integer", "number"} and a.format is None and b.format is None:
+        return ResolvedField(a.name, "number", None, True)
+    return ResolvedField(a.name, "string", None, True)
+
+
+def widen_versions(
+    field_lists: list[list[ResolvedField]],
+) -> dict[str, ResolvedField]:
+    """Fold :func:`widen_field` over every version's resolved fields:
+    returns {column -> widened field} for exactly the columns whose type
+    conflicts somewhere in the version history."""
+    seen: dict[str, ResolvedField] = {}
+    overrides: dict[str, ResolvedField] = {}
+    for fields in field_lists:
+        for f in fields:
+            prev = seen.get(f.name)
+            if prev is None:
+                seen[f.name] = f
+                continue
+            w = widen_field(prev, f)
+            if w is not None:
+                overrides[f.name] = w
+                seen[f.name] = w
+    return overrides

@@ -58,8 +58,9 @@ class SingerStreamTarget:
         self.checkpoint = self.config.get("checkpoint") or os.path.join(
             self.sink.root, "_checkpoint"
         )
-        # stream -> (schema dict, key_properties, version_idx)
-        self._registry: dict[str, tuple[dict, list[str], int]] = {}
+        # stream -> (schema dict, key_properties, version_idx,
+        #            widened column map {name: [type_id, format]})
+        self._registry: dict[str, tuple] = {}
         self._metrics: dict[str, int] = {}
         self._load_registry()
 
@@ -105,13 +106,83 @@ class SingerStreamTarget:
             .orderBy("_mid")
             .collect()
         )
+        from target_parquet_spark.schema import widen_versions
+
         for r in rows:
             prev = self._registry.get(r.stream)
             version = prev[2] + 1 if prev else 0
             schema = json.loads(r.schema_json) if r.schema_json else {}
-            self._registry[r.stream] = (schema, list(r.key_properties or []), version)
+            # Mid-stream TYPE changes: accumulate widened column types
+            # across versions (same contract as the batch target — parquet
+            # mergeSchema cannot reconcile conflicting types, so the
+            # output dir must be written widened to stay readable).  The
+            # widened map persists in the registry and only grows.
+            widened: dict[str, list] = dict(prev[3]) if prev else {}
+            if prev is not None:
+                fixed = (self.config.get("fixed_headers") or {}).get(r.stream)
+                old_fields = self._apply_overrides(
+                    resolve_schema(prev[0], fixed_headers=fixed), widened
+                )
+                new_fields = resolve_schema(schema, fixed_headers=fixed)
+                fresh = widen_versions([old_fields, new_fields])
+                if fresh:
+                    # Columns already on disk under the NARROW type must be
+                    # rewritten before any widened batch lands, or the dir
+                    # becomes unreadable (mergeSchema cannot reconcile the
+                    # types) — unlike the batch target, a stream cannot see
+                    # future versions up front.
+                    self._rewrite_widened(r.stream, fresh)
+                    for name, f in fresh.items():
+                        widened[name] = [f.type_id, f.format]
+            self._registry[r.stream] = (
+                schema, list(r.key_properties or []), version, widened
+            )
         if rows:
             self._save_registry()
+
+    def _rewrite_widened(self, stream: str, fresh: dict) -> None:
+        """One-time type-widening compaction of a stream's existing output:
+        read the (pre-widening, internally consistent) directory, cast the
+        newly-widened columns, swap the directory.  The streaming target is
+        the single writer, so the swap races nobody; on an object store
+        this is the same rewrite expressed as a compaction job.  Sidecars
+        (non-parquet files) are preserved."""
+        import shutil
+
+        d = self.sink.stream_dir(stream)
+        if not os.path.isdir(d) or not any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        ):
+            return
+        df = self.spark.read.option("mergeSchema", "true").parquet(d)
+        from target_parquet_spark.schema import ResolvedField
+
+        for name, f in fresh.items():
+            if name in df.columns:
+                rf = ResolvedField(name, f.type_id, f.format, True)
+                df = df.withColumn(name, F.col(name).cast(rf.spark_type))
+        tmp = d.rstrip("/") + ".widening"
+        df.write.mode("overwrite").parquet(tmp)
+        for side in os.listdir(d):
+            if not side.endswith(".parquet") and not side.startswith("_SUCCESS"):
+                src = os.path.join(d, side)
+                if os.path.isfile(src):
+                    shutil.copy2(src, os.path.join(tmp, side))
+        shutil.rmtree(d)
+        os.rename(tmp, d)
+
+    @staticmethod
+    def _apply_overrides(fields, widened: dict):
+        from target_parquet_spark.schema import ResolvedField
+
+        if not widened:
+            return fields
+        return [
+            ResolvedField(f.name, widened[f.name][0], widened[f.name][1], True)
+            if f.name in widened
+            else f
+            for f in fields
+        ]
 
     # -- registry persistence (restart DDL: batches are not replayed) --------
 
@@ -124,14 +195,24 @@ class SingerStreamTarget:
             with open(self._registry_path) as fh:
                 raw = json.load(fh)
             self._registry = {
-                s: (v["schema"], v["key_properties"], v["version"])
+                s: (
+                    v["schema"],
+                    v["key_properties"],
+                    v["version"],
+                    v.get("widened", {}),
+                )
                 for s, v in raw.items()
             }
 
     def _save_registry(self) -> None:
         payload = {
-            s: {"schema": schema, "key_properties": kp, "version": ver}
-            for s, (schema, kp, ver) in self._registry.items()
+            s: {
+                "schema": schema,
+                "key_properties": kp,
+                "version": ver,
+                "widened": widened,
+            }
+            for s, (schema, kp, ver, widened) in self._registry.items()
         }
         tmp = self._registry_path + ".tmp"
         with open(tmp, "w") as fh:
@@ -155,9 +236,11 @@ class SingerStreamTarget:
                     "SCHEMA message"
                 )
             return
-        schema, key_properties, _version = reg
+        schema, key_properties, _version, widened = reg
         fixed = (self.config.get("fixed_headers") or {}).get(stream)
-        fields = resolve_schema(schema, fixed_headers=fixed)
+        fields = self._apply_overrides(
+            resolve_schema(schema, fixed_headers=fixed), widened
+        )
         records = env.filter(
             (F.col("msg_type") == "RECORD") & (F.col("stream") == stream)
         )

@@ -40,7 +40,7 @@ from target_parquet_spark.io.singer_source import (
     parse_envelope,
     raw_record_struct,
 )
-from target_parquet_spark.schema import ResolvedField, resolve_schema
+from target_parquet_spark.schema import ResolvedField, resolve_schema, widen_versions
 from target_parquet_spark.validation import compile_predicate
 
 __all__ = ["SingerTarget", "SingerValidationError"]
@@ -177,6 +177,21 @@ class SingerTarget:
         counts: dict[str, int] = {}
         violations: dict[str, int] = {}
         for stream, vers in versions.items():
+            # Mid-stream TYPE changes: parquet mergeSchema cannot reconcile
+            # conflicting column types, so conflicting versions widen to a
+            # common supertype at write time (schema.widen_versions) — the
+            # output directory stays readable, upholding the BUG-2/BUG-4
+            # fix contract.  Batch mode sees all versions up front, so the
+            # widening is exact, not heuristic.
+            overrides: dict = {}
+            if len(vers) > 1:
+                fixed = (self.config.get("fixed_headers") or {}).get(stream)
+                overrides = widen_versions(
+                    [
+                        resolve_schema(v.schema, fixed_headers=fixed)
+                        for v in vers
+                    ]
+                )
             for i, v in enumerate(vers):
                 cond = (
                     (F.col("msg_type") == "RECORD")
@@ -188,16 +203,25 @@ class SingerTarget:
                 records = env.filter(cond)
                 if records.isEmpty():
                     continue
-                n, bad = self._write_version(stream, v, records, version_idx=i)
+                n, bad = self._write_version(
+                    stream, v, records, version_idx=i, overrides=overrides
+                )
                 counts[stream] = counts.get(stream, 0) + n
                 violations[stream] = violations.get(stream, 0) + bad
         return {"recordCount": counts, "validationViolations": violations}
 
     def _write_version(
-        self, stream: str, v: _StreamVersion, records: DataFrame, version_idx: int
+        self,
+        stream: str,
+        v: _StreamVersion,
+        records: DataFrame,
+        version_idx: int,
+        overrides: dict | None = None,
     ) -> tuple[int, int]:
         fixed = (self.config.get("fixed_headers") or {}).get(stream)
         fields = resolve_schema(v.schema, fixed_headers=fixed)
+        if overrides:
+            fields = [overrides.get(f.name, f) for f in fields]
         pred = compile_predicate(
             v.schema, source_col="_rec", raw_json_col="record_json"
         )

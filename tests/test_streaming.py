@@ -868,3 +868,54 @@ def test_singer_stream_quarantine_reroutes_invalid(spark, tmp_path):
             ]
     assert sorted(quarantined) == [-4, -2]
     assert tgt._metrics["s"] == 3
+
+
+def test_singer_stream_type_widening_rewrites_history(spark, tmp_path):
+    """The HARD evolution direction for a stream: narrow type already on
+    disk when the widening SCHEMA arrives — the target must rewrite the
+    existing output (single-writer compaction) before the widened batch
+    lands, or the directory becomes unreadable."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    (inbox / "f1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(
+                    type="SCHEMA",
+                    stream="t",
+                    schema={
+                        "type": "object",
+                        "properties": {"v": {"type": ["integer", "null"]}},
+                    },
+                    key_properties=[],
+                ),
+                _msg(type="RECORD", stream="t", record={"v": 1}),
+                _msg(type="RECORD", stream="t", record={"v": 2}),
+            ]
+        )
+    )
+    cfg = {"filepath": str(out), "file_naming_scheme": "{stream}"}
+    _await(SingerStreamTarget(spark, cfg).start(str(inbox), available_now=True))
+    assert dict(spark.read.parquet(str(out / "t")).dtypes) == {"v": "bigint"}
+
+    (inbox / "f2.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(
+                    type="SCHEMA",
+                    stream="t",
+                    schema={
+                        "type": "object",
+                        "properties": {"v": {"type": ["string", "null"]}},
+                    },
+                    key_properties=[],
+                ),
+                _msg(type="RECORD", stream="t", record={"v": "three"}),
+            ]
+        )
+    )
+    _await(SingerStreamTarget(spark, cfg).start(str(inbox), available_now=True))
+    df = spark.read.option("mergeSchema", "true").parquet(str(out / "t"))
+    assert dict(df.dtypes) == {"v": "string"}
+    assert sorted(r.v for r in df.collect()) == ["1", "2", "three"]

@@ -331,3 +331,30 @@ def test_quarantine_ignored_in_strict_mode(spark, tmp_out):
             },
         )
     assert not os.path.exists(os.path.join(tmp_out, "_q", "s"))
+
+
+# --- type-changing schema evolution (widening) ------------------------------
+
+
+def test_type_changing_evolution_stays_readable(spark, tmp_out):
+    """Mid-stream TYPE changes widen to a common supertype at write time
+    (integer+number -> double; anything else -> string) so the output
+    directory always reads back — the reference crashes here (BUG-4
+    family) and naive version-append writes an unmergeable directory."""
+    lines = [
+        msg_schema("t", {"v": STR_NULL}),
+        msg_record("t", {"v": "one"}),
+        msg_schema("t", {"v": {"type": ["integer", "null"]}}),
+        msg_record("t", {"v": 2}),
+        msg_schema("n", {"w": {"type": ["integer", "null"]}}),
+        msg_record("n", {"w": 1}),
+        msg_schema("n", {"w": {"type": ["number", "null"]}}),
+        msg_record("n", {"w": 2.5}),
+    ]
+    _, res = run(spark, tmp_out, lines)
+    dft, rows_t = rows_of(spark, res["paths"]["t"])
+    assert dict(dft.dtypes) == {"v": "string"}
+    assert sorted(r["v"] for r in rows_t) == ["2", "one"]
+    dfn, rows_n = rows_of(spark, res["paths"]["n"])
+    assert dict(dfn.dtypes) == {"w": "double"}
+    assert sorted(r["w"] for r in rows_n) == [1.0, 2.5]
