@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from target_parquet_spark.operators.text import shingles, tokens
 
 __all__ = [
+    "lineage_cut",
     "lsh_band_index",
     "streaming_near_dup",
     "exact_dedup",
@@ -76,7 +77,7 @@ def duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _lineage_cut(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def lineage_cut(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     """Cut iterative lineage: ``localCheckpoint`` by default (fast, block
     replicas on executors), or a RELIABLE ``checkpoint`` when a directory
     is given — survives executor loss, the right mode for long cluster
@@ -127,9 +128,9 @@ def connected_components(
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = _lineage_cut(sym.repartition(_width(edges), "u"), checkpoint_dir)
+    sym = lineage_cut(sym.repartition(_width(edges), "u"), checkpoint_dir)
 
-    labels = _lineage_cut(
+    labels = lineage_cut(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node")),
@@ -151,7 +152,7 @@ def connected_components(
         hop = nbr_min.select(
             F.col("node").alias("_jn"), F.col("label").alias("_jl")
         )
-        labels = _lineage_cut(
+        labels = lineage_cut(
             nbr_min.join(hop, nbr_min["label"] == hop["_jn"], "left")
             .select("node", F.coalesce("_jl", "label").alias("label")),
             checkpoint_dir,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from target_parquet_spark.operators.dedup import _lineage_cut
+from target_parquet_spark.operators.dedup import lineage_cut
 
 __all__ = ["pagerank"]
 
@@ -50,14 +50,14 @@ def pagerank(
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     w = F.col(weight) if weight else F.lit(1.0)
-    e = _lineage_cut(
+    e = lineage_cut(
         edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
         ),
         checkpoint_dir,
     )
 
-    nodes = _lineage_cut(
+    nodes = lineage_cut(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct(),
@@ -81,7 +81,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = _lineage_cut(
+        ranks = lineage_cut(
             nodes.join(contrib, "node", "left")
             .select(
                 "node",

@@ -343,7 +343,7 @@ def phash_near_dup_pairs(
     hashed: DataFrame,
     bands: int = 4,
     band_bits: int = 14,
-    max_hamming: int = 6,
+    max_hamming: int | None = None,
     id_col: str = "media_id",
 ) -> DataFrame:
     """Banded near-dup search over dHash values: split each hash into
@@ -353,12 +353,21 @@ def phash_near_dup_pairs(
     ``bit_count(a ^ b) <= max_hamming``.  Identical hashes match in every
     band, so exact duplicates are found by construction.
 
+    ``max_hamming`` defaults to ``bands - 1`` — the largest radius at
+    which the band join is COMPLETE.  A larger radius is permitted but
+    the result is then candidates-only (pairs whose differing bits
+    spread across every band are missed); completeness at radius d
+    needs ``bands >= d + 1``.  Guarantee pinned by the pigeonhole
+    property test.
+
     Everything after the hash is JVM relational algebra: the band keys
     are shift/mask projections in the scan stage, candidate generation is
     an equi-join on (band_idx, band_val), verification is one codegen
     ``bit_count`` — media bytes and Python never touch the pair path.
     The density knob is the same as every LSH family here: band_bits
     must grow with log2(corpus) to hold per-band occupancy constant."""
+    if max_hamming is None:
+        max_hamming = bands - 1
     b = hashed.select(
         F.col(id_col),
         "phash",

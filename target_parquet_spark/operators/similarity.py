@@ -512,7 +512,15 @@ def semantic_dup_pairs(
 
     if n_planes is None:
         n = corpus.count()
-        n_planes = max(8, min(24, math.ceil(math.log2(max(n, 2) / target_occupancy)) + 7))
+        # ceil(log2(n / occupancy)) planes -> 2^planes ~ n/occupancy
+        # buckets, i.e. expected occupancy ~ target_occupancy.  (An
+        # earlier draft added +7 on top of the /128 divisor — the same
+        # adjustment twice, which drove occupancy to ~1 and collapsed
+        # per-table recall; caught by review.)
+        n_planes = max(
+            8,
+            min(24, math.ceil(math.log2(max(n, 2) / target_occupancy))),
+        )
     pair_sets = []
     for t_idx in range(n_tables):
         b = corpus.withColumn(

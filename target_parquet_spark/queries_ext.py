@@ -1034,7 +1034,8 @@ def ingest_coerce_props(spark, sf_dir):
     SELECT event_type,
            CAST(sum(CASE WHEN (num IS NULL OR num >= 10)
                           AND (num IS NULL OR num <= 90)
-                          AND (raw IS NULL OR raw = '' OR num IS NOT NULL)
+                          AND (raw IS NULL OR raw = ''
+                               OR (num IS NOT NULL AND num = floor(num)))
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
            count(*) AS n_total
     FROM v GROUP BY event_type

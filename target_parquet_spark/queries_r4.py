@@ -718,7 +718,7 @@ def events_ab_experiment(spark, sf_dir):
 # hamming verification are all expressible in SQL.  Both engines filter
 # to ASCII docs (byte length == char length) so a testdata regeneration
 # with non-ASCII text cannot desynchronize the payload byte view.
-_PH_ROWS, _PH_COLS, _PH_MAXH = 7, 8, 6
+_PH_ROWS, _PH_COLS, _PH_MAXH = 7, 8, 3
 _PH_N = (_PH_COLS + 1) * _PH_ROWS  # 63 samples
 
 

@@ -126,8 +126,15 @@ class EpochStore:
         next_v = 1 + (int(bases[-1].split("-v", 1)[1]) if bases else 0)
         tmp = os.path.join(self.out_dir, f"_tmp-base-v{next_v}")
         merged.write.mode("overwrite").parquet(tmp)
+        # The manifest carries FORWARD the previous base's exclusions: an
+        # already-folded epoch dir can re-materialize at any time (a replay
+        # overwrites blindly, or the delete below raced a crash), and once
+        # its content is inside any base it must stay excluded forever —
+        # a manifest listing only this round's snapshot would re-admit it
+        # after the next compaction and silently double-count sums.
         with open(os.path.join(tmp, _MANIFEST), "w") as f:
-            json.dump(sorted(snapshot), f)
+            json.dump(sorted(folded_already | set(snapshot)), f)
         os.rename(tmp, os.path.join(self.out_dir, f"base-v{next_v}"))
-        for d in bases + snapshot:
+        stale = [e for e in epochs if e in folded_already]
+        for d in bases + snapshot + stale:
             shutil.rmtree(os.path.join(self.out_dir, d), ignore_errors=True)

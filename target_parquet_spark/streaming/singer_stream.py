@@ -146,13 +146,19 @@ class SingerStreamTarget:
         newly-widened columns, swap the directory.  The streaming target is
         the single writer, so the swap races nobody; on an object store
         this is the same rewrite expressed as a compaction job.  Sidecars
-        (non-parquet files) are preserved."""
+        (non-parquet files) are preserved, and the rewrite keeps the
+        sink's compression and partition layout (the data files of a
+        partitioned stream live in key=value subdirs — the parquet probe
+        walks recursively for exactly that reason)."""
         import shutil
 
         d = self.sink.stream_dir(stream)
-        if not os.path.isdir(d) or not any(
-            f.endswith(".parquet") for f in os.listdir(d)
-        ):
+        has_parquet = os.path.isdir(d) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(d)
+            for f in files
+        )
+        if not has_parquet:
             return
         df = self.spark.read.option("mergeSchema", "true").parquet(d)
         from target_parquet_spark.schema import ResolvedField
@@ -162,14 +168,26 @@ class SingerStreamTarget:
                 rf = ResolvedField(name, f.type_id, f.format, True)
                 df = df.withColumn(name, F.col(name).cast(rf.spark_type))
         tmp = d.rstrip("/") + ".widening"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite").option(
+            "compression", self.sink.compression
+        )
+        partition_cols = (self.config.get("partition_cols") or {}).get(stream)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(tmp)
         for side in os.listdir(d):
             if not side.endswith(".parquet") and not side.startswith("_SUCCESS"):
                 src = os.path.join(d, side)
                 if os.path.isfile(src):
                     shutil.copy2(src, os.path.join(tmp, side))
-        shutil.rmtree(d)
+        # Crash-safe swap: move the old dir ASIDE first, so every failure
+        # point leaves either the old or the new directory in place —
+        # rmtree-then-rename had a window where a crash lost the stream.
+        old = d.rstrip("/") + ".pre-widening"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(d, old)
         os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
 
     @staticmethod
     def _apply_overrides(fields, widened: dict):

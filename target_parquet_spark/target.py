@@ -227,6 +227,20 @@ class SingerTarget:
         )
         non_nullable = [f.name for f in fields if not f.nullable]
 
+        # Key properties must be resolvable columns, or the key-integrity
+        # check below is silently vacuous — exactly the malformed-schema
+        # case most likely to carry keyless records.  This also fails a
+        # fixed_headers projection that drops its own primary key.
+        undeclared_keys = sorted(
+            set(v.key_properties) - {f.name for f in fields}
+        )
+        if undeclared_keys:
+            raise SingerValidationError(
+                f"stream {stream!r}: key_properties {undeclared_keys} are "
+                "not declared in the schema properties (or were projected "
+                "away by fixed_headers)"
+            )
+
         if not fields:
             # SDK "schema with no properties" standard test: a declared
             # stream with zero resolvable columns is processed (counted)
@@ -293,17 +307,20 @@ class SingerTarget:
         quarantine_root = self.config.get("quarantine_path")
         n_quarantined = 0
         if quarantine_root and not self.strict:
-            qobs = Observation(f"{stream}-v{version_idx}-quarantine")
-            bad = (
-                parsed.filter(~pred)
-                .select(F.lit(stream).alias("stream"), "record_json")
-                .observe(qobs, F.count(F.lit(1)).alias("n"))
+            bad = parsed.filter(~pred).select(
+                F.lit(stream).alias("stream"), "record_json"
             )
-            bad.write.mode("append").json(
-                os.path.join(quarantine_root, stream)
-            )
-            n_quarantined = int(qobs.get["n"] or 0)
-            parsed = parsed.filter(pred)
+            # Count first, write only when something failed: an
+            # unconditional write job would litter an empty
+            # <quarantine>/<stream>/ directory per clean stream-version
+            # (which replay tooling would then pick up) and pay a write
+            # job for nothing.  The count scans the cached envelope.
+            n_quarantined = bad.count()
+            if n_quarantined:
+                bad.write.mode("append").json(
+                    os.path.join(quarantine_root, stream)
+                )
+                parsed = parsed.filter(pred)
 
         if self.exact:
             typed = decode_records_exact(parsed, fields)

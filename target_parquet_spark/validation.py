@@ -267,33 +267,69 @@ def _raw_object_preds(schema: dict, raw_json_col: str) -> list[Column]:
     return preds
 
 
+def _addr(
+    name: str,
+    source_col: str,
+    declared: frozenset,
+    raw_json_col: str | None,
+) -> Column | None:
+    """Address one property's raw value.  Declared properties read from
+    the parsed struct; UNDECLARED names (legal in draft-7 — `required`,
+    `dependencies` and combinator branches may reference properties the
+    top-level schema never declares) fall back to ``get_json_object``
+    over the raw record text, which yields the same raw-capture
+    semantics (scalar text; null for missing AND for JSON null).
+    Referencing an undeclared field used to build F.col against a
+    struct field that does not exist — an AnalysisException that crashed
+    the whole run.  Returns None (compile permissive) when the name is
+    undeclared and no raw column is available."""
+    if name in declared:
+        return F.col(f"{source_col}.`{name}`")
+    if raw_json_col is not None:
+        safe = name.replace("'", "\\'")
+        return F.get_json_object(F.col(raw_json_col), f"$['{safe}']")
+    return None
+
+
 def _object_preds(
-    schema: dict, source_col: str, raw_json_col: str | None = None
+    schema: dict,
+    source_col: str,
+    raw_json_col: str | None = None,
+    declared: frozenset | None = None,
 ) -> list[Column]:
     """Object-level compilation: properties + required + combinators +
     dependencies + if/then/else, recursing into subschemas against the
     same record struct.  ``raw_json_col`` (when the caller has the raw
     record text) additionally compiles the object-shape keywords; the
-    combinator recursion keeps it — every branch describes the SAME
-    object instance."""
+    combinator recursion keeps both it and ``declared`` (the top-level
+    struct's field names) — every branch describes the SAME object
+    instance."""
+    if declared is None:
+        declared = frozenset(schema.get("properties", {}).keys())
     preds: list[Column] = []
     for name, prop in schema.get("properties", {}).items():
         if not isinstance(prop, dict):
             continue
-        raw = F.col(f"{source_col}.`{name}`")
+        raw = _addr(name, source_col, declared, raw_json_col)
+        if raw is None:
+            continue
         preds.extend(_property_predicate(name, prop, raw))
     for req in schema.get("required", []):
-        preds.append(F.col(f"{source_col}.`{req}`").isNotNull())
+        ref = _addr(req, source_col, declared, raw_json_col)
+        if ref is not None:
+            preds.append(ref.isNotNull())
     if raw_json_col is not None:
         preds.extend(_raw_object_preds(schema, raw_json_col))
 
     for sub in schema.get("allOf", []):
-        preds.extend(_object_preds(sub, source_col, raw_json_col))
+        preds.extend(_object_preds(sub, source_col, raw_json_col, declared))
     if schema.get("anyOf"):
         preds.append(
             _or_any(
                 [
-                    _and_all(_object_preds(sub, source_col, raw_json_col))
+                    _and_all(
+                        _object_preds(sub, source_col, raw_json_col, declared)
+                    )
                     for sub in schema["anyOf"]
                 ]
             )
@@ -302,36 +338,59 @@ def _object_preds(
         cnt = None
         for sub in schema["oneOf"]:
             b = F.when(
-                _and_all(_object_preds(sub, source_col, raw_json_col)), 1
+                _and_all(
+                    _object_preds(sub, source_col, raw_json_col, declared)
+                ),
+                1,
             ).otherwise(0)
             cnt = b if cnt is None else cnt + b
         preds.append(cnt == 1)
     if isinstance(schema.get("not"), dict):
         preds.append(
-            ~_and_all(_object_preds(schema["not"], source_col, raw_json_col))
+            ~_and_all(
+                _object_preds(
+                    schema["not"], source_col, raw_json_col, declared
+                )
+            )
         )
 
     for key, dep in (schema.get("dependencies") or {}).items():
-        trigger = F.col(f"{source_col}.`{key}`").isNotNull()
+        trig_ref = _addr(key, source_col, declared, raw_json_col)
+        if trig_ref is None:
+            continue  # trigger not addressable -> permissive
+        trigger = trig_ref.isNotNull()
         if isinstance(dep, list):
+            refs = [_addr(d, source_col, declared, raw_json_col) for d in dep]
             need = _and_all(
-                [F.col(f"{source_col}.`{d}`").isNotNull() for d in dep]
+                [r.isNotNull() for r in refs if r is not None]
             )
         elif isinstance(dep, dict):
-            need = _and_all(_object_preds(dep, source_col, raw_json_col))
+            need = _and_all(
+                _object_preds(dep, source_col, raw_json_col, declared)
+            )
         else:
             continue
         preds.append(~trigger | need)
 
     if isinstance(schema.get("if"), dict):
-        cond = _and_all(_object_preds(schema["if"], source_col, raw_json_col))
+        cond = _and_all(
+            _object_preds(schema["if"], source_col, raw_json_col, declared)
+        )
         then_p = (
-            _and_all(_object_preds(schema["then"], source_col, raw_json_col))
+            _and_all(
+                _object_preds(
+                    schema["then"], source_col, raw_json_col, declared
+                )
+            )
             if isinstance(schema.get("then"), dict)
             else F.lit(True)
         )
         else_p = (
-            _and_all(_object_preds(schema["else"], source_col, raw_json_col))
+            _and_all(
+                _object_preds(
+                    schema["else"], source_col, raw_json_col, declared
+                )
+            )
             if isinstance(schema.get("else"), dict)
             else F.lit(True)
         )

@@ -263,3 +263,20 @@ def test_temperature_mixture_upweights_small_sources(run, spark, sf_dir):
     assert sorted((r["source"], r["doc_id"]) for r in rows) == sorted(
         (r["source"], r["doc_id"]) for r in again
     )
+
+
+def test_adaptive_plane_count_targets_occupancy():
+    """n_planes must satisfy 2^planes ~ n / target_occupancy (clamped to
+    [8, 24]) — the knob that holds per-bucket pair work constant."""
+    import math
+
+    def planes(n, occ=128):
+        return max(8, min(24, math.ceil(math.log2(max(n, 2) / occ))))
+
+    assert planes(4_000) == 8          # small corpora clamp to the floor
+    assert planes(1_000_000) == 13     # ~8k buckets, ~122/bucket
+    assert planes(1_000_000_000) == 23 # ~8M buckets, ~119/bucket
+    for n in (10_000, 10_000_000):
+        p = planes(n)
+        if 8 < p < 24:
+            assert n / (2 ** p) <= 128 < n / (2 ** (p - 1))

@@ -919,3 +919,96 @@ def test_singer_stream_type_widening_rewrites_history(spark, tmp_path):
     df = spark.read.option("mergeSchema", "true").parquet(str(out / "t"))
     assert dict(df.dtypes) == {"v": "string"}
     assert sorted(r.v for r in df.collect()) == ["1", "2", "three"]
+
+
+def test_epoch_store_replayed_folded_epoch_never_double_counts(spark, tmp_path):
+    """A crash-replay can re-materialize an epoch dir that an earlier
+    compaction already folded; its content must stay excluded FOREVER —
+    across subsequent compactions — or sums silently double-count."""
+    from target_parquet_spark.streaming.epoch_store import EpochStore
+
+    store = EpochStore(spark, str(tmp_path / "st"), "k string, n bigint")
+
+    def fold(df):
+        return df.groupBy("k").agg(F.sum("n").alias("n"))
+
+    def delta(n):
+        return spark.createDataFrame([("a", n)], "k string, n bigint")
+
+    store.write_epoch(delta(1), 0)
+    store.write_epoch(delta(1), 1)
+    store.compact(fold)  # base-v1 folds epochs 0,1 -> total 2
+    store.write_epoch(delta(1), 1)  # replay re-creates the folded epoch
+    store.write_epoch(delta(1), 2)
+    assert fold(store.state_df()).collect()[0].n == 3
+    store.compact(fold)  # base-v2 must carry the exclusion forward
+    assert fold(store.state_df()).collect()[0].n == 3
+    store.write_epoch(delta(1), 1)  # an even later replay of the same epoch
+    assert fold(store.state_df()).collect()[0].n == 3
+
+
+def test_singer_stream_widening_handles_partitioned_layout(spark, tmp_path):
+    """Partitioned streams keep their data files in key=value subdirs; the
+    widening rewrite must still detect them, rewrite with the partition
+    layout preserved, and leave the directory readable."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    cfg = {
+        "filepath": str(out),
+        "file_naming_scheme": "{stream}",
+        "partition_cols": {"t": ["part"]},
+    }
+    (inbox / "f1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(
+                    type="SCHEMA",
+                    stream="t",
+                    schema={
+                        "type": "object",
+                        "properties": {
+                            "part": {"type": ["string", "null"]},
+                            "v": {"type": ["integer", "null"]},
+                        },
+                    },
+                    key_properties=[],
+                ),
+                _msg(type="RECORD", stream="t", record={"part": "a", "v": 1}),
+                _msg(type="RECORD", stream="t", record={"part": "b", "v": 2}),
+            ]
+        )
+    )
+    _await(SingerStreamTarget(spark, cfg).start(str(inbox), available_now=True))
+    (inbox / "f2.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(
+                    type="SCHEMA",
+                    stream="t",
+                    schema={
+                        "type": "object",
+                        "properties": {
+                            "part": {"type": ["string", "null"]},
+                            "v": {"type": ["string", "null"]},
+                        },
+                    },
+                    key_properties=[],
+                ),
+                _msg(type="RECORD", stream="t", record={"part": "a", "v": "x"}),
+            ]
+        )
+    )
+    _await(SingerStreamTarget(spark, cfg).start(str(inbox), available_now=True))
+    df = spark.read.option("mergeSchema", "true").parquet(str(out / "t"))
+    assert dict(df.dtypes)["v"] == "string"
+    assert sorted((r.part, r.v) for r in df.collect()) == [
+        ("a", "1"),
+        ("a", "x"),
+        ("b", "2"),
+    ]
+    import os as _os
+
+    assert sorted(
+        d for d in _os.listdir(str(out / "t")) if d.startswith("part=")
+    ) == ["part=a", "part=b"]

@@ -241,6 +241,19 @@ RAW_COMPILED_CASES = {
         {"x": "v"},
         {"x": "v", "extra": 1},
     ),
+    "dependencies-undeclared-target": (
+        # legal draft-7: the dependent property is NOT declared in
+        # properties — used to crash compilation with FIELD_NOT_FOUND
+        {"properties": {"a": {"type": "string"}},
+         "dependencies": {"a": ["b"]}},
+        {"a": "x", "b": 1},
+        {"a": "x"},
+    ),
+    "required-undeclared": (
+        {"properties": {"a": {"type": "string"}}, "required": ["a", "b"]},
+        {"a": "x", "b": 2},
+        {"a": "x"},
+    ),
 }
 
 
