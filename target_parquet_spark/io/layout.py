@@ -117,6 +117,14 @@ def zorder_value(
     distributions — swap in range-bucket boundaries for heavy skew.
     """
     n = len(cols)
+    # A signed 64-bit z-value holds at most 63 interleaved bits; beyond
+    # that Spark's shiftleft wraps the shift amount mod 64, aliasing high
+    # bit planes onto low positions (and the sign bit inverts the range-
+    # partition order) — silently destroying the clustering.  Clamp the
+    # per-column precision instead: fewer bits = coarser cells, still a
+    # valid z-order.
+    if n * bits > 63:
+        bits = 63 // n
     cap = (1 << bits) - 1
     qs = []
     for c, lo, hi in zip(cols, mins, maxs):

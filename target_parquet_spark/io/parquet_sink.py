@@ -100,12 +100,27 @@ def compact_stream_dir(
 
     The at-scale maintenance job for any streaming parquet sink: small
     files destroy scan parallelism economics (per-file open cost, tiny row
-    groups).  Rewrites into a sibling dir then atomically swaps, so
-    readers never see a half-compacted directory.  Returns the row count.
+    groups).  Works on a SNAPSHOT of the part files present at entry: the
+    directory itself never disappears (a racing reader at worst sees a
+    transiently reduced view), files appended by a live stream DURING the
+    compaction are not in the snapshot and survive untouched, and the
+    replaced snapshot files are moved into a ``_compact_trash`` subdir
+    (invisible to Spark's file listing) before deletion, so no crash
+    point silently loses rows — the earlier whole-directory rename+rmtree
+    deleted concurrent appends outright.  Returns the snapshot row count.
     """
     import shutil
 
-    df = read_stream_output(spark, path)
+    snapshot = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    if not snapshot:
+        return 0
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(path, f) for f in snapshot]
+    )
     n = df.count()
     files = max(1, -(-n // target_records_per_file))
     tmp = path.rstrip("/") + "__compact_tmp"
@@ -115,14 +130,18 @@ def compact_stream_dir(
         .option("compression", compression)
         .parquet(tmp)
     )
-    # preserve sidecars (key-properties etc.) through the swap
-    for name in os.listdir(path):
-        if name.startswith("_") and not name.startswith("_SUCCESS"):
-            src = os.path.join(path, name)
-            if os.path.isfile(src):
-                shutil.copy2(src, os.path.join(tmp, name))
-    old = path.rstrip("/") + "__old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    # move the snapshot OUT to an underscore-prefixed trash dir (Spark
+    # readers ignore it), move the compacted files IN, then drop trash
+    trash = os.path.join(path, "_compact_trash")
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
+    for f in snapshot:
+        os.rename(os.path.join(path, f), os.path.join(trash, f))
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(tmp, f), os.path.join(path, f"compacted-{f}")
+            )
+    shutil.rmtree(tmp)
+    shutil.rmtree(trash)
     return n

@@ -107,6 +107,10 @@ def _parse_value_exact(value, rf: ResolvedField):
     """
     if value is None:
         return None
+    if rf.type_id == "null":
+        # parity with the JVM path: a declared-only-null field is always
+        # NULL regardless of the record value (coerce.py 'null' branch)
+        return None
     if rf.type_id != "string" and value == "":
         return None  # C10
     try:
@@ -152,7 +156,15 @@ def decode_records_exact(records: DataFrame, fields: list[ResolvedField]) -> Dat
         for pdf in it:
             rows = []
             for txt in pdf["record_json"]:
-                rec = json.loads(txt) if txt else {}
+                # Tolerate malformed payloads exactly like the JVM path:
+                # from_json yields a null struct for non-object records
+                # (arrays, scalars, broken JSON) -> every field null here.
+                try:
+                    rec = json.loads(txt) if txt else {}
+                except (ValueError, TypeError):
+                    rec = {}
+                if not isinstance(rec, dict):
+                    rec = {}
                 row = {}
                 for rf in field_list:
                     v = _parse_value_exact(rec.get(rf.name), rf)

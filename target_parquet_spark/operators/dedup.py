@@ -53,7 +53,13 @@ def _width(df: DataFrame) -> int:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep: str = "first") -> DataFrame:
-    """Exact dedup on content hash; keeps the lowest ``id_col`` per group."""
+    """Exact dedup on content hash; ``keep="first"`` keeps the lowest
+    ``id_col`` per group, ``keep="any"`` is the cheaper unordered drop."""
+    if keep not in ("first", "any"):
+        raise ValueError(
+            f"keep must be 'first' or 'any', got {keep!r} — other policies "
+            "would silently fall through to first-row semantics"
+        )
     h = F.md5(F.col(text_col))
     if keep == "any":
         return df.dropDuplicates([text_col])
@@ -253,27 +259,14 @@ def minhash_lsh_pairs(
     and evaluate the expensive expression twice per row; empty docs must
     be dropped BEFORE banding or they all collide in one bucket.
     """
-    rows_per_band = n_hashes // bands
-    base = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n=shingle_n).alias("sh"),
-    )
-    # Chained single-reference projections: CollapseProject's cost guard
-    # keeps each expensive, multi-referenced alias materialized once.
-    sig = base.select("doc_id", "sh", _sig_expr(F.col("sh"), n_hashes).alias("sig"))
-    banded = sig.select(
-        "doc_id",
-        "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+    # One banding pipeline for batch pairs AND the streaming index:
+    # lsh_band_index owns the filter/shingle/signature/band expressions
+    # (and the n_hashes % bands divisibility guard — a duplicated copy
+    # here had silently missed it); this function only adds the
+    # pair-join repartition on the band key.
+    banded = lsh_band_index(
+        df, text_col, id_col, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n,
     ).repartition(_width(df), "band_idx", "band_hash")
 
     left = banded.alias("a")
@@ -469,7 +462,19 @@ def simhash_pairs(
     within Hamming distance 3 must agree on >=1 quarter), verified with
     bit_count on the XOR.  The quarter index is repartitioned on the join
     key so both self-join branches share one exchange and the Python
-    simhash stage runs exactly once per doc."""
+    simhash stage runs exactly once per doc.
+
+    ``max_hamming`` is capped at 3 — the largest radius at which 4-band
+    quarter banding is COMPLETE (pigeonhole).  A larger radius would
+    silently miss pairs whose differing bits spread across all four
+    quarters; completeness at radius d needs d+1 bands (same contract as
+    multimodal.phash_near_dup_pairs)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band completeness "
+            "bound (3): pairs with one differing bit per quarter would be "
+            "silently missed — use more/narrower bands instead"
+        )
     fp = simhash(df, text_col, id_col)
     quarters = fp.select(
         "doc_id",

@@ -106,7 +106,14 @@ def lsh_bucket(
     no shuffle.  A single Literal node instead of n_planes*dim literal
     expressions keeps driver-side analysis O(1) in the matrix size
     (measured 0.96s -> 0.74s at sf0.1; per-plane trees dominate cost on
-    small data)."""
+    small data).
+
+    ``dim`` MUST be >= the embedding width: zip_with pads the shorter
+    side with nulls, a null component null-poisons the sign fold, and
+    every vector lands in the all-zeros bucket — turning the downstream
+    bucket self-join into an all-pairs product with no error raised.
+    Callers with non-64-dim embeddings must pass their width
+    (semantic_dup_pairs detects it from the data)."""
     planes = plane_weights(n_planes, dim, table)
     return F.array_join(
         F.transform(
@@ -137,6 +144,7 @@ def lsh_ann_multiprobe(
     threshold: float = 0.15,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Multiprobe ANN: score every corpus vector whose bucket is within
     ``max_hamming`` bit-flips of the query's bucket — 1+n_planes buckets at
@@ -146,11 +154,13 @@ def lsh_ann_multiprobe(
     The probe predicate stays a broadcast-join residual: no shuffle, the
     corpus is scanned once.  Threshold (not top-k) keeps it deterministic.
     """
-    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
+    bucketed = corpus.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes, dim)
+    )
     q = F.broadcast(
         query.select(
             F.col(vec_col).alias("_qvec"),
-            lsh_bucket(F.col(vec_col), n_planes).alias("_qbucket"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("_qbucket"),
         )
     )
     return (
@@ -183,6 +193,12 @@ def ivf_codebook(
         .orderBy(id_col)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"ivf_codebook: no seed vectors with {id_col} < {n_centroids} "
+            "— ids are sparse or offset; pass a larger n_centroids or use "
+            "kmeans_codebook (which samples by rank, not id)"
+        )
     import math
 
     out = []
@@ -386,13 +402,19 @@ def lsh_ann_topk(
     n_planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int = 64,
 ) -> DataFrame:
-    """ANN: exact cosine ranking restricted to the query's LSH bucket."""
-    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes))
+    """ANN: exact cosine ranking restricted to the query's LSH bucket.
+    ``dim`` must match the embedding width — a too-short plane matrix
+    null-poisons the sign fold and collapses every vector into one
+    bucket (see lsh_bucket)."""
+    bucketed = corpus.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes, dim)
+    )
     q = F.broadcast(
         query.select(
             F.col(vec_col).alias("_qvec"),
-            lsh_bucket(F.col(vec_col), n_planes).alias("_qbucket"),
+            lsh_bucket(F.col(vec_col), n_planes, dim).alias("_qbucket"),
         )
     )
     scored = (
@@ -510,6 +532,7 @@ def semantic_dup_pairs(
     """
     import math
 
+    dim = len(corpus.select(vec_col).first()[0])
     if n_planes is None:
         n = corpus.count()
         # ceil(log2(n / occupancy)) planes -> 2^planes ~ n/occupancy
@@ -524,7 +547,7 @@ def semantic_dup_pairs(
     pair_sets = []
     for t_idx in range(n_tables):
         b = corpus.withColumn(
-            "bucket", lsh_bucket(F.col(vec_col), n_planes, table=t_idx)
+            "bucket", lsh_bucket(F.col(vec_col), n_planes, dim, table=t_idx)
         )
         x, y = b.alias("x"), b.alias("y")
         pair_sets.append(

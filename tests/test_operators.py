@@ -282,3 +282,62 @@ def test_lsh_band_index_rejects_indivisible_bands(spark, docs):
         D.streaming_near_dup(
             docs, docs, "text", "doc_id", n_hashes=7, bands=4
         )
+
+
+def test_semantic_dup_pairs_detects_embedding_dim(spark):
+    """Non-64-dim embeddings must not collapse into one LSH bucket — the
+    plane width is detected from the data (review finding: a hardcoded
+    dim=64 null-poisoned the sign fold for any other width)."""
+    import random
+
+    from target_parquet_spark.operators.similarity import semantic_dup_pairs
+
+    rng = random.Random(7)
+    rows = [(i, [rng.random() for _ in range(16)]) for i in range(50)]
+    rows += [(i + 1000, v) for i, v in rows[:10]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(df, threshold=0.999).collect()
+    }
+    assert all((i, i + 1000) in pairs for i in range(10))
+    assert len(pairs) == 10  # random 16-dim vectors are not near-dups
+
+
+def test_exact_dedup_rejects_unknown_keep(spark):
+    import pytest as _pytest
+
+    from target_parquet_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(1, "a")], "id long, text string")
+    with _pytest.raises(ValueError, match="keep"):
+        exact_dedup(df, "text", "id", keep="last")
+
+
+def test_simhash_pairs_rejects_radius_beyond_band_guarantee(spark):
+    import pytest as _pytest
+
+    from target_parquet_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="completeness"):
+        simhash_pairs(df, "text", "doc_id", max_hamming=4)
+
+
+def test_zorder_value_clamps_bit_budget(spark):
+    """5 cols x 16 bits would overflow the 63-bit signed budget; the
+    clamp must keep every z-value non-negative and still distinguish
+    far-apart points."""
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.io.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0, 0.0), (9.0, 9.0, 9.0, 9.0, 9.0)],
+        "a double, b double, c double, d double, e double",
+    )
+    cols = [F.col(c) for c in "abcde"]
+    z = zorder_value(cols, [0.0] * 5, [9.0] * 5, bits=16)
+    vals = [r[0] for r in df.select(z).collect()]
+    assert all(v >= 0 for v in vals)
+    assert vals[0] < vals[1]
