@@ -116,7 +116,19 @@ class EpochStore:
         if not epochs and len(bases) <= 1:
             return
         folded_already = set(self._manifest(bases[-1])) if bases else set()
-        snapshot = [e for e in epochs if e not in folded_already]
+        # Fold only COMMITTED epochs: an epoch whose write is in flight
+        # (data still under _temporary, no _SUCCESS marker) reads as zero
+        # rows — folding it would record the epoch in the manifest and
+        # delete it, excluding the batch's data FOREVER once the writer
+        # commits.  Uncommitted epochs stay for the next compaction.
+        def _committed(e: str) -> bool:
+            return os.path.isfile(
+                os.path.join(self.out_dir, e, "_SUCCESS")
+            )
+
+        snapshot = [
+            e for e in epochs if e not in folded_already and _committed(e)
+        ]
         src = ([bases[-1]] if bases else []) + snapshot
         merged = fold(
             self.spark.read.parquet(

@@ -126,8 +126,12 @@ class StreamingQuantileSketch:
             .groupBy("key")
             .agg(F.sum("n").cast("long").alias("n_nonpositive"))
         )
-        return est.join(nonpos, "key", "left").na.fill(
-            {"n_nonpositive": 0}
+        # full outer: a key whose values are ALL non-positive has no
+        # estimate rows but must still be reported (review finding — the
+        # left join silently dropped it)
+        return (
+            est.join(nonpos, "key", "full")
+            .na.fill({"n_nonpositive": 0, "n": 0})
         )
 
     def compact(self) -> None:

@@ -53,7 +53,14 @@ class SingerStreamTarget:
 
     def __init__(self, spark: SparkSession, config: dict | None = None):
         self.spark = spark
-        self.config = config or {}
+        self.config = dict(config or {})
+        # A STREAMING target must resolve each stream to the SAME
+        # directory on every relaunch: the batch default
+        # "{stream}-{timestamp}" would fragment output across restarts,
+        # break the widening rewrite (it would probe a fresh empty dir),
+        # and reset metrics.  Timestamped names remain available by
+        # configuring file_naming_scheme explicitly.
+        self.config.setdefault("file_naming_scheme", "{stream}")
         self.sink = ParquetStreamSink(self.config)
         self.checkpoint = self.config.get("checkpoint") or os.path.join(
             self.sink.root, "_checkpoint"
@@ -63,6 +70,7 @@ class SingerStreamTarget:
         self._registry: dict[str, tuple] = {}
         self._metrics: dict[str, int] = {}
         self._load_registry()
+        self._load_metrics()
 
     # -- public API ----------------------------------------------------------
 
@@ -202,6 +210,19 @@ class SingerStreamTarget:
             for f in fields
         ]
 
+    def _load_metrics(self) -> None:
+        """Resume recordCount totals across relaunches — committed batches
+        are not replayed, so starting from zero would lose prior counts."""
+        p = os.path.join(self.sink.root, "job_metrics.json")
+        if os.path.isfile(p):
+            try:
+                with open(p) as fh:
+                    self._metrics = dict(
+                        json.load(fh).get("recordCount", {})
+                    )
+            except (OSError, ValueError):
+                self._metrics = {}
+
     # -- registry persistence (restart DDL: batches are not replayed) --------
 
     @property
@@ -265,6 +286,37 @@ class SingerStreamTarget:
         parsed = records.withColumn(
             "_rec", F.from_json(F.col("record_json"), raw_record_struct(fields))
         )
+        # Key-integrity parity with the batch target: key properties must
+        # resolve to columns, and every record must carry them non-null —
+        # structural guarantees, enforced in every validation mode.
+        from target_parquet_spark.target import SingerValidationError
+
+        undeclared_keys = sorted(
+            set(key_properties) - {f.name for f in fields}
+        )
+        if undeclared_keys:
+            raise SingerValidationError(
+                f"stream {stream!r}: key_properties {undeclared_keys} are "
+                "not declared in the schema properties (or were projected "
+                "away by fixed_headers)"
+            )
+        key_cols = [f.name for f in fields if f.name in set(key_properties)]
+        if key_cols:
+            row = parsed.agg(
+                *[
+                    F.sum(
+                        F.when(F.col(f"_rec.`{c}`").isNull(), 1).otherwise(0)
+                    ).alias(c)
+                    for c in key_cols
+                ]
+            ).collect()[0]
+            missing = sorted(c for c in key_cols if row[c])
+            if missing:
+                raise SingerValidationError(
+                    f"stream {stream!r}: record(s) missing key_properties "
+                    f"{missing}"
+                )
+
         # Validation parity with the batch target (V1-V4): strict fails
         # the streaming query before the batch writes; lenient with a
         # quarantine_path reroutes invalid records and keeps the main
@@ -272,7 +324,10 @@ class SingerStreamTarget:
         from target_parquet_spark.validation import compile_predicate
 
         pred = compile_predicate(
-            schema, source_col="_rec", raw_json_col="record_json"
+            schema,
+            source_col="_rec",
+            raw_json_col="record_json",
+            declared_cols=[f.name for f in fields],
         )
         n_bad = 0
         if self.config.get("strict_validation"):

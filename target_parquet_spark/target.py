@@ -176,6 +176,7 @@ class SingerTarget:
     ) -> dict:
         counts: dict[str, int] = {}
         violations: dict[str, int] = {}
+        plans: list[tuple] = []
         for stream, vers in versions.items():
             # Mid-stream TYPE changes: parquet mergeSchema cannot reconcile
             # conflicting column types, so conflicting versions widen to a
@@ -203,11 +204,27 @@ class SingerTarget:
                 records = env.filter(cond)
                 if records.isEmpty():
                     continue
-                n, bad = self._write_version(
-                    stream, v, records, version_idx=i, overrides=overrides
+                plans.append((stream, v, records, i, overrides))
+        if self.strict:
+            # Strict's contract is "any invalid record fails the run
+            # BEFORE anything is written" — across the WHOLE run, not per
+            # stream-version: writing stream A before discovering stream
+            # B's bad record would leave half-written output a retry
+            # re-appends into.  So validate every version first (the
+            # envelope is cached; these are the same aggs the write pass
+            # would run), then write.
+            for stream, v, records, i, overrides in plans:
+                self._write_version(
+                    stream, v, records, version_idx=i,
+                    overrides=overrides, check_only=True,
                 )
-                counts[stream] = counts.get(stream, 0) + n
-                violations[stream] = violations.get(stream, 0) + bad
+        for stream, v, records, i, overrides in plans:
+            n, bad = self._write_version(
+                stream, v, records, version_idx=i,
+                overrides=overrides, prechecked=self.strict,
+            )
+            counts[stream] = counts.get(stream, 0) + n
+            violations[stream] = violations.get(stream, 0) + bad
         return {"recordCount": counts, "validationViolations": violations}
 
     def _write_version(
@@ -217,13 +234,18 @@ class SingerTarget:
         records: DataFrame,
         version_idx: int,
         overrides: dict | None = None,
+        check_only: bool = False,
+        prechecked: bool = False,
     ) -> tuple[int, int]:
         fixed = (self.config.get("fixed_headers") or {}).get(stream)
         fields = resolve_schema(v.schema, fixed_headers=fixed)
         if overrides:
             fields = [overrides.get(f.name, f) for f in fields]
         pred = compile_predicate(
-            v.schema, source_col="_rec", raw_json_col="record_json"
+            v.schema,
+            source_col="_rec",
+            raw_json_col="record_json",
+            declared_cols=[f.name for f in fields],
         )
         non_nullable = [f.name for f in fields if not f.nullable]
 
@@ -245,6 +267,8 @@ class SingerTarget:
             # SDK "schema with no properties" standard test: a declared
             # stream with zero resolvable columns is processed (counted)
             # without writing a zero-column parquet file.
+            if check_only:
+                return 0, 0
             return records.count(), 0
 
         parsed = records.withColumn(
@@ -258,7 +282,7 @@ class SingerTarget:
         # column-null count over the already-parsed batch, failing BEFORE
         # anything is written.
         key_cols = [f.name for f in fields if f.name in set(v.key_properties)]
-        if key_cols:
+        if key_cols and not prechecked:
             row = parsed.agg(
                 *[
                     F.sum(
@@ -274,7 +298,7 @@ class SingerTarget:
                     f"{missing}"
                 )
 
-        if self.strict:
+        if self.strict and not prechecked:
             # Fail BEFORE writing (reference raises at _validate_and_parse).
             bad_pred = F.sum(F.when(~pred, 1).otherwise(0)).alias("bad")
             bad_null = [
@@ -293,6 +317,9 @@ class SingerTarget:
                     raise SingerValidationError(
                         f"stream {stream!r}: null in non-nullable column {c!r}"
                     )
+
+        if check_only:
+            return 0, 0
 
         # Quarantine (lenient mode only — strict already failed above):
         # when ``quarantine_path`` is configured, invalid records are

@@ -93,11 +93,47 @@ def _keyword_preds(prop: dict, raw: Column, type_id: str | None) -> list[Column]
     preds: list[Column] = []
     num = _numeric(raw)
 
+    def _literal_match(values: list) -> Column | None:
+        """Raw-capture match for enum/const literals.  JSON spells
+        booleans 'true'/'false' (str(True) is 'True' — comparing that
+        against the raw capture false-rejected every valid record);
+        numbers compare NUMERICALLY (draft-7: 1 == 1.0, and the raw
+        text '1.0' never equals '1').  Object/array literals are not
+        canonicalizable against raw text -> permissive (None)."""
+        strs = [v for v in values if isinstance(v, str)]
+        bools = [v for v in values if isinstance(v, bool)]
+        nums = [
+            float(v)
+            for v in values
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        ]
+        others = [
+            v
+            for v in values
+            if not isinstance(v, (str, bool, int, float))
+            and v is not None
+        ]
+        if others:
+            return None
+        branches = []
+        if strs:
+            branches.append(raw.isin(strs))
+        if bools:
+            branches.append(
+                raw.isin(["true" if b else "false" for b in bools])
+            )
+        if nums:
+            branches.append(num.isin(nums))
+        return _or_any(branches) if branches else None
+
     if "enum" in prop:
-        vals = [str(v) for v in prop["enum"]]
-        preds.append(raw.isNull() | raw.isin(vals))
+        m = _literal_match(list(prop["enum"]))
+        if m is not None:
+            preds.append(raw.isNull() | m)
     if "const" in prop:
-        preds.append(raw.isNull() | (raw == str(prop["const"])))
+        m = _literal_match([prop["const"]])
+        if m is not None:
+            preds.append(raw.isNull() | m)
     if "pattern" in prop:
         preds.append(raw.isNull() | raw.rlike(prop["pattern"]))
     if "minLength" in prop:
@@ -399,7 +435,10 @@ def _object_preds(
 
 
 def compile_predicate(
-    schema: dict, source_col: str = "record", raw_json_col: str | None = None
+    schema: dict,
+    source_col: str = "record",
+    raw_json_col: str | None = None,
+    declared_cols: list[str] | None = None,
 ) -> Column:
     """Compile the stream's JSON Schema to one is-valid boolean Column.
 
@@ -432,7 +471,16 @@ def compile_predicate(
     the agreement surface and these documented seams).
     """
     schema = resolve_refs(schema)
-    preds = _object_preds(schema, source_col, raw_json_col)
+    # ``declared_cols`` is the ACTUAL struct's field list when the caller
+    # projects (fixed_headers can drop a constrained property — its
+    # schema-derived name must then address the raw JSON, not a struct
+    # field that does not exist).
+    declared = (
+        frozenset(declared_cols)
+        if declared_cols is not None
+        else frozenset(schema.get("properties", {}).keys())
+    )
+    preds = _object_preds(schema, source_col, raw_json_col, declared)
     return _and_all(preds) if preds else F.lit(True)
 
 

@@ -358,3 +358,40 @@ def test_type_changing_evolution_stays_readable(spark, tmp_out):
     dfn, rows_n = rows_of(spark, res["paths"]["n"])
     assert dict(dfn.dtypes) == {"w": "double"}
     assert sorted(r["w"] for r in rows_n) == [1.0, 2.5]
+
+
+def test_strict_failure_in_later_stream_writes_nothing(spark, tmp_out):
+    """Strict contract across the whole run: a bad record in stream B must
+    fail the run BEFORE stream A's output is written."""
+    import glob
+    import os
+
+    lines = [
+        msg_schema("aa", {"x": STR_NULL}),
+        msg_record("aa", {"x": "fine"}),
+        msg_schema("bb", {"v": {"type": ["integer", "null"], "minimum": 0}}),
+        msg_record("bb", {"v": -1}),
+    ]
+    with pytest.raises(SingerValidationError, match="bb"):
+        run(spark, tmp_out, lines, config={"strict_validation": True})
+    assert not glob.glob(os.path.join(tmp_out, "aa*", "*.parquet"))
+
+
+def test_compiled_validation_survives_fixed_headers_projection(spark, tmp_out):
+    """A constrained property projected away by fixed_headers must not
+    crash compilation (it is addressed via the raw record text)."""
+    props = {
+        "id": STR_NULL,
+        "email": {"type": ["string", "null"], "minLength": 3},
+    }
+    lines = [
+        msg_schema("u", props),
+        msg_record("u", {"id": "1", "email": "a@b.co"}),
+        msg_record("u", {"id": "2", "email": "x"}),
+    ]
+    _, res = run(
+        spark, tmp_out, lines, config={"fixed_headers": {"u": ["id"]}}
+    )
+    df, rows = rows_of(spark, res["paths"]["u"])
+    assert df.columns == ["id"]
+    assert res["metrics"]["validationViolations"] == {"u": 1}
