@@ -147,6 +147,8 @@ HEADLINE = [
     "cdc_point_in_time_join",
     "events_ab_experiment",
     "multimodal_phash_pairs",
+    "dedup_substring_runs",
+    "text_quality_logreg",
 ]
 
 

@@ -278,3 +278,31 @@ def test_sequence_packing_windows_are_sharded(spark, sf_dir):
     # partitionBy would funnel the corpus through ONE task at scale
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
         assert m.group(1).strip().startswith("shard"), m.group(0)
+
+
+def test_substring_runs_equi_join_and_partial_agg(spark, sf_dir):
+    import target_parquet_spark.queries_r5  # noqa: F401
+
+    p = plan(spark, sf_dir, "dedup_substring_runs")
+    # duplicated-gram candidate generation is an equi-join on the gram
+    # hash — never an all-pairs product
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the (doc_id, gh)-distinct pre-agg and the per-doc rollup both
+    # combine map-side before their exchanges
+    assert p.count("HashAggregate") >= 4
+    # islands window is partitioned by doc_id, not global
+    assert "windowspecdefinition(doc_id" in p
+
+
+def test_quality_logreg_is_single_scan_pipeline(spark, sf_dir):
+    import target_parquet_spark.queries_r5  # noqa: F401
+
+    p = plan(spark, sf_dir, "text_quality_logreg")
+    # pure Column features: no joins, no explodes, no windows
+    assert "Join" not in p
+    assert "Generate" not in p
+    assert "Window" not in p
+    # one partial + one final aggregate around the single groupBy shuffle
+    # (formatted plans list each node in the tree AND the detail section)
+    assert p.count("HashAggregate") == 4
