@@ -111,13 +111,26 @@ def compact_stream_dir(
     """
     import shutil
 
+    # Hive-partitioned streams (partition_cols config) keep their data in
+    # key=value subdirs with no top-level part files: recurse and compact
+    # each partition leaf in place, preserving the layout (partition
+    # values live in the dir names, not the files, so a per-leaf rewrite
+    # round-trips exactly).
+    names = os.listdir(path)
+    total = 0
+    for d in sorted(names):
+        full = os.path.join(path, d)
+        if "=" in d and not d.startswith((".", "_")) and os.path.isdir(full):
+            total += compact_stream_dir(
+                spark, full, target_records_per_file, compression
+            )
     snapshot = sorted(
         f
-        for f in os.listdir(path)
+        for f in names
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
     if not snapshot:
-        return 0
+        return total
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(path, f) for f in snapshot]
     )
@@ -144,4 +157,4 @@ def compact_stream_dir(
             )
     shutil.rmtree(tmp)
     shutil.rmtree(trash)
-    return n
+    return total + n

@@ -123,6 +123,10 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
                 )
             ids, pix = [], []
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    # match the resize/phash paths: a NULL payload is
+                    # skipped, never a TypeError inside the task
+                    continue
                 img = _PIL_Image.open(io.BytesIO(bytes(payload))).convert("RGB")
                 img = img.resize((target_width, target_height))
                 ids.append(mid)

@@ -256,10 +256,11 @@ def kmeans_codebook(
     init_rows = (
         emb.filter(F.col("_id") < n_centroids).orderBy("_id").collect()
     )
-    assert len(init_rows) == n_centroids, (
-        f"need {n_centroids} seed vectors with {id_col} < {n_centroids}, "
-        f"got {len(init_rows)}"
-    )
+    if len(init_rows) != n_centroids:
+        raise ValueError(
+            f"need {n_centroids} seed vectors with {id_col} < {n_centroids}, "
+            f"got {len(init_rows)}"
+        )
     centroids: dict[int, list[float]] = {
         int(r._id): [float(x) for x in r._v] for r in init_rows
     }
@@ -283,6 +284,10 @@ def kmeans_codebook(
         for x in cvec:
             s += x * x
         nrm = math.sqrt(s)
+        if nrm == 0.0:
+            # a zero centroid has no direction: give it -0 score for
+            # every vector instead of NaN-poisoning the whole assignment
+            return F.lit(-0.0)
         lit = F.array(*[F.lit(v) for v in cvec])
         return -(
             F.aggregate(
@@ -317,9 +322,11 @@ def kmeans_codebook(
         centroids = {}
         for r in rows:
             centroids.setdefault(int(r.k), [0.0] * dim)[r.dim] = float(r.c)
-    assert sorted(centroids) == list(range(n_centroids)), (
-        "empty cluster during Lloyd training — reseed or lower n_centroids"
-    )
+    if sorted(centroids) != list(range(n_centroids)):
+        raise ValueError(
+            "empty cluster during Lloyd training — reseed or lower "
+            "n_centroids"
+        )
     out = []
     for k in range(n_centroids):
         v = centroids[k]
@@ -339,7 +346,8 @@ def ivf_cell(vec: Column, codebook: list[tuple[int, list[float], float]]) -> Col
     array_position).  Requires cid == list index.  The single-Literal form
     keeps driver-side plan analysis flat in n_centroids*dim (measured
     3.6s -> 1.7s at sf0.1 where 2000 rows make compile time dominate)."""
-    assert [c[0] for c in codebook] == list(range(len(codebook)))
+    if [c[0] for c in codebook] != list(range(len(codebook))):
+        raise ValueError("ivf_cell: codebook cids must equal list indices")
     mat = F.lit([cv for _cid, cv, _nrm in codebook])
     norms = F.lit([nrm for _cid, _cv, nrm in codebook])
     scores = F.zip_with(
@@ -462,7 +470,8 @@ def pq_codebook(
         .orderBy(id_col)
         .collect()
     )
-    assert len(rows) == k, f"need {k} seed vectors, got {len(rows)}"
+    if len(rows) != k:
+        raise ValueError(f"need {k} seed vectors, got {len(rows)}")
     return [
         [[float(x) for x in r[1][j * d : (j + 1) * d]] for r in rows]
         for j in range(m)
@@ -532,7 +541,13 @@ def semantic_dup_pairs(
     """
     import math
 
-    dim = len(corpus.select(vec_col).first()[0])
+    probe = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            f"semantic_dup_pairs: corpus has no non-null {vec_col!r} "
+            "vectors to derive the embedding width from"
+        )
+    dim = len(probe[0])
     if n_planes is None:
         n = corpus.count()
         # ceil(log2(n / occupancy)) planes -> 2^planes ~ n/occupancy

@@ -480,22 +480,20 @@ _SQL_PACK_HASH = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {
 )
 def sample_sequence_packing(spark, sf_dir):
     """Context-window packing plan: documents streamed in a deterministic
-    md5 order into {cap}-token bins, reported as fill/overflow/waste
+    md5 order into _PACK_CAP(=512)-token bins, reported as fill/overflow/waste
     statistics — the capacity-planning step before packing training
     sequences (how many windows a corpus needs, how much padding it
     wastes, how often a document straddles a boundary).  Docs longer than
     the capacity are counted out separately (they need chunking first —
     text_chunk_sliding is the companion).
 
-    Plan shape for 100 TB: packing is SHARDED ({shards} here, thousands at
+    Plan shape for 100 TB: packing is SHARDED (_PACK_SHARDS=8 here, thousands at
     scale) — the running-total window partitions by a hash shard, so no
     global sort and no single-partition window ever exists; each shard
     packs independently, which is exactly how a distributed packer writes
     its output shards.  Token counts are scan-stage size(tokens); the
     window and per-bin aggregate share the shard partitioning (one
-    exchange); the final report folds a few thousand bin rows.""".format(
-        cap=_PACK_CAP, shards=_PACK_SHARDS
-    )
+    exchange); the final report folds a few thousand bin rows."""
     from pyspark.sql import Window
 
     from target_parquet_spark.queries_ops import _hash_mod
@@ -837,10 +835,10 @@ _TEMP_BUDGET = 300
 )
 def sample_temperature_mixture(spark, sf_dir):
     """Temperature-scaled mixture sampling: per-source quotas
-    proportional to n^alpha (alpha={alpha} — the multinomial temperature
+    proportional to n^alpha (alpha=_TEMP_ALPHA=0.5 — the multinomial temperature
     used to rebalance multilingual/multi-source corpora: alpha=1 keeps
     natural proportions, alpha=0 gives uniform, 0.3-0.7 is the standard
-    up-weighting of small sources), normalized to a {budget}-doc budget,
+    up-weighting of small sources), normalized to a _TEMP_BUDGET(=300)-doc budget,
     members chosen by deterministic md5 rank within each source.  The
     data-derived companion of sample_mixture_quota's fixed quotas.
 
@@ -849,9 +847,7 @@ def sample_temperature_mixture(spark, sf_dir):
     back onto the md5-ranked stratum window; at 100 TB the rank window
     partitions by source and AQE skew-splits any whale stratum.  Same
     reproducibility contract as the whole sampling family: no rand(),
-    identical picks on any engine, retry, or cluster size.""".format(
-        alpha=_TEMP_ALPHA, budget=_TEMP_BUDGET
-    )
+    identical picks on any engine, retry, or cluster size."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")

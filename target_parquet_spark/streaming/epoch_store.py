@@ -84,6 +84,13 @@ class EpochStore:
         except OSError:
             return []
 
+    def _committed(self, d: str) -> bool:
+        """True when the dir's write job has committed (``_SUCCESS``
+        present).  A dir mid-write holds only ``_temporary`` content —
+        zero readable files — so folding it would record it as empty and
+        a read across only such dirs cannot even infer a schema."""
+        return os.path.isfile(os.path.join(self.out_dir, d, "_SUCCESS"))
+
     # -- read path -----------------------------------------------------------
 
     def state_df(self) -> DataFrame:
@@ -96,8 +103,12 @@ class EpochStore:
             latest = bases[-1]
             folded = set(self._manifest(latest))
             paths.append(os.path.join(self.out_dir, latest))
+        # only committed epochs: a dir that is mid-write has zero readable
+        # files, and a read spanning only such dirs fails schema inference
         paths += [
-            os.path.join(self.out_dir, e) for e in epochs if e not in folded
+            os.path.join(self.out_dir, e)
+            for e in epochs
+            if e not in folded and self._committed(e)
         ]
         if not paths:
             return self.spark.createDataFrame([], self.empty_schema)
@@ -121,15 +132,19 @@ class EpochStore:
         # rows — folding it would record the epoch in the manifest and
         # delete it, excluding the batch's data FOREVER once the writer
         # commits.  Uncommitted epochs stay for the next compaction.
-        def _committed(e: str) -> bool:
-            return os.path.isfile(
-                os.path.join(self.out_dir, e, "_SUCCESS")
-            )
-
         snapshot = [
-            e for e in epochs if e not in folded_already and _committed(e)
+            e
+            for e in epochs
+            if e not in folded_already and self._committed(e)
         ]
         src = ([bases[-1]] if bases else []) + snapshot
+        if not snapshot and len(bases) <= 1:
+            # every present epoch is still mid-write (or already folded
+            # and awaiting delete) and there is no stale base to retire —
+            # nothing to fold; stay a no-op as the docstring promises
+            # for live streams (src may even be empty, which would fail
+            # schema inference below)
+            return
         merged = fold(
             self.spark.read.parquet(
                 *[os.path.join(self.out_dir, d) for d in src]

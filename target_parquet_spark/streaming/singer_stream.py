@@ -138,8 +138,23 @@ class SingerStreamTarget:
                     # rewritten before any widened batch lands, or the dir
                     # becomes unreadable (mergeSchema cannot reconcile the
                     # types) — unlike the batch target, a stream cannot see
-                    # future versions up front.
-                    self._rewrite_widened(r.stream, fresh)
+                    # future versions up front.  Only rewrite columns whose
+                    # on-disk type actually differs from the widened target:
+                    # widen_versions reports every conflict, including a tap
+                    # re-declaring its original narrow schema after a past
+                    # widening (standard on restart), where the fold lands
+                    # back on the type already written — rewriting then would
+                    # be an O(all data) directory swap per restart.
+                    old_by_name = {f.name: f for f in old_fields}
+                    need = {
+                        name: f
+                        for name, f in fresh.items()
+                        if name not in old_by_name
+                        or (old_by_name[name].type_id, old_by_name[name].format)
+                        != (f.type_id, f.format)
+                    }
+                    if need:
+                        self._rewrite_widened(r.stream, need)
                     for name, f in fresh.items():
                         widened[name] = [f.type_id, f.format]
             self._registry[r.stream] = (
@@ -288,34 +303,15 @@ class SingerStreamTarget:
         )
         # Key-integrity parity with the batch target: key properties must
         # resolve to columns, and every record must carry them non-null —
-        # structural guarantees, enforced in every validation mode.
-        from target_parquet_spark.target import SingerValidationError
-
-        undeclared_keys = sorted(
-            set(key_properties) - {f.name for f in fields}
+        # structural guarantees, enforced in every validation mode via
+        # the SAME helpers the batch target runs (no twin to drift).
+        from target_parquet_spark.target import (
+            enforce_keys_present,
+            enforce_undeclared_keys,
         )
-        if undeclared_keys:
-            raise SingerValidationError(
-                f"stream {stream!r}: key_properties {undeclared_keys} are "
-                "not declared in the schema properties (or were projected "
-                "away by fixed_headers)"
-            )
-        key_cols = [f.name for f in fields if f.name in set(key_properties)]
-        if key_cols:
-            row = parsed.agg(
-                *[
-                    F.sum(
-                        F.when(F.col(f"_rec.`{c}`").isNull(), 1).otherwise(0)
-                    ).alias(c)
-                    for c in key_cols
-                ]
-            ).collect()[0]
-            missing = sorted(c for c in key_cols if row[c])
-            if missing:
-                raise SingerValidationError(
-                    f"stream {stream!r}: record(s) missing key_properties "
-                    f"{missing}"
-                )
+
+        enforce_undeclared_keys(stream, fields, key_properties)
+        enforce_keys_present(stream, parsed, fields, key_properties)
 
         # Validation parity with the batch target (V1-V4): strict fails
         # the streaming query before the batch writes; lenient with a
@@ -340,15 +336,11 @@ class SingerStreamTarget:
                     "validation in streaming batch"
                 )
         elif self.config.get("quarantine_path"):
-            bad = parsed.filter(~pred).select(
-                F.lit(stream).alias("stream"), "record_json"
+            from target_parquet_spark.target import quarantine_invalid
+
+            parsed, n_bad = quarantine_invalid(
+                parsed, pred, stream, self.config["quarantine_path"]
             )
-            n_bad = bad.count()
-            if n_bad:
-                bad.write.mode("append").json(
-                    os.path.join(self.config["quarantine_path"], stream)
-                )
-            parsed = parsed.filter(pred)
         typed = decode_records_jvm(parsed, fields)
         self.sink.write(stream, typed, key_properties=key_properties)
         self._metrics[stream] = (

@@ -50,6 +50,67 @@ class SingerValidationError(Exception):
     pass
 
 
+def enforce_undeclared_keys(stream, fields, key_properties) -> None:
+    """Key properties must be resolvable columns, or the key-integrity
+    check is silently vacuous — exactly the malformed-schema case most
+    likely to carry keyless records.  Also fails a fixed_headers
+    projection that drops its own primary key.  Shared by the batch and
+    streaming targets so the two contracts cannot drift."""
+    undeclared_keys = sorted(set(key_properties) - {f.name for f in fields})
+    if undeclared_keys:
+        raise SingerValidationError(
+            f"stream {stream!r}: key_properties {undeclared_keys} are "
+            "not declared in the schema properties (or were projected "
+            "away by fixed_headers)"
+        )
+
+
+def enforce_keys_present(stream, parsed, fields, key_properties) -> None:
+    """Contract parity (SDK "record missing key property" standard test):
+    every declared key property must be present and non-null in every
+    record, regardless of validation mode — key integrity is a structural
+    guarantee, not a JSON-schema keyword.  One column-null count over the
+    already-parsed batch, failing BEFORE anything is written.  Shared by
+    the batch and streaming targets."""
+    key_cols = [f.name for f in fields if f.name in set(key_properties)]
+    if not key_cols:
+        return
+    row = parsed.agg(
+        *[
+            F.sum(
+                F.when(F.col(f"_rec.`{c}`").isNull(), 1).otherwise(0)
+            ).alias(c)
+            for c in key_cols
+        ]
+    ).collect()[0]
+    missing = sorted(c for c in key_cols if row[c])
+    if missing:
+        raise SingerValidationError(
+            f"stream {stream!r}: record(s) missing key_properties "
+            f"{missing}"
+        )
+
+
+def quarantine_invalid(parsed, pred, stream, quarantine_root):
+    """Reroute invalid records to <quarantine_root>/<stream>/ as JSON
+    lines carrying the raw Singer record text (re-playable: wrap each
+    line back into a RECORD message once the tap is fixed); the caller's
+    main sink receives only valid rows.  Counts first and writes only
+    when something failed: an unconditional write job would litter an
+    empty directory per clean stream-version (which replay tooling would
+    then pick up) and pay a write job for nothing.  Returns
+    (valid_parsed, n_quarantined).  Shared by the batch and streaming
+    targets."""
+    bad = parsed.filter(~pred).select(
+        F.lit(stream).alias("stream"), "record_json"
+    )
+    n_quarantined = bad.count()
+    if n_quarantined:
+        bad.write.mode("append").json(os.path.join(quarantine_root, stream))
+        parsed = parsed.filter(pred)
+    return parsed, n_quarantined
+
+
 class _StreamVersion:
     def __init__(self, mid: int, schema: dict, key_properties: list[str]):
         self.mid = mid
@@ -249,19 +310,7 @@ class SingerTarget:
         )
         non_nullable = [f.name for f in fields if not f.nullable]
 
-        # Key properties must be resolvable columns, or the key-integrity
-        # check below is silently vacuous — exactly the malformed-schema
-        # case most likely to carry keyless records.  This also fails a
-        # fixed_headers projection that drops its own primary key.
-        undeclared_keys = sorted(
-            set(v.key_properties) - {f.name for f in fields}
-        )
-        if undeclared_keys:
-            raise SingerValidationError(
-                f"stream {stream!r}: key_properties {undeclared_keys} are "
-                "not declared in the schema properties (or were projected "
-                "away by fixed_headers)"
-            )
+        enforce_undeclared_keys(stream, fields, v.key_properties)
 
         if not fields:
             # SDK "schema with no properties" standard test: a declared
@@ -275,28 +324,8 @@ class SingerTarget:
             "_rec", F.from_json(F.col("record_json"), raw_record_struct(fields))
         )
 
-        # Contract parity (SDK "record missing key property" standard
-        # test): every declared key property must be present and non-null
-        # in every record, regardless of validation mode — key integrity
-        # is a structural guarantee, not a JSON-schema keyword.  One
-        # column-null count over the already-parsed batch, failing BEFORE
-        # anything is written.
-        key_cols = [f.name for f in fields if f.name in set(v.key_properties)]
-        if key_cols and not prechecked:
-            row = parsed.agg(
-                *[
-                    F.sum(
-                        F.when(F.col(f"_rec.`{c}`").isNull(), 1).otherwise(0)
-                    ).alias(c)
-                    for c in key_cols
-                ]
-            ).collect()[0]
-            missing = sorted(c for c in key_cols if row[c])
-            if missing:
-                raise SingerValidationError(
-                    f"stream {stream!r}: record(s) missing key_properties "
-                    f"{missing}"
-                )
+        if not prechecked:
+            enforce_keys_present(stream, parsed, fields, v.key_properties)
 
         if self.strict and not prechecked:
             # Fail BEFORE writing (reference raises at _validate_and_parse).
@@ -334,20 +363,9 @@ class SingerTarget:
         quarantine_root = self.config.get("quarantine_path")
         n_quarantined = 0
         if quarantine_root and not self.strict:
-            bad = parsed.filter(~pred).select(
-                F.lit(stream).alias("stream"), "record_json"
+            parsed, n_quarantined = quarantine_invalid(
+                parsed, pred, stream, quarantine_root
             )
-            # Count first, write only when something failed: an
-            # unconditional write job would litter an empty
-            # <quarantine>/<stream>/ directory per clean stream-version
-            # (which replay tooling would then pick up) and pay a write
-            # job for nothing.  The count scans the cached envelope.
-            n_quarantined = bad.count()
-            if n_quarantined:
-                bad.write.mode("append").json(
-                    os.path.join(quarantine_root, stream)
-                )
-                parsed = parsed.filter(pred)
 
         if self.exact:
             typed = decode_records_exact(parsed, fields)

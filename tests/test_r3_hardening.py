@@ -297,3 +297,23 @@ def test_decode_media_stub_raises_at_seam(spark):
     media = M.attach_media(docs, "text", "doc_id")
     with pytest.raises(Exception, match="(?i)codecs unavailable|NotImplemented"):
         M.decode_media(media).collect()
+
+
+def test_codebook_preconditions_raise_value_error(spark):
+    """Seed-count preconditions are real errors, not asserts (which
+    vanish under python -O): sparse/offset ids must fail loudly in both
+    kmeans_codebook and pq_codebook."""
+    emb = (
+        td(spark, SF001, "embeddings")
+        .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    with pytest.raises(ValueError, match="seed vectors"):
+        S.kmeans_codebook(emb, n_centroids=4)
+    with pytest.raises(ValueError, match="seed vectors"):
+        S.pq_codebook(emb, k=4)
+
+
+def test_semantic_dup_pairs_empty_corpus_raises_value_error(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="no non-null"):
+        S.semantic_dup_pairs(empty)

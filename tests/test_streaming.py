@@ -1012,3 +1012,118 @@ def test_singer_stream_widening_handles_partitioned_layout(spark, tmp_path):
     assert sorted(
         d for d in _os.listdir(str(out / "t")) if d.startswith("part=")
     ) == ["part=a", "part=b"]
+
+
+def test_epoch_store_mid_write_epoch_is_ignored(spark, tmp_path):
+    """An epoch dir whose write is still in flight (no _SUCCESS, only
+    _temporary content) must be invisible to reads and compactions: a
+    read across only such dirs used to fail schema inference, and
+    compact() used to crash on an empty source list instead of no-oping
+    as its docstring promises for live streams."""
+    import os as _os
+
+    from target_parquet_spark.streaming.epoch_store import EpochStore
+
+    out = str(tmp_path / "st")
+    store = EpochStore(spark, out, "k string, n bigint")
+
+    def fold(df):
+        return df.groupBy("k").agg(F.sum("n").alias("n"))
+
+    # simulate a first micro-batch mid-write: dir exists, nothing committed
+    _os.makedirs(_os.path.join(out, "epoch=0", "_temporary"))
+    assert store.state_df().count() == 0
+    store.compact(fold)  # must not raise, must not create a base
+    assert not [d for d in _os.listdir(out) if d.startswith("base-v")]
+
+    # the writer commits + one more epoch: everything flows normally
+    store.write_epoch(
+        spark.createDataFrame([("a", 1)], "k string, n bigint"), 0
+    )
+    store.write_epoch(
+        spark.createDataFrame([("a", 2)], "k string, n bigint"), 1
+    )
+    assert fold(store.state_df()).collect()[0].n == 3
+    store.compact(fold)
+    assert fold(store.state_df()).collect()[0].n == 3
+
+
+def test_compact_stream_dir_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned stream dirs keep their data in key=value subdirs
+    with no top-level part files; compaction must recurse into the
+    partition leaves (it used to silently no-op and return 0)."""
+    import glob as _glob
+
+    from target_parquet_spark.io.parquet_sink import compact_stream_dir
+
+    out = str(tmp_path / "part_stream")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}") for i in range(100)], "v long, day string"
+    )
+    # several appends -> many small files per partition
+    for _ in range(3):
+        df.repartition(4).write.mode("append").partitionBy("day").parquet(out)
+    before = len(_glob.glob(f"{out}/day=*/*.parquet"))
+    n = compact_stream_dir(spark, out, target_records_per_file=1_000_000)
+    assert n == 300
+    after = len(_glob.glob(f"{out}/day=*/*.parquet"))
+    assert after == 2 < before
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert got.groupBy("day").count().count() == 2
+
+
+def test_singer_stream_redeclared_narrow_schema_skips_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """Standard tap behavior on restart: the original narrow SCHEMA is
+    re-emitted after a past widening.  The fold lands back on the type
+    already written, so the target must NOT rewrite the directory again
+    (it used to pay an O(all data) directory swap per restart)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    narrow = {
+        "type": "object",
+        "properties": {"v": {"type": ["integer", "null"]}},
+    }
+    wide = {
+        "type": "object",
+        "properties": {"v": {"type": ["string", "null"]}},
+    }
+    (inbox / "f1.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(type="SCHEMA", stream="t", schema=narrow, key_properties=[]),
+                _msg(type="RECORD", stream="t", record={"v": 1}),
+                _msg(type="SCHEMA", stream="t", schema=wide, key_properties=[]),
+                _msg(type="RECORD", stream="t", record={"v": "two"}),
+            ]
+        )
+    )
+    cfg = {"filepath": str(out), "file_naming_scheme": "{stream}"}
+    _await(SingerStreamTarget(spark, cfg).start(str(inbox), available_now=True))
+    assert dict(spark.read.parquet(str(out / "t")).dtypes) == {"v": "string"}
+
+    calls = []
+    orig = SingerStreamTarget._rewrite_widened
+
+    def spy(self, stream, fresh):
+        calls.append(dict(fresh))
+        return orig(self, stream, fresh)
+
+    monkeypatch.setattr(SingerStreamTarget, "_rewrite_widened", spy)
+    # the tap restarts and re-declares its ORIGINAL narrow schema
+    (inbox / "f2.jsonl").write_text(
+        "\n".join(
+            [
+                _msg(type="SCHEMA", stream="t", schema=narrow, key_properties=[]),
+                _msg(type="RECORD", stream="t", record={"v": 3}),
+            ]
+        )
+    )
+    _await(SingerStreamTarget(spark, cfg).start(str(inbox), available_now=True))
+    assert calls == []  # no rewrite: disk already holds the widened type
+    df = spark.read.parquet(str(out / "t"))
+    assert dict(df.dtypes) == {"v": "string"}
+    assert sorted(r.v for r in df.collect()) == ["1", "3", "two"]
