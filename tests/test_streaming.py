@@ -1127,3 +1127,60 @@ def test_singer_stream_redeclared_narrow_schema_skips_rewrite(
     df = spark.read.parquet(str(out / "t"))
     assert dict(df.dtypes) == {"v": "string"}
     assert sorted(r.v for r in df.collect()) == ["1", "3", "two"]
+
+
+def test_streaming_heavy_hitters_equals_batch_sketch(spark, events_src, tmp_path):
+    """Merged CMS registers across micro-batches equal the batch-built
+    sketch over the same rows; the candidate point-queries never
+    undercount and find the true top keys; replay is idempotent;
+    compaction preserves both stores."""
+    from target_parquet_spark.queries_r2 import _CMS_D, _cms_bucket
+    from target_parquet_spark.streaming.heavy_hitters import StreamingHeavyHitters
+
+    path, schema = events_src
+    out = str(tmp_path / "hh")
+    hh = StreamingHeavyHitters(
+        spark, out, key_col="event_type", candidate_min=1
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    _await(hh.start(stream, available_now=True))
+
+    # registers: bit-equal to the batch sketch over the concatenated rows
+    batch = spark.read.parquet(path).select(
+        F.col("event_type").cast("string").alias("key")
+    )
+    buckets = F.array(*[_cms_bucket(j, F.col("key")) for j in range(_CMS_D)])
+    want = (
+        batch.select(F.posexplode(buckets).alias("j", "b"))
+        .groupBy(F.col("j").cast("int"), "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cols = ["j", "b", "n"]
+    assert _rows(hh.registers(), cols) == _rows(want, cols)
+
+    # estimates: every true key is a candidate (candidate_min=1) and the
+    # CMS point estimate never undercounts its true frequency
+    true_counts = {
+        r[0]: r[1] for r in batch.groupBy("key").count().collect()
+    }
+    got = {r["key"]: r["cms_est"] for r in hh.heavy_hitters(top=50).collect()}
+    assert set(got) == set(true_counts)
+    for k, est in got.items():
+        assert est >= true_counts[k]
+
+    # replay idempotence: re-merging an epoch leaves the state unchanged
+    half = spark.read.parquet(path).limit(200)
+    hh._merge_batch(half, 0)
+    state = _rows(hh.registers(), cols)
+    hh._merge_batch(half, 0)
+    assert _rows(hh.registers(), cols) == state
+
+    # compaction folds both stores without changing the read-out
+    cands = _rows(hh.candidates(), ["key"])
+    hh.compact()
+    assert _rows(hh.registers(), cols) == state
+    assert _rows(hh.candidates(), ["key"]) == cands
