@@ -136,7 +136,17 @@ def compact_stream_dir(
     )
     n = df.count()
     files = max(1, -(-n // target_records_per_file))
-    tmp = path.rstrip("/") + "__compact_tmp"
+    # Staging dir name starts with "_" so Spark's file listing ignores it
+    # wherever it lands.  For a partition LEAF the parent is the stream
+    # read root: the old `<leaf>__compact_tmp` sibling matched partition
+    # discovery there, so a racing reader double-counted (a bogus
+    # day=a__compact_tmp partition value) and a crash left a permanently
+    # discoverable duplicate — an underscore prefix makes both windows
+    # invisible, and the recursion above skips it too.
+    base = path.rstrip("/")
+    tmp = os.path.join(
+        os.path.dirname(base), f"_{os.path.basename(base)}__compact_tmp"
+    )
     (
         df.repartition(files)
         .write.mode("overwrite")

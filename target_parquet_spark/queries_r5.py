@@ -216,25 +216,11 @@ def text_quality_logreg(spark, sf_dir):
             ).cast("double")
             / n
         ).alias("f_mwl"),
-        (
-            F.size(
-                F.filter(
-                    F.col("toks"),
-                    lambda x: F.array_contains(
-                        F.array(*[F.lit(w) for w in X.STOPWORDS]), x
-                    ),
-                )
-            ).cast("double")
-            / n
-        ).alias("f_stop"),
-        F.when(F.length("text") == 0, F.lit(0.0))
-        .otherwise(
-            F.length(
-                F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
-            ).cast("double")
-            / F.length("text")
-        )
-        .alias("f_sym"),
+        # reuse the canonical feature definitions from operators/text so
+        # the learned gate cannot drift from the rule-based quality_score
+        # it twins (zero-length guards are vacuous under the size>0 filter)
+        X.stopword_ratio(F.col("text")).alias("f_stop"),
+        X.punct_ratio(F.col("text")).alias("f_sym"),
     )
     z = (
         F.lit(_W0)

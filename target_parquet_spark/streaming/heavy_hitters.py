@@ -90,6 +90,16 @@ class StreamingHeavyHitters:
             F.col(self.key_col).cast("string").alias("key")
         ).filter(F.col("key").isNotNull())
         counts = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+        # both epoch writes consume the same per-key aggregate: persist it
+        # so the micro-batch input is scanned/aggregated once, not twice
+        # (same pattern as env.persist() in singer_stream._process_batch)
+        counts.persist()
+        try:
+            self._write_deltas(counts, epoch_id)
+        finally:
+            counts.unpersist()
+
+    def _write_deltas(self, counts: DataFrame, epoch_id: int) -> None:
         # registers: per-key counts exploded across the d hash rows, then
         # folded into the fixed d*w state — two map-combinable aggregates,
         # nothing proportional to batch size leaves the executors
