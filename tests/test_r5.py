@@ -140,3 +140,69 @@ def test_quality_logreg_formula_hand_check(spark, tmp_out):
     assert r["n_docs"] == 1
     assert r["decile"] == min(int(want * 10), 9)
     assert r["avg_score"] == pytest.approx(round(want, 4), abs=1e-9)
+
+
+def test_substring_runs_matches_python_reference(spark, tmp_out):
+    """Independent Python recomputation on a seeded random corpus with a
+    small vocabulary (forcing cross-doc gram collisions): gram indexing,
+    duplicated-position marking, and island merging are re-derived from
+    scratch (dict + manual run-scan, no SQL), then compared row-for-row.
+    The corpus doubler is part of the query, so the reference applies the
+    same doubling."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(30)
+    ]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/documents.parquet")
+    )
+
+    # the doubled corpus: each doc + its copy truncated by 2 tokens
+    corpus = {}
+    for i, text in docs:
+        toks = text.split()
+        corpus[i] = toks
+        corpus[i + 1000000] = toks[: max(len(toks) - 2, 0)]
+
+    grams = {
+        d: [tuple(t[i : i + 5]) for i in range(len(t) - 4)]
+        for d, t in corpus.items()
+    }
+    owners = {}
+    for d, gs in grams.items():
+        for g in set(gs):
+            owners.setdefault(g, set()).add(d)
+    want = {}
+    for d, gs in grams.items():
+        dup = [i for i, g in enumerate(gs) if len(owners[g]) >= 2]
+        if not dup:
+            continue
+        runs = []
+        start = prev = dup[0]
+        for p in dup[1:]:
+            if p == prev + 1:
+                prev = p
+            else:
+                runs.append(prev - start + 1 + 4)
+                start = prev = p
+        runs.append(prev - start + 1 + 4)
+        want[d] = (
+            len(runs),
+            max(runs),
+            sum(1 for r in runs if r >= 20),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_runs"], r["longest_span"], r["n_long_spans"])
+        for r in QUERIES["dedup_substring_runs"](spark, tmp_out).collect()
+    }
+    assert got == want
