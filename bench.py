@@ -149,6 +149,14 @@ HEADLINE = [
     "multimodal_phash_pairs",
     "dedup_substring_runs",
     "text_quality_logreg",
+    "sim_knn_graph",
+    "graph_link_prediction",
+    "dedup_cdc_chunks",
+    "text_novelty_curve",
+    "events_seasonal_anomaly",
+    "events_rfm_segmentation",
+    "scan_merge_on_read",
+    "window_ewma_daily",
 ]
 
 

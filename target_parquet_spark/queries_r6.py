@@ -1,0 +1,736 @@
+"""Round-4 additions: k-NN graph construction + link prediction,
+content-defined chunk dedup, corpus novelty, seasonal anomaly scoring,
+RFM segmentation, merge-on-read deletion vectors, and EWMA smoothing.
+
+Reference context: hotgluexyz/target-parquet implements none of these
+(SURVEY.md §2.10 — absent categories); each is a standard large-scale
+pipeline stage the existing families do not yet cover:
+
+* ``sim_knn_graph`` materializes the k-nearest-neighbor GRAPH (not a
+  single query's top-k): the input artifact for graph clustering,
+  diversity analysis, and label propagation over an embedding corpus.
+  Candidate generation is the LSH bucket equi-join (never all-pairs).
+* ``graph_link_prediction`` runs common-neighbor / Jaccard link
+  prediction over that graph — the classic "records that SHOULD be
+  connected" screen (entity resolution, near-dup recall auditing).
+* ``dedup_cdc_chunks`` is content-defined chunking (the FastCDC /
+  rsync-family idea restated over tokens): chunk boundaries depend only
+  on local content, so an insertion or truncation re-aligns after one
+  chunk — unlike fixed-stride chunking, whose boundaries all shift.
+* ``text_novelty_curve`` measures per-source novel-n-gram share with
+  first-occurrence attribution — the dataset-freshness/diversity metric
+  behind "does this new crawl add anything".
+* ``events_seasonal_anomaly`` z-scores each event against its
+  (event_type, hour-of-day) seasonal baseline — the monitoring step
+  between the drift audits (KS/PSI) and changepoint localization.
+* ``events_rfm_segmentation`` is the classic recency/frequency/monetary
+  quintile segmentation (window work is over USER-cardinality rows,
+  never events).
+* ``scan_merge_on_read`` demonstrates the deletion-vector read path of
+  merge-on-read table formats: base files stay immutable, deletes live
+  in a small sidecar, reads anti-join it (broadcast — the 100 TB side
+  never shuffles).
+* ``window_ewma_daily`` is exponentially-weighted smoothing over the
+  day-grain rollup — trend extraction off a pre-aggregate, never raw
+  events.
+
+Oracle contract as everywhere in this repo: integer-cents arithmetic
+wherever a float sum would make borderline rows engine-dependent,
+identical fold/tokenize/md5 expressions in both engines, every computed
+column aliased identically, floats rounded in both engines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators import similarity as S
+from target_parquet_spark.operators import text as X
+from target_parquet_spark.queries import query, t
+from target_parquet_spark.queries_ext import (
+    SQL_CORPUS,
+    SQL_TOKS,
+    _SQL_DOT,
+    _spark_corpus,
+    td,
+)
+from target_parquet_spark.queries_r2 import _SQL_GRAMS5, _grams5
+
+# ---------------------------------------------------------------------------
+# k-NN graph over embeddings (LSH-bucketed candidate generation)
+# ---------------------------------------------------------------------------
+
+# 4 planes -> 16 buckets: dense enough that every vector has bucket-mates
+# at the test scales.  At corpus scale the plane count follows the
+# adaptive rule (operators/similarity.semantic_dup_pairs): n_planes ~
+# log2(n / target_occupancy), optionally OR-amplified across independent
+# plane families for recall.
+_PLANES4 = S.plane_weights(n_planes=4, dim=64)
+
+_SQL_BUCKET4 = "(" + " || ".join(
+    "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
+    f"i -> CAST({{v}}[i] AS DOUBLE) * ([{', '.join(str(w) for w in plane)}])[i]"
+    ")) > 0 THEN '1' ELSE '0' END)"
+    for plane in _PLANES4
+) + ")"
+
+# Shared CTE prefix: bucketed embeddings with precomputed norms, bucket
+# self-join pairs, per-source neighbor ranking.
+_SQL_KNN = f"""
+    b AS (SELECT vec_id, embedding,
+                 {_SQL_BUCKET4.format(v='embedding')} AS bucket,
+                 sqrt({_SQL_DOT.format(a='embedding', b='embedding')}) AS nrm
+          FROM embeddings),
+    p AS (SELECT a.vec_id AS src, c.vec_id AS nbr,
+                 round({_SQL_DOT.format(a='a.embedding', b='c.embedding')}
+                       / (a.nrm * c.nrm), 4) AS sim
+          FROM b a JOIN b c
+            ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+    r AS (SELECT src, nbr, sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY sim DESC, nbr) AS nbr_rank
+          FROM p)
+"""
+
+
+def _knn_edges(spark, sf_dir, k: int = 3):
+    """Top-k cosine neighbors per vector among LSH bucket-mates.
+
+    Plan shape for 100 TB: ONE repartition on the bucket key feeds both
+    sides of the self-join (ReusedExchange — the bucket index is built
+    once), pair volume is bounded by bucket occupancy (never n^2), norms
+    are computed once per vector BEFORE the join so each candidate pair
+    costs one fold, and the ranking window partitions by the source id —
+    state is one vector's candidate list.  The emitted edge table is the
+    artifact: at scale it is written once and every downstream graph op
+    (link prediction, components, PageRank) reads it instead of
+    re-deriving pairs."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        S.lsh_bucket(F.col("embedding"), n_planes=4).alias("bucket"),
+        F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    ).repartition("bucket")
+    a = b.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("_avec"),
+        "bucket",
+        F.col("nrm").alias("_anrm"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("_cvec"),
+        "bucket",
+        F.col("nrm").alias("_cnrm"),
+    )
+    # SHUFFLE_MERGE hint: at corpus scale neither self-join side fits a
+    # broadcast, and the hint makes the LOCAL plan match — both branches
+    # consume the ONE bucket repartition above (ReusedExchange, pinned in
+    # tests) instead of broadcasting a duplicate of the whole
+    # bucket+norm pipeline.
+    pairs = (
+        a.join(c.hint("merge"), "bucket")
+        .filter(F.col("src") != F.col("nbr"))
+        .select(
+            "src",
+            "nbr",
+            F.round(
+                S.dot(F.col("_avec"), F.col("_cvec"))
+                / (F.col("_anrm") * F.col("_cnrm")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        pairs.withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= k)
+        .select("src", "nbr_rank", "nbr", "sim")
+    )
+
+
+@query(
+    "sim_knn_graph",
+    f"""
+    WITH {_SQL_KNN}
+    SELECT src, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr, sim
+    FROM r WHERE nbr_rank <= 3
+    """,
+)
+def sim_knn_graph(spark, sf_dir):
+    """k-NN graph construction (k=3) — see ``_knn_edges`` for the
+    100 TB plan rationale.  Oracle replays bucket assignment, the
+    sequential dot-product fold, and the ranking window verbatim."""
+    return _knn_edges(spark, sf_dir, k=3)
+
+
+@query(
+    "graph_link_prediction",
+    f"""
+    WITH {_SQL_KNN},
+    e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
+    sym AS (SELECT DISTINCT u, v FROM (
+              SELECT src AS u, nbr AS v FROM e
+              UNION ALL
+              SELECT nbr AS u, src AS v FROM e)),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    cn AS (SELECT s1.u AS u, s2.u AS w, count(*) AS common
+           FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+           GROUP BY s1.u, s2.u),
+    cand AS (SELECT cn.u, cn.w, cn.common FROM cn
+             LEFT JOIN sym ON sym.u = cn.u AND sym.v = cn.w
+             WHERE sym.u IS NULL)
+    SELECT c.u, c.w, CAST(c.common AS BIGINT) AS common_nbrs,
+           round(c.common * 1.0 / (du.d + dw.d - c.common), 4) AS jaccard
+    FROM cand c
+    JOIN deg du ON du.u = c.u
+    JOIN deg dw ON dw.u = c.w
+    WHERE c.common >= 2
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction over the k-NN graph:
+    node pairs sharing >= 2 neighbors that are NOT already connected —
+    the near-dup recall audit ("the index says these are unrelated, the
+    graph structure disagrees") and the entity-resolution candidate
+    screen.
+
+    Plan shape for 100 TB: the quadratic step is the neighbor-posting
+    self-join keyed on the SHARED NEIGHBOR — per-key work is deg^2 with
+    deg <= 2k (bounded by construction, no hot-key hazard, unlike raw
+    co-occurrence joins).  Degrees are node-cardinality and join back on
+    the node key; existing edges are removed by an anti-join on the
+    same key pair.  All counts are integers — no float boundary rows."""
+    e = _knn_edges(spark, sf_dir, k=3).select("src", "nbr")
+    sym = (
+        e.select(F.col("src").alias("u"), F.col("nbr").alias("v"))
+        .unionByName(e.select(F.col("nbr").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    s2 = sym.select(F.col("u").alias("w"), F.col("v"))
+    cn = (
+        sym.join(s2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cand = cn.join(
+        sym.select("u", F.col("v").alias("w")), ["u", "w"], "left_anti"
+    ).filter(F.col("common") >= 2)
+    du = deg.select(F.col("u"), F.col("d").alias("_du"))
+    dw = deg.select(F.col("u").alias("w"), F.col("d").alias("_dw"))
+    return (
+        cand.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("common").alias("common_nbrs"),
+            F.round(
+                F.col("common")
+                / (F.col("_du") + F.col("_dw") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (FastCDC-style, over tokens)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cdc_chunks",
+    f"""
+    WITH {SQL_CORPUS},
+    base AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM corpus),
+    tk0 AS (SELECT doc_id,
+                   unnest(range(1, len(toks) + 1)) AS pos,
+                   unnest(toks) AS tok
+            FROM base),
+    tk AS (SELECT doc_id, pos, tok,
+                  CASE WHEN substr(md5(tok), 32, 1) IN ('0','4','8','c')
+                       THEN 1 ELSE 0 END AS cut
+           FROM tk0),
+    ck0 AS (SELECT doc_id, pos, tok,
+                   1 + COALESCE(SUM(cut) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS chunk_id
+            FROM tk),
+    chunks AS (SELECT doc_id, chunk_id,
+                      md5(string_agg(tok, ' ' ORDER BY pos)) AS ch,
+                      count(*) AS n_toks
+               FROM ck0 GROUP BY doc_id, chunk_id),
+    dup AS (SELECT ch FROM (
+              SELECT ch, count(DISTINCT doc_id) AS nd
+              FROM chunks GROUP BY ch)
+            WHERE nd >= 2)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           round(sum(CASE WHEN d.ch IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_ratio,
+           round(avg(n_toks), 2) AS avg_chunk_tokens
+    FROM chunks c LEFT JOIN dup d ON c.ch = d.ch
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: a token is a cut point iff the last hex
+    digit of its md5 is in {0,4,8,c} (expected chunk length 4 tokens —
+    scaled to the synthetic docs; production uses a rolling hash over a
+    byte window with a larger mask).  Chunk boundaries depend ONLY on
+    local content, so the truncated near-copies in the doubled corpus
+    share every interior chunk despite the global position shift —
+    exactly the property fixed-stride chunking (``dedup_chunk_overlap``)
+    lacks.  Output per doc: chunk count, duplicated-chunk count/ratio
+    (chunk content seen in >= 2 docs), mean chunk length.
+
+    Plan shape for 100 TB: cut flags and chunk ids are scan-stage
+    expressions plus ONE per-doc window (state = one document's tokens);
+    chunk hashes are fixed-width and the duplicated-chunk set is a
+    (doc, hash)-distinct pre-aggregation followed by a count per hash —
+    map-side combinable, never a pair join.  The flag join back to
+    chunks is an equi-join on the hash with the dup side orders of
+    magnitude smaller."""
+    corpus = _spark_corpus(spark, sf_dir)
+    tk = corpus.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn(
+        "cut",
+        F.when(
+            F.substring(F.md5("tok"), 32, 1).isin("0", "4", "8", "c"), 1
+        ).otherwise(0),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ck = tk.withColumn(
+        "chunk_id", F.lit(1) + F.coalesce(F.sum("cut").over(wprev), F.lit(0))
+    )
+    chunks = ck.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("ch"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    dup = (
+        chunks.select("ch", "doc_id")
+        .distinct()
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ch", F.lit(1).alias("_dup"))
+    )
+    return (
+        chunks.join(dup, "ch", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_chunks"),
+            F.round(
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+            F.round(F.avg("n_toks"), 2).alias("avg_chunk_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus novelty (first-occurrence attribution)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_novelty_curve",
+    f"""
+    WITH base AS (SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS toks
+                  FROM documents),
+    g0 AS (SELECT doc_id, source,
+                  ('0x' || substr(md5(unnest(
+                    {_SQL_GRAMS5.format(t='toks')}
+                  )), 1, 15))::BIGINT AS gh
+           FROM base),
+    g AS (SELECT DISTINCT doc_id, source, gh FROM g0),
+    fst AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh),
+    perdoc AS (SELECT g.doc_id, g.source,
+                      count(*) AS n_grams,
+                      sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                        AS n_new
+               FROM g JOIN fst f ON g.gh = f.gh
+               GROUP BY g.doc_id, g.source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_new) AS BIGINT) AS novel_grams,
+           round(avg(n_new * 1.0 / n_grams), 4) AS avg_novelty
+    FROM perdoc GROUP BY source
+    """,
+)
+def text_novelty_curve(spark, sf_dir):
+    """Per-source novelty: a document's distinct 5-grams are NOVEL if
+    this document is the first (lowest doc_id — ingestion order) to
+    contain them.  Per source: docs, total/novel distinct-gram counts,
+    mean per-doc novelty share — the "does this crawl add anything"
+    curve that decides whether a new source earns its storage.
+
+    Plan shape for 100 TB: grams are hashed to 60-bit ints in the scan
+    stage; the (doc, gh)-distinct set is a map-side-combinable
+    pre-aggregation; first-occurrence attribution is a min() groupBy on
+    the gram hash whose result joins back ON THE SAME KEY (one hash
+    partitioning serves both sides — ReusedExchange); the final
+    aggregation is source-cardinality."""
+    docs = td(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.tokens(F.col("text")).alias("toks")
+    )
+    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    g = (
+        docs.select(
+            "doc_id", "source", F.explode(_grams5(F.col("toks"))).alias("gram")
+        )
+        .select("doc_id", "source", gh.alias("gh"))
+        .distinct()
+    )
+    fst = g.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    perdoc = (
+        g.join(fst, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_new").alias("novel_grams"),
+        F.round(F.avg(F.col("n_new") / F.col("n_grams")), 4).alias(
+            "avg_novelty"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal anomaly scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_anomaly",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS cents,
+                      EXTRACT(hour FROM ts) AS hr
+               FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    b AS (SELECT event_type, hr, count(*) AS n,
+                 sum(cents) AS s1, sum(cents * cents) AS s2
+          FROM e GROUP BY event_type, hr),
+    z AS (SELECT e.event_type, e.cents,
+                 b.s1 * 1.0 / b.n AS mu,
+                 sqrt(b.s2 * 1.0 / b.n
+                      - (b.s1 * 1.0 / b.n) * (b.s1 * 1.0 / b.n)) AS sd
+          FROM e JOIN b ON e.event_type = b.event_type AND e.hr = b.hr)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN sd > 0
+                          AND abs(round((cents - mu) / sd, 4)) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           round(max(CASE WHEN sd > 0
+                          THEN abs(round((cents - mu) / sd, 4))
+                          ELSE 0 END), 4) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """Each event z-scored against its (event_type, hour-of-day)
+    seasonal baseline; anomalies are |z| > 3.  The step between the
+    distribution-drift audits (which say the data CHANGED) and
+    changepoint localization (which says WHEN): this says WHICH rows.
+
+    Plan shape for 100 TB: one (type, hour) aggregation — at most
+    types*24 cells, broadcast back onto the scan (the event side never
+    shuffles); z is then a scan-stage expression.  Engine-exactness:
+    values become integer cents at the scan, so the power sums are
+    exact integers and mean/sd/z are identical scalar arithmetic in
+    both engines — no summation-order drift under the |z|>3 boundary."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            F.hour("ts").alias("hr"),
+        )
+    )
+    b = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    z = e.join(F.broadcast(b), ["event_type", "hr"]).select(
+        "event_type",
+        mu.alias("mu"),
+        sd.alias("sd"),
+        F.col("cents"),
+    )
+    az = F.abs(F.round((F.col("cents") - F.col("mu")) / F.col("sd"), 4))
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when((F.col("sd") > 0) & (az > 3.0), 1).otherwise(0)
+        ).alias("n_anomalies"),
+        F.round(
+            F.max(F.when(F.col("sd") > 0, az).otherwise(F.lit(0.0))), 4
+        ).alias("max_abs_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_rfm_segmentation",
+    """
+    WITH u AS (SELECT user_id,
+                      count(*) AS freq,
+                      COALESCE(sum(CAST(round(value * 100) AS BIGINT)), 0)
+                        AS monetary_cents,
+                      max(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE))) AS last_day
+               FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    g AS (SELECT max(last_day) AS gday FROM u),
+    s AS (SELECT u.user_id, u.freq, u.monetary_cents,
+                 g.gday - u.last_day AS rec_days
+          FROM u, g),
+    sc AS (SELECT freq, monetary_cents,
+                  ntile(5) OVER (ORDER BY rec_days ASC, user_id) AS r_score,
+                  ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+                  ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)
+                    AS m_score
+           FROM s)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_cents
+    FROM sc GROUP BY r_score, f_score, m_score
+    """,
+)
+def events_rfm_segmentation(spark, sf_dir):
+    """Classic RFM: per-user recency (days since last event, vs the
+    corpus max day), frequency, monetary (integer cents), each cut into
+    quintiles; output the populated (R,F,M) cells with user counts and
+    value.  The segmentation behind lifecycle campaigns and churn
+    screens.
+
+    Plan shape for 100 TB: the event scan collapses to USER-cardinality
+    aggregates first; the three ntile windows run over those user rows
+    only (the documented global-sort hazard is bounded by user
+    cardinality, and at extreme scale the quintiles come from
+    approx-percentile cutpoints instead — this exact form is that
+    path's oracle).  Every ordering has a user_id tie-break and every
+    metric is an integer, so quintile membership is engine-exact."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("monetary_cents"),
+        F.max(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        ).alias("last_day"),
+    )
+    g = F.broadcast(u.agg(F.max("last_day").alias("gday")))
+    s = u.crossJoin(g).select(
+        "user_id",
+        "freq",
+        "monetary_cents",
+        (F.col("gday") - F.col("last_day")).alias("rec_days"),
+    )
+    sc = s.select(
+        "freq",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rec_days").asc(), F.col("user_id")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("user_id")))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id")))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return sc.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_merge_on_read",
+    """
+    WITH tomb AS (SELECT event_id FROM events
+                  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'),
+    live AS (SELECT e.event_type FROM events e
+             LEFT JOIN tomb t ON e.event_id = t.event_id
+             WHERE t.event_id IS NULL),
+    base AS (SELECT event_type, count(*) AS n_total
+             FROM events GROUP BY event_type),
+    lv AS (SELECT event_type, count(*) AS n_live
+           FROM live GROUP BY event_type)
+    SELECT b.event_type,
+           CAST(b.n_total AS BIGINT) AS n_total,
+           CAST(b.n_total - COALESCE(lv.n_live, 0) AS BIGINT) AS n_deleted,
+           CAST(COALESCE(lv.n_live, 0) AS BIGINT) AS n_live
+    FROM base b LEFT JOIN lv ON b.event_type = lv.event_type
+    """,
+)
+def scan_merge_on_read(spark, sf_dir):
+    """The deletion-vector read path of merge-on-read table formats
+    (Delta DVs / Iceberg positional deletes, restated engine-neutral):
+    base files are immutable, deletes accumulate in a small sidecar
+    (here a deterministic ~1/16 of event ids standing in for the DV),
+    and every read anti-joins the sidecar.  Reports per-type
+    total/deleted/live so the compaction decision ("rewrite when
+    deleted fraction exceeds X") has its input.
+
+    Plan shape for 100 TB: the tombstone side is orders of magnitude
+    smaller and BROADCAST — the base scan never shuffles for the
+    anti-join; at real scale the sidecar is a bitmap keyed by file, and
+    this row-level anti-join is its semantic oracle."""
+    ev = t(spark, sf_dir, "events")
+    tomb = F.broadcast(
+        ev.select("event_id").filter(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0"
+        )
+    )
+    live = ev.join(tomb, "event_id", "left_anti")
+    base = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    lv = live.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_live"))
+    return base.join(lv, "event_type", "left").select(
+        "event_type",
+        "n_total",
+        (F.col("n_total") - F.coalesce(F.col("n_live"), F.lit(0))).alias(
+            "n_deleted"
+        ),
+        F.coalesce(F.col("n_live"), F.lit(0)).alias("n_live"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA trend smoothing over the day-grain rollup
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 14
+_EWMA_W = [_EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)]
+
+
+def _sql_ewma() -> tuple[str, str]:
+    """(numerator, denominator) SQL for the truncated-kernel EWMA; term
+    order fixed so both engines evaluate the identical float chain."""
+    num = [f"{_EWMA_W[0]!r} * xc"]
+    den = [f"{_EWMA_W[0]!r}"]
+    for j in range(1, _EWMA_K):
+        num.append(f"{_EWMA_W[j]!r} * COALESCE(x{j}, 0)")
+        den.append(f"CASE WHEN x{j} IS NULL THEN 0 ELSE {_EWMA_W[j]!r} END")
+    return " + ".join(num), " + ".join(den)
+
+
+@query(
+    "window_ewma_daily",
+    f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      sum(CAST(round(value * 100) AS BIGINT)) AS xc
+               FROM events
+               WHERE ts IS NOT NULL AND value IS NOT NULL
+               GROUP BY day),
+    l AS (SELECT day, xc,
+                 {', '.join(f'lag(xc, {j}) OVER (ORDER BY day) AS x{j}'
+                            for j in range(1, _EWMA_K))}
+          FROM d)
+    SELECT day,
+           round(xc / 100.0, 2) AS daily_total,
+           round(({_sql_ewma()[0]}) / ({_sql_ewma()[1]}) / 100.0, 4)
+             AS ewma14
+    FROM l
+    """,
+)
+def window_ewma_daily(spark, sf_dir):
+    """Exponentially-weighted moving average (alpha=0.3, 14-day
+    truncated kernel, weights renormalized over the observed prefix) of
+    daily event value — trend extraction for dashboards, and the
+    smoothed input a threshold alert wants instead of raw dailies.
+
+    Plan shape for 100 TB: events collapse to the DAY grain first (the
+    same sufficient-statistics move as ensure_rollup), so the window
+    runs over a few hundred rows regardless of corpus size; the kernel
+    is a fixed set of lag() columns over one sort — no self-join, no
+    per-row arrays.  Daily sums are integer cents and the weight chain
+    is evaluated in the same term order in both engines, so the floats
+    are bit-identical before rounding."""
+    d = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("xc")
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "day",
+        "xc",
+        *[F.lag("xc", j).over(w).alias(f"x{j}") for j in range(1, _EWMA_K)],
+    )
+    num = functools.reduce(
+        lambda acc, j: acc
+        + F.lit(_EWMA_W[j]) * F.coalesce(F.col(f"x{j}"), F.lit(0)),
+        range(1, _EWMA_K),
+        F.lit(_EWMA_W[0]) * F.col("xc"),
+    )
+    den = functools.reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"x{j}").isNull(), F.lit(0.0)).otherwise(
+            F.lit(_EWMA_W[j])
+        ),
+        range(1, _EWMA_K),
+        F.lit(_EWMA_W[0]),
+    )
+    return lagged.select(
+        "day",
+        F.round(F.col("xc") / 100.0, 2).alias("daily_total"),
+        F.round(num / den / 100.0, 4).alias("ewma14"),
+    )

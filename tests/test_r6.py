@@ -1,0 +1,349 @@
+"""Invariant tests for the round-4 additions (queries_r6.py).
+
+The oracle gate proves engine-vs-DuckDB equality; these pin what
+equality can't: the CDC chunking against an independent Python
+reference (boundary rule recomputed with hashlib), the shift-robustness
+property that motivates content-defined over fixed-stride chunking,
+graph-structural invariants of the k-NN/link-prediction pair, and the
+convex-combination bound on the EWMA.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+import target_parquet_spark.queries_r6 as r6  # noqa: F401  (registers queries)
+from target_parquet_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def run(spark, sf_dir):
+    def _run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return _run
+
+
+def _write_docs(spark, tmp_out, docs):
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/documents.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_graph
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_invariants(run):
+    rows = run("sim_knn_graph").collect()
+    assert rows
+    per_src: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["src"] != r["nbr"]
+        assert 1 <= r["nbr_rank"] <= 3
+        assert -1.0001 <= r["sim"] <= 1.0001
+        per_src.setdefault(r["src"], []).append(r["nbr_rank"])
+    # ranks per source are exactly 1..len (dense, no gaps, no dups)
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
+    # sims are non-increasing with rank within a source
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append((r["nbr_rank"], r["sim"]))
+    for src, rs in by_src.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True), src
+
+
+# ---------------------------------------------------------------------------
+# graph_link_prediction
+# ---------------------------------------------------------------------------
+
+
+def test_link_prediction_invariants(run, spark, sf_dir):
+    edges = {
+        (r["src"], r["nbr"])
+        for r in run("sim_knn_graph").select("src", "nbr").collect()
+    }
+    sym = edges | {(b, a) for a, b in edges}
+    preds = run("graph_link_prediction").collect()
+    for r in preds:
+        assert r["u"] < r["w"]
+        assert r["common_nbrs"] >= 2
+        assert 0.0 < r["jaccard"] <= 1.0
+        # a predicted link must NOT already be an edge
+        assert (r["u"], r["w"]) not in sym
+    # cross-check one row's common-neighbor count from the edge set
+    if preds:
+        adj: dict[int, set[int]] = {}
+        for a, b in sym:
+            adj.setdefault(a, set()).add(b)
+        r = preds[0]
+        common = len(adj[r["u"]] & adj[r["w"]])
+        assert common == r["common_nbrs"]
+        union = len(adj[r["u"]] | adj[r["w"]])
+        assert abs(r["jaccard"] - common / union) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunks
+# ---------------------------------------------------------------------------
+
+
+def _py_chunks(tokens: list[str]) -> list[tuple[str, ...]]:
+    """Independent Python reference for the CDC boundary rule: a token
+    is a cut point iff md5's last hex digit is in {0,4,8,c}; a cut
+    token ENDS its chunk (the next token starts a new one)."""
+    chunks, cur = [], []
+    for tok in tokens:
+        cur.append(tok)
+        if hashlib.md5(tok.encode()).hexdigest()[31] in "048c":
+            chunks.append(tuple(cur))
+            cur = []
+    if cur:
+        chunks.append(tuple(cur))
+    return chunks
+
+
+def test_cdc_chunks_python_reference(spark, tmp_out):
+    """Chunk counts and mean length must match a hashlib recomputation,
+    for both the original doc and its engine-doubled truncated copy."""
+    toks = [f"w{i}" for i in range(40)]
+    _write_docs(spark, tmp_out, [(0, " ".join(toks))])
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_cdc_chunks"](spark, tmp_out).collect()
+    }
+    exp0 = _py_chunks(toks)
+    exp_copy = _py_chunks(toks[:-2])  # the corpus doubler drops 2 tokens
+    assert got[0]["n_chunks"] == len(exp0)
+    assert got[1000000]["n_chunks"] == len(exp_copy)
+    assert got[0]["avg_chunk_tokens"] == pytest.approx(
+        round(len(toks) / len(exp0), 2), abs=1e-9
+    )
+    # shared chunks between original and truncated copy, per the reference
+    shared = set(exp0) & set(exp_copy)
+    assert got[0]["n_dup_chunks"] == len(
+        [c for c in exp0 if c in shared]
+    )
+
+
+def test_cdc_chunks_shift_robustness(spark, tmp_out):
+    """The content-defined property: a 3-token prefix insertion shifts
+    every absolute position, but chunk boundaries re-align at the first
+    cut point — the two docs share every chunk of the common suffix
+    after that point.  (A fixed-stride chunker shares ~nothing here.)"""
+    base = [f"t{i}" for i in range(60)]
+    shifted = ["p0", "p1", "p2"] + base
+    _write_docs(
+        spark, tmp_out, [(0, " ".join(base)), (1, " ".join(shifted))]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_cdc_chunks"](spark, tmp_out).collect()
+    }
+    c_base = _py_chunks(base)
+    c_shift = _py_chunks(shifted)
+    shared = set(c_base) & set(c_shift)
+    # re-alignment: most chunks are shared (the corpus doubler adds
+    # truncated copies, which only ADD dup flags — so >= the pairwise
+    # expectation)
+    assert len(shared) >= len(c_base) - 2
+    assert got[0]["n_dup_chunks"] >= len(
+        [c for c in c_base if c in shared]
+    )
+    assert got[1]["n_dup_chunks"] >= len(
+        [c for c in c_shift if c in shared]
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_novelty_curve
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_invariants(run):
+    rows = run("text_novelty_curve").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["novel_grams"] <= r["total_grams"]
+        assert 0.0 <= r["avg_novelty"] <= 1.0
+        assert r["n_docs"] >= 1
+
+
+def test_novelty_hand_check(spark, tmp_out):
+    """doc0's grams are all first-seen; doc1 repeats doc0 exactly (zero
+    novel); doc2 is disjoint (all novel)."""
+    text_a = " ".join(f"a{i}" for i in range(10))
+    text_b = " ".join(f"b{i}" for i in range(10))
+    _write_docs(
+        spark, tmp_out, [(0, text_a), (1, text_a), (2, text_b)]
+    )
+    rows = QUERIES["text_novelty_curve"](spark, tmp_out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 3
+    # 6 distinct grams per 10-token doc; doc0+doc2 novel, doc1 not
+    assert r["total_grams"] == 18
+    assert r["novel_grams"] == 12
+    assert r["avg_novelty"] == pytest.approx(round(2 / 3, 4), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_invariants(run):
+    rows = run("events_seasonal_anomaly").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_anomalies"] <= r["n_events"]
+        assert r["max_abs_z"] >= 0.0
+        if r["n_anomalies"] > 0:
+            assert r["max_abs_z"] > 3.0
+
+
+def test_seasonal_anomaly_planted_outlier(spark, tmp_out):
+    """A 100x outlier within an otherwise tight (type, hour) cell must
+    be flagged."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i % 20, 9, 0, 0), i, "click",
+         10.0 + (i % 3), "{}")
+        for i in range(40)
+    ]
+    rows.append((99, dt.datetime(2024, 1, 21, 9, 0, 0), 99, "click",
+                 1000.0, "{}"))
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/events.parquet")
+    )
+    got = QUERIES["events_seasonal_anomaly"](spark, tmp_out).collect()
+    assert len(got) == 1
+    assert got[0]["n_anomalies"] >= 1
+    assert got[0]["max_abs_z"] > 3.0
+
+
+# ---------------------------------------------------------------------------
+# events_rfm_segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_invariants(run, spark, sf_dir):
+    from target_parquet_spark.queries import t as load
+
+    rows = run("events_rfm_segmentation").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        assert r["n_users"] >= 1
+    n_users = sum(r["n_users"] for r in rows)
+    expected = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_users == expected
+
+
+# ---------------------------------------------------------------------------
+# scan_merge_on_read
+# ---------------------------------------------------------------------------
+
+
+def test_merge_on_read_conservation(run):
+    rows = run("scan_merge_on_read").collect()
+    assert rows
+    total = sum(r["n_total"] for r in rows)
+    deleted = sum(r["n_deleted"] for r in rows)
+    for r in rows:
+        assert r["n_total"] == r["n_deleted"] + r["n_live"]
+        assert r["n_deleted"] >= 0
+    # the md5-prefix tombstone rule deletes ~1/16 of ids
+    assert 0.0 < deleted / total < 0.2
+
+
+# ---------------------------------------------------------------------------
+# window_ewma_daily
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, sf_dir, name):
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_graph_plan_reuses_bucket_exchange(spark, sf_dir):
+    """The bucket self-join must read ONE repartition exchange from both
+    sides (the bucket index is built once) and never degrade to a
+    nested-loop/cartesian product.  AQE inserts the ReusedExchange at
+    runtime, so execute first and inspect the FINAL adaptive plan."""
+    import contextlib
+    import io
+
+    df = QUERIES["sim_knn_graph"](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "SortMergeJoin" in p
+    assert "ReusedExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_seasonal_anomaly_plan_broadcasts_baseline(spark, sf_dir):
+    """The (type, hour) baseline is cell-cardinality — it must broadcast
+    back onto the event scan, never shuffle the event side."""
+    p = _plan(spark, sf_dir, "events_seasonal_anomaly")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_merge_on_read_plan_broadcast_anti(spark, sf_dir):
+    """The deletion-vector anti-join must broadcast the tombstone side."""
+    p = _plan(spark, sf_dir, "scan_merge_on_read")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ewma_convexity(run):
+    """The renormalized truncated-kernel EWMA is a convex combination of
+    the trailing 14 observed dailies — bounded by their min/max; the
+    first row has no history, so ewma == daily_total."""
+    rows = sorted(run("window_ewma_daily").collect(), key=lambda r: r["day"])
+    assert rows
+    dailies = [r["daily_total"] for r in rows]
+    assert rows[0]["ewma14"] == pytest.approx(rows[0]["daily_total"], abs=0.01)
+    for i, r in enumerate(rows):
+        lo = min(dailies[max(0, i - 13): i + 1])
+        hi = max(dailies[max(0, i - 13): i + 1])
+        assert lo - 0.01 <= r["ewma14"] <= hi + 0.01, r["day"]
