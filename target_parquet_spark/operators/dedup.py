@@ -271,7 +271,18 @@ def minhash_lsh_pairs(
 
     left = banded.alias("a")
     right = banded.alias("b")
-    cand = (
+    # Verify BEFORE deduplicating (the r3 phash lesson, applied here in
+    # r4): Jaccard is computed and thresholded in the join's own stage,
+    # so candidates that fail verification die map-side and the shingle
+    # arrays NEVER cross an exchange — the pair-dedupe distinct sees
+    # only (id_a, id_b, jaccard) fixed-width rows.  Band-collision
+    # duplicates of a surviving pair carry an identical jaccard (same
+    # shingle sets), so distinct over all three columns equals the old
+    # dedupe-then-verify output exactly.  The cost moved: at most
+    # ``bands`` Jaccard evaluations per surviving pair (map-side CPU)
+    # instead of shuffling every collision's shingle sets (network +
+    # spill) — the right trade everywhere past toy scale.
+    return (
         left.join(
             right,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -281,15 +292,10 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.round(_jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias("jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("jaccard", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 
