@@ -157,6 +157,8 @@ HEADLINE = [
     "events_rfm_segmentation",
     "scan_merge_on_read",
     "window_ewma_daily",
+    "events_active_users_hll",
+    "audit_l_diversity",
 ]
 
 

@@ -734,3 +734,217 @@ def window_ewma_daily(spark, sf_dir):
         F.round(F.col("xc") / 100.0, 2).alias("daily_total"),
         F.round(num / den / 100.0, 4).alias("ewma14"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU via mergeable per-day HLL sketches
+# ---------------------------------------------------------------------------
+
+# Raw HLL estimator + the standard small-range (linear counting)
+# correction: when the raw estimate is <= 2.5*m and empty registers
+# remain, est = m * ln(m / V) — without it the raw formula floors at
+# ~0.709*m for tiny cardinalities (a 14-user day would read as ~52).
+# Both branches are single-expression scalar arithmetic over exact
+# integer register states, so the correction is engine-exact too.
+_SQL_HLL_RAW = (
+    "(0.709 * 4096.0 / (sum(power(2.0::DOUBLE, -mx)) "
+    "+ CAST(64 - count(*) AS DOUBLE)))"
+)
+_SQL_HLL_EST = (
+    f"round(CASE WHEN (64 - count(*)) > 0 AND {_SQL_HLL_RAW} <= 160.0 "
+    "THEN 64.0 * ln(64.0 / CAST(64 - count(*) AS DOUBLE)) "
+    f"ELSE {_SQL_HLL_RAW} END, 2)"
+)
+
+
+@query(
+    "events_active_users_hll",
+    f"""
+    WITH e AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             user_id,
+             (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT AS h
+      FROM events WHERE ts IS NOT NULL),
+    spine AS (SELECT DISTINCT d FROM e),
+    r AS (SELECT d, h >> 54 AS reg,
+                 CASE WHEN (h & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                      ELSE 55 - length(bin(h & ((1::BIGINT << 54) - 1)))
+                 END AS rho
+          FROM e),
+    day_reg AS (SELECT d, reg, max(rho) AS mx FROM r GROUP BY d, reg),
+    contrib AS (SELECT d + unnest(range(0, 7)) AS t, reg, mx FROM day_reg),
+    wau_reg AS (SELECT t, reg, max(mx) AS mx FROM contrib GROUP BY t, reg),
+    we AS (SELECT t, {_SQL_HLL_EST} AS wau_est FROM wau_reg GROUP BY t),
+    de AS (SELECT d AS t, {_SQL_HLL_EST} AS dau_est FROM day_reg GROUP BY d),
+    du AS (SELECT DISTINCT d, user_id FROM e),
+    wx AS (SELECT t, count(DISTINCT user_id) AS wau_exact FROM
+             (SELECT d + unnest(range(0, 7)) AS t, user_id FROM du)
+           GROUP BY t),
+    dx AS (SELECT d AS t, count(DISTINCT user_id) AS dau_exact
+           FROM du GROUP BY d)
+    SELECT DATE '1970-01-01' + CAST(s.d AS INTEGER) AS day,
+           de.dau_est, dx.dau_exact, we.wau_est, wx.wau_exact
+    FROM spine s
+    JOIN de ON de.t = s.d
+    JOIN dx ON dx.t = s.d
+    JOIN we ON we.t = s.d
+    JOIN wx ON wx.t = s.d
+    """,
+)
+def events_active_users_hll(spark, sf_dir):
+    """DAU/WAU from MERGEABLE per-day HLL sketches — the materialized
+    scale path whose exact oracle is ``events_active_users``: each day
+    collapses to a 64-row register table (the portable relational HLL of
+    ``agg_hll_sketch``), and trailing-window counts are register-max
+    merges of 7 day sketches — raw events are touched exactly once,
+    ever.  Exact daily/weekly distincts ride alongside as the
+    verification columns (at 100 TB only the sketch side runs; the
+    sliding merge generalizes to MAU with the same 64-row state).
+
+    Plan shape: the day->window fan-out is a 7-way explode of the
+    REGISTER table (64 rows/day), not of events; every aggregation is
+    map-side-combinable max/sum; the estimator sums exact powers of two,
+    so the double arithmetic is order-independent and hash-exact across
+    engines."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    e = ev.select(d.alias("d"), "user_id", h.alias("h"))
+    w = F.col("h").bitwiseAND(F.lit((1 << 54) - 1))
+    rho = F.when(w == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(w)))
+    day_reg = (
+        e.select("d", F.shiftright(F.col("h"), 54).alias("reg"), rho.alias("rho"))
+        .groupBy("d", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    off = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    contrib = day_reg.select("d", "reg", "mx", off).select(
+        (F.col("d") + F.col("off")).alias("t"), "reg", "mx"
+    )
+    wau_reg = contrib.groupBy("t", "reg").agg(F.max("mx").alias("mx"))
+
+    def est(grouped, alias):
+        empty = (F.lit(64) - F.count(F.lit(1))).cast("double")
+        raw = (
+            F.lit(0.709)
+            * F.lit(4096.0)
+            / (F.sum(F.pow(F.lit(2.0), -F.col("mx"))) + empty)
+        )
+        corrected = F.when(
+            (empty > 0) & (raw <= 160.0),
+            F.lit(64.0) * F.log(F.lit(64.0) / empty),
+        ).otherwise(raw)
+        return grouped.agg(F.round(corrected, 2).alias(alias))
+
+    we = est(wau_reg.groupBy("t"), "wau_est")
+    de = est(day_reg.groupBy(F.col("d").alias("t")), "dau_est")
+    du = e.select("d", "user_id").distinct()
+    wx = (
+        du.select("d", "user_id", off)
+        .select((F.col("d") + F.col("off")).alias("t"), "user_id")
+        .groupBy("t")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+    dx = du.groupBy(F.col("d").alias("t")).agg(
+        F.countDistinct("user_id").alias("dau_exact")
+    )
+    spine = e.select("d").distinct()
+    return (
+        spine.join(de, spine["d"] == de["t"])
+        .join(dx, spine["d"] == dx["t"])
+        .join(we, spine["d"] == we["t"])
+        .join(wx, spine["d"] == wx["t"])
+        .select(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("d").cast("int")
+            ).alias("day"),
+            "dau_est",
+            "dau_exact",
+            "wau_est",
+            "wau_exact",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion of audit_k_anonymity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "audit_l_diversity",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, day, user_id),
+    s AS (
+      SELECT event_type, day, cnt,
+             cnt * 1.0 / sum(cnt) OVER (PARTITION BY event_type, day)
+               AS share
+      FROM g),
+    grp AS (
+      SELECT event_type, day,
+             count(*) AS n_distinct,
+             sum(cnt) AS n_rows,
+             round(-sum(share * ln(share)), 4) AS entropy
+      FROM s GROUP BY event_type, day)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n_distinct) AS BIGINT) AS min_diversity,
+           CAST(count(*) FILTER (WHERE n_distinct < 3) AS BIGINT)
+             AS n_violating,
+           CAST(coalesce(sum(n_rows) FILTER (WHERE n_distinct < 3), 0)
+                AS BIGINT) AS n_rows_at_risk,
+           round(min(entropy), 4) AS min_entropy,
+           CAST(CASE WHEN min(n_distinct) >= 3 THEN 1 ELSE 0 END AS INTEGER)
+             AS l3_satisfied
+    FROM grp
+    """,
+)
+def audit_l_diversity(spark, sf_dir):
+    """l-diversity audit over the same quasi-identifier as
+    ``audit_k_anonymity`` (event_type, day), with user_id as the
+    sensitive attribute: k-anonymity bounds group SIZE, but a size-50
+    group where every row belongs to one user still re-identifies —
+    each group must contain >= l distinct sensitive values (and, by the
+    entropy criterion reported alongside, spread them evenly).  The
+    release gate pairs both audits before a training-data export.
+
+    Plan shape: one map-combinable count shuffle on (QI, sensitive) —
+    cardinality-bounded, never row-bounded — then a per-QI aggregate
+    and a scalar rollup.  Entropy is computed from within-group shares
+    (window over the same partitioning the groupBy just produced) and
+    rounded in both engines before the min."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.partitionBy("event_type", "day")
+    share = F.col("cnt") / F.sum("cnt").over(wg)
+    g2 = g.withColumn("share", share)
+    grp = g2.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("cnt").alias("n_rows"),
+        F.round(-F.sum(F.col("share") * F.log(F.col("share"))), 4).alias(
+            "entropy"
+        ),
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("n_distinct").cast("long").alias("min_diversity"),
+        F.count(F.when(F.col("n_distinct") < 3, 1))
+        .cast("long")
+        .alias("n_violating"),
+        F.coalesce(F.sum(F.when(F.col("n_distinct") < 3, F.col("n_rows"))), F.lit(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(F.min("entropy"), 4).alias("min_entropy"),
+        F.when(F.min("n_distinct") >= 3, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("l3_satisfied"),
+    )

@@ -289,6 +289,38 @@ def test_merge_on_read_conservation(run):
 # ---------------------------------------------------------------------------
 
 
+def test_active_users_hll_invariants(run):
+    """WAU >= DAU (exactly, and directionally for the sketches); the
+    64-register estimate stays within the coarse HLL envelope of the
+    exact count (1.04/sqrt(64) ~ 13% standard error; allow 3 sigma)."""
+    rows = run("events_active_users_hll").collect()
+    assert rows
+    for r in rows:
+        assert r["wau_exact"] >= r["dau_exact"]
+        for est, exact in (
+            (r["dau_est"], r["dau_exact"]),
+            (r["wau_est"], r["wau_exact"]),
+        ):
+            assert est > 0
+            assert abs(est - exact) / exact < 0.4, (est, exact)
+
+
+def test_l_diversity_invariants(run):
+    rows = run("audit_l_diversity").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_violating"] <= r["n_groups"]
+    assert r["min_diversity"] >= 1
+    assert r["min_entropy"] >= 0.0
+    assert r["l3_satisfied"] in (0, 1)
+    # flag consistency with the reported minimum
+    assert (r["l3_satisfied"] == 1) == (r["min_diversity"] >= 3)
+    # entropy l-diversity is capped by ln(distinct): a group with one
+    # sensitive value has zero entropy, so min_diversity==1 forces 0
+    if r["min_diversity"] == 1:
+        assert r["min_entropy"] == 0.0
+
+
 def _plan(spark, sf_dir, name):
     import contextlib
     import io
