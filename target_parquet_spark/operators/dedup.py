@@ -171,8 +171,24 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def _hash_shingles(sh):
+    """Shingle strings -> 60-bit md5 longs: the universe every
+    downstream stage (signature, bands, Jaccard verification) operates
+    in.  ~8 B/element instead of 20+ B of n-gram text is what the band
+    exchange and the candidate verification actually ship; a within-set
+    60-bit collision (~1e-14 for 100-element sets) is the standard
+    MinHash-over-hashed-shingles trade, and the DuckDB oracles hash with
+    the identical expression so cross-engine comparison is exact
+    regardless."""
+    return F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
 def _sig_expr(sh, n_hashes: int):
-    """MinHash signature as ONE fold over the shingle array.
+    """MinHash signature as ONE fold over the HASHED shingle array
+    (long elements — see ``_hash_shingles``).
 
     Two md5 calls per shingle produce 64 hex chars, chopped into
     ``n_hashes`` 8-hex (32-bit) chunks; the signature is the element-wise
@@ -183,7 +199,11 @@ def _sig_expr(sh, n_hashes: int):
     """
     assert n_hashes <= 8
     hs = F.transform(
-        sh, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x:"), s)))
+        sh,
+        lambda s: F.concat(
+            F.md5(s.cast("string")),
+            F.md5(F.concat(F.lit("x:"), s.cast("string"))),
+        ),
     )
     idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
     init = F.array_repeat(F.lit("g"), n_hashes)  # 'g' > any hex digit
@@ -219,9 +239,11 @@ def minhash_signature(
     if drop_empty:
         return df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
             F.col(id_col).alias("doc_id"),
-            _sig_expr(shingles(F.col(text_col), n=shingle_n), n_hashes).alias("sig"),
+            _sig_expr(
+                _hash_shingles(shingles(F.col(text_col), n=shingle_n)), n_hashes
+            ).alias("sig"),
         )
-    sh = shingles(F.col(text_col), n=shingle_n)
+    sh = _hash_shingles(shingles(F.col(text_col), n=shingle_n))
     return df.select(
         F.col(id_col).alias("doc_id"), _sig_expr(sh, n_hashes).alias("sig")
     )
@@ -538,9 +560,15 @@ def lsh_band_index(
             "signature"
         )
     rows_per_band = n_hashes // bands
+    # The verification payload rides the band exchange once per band, so
+    # its width is the index's dominant shuffle cost: shingles are hashed
+    # to 60-bit longs at the scan (see _hash_shingles) and the signature,
+    # band hashes, and downstream Jaccard all operate in that universe —
+    # which also keeps the streaming screen's per-row band RECOMPUTE
+    # (streaming_near_dup._bands_of) consistent with the stored index.
     base = df.filter(F.size(tokens(F.col(text_col))) >= shingle_n).select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), n=shingle_n).alias("sh"),
+        _hash_shingles(shingles(F.col(text_col), n=shingle_n)).alias("sh"),
     )
     sig = base.select("doc_id", "sh", _sig_expr(F.col("sh"), n_hashes).alias("sig"))
     return sig.select(

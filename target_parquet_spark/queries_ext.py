@@ -310,11 +310,20 @@ def dedup_exact_keep_first(spark, sf_dir):
     return kept.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
 
 
-# Chunked MinHash: 2 md5 per shingle -> 64 hex chars -> 8 x 8-hex chunks;
-# signature = element-wise min (see operators/dedup._sig_expr).
+# Shingle strings -> 60-bit md5 longs: the universe the whole MinHash
+# pipeline operates in (operators/dedup._hash_shingles) — the band
+# exchange and candidate verification ship 8-byte elements, not n-gram
+# text.
+SQL_HS = "list_transform({s}, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
+
+# Chunked MinHash over the HASHED shingles: 2 md5 per element -> 64 hex
+# chars -> 8 x 8-hex chunks; signature = element-wise min (see
+# operators/dedup._sig_expr; Spark's cast(long as string) == DuckDB's
+# CAST(BIGINT AS VARCHAR) for the md5 input).
 SQL_SIG = (
-    "list_transform(range(0, 8), j -> list_min(list_transform({s}, "
-    "x -> substr(md5(x) || md5('x:' || x), j*8 + 1, 8))))"
+    "list_transform(range(0, 8), j -> list_min(list_transform({h}, "
+    "x -> substr(md5(CAST(x AS VARCHAR)) || md5('x:' || CAST(x AS VARCHAR)), "
+    "j*8 + 1, 8))))"
 )
 
 
@@ -322,9 +331,10 @@ SQL_SIG = (
     "dedup_minhash_signature",
     f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents),
-    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks)
-    SELECT doc_id, array_to_string({SQL_SIG.format(s='s')}, '|') AS sig
-    FROM sh WHERE len(s) > 0
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks),
+    shh AS (SELECT doc_id, {SQL_HS.format(s='s')} AS hs FROM sh)
+    SELECT doc_id, array_to_string({SQL_SIG.format(h='hs')}, '|') AS sig
+    FROM shh WHERE len(hs) > 0
     """,
 )
 def dedup_minhash_signature(spark, sf_dir):
@@ -340,11 +350,12 @@ def dedup_minhash_signature(spark, sf_dir):
 SQL_MINHASH_PAIR_CTES = f"""
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks),
+    shh AS (SELECT doc_id, {SQL_HS.format(s='s')} AS hs FROM sh),
     sig AS (
-      SELECT doc_id, s, {SQL_SIG.format(s='s')} AS g
-      FROM sh WHERE len(s) > 0),
+      SELECT doc_id, hs, {SQL_SIG.format(h='hs')} AS g
+      FROM shh WHERE len(hs) > 0),
     bands AS (
-      SELECT doc_id, s, u.b AS band_idx,
+      SELECT doc_id, u.b AS band_idx,
              md5(g[2*u.b + 1] || '|' || g[2*u.b + 2]) AS band_hash
       FROM sig, unnest(range(0, 4)) AS u(b)),
     cand AS (
@@ -354,12 +365,12 @@ SQL_MINHASH_PAIR_CTES = f"""
        AND a.doc_id < b.doc_id),
     pairs AS (
       SELECT c.id_a, c.id_b,
-             round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                   / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
+             round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                   / CAST(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE),
                    4) AS jaccard
-      FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
-      WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                  / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE),
+      FROM cand c JOIN shh sa ON sa.doc_id = c.id_a JOIN shh sb ON sb.doc_id = c.id_b
+      WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                  / CAST(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE),
                   4) >= 0.5)
 """
 
