@@ -159,6 +159,7 @@ HEADLINE = [
     "window_ewma_daily",
     "events_active_users_hll",
     "audit_l_diversity",
+    "scan_ivf_partitioned",
 ]
 
 

@@ -359,9 +359,16 @@ def _ngram_pair_stats(
     per-doc set sizes are instead counted FROM the posting exchange
     (a second read of the same shuffle files, grouped on doc_id) and
     joined onto the ~sparse verified-pair set at the end."""
+    # Shingles ride the posting exchange (and serve as its join key) as
+    # 60-bit md5 longs — 16 B rows instead of ~30 B n-gram text, long
+    # equality instead of string comparison in the self-join.  The df
+    # cap counts frequencies in the hashed space in BOTH engines, so the
+    # oracle stays exact (see _hash_shingles on the collision trade).
     posting = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n=n)).alias("shingle"),
+        F.explode(_hash_shingles(shingles(F.col(text_col), n=n))).alias(
+            "shingle"
+        ),
     ).repartition(_width(df), "shingle")
     if max_df is not None:
         posting = (

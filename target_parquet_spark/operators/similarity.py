@@ -356,6 +356,23 @@ def ivf_cell(vec: Column, codebook: list[tuple[int, list[float], float]]) -> Col
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def ivf_probe_cells(
+    query_vec: list[float],
+    codebook: list[tuple[int, list[float], float]],
+    nprobe: int,
+) -> list[int]:
+    """Driver-side probe selection: the ``nprobe`` cells whose centroids
+    score highest against the query — the same arithmetic the executors'
+    fold uses for assignment, so probing and assignment agree."""
+    cell_scores = []
+    for cid, cv, nrm in codebook:
+        d = 0.0
+        for a, b in zip(query_vec, cv):
+            d += a * b
+        cell_scores.append((-(d / nrm), cid))
+    return [cid for _neg, cid in sorted(cell_scores)[:nprobe]]
+
+
 def ivf_ann(
     corpus: DataFrame,
     query_vec: list[float],
@@ -379,14 +396,7 @@ def ivf_ann(
     for x in qv:
         s += x * x
     qnorm = math.sqrt(s)
-    # driver-side probe selection — same arithmetic as the executors' fold
-    cell_scores = []
-    for cid, cv, nrm in codebook:
-        d = 0.0
-        for a, b in zip(qv, cv):
-            d += a * b
-        cell_scores.append((-(d / nrm), cid))
-    probe = [cid for _neg, cid in sorted(cell_scores)[:nprobe]]
+    probe = ivf_probe_cells(qv, codebook, nprobe)
 
     qlit = F.array(*[F.lit(x) for x in qv])
     assigned = corpus.withColumn("cell", ivf_cell(F.col(vec_col), codebook))

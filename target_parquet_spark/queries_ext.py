@@ -560,7 +560,11 @@ def dedup_keep_canonical(spark, sf_dir):
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
            WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
-    posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    posting AS (SELECT doc_id,
+                       unnest(list_transform(s, x ->
+                         ('0x' || substr(md5(x), 1, 15))::BIGINT))
+                         AS shingle
+                FROM sh),
     kept AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
@@ -604,7 +608,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
            WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
-    posting AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    posting AS (SELECT doc_id,
+                       unnest(list_transform(s, x ->
+                         ('0x' || substr(md5(x), 1, 15))::BIGINT))
+                         AS shingle
+                FROM sh),
     kept AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
@@ -1317,10 +1325,13 @@ def multimodal_frame_sample(spark, sf_dir):
       SELECT doc_id, tt, tt[1:len(tt) - 2] AS bt
       FROM (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents)),
     bench AS (
-      SELECT DISTINCT unnest({SQL_SHINGLES.format(t='bt')}) AS shingle
+      SELECT DISTINCT unnest({SQL_HS.format(s=SQL_SHINGLES.format(t='bt'))})
+        AS shingle
       FROM d WHERE doc_id % 50 = 0),
     post AS (
-      SELECT doc_id, unnest({SQL_SHINGLES.format(t='tt')}) AS shingle FROM d),
+      SELECT doc_id,
+             unnest({SQL_HS.format(s=SQL_SHINGLES.format(t='tt'))}) AS shingle
+      FROM d),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM post GROUP BY doc_id),
     hits AS (SELECT p.doc_id, count(*) AS n_hit
              FROM post p JOIN bench USING (shingle) GROUP BY p.doc_id)
@@ -1344,17 +1355,31 @@ def text_contamination(spark, sf_dir):
     postings are hash-partitioned once on doc_id (one exchange, reused by
     both the size and hit branches); both downstream aggregations and the
     final join are then exchange-free because partitioning is preserved.
+    Shingles ride that exchange as 60-bit md5 longs (the r4 MinHash
+    lesson): the reused posting exchange is the query's dominant shuffle
+    and its row narrows from ~30 B of n-gram text to 16 B; the oracle
+    hashes with the identical expression, so membership counts stay
+    engine-exact even in the ~1e-14 collision event.
     """
+    from target_parquet_spark.operators.dedup import _hash_shingles
+
     docs = td(spark, sf_dir, "documents").select("doc_id", "text")
     toks = X.tokens(F.col("text"))
     bench_text = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 2))
     bench_sh = (
         docs.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode(X.shingles(bench_text, n=3)).alias("shingle"))
+        .select(
+            F.explode(_hash_shingles(X.shingles(bench_text, n=3))).alias(
+                "shingle"
+            )
+        )
         .distinct()
     )
     posting = docs.select(
-        "doc_id", F.explode(X.shingles(F.col("text"), n=3)).alias("shingle")
+        "doc_id",
+        F.explode(_hash_shingles(X.shingles(F.col("text"), n=3))).alias(
+            "shingle"
+        ),
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hits = (

@@ -869,6 +869,72 @@ def events_active_users_hll(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF cell as the physical partition key (the claim, materialized)
+# ---------------------------------------------------------------------------
+
+
+def _register_ivf_partitioned():
+    """Register with sim_ann_ivf's oracle verbatim: the LAYOUT changes,
+    the answer must not."""
+    from target_parquet_spark.queries import ORACLES
+
+    @query("scan_ivf_partitioned", ORACLES["sim_ann_ivf"])
+    def scan_ivf_partitioned(spark, sf_dir):
+        """``sim_ann_ivf`` docstrings claim "at 100 TB the cell is the
+        partition key and probing prunes the scan to nprobe/16" — this
+        query MATERIALIZES that layout and runs the probe against it:
+        the embedding table is written once ``partitionBy('cell')``
+        (assignment = the same literal-argmax expression), and the
+        2-cell probe becomes a directory-level ``PartitionFilters``
+        prune (pinned by plan test) — vectors outside the probed cells
+        are never read, not merely filtered.  Same oracle as
+        ``sim_ann_ivf``: the layout changes, the answer must not.
+        """
+        import math
+        import os
+
+        from target_parquet_spark.io.layout import _tag, warehouse_dir
+
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        codebook = S.ivf_codebook(emb, n_centroids=16)
+        name = f"ivf_embeddings_{_tag(sf_dir)}"
+        path = os.path.join(warehouse_dir(), name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                emb.withColumn("cell", S.ivf_cell(F.col("embedding"), codebook))
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(path)
+            )
+        stored = spark.read.parquet(path)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+        ]
+        probe = S.ivf_probe_cells(qv, codebook, nprobe=2)
+        qnorm = math.sqrt(sum(x * x for x in qv))
+        qlit = F.array(*[F.lit(x) for x in qv])
+        return (
+            stored.filter(F.col("cell").isin(probe))
+            .select(
+                "vec_id",
+                "cell",
+                F.round(
+                    S.dot(F.col("embedding"), qlit)
+                    / (S.norm(F.col("embedding")) * F.lit(qnorm)),
+                    4,
+                ).alias("sim"),
+            )
+            .filter(F.col("sim") >= 0.1)
+        )
+
+    return scan_ivf_partitioned
+
+
+_register_ivf_partitioned()
+
+
+# ---------------------------------------------------------------------------
 # l-diversity audit (companion of audit_k_anonymity)
 # ---------------------------------------------------------------------------
 

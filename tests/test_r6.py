@@ -367,6 +367,22 @@ def test_merge_on_read_plan_broadcast_anti(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_ivf_partitioned_prunes_and_matches(spark, sf_dir, run):
+    """The cell-partitioned layout must answer identically to the
+    in-query assignment path (sim_ann_ivf), and the probe must reach the
+    scan as a directory-level PartitionFilters prune."""
+    a = {(r["vec_id"], r["cell"], r["sim"]) for r in run("sim_ann_ivf").collect()}
+    b = {
+        (r["vec_id"], r["cell"], r["sim"])
+        for r in run("scan_ivf_partitioned").collect()
+    }
+    assert a == b and a
+    p = _plan(spark, sf_dir, "scan_ivf_partitioned")
+    scan = p.split("PartitionFilters:")
+    assert len(scan) >= 2
+    assert "cell" in scan[1].split("\n")[0]
+
+
 def test_ewma_convexity(run):
     """The renormalized truncated-kernel EWMA is a convex combination of
     the trailing 14 observed dailies — bounded by their min/max; the
