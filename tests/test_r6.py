@@ -321,6 +321,80 @@ def test_l_diversity_invariants(run):
         assert r["min_entropy"] == 0.0
 
 
+# ---------------------------------------------------------------------------
+# streaming ANN ingest (cell-partitioned vector store)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_vector_store(spark, sf_dir, tmp_path):
+    """Stream==batch parity for the cell-partitioned store: streamed
+    vectors carry the same cell assignment as the batch expression, the
+    pruned ANN query equals the batch ivf_ann answer, and a replayed
+    batch write is idempotent."""
+    from target_parquet_spark.operators import similarity as S
+    from target_parquet_spark.queries import t as load
+    from target_parquet_spark.streaming.ann_ingest import StreamingVectorStore
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook = S.ivf_codebook(emb, n_centroids=16)
+
+    src = str(tmp_path / "src")
+    emb.write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "store")
+    store = StreamingVectorStore(spark, out, codebook)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = store.start(stream)
+    q.awaitTermination(120)
+
+    # cell assignment parity with the batch expression
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in store.vectors().select("vec_id", "cell").collect()
+    }
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in emb.withColumn(
+            "cell", S.ivf_cell(F.col("embedding"), codebook)
+        )
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert got == want and got
+
+    # pruned query parity with the batch ANN operator
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    batch_ans = {
+        (r["vec_id"], r["cell"], r["sim"])
+        for r in S.ivf_ann(emb, qv, codebook, nprobe=2, threshold=0.1).collect()
+    }
+    stream_ans = {
+        (r["vec_id"], r["cell"], r["sim"])
+        for r in store.ann_query(qv, nprobe=2, threshold=0.1).collect()
+    }
+    assert stream_ans == batch_ans and stream_ans
+
+    # the cell filter reaches the scan as a partition prune
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        store.ann_query(qv).explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters:" in p
+    assert "cell" in p.split("PartitionFilters:")[1].split("\n")[0]
+
+    # replaying a batch (crash between write and checkpoint commit)
+    # rewrites identical rows — store size unchanged
+    n_before = store.vectors().count()
+    replay = spark.read.parquet(src)
+    store._write_batch(replay, 0)
+    assert store.vectors().count() == n_before
+
+
 def _plan(spark, sf_dir, name):
     import contextlib
     import io
