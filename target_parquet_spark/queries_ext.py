@@ -560,11 +560,7 @@ def dedup_keep_canonical(spark, sf_dir):
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
            WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
-    posting AS (SELECT doc_id,
-                       unnest(list_transform(s, x ->
-                         ('0x' || substr(md5(x), 1, 15))::BIGINT))
-                         AS shingle
-                FROM sh),
+    posting AS (SELECT doc_id, unnest({SQL_HS.format(s='s')}) AS shingle FROM sh),
     kept AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
@@ -608,11 +604,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM corpus),
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='tt')} AS s FROM toks
            WHERE len({SQL_SHINGLES.format(t='tt')}) > 0),
-    posting AS (SELECT doc_id,
-                       unnest(list_transform(s, x ->
-                         ('0x' || substr(md5(x), 1, 15))::BIGINT))
-                         AS shingle
-                FROM sh),
+    posting AS (SELECT doc_id, unnest({SQL_HS.format(s='s')}) AS shingle FROM sh),
     kept AS (
       SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
@@ -797,12 +789,21 @@ def sim_label_centroids(spark, sf_dir):
 # (operators/similarity.plane_weights — md5-parity derived, fixed).
 _PLANES = S.plane_weights(n_planes=8, dim=64)
 
-_SQL_BUCKET = "(" + " || ".join(
-    "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
-    f"i -> CAST({{v}}[i] AS DOUBLE) * ([{', '.join(str(w) for w in plane)}])[i]"
-    ")) > 0 THEN '1' ELSE '0' END)"
-    for plane in _PLANES
-) + ")"
+
+def sql_bucket(planes: list[list[float]]) -> str:
+    """DuckDB twin of ``operators/similarity.lsh_bucket`` for a literal
+    plane matrix — ONE definition so every oracle that buckets (the
+    sim_ann family here, the 4-plane k-NN graph in queries_r6) shares
+    the exact sign-fold expression and cannot drift."""
+    return "(" + " || ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
+        f"i -> CAST({{v}}[i] AS DOUBLE) * ([{', '.join(str(w) for w in plane)}])[i]"
+        ")) > 0 THEN '1' ELSE '0' END)"
+        for plane in planes
+    ) + ")"
+
+
+_SQL_BUCKET = sql_bucket(_PLANES)
 
 
 @query(

@@ -55,6 +55,7 @@ from target_parquet_spark.queries_ext import (
     SQL_TOKS,
     _SQL_DOT,
     _spark_corpus,
+    sql_bucket,
     td,
 )
 from target_parquet_spark.queries_r2 import _SQL_GRAMS5, _grams5
@@ -69,13 +70,7 @@ from target_parquet_spark.queries_r2 import _SQL_GRAMS5, _grams5
 # log2(n / target_occupancy), optionally OR-amplified across independent
 # plane families for recall.
 _PLANES4 = S.plane_weights(n_planes=4, dim=64)
-
-_SQL_BUCKET4 = "(" + " || ".join(
-    "(CASE WHEN list_sum(list_transform(range(1, len({v}) + 1), "
-    f"i -> CAST({{v}}[i] AS DOUBLE) * ([{', '.join(str(w) for w in plane)}])[i]"
-    ")) > 0 THEN '1' ELSE '0' END)"
-    for plane in _PLANES4
-) + ")"
+_SQL_BUCKET4 = sql_bucket(_PLANES4)
 
 # Shared CTE prefix: bucketed embeddings with precomputed norms, bucket
 # self-join pairs, per-source neighbor ranking.
@@ -447,8 +442,8 @@ def text_novelty_curve(spark, sf_dir):
           FROM e GROUP BY event_type, hr),
     z AS (SELECT e.event_type, e.cents,
                  b.s1 * 1.0 / b.n AS mu,
-                 sqrt(b.s2 * 1.0 / b.n
-                      - (b.s1 * 1.0 / b.n) * (b.s1 * 1.0 / b.n)) AS sd
+                 sqrt(greatest(b.s2 * 1.0 / b.n
+                      - (b.s1 * 1.0 / b.n) * (b.s1 * 1.0 / b.n), 0.0)) AS sd
           FROM e JOIN b ON e.event_type = b.event_type AND e.hr = b.hr)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -488,7 +483,11 @@ def events_seasonal_anomaly(spark, sf_dir):
         F.sum(F.col("cents") * F.col("cents")).alias("s2"),
     )
     mu = F.col("s1") / F.col("n")
-    sd = F.sqrt(F.col("s2") / F.col("n") - mu * mu)
+    # greatest(var, 0): at 100 TB cell counts, the BIGINT->double power
+    # sums can round var to a tiny negative for near-constant cells;
+    # sqrt(negative) is NaN in Spark (which sorts ABOVE every number, so
+    # sd > 0 would pass and flag the whole cell) and an error in DuckDB.
+    sd = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(0.0)))
     z = e.join(F.broadcast(b), ["event_type", "hr"]).select(
         "event_type",
         mu.alias("mu"),
@@ -677,15 +676,20 @@ def _sql_ewma() -> tuple[str, str]:
                FROM events
                WHERE ts IS NOT NULL AND value IS NOT NULL
                GROUP BY day),
+    spine AS (SELECT (SELECT min(day) FROM d)
+                       + CAST(unnest(range(0,
+                           (SELECT date_diff('day', min(day), max(day))
+                            FROM d) + 1)) AS INTEGER) AS day),
+    dd AS (SELECT s.day, d.xc FROM spine s LEFT JOIN d ON d.day = s.day),
     l AS (SELECT day, xc,
                  {', '.join(f'lag(xc, {j}) OVER (ORDER BY day) AS x{j}'
                             for j in range(1, _EWMA_K))}
-          FROM d)
+          FROM dd)
     SELECT day,
            round(xc / 100.0, 2) AS daily_total,
            round(({_sql_ewma()[0]}) / ({_sql_ewma()[1]}) / 100.0, 4)
              AS ewma14
-    FROM l
+    FROM l WHERE xc IS NOT NULL
     """,
 )
 def window_ewma_daily(spark, sf_dir):
@@ -698,9 +702,12 @@ def window_ewma_daily(spark, sf_dir):
     same sufficient-statistics move as ensure_rollup), so the window
     runs over a few hundred rows regardless of corpus size; the kernel
     is a fixed set of lag() columns over one sort — no self-join, no
-    per-row arrays.  Daily sums are integer cents and the weight chain
-    is evaluated in the same term order in both engines, so the floats
-    are bit-identical before rounding."""
+    per-row arrays — and a calendar day spine under the lags makes
+    lag(j) mean "j calendar days back" even across ingestion gaps
+    (absent days drop their weight; the kernel renormalizes).  Daily
+    sums are integer cents and the weight chain is evaluated in the
+    same term order in both engines, so the floats are bit-identical
+    before rounding."""
     d = (
         t(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
@@ -709,12 +716,24 @@ def window_ewma_daily(spark, sf_dir):
             F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("xc")
         )
     )
+    # Day spine: lag(j) must mean "j CALENDAR days back", not "j observed
+    # rows back" — an ingestion-outage gap would otherwise attach
+    # yesterday's weight to a month-old value.  Spine days carry xc NULL,
+    # which the kernel already treats as absent (weight renormalized);
+    # only observed days are emitted.
+    bounds = d.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    dd = spine.join(d, "day", "left")
     w = Window.orderBy("day")
-    lagged = d.select(
+    lagged = dd.select(
         "day",
         "xc",
         *[F.lag("xc", j).over(w).alias(f"x{j}") for j in range(1, _EWMA_K)],
-    )
+    ).filter(F.col("xc").isNotNull())
     num = functools.reduce(
         lambda acc, j: acc
         + F.lit(_EWMA_W[j]) * F.coalesce(F.col(f"x{j}"), F.lit(0)),

@@ -85,9 +85,28 @@ class StreamingVectorStore:
 
     # -- read path ----------------------------------------------------
 
+    def _batch_dirs(self) -> list[str]:
+        if not os.path.isdir(self.out_dir):
+            return []
+        return [
+            d
+            for d in os.listdir(self.out_dir)
+            if d.startswith("batch=")
+        ]
+
     def vectors(self) -> DataFrame:
         """The stored corpus with its cell assignment (partition
-        discovery exposes ``batch`` and ``cell`` as columns)."""
+        discovery exposes ``batch`` and ``cell`` as columns).
+
+        Raises a descriptive error before the first micro-batch commits
+        (the bare parquet glob would otherwise surface an opaque
+        'path does not exist' AnalysisException from the read path)."""
+        if not self._batch_dirs():
+            raise ValueError(
+                f"StreamingVectorStore at {self.out_dir} holds no "
+                "committed batches yet — start() a stream (or check the "
+                "source produced data) before querying"
+            )
         return self.spark.read.option("basePath", self.out_dir).parquet(
             os.path.join(self.out_dir, "batch=*")
         )

@@ -343,8 +343,14 @@ def test_streaming_vector_store(spark, sf_dir, tmp_path):
     out = str(tmp_path / "store")
     store = StreamingVectorStore(spark, out, codebook)
     stream = spark.readStream.schema(emb.schema).parquet(src)
+    # empty store: descriptive error, not an opaque AnalysisException
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no\\s+committed batches"):
+        store.vectors()
+
     q = store.start(stream)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     # cell assignment parity with the batch expression
     got = {
@@ -469,3 +475,40 @@ def test_ewma_convexity(run):
         lo = min(dailies[max(0, i - 13): i + 1])
         hi = max(dailies[max(0, i - 13): i + 1])
         assert lo - 0.01 <= r["ewma14"] <= hi + 0.01, r["day"]
+
+
+def test_ewma_calendar_gap_semantics(spark, tmp_out):
+    """lag(j) must mean j CALENDAR days back: with a 20-day ingestion
+    gap, the day after the gap must weight the pre-gap value at
+    (1-a)^20-equivalent distance (i.e., outside the 14-day kernel ->
+    ewma == its own daily total), not at lag-1 weight."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 1, "click", 100.0, "{}"),
+        (2, dt.datetime(2024, 1, 2, 12), 1, "click", 200.0, "{}"),
+        # 20-day gap
+        (3, dt.datetime(2024, 1, 23, 12), 1, "click", 300.0, "{}"),
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/events.parquet")
+    )
+    got = {
+        str(r["day"]): (r["daily_total"], r["ewma14"])
+        for r in QUERIES["window_ewma_daily"](spark, tmp_out).collect()
+    }
+    assert len(got) == 3
+    # day 2 blends day 1 at lag-1 weight
+    a = 0.3
+    exp2 = (a * 200.0 + a * (1 - a) * 100.0) / (a + a * (1 - a))
+    assert got["2024-01-02"][1] == pytest.approx(exp2, abs=0.01)
+    # day 23 is 21 calendar days after day 2 — outside the 14-day
+    # kernel, so its EWMA must be exactly its own daily total (a
+    # row-based lag would have pulled day 2 in at weight (1-a)^1)
+    assert got["2024-01-23"][1] == pytest.approx(300.0, abs=0.01)
