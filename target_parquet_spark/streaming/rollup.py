@@ -101,3 +101,32 @@ class StreamingRollup:
         ``epoch=*`` and merge with the base on read; a no-op when there
         is nothing to fold."""
         self._store.compact(self._fold)
+
+    def k_anonymity(self, k: int = 5) -> DataFrame:
+        """Incremental release gate: the k-anonymity audit
+        (``audit_k_anonymity``'s exact shape — group sizes over the
+        (event_type, day) quasi-identifier) computed FROM the maintained
+        rollup instead of the raw events.  The QI grain IS the rollup
+        grain, so the audit's input is the store's few-hundred-row merged
+        state — a continuously-ingesting pipeline can gate every export
+        on it without ever re-scanning history, and arbitrarily late
+        data lands in its day's partial and is audited on the next
+        read."""
+        g = self.read()
+        return g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.count(F.when(F.col("n_events") < k, 1))
+            .cast("long")
+            .alias("n_violating"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_events") < k, F.col("n_events"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.min("n_events").cast("long").alias("min_group_size"),
+            F.when(F.min("n_events") >= k, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias(f"k{k}_satisfied"),
+        )

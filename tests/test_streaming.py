@@ -1184,3 +1184,36 @@ def test_streaming_heavy_hitters_equals_batch_sketch(spark, events_src, tmp_path
     hh.compact()
     assert _rows(hh.registers(), cols) == state
     assert _rows(hh.candidates(), ["key"]) == cands
+
+
+def test_streaming_rollup_k_anonymity_gate(spark, events_src, tmp_path):
+    """The incremental k-anonymity audit off the maintained rollup must
+    equal the batch audit_k_anonymity over the same events — the QI
+    grain IS the rollup grain, so no information is lost."""
+    import target_parquet_spark.queries_r3  # noqa: F401  (registers audit)
+    from target_parquet_spark.queries import QUERIES
+    from target_parquet_spark.streaming.rollup import StreamingRollup
+
+    path, schema = events_src
+    out = str(tmp_path / "rollup_k")
+    r = StreamingRollup(spark, out)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    _await(r.start(stream, available_now=True))
+
+    got = r.k_anonymity(k=5).collect()[0].asDict()
+
+    # batch twin over the same parquet (audit_k_anonymity reads
+    # {sf_dir}/events.parquet — point it at the stream's source)
+    import os
+
+    sf_like = str(tmp_path / "sf_like")
+    os.makedirs(sf_like, exist_ok=True)
+    spark.read.parquet(path).write.mode("overwrite").parquet(
+        f"{sf_like}/events.parquet"
+    )
+    want = QUERIES["audit_k_anonymity"](spark, sf_like).collect()[0].asDict()
+    assert got == want
