@@ -160,6 +160,8 @@ HEADLINE = [
     "events_active_users_hll",
     "audit_l_diversity",
     "scan_ivf_partitioned",
+    "sim_knn_graph_scaled",
+    "graph_link_prediction_scaled",
 ]
 
 

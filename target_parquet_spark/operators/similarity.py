@@ -13,10 +13,11 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "knn_graph",
     "dot",
     "cosine",
     "brute_force_topk",
@@ -595,3 +596,86 @@ def semantic_dup_pairs(
     for p in pair_sets[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int | None = None,
+    n_tables: int = 2,
+    target_occupancy: int = 128,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k-NN graph at ADAPTIVE bucket granularity with OR-amplification —
+    the scale path behind the oracle-pinned ``sim_knn_graph`` (whose
+    fixed 4-plane buckets are quadratic-in-density, same hazard as the
+    fixed-plane semantic clusters).  ``n_planes`` defaults to
+    ceil(log2(n / target_occupancy)) so per-bucket pair work stays
+    constant as the corpus grows; recall lost to finer buckets is bought
+    back by unioning candidates from ``n_tables`` independent plane
+    families before the per-source top-k.  Exact duplicates share every
+    bucket in every table, so a vector's true twin is always rank 1.
+
+    Plan: per table, ONE bucket repartition feeds both self-join sides
+    (ReusedExchange); candidates carry only (src, nbr, sim) fixed-width
+    rows into the cross-table distinct; the ranking window partitions by
+    the source id.  Returns (src, nbr_rank, nbr, sim), rank <= k.
+    """
+    import math
+
+    probe = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(f"knn_graph: corpus has no non-null {vec_col!r}")
+    dim = len(probe[0])
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(
+            4,
+            min(24, math.ceil(math.log2(max(n, 2) / target_occupancy))),
+        )
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
+    )
+    cand_sets = []
+    for t_idx in range(n_tables):
+        b = base.withColumn(
+            "bucket", lsh_bucket(F.col(vec_col), n_planes, dim, table=t_idx)
+        ).repartition("bucket")
+        x = b.select(
+            F.col(id_col).alias("src"),
+            F.col(vec_col).alias("_xv"),
+            "bucket",
+            F.col("_nrm").alias("_xn"),
+        )
+        y = b.select(
+            F.col(id_col).alias("nbr"),
+            F.col(vec_col).alias("_yv"),
+            "bucket",
+            F.col("_nrm").alias("_yn"),
+        )
+        cand_sets.append(
+            x.join(y.hint("merge"), "bucket")
+            .filter(F.col("src") != F.col("nbr"))
+            .select(
+                "src",
+                "nbr",
+                F.round(
+                    dot(F.col("_xv"), F.col("_yv"))
+                    / (F.col("_xn") * F.col("_yn")),
+                    4,
+                ).alias("sim"),
+            )
+        )
+    cand = cand_sets[0]
+    for c in cand_sets[1:]:
+        cand = cand.unionByName(c)
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        cand.distinct()
+        .withColumn("nbr_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("nbr_rank") <= k)
+        .select("src", "nbr_rank", "nbr", "sim")
+    )

@@ -163,6 +163,20 @@ def sim_knn_graph(spark, sf_dir):
     return _knn_edges(spark, sf_dir, k=3)
 
 
+@query("sim_knn_graph_scaled")
+def sim_knn_graph_scaled(spark, sf_dir):
+    """The k-NN graph's scale path (`operators/similarity.knn_graph`):
+    adaptive plane count (bucket occupancy held constant as the corpus
+    grows) with OR-amplification across 2 independent plane families —
+    the same fixed-vs-adaptive split as sim_semantic_clusters[_scaled].
+    No SQL oracle: the plane count is a function of corpus size no
+    static SQL can replay (rows-only driver check); correctness is
+    pinned by the planted-twin test (an exact duplicate shares every
+    bucket in every table, so it must surface as rank 1, sim 1.0)."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.knn_graph(emb, k=3)
+
+
 @query(
     "graph_link_prediction",
     f"""
@@ -200,7 +214,14 @@ def graph_link_prediction(spark, sf_dir):
     co-occurrence joins).  Degrees are node-cardinality and join back on
     the node key; existing edges are removed by an anti-join on the
     same key pair.  All counts are integers — no float boundary rows."""
-    e = _knn_edges(spark, sf_dir, k=3).select("src", "nbr")
+    return _link_predict(_knn_edges(spark, sf_dir, k=3))
+
+
+def _link_predict(edges):
+    """Common-neighbor / Jaccard link prediction over a directed edge
+    list (src, nbr) — symmetrize, posting self-join on the shared
+    neighbor, degree join-back, anti-join existing edges."""
+    e = edges.select("src", "nbr")
     sym = (
         e.select(F.col("src").alias("u"), F.col("nbr").alias("v"))
         .unionByName(e.select(F.col("nbr").alias("u"), F.col("src").alias("v")))
@@ -233,6 +254,18 @@ def graph_link_prediction(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query("graph_link_prediction_scaled")
+def graph_link_prediction_scaled(spark, sf_dir):
+    """Link prediction over the ADAPTIVE k-NN graph — the composition a
+    cluster actually runs (the fixed-plane edge stage is 12.7x for 10x
+    data in the sf1 probe; adaptive is 1.34x, and the prediction logic
+    downstream is identical).  Rows-only driver check, same reason as
+    sim_knn_graph_scaled; the prediction algebra itself is oracle-pinned
+    through the fixed twin."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _link_predict(S.knn_graph(emb, k=3))
 
 
 # ---------------------------------------------------------------------------

@@ -65,6 +65,37 @@ def test_knn_graph_invariants(run):
         assert sims == sorted(sims, reverse=True), src
 
 
+def test_knn_graph_scaled_planted_twin(spark, sf_dir):
+    """Adaptive-plane kNN: an exact duplicate shares every bucket in
+    every table, so each planted copy must surface its twin at rank 1
+    with sim 1.0, at any adaptive plane count."""
+    from target_parquet_spark.operators import similarity as S
+    from target_parquet_spark.queries import t as load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.limit(20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    g = S.knn_graph(emb.unionByName(twins), k=3)
+    rank1 = {
+        r["src"]: (r["nbr"], r["sim"])
+        for r in g.filter(F.col("nbr_rank") == 1).collect()
+    }
+    for vid in range(20):
+        # the twin pair must be each other's top neighbor at cosine 1.0
+        assert rank1[vid + 1000000][1] == 1.0
+        assert rank1.get(vid, (None, None))[1] == 1.0
+    # invariants: dense ranks, sims ordered (same as the fixed twin)
+    per_src = {}
+    for r in g.collect():
+        per_src.setdefault(r["src"], []).append((r["nbr_rank"], r["sim"]))
+    for src, rs in per_src.items():
+        rs.sort()
+        assert [i for i, _ in rs] == list(range(1, len(rs) + 1))
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
 # ---------------------------------------------------------------------------
 # graph_link_prediction
 # ---------------------------------------------------------------------------
