@@ -550,26 +550,10 @@ def semantic_dup_pairs(
     which is corpus-bounded, not candidate-bounded.  The adaptive count()
     is one cheap job, model-state style like the codebook collects.
     """
-    import math
-
-    probe = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-    if probe is None:
-        raise ValueError(
-            f"semantic_dup_pairs: corpus has no non-null {vec_col!r} "
-            "vectors to derive the embedding width from"
-        )
-    dim = len(probe[0])
-    if n_planes is None:
-        n = corpus.count()
-        # ceil(log2(n / occupancy)) planes -> 2^planes ~ n/occupancy
-        # buckets, i.e. expected occupancy ~ target_occupancy.  (An
-        # earlier draft added +7 on top of the /128 divisor — the same
-        # adjustment twice, which drove occupancy to ~1 and collapsed
-        # per-table recall; caught by review.)
-        n_planes = max(
-            8,
-            min(24, math.ceil(math.log2(max(n, 2) / target_occupancy))),
-        )
+    dim, n_planes = _adaptive_planes(
+        corpus, vec_col, target_occupancy, floor=8, n_planes=n_planes,
+        caller="semantic_dup_pairs",
+    )
     pair_sets = []
     for t_idx in range(n_tables):
         b = corpus.withColumn(
@@ -598,6 +582,40 @@ def semantic_dup_pairs(
     return out.distinct()
 
 
+def _adaptive_planes(
+    corpus: DataFrame,
+    vec_col: str,
+    target_occupancy: int,
+    floor: int,
+    n_planes: int | None,
+    caller: str,
+) -> tuple[int, int]:
+    """Shared adaptive-granularity scaffolding for the LSH-family scale
+    paths: derive the embedding width from a non-null probe row and pick
+    ceil(log2(n / occupancy)) planes -> 2^planes ~ n/occupancy buckets,
+    i.e. expected occupancy ~ target_occupancy regardless of corpus
+    size.  ONE definition so the formula (and its history: an earlier
+    draft added +7 on top of the /128 divisor — the same adjustment
+    twice, which drove occupancy to ~1 and collapsed per-table recall;
+    caught by review) cannot drift between callers."""
+    import math
+
+    probe = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            f"{caller}: corpus has no non-null {vec_col!r} "
+            "vectors to derive the embedding width from"
+        )
+    dim = len(probe[0])
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(
+            floor,
+            min(24, math.ceil(math.log2(max(n, 2) / target_occupancy))),
+        )
+    return dim, n_planes
+
+
 def knn_graph(
     corpus: DataFrame,
     k: int = 3,
@@ -622,23 +640,20 @@ def knn_graph(
     rows into the cross-table distinct; the ranking window partitions by
     the source id.  Returns (src, nbr_rank, nbr, sim), rank <= k.
     """
-    import math
-
-    probe = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-    if probe is None:
-        raise ValueError(f"knn_graph: corpus has no non-null {vec_col!r}")
-    dim = len(probe[0])
-    if n_planes is None:
-        n = corpus.count()
-        n_planes = max(
-            4,
-            min(24, math.ceil(math.log2(max(n, 2) / target_occupancy))),
-        )
-    base = corpus.select(
+    dim, n_planes = _adaptive_planes(
+        corpus, vec_col, target_occupancy, floor=4, n_planes=n_planes,
+        caller="knn_graph",
+    )
+    # Null embeddings would null-poison the sign fold (all-zeros bucket,
+    # NULL sims — see lsh_bucket's docstring) and zero-norm vectors
+    # divide 0/0; neither can be anyone's neighbor, so drop them before
+    # the graph rather than let garbage edges take rank slots and
+    # inflate downstream degree counts.
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
-    )
+        norm(F.col(vec_col)).alias("_nrm"),
+    ).filter(F.col("_nrm") > 0)
     cand_sets = []
     for t_idx in range(n_tables):
         b = base.withColumn(

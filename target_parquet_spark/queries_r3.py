@@ -1719,15 +1719,9 @@ def audit_k_anonymity(spark, sf_dir):
     g = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    return g.agg(
-        F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.count(F.when(F.col("n") < 5, 1)).cast("long").alias("n_violating"),
-        F.coalesce(F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0))
-        .cast("long")
-        .alias("n_rows_at_risk"),
-        F.min("n").cast("long").alias("min_group_size"),
-        F.when(F.min("n") >= 5, 1).otherwise(0).cast("int").alias("k5_satisfied"),
-    )
+    from target_parquet_spark.audits import k_anonymity_report
+
+    return k_anonymity_report(g, "n", k=5)
 
 
 # ---------------------------------------------------------------------------

@@ -112,21 +112,6 @@ class StreamingRollup:
         on it without ever re-scanning history, and arbitrarily late
         data lands in its day's partial and is audited on the next
         read."""
-        g = self.read()
-        return g.agg(
-            F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.count(F.when(F.col("n_events") < k, 1))
-            .cast("long")
-            .alias("n_violating"),
-            F.coalesce(
-                F.sum(F.when(F.col("n_events") < k, F.col("n_events"))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_rows_at_risk"),
-            F.min("n_events").cast("long").alias("min_group_size"),
-            F.when(F.min("n_events") >= k, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias(f"k{k}_satisfied"),
-        )
+        from target_parquet_spark.audits import k_anonymity_report
+
+        return k_anonymity_report(self.read(), "n_events", k)

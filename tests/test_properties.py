@@ -523,19 +523,21 @@ def test_sequence_packing_order_invariant(spark, seed, tmp_path_factory):
 
 @pytest.mark.parametrize("seed", [11, 29])
 def test_cdc_chunks_conservation_and_locality(spark, tmp_path_factory, seed):
-    """Two properties the oracle gate cannot see:
+    """Random-corpus properties the oracle gate cannot see (the shift-
+    robustness/locality property has its own fixed-corpus test,
+    tests/test_r6.py::test_cdc_chunks_shift_robustness):
+    - chunk counts match the independent hashlib recomputation;
     - conservation: n_chunks * avg_chunk_tokens recovers the doc's token
       count exactly (every token lands in exactly one chunk);
-    - locality: chunking a doc and its prefix-extended twin yields
-      identical chunk multisets after the first cut point (verified via
-      the hashlib reference, random corpora)."""
-    import hashlib
+    - duplicated-chunk counts match the reference computed over the
+      whole engine-doubled corpus (originals + truncated copies)."""
     import random
 
     from pyspark.sql import functions as F
 
     import target_parquet_spark.queries_r6  # noqa: F401  (registers queries)
     from target_parquet_spark.queries import QUERIES
+    from test_r6 import _py_chunks as py_chunks
 
     rng = random.Random(seed)
     vocab = [f"t{i}" for i in range(200)]
@@ -556,21 +558,27 @@ def test_cdc_chunks_conservation_and_locality(spark, tmp_path_factory, seed):
         r["doc_id"]: r for r in QUERIES["dedup_cdc_chunks"](spark, out).collect()
     }
 
-    def py_chunks(tokens):
-        chunks, cur = [], []
-        for tok in tokens:
-            cur.append(tok)
-            if hashlib.md5(tok.encode()).hexdigest()[31] in "048c":
-                chunks.append(tuple(cur))
-                cur = []
-        if cur:
-            chunks.append(tuple(cur))
-        return chunks
+    # reference chunking over the ENGINE-DOUBLED corpus (the query
+    # appends a truncated copy of every doc at doc_id + 1_000_000)
+    ref_chunks = {}
+    for doc_id, text in docs:
+        toks = text.lower().split()
+        ref_chunks[doc_id] = py_chunks(toks)
+        ref_chunks[doc_id + 1_000_000] = py_chunks(toks[:-2])
+    from collections import Counter
+
+    docs_per_chunk = Counter()
+    for did, chunks in ref_chunks.items():
+        for c in set(chunks):
+            docs_per_chunk[c] += 1
 
     for doc_id, text in docs:
         toks = text.lower().split()
-        ref = py_chunks(toks)
+        ref = ref_chunks[doc_id]
         r = got[doc_id]
         assert r["n_chunks"] == len(ref)
         # conservation: total tokens recovered from the report
         assert round(r["n_chunks"] * r["avg_chunk_tokens"]) == len(toks)
+        # duplicated-chunk count agrees with the cross-corpus reference
+        exp_dup = sum(1 for c in ref if docs_per_chunk[c] >= 2)
+        assert r["n_dup_chunks"] == exp_dup, doc_id

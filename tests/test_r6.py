@@ -73,7 +73,9 @@ def test_knn_graph_scaled_planted_twin(spark, sf_dir):
     from target_parquet_spark.queries import t as load
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    twins = emb.limit(20).select(
+    # filter, not limit: an unordered limit(20) could return arbitrary
+    # rows and the assertions below index vec_ids 0..19 by name
+    twins = emb.filter(F.col("vec_id") < 20).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     g = S.knn_graph(emb.unionByName(twins), k=3)
