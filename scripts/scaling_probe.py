@@ -38,6 +38,12 @@ HEAVY = [
     "sim_semantic_clusters",
     "q1_pricing_summary",
     "events_funnel_sessions",
+    # round-4 families
+    "sim_knn_graph_scaled",
+    "graph_link_prediction_scaled",
+    "dedup_cdc_chunks",
+    "text_novelty_curve",
+    "events_active_users_hll",
 ]
 
 
