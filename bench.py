@@ -162,6 +162,7 @@ HEADLINE = [
     "scan_ivf_partitioned",
     "sim_knn_graph_scaled",
     "graph_link_prediction_scaled",
+    "graph_degree_distribution",
 ]
 
 

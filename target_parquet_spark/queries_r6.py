@@ -268,6 +268,43 @@ def graph_link_prediction_scaled(spark, sf_dir):
     return _link_predict(S.knn_graph(emb, k=3))
 
 
+@query(
+    "graph_degree_distribution",
+    f"""
+    WITH {_SQL_KNN},
+    e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
+    sym AS (SELECT DISTINCT u, v FROM (
+              SELECT src AS u, nbr AS v FROM e
+              UNION ALL
+              SELECT nbr AS u, src AS v FROM e)),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the (symmetrized) k-NN graph — the first
+    thing to look at before running anything iterative over a graph:
+    a heavy tail here predicts hot keys in every downstream
+    neighbor-keyed join (the skew the link-prediction bound deg<=2k
+    rules out by construction; this query is how you CHECK that).
+
+    Plan shape: node-cardinality aggregates only — degree is one
+    groupBy on the node key, the histogram one more on the (tiny)
+    degree domain."""
+    e = _knn_edges(spark, sf_dir, k=3).select("src", "nbr")
+    sym = (
+        e.select(F.col("src").alias("u"), F.col("nbr").alias("v"))
+        .unionByName(e.select(F.col("nbr").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # content-defined chunking (FastCDC-style, over tokens)
 # ---------------------------------------------------------------------------

@@ -21,10 +21,16 @@ Scale notes: assignment is the same literal-argmax Column expression as
 the batch path (zero shuffle, zero join — the codebook is a plan
 literal); the write's only cost is the partitioned append.  Queries
 prune on the cell partition column (directory-level, before file I/O),
-so a query touches nprobe/n_centroids of every batch's files; a
-periodic compaction can fold old ``batch=`` directories into larger
-files per cell without changing the read path (partition discovery
-sees both layouts identically).
+so a query touches nprobe/n_centroids of every batch's files.
+
+Compaction is deliberately NOT implemented here: folding ``batch=``
+directories into larger per-cell files while a stream appends and
+readers list directories needs the manifest-guarded protocol
+``streaming/epoch_store.py`` implements for the aggregate stores (a
+naive rewrite-then-delete lets a racing reader double-read or miss
+rows — the exact bug class the r2 advisory flagged in the bitmap
+store).  Reads stay correct without it; file-count growth is the only
+cost, bounded by batch cadence.
 """
 
 from __future__ import annotations
