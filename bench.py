@@ -163,6 +163,7 @@ HEADLINE = [
     "sim_knn_graph_scaled",
     "graph_link_prediction_scaled",
     "graph_degree_distribution",
+    "audit_embedding_quality",
 ]
 
 

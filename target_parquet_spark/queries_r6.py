@@ -269,6 +269,62 @@ def graph_link_prediction_scaled(spark, sf_dir):
 
 
 @query(
+    "audit_embedding_quality",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE sqrt({_SQL_DOT.format(a='embedding', b='embedding')})
+             END AS nrm,
+             CASE WHEN embedding IS NULL THEN -1 ELSE len(embedding) END
+               AS dim
+      FROM embeddings)
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
+             AS n_null,
+           CAST(count(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero_norm,
+           CAST(count(*) FILTER (WHERE dim <> 64 AND dim >= 0) AS BIGINT)
+             AS n_bad_dim,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           round(quantile_cont(nrm, 0.5), 4) AS p50_norm
+    FROM e
+    """,
+)
+def audit_embedding_quality(spark, sf_dir):
+    """Data-quality audit for an embedding column: null vectors, zero
+    norms, dimension mismatches, and the norm distribution — the
+    pre-flight gate before any similarity/ANN job (a null vector
+    null-poisons LSH sign folds into the all-zeros bucket, a zero norm
+    divides 0/0, and a wrong width silently pads zip_with folds: every
+    one of those failure modes is invisible until a downstream join
+    explodes or returns garbage; see lsh_bucket and knn_graph notes).
+
+    Plan shape: one scan, one scalar aggregate; the norm fold is the
+    same sequential expression every similarity operator uses, so the
+    audit measures exactly what the operators will see."""
+    emb = td(spark, sf_dir, "embeddings")
+    nrm = F.when(
+        F.col("embedding").isNull(), F.lit(None).cast("double")
+    ).otherwise(F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))))
+    dim = F.when(F.col("embedding").isNull(), F.lit(-1)).otherwise(
+        F.size("embedding")
+    )
+    e = emb.select("vec_id", "embedding", nrm.alias("nrm"), dim.alias("dim"))
+    return e.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count(F.when(F.col("embedding").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("nrm") == 0, 1)).alias("n_zero_norm"),
+        F.count(
+            F.when((F.col("dim") != 64) & (F.col("dim") >= 0), 1)
+        ).alias("n_bad_dim"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("p50_norm"),
+    )
+
+
+@query(
     "graph_degree_distribution",
     f"""
     WITH {_SQL_KNN},

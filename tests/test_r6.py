@@ -65,6 +65,29 @@ def test_knn_graph_invariants(run):
         assert sims == sorted(sims, reverse=True), src
 
 
+def test_embedding_quality_audit_planted_defects(spark, tmp_out):
+    """Planted defects must each be counted exactly once: a NULL vector,
+    a zero vector, and a wrong-width vector among clean rows."""
+    rows = [(i, [0.1 * (i + 1)] * 64, 0) for i in range(5)]
+    rows.append((10, None, 0))
+    rows.append((11, [0.0] * 64, 0))
+    rows.append((12, [1.0] * 32, 0))
+    (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label long"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/embeddings.parquet")
+    )
+    r = QUERIES["audit_embedding_quality"](spark, tmp_out).collect()[0]
+    assert r["n_vecs"] == 8
+    assert r["n_null"] == 1
+    assert r["n_zero_norm"] == 1
+    assert r["n_bad_dim"] == 1  # only the 32-wide row; zero is 64-wide
+    assert r["min_norm"] == 0.0
+    assert r["max_norm"] > 0
+
+
 def test_knn_graph_scaled_planted_twin(spark, sf_dir):
     """Adaptive-plane kNN: an exact duplicate shares every bucket in
     every table, so each planted copy must surface its twin at rank 1
