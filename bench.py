@@ -164,6 +164,7 @@ HEADLINE = [
     "graph_link_prediction_scaled",
     "graph_degree_distribution",
     "audit_embedding_quality",
+    "asof_join_tolerance",
 ]
 
 

@@ -81,6 +81,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row at-or-before it
     (``direction='backward'``, the default) or the earliest right row
@@ -92,6 +93,11 @@ def asof_join(
     DuckDB ``ASOF JOIN`` with ``>=`` — or ``<=`` for forward).  Both
     directions are the same one-shuffle union+window plan; forward just
     traverses the per-key timeline descending.
+
+    ``tolerance_seconds`` (pd.merge_asof's ``tolerance``): a match
+    farther than this from the left timestamp is nulled out — a stale
+    quote should not enrich today's trade.  The mask is a scan-stage
+    projection after the window; the plan is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -120,7 +126,19 @@ def asof_join(
     carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     for c in carried:
         unioned = unioned.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return unioned.filter(F.col("_side") == 1).drop("_side", "_ats")
+    out = unioned.filter(F.col("_side") == 1).drop("_side", "_ats")
+    if tolerance_seconds is not None:
+        lts = F.col(left_ts).cast("double")
+        rts = F.col(f"{right_ts}{suffix}").cast("double")
+        gap = (lts - rts) if direction == "backward" else (rts - lts)
+        out = out.withColumn("_gap", gap)
+        for c in carried:
+            out = out.withColumn(
+                c,
+                F.when(F.col("_gap") <= tolerance_seconds, F.col(c)),
+            )
+        out = out.drop("_gap")
+    return out
 
 
 def range_join(

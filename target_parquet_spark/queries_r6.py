@@ -269,6 +269,48 @@ def graph_link_prediction_scaled(spark, sf_dir):
 
 
 @query(
+    "asof_join_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           CASE WHEN c.ts IS NOT NULL
+                 AND epoch(p.ts) - epoch(c.ts) <= 3600.0
+                THEN round(epoch(p.ts) - epoch(c.ts), 3) END
+             AS secs_since_click
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a staleness tolerance (pd.merge_asof's
+    ``tolerance``): each purchase takes its latest preceding click ONLY
+    if that click is within the last hour — a stale match enriches
+    nothing.  Same one-shuffle union+window plan as asof_join_events;
+    the tolerance is a scan-stage mask after the window.  Oracle:
+    DuckDB's native ASOF JOIN with the gap test applied to the match."""
+    from target_parquet_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        tolerance_seconds=3600.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("ts").cast("double") - F.col("ts_right").cast("double"), 3
+        ).alias("secs_since_click"),
+    )
+
+
+@query(
     "audit_embedding_quality",
     f"""
     WITH e AS (
