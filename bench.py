@@ -165,6 +165,7 @@ HEADLINE = [
     "graph_degree_distribution",
     "audit_embedding_quality",
     "asof_join_tolerance",
+    "sql_recursive_reachability",
 ]
 
 

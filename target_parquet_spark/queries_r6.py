@@ -268,6 +268,48 @@ def graph_link_prediction_scaled(spark, sf_dir):
     return _link_predict(S.knn_graph(emb, k=3))
 
 
+_SQL_RECURSIVE_REACH = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    edges AS (
+      SELECT event_type AS src, nxt AS dst, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY 1, 2 HAVING count(*) >= 100),
+    reach(node, depth) AS (
+      SELECT 'click' AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst AS node, r.depth + 1 AS depth
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.depth < 4)
+    SELECT node, CAST(min(depth) AS BIGINT) AS min_depth
+    FROM reach GROUP BY node
+"""
+
+
+@query("sql_recursive_reachability", _SQL_RECURSIVE_REACH)
+def sql_recursive_reachability(spark, sf_dir):
+    """Recursive CTE as IDENTICAL SQL text on spark.sql and DuckDB
+    (Spark 4 added WITH RECURSIVE): breadth-first reachability with
+    minimum depth over the frequent-transition graph derived from the
+    event stream — which states a 'click' can lead to, and how fast.
+    The iterative closure operators here (connected components,
+    PageRank) implement this shape at data scale with explicit rounds
+    and lineage cuts; the recursive CTE is the declarative form for
+    METADATA-scale graphs (the transition graph is event-type
+    cardinality — dozens of nodes — regardless of corpus size, and the
+    depth guard bounds the recursion).
+
+    Plan shape: one window + one count shuffle derive the edge set; the
+    recursion then runs over dozens of rows.  The 100 TB rule is the
+    split used here: recursion for metadata-sized graphs, the
+    label-propagation operators for data-sized ones."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SQL_RECURSIVE_REACH)
+
+
 @query(
     "asof_join_tolerance",
     """
