@@ -104,15 +104,24 @@ def asof_join(
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    # The matched right row travels as ONE struct: last(ignorenulls) must
+    # skip the interleaved LEFT rows (whose struct is null) but carry the
+    # matched right row ATOMICALLY — per-column carries would let a null
+    # field in the matched row fall through to an OLDER row's value,
+    # mixing columns from different right rows (and, under
+    # tolerance_seconds, letting a beyond-tolerance value survive a mask
+    # computed from the matched row's timestamp).
     rt = (
         right.select(
             F.col(on),
             F.col(right_ts).alias("_ats"),
-            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+            F.struct(
+                *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+                F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            ).alias("_rrow"),
         )
         .withColumn("_side", F.lit(0))
     )
-    rt = rt.withColumn(f"{right_ts}{suffix}", F.col("_ats"))
 
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     order = (
@@ -123,22 +132,20 @@ def asof_join(
         .orderBy(order, F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
-    for c in carried:
-        unioned = unioned.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    out = unioned.filter(F.col("_side") == 1).drop("_side", "_ats")
+    unioned = unioned.withColumn(
+        "_rrow", F.last(F.col("_rrow"), ignorenulls=True).over(w)
+    )
+    matched = F.col("_rrow")
     if tolerance_seconds is not None:
         lts = F.col(left_ts).cast("double")
-        rts = F.col(f"{right_ts}{suffix}").cast("double")
+        rts = matched[f"{right_ts}{suffix}"].cast("double")
         gap = (lts - rts) if direction == "backward" else (rts - lts)
-        out = out.withColumn("_gap", gap)
-        for c in carried:
-            out = out.withColumn(
-                c,
-                F.when(F.col("_gap") <= tolerance_seconds, F.col(c)),
-            )
-        out = out.drop("_gap")
-    return out
+        matched = F.when(gap <= tolerance_seconds, matched)
+    carried = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
+    out = unioned.filter(F.col("_side") == 1)
+    for c in carried:
+        out = out.withColumn(c, matched[c])
+    return out.drop("_side", "_ats", "_rrow")
 
 
 def range_join(

@@ -90,6 +90,32 @@ _SQL_KNN = f"""
           FROM p)
 """
 
+# Symmetrized edge set + per-node degrees over the k-NN graph — ONE SQL
+# fragment (and one Spark helper, _symmetrize_degrees) shared by the
+# link-prediction and degree-distribution oracles so the graph they
+# analyze cannot drift.
+_SQL_SYM_DEG = """
+    e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
+    sym AS (SELECT DISTINCT u, v FROM (
+              SELECT src AS u, nbr AS v FROM e
+              UNION ALL
+              SELECT nbr AS u, src AS v FROM e)),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)
+"""
+
+
+def _symmetrize_degrees(edges):
+    """(sym, deg) for a directed (src, nbr) edge list — the Spark twin
+    of _SQL_SYM_DEG."""
+    e = edges.select("src", "nbr")
+    sym = (
+        e.select(F.col("src").alias("u"), F.col("nbr").alias("v"))
+        .unionByName(e.select(F.col("nbr").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return sym, deg
+
 
 def _knn_edges(spark, sf_dir, k: int = 3):
     """Top-k cosine neighbors per vector among LSH bucket-mates.
@@ -181,12 +207,7 @@ def sim_knn_graph_scaled(spark, sf_dir):
     "graph_link_prediction",
     f"""
     WITH {_SQL_KNN},
-    e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
-    sym AS (SELECT DISTINCT u, v FROM (
-              SELECT src AS u, nbr AS v FROM e
-              UNION ALL
-              SELECT nbr AS u, src AS v FROM e)),
-    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    {_SQL_SYM_DEG},
     cn AS (SELECT s1.u AS u, s2.u AS w, count(*) AS common
            FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
            GROUP BY s1.u, s2.u),
@@ -221,13 +242,7 @@ def _link_predict(edges):
     """Common-neighbor / Jaccard link prediction over a directed edge
     list (src, nbr) — symmetrize, posting self-join on the shared
     neighbor, degree join-back, anti-join existing edges."""
-    e = edges.select("src", "nbr")
-    sym = (
-        e.select(F.col("src").alias("u"), F.col("nbr").alias("v"))
-        .unionByName(e.select(F.col("nbr").alias("u"), F.col("src").alias("v")))
-        .distinct()
-    )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    sym, deg = _symmetrize_degrees(edges)
     s2 = sym.select(F.col("u").alias("w"), F.col("v"))
     cn = (
         sym.join(s2, "v")
@@ -357,22 +372,30 @@ def asof_join_tolerance(spark, sf_dir):
     f"""
     WITH e AS (
       SELECT vec_id, embedding,
-             CASE WHEN embedding IS NULL THEN NULL
-                  ELSE sqrt({_SQL_DOT.format(a='embedding', b='embedding')})
-             END AS nrm,
+             CASE WHEN embedding IS NULL THEN -1
+                  ELSE len(list_filter(embedding, x -> x IS NULL)) END
+               AS n_nulls_inside,
              CASE WHEN embedding IS NULL THEN -1 ELSE len(embedding) END
                AS dim
-      FROM embeddings)
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, n_nulls_inside, dim,
+             CASE WHEN dim <= 0 OR n_nulls_inside > 0 THEN NULL
+                  ELSE sqrt({_SQL_DOT.format(a='embedding', b='embedding')})
+             END AS nrm
+      FROM e)
     SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(count(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
-             AS n_null,
+           CAST(count(*) FILTER (WHERE dim = -1) AS BIGINT) AS n_null,
+           CAST(count(*) FILTER (WHERE dim = 0) AS BIGINT) AS n_empty,
+           CAST(count(*) FILTER (WHERE n_nulls_inside > 0) AS BIGINT)
+             AS n_null_elem,
            CAST(count(*) FILTER (WHERE nrm = 0) AS BIGINT) AS n_zero_norm,
-           CAST(count(*) FILTER (WHERE dim <> 64 AND dim >= 0) AS BIGINT)
+           CAST(count(*) FILTER (WHERE dim <> 64 AND dim > 0) AS BIGINT)
              AS n_bad_dim,
            round(min(nrm), 4) AS min_norm,
            round(max(nrm), 4) AS max_norm,
            round(quantile_cont(nrm, 0.5), 4) AS p50_norm
-    FROM e
+    FROM n
     """,
 )
 def audit_embedding_quality(spark, sf_dir):
@@ -384,23 +407,41 @@ def audit_embedding_quality(spark, sf_dir):
     one of those failure modes is invisible until a downstream join
     explodes or returns garbage; see lsh_bucket and knn_graph notes).
 
-    Plan shape: one scan, one scalar aggregate; the norm fold is the
-    same sequential expression every similarity operator uses, so the
-    audit measures exactly what the operators will see."""
+    Plan shape: one scan, one scalar aggregate; the norm expression is
+    S.norm — the very Column every similarity operator evaluates — so
+    the audit measures exactly what the operators will see.  Degenerate
+    vectors (empty arrays, null ELEMENTS) are excluded from the norm
+    distribution explicitly in BOTH engines and counted in their own
+    columns: the engines' native folds disagree on them (Spark's
+    aggregate null-propagates and returns 0.0 on empty; DuckDB's
+    list_sum skips nulls and returns NULL on empty), so an explicit
+    definition is the only cross-engine-stable one."""
     emb = td(spark, sf_dir, "embeddings")
-    nrm = F.when(
-        F.col("embedding").isNull(), F.lit(None).cast("double")
-    ).otherwise(F.sqrt(S.dot(F.col("embedding"), F.col("embedding"))))
+    n_nulls_inside = F.when(F.col("embedding").isNull(), F.lit(-1)).otherwise(
+        F.size(F.filter("embedding", lambda x: x.isNull()))
+    )
     dim = F.when(F.col("embedding").isNull(), F.lit(-1)).otherwise(
         F.size("embedding")
     )
-    e = emb.select("vec_id", "embedding", nrm.alias("nrm"), dim.alias("dim"))
-    return e.agg(
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        n_nulls_inside.alias("n_nulls_inside"),
+        dim.alias("dim"),
+    )
+    nrm = F.when(
+        (F.col("dim") <= 0) | (F.col("n_nulls_inside") > 0),
+        F.lit(None).cast("double"),
+    ).otherwise(S.norm(F.col("embedding")))
+    n = e.withColumn("nrm", nrm)
+    return n.agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.count(F.when(F.col("embedding").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("dim") == -1, 1)).alias("n_null"),
+        F.count(F.when(F.col("dim") == 0, 1)).alias("n_empty"),
+        F.count(F.when(F.col("n_nulls_inside") > 0, 1)).alias("n_null_elem"),
         F.count(F.when(F.col("nrm") == 0, 1)).alias("n_zero_norm"),
         F.count(
-            F.when((F.col("dim") != 64) & (F.col("dim") >= 0), 1)
+            F.when((F.col("dim") != 64) & (F.col("dim") > 0), 1)
         ).alias("n_bad_dim"),
         F.round(F.min("nrm"), 4).alias("min_norm"),
         F.round(F.max("nrm"), 4).alias("max_norm"),
@@ -412,12 +453,7 @@ def audit_embedding_quality(spark, sf_dir):
     "graph_degree_distribution",
     f"""
     WITH {_SQL_KNN},
-    e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
-    sym AS (SELECT DISTINCT u, v FROM (
-              SELECT src AS u, nbr AS v FROM e
-              UNION ALL
-              SELECT nbr AS u, src AS v FROM e)),
-    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)
+    {_SQL_SYM_DEG}
     SELECT CAST(d AS BIGINT) AS degree,
            CAST(count(*) AS BIGINT) AS n_nodes
     FROM deg GROUP BY d
@@ -433,13 +469,7 @@ def graph_degree_distribution(spark, sf_dir):
     Plan shape: node-cardinality aggregates only — degree is one
     groupBy on the node key, the histogram one more on the (tiny)
     degree domain."""
-    e = _knn_edges(spark, sf_dir, k=3).select("src", "nbr")
-    sym = (
-        e.select(F.col("src").alias("u"), F.col("nbr").alias("v"))
-        .unionByName(e.select(F.col("nbr").alias("u"), F.col("src").alias("v")))
-        .distinct()
-    )
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    _sym, deg = _symmetrize_degrees(_knn_edges(spark, sf_dir, k=3))
     return deg.groupBy(F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )

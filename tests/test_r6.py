@@ -65,13 +65,56 @@ def test_knn_graph_invariants(run):
         assert sims == sorted(sims, reverse=True), src
 
 
+def test_asof_carries_matched_row_atomically(spark):
+    """The matched right row must be carried WHOLE: a null field in the
+    matched row stays null, it must not fall through to an older right
+    row's value (pd.merge_asof semantics) — and under tolerance, a
+    beyond-tolerance older value must never leak through a
+    within-tolerance match's mask (review finding)."""
+    import datetime as dt
+
+    from target_parquet_spark.operators.asof import asof_join
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, ts(105))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 5.0), (1, ts(100), None)],
+        "user_id long, ts timestamp, px double",
+    )
+    # no tolerance: match is the ts=100 row; its px is genuinely NULL
+    r = asof_join(left, right, on="user_id").collect()[0]
+    assert r["ts_right"] == ts(100)
+    assert r["px_right"] is None
+    # with tolerance 60s: the ts=100 match is within tolerance but its
+    # px is NULL — the ts=10 value (gap 95 > 60) must NOT leak in
+    r = asof_join(
+        left, right, on="user_id", tolerance_seconds=60.0
+    ).collect()[0]
+    assert r["ts_right"] == ts(100)
+    assert r["px_right"] is None
+    # tolerance 3s: even the matched row is too stale -> all null
+    r = asof_join(
+        left, right, on="user_id", tolerance_seconds=3.0
+    ).collect()[0]
+    assert r["ts_right"] is None and r["px_right"] is None
+
+
 def test_embedding_quality_audit_planted_defects(spark, tmp_out):
     """Planted defects must each be counted exactly once: a NULL vector,
-    a zero vector, and a wrong-width vector among clean rows."""
+    a zero vector, a wrong-width vector, an EMPTY vector, and a vector
+    with a null ELEMENT among clean rows — the last two are exactly the
+    classes where the engines' native folds disagree (review finding),
+    so they are defined out of the norm distribution explicitly."""
     rows = [(i, [0.1 * (i + 1)] * 64, 0) for i in range(5)]
     rows.append((10, None, 0))
     rows.append((11, [0.0] * 64, 0))
     rows.append((12, [1.0] * 32, 0))
+    rows.append((13, [], 0))
+    rows.append((14, [1.0] * 63 + [None], 0))
     (
         spark.createDataFrame(
             rows, "vec_id long, embedding array<float>, label long"
@@ -80,8 +123,10 @@ def test_embedding_quality_audit_planted_defects(spark, tmp_out):
         .parquet(f"{tmp_out}/embeddings.parquet")
     )
     r = QUERIES["audit_embedding_quality"](spark, tmp_out).collect()[0]
-    assert r["n_vecs"] == 8
+    assert r["n_vecs"] == 10
     assert r["n_null"] == 1
+    assert r["n_empty"] == 1
+    assert r["n_null_elem"] == 1
     assert r["n_zero_norm"] == 1
     assert r["n_bad_dim"] == 1  # only the 32-wide row; zero is 64-wide
     assert r["min_norm"] == 0.0
