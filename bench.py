@@ -198,14 +198,35 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver records only the LAST 2000 chars of stdout and json-parses
+    # the final line.  A single line carrying all ~140 per-query timings is
+    # ~4000 chars and gets clipped mid-line (BENCH_r01..r04 all have
+    # parsed=null).  So: per-query timings stream as short individual lines
+    # first (greppable from the tail even when truncated), the full dict is
+    # persisted to bench_queries.json next to this script, and the final
+    # line is a compact summary guaranteed to fit the tail window.
+    for name, sec in timings.items():
+        print(f'BENCHQ {{"{name}": {sec}}}')
+    full = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(os.path.join(REPO, "bench_queries.json"), "w") as fh:
+        json.dump(full, fh)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_file": "bench_queries.json",
             }
         )
     )

@@ -102,6 +102,11 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    # right_ts is ALWAYS appended to the carried struct (the tolerance mask
+    # needs it); a caller-supplied list that also names it would produce two
+    # struct fields called f"{right_ts}{suffix}" and make the field access
+    # ambiguous — strip it here.
+    right_cols = [c for c in right_cols if c != right_ts]
 
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     # The matched right row travels as ONE struct: last(ignorenulls) must

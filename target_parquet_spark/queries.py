@@ -310,14 +310,19 @@ def join_semi(spark, sf_dir):
     """
     SELECT c_mktsegment, count(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_mktsegment
     """,
 )
 def join_anti(spark, sf_dir):
-    """Left-anti join: customers with NO orders (the NOT EXISTS plan, broadcastable key side)."""
+    """Left-anti join: customers with no RECENT orders (the NOT EXISTS plan,
+    broadcastable key side).  The date predicate makes the anti set provably
+    non-empty at sf0.01 (135 rows) — an unfiltered anti-join against orders
+    returns 0 rows on this data (every customer has orders), which would
+    pass the oracle vacuously and hide any under-producing bug."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -749,12 +754,16 @@ def set_intersect(spark, sf_dir):
     SELECT c_custkey AS custkey FROM customer
     EXCEPT
     SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01'
     """,
 )
 def set_except(spark, sf_dir):
-    """EXCEPT: customers with no orders at all, as a set difference."""
+    """EXCEPT: customers absent from the recent-order key set, as a set
+    difference.  The date filter on the subtrahend makes the result provably
+    non-empty at sf0.01 (135 rows); an unfiltered EXCEPT against all orders
+    is empty on this data and would pass the oracle vacuously."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
     return c.select(F.col("c_custkey").alias("custkey")).exceptAll(
         o.select(F.col("o_custkey").alias("custkey"))
     ).distinct()

@@ -1149,6 +1149,7 @@ def _register_ivf_partitioned():
         are never read, not merely filtered.  Same oracle as
         ``sim_ann_ivf``: the layout changes, the answer must not.
         """
+        import hashlib
         import math
         import os
 
@@ -1156,7 +1157,16 @@ def _register_ivf_partitioned():
 
         emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         codebook = S.ivf_codebook(emb, n_centroids=16)
-        name = f"ivf_embeddings_{_tag(sf_dir)}"
+        # Key the materialized layout on the DATA, not just the path: if the
+        # files under sf_dir are regenerated (the .scratch workflow), a
+        # path-only tag would re-probe a fresh codebook against STALE stored
+        # cell assignments.  Fingerprint = row count + quantized centroid
+        # bytes; any data change moves the fingerprint and forces a rewrite.
+        n_rows = emb.count()
+        fp_src = repr((n_rows, [(cid, [round(x, 6) for x in v], round(nrm, 6))
+                                for cid, v, nrm in codebook]))
+        fp = hashlib.md5(fp_src.encode()).hexdigest()[:10]
+        name = f"ivf_embeddings_{_tag(sf_dir)}_{fp}"
         path = os.path.join(warehouse_dir(), name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             (

@@ -81,6 +81,21 @@ def test_lenient_timestamp_matches_dateutil_corpus(spark):
         "15 Jan 2024 10:30:00",
         "15 January 2024",
         "15-Jan-2024",
+        # r5 additions (VERDICT r4 #9): ordinals, "of", AM/PM, zone names
+        "3rd of June 2021",
+        "June 3rd, 2021",
+        "21st of March 2022 10:30:00",
+        "June 3 2021",
+        "1/15/2024 10:30 PM",
+        "1/15/2024 10:30:45 PM",
+        "Jan 15 2024 10:30 PM",
+        "Jan 15, 2024 10:30 AM",
+        "June 3, 2021 5:07 AM",
+        "15 Jan 2024 10:30 PM",
+        "2024-01-15 10:30 PM",
+        "2024-01-15 10:30:00 UTC",
+        "2024-01-15 10:30:00 GMT",
+        "2024-01-15T10:30:00 UTC",
     ]
     df = spark.createDataFrame([(s,) for s in corpus], "raw string")
     got = {
