@@ -161,7 +161,8 @@ def _keyword_preds(prop: dict, raw: Column, type_id: str | None) -> list[Column]
     # their JSON) and compile element subschemas through forall/exists.
     # Non-array text parses to null -> passes, matching jsonschema's
     # is_type guard (array keywords skip non-array instances).
-    _ARRAY_KEYS = ("items", "minItems", "maxItems", "contains", "uniqueItems")
+    _ARRAY_KEYS = ("items", "minItems", "maxItems", "contains", "uniqueItems",
+                   "additionalItems")
     if any(k in prop for k in _ARRAY_KEYS):
         arr = F.from_json(raw, "array<string>")
         guard = raw.isNull() | arr.isNull()
@@ -171,15 +172,37 @@ def _keyword_preds(prop: dict, raw: Column, type_id: str | None) -> list[Column]
             preds.append(guard | (F.size(arr) <= int(prop["maxItems"])))
         if prop.get("uniqueItems") is True:
             preds.append(guard | (F.size(F.array_distinct(arr)) == F.size(arr)))
-        if isinstance(prop.get("items"), dict):
-            sub = prop["items"]
-            preds.append(
-                guard
-                | F.forall(
-                    arr,
-                    lambda e: _and_all(_keyword_preds(sub, e, _branch_type(sub))),
+        # NB: F.forall/F.exists infer the lambda's ARITY from its Python
+        # signature, so closures must bind subschemas via a factory, never
+        # via default args (a 2-param lambda would be called with 2 cols).
+        def _sub_pred(s):
+            return lambda e: _and_all(_keyword_preds(s, e, _branch_type(s)))
+
+        items = prop.get("items")
+        if isinstance(items, dict):
+            preds.append(guard | F.forall(arr, _sub_pred(items)))
+        elif isinstance(items, list):
+            # Tuple form (r5): each index validates against its own
+            # subschema.  F.get is null out-of-bounds (never an ANSI
+            # error), and the inner preds are null-tolerant, so a
+            # shorter array passes — draft-7's absent-item semantics.
+            for i, sub in enumerate(items):
+                if not isinstance(sub, dict):
+                    continue
+                el = F.get(arr, i)
+                preds.append(
+                    guard | _and_all(_keyword_preds(sub, el, _branch_type(sub)))
                 )
-            )
+            ai = prop.get("additionalItems")
+            if ai is False:
+                preds.append(guard | (F.size(arr) <= len(items)))
+            elif isinstance(ai, dict):
+                rest = F.slice(
+                    arr,
+                    len(items) + 1,
+                    F.greatest(F.size(arr) - len(items), F.lit(0)),
+                )
+                preds.append(guard | F.forall(rest, _sub_pred(ai)))
         if isinstance(prop.get("contains"), dict):
             sub = prop["contains"]
             preds.append(
@@ -264,14 +287,17 @@ def _raw_object_preds(schema: dict, raw_json_col: str) -> list[Column]:
     """Object-shape keywords that need the UNDECLARED keys of the raw
     record text — compiled over ``json_object_keys`` (JVM-side, null on
     malformed JSON -> permissive, matching the per-keyword null guards):
-    min/maxProperties, propertyNames, additionalProperties=false (only
-    when no patternProperties carve out extra legal names)."""
+    min/maxProperties, propertyNames, patternProperties (r5),
+    additionalProperties=false (with patternProperties widening the
+    legal key set)."""
     preds: list[Column] = []
+    pattern_props = schema.get("patternProperties")
     needs = (
         "minProperties" in schema
         or "maxProperties" in schema
         or isinstance(schema.get("propertyNames"), dict)
         or schema.get("additionalProperties") is False
+        or isinstance(pattern_props, dict)
     )
     if not needs:
         return preds
@@ -289,17 +315,39 @@ def _raw_object_preds(schema: dict, raw_json_col: str) -> list[Column]:
                 keys, lambda k: _and_all(_keyword_preds(sub, k, "string"))
             )
         )
-    if schema.get("additionalProperties") is False and not schema.get(
-        "patternProperties"
-    ):
-        declared = list(schema.get("properties", {}).keys())
-        preds.append(
-            guard
-            | F.forall(
-                keys,
-                lambda k: k.isin(declared) if declared else F.lit(False),
+    if isinstance(pattern_props, dict):
+        # patternProperties (r5): every key matching the regex must have a
+        # value satisfying the subschema.  The map<string,string> capture
+        # preserves the raw-capture convention (scalar text; nested
+        # subtrees as their JSON serialization), so the value predicates
+        # reuse the exact machinery of declared properties.  Malformed
+        # JSON parses to null -> permissive, matching the other guards.
+        m = F.from_json(F.col(raw_json_col), "map<string,string>")
+        mguard = m.isNull()
+
+        # Single-arg closures via a factory: F.forall infers lambda arity
+        # from the Python signature, so default-arg binding breaks it.
+        def _entry_pred(p, s):
+            return lambda e: ~e["key"].rlike(p) | _and_all(
+                _keyword_preds(s, e["value"], _branch_type(s))
             )
-        )
+
+        for pat, sub in pattern_props.items():
+            if not isinstance(sub, dict):
+                continue
+            preds.append(
+                mguard | F.forall(F.map_entries(m), _entry_pred(pat, sub))
+            )
+    if schema.get("additionalProperties") is False:
+        declared = list(schema.get("properties", {}).keys())
+        pats = list(pattern_props.keys()) if isinstance(pattern_props, dict) else []
+
+        def _legal(k):
+            branches = [k.isin(declared)] if declared else []
+            branches += [k.rlike(p) for p in pats]
+            return _or_any(branches)
+
+        preds.append(guard | F.forall(keys, _legal))
     return preds
 
 
@@ -456,14 +504,20 @@ def compile_predicate(
     cycle-capped), and when the caller supplies ``raw_json_col`` (the raw
     record text) the object-shape keywords compile too via
     ``json_object_keys``: minProperties / maxProperties / propertyNames /
-    ``additionalProperties: false`` (the last only when no
-    patternProperties widen the legal key set).
+    ``additionalProperties: false``.
 
-    Remaining UDF-only keywords (external $ref, format — which the
+    r5 additions (VERDICT r4 #4): ``patternProperties`` (map-capture +
+    ``map_entries``/``forall`` — and it now widens the legal key set of
+    ``additionalProperties: false`` instead of disabling it), tuple-form
+    ``items``, and ``additionalItems`` (false -> length cap; schema ->
+    ``forall`` over the tuple tail).  Pattern matching uses ``rlike``
+    (unanchored search, same as jsonschema's ``re.search``).
+
+    Remaining UDF-only keywords (external $ref, and format — which the
     reference itself disables via format_checker=None, reference
-    sinks.py:129 — patternProperties, additionalItems) are simply not
-    constrained by the compiled path — it is strictly PERMISSIVE on
-    them, never false-rejecting.  One raw-capture limit:
+    sinks.py:129) are simply not constrained by the compiled path — it
+    is strictly PERMISSIVE on them, never false-rejecting.  One
+    raw-capture limit:
     scalar provenance is erased (JSON ``"3"`` and ``3`` both capture as
     text '3'), so combinator branches discriminated ONLY by ``type``
     cannot be told apart — discriminate branches by value constraints,

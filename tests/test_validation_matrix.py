@@ -184,23 +184,48 @@ COMPILED_CASES = {
         {"x": ["abc", "xyz"]},
         {"x": ["abc", "nope"]},
     ),
-}
-
-# UDF-only keywords: compiled path must not constrain them (permissive),
-# jsonschema still rejects the bad record.
-UDF_ONLY_CASES = {
-    "patternProperties": (
-        {"properties": {"x": {"type": "string"}},
-         "patternProperties": {"^n_": {"type": "integer"}}},
-        {"x": "v", "n_a": 3},
-        {"x": "v", "n_a": "many"},
+    # r5 (VERDICT r4 #4): tuple-form items + additionalItems compile
+    "items-tuple": (
+        {"properties": {"x": {"type": "array",
+                              "items": [{"type": "integer", "minimum": 0},
+                                        {"pattern": "^a"}]}}},
+        {"x": [3, "abc", "anything after"]},
+        {"x": [-1, "abc"]},
     ),
-    "additionalItems": (
+    "items-tuple-second": (
+        {"properties": {"x": {"type": "array",
+                              "items": [{"type": "integer"},
+                                        {"pattern": "^a"}]}}},
+        {"x": [3]},          # absent tuple slot passes
+        {"x": [3, "zzz"]},
+    ),
+    "additionalItems-false": (
         {"properties": {"x": {"type": "array",
                               "items": [{"type": "integer"}],
                               "additionalItems": False}}},
         {"x": [1]},
         {"x": [1, 2]},
+    ),
+    "additionalItems-schema": (
+        {"properties": {"x": {"type": "array",
+                              "items": [{"type": "integer"}],
+                              "additionalItems": {"type": "integer",
+                                                  "maximum": 9}}}},
+        {"x": [1, 2, 3]},
+        {"x": [1, 2, 30]},
+    ),
+}
+
+# Keywords the compiled path cannot constrain in THIS addressing mode
+# (no raw record text available -> key-set keywords stay permissive);
+# jsonschema still rejects the bad record.  With raw_json_col these same
+# keywords compile — see RAW_COMPILED_CASES.
+UDF_ONLY_CASES = {
+    "patternProperties-no-raw": (
+        {"properties": {"x": {"type": "string"}},
+         "patternProperties": {"^n_": {"type": "integer"}}},
+        {"x": "v", "n_a": 3},
+        {"x": "v", "n_a": "many"},
     ),
 }
 
@@ -253,6 +278,27 @@ RAW_COMPILED_CASES = {
         {"properties": {"a": {"type": "string"}}, "required": ["a", "b"]},
         {"a": "x", "b": 2},
         {"a": "x"},
+    ),
+    # r5 (VERDICT r4 #4): patternProperties compiles against the raw text
+    "patternProperties": (
+        {"properties": {"x": {"type": "string"}},
+         "patternProperties": {"^n_": {"type": "integer"}}},
+        {"x": "v", "n_a": 3},
+        {"x": "v", "n_a": "many"},
+    ),
+    "patternProperties-value-constraints": (
+        {"properties": {},
+         "patternProperties": {"_pct$": {"type": "number", "minimum": 0,
+                                         "maximum": 100}}},
+        {"cpu_pct": 55.5, "other": "free"},
+        {"cpu_pct": 140},
+    ),
+    "additionalProperties-false-with-patterns": (
+        {"properties": {"x": {"type": "string"}},
+         "patternProperties": {"^n_": {"type": "integer"}},
+         "additionalProperties": False},
+        {"x": "v", "n_count": 3},
+        {"x": "v", "rogue": 1},
     ),
 }
 
