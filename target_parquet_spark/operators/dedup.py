@@ -673,3 +673,65 @@ def streaming_near_dup(
         "dup_of",
         F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def cross_corpus_near_dup(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Batch cross-corpus near-dup join — the most common production dedup
+    job shape: screen a NEW crawl against the EXISTING corpus and emit
+    (new_id, dup_of, jaccard) for every near-duplicate found (the batch
+    twin of ``streaming_near_dup``; same banding as ``minhash_lsh_pairs``).
+
+    Plan shape: both sides run the identical scan-stage banding pipeline
+    (shingle -> 60-bit hash -> chunked MinHash -> band hash), are
+    repartitioned on (band_idx, band_hash) — those repartitions ARE the
+    join's required shuffles, sized to the larger side — and equi-join on
+    the band key.  No self-join, no all-pairs: candidate volume is bounded
+    by band-bucket occupancy exactly as in the single-corpus form.
+
+    Verification runs BEFORE the pair-dedupe distinct (the r4 restructure):
+    Jaccard is computed and thresholded inside the join stage, so failing
+    candidates die map-side and the shingle arrays never cross the
+    pair-dedupe exchange; a pair that collides in k bands survives k times
+    with an IDENTICAL jaccard (same shingle sets), so distinct over all
+    three output columns keeps exactly one row per pair.
+
+    At 100 TB the base side is the big one (the accumulated corpus); its
+    banding cost is the price of not maintaining a materialized index —
+    when this job runs on a cadence, persist ``lsh_band_index(base)`` as a
+    bucketed table on (band_idx, band_hash) and this join skips both the
+    recompute and its shuffle (the layout ``streaming_near_dup`` already
+    assumes for the stream-static form).
+    """
+    width = max(_width(new_docs), _width(base_docs))
+    nb = lsh_band_index(
+        new_docs, text_col, id_col, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n,
+    ).repartition(width, "band_idx", "band_hash")
+    cb = lsh_band_index(
+        base_docs, text_col, id_col, n_hashes=n_hashes, bands=bands,
+        shingle_n=shingle_n,
+    ).repartition(width, "band_idx", "band_hash")
+    return (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("c.doc_id").alias("dup_of"),
+            F.round(_jaccard(F.col("n.sh"), F.col("c.sh")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
