@@ -121,3 +121,209 @@ def dedup_cross_corpus(spark, sf_dir):
         new_crawl, docs, "text", "doc_id",
         threshold=0.5, n_hashes=8, bands=4,
     ).select("new_id", "dup_of", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# trained text-quality logistic regression (VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+#
+# Completes the "model state as plan-time literals" family (kmeans_codebook
+# -> logreg): full-batch gradient descent where each round is ONE mergeable
+# aggregate (mean gradient, 6 numbers), weights live driver-side as
+# quantized literals, and the oracle replays every round as unrolled CTEs.
+#
+# Determinism contract (the kmeans 6dp convention): the standardization
+# stats and each round's MEAN gradient are rounded to 6dp in BOTH engines
+# before use — partial-aggregation order differs between engines, rounding
+# absorbs the last-bit drift; all downstream per-row arithmetic then runs
+# on identical doubles.
+
+_LR_ROUNDS = 8
+_LR_RATE = 2.0
+_FEATS = ["f_logwords", "f_ttr", "f_mwl", "f_stop", "f_sym"]
+_WCOLS = ["b"] + [f"w{i}" for i in range(len(_FEATS))]
+
+# Planted binary label: a deterministic rule over two features (high
+# stopword share AND high type-token ratio = "quality").  The label is a
+# pure function of the feature row, identically computable in both
+# engines, and NOT linearly encoded in any single raw feature — the model
+# has something real to learn (literal-weight AUC on this label is ~0.30;
+# trained AUC ~0.95, pinned in tests/test_r7.py).
+_SQL_LABEL = "CASE WHEN f_stop >= 0.06 AND f_ttr >= 0.46 THEN 1.0 ELSE 0.0 END"
+
+
+def _sql_logreg_trained() -> str:
+    """Build the oracle: feature CTE -> standardization stats ->
+    z-features -> _LR_ROUNDS unrolled (gradient, weight-update) CTE pairs
+    -> final score decile histogram."""
+    from target_parquet_spark.operators.text import STOPWORDS
+
+    swl = ", ".join(f"'{w}'" for w in STOPWORDS)
+    feats = f"""
+    d AS (SELECT source, text, {SQL_TOKS.format(c='text')} AS toks FROM documents),
+    f AS (
+      SELECT source,
+             ln(1.0 + len(toks)) AS f_logwords,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS f_ttr,
+             CAST(list_sum(list_transform(toks, x -> length(x)))
+                  AS DOUBLE) / len(toks) AS f_mwl,
+             CAST(len(list_filter(toks, x -> list_contains([{swl}], x)))
+                  AS DOUBLE) / len(toks) AS f_stop,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '',
+                                                  'g')) AS DOUBLE)
+                       / length(text) END AS f_sym
+      FROM d WHERE len(toks) > 0),
+    fl AS (SELECT *, {_SQL_LABEL} AS y FROM f),
+    st AS (SELECT
+      {", ".join(f"round(avg({c}), 6) AS mu{i}, round(stddev_pop({c}), 6) AS sd{i}" for i, c in enumerate(_FEATS))}
+      FROM fl),
+    z AS (SELECT source, y,
+      {", ".join(f"({c} - st.mu{i}) / (CASE WHEN st.sd{i} = 0 THEN 1.0 ELSE st.sd{i} END) AS z{i}" for i, c in enumerate(_FEATS))}
+      FROM fl, st),
+    w0 AS (SELECT {", ".join(f"0.0 AS {w}" for w in _WCOLS)})"""
+
+    rounds = []
+    for r in range(_LR_ROUNDS):
+        zdot = " + ".join([f"w{r}.b"] + [f"w{r}.w{i} * z{i}" for i in range(len(_FEATS))])
+        p = f"(1.0 / (1.0 + exp(-({zdot}))))"
+        grads = ", ".join(
+            [f"round(avg({p} - y), 6) AS gb"]
+            + [f"round(avg(({p} - y) * z{i}), 6) AS g{i}" for i in range(len(_FEATS))]
+        )
+        upd = ", ".join(
+            [f"round(w{r}.b - {_LR_RATE} * g{r + 1}.gb, 6) AS b"]
+            + [
+                f"round(w{r}.w{i} - {_LR_RATE} * g{r + 1}.g{i}, 6) AS w{i}"
+                for i in range(len(_FEATS))
+            ]
+        )
+        rounds.append(f"    g{r + 1} AS (SELECT {grads} FROM z, w{r})")
+        rounds.append(f"    w{r + 1} AS (SELECT {upd} FROM w{r}, g{r + 1})")
+
+    wf = f"w{_LR_ROUNDS}"
+    zdot = " + ".join([f"{wf}.b"] + [f"{wf}.w{i} * z{i}" for i in range(len(_FEATS))])
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+    WITH {feats},
+{rounds_sql},
+    s AS (SELECT source, y,
+                 1.0 / (1.0 + exp(-({zdot}))) AS score
+          FROM z, {wf})
+    SELECT source,
+           CAST(least(floor(score * 10), 9) AS INTEGER) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(avg(score), 4) AS avg_score
+    FROM s GROUP BY source, decile
+    """
+
+
+@query("text_quality_logreg_trained", _sql_logreg_trained())
+def text_quality_logreg_trained(spark, sf_dir):
+    """TRAINED quality gate: the same five engineered features as
+    ``text_quality_logreg``, but the weights come from distributed
+    full-batch gradient descent against a planted label instead of
+    hand-set literals.
+
+    Plan shape per round: ONE mergeable aggregate (the mean gradient —
+    map-side partials collapse the corpus to 6 numbers per partition);
+    weights update driver-side and re-enter the next round as plan-time
+    literals, exactly the ``kmeans_codebook`` collect-tiny-model-state
+    seam.  Standardization stats are one extra aggregate up front.  Total
+    model state ever collected: 6 floats per round.
+
+    At 100 TB: the per-round pass re-reads the feature projection; train
+    on a deterministic hash-sample (the gradient is a mean — a 1% sample
+    estimates it to third-digit precision) and score the full corpus once
+    with the final literal weights — the scoring pass is this query's
+    final stage unchanged."""
+    z, w = train_quality_logreg(spark, sf_dir)
+    s = z.select(
+        "source", "y", _logreg_score(w).alias("score")
+    )
+    return s.groupBy(
+        "source",
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int").alias("decile"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+
+
+def _logreg_score(w: list) -> "F.Column":
+    """Sigmoid of the literal-weight dot product over z0..z4."""
+    zdot = F.lit(w[0])
+    for i in range(len(_FEATS)):
+        zdot = zdot + F.lit(w[i + 1]) * F.col(f"z{i}")
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-zdot))
+
+
+def quality_feature_frame(spark, sf_dir):
+    """(source, f_*, y) feature rows — the training/scoring input."""
+    d = td(spark, sf_dir, "documents").select(
+        "source", "text", X.tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks").cast("double")
+    f = d.filter(F.size("toks") > 0).select(
+        "source",
+        F.log(1.0 + F.size("toks")).alias("f_logwords"),
+        (F.size(F.array_distinct("toks")).cast("double") / n).alias("f_ttr"),
+        (
+            F.aggregate(
+                F.transform(F.col("toks"), lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n
+        ).alias("f_mwl"),
+        X.stopword_ratio(F.col("text")).alias("f_stop"),
+        X.punct_ratio(F.col("text")).alias("f_sym"),
+    )
+    return f.withColumn(
+        "y",
+        F.when(
+            (F.col("f_stop") >= 0.06) & (F.col("f_ttr") >= 0.46), F.lit(1.0)
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def train_quality_logreg(spark, sf_dir):
+    """Run the distributed GD loop; returns (z_frame, weights) where
+    ``z_frame`` has (source, y, z0..z4) and ``weights`` is the trained
+    [b, w0..w4] literal vector (6dp-quantized per round)."""
+    fl = quality_feature_frame(spark, sf_dir)
+
+    # standardization stats: one aggregate, 6dp-quantized (model state)
+    stats = fl.agg(
+        *[F.round(F.avg(c), 6).alias(f"mu{i}") for i, c in enumerate(_FEATS)],
+        *[F.round(F.stddev_pop(c), 6).alias(f"sd{i}") for i, c in enumerate(_FEATS)],
+    ).collect()[0]
+    mu = [float(stats[f"mu{i}"]) for i in range(len(_FEATS))]
+    sd = [float(stats[f"sd{i}"]) or 1.0 for i in range(len(_FEATS))]
+
+    z = fl.select(
+        "source",
+        "y",
+        *[
+            ((F.col(c) - F.lit(mu[i])) / F.lit(sd[i])).alias(f"z{i}")
+            for i, c in enumerate(_FEATS)
+        ],
+    )
+
+    w = [0.0] * (len(_FEATS) + 1)  # [b, w0..w4]
+    for _ in range(_LR_ROUNDS):
+        p = _logreg_score(w)
+        g = z.agg(
+            F.round(F.avg(p - F.col("y")), 6).alias("gb"),
+            *[
+                F.round(F.avg((p - F.col("y")) * F.col(f"z{i}")), 6).alias(f"g{i}")
+                for i in range(len(_FEATS))
+            ],
+        ).collect()[0]
+        w = [round(w[0] - _LR_RATE * float(g["gb"]), 6)] + [
+            round(w[i + 1] - _LR_RATE * float(g[f"g{i}"]), 6)
+            for i in range(len(_FEATS))
+        ]
+    return z, w

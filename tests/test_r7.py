@@ -90,3 +90,84 @@ def test_registry_query_nonvacuous(spark, sf_dir):
     # reversed docs (id >= 2000000) are novel: none should survive the
     # Jaccard threshold against ANY base doc
     assert all(r.new_id < 2000000 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# trained logreg: discrimination must beat the hand-set literal weights
+# ---------------------------------------------------------------------------
+
+
+def _auc(pairs):
+    """Rank-statistic AUC over (score, label) pairs, ties averaged."""
+    pairs = sorted(pairs, key=lambda p: p[0])
+    n = len(pairs)
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j + 1 < n and pairs[j + 1][0] == pairs[i][0]:
+            j += 1
+        avg = (i + j + 2) / 2.0  # 1-based average rank of the tie block
+        for k in range(i, j + 1):
+            ranks[k] = avg
+        i = j + 1
+    n1 = sum(1 for _, y in pairs if y == 1.0)
+    n0 = n - n1
+    assert n1 and n0, "label fixture must contain both classes"
+    rank_sum = sum(r for r, (_, y) in zip(ranks, pairs) if y == 1.0)
+    return (rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+
+
+def test_trained_logreg_beats_literal_weights(spark, sf_dir):
+    from target_parquet_spark.queries_r5 import (
+        _W0,
+        _W_LOGWORDS,
+        _W_MWL,
+        _W_STOP,
+        _W_SYM,
+        _W_TTR,
+    )
+    from target_parquet_spark.queries_r7 import (
+        _logreg_score,
+        quality_feature_frame,
+        train_quality_logreg,
+    )
+
+    z, w = train_quality_logreg(spark, sf_dir)
+    trained = [
+        (r.score, r.y)
+        for r in z.select(_logreg_score(w).alias("score"), "y").collect()
+    ]
+    # literal model scores over RAW features (its weights were set for the
+    # raw scale) against the same planted label
+    fl = quality_feature_frame(spark, sf_dir)
+    lit_z = (
+        F.lit(_W0)
+        + _W_LOGWORDS * F.col("f_logwords")
+        + _W_TTR * F.col("f_ttr")
+        + _W_MWL * F.col("f_mwl")
+        + _W_STOP * F.col("f_stop")
+        + _W_SYM * F.col("f_sym")
+    )
+    literal = [
+        (r.score, r.y)
+        for r in fl.select(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-lit_z))).alias("score"), "y"
+        ).collect()
+    ]
+    auc_t, auc_l = _auc(trained), _auc(literal)
+    assert auc_t >= auc_l, f"trained AUC {auc_t:.4f} < literal {auc_l:.4f}"
+    assert auc_t >= 0.85, f"trained AUC unexpectedly weak: {auc_t:.4f}"
+
+
+def test_trained_logreg_weights_are_quantized_and_finite(spark, sf_dir):
+    import math
+
+    from target_parquet_spark.queries_r7 import train_quality_logreg
+
+    _, w = train_quality_logreg(spark, sf_dir)
+    assert len(w) == 6
+    for v in w:
+        assert math.isfinite(v)
+        assert v == round(v, 6), "weights must be 6dp-quantized (oracle replay)"
+    assert any(v != 0.0 for v in w), "training must move off the zero init"
