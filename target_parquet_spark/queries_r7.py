@@ -327,3 +327,154 @@ def train_quality_logreg(spark, sf_dir):
             for i in range(len(_FEATS))
         ]
     return z, w
+
+
+# ---------------------------------------------------------------------------
+# learned BPE merges (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+#
+# The tokenizer-training shape every LLM pipeline runs: iterative
+# most-frequent-pair counting + corpus-wide merge application.  The corpus
+# state is the WORD-FREQUENCY vocabulary (classic BPE trains on the word
+# dict, not raw text), each word encoded with "\x1f" separators: ONE at
+# each word boundary, TWO between adjacent symbols ("·c1··c2··c3·").  That
+# encoding makes one merge round a plain left-to-right non-overlapping
+# string replace in both engines: the pattern sep+a+sep+sep+b+sep requires
+# a full delimiter on BOTH flanks, so it can neither start nor end
+# mid-symbol (a prefix-only encoding fails here: "·an·a" would match into
+# "·an·an"); the replacement sep+ab+sep leaves one separator on each side,
+# which combines with the neighbors' remaining separator to restore the
+# double-internal invariant, so chained candidates like a,b,a,b merge in
+# one pass while a,a,a merges left-to-right non-overlapping exactly as BPE
+# specifies.  No lookarounds anywhere — DuckDB's replace() and Spark's
+# F.replace agree byte-for-byte (pinned against an independent Python
+# trainer in tests/test_r7.py).
+
+_BPE_SEP = "\x1f"
+_BPE_ROUNDS = 8
+
+
+def _sql_bpe_learn() -> str:
+    """Oracle: v0 (vocab + encoded) -> _BPE_ROUNDS unrolled
+    (pair-count, argmax, merge, stats) CTE quads -> merge table."""
+    from target_parquet_spark.operators.text import BPE_PATTERN
+
+    parts = [f"""
+    v0 AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS enc
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+              AS word FROM documents)
+      WHERE strpos(word, chr(31)) = 0
+      GROUP BY word)"""]
+    selects = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(f"""
+    p{r} AS (
+      SELECT l, r2, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, syms[i] AS l, syms[i+1] AS r2
+        FROM (SELECT freq, list_filter(str_split(enc, chr(31)), x -> x != '')
+                AS syms FROM v{r - 1}),
+             unnest(range(1, len(syms))) AS u(i))
+      GROUP BY l, r2),
+    m{r} AS (SELECT l, r2, cnt FROM p{r} ORDER BY cnt DESC, l, r2 LIMIT 1),
+    v{r} AS (
+      SELECT word, freq,
+             replace(enc, chr(31) || m.l || chr(31) || chr(31) || m.r2 || chr(31),
+                     chr(31) || m.l || m.r2 || chr(31)) AS enc
+      FROM v{r - 1}, m{r} m)""")
+        selects.append(
+            f"SELECT {r} AS rank, m.l AS left_sym, m.r2 AS right_sym, "
+            f"m.cnt AS pair_count, "
+            f"(SELECT CAST(sum(freq * len(list_filter(str_split(enc, chr(31)), "
+            f"x -> x != ''))) AS BIGINT) FROM v{r}) AS tokens_after FROM m{r} m"
+        )
+    ctes = ",".join(parts)
+    union = "\n    UNION ALL ".join(selects)
+    return f"WITH {ctes}\n    {union}"
+
+
+def learn_bpe_merges(spark, sf_dir, n_rounds: int = _BPE_ROUNDS):
+    """Distributed BPE merge learning.  Returns (merge_rows, vocab) where
+    ``merge_rows`` is [(rank, left, right, pair_count, tokens_after)] and
+    ``vocab`` is the final encoded word-frequency frame.
+
+    Plan shape per round: ONE pair-count aggregate over the vocabulary
+    (explode adjacent symbol pairs weighted by word freq -> groupBy ->
+    1-row argmax collected: bounded model state, the kmeans/logreg seam),
+    then the merge re-enters the plan as a literal string replace.  The
+    vocabulary is word-level (freq-weighted) — at 100 TB the words table
+    is the ONLY thing the loop touches after one corpus pass, and it is
+    millions of rows regardless of corpus size; it is localCheckpointed
+    once so the per-round passes do not re-run the corpus explode."""
+    docs = td(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.bpe_tokens(F.col("text"))).alias("word"))
+        .filter(~F.col("word").contains(_BPE_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "enc", F.regexp_replace("word", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+        )
+        .localCheckpoint()
+    )
+
+    def _syms(enc):
+        return F.filter(F.split(enc, _BPE_SEP), lambda x: x != F.lit(""))
+
+    def _pairs(enc):
+        syms = _syms(enc)
+        n_s = F.size(syms)
+        return F.when(
+            n_s < 2, F.array().cast("array<struct<l:string,r:string>>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_s - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            )
+        )
+
+    merges = []
+    for rank in range(1, n_rounds + 1):
+        best = (
+            vocab.select("freq", F.explode(_pairs(F.col("enc"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # degenerate: vocabulary fully merged
+            break
+        b = best[0]
+        vocab = vocab.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(_BPE_SEP + b.l + _BPE_SEP + _BPE_SEP + b.r + _BPE_SEP),
+                F.lit(_BPE_SEP + b.l + b.r + _BPE_SEP),
+            ),
+        )
+        tokens_after = vocab.agg(
+            F.sum(F.col("freq") * F.size(_syms(F.col("enc")))).cast("long")
+        ).collect()[0][0]
+        merges.append((rank, b.l, b.r, int(b.cnt), int(tokens_after)))
+    return merges, vocab
+
+
+@query("text_bpe_learn_merges", _sql_bpe_learn())
+def text_bpe_learn_merges(spark, sf_dir):
+    """Learn the top-8 BPE merges over the corpus vocabulary and report
+    the merge table with after-merge token totals (monotone decreasing —
+    pinned in tests).  The oracle replays every round as unrolled CTEs;
+    the separator-prefix encoding makes the merge a plain string replace
+    with identical left-to-right semantics in both engines."""
+    merges, _ = learn_bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, "
+        "pair_count bigint, tokens_after bigint",
+    )

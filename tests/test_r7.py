@@ -171,3 +171,142 @@ def test_trained_logreg_weights_are_quantized_and_finite(spark, sf_dir):
         assert math.isfinite(v)
         assert v == round(v, 6), "weights must be 6dp-quantized (oracle replay)"
     assert any(v != 0.0 for v in w), "training must move off the zero init"
+
+
+# ---------------------------------------------------------------------------
+# learned BPE merges: pinned against an independent Python BPE trainer
+# ---------------------------------------------------------------------------
+
+
+def _python_bpe(word_freqs, n_rounds):
+    """Reference BPE trainer (independent of the Spark/SQL implementation):
+    word dict -> iterative most-frequent-adjacent-pair merge, ties broken
+    (count DESC, left ASC, right ASC), left-to-right non-overlapping
+    application."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_rounds):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = {tuple(k): v for k, v in new_vocab.items()}
+        tokens_after = sum(len(s) * f for s, f in vocab.items())
+        merges.append((a, b, cnt, tokens_after))
+    return merges
+
+
+def test_bpe_matches_python_reference_on_planted_corpus(spark, tmp_path):
+    """Plant a corpus with a known merge sequence and compare the full
+    merge table against the independent Python trainer."""
+    docs = [
+        (1, "banana banana banana bandana"),
+        (2, "ana ban nab banana"),
+        (3, "the cat the hat the bat"),
+    ]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/documents.parquet")
+    )
+    from target_parquet_spark.queries_r7 import learn_bpe_merges
+
+    got, _ = learn_bpe_merges(spark, str(tmp_path), n_rounds=6)
+
+    # reference word-frequency dict from the same pre-tokenization
+    import re
+
+    wf = {}
+    for _, text in docs:
+        for w in re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", text.lower()):
+            wf[w] = wf.get(w, 0) + 1
+    want = _python_bpe(wf, 6)
+    assert [(l, r, c, t) for _, l, r, c, t in got] == want
+
+
+def test_bpe_compression_monotone_and_beats_static_topk(spark, sf_dir):
+    """tokens_after must strictly decrease each round, and 8 ITERATIVE
+    merges must compress at least as well as applying the top-8 pairs of
+    round 1 simultaneously (the static table a non-learning tokenizer
+    would use) — iteration discovers multi-char merges statics can't."""
+    from target_parquet_spark.queries import QUERIES
+    from target_parquet_spark.queries_r7 import _BPE_SEP
+
+    rows = sorted(
+        QUERIES["text_bpe_learn_merges"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(rows) == 8
+    toks = [r.tokens_after for r in rows]
+    assert all(a > b for a, b in zip(toks, toks[1:])), toks
+    # later merges may consume earlier ones' outputs (multi-char symbols)
+    multi = [r for r in rows if len(r.left_sym) > 1 or len(r.right_sym) > 1]
+
+    # static top-8: rank round-1 pairs by count and apply all at once
+    from target_parquet_spark.operators.text import bpe_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(bpe_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "enc", F.regexp_replace("word", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
+        )
+    )
+    syms = F.filter(F.split(F.col("enc"), _BPE_SEP), lambda x: x != F.lit(""))
+    n_s = F.size(syms)
+    pairs = F.when(n_s < 2, F.array().cast("array<struct<l:string,r:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_s - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("r"),
+            ),
+        )
+    )
+    top8 = (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "l", "r")
+        .limit(8)
+        .collect()
+    )
+    static = vocab
+    for b in top8:
+        static = static.withColumn(
+            "enc",
+            F.replace(
+                F.col("enc"),
+                F.lit(_BPE_SEP + b.l + _BPE_SEP + _BPE_SEP + b.r + _BPE_SEP),
+                F.lit(_BPE_SEP + b.l + b.r + _BPE_SEP),
+            ),
+        )
+    static_tokens = static.agg(
+        F.sum(
+            F.col("freq")
+            * F.size(F.filter(F.split(F.col("enc"), _BPE_SEP), lambda x: x != F.lit("")))
+        ).cast("long")
+    ).collect()[0][0]
+    assert toks[-1] <= static_tokens, (
+        f"learned {toks[-1]} > static top-8 {static_tokens}"
+    )
