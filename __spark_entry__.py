@@ -69,15 +69,12 @@ _CURATED_PREFIX = [
     "agg_distinct_count",
     "agg_rollup",
     "agg_percentiles",
-    "agg_salted_skew",
     "window_topk_per_group",
     "window_running_total",
-    "window_time_range_rolling",
     # set ops / scalar
     "set_union",
     "set_except",
     "scalar_string_funcs",
-    "json_extract_props",
     # dedup family
     "dedup_exact_keep_first",
     "dedup_minhash_lsh_pairs",
@@ -85,6 +82,7 @@ _CURATED_PREFIX = [
     "dedup_keep_canonical",
     "dedup_cdc_chunks",
     "dedup_span_ngram",
+    "dedup_cross_corpus",
     # similarity / ANN family
     "sim_brute_force",
     "sim_ann_lsh",
@@ -98,8 +96,10 @@ _CURATED_PREFIX = [
     "text_bm25_search",
     "text_lang_id",
     "text_contamination",
-    "text_bpe_token_stats",
+    "text_quality_logreg_trained",
+    "text_bpe_learn_merges",
     # sampling / CDC / governance / events
+    "events_sessionize",
     "sample_token_budget",
     "sample_sequence_packing",
     "cdc_scd2_history",

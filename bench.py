@@ -166,6 +166,9 @@ HEADLINE = [
     "audit_embedding_quality",
     "asof_join_tolerance",
     "sql_recursive_reachability",
+    "dedup_cross_corpus",
+    "text_quality_logreg_trained",
+    "text_bpe_learn_merges",
 ]
 
 

@@ -478,3 +478,64 @@ def text_bpe_learn_merges(spark, sf_dir):
         "rank int, left_sym string, right_sym string, "
         "pair_count bigint, tokens_after bigint",
     )
+
+
+def _sql_bpe_apply() -> str:
+    """Oracle: replay the training CTEs, then tokenize the corpus with the
+    final vocabulary encoding (word join) and report per-source totals."""
+    from target_parquet_spark.operators.text import BPE_PATTERN
+
+    train = _sql_bpe_learn()
+    # strip the trailing merge-table SELECT: keep everything up to the
+    # final "SELECT 1 AS rank" union block by rebuilding from parts
+    ctes = train[: train.rindex("\n    SELECT 1 AS rank")]
+    return f"""{ctes}
+    , corpus_words AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+        AS word
+      FROM documents),
+    tok AS (
+      SELECT w.source,
+             length(v.word) AS n_chars,
+             len(list_filter(str_split(v.enc, chr(31)), x -> x != ''))
+               AS n_bpe
+      FROM corpus_words w JOIN v{_BPE_ROUNDS} v ON v.word = w.word)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_chars) AS BIGINT) AS tokens_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS tokens_bpe,
+           round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_chars), 4) AS compression
+    FROM tok GROUP BY source
+    """
+
+
+@query("text_bpe_apply", _sql_bpe_apply())
+def text_bpe_apply(spark, sf_dir):
+    """Tokenize the corpus with the LEARNED merge table — the train->apply
+    pair that completes the tokenizer-training family (mirrors
+    kmeans_codebook -> ivf_ann).  Application is a word-level join against
+    the trained vocabulary's final encoding: the corpus explodes to
+    (source, word) and joins the vocab on the word key — at 100 TB the
+    vocabulary is millions of rows regardless of corpus size, so the join
+    broadcasts (or bucket-joins) while the corpus never shuffles more than
+    its word stream.  Reports per-source character vs BPE token totals and
+    the compression ratio the learned merges buy."""
+    _, vocab = learn_bpe_merges(spark, sf_dir)
+    docs = td(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(X.bpe_tokens(F.col("text"))).alias("word")
+    ).filter(~F.col("word").contains(_BPE_SEP))
+    enc_len = F.size(F.filter(F.split(F.col("enc"), _BPE_SEP), lambda x: x != F.lit("")))
+    v = vocab.select("word", F.length("word").alias("n_chars"), enc_len.alias("n_bpe"))
+    return (
+        words.join(F.broadcast(v), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("tokens_chars"),
+            F.sum("n_bpe").cast("long").alias("tokens_bpe"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_chars"), 4
+            ).alias("compression"),
+        )
+    )

@@ -310,3 +310,21 @@ def test_bpe_compression_monotone_and_beats_static_topk(spark, sf_dir):
     assert toks[-1] <= static_tokens, (
         f"learned {toks[-1]} > static top-8 {static_tokens}"
     )
+
+
+def test_bpe_apply_compression_below_one(spark, sf_dir):
+    """Applying the learned merges must strictly compress every source
+    (tokens_bpe < tokens_chars) and agree with the training run's final
+    corpus-wide token total."""
+    from target_parquet_spark.queries import QUERIES
+    from target_parquet_spark.queries_r7 import learn_bpe_merges
+
+    rows = QUERIES["text_bpe_apply"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.tokens_bpe < r.tokens_chars
+        assert 0.0 < r.compression < 1.0
+    merges, _ = learn_bpe_merges(spark, sf_dir)
+    # the training loop's final tokens_after is VOCAB-weighted over the
+    # same corpus, so corpus-wide sums must agree exactly
+    assert sum(r.tokens_bpe for r in rows) == merges[-1][4]
