@@ -169,6 +169,7 @@ HEADLINE = [
     "dedup_cross_corpus",
     "text_quality_logreg_trained",
     "text_bpe_learn_merges",
+    "text_bpe_apply",
 ]
 
 
