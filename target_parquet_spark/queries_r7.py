@@ -539,3 +539,54 @@ def text_bpe_apply(spark, sf_dir):
             ).alias("compression"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# materialized k-NN edge artifact (the plan-audit follow-through)
+# ---------------------------------------------------------------------------
+
+
+def _register_knn_artifact():
+    """Register with graph_degree_distribution's oracle verbatim: the
+    edge table moves from a re-derived subplan to a written artifact —
+    the LAYOUT changes, the answer must not (same contract as
+    scan_ivf_partitioned)."""
+    from target_parquet_spark.queries import ORACLES
+    from target_parquet_spark.queries_r6 import _knn_edges, _symmetrize_degrees
+
+    @query("scan_knn_edges_artifact", ORACLES["graph_degree_distribution"])
+    def scan_knn_edges_artifact(spark, sf_dir):
+        """``_knn_edges`` docstrings claim "at scale the edge table is
+        written once and every downstream graph op reads it instead of
+        re-deriving pairs" — this query MATERIALIZES that artifact and
+        computes the degree distribution FROM it.  The stored directory
+        is keyed on a data fingerprint (row count + id checksum), so a
+        regenerated embeddings table forces a rewrite rather than
+        silently reusing stale edges.  Same oracle as
+        ``graph_degree_distribution``: the layout changes, the answer
+        must not."""
+        import hashlib
+        import os
+
+        from target_parquet_spark.io.layout import _tag, warehouse_dir
+
+        emb = td(spark, sf_dir, "embeddings")
+        fpr = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")
+        ).collect()[0]
+        fp = hashlib.md5(repr((int(fpr.n), int(fpr.s))).encode()).hexdigest()[:10]
+        path = os.path.join(
+            warehouse_dir(), f"knn_edges_{_tag(sf_dir)}_{fp}"
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            _knn_edges(spark, sf_dir, k=3).write.mode("overwrite").parquet(path)
+        edges = spark.read.parquet(path)
+        _sym, deg = _symmetrize_degrees(edges)
+        return deg.groupBy(F.col("d").alias("degree")).agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+
+    return scan_knn_edges_artifact
+
+
+_register_knn_artifact()

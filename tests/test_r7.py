@@ -328,3 +328,30 @@ def test_bpe_apply_compression_below_one(spark, sf_dir):
     # the training loop's final tokens_after is VOCAB-weighted over the
     # same corpus, so corpus-wide sums must agree exactly
     assert sum(r.tokens_bpe for r in rows) == merges[-1][4]
+
+
+def test_knn_edge_artifact_matches_rederived(spark, sf_dir):
+    """The materialized-edge degree histogram must equal the re-derived
+    one, and the second invocation must NOT rewrite the artifact."""
+    import glob
+    import os
+
+    from target_parquet_spark.queries import QUERIES
+
+    a = {
+        (r.degree, r.n_nodes)
+        for r in QUERIES["scan_knn_edges_artifact"](spark, sf_dir).collect()
+    }
+    b = {
+        (r.degree, r.n_nodes)
+        for r in QUERIES["graph_degree_distribution"](spark, sf_dir).collect()
+    }
+    assert a == b and a
+    from target_parquet_spark.io.layout import warehouse_dir
+
+    dirs = glob.glob(os.path.join(warehouse_dir(), "knn_edges_*"))
+    assert dirs
+    mtime = max(os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in dirs)
+    QUERIES["scan_knn_edges_artifact"](spark, sf_dir).collect()
+    mtime2 = max(os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in dirs)
+    assert mtime2 == mtime, "artifact must be reused, not rewritten"
