@@ -91,9 +91,13 @@ _TS_FORMATS = [
     "M/d/yyyy h:m a",
     "MMM d yyyy h:m:s a",
     "MMM d yyyy h:m a",
+    "MMM d, yyyy h:m:s a",
     "MMM d, yyyy h:m a",
+    "MMMM d, yyyy h:m:s a",
     "MMMM d, yyyy h:m a",
+    "d MMM yyyy h:m:s a",
     "d MMM yyyy h:m a",
+    "yyyy-MM-dd h:m:s a",
     "yyyy-MM-dd h:m a",
     "yyyy-MM-dd H:m:s zzz",
     "yyyy-MM-dd'T'H:m:s zzz",

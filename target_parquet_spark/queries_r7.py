@@ -108,9 +108,14 @@ def dedup_cross_corpus(spark, sf_dir):
     docs share vocabulary but not shingles — they screen as novel)."""
     docs = td(spark, sf_dir, "documents").select("doc_id", "text")
     toks = X.tokens(F.col("text"))
+    # greatest(size-2, 0): F.slice raises on a negative length, so a
+    # 0/1-token doc would abort the whole query where DuckDB's tt[1:n-2]
+    # just returns empty — guard to match the oracle's semantics.
     near = docs.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 2)).alias("text"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
     )
     novel = docs.filter(F.col("doc_id") % 2 == 1).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
@@ -571,10 +576,16 @@ def _register_knn_artifact():
         from target_parquet_spark.io.layout import _tag, warehouse_dir
 
         emb = td(spark, sf_dir, "embeddings")
+        # CONTENT fingerprint: xor of per-row hashes over (id, vector) —
+        # order-insensitive, overflow-free (xor, not sum), and sensitive
+        # to any changed vector, not just cardinality/id changes (an
+        # id-only fingerprint would silently reuse stale edges after the
+        # .scratch regeneration the docstring warns about).
         fpr = emb.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("h"),
         ).collect()[0]
-        fp = hashlib.md5(repr((int(fpr.n), int(fpr.s))).encode()).hexdigest()[:10]
+        fp = hashlib.md5(repr((int(fpr.n), int(fpr.h))).encode()).hexdigest()[:10]
         path = os.path.join(
             warehouse_dir(), f"knn_edges_{_tag(sf_dir)}_{fp}"
         )

@@ -90,9 +90,13 @@ def test_lenient_timestamp_matches_dateutil_corpus(spark):
         "1/15/2024 10:30:45 PM",
         "Jan 15 2024 10:30 PM",
         "Jan 15, 2024 10:30 AM",
+        "Jan 15, 2024 10:30:45 PM",
         "June 3, 2021 5:07 AM",
+        "June 3, 2021 5:07:09 AM",
         "15 Jan 2024 10:30 PM",
+        "15 Jan 2024 10:30:45 PM",
         "2024-01-15 10:30 PM",
+        "2024-01-15 10:30:45 PM",
         "2024-01-15 10:30:00 UTC",
         "2024-01-15 10:30:00 GMT",
         "2024-01-15T10:30:00 UTC",

@@ -257,8 +257,10 @@ def test_bpe_compression_monotone_and_beats_static_topk(spark, sf_dir):
     assert len(rows) == 8
     toks = [r.tokens_after for r in rows]
     assert all(a > b for a, b in zip(toks, toks[1:])), toks
-    # later merges may consume earlier ones' outputs (multi-char symbols)
+    # later merges consume earlier ones' outputs: iterative training must
+    # discover at least one multi-char merge a static table cannot
     multi = [r for r in rows if len(r.left_sym) > 1 or len(r.right_sym) > 1]
+    assert multi, "expected at least one multi-char merge from iteration"
 
     # static top-8: rank round-1 pairs by count and apply all at once
     from target_parquet_spark.operators.text import bpe_tokens
