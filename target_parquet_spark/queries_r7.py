@@ -551,47 +551,46 @@ def text_bpe_apply(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def knn_edge_artifact(spark, sf_dir):
+    """The materialized k-NN edge table: written once, read by every
+    downstream graph op.  The stored directory is keyed on a CONTENT
+    fingerprint — xor of per-row xxhash64(id, vector) hashes
+    (order-insensitive, overflow-free, sensitive to any changed vector,
+    not just cardinality/id changes) — so a regenerated embeddings table
+    forces a rewrite instead of silently reusing stale edges."""
+    import hashlib
+    import os
+
+    from target_parquet_spark.io.layout import _tag, warehouse_dir
+    from target_parquet_spark.queries_r6 import _knn_edges
+
+    emb = td(spark, sf_dir, "embeddings")
+    fpr = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("h"),
+    ).collect()[0]
+    fp = hashlib.md5(repr((int(fpr.n), int(fpr.h))).encode()).hexdigest()[:10]
+    path = os.path.join(warehouse_dir(), f"knn_edges_{_tag(sf_dir)}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _knn_edges(spark, sf_dir, k=3).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _register_knn_artifact():
     """Register with graph_degree_distribution's oracle verbatim: the
     edge table moves from a re-derived subplan to a written artifact —
     the LAYOUT changes, the answer must not (same contract as
     scan_ivf_partitioned)."""
     from target_parquet_spark.queries import ORACLES
-    from target_parquet_spark.queries_r6 import _knn_edges, _symmetrize_degrees
+    from target_parquet_spark.queries_r6 import _symmetrize_degrees
 
     @query("scan_knn_edges_artifact", ORACLES["graph_degree_distribution"])
     def scan_knn_edges_artifact(spark, sf_dir):
-        """``_knn_edges`` docstrings claim "at scale the edge table is
-        written once and every downstream graph op reads it instead of
-        re-deriving pairs" — this query MATERIALIZES that artifact and
-        computes the degree distribution FROM it.  The stored directory
-        is keyed on a data fingerprint (row count + id checksum), so a
-        regenerated embeddings table forces a rewrite rather than
-        silently reusing stale edges.  Same oracle as
+        """Degree distribution computed FROM the materialized edge
+        artifact (see ``knn_edge_artifact``).  Same oracle as
         ``graph_degree_distribution``: the layout changes, the answer
         must not."""
-        import hashlib
-        import os
-
-        from target_parquet_spark.io.layout import _tag, warehouse_dir
-
-        emb = td(spark, sf_dir, "embeddings")
-        # CONTENT fingerprint: xor of per-row hashes over (id, vector) —
-        # order-insensitive, overflow-free (xor, not sum), and sensitive
-        # to any changed vector, not just cardinality/id changes (an
-        # id-only fingerprint would silently reuse stale edges after the
-        # .scratch regeneration the docstring warns about).
-        fpr = emb.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("h"),
-        ).collect()[0]
-        fp = hashlib.md5(repr((int(fpr.n), int(fpr.h))).encode()).hexdigest()[:10]
-        path = os.path.join(
-            warehouse_dir(), f"knn_edges_{_tag(sf_dir)}_{fp}"
-        )
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            _knn_edges(spark, sf_dir, k=3).write.mode("overwrite").parquet(path)
-        edges = spark.read.parquet(path)
+        edges = knn_edge_artifact(spark, sf_dir)
         _sym, deg = _symmetrize_degrees(edges)
         return deg.groupBy(F.col("d").alias("degree")).agg(
             F.count(F.lit(1)).alias("n_nodes")
@@ -601,3 +600,108 @@ def _register_knn_artifact():
 
 
 _register_knn_artifact()
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised label propagation over the k-NN graph
+# ---------------------------------------------------------------------------
+
+
+_LP_ROUNDS = 3
+
+
+def _register_label_propagation():
+    """Oracle reuses queries_r6's _SQL_KNN/_SQL_SYM_DEG fragments so the
+    graph being propagated over cannot drift from the other graph ops."""
+    from target_parquet_spark.queries_r6 import (
+        _SQL_KNN,
+        _SQL_SYM_DEG,
+        _symmetrize_degrees,
+    )
+
+    rounds = []
+    for r in range(1, _LP_ROUNDS + 1):
+        rounds.append(f"""
+    l{r} AS (
+      SELECT b.vec_id, b.is_seed,
+             CASE WHEN b.is_seed THEN b.lbl ELSE nb.nb END AS lbl
+      FROM l{r - 1} b LEFT JOIN (
+        SELECT s.u, round(avg(c.lbl), 6) AS nb
+        FROM sym s JOIN l{r - 1} c ON c.vec_id = s.v
+        WHERE c.lbl IS NOT NULL GROUP BY s.u) nb ON nb.u = b.vec_id)""")
+    rounds_sql = ",".join(rounds)
+
+    @query(
+        "graph_label_propagation",
+        f"""
+    WITH {_SQL_KNN},
+    {_SQL_SYM_DEG},
+    nodes AS (SELECT DISTINCT u FROM sym),
+    l0 AS (
+      SELECT n.u AS vec_id,
+             (e.vec_id % 5 = 0) AS is_seed,
+             CASE WHEN e.vec_id % 5 = 0 THEN
+               CASE WHEN e.embedding[1] >= 0 THEN 1.0 ELSE 0.0 END
+             END AS lbl
+      FROM nodes n JOIN embeddings e ON e.vec_id = n.u),
+    {rounds_sql}
+    SELECT vec_id, is_seed, round(lbl, 4) AS label
+    FROM l{_LP_ROUNDS}
+        """,
+    )
+    def graph_label_propagation(spark, sf_dir):
+        """Semi-supervised label spreading — the data-curation move that
+        turns a few labeled documents into corpus-wide labels: 20% of
+        nodes carry a seed label (sign of the first embedding
+        coordinate — content-derived, so neighborhoods are informative),
+        the rest receive the 6dp-rounded mean of their labeled neighbors,
+        iterated {_LP_ROUNDS} rounds with seeds CLAMPED each round.
+
+        Plan shape: the graph comes from the materialized edge artifact
+        (``knn_edge_artifact`` — no pair re-derivation); each round is
+        one neighbor join + one mean aggregate on the node key, so the
+        whole propagation is {_LP_ROUNDS} hash joins over an edge table
+        that shuffles on the same key every round (AQE reuses the
+        exchange).  Unreached nodes keep a NULL label — exactly the rows
+        a curation pipeline routes to human labeling."""
+        edges = knn_edge_artifact(spark, sf_dir)
+        sym, _deg = _symmetrize_degrees(edges)
+        emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        nodes = sym.select(F.col("u").alias("vec_id")).distinct()
+        is_seed = F.col("vec_id") % 5 == 0
+        seed_lbl = F.when(
+            is_seed,
+            F.when(F.col("embedding").getItem(0) >= 0, 1.0).otherwise(0.0),
+        )
+        cur = nodes.join(emb, "vec_id").select(
+            "vec_id", is_seed.alias("is_seed"), seed_lbl.alias("lbl")
+        )
+        for _ in range(_LP_ROUNDS):
+            nb = (
+                sym.join(
+                    cur.filter(F.col("lbl").isNotNull()).select(
+                        F.col("vec_id").alias("v"), F.col("lbl").alias("_nl")
+                    ),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.round(F.avg("_nl"), 6).alias("nb"))
+            )
+            cur = (
+                cur.join(nb, cur["vec_id"] == nb["u"], "left")
+                .select(
+                    "vec_id",
+                    "is_seed",
+                    F.when(F.col("is_seed"), F.col("lbl"))
+                    .otherwise(F.col("nb"))
+                    .alias("lbl"),
+                )
+            )
+        return cur.select(
+            "vec_id", "is_seed", F.round("lbl", 4).alias("label")
+        )
+
+    return graph_label_propagation
+
+
+_register_label_propagation()

@@ -357,3 +357,29 @@ def test_knn_edge_artifact_matches_rederived(spark, sf_dir):
     QUERIES["scan_knn_edges_artifact"](spark, sf_dir).collect()
     mtime2 = max(os.path.getmtime(os.path.join(d, "_SUCCESS")) for d in dirs)
     assert mtime2 == mtime, "artifact must be reused, not rewritten"
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """Seeds stay clamped to their rule, propagated labels are convex
+    combinations (within [0,1]), and propagation reaches non-seed nodes."""
+    from target_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["graph_label_propagation"](spark, sf_dir).collect()
+    assert rows
+    emb = {
+        r.vec_id: r.e0
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").getItem(0).alias("e0"))
+        .collect()
+    }
+    n_seed = n_prop = 0
+    for r in rows:
+        if r.is_seed:
+            n_seed += 1
+            want = 1.0 if emb[r.vec_id] >= 0 else 0.0
+            assert r.label == want, f"seed {r.vec_id} drifted: {r.label}"
+        elif r.label is not None:
+            n_prop += 1
+            assert 0.0 <= r.label <= 1.0
+    assert n_seed, "seed set must be non-empty"
+    assert n_prop, "propagation must reach at least one non-seed node"
