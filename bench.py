@@ -170,6 +170,10 @@ HEADLINE = [
     "text_quality_logreg_trained",
     "text_bpe_learn_merges",
     "text_bpe_apply",
+    "scan_knn_edges_artifact",
+    "graph_label_propagation",
+    "sample_temperature_mixture",
+    "text_winnowing_pairs",
 ]
 
 

@@ -705,3 +705,226 @@ def _register_label_propagation():
 
 
 _register_label_propagation()
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling (the alpha-power source-mixing knob)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 0.5  # target fraction of the corpus
+
+
+@query(
+    "sample_temperature_mixture",
+    f"""
+    WITH cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source),
+    tot AS (
+      SELECT round(sum(pow(n_docs, {_MIX_ALPHA})), 6) AS s6,
+             CAST(sum(n_docs) AS BIGINT) AS n
+      FROM cnt),
+    rates AS (
+      SELECT c.source, c.n_docs,
+             least(1.0, round(pow(c.n_docs, {_MIX_ALPHA}) / t.s6
+                              * ({_MIX_BUDGET} * t.n) / c.n_docs, 6)) AS rate
+      FROM cnt c, tot t),
+    sel AS (
+      SELECT d.source, d.doc_id, r.rate, r.n_docs
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             % 1000000) < CAST(floor(r.rate * 1000000) AS BIGINT))
+    SELECT source,
+           any_value(n_docs) AS n_docs,
+           any_value(rate) AS rate,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS sel_sig
+    FROM sel GROUP BY source
+    """,
+)
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled source mixing — the alpha-power re-weighting of
+    LLM pretraining mixtures (sampling probability proportional to
+    n_s^alpha, alpha=0.7): big sources are down-weighted, small sources
+    up-weighted, rates capped at 1.0, total budget {_MIX_BUDGET:.0%} of
+    the corpus.  Selection is the deterministic md5-bucket threshold
+    (integer compare against floor(rate * 1e6) — no floats at the
+    per-row decision), so the picked set is bit-reproducible across
+    engines, retries, and cluster sizes.
+
+    Plan shape: per-source counts (one partial-agg shuffle to ~|sources|
+    rows), the normalizer as a 1-row broadcast, rates re-broadcast onto
+    the scan-stage filter — the corpus itself never shuffles until the
+    audit aggregate.  Float parity: the normalizer and every rate are
+    6dp-rounded in BOTH engines before the threshold floor, so the one
+    order-dependent sum cannot move a boundary."""
+    from target_parquet_spark.queries_ops import _hash_mod
+
+    docs = td(spark, sf_dir, "documents").select("source", "doc_id")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(
+        F.round(F.sum(F.pow("n_docs", F.lit(_MIX_ALPHA))), 6).alias("s6"),
+        F.sum("n_docs").alias("n"),
+    )
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.pow("n_docs", F.lit(_MIX_ALPHA))
+                / F.col("s6")
+                * (F.lit(_MIX_BUDGET) * F.col("n"))
+                / F.col("n_docs"),
+                6,
+            ),
+        ).alias("rate"),
+    )
+    sel = docs.join(F.broadcast(rates), "source").filter(
+        _hash_mod(F.col("doc_id"), 1000000)
+        < F.floor(F.col("rate") * 1000000).cast("long")
+    )
+    return sel.groupBy("source").agg(
+        F.any_value(F.col("n_docs")).alias("n_docs"),
+        F.any_value(F.col("rate")).alias("rate"),
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("sel_sig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al., the MOSS algorithm)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # gram size (tokens)
+_WIN_W = 4  # winnowing window (grams)
+_WIN_SHARED = 2  # pair-report threshold
+_WIN_MAXDF = 100  # posting cap (same role as the ngram baseline's max_df)
+
+
+def _sql_winnowing() -> str:
+    """Oracle: positional 60-bit gram hashes (NOT distinct — winnowing
+    needs every position), minimum of each w-window, deduped per doc,
+    df-capped postings, pair join on shared fingerprints."""
+    from target_parquet_spark.queries_ext import SQL_CORPUS
+
+    toks = SQL_TOKS.format(c="text")
+    k1 = _WIN_K - 1
+    w1 = _WIN_W - 1
+    return f"""
+    WITH {SQL_CORPUS},
+    wtoks AS (SELECT doc_id, {toks} AS tt FROM corpus),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tt) < {_WIN_K} THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(range(1, len(tt) - {k1} + 1),
+                       i -> ('0x' || substr(md5(tt[i] || ' ' || tt[i+1] || ' ' || tt[i+2]), 1, 15))::BIGINT)
+             END AS g
+      FROM wtoks),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               unnest(CASE
+                 WHEN len(g) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(g) < {_WIN_W} THEN [list_min(g)]
+                 ELSE list_transform(range(1, len(g) - {w1} + 1),
+                      i -> list_min(g[i:i+{w1}]))
+               END) AS fp
+        FROM grams)),
+    df AS (SELECT fp FROM (SELECT fp, count(*) AS nd FROM fps GROUP BY fp)
+           WHERE nd <= {_WIN_MAXDF})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)) a
+    JOIN (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WIN_SHARED}
+    """
+
+
+@query("text_winnowing_pairs", _sql_winnowing())
+def text_winnowing_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    MOSS algorithm): every position's k-gram hash is computed, the
+    minimum of each w-hash window is selected, and the deduped minima are
+    the document's fingerprint set — guaranteeing any shared substring of
+    length >= w+k-1 tokens produces at least one shared fingerprint,
+    while storing only ~2/(w+1) of the grams.  Pairs sharing >= 2
+    fingerprints are reported with the shared count (over the planted
+    doubled corpus, so the expected output is provably non-empty).
+
+    vs the span/ngram family: dedup_span_ngram hashes EVERY gram (full
+    recall, but |grams| posting rows); winnowing's window-minimum
+    selection is position-robust sparsification — the postings exchange
+    carries ~2/(w+1) of the rows for the same long-match guarantee.
+    Plan shape: scan-stage gram hashing + window minima (pure
+    higher-order functions, zero Python), one shuffle on the 8-byte
+    fingerprint key, document-frequency cap (df <= 100) before the pair
+    self-join bounds candidates exactly like the ngram baseline's
+    max_df; the one repartition feeds the df-cap aggregate AND both
+    self-join sides."""
+    from target_parquet_spark.queries_ext import _spark_corpus
+
+    docs = _spark_corpus(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    zipped = F.arrays_zip(
+        toks.alias("t0"),
+        F.slice(toks, 2, 1 << 30).alias("t1"),
+        F.slice(toks, 3, 1 << 30).alias("t2"),
+    )
+    gram_strs = F.transform(
+        F.slice(
+            zipped, 1, F.greatest(F.size(toks) - (_WIN_K - 1), F.lit(0))
+        ),
+        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
+    )
+    g = F.transform(
+        gram_strs,
+        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+    )
+    n_g = F.size(g)
+    minima = (
+        F.when(n_g == 0, F.array().cast("array<bigint>"))
+        .when(n_g < _WIN_W, F.array(F.array_min(g)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_g - (_WIN_W - 1)),
+                lambda i: F.array_min(F.slice(g, i, _WIN_W)),
+            )
+        )
+    )
+    fps = docs.select(
+        "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
+    ).repartition(F.col("fp"))
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= _WIN_MAXDF)
+        .select("fp")
+    )
+    capped = fps.join(df_ok, "fp")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_SHARED)
+    )

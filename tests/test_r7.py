@@ -383,3 +383,97 @@ def test_label_propagation_invariants(spark, sf_dir):
             assert 0.0 <= r.label <= 1.0
     assert n_seed, "seed set must be non-empty"
     assert n_prop, "propagation must reach at least one non-seed node"
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture + winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_reweights_toward_small_sources(spark, sf_dir):
+    from target_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["sample_temperature_mixture"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.rate <= 1.0
+        assert r.n_selected <= r.n_docs
+    # alpha < 1: sampling RATE must be non-increasing in source size
+    by_size = sorted(rows, key=lambda r: r.n_docs)
+    rates = [r.rate for r in by_size]
+    assert all(a >= b - 1e-9 for a, b in zip(rates, rates[1:])), (
+        "smaller sources must get higher (or equal) sampling rates"
+    )
+    # realized total within a loose band of the budget (hash noise)
+    tot = sum(r.n_docs for r in rows)
+    sel = sum(r.n_selected for r in rows)
+    assert 0.3 * tot <= sel <= 0.7 * tot
+
+
+def test_winnowing_guarantee_on_planted_shared_run(spark, tmp_path):
+    """Two documents sharing a 12-token run (>> w+k-1 = 6) must be
+    reported as a fingerprint-sharing pair; unrelated docs must not."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = [
+        (1, f"first document begins here {shared} and then ends uniquely"),
+        (2, f"totally different opening words {shared} followed by other text"),
+        (3, "nothing in common with the others at all whatsoever by design"),
+    ]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/documents.parquet")
+    )
+    from target_parquet_spark.queries import QUERIES
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["text_winnowing_pairs"](spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any({a, b} == {1, 3} or {a, b} == {2, 3} for a, b in pairs
+                   if a < 1000000 and b < 1000000), pairs
+
+
+def test_winnowing_sparsifies_vs_full_grams(spark, sf_dir):
+    """The winnowed fingerprint count must be well below the full gram
+    count (the ~2/(w+1) density that makes the postings exchange cheap)."""
+    from target_parquet_spark.operators.text import tokens
+    from target_parquet_spark.queries_ext import _spark_corpus
+
+    docs = _spark_corpus(spark, sf_dir)
+    n_grams = docs.select(
+        F.greatest(F.size(tokens(F.col("text"))) - 2, F.lit(0)).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    toks = tokens(F.col("text"))
+    # direct density check: recompute the minima expression over the corpus
+    zipped = F.arrays_zip(
+        toks.alias("t0"),
+        F.slice(toks, 2, 1 << 30).alias("t1"),
+        F.slice(toks, 3, 1 << 30).alias("t2"),
+    )
+    gram_strs = F.transform(
+        F.slice(zipped, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
+    )
+    g = F.transform(
+        gram_strs,
+        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+    )
+    n_g = F.size(g)
+    minima = (
+        F.when(n_g == 0, F.array().cast("array<bigint>"))
+        .when(n_g < 4, F.array(F.array_min(g)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_g - 3),
+                lambda i: F.array_min(F.slice(g, i, 4)),
+            )
+        )
+    )
+    n_fp = docs.select(
+        F.size(F.array_distinct(minima)).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert n_fp < 0.6 * n_grams, (n_fp, n_grams)
