@@ -174,6 +174,7 @@ HEADLINE = [
     "graph_label_propagation",
     "sample_temperature_mixture",
     "text_winnowing_pairs",
+    "scan_schema_evolution",
 ]
 
 

@@ -928,3 +928,76 @@ def text_winnowing_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution read (mergeSchema over heterogeneous parquet batches)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_schema_evolution",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(o_orderstatus, '<absent>') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM unioned GROUP BY status
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema evolution at the storage layer: two parquet batches written
+    with DIFFERENT schemas (an early batch without o_orderstatus, a later
+    batch with it — the add-a-column drift every long-lived ingest
+    accumulates) are read back as ONE table via mergeSchema, with the
+    missing column null-padded.  The aggregate answer must match a pure
+    relational union of the same projections — the layout (two
+    heterogeneous file generations) changes, the answer must not.
+
+    At 100 TB this is the contract that lets a pipeline add columns
+    without rewriting history: readers request the superset schema and
+    old files surface nulls.  (Spark reads each file with its own footer
+    schema; mergeSchema pays one extra footer pass at planning time,
+    nothing at scan time.)  Sum is integer-cents (established float-sum
+    convention)."""
+    import hashlib
+    import os
+
+    from target_parquet_spark.io.layout import _tag, warehouse_dir
+
+    from target_parquet_spark.queries import t
+
+    o = t(spark, sf_dir, "orders")
+    n = o.count()
+    fp = hashlib.md5(repr(("schema_evo", int(n))).encode()).hexdigest()[:10]
+    path = os.path.join(warehouse_dir(), f"schema_evo_{_tag(sf_dir)}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # generation 1: narrow schema (no o_orderstatus)
+        (
+            o.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        # generation 2: widened schema, appended alongside gen-1 files
+        (
+            o.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .write.mode("append")
+            .parquet(path)
+        )
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<absent>")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )

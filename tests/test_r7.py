@@ -477,3 +477,18 @@ def test_winnowing_sparsifies_vs_full_grams(spark, sf_dir):
         F.size(F.array_distinct(minima)).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert n_fp < 0.6 * n_grams, (n_fp, n_grams)
+
+
+def test_schema_evolution_null_pads_old_generation(spark, sf_dir):
+    """The merged read must surface <absent> for every gen-1 row (even
+    keys) and real statuses for gen-2 rows (odd keys)."""
+    from target_parquet_spark.queries import QUERIES, t
+
+    rows = {r.status: r.n_orders for r in
+            QUERIES["scan_schema_evolution"](spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders")
+    n_even = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_odd = o.filter(F.col("o_orderkey") % 2 == 1).count()
+    assert rows.get("<absent>") == n_even
+    assert sum(v for k, v in rows.items() if k != "<absent>") == n_odd
+    assert len(rows) > 1, "expected real statuses alongside the null-pad bucket"
