@@ -42,6 +42,7 @@ __all__ = [
     "ensure_rollup",
     "zorder_value",
     "warehouse_dir",
+    "content_fingerprint",
 ]
 
 
@@ -55,6 +56,25 @@ def warehouse_dir() -> str:
 
 def _tag(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def content_fingerprint(df, cols: list[str], extra: tuple = ()) -> str:
+    """Short content fingerprint for keying materialized artifacts: row
+    count + xor of per-row xxhash64 over ``cols`` (order-insensitive,
+    overflow-free — xor, not sum — and sensitive to any changed value,
+    not just cardinality), plus ``extra`` derivation parameters (k,
+    plane counts, a version token — anything that changes the DERIVED
+    artifact without changing the source data).  The xor coalesces to 0
+    on an empty frame (bit_xor over zero rows is NULL)."""
+    from pyspark.sql import functions as F
+
+    key = ", ".join(f"`{c}`" for c in cols)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"coalesce(bit_xor(xxhash64({key})), 0)").alias("h"),
+    ).collect()[0]
+    src = repr((int(row.n), int(row.h), tuple(extra)))
+    return hashlib.md5(src.encode()).hexdigest()[:10]
 
 
 def ensure_bucketed(

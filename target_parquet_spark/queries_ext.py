@@ -44,7 +44,7 @@ SQL_CORPUS = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
-           array_to_string(tt[1:len(tt) - 2], ' ') AS text
+           array_to_string(tt[1:greatest(len(tt) - 2, 0)], ' ') AS text
     FROM (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents)
   )
 """
@@ -73,7 +73,7 @@ def _spark_corpus(spark, sf_dir):
     toks = X.tokens(F.col("text"))
     perturbed = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 2)).alias("text"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))).alias("text"),
     )
     return docs.unionByName(perturbed)
 
@@ -1323,7 +1323,7 @@ def multimodal_frame_sample(spark, sf_dir):
     "text_contamination",
     f"""
     WITH d AS (
-      SELECT doc_id, tt, tt[1:len(tt) - 2] AS bt
+      SELECT doc_id, tt, tt[1:greatest(len(tt) - 2, 0)] AS bt
       FROM (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents)),
     bench AS (
       SELECT DISTINCT unnest({SQL_HS.format(s=SQL_SHINGLES.format(t='bt'))})
@@ -1366,7 +1366,7 @@ def text_contamination(spark, sf_dir):
 
     docs = td(spark, sf_dir, "documents").select("doc_id", "text")
     toks = X.tokens(F.col("text"))
-    bench_text = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 2))
+    bench_text = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))))
     bench_sh = (
         docs.filter(F.col("doc_id") % 50 == 0)
         .select(

@@ -1149,7 +1149,6 @@ def _register_ivf_partitioned():
         are never read, not merely filtered.  Same oracle as
         ``sim_ann_ivf``: the layout changes, the answer must not.
         """
-        import hashlib
         import math
         import os
 
@@ -1160,19 +1159,22 @@ def _register_ivf_partitioned():
         # Key the materialized layout on the DATA, not just the path: if the
         # files under sf_dir are regenerated (the .scratch workflow), a
         # path-only tag would re-probe a fresh codebook against STALE stored
-        # cell assignments.  Fingerprint = row count + xor of per-row
-        # content hashes + quantized centroid bytes — the content xor is
-        # what catches regenerations confined to NON-seed rows (the
-        # codebook is just the first 16 vectors, so centroids alone would
-        # reuse a stale layout whenever only vec_id >= 16 rows changed).
-        agg = emb.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("h"),
-        ).collect()[0]
-        fp_src = repr((int(agg.n), int(agg.h),
-                       [(cid, [round(x, 6) for x in v], round(nrm, 6))
-                        for cid, v, nrm in codebook]))
-        fp = hashlib.md5(fp_src.encode()).hexdigest()[:10]
+        # cell assignments.  content_fingerprint = row count + xor of
+        # per-row content hashes; the codebook rides in `extra` — the
+        # content xor is what catches regenerations confined to NON-seed
+        # rows (the codebook is just the first 16 vectors, so centroids
+        # alone would reuse a stale layout whenever only vec_id >= 16
+        # rows changed).
+        from target_parquet_spark.io.layout import content_fingerprint
+
+        fp = content_fingerprint(
+            emb,
+            ["vec_id", "embedding"],
+            extra=tuple(
+                (cid, tuple(round(x, 6) for x in v), round(nrm, 6))
+                for cid, v, nrm in codebook
+            ),
+        )
         name = f"ivf_embeddings_{_tag(sf_dir)}_{fp}"
         path = os.path.join(warehouse_dir(), name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):

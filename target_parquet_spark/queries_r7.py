@@ -45,7 +45,7 @@ from target_parquet_spark.queries_ext import (
 SQL_NEW_CRAWL = f"""
   newc AS (
     SELECT doc_id + 1000000 AS doc_id,
-           array_to_string(tt[1:len(tt) - 2], ' ') AS text
+           array_to_string(tt[1:greatest(len(tt) - 2, 0)], ' ') AS text
     FROM (SELECT doc_id, {SQL_TOKS.format(c='text')} AS tt FROM documents)
     WHERE doc_id % 2 = 0
     UNION ALL
@@ -108,9 +108,10 @@ def dedup_cross_corpus(spark, sf_dir):
     docs share vocabulary but not shingles — they screen as novel)."""
     docs = td(spark, sf_dir, "documents").select("doc_id", "text")
     toks = X.tokens(F.col("text"))
-    # greatest(size-2, 0): F.slice raises on a negative length, so a
-    # 0/1-token doc would abort the whole query where DuckDB's tt[1:n-2]
-    # just returns empty — guard to match the oracle's semantics.
+    # greatest(size-2, 0): F.slice raises on a negative length (and
+    # DuckDB's tt[1:n-2] wraps a negative end around to the FULL list for
+    # 1-token docs), so BOTH engines clamp to the same well-defined
+    # empty-result semantics — the oracle uses the identical greatest().
     near = docs.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(
@@ -554,22 +555,25 @@ def text_bpe_apply(spark, sf_dir):
 def knn_edge_artifact(spark, sf_dir):
     """The materialized k-NN edge table: written once, read by every
     downstream graph op.  The stored directory is keyed on a CONTENT
-    fingerprint — xor of per-row xxhash64(id, vector) hashes
-    (order-insensitive, overflow-free, sensitive to any changed vector,
-    not just cardinality/id changes) — so a regenerated embeddings table
-    forces a rewrite instead of silently reusing stale edges."""
-    import hashlib
+    fingerprint (io/layout.content_fingerprint: row count + xor of
+    per-row xxhash64 hashes) so a regenerated embeddings table forces a
+    rewrite instead of silently reusing stale edges, PLUS the derivation
+    parameters (k, plane count) so changing the edge definition itself
+    also moves the key — a warm warehouse must never pin an old graph
+    against an updated oracle."""
     import os
 
-    from target_parquet_spark.io.layout import _tag, warehouse_dir
+    from target_parquet_spark.io.layout import (
+        _tag,
+        content_fingerprint,
+        warehouse_dir,
+    )
     from target_parquet_spark.queries_r6 import _knn_edges
 
     emb = td(spark, sf_dir, "embeddings")
-    fpr = emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("h"),
-    ).collect()[0]
-    fp = hashlib.md5(repr((int(fpr.n), int(fpr.h))).encode()).hexdigest()[:10]
+    fp = content_fingerprint(
+        emb, ["vec_id", "embedding"], extra=("knn_edges", "k=3", "planes=4")
+    )
     path = os.path.join(warehouse_dir(), f"knn_edges_{_tag(sf_dir)}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _knn_edges(spark, sf_dir, k=3).write.mode("overwrite").parquet(path)
@@ -655,12 +659,12 @@ def _register_label_propagation():
         nodes carry a seed label (sign of the first embedding
         coordinate — content-derived, so neighborhoods are informative),
         the rest receive the 6dp-rounded mean of their labeled neighbors,
-        iterated {_LP_ROUNDS} rounds with seeds CLAMPED each round.
+        iterated 3 rounds with seeds CLAMPED each round.
 
         Plan shape: the graph comes from the materialized edge artifact
         (``knn_edge_artifact`` — no pair re-derivation); each round is
         one neighbor join + one mean aggregate on the node key, so the
-        whole propagation is {_LP_ROUNDS} hash joins over an edge table
+        whole propagation is 3 hash joins over an edge table
         that shuffles on the same key every round (AQE reuses the
         exchange).  Unreached nodes keep a NULL label — exactly the rows
         a curation pipeline routes to human labeling."""
@@ -748,7 +752,7 @@ def sample_temperature_mixture(spark, sf_dir):
     """Temperature-scaled source mixing — the alpha-power re-weighting of
     LLM pretraining mixtures (sampling probability proportional to
     n_s^alpha, alpha=0.7): big sources are down-weighted, small sources
-    up-weighted, rates capped at 1.0, total budget {_MIX_BUDGET:.0%} of
+    up-weighted, rates capped at 1.0, total budget 50% of
     the corpus.  Selection is the deterministic md5-bucket threshold
     (integer compare against floor(rate * 1e6) — no floats at the
     per-row decision), so the picked set is bit-reproducible across
@@ -853,6 +857,40 @@ def _sql_winnowing() -> str:
     """
 
 
+def winnow_minima(toks):
+    """The winnowing fingerprint expression over a token-array column:
+    positional 60-bit k-gram hashes (NOT distinct — every position
+    counts), minimum of each w-window, short docs contribute their single
+    global minimum.  Shared by the registry query and the density test so
+    the pinned sparsity property always measures the shipped expression."""
+    zipped = F.arrays_zip(
+        toks.alias("t0"),
+        F.slice(toks, 2, 1 << 30).alias("t1"),
+        F.slice(toks, 3, 1 << 30).alias("t2"),
+    )
+    gram_strs = F.transform(
+        F.slice(
+            zipped, 1, F.greatest(F.size(toks) - (_WIN_K - 1), F.lit(0))
+        ),
+        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
+    )
+    g = F.transform(
+        gram_strs,
+        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+    )
+    n_g = F.size(g)
+    return (
+        F.when(n_g == 0, F.array().cast("array<bigint>"))
+        .when(n_g < _WIN_W, F.array(F.array_min(g)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_g - (_WIN_W - 1)),
+                lambda i: F.array_min(F.slice(g, i, _WIN_W)),
+            )
+        )
+    )
+
+
 @query("text_winnowing_pairs", _sql_winnowing())
 def text_winnowing_pairs(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
@@ -877,33 +915,7 @@ def text_winnowing_pairs(spark, sf_dir):
     from target_parquet_spark.queries_ext import _spark_corpus
 
     docs = _spark_corpus(spark, sf_dir)
-    toks = X.tokens(F.col("text"))
-    zipped = F.arrays_zip(
-        toks.alias("t0"),
-        F.slice(toks, 2, 1 << 30).alias("t1"),
-        F.slice(toks, 3, 1 << 30).alias("t2"),
-    )
-    gram_strs = F.transform(
-        F.slice(
-            zipped, 1, F.greatest(F.size(toks) - (_WIN_K - 1), F.lit(0))
-        ),
-        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
-    )
-    g = F.transform(
-        gram_strs,
-        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
-    )
-    n_g = F.size(g)
-    minima = (
-        F.when(n_g == 0, F.array().cast("array<bigint>"))
-        .when(n_g < _WIN_W, F.array(F.array_min(g)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n_g - (_WIN_W - 1)),
-                lambda i: F.array_min(F.slice(g, i, _WIN_W)),
-            )
-        )
-    )
+    minima = winnow_minima(X.tokens(F.col("text")))
     fps = docs.select(
         "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
     ).repartition(F.col("fp"))
@@ -966,32 +978,50 @@ def scan_schema_evolution(spark, sf_dir):
     schema; mergeSchema pays one extra footer pass at planning time,
     nothing at scan time.)  Sum is integer-cents (established float-sum
     convention)."""
-    import hashlib
     import os
+    import shutil
 
-    from target_parquet_spark.io.layout import _tag, warehouse_dir
-
+    from target_parquet_spark.io.layout import (
+        _tag,
+        content_fingerprint,
+        warehouse_dir,
+    )
     from target_parquet_spark.queries import t
 
     o = t(spark, sf_dir, "orders")
-    n = o.count()
-    fp = hashlib.md5(repr(("schema_evo", int(n))).encode()).hexdigest()[:10]
+    fp = content_fingerprint(
+        o,
+        ["o_orderkey", "o_totalprice", "o_orderstatus"],
+        extra=("schema_evo",),
+    )
     path = os.path.join(warehouse_dir(), f"schema_evo_{_tag(sf_dir)}_{fp}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    done = os.path.join(path, "_GEN2_DONE")
+    if not os.path.exists(done):
+        # Two-phase artifact build: stage into a tmp dir, rename into
+        # place, and gate reuse on a sentinel written AFTER generation 2
+        # — parquet's own _SUCCESS appears after the FIRST write, so an
+        # interrupt between the generations must not leave a half-built
+        # directory that passes the existence check forever.
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
         # generation 1: narrow schema (no o_orderstatus)
         (
             o.filter(F.col("o_orderkey") % 2 == 0)
             .select("o_orderkey", "o_totalprice")
             .write.mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
         # generation 2: widened schema, appended alongside gen-1 files
         (
             o.filter(F.col("o_orderkey") % 2 == 1)
             .select("o_orderkey", "o_totalprice", "o_orderstatus")
             .write.mode("append")
-            .parquet(path)
+            .parquet(tmp)
         )
+        with open(os.path.join(tmp, "_GEN2_DONE"), "w") as fh:
+            fh.write("ok")
+        os.rename(tmp, path)
     merged = spark.read.option("mergeSchema", "true").parquet(path)
     return merged.groupBy(
         F.coalesce(F.col("o_orderstatus"), F.lit("<absent>")).alias("status")

@@ -447,32 +447,10 @@ def test_winnowing_sparsifies_vs_full_grams(spark, sf_dir):
     n_grams = docs.select(
         F.greatest(F.size(tokens(F.col("text"))) - 2, F.lit(0)).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
-    toks = tokens(F.col("text"))
-    # direct density check: recompute the minima expression over the corpus
-    zipped = F.arrays_zip(
-        toks.alias("t0"),
-        F.slice(toks, 2, 1 << 30).alias("t1"),
-        F.slice(toks, 3, 1 << 30).alias("t2"),
-    )
-    gram_strs = F.transform(
-        F.slice(zipped, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
-    )
-    g = F.transform(
-        gram_strs,
-        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
-    )
-    n_g = F.size(g)
-    minima = (
-        F.when(n_g == 0, F.array().cast("array<bigint>"))
-        .when(n_g < 4, F.array(F.array_min(g)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n_g - 3),
-                lambda i: F.array_min(F.slice(g, i, 4)),
-            )
-        )
-    )
+    from target_parquet_spark.queries_r7 import winnow_minima
+
+    # density check against the SHIPPED expression (shared helper)
+    minima = winnow_minima(tokens(F.col("text")))
     n_fp = docs.select(
         F.size(F.array_distinct(minima)).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
