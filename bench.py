@@ -172,7 +172,7 @@ HEADLINE = [
     "text_bpe_apply",
     "scan_knn_edges_artifact",
     "graph_label_propagation",
-    "sample_temperature_mixture",
+    "sample_temperature_rate",
     "text_winnowing_pairs",
     "scan_schema_evolution",
 ]

@@ -28,6 +28,12 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # A silent overwrite once shadowed queries_r4's
+            # sample_temperature_mixture with a same-named round-5 query
+            # (its test failed against the wrong output shape) — duplicate
+            # registration is always a bug, fail loudly at import time.
+            raise ValueError(f"query {name!r} is already registered")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -720,7 +720,7 @@ _MIX_BUDGET = 0.5  # target fraction of the corpus
 
 
 @query(
-    "sample_temperature_mixture",
+    "sample_temperature_rate",
     f"""
     WITH cnt AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
@@ -748,7 +748,7 @@ _MIX_BUDGET = 0.5  # target fraction of the corpus
     FROM sel GROUP BY source
     """,
 )
-def sample_temperature_mixture(spark, sf_dir):
+def sample_temperature_rate(spark, sf_dir):
     """Temperature-scaled source mixing — the alpha-power re-weighting of
     LLM pretraining mixtures (sampling probability proportional to
     n_s^alpha, alpha=0.7): big sources are down-weighted, small sources
@@ -756,7 +756,11 @@ def sample_temperature_mixture(spark, sf_dir):
     the corpus.  Selection is the deterministic md5-bucket threshold
     (integer compare against floor(rate * 1e6) — no floats at the
     per-row decision), so the picked set is bit-reproducible across
-    engines, retries, and cluster sizes.
+    engines, retries, and cluster sizes.  The RATE-based companion of
+    queries_r4's sample_temperature_mixture (exact per-source quotas by
+    md5 rank): rates are shuffle-free at selection time (pure scan-stage
+    predicate), quotas pay a per-source rank window — pick rates when
+    the budget is proportional, quotas when it must be exact.
 
     Plan shape: per-source counts (one partial-agg shuffle to ~|sources|
     rows), the normalizer as a 1-row broadcast, rates re-broadcast onto

@@ -393,7 +393,7 @@ def test_label_propagation_invariants(spark, sf_dir):
 def test_temperature_mixture_reweights_toward_small_sources(spark, sf_dir):
     from target_parquet_spark.queries import QUERIES
 
-    rows = QUERIES["sample_temperature_mixture"](spark, sf_dir).collect()
+    rows = QUERIES["sample_temperature_rate"](spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.0 < r.rate <= 1.0
