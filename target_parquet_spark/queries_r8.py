@@ -1,0 +1,443 @@
+"""Round-5 additions (second wave): DSIR-style importance resampling,
+power-iteration PCA with plan-time literal model state, and graph-ANN
+beam search over the materialized k-NN edge artifact.
+
+Reference context: hotgluexyz/target-parquet implements none of these
+(SURVEY.md §2.10 — absent categories); each extends an existing family
+with a standard LLM-pipeline stage:
+
+* ``sample_dsir_importance`` — Data Selection via Importance Resampling
+  (Xie et al. 2023): hashed-bigram bag features, per-bucket smoothed
+  log-likelihood ratio between a target domain and the raw corpus,
+  per-document importance weights, deterministic top-N selection.  The
+  feature table is CARDINALITY-BOUNDED (``_DSIR_B`` buckets) so the
+  scoring join is a broadcast: at 100 TB the corpus is scanned twice
+  (once to count, once to score) and never shuffled on a data-sized key.
+* ``sim_pca_power_iteration`` — the dominant principal component of the
+  embedding matrix by distributed power iteration.  Completes the
+  "model state as plan-time literals" family (k-means codebook ->
+  logreg weights -> BPE merges -> PCA component): each round collects a
+  64-float vector, 6dp-quantized, and the oracle replays the rounds as
+  unrolled CTEs.  All cross-row sums are integer-microunit quantized
+  (the established integer-cents convention) so engine-dependent float
+  summation order cannot move the result.
+* ``sim_graph_ann_search`` — greedy beam search over the materialized
+  k-NN edge artifact (``queries_r7.knn_edge_artifact``): the navigation
+  step of graph-based ANN (HNSW's layer-0 walk).  Each hop is a
+  broadcast join of a (queries x beam)-row frontier against the edge
+  table — the corpus is never rescanned, only gathered for candidate
+  nodes — and the whole search is H bounded self-free joins, which is
+  exactly the 100 TB shape (frontier always fits in a broadcast).
+
+Oracle contract as everywhere in this repo: identical expressions in
+both engines, every computed column aliased identically, floats rounded
+in both engines, ranking always tie-broken on an id column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators import similarity as S
+from target_parquet_spark.operators import text as X
+from target_parquet_spark.queries import query
+from target_parquet_spark.queries_ext import _SQL_DOT, SQL_TOKS, td
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed-ngram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 512  # hashed-bigram buckets — the bounded feature space
+_DSIR_TOP = 100  # selection budget
+_DSIR_TARGET = ("src0", "src1")  # the "domain we want more of"
+
+_SQL_BIGRAM_BUCKET = (
+    "('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8))::BIGINT % " + str(_DSIR_B)
+)
+
+
+@query(
+    "sample_dsir_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    big AS (
+      SELECT doc_id, source, {_SQL_BIGRAM_BUCKET} AS b
+      FROM tok, unnest(range(1, len(t))) AS u(i)),
+    cnt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cq,
+             CAST(count(*) FILTER (WHERE source IN
+               {str(tuple(_DSIR_TARGET))}) AS BIGINT) AS ct
+      FROM big GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(cq) AS BIGINT) AS qn, CAST(sum(ct) AS BIGINT) AS tn
+      FROM cnt),
+    llr AS (
+      SELECT b, CAST(round((ln((ct + 1.0) / (tn + {_DSIR_B}))
+                            - ln((cq + 1.0) / (qn + {_DSIR_B})))
+                           * 1000000) AS BIGINT) AS w
+      FROM cnt, tot),
+    sc AS (
+      SELECT big.doc_id, big.source, CAST(sum(llr.w) AS BIGINT) AS llr_micro
+      FROM big JOIN llr USING (b) GROUP BY big.doc_id, big.source)
+    SELECT doc_id, source, llr_micro
+    FROM sc ORDER BY llr_micro DESC, doc_id LIMIT {_DSIR_TOP}
+    """,
+)
+def sample_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection: score every document by the smoothed
+    log-likelihood ratio of its hashed-bigram bag under the target
+    domain (``_DSIR_TARGET`` sources) vs the raw corpus, then take the
+    top ``_DSIR_TOP`` by weight (doc_id tie-break).
+
+    Per-feature log-ratios are quantized to integer micro-units BEFORE
+    the per-document sum, so document scores are exact BIGINT sums —
+    engine- and partitioning-independent (the integer-cents convention).
+
+    Plan shape for 100 TB: pass 1 aggregates bigram instances into a
+    ``_DSIR_B``-row feature table (map-side combine collapses the
+    explode); pass 2 re-derives bigrams and BROADCAST-joins the tiny
+    llr table, partial-aggregates per doc, and TakeOrdered picks the
+    budget.  Nothing data-sized ever shuffles except the per-doc
+    partial agg on doc_id.
+    """
+    docs = td(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select("doc_id", "source", X.tokens(F.col("text")).alias("t"))
+    # bigrams with multiplicity: zip tokens against their own tail
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = toks.select(
+        "doc_id", "source", F.explode(bigrams).alias("g")
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
+            % _DSIR_B
+        ).alias("b"),
+    )
+    cnt = big.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cq"),
+        F.count(
+            F.when(F.col("source").isin(*_DSIR_TARGET), F.lit(1))
+        ).alias("ct"),
+    )
+    # The feature table is bounded (<= _DSIR_B rows) — collect it once as
+    # literal model state (the k-means-codebook convention) so the scoring
+    # plan scans the corpus exactly once more instead of re-deriving the
+    # counts for both the totals and the per-bucket ratios (3 scans -> 2).
+    cnt_rows = [(int(r["b"]), int(r["cq"]), int(r["ct"])) for r in cnt.collect()]
+    qn = sum(r[1] for r in cnt_rows)
+    tn = sum(r[2] for r in cnt_rows)
+    cnt_lit = spark.createDataFrame(cnt_rows, "b long, cq long, ct long")
+    tot = spark.createDataFrame([(qn, tn)], "qn long, tn long")
+    llr = cnt_lit.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("ct") + F.lit(1.0)) / (F.col("tn") + F.lit(_DSIR_B)))
+                - F.log(
+                    (F.col("cq") + F.lit(1.0)) / (F.col("qn") + F.lit(_DSIR_B))
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    sc = (
+        big.join(F.broadcast(llr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("llr_micro"))
+    )
+    return sc.orderBy(F.desc("llr_micro"), "doc_id").limit(_DSIR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# power-iteration PCA (distributed linear algebra, literal model state)
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ROUNDS = 2
+_V0 = [0.125] * _PCA_DIM  # 1/sqrt(64) — exactly representable
+
+
+def _sql_vec_literal(v: list[float]) -> str:
+    return "(" + "[" + ", ".join(repr(x) for x in v) + "]" + ")"
+
+
+def _sql_pca_round(prev_dot: str, r: int) -> str:
+    """One unrolled power-iteration round: integer-microunit contribution
+    sums per dimension, exact-integer norm, 6dp-quantized component."""
+    return f"""
+    d{r} AS (SELECT embedding, {prev_dot} AS d FROM embeddings{
+        ', v' + str(r - 1) if r > 1 else ''}),
+    r{r} AS (SELECT j,
+                    sum(CAST(round((d * CAST(embedding[j] AS DOUBLE))
+                                   * 1000000) AS BIGINT)) AS s
+             FROM d{r}, unnest(range(1, len(embedding) + 1)) AS t(j)
+             GROUP BY j),
+    n{r} AS (SELECT sqrt(sum(CAST(round(((s / 1000000.0) * (s / 1000000.0))
+                                        * 1000000) AS BIGINT))
+                         / 1000000.0) AS nrm FROM r{r}),
+    v{r} AS (SELECT list(round(s / 1000000.0 / nrm, 6) ORDER BY j) AS v
+             FROM r{r}, n{r})"""
+
+
+def _sql_pca() -> str:
+    rounds = [
+        _sql_pca_round(
+            _SQL_DOT.format(
+                a="embedding",
+                b=_sql_vec_literal(_V0) if r == 1 else f"v{r - 1}.v",
+            ),
+            r,
+        )
+        for r in range(1, _PCA_ROUNDS + 1)
+    ]
+    final_dot = _SQL_DOT.format(a="embedding", b=f"v{_PCA_ROUNDS}.v")
+    return f"""
+    WITH {','.join(rounds)},
+    p AS (SELECT label,
+                 CAST(round(({final_dot}) * 1000000) AS BIGINT) AS pi
+          FROM embeddings, v{_PCA_ROUNDS})
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(pi) / 1000000.0 / count(*), 4) AS mean_proj,
+           round(sqrt(greatest(
+             sum(CAST(round(((pi / 1000000.0) * (pi / 1000000.0))
+                            * 1000000) AS BIGINT)) / 1000000.0 / count(*)
+             - (sum(pi) / 1000000.0 / count(*))
+               * (sum(pi) / 1000000.0 / count(*)), 0)), 4) AS sd_proj
+    FROM p GROUP BY label
+    """
+
+
+def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS):
+    """Train the dominant principal component by power iteration and
+    return it as a plain Python list (the literal model state).
+
+    Each round: s_j = sum_i round((x_i . v) * x_ij * 1e6) as exact
+    BIGINT sums (one scan, posexplode + map-side combine -> 64-row
+    shuffle), then v' = round(s / ||s||, 6) computed with Spark's own
+    round so the quantization matches the SQL oracle bit-for-bit.
+    Model state per round is 64 floats — bounded, like the k-means
+    codebook (`operators/similarity.kmeans_codebook`).
+    """
+    emb = td(spark, sf_dir, "embeddings").select("embedding")
+    v = list(_V0)
+    for _ in range(n_rounds):
+        lit_v = F.array(*[F.lit(x) for x in v])
+        d = S.dot(F.col("embedding"), lit_v)
+        ex = emb.select(d.alias("d"), F.posexplode("embedding").alias("j", "x"))
+        r = ex.groupBy("j").agg(
+            F.sum(
+                F.round((F.col("d") * F.col("x").cast("double")) * 1000000)
+                .cast("long")
+            ).alias("s")
+        )
+        nrm = r.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        ((F.col("s") / 1000000.0) * (F.col("s") / 1000000.0))
+                        * 1000000
+                    ).cast("long")
+                )
+                / 1000000.0
+            ).alias("n")
+        ).collect()[0]["n"]
+        rows = (
+            r.select(
+                "j", F.round(F.col("s") / 1000000.0 / F.lit(nrm), 6).alias("v")
+            )
+            .orderBy("j")
+            .collect()
+        )
+        v = [float(row["v"]) for row in rows]
+    return v
+
+
+@query("sim_pca_power_iteration", _sql_pca())
+def sim_pca_power_iteration(spark, sf_dir):
+    """Dominant-PC projection audit: train the top principal component
+    with ``pca_power_component`` (2 power-iteration rounds, literal
+    model state), then report per-label projection statistics — the
+    drift probe an embedding pipeline runs to see whether the dominant
+    direction separates (or has collapsed onto) the label structure.
+
+    Every cross-row float sum is integer-microunit quantized, so the
+    result is independent of partitioning and engine; the oracle replays
+    the training rounds as unrolled CTEs over the same arithmetic.
+    """
+    v = pca_power_component(spark, sf_dir)
+    emb = td(spark, sf_dir, "embeddings").select("label", "embedding")
+    lit_v = F.array(*[F.lit(x) for x in v])
+    pi = F.round(S.dot(F.col("embedding"), lit_v) * 1000000).cast("long")
+    p = emb.select("label", pi.alias("pi"))
+    n = F.count(F.lit(1))
+    s1 = F.sum("pi")
+    s2 = F.sum(
+        F.round(
+            ((F.col("pi") / 1000000.0) * (F.col("pi") / 1000000.0)) * 1000000
+        ).cast("long")
+    )
+    mean = s1 / 1000000.0 / n
+    return p.groupBy("label").agg(
+        n.cast("long").alias("n_vecs"),
+        F.round(mean, 4).alias("mean_proj"),
+        F.round(
+            F.sqrt(F.greatest(s2 / 1000000.0 / n - mean * mean, F.lit(0.0))), 4
+        ).alias("sd_proj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph-ANN beam search over the materialized k-NN edge artifact
+# ---------------------------------------------------------------------------
+
+_ANN_HOPS = 3
+_ANN_BEAM = 8
+_ANN_K = 5
+_ANN_QMOD = 100  # query stratum: vec_id % _ANN_QMOD == 7
+
+
+def _sql_graph_ann() -> str:
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+
+    score = (
+        "round("
+        + _SQL_DOT.format(a="nb.embedding", b="q.qe")
+        + " / (q.qn * nb.nrm), 6)"
+    )
+    hops = []
+    for h in range(1, _ANN_HOPS + 1):
+        hops.append(f"""
+    f{h} AS (
+      SELECT qid, node, score FROM (
+        SELECT qid, node, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, node) AS rn
+        FROM (SELECT DISTINCT qid, node, score FROM (
+                SELECT p.qid, s.v AS node, {score} AS score
+                FROM f{h - 1} p
+                JOIN sym s ON s.u = p.node
+                JOIN b nb ON nb.vec_id = s.v
+                JOIN q ON q.qid = p.qid
+                UNION ALL
+                SELECT qid, node, score FROM f{h - 1}) z)) w
+      WHERE rn <= {_ANN_BEAM})""")
+    hops_sql = ",".join(hops)
+    return f"""
+    WITH {_SQL_KNN},
+    {_SQL_SYM_DEG},
+    q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+          FROM b WHERE vec_id % {_ANN_QMOD} = 7),
+    f0 AS (SELECT q.qid, nb.vec_id AS node, {score} AS score
+           FROM q
+           CROSS JOIN (SELECT min(u) AS mn FROM sym) m
+           JOIN b nb ON nb.vec_id = m.mn),
+    {hops_sql}
+    SELECT qid, rn AS rk, node, score FROM (
+      SELECT qid, node, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, node) AS rn
+      FROM f{_ANN_HOPS}) t
+    WHERE rn <= {_ANN_K}
+    """
+
+
+def graph_ann_search(
+    spark,
+    sf_dir,
+    hops: int = _ANN_HOPS,
+    beam: int = _ANN_BEAM,
+    k: int = _ANN_K,
+):
+    """Greedy beam search over the materialized k-NN graph — HNSW's
+    layer-0 navigation re-expressed as H bounded joins.
+
+    Start every query at a fixed entry node (the min node id — at scale
+    you'd store a high-degree medoid with the artifact); each hop
+    expands the current frontier through the symmetrized edge table,
+    scores candidates by exact cosine, and keeps the top ``beam`` per
+    query (score DESC, node id tie-break).  The frontier is
+    (queries x beam) rows, so every hop join BROADCASTS the frontier
+    against the edge artifact: the corpus is never rescanned — only
+    candidate embeddings are gathered.  Returns top ``k`` per query.
+    """
+    from target_parquet_spark.queries_r6 import _symmetrize_degrees
+    from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+    edges = knn_edge_artifact(spark, sf_dir)
+    sym, _deg = _symmetrize_degrees(edges)
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        S.norm(F.col("embedding")).alias("nrm"),
+    )
+    q = b.filter(F.col("vec_id") % _ANN_QMOD == 7).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    score = F.round(
+        S.dot(F.col("ne"), F.col("qe")) / (F.col("qn") * F.col("nn")), 6
+    )
+    nodes = b.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    entry = sym.agg(F.min("u").alias("node"))
+    f = (
+        q.crossJoin(F.broadcast(entry))
+        .join(nodes, "node")
+        .select("qid", "node", score.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("node"))
+    for _ in range(hops):
+        # The frontier is provably <= (queries x beam) rows: broadcast it
+        # explicitly so the hop never shuffles the edge artifact or the
+        # corpus — at 100 TB the statistics alone would not know this.
+        exp = (
+            F.broadcast(f).join(sym, f["node"] == sym["u"])
+            .select("qid", F.col("v").alias("node"))
+        )
+        exp = (
+            F.broadcast(exp)
+            .join(nodes, "node")
+            .join(F.broadcast(q), "qid")
+            .select("qid", "node", score.alias("score"))
+        )
+        uni = exp.unionByName(f.select("qid", "node", "score")).distinct()
+        f = (
+            uni.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .drop("rn")
+        )
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col("rn").alias("rk"), "node", "score")
+    )
+
+
+@query("sim_graph_ann_search", _sql_graph_ann())
+def sim_graph_ann_search(spark, sf_dir):
+    """Graph-based ANN: beam search (H=3 hops, beam 8, top-5) over the
+    materialized k-NN edge artifact for the ``vec_id % 100 == 7`` query
+    stratum.  See ``graph_ann_search`` for the plan-shape argument; the
+    oracle unrolls the hops as CTEs over the SAME edge fragment
+    (`queries_r6._SQL_KNN`) used by every other graph op, so the graph
+    being searched cannot drift from the graph being audited.
+    """
+    return graph_ann_search(spark, sf_dir)

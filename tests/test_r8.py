@@ -1,0 +1,146 @@
+"""Planted-signal tests for the round-5 second-wave operators
+(queries_r8): DSIR importance resampling, power-iteration PCA, and
+graph-ANN beam search.
+
+Oracle hash-equality (scripts/check_oracle.py) is the primary gate for
+these queries; these tests pin the SEMANTICS against independent
+references — the lesson from the BPE separator bug, where both engines
+agreed on a wrong answer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import target_parquet_spark.queries_r8  # noqa: F401  (registers queries)
+from target_parquet_spark.queries import QUERIES
+
+
+def _plant_docs(spark, tmp_path, docs):
+    (
+        spark.createDataFrame(docs, "doc_id long, source string, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/documents.parquet")
+    )
+
+
+class TestDsirImportance:
+    def test_target_vocab_docs_outrank_background(self, spark, tmp_path):
+        """Docs sharing the target domain's vocabulary must score above
+        docs made of background-only vocabulary."""
+        target_text = "quantum proofs entangle qubits across lattice codes"
+        background = "the cat sat on the mat and looked at the dog"
+        docs = (
+            # the target domain itself (src0/src1)
+            [(i, "src0", target_text) for i in range(10)]
+            + [(i + 10, "src1", target_text) for i in range(10)]
+            # candidate pool: half target-like, half background
+            + [(i + 100, "src9", target_text) for i in range(5)]
+            + [(i + 200, "src9", background) for i in range(5)]
+        )
+        _plant_docs(spark, tmp_path, docs)
+        out = QUERIES["sample_dsir_importance"](spark, str(tmp_path)).collect()
+        score = {r.doc_id: r.llr_micro for r in out}
+        targetlike = [score[i + 100] for i in range(5)]
+        backgroundish = [score[i + 200] for i in range(5)]
+        assert min(targetlike) > max(backgroundish)
+
+    def test_scores_are_exact_integer_sums(self, spark, sf_dir):
+        """Deterministic across repeated runs (integer-cents sums)."""
+        a = QUERIES["sample_dsir_importance"](spark, sf_dir).collect()
+        b = QUERIES["sample_dsir_importance"](spark, sf_dir).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) > 0
+        assert all(isinstance(r.llr_micro, int) for r in a)
+
+
+class TestPcaPowerIteration:
+    def test_matches_numpy_dominant_eigenvector(self, spark, tmp_path):
+        """On a corpus with a strongly dominant direction, two power
+        rounds must align with numpy's top eigenvector of X^T X."""
+        rng = np.random.default_rng(7)
+        axis = rng.normal(size=64)
+        axis /= np.linalg.norm(axis)
+        rows = []
+        for i in range(300):
+            # strong component along `axis`, weak isotropic noise
+            x = (5.0 + 0.1 * (i % 7)) * axis + 0.05 * rng.normal(size=64)
+            if i % 2:
+                x = -x  # sign flips don't move the principal direction
+            rows.append((i, [float(v) for v in x], int(i % 3)))
+        (
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/embeddings.parquet")
+        )
+        from target_parquet_spark.queries_r8 import pca_power_component
+
+        v = np.array(pca_power_component(spark, str(tmp_path)))
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        w, vecs = np.linalg.eigh(X.T @ X)
+        top = vecs[:, -1]
+        cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+        assert cos > 0.99
+
+    def test_component_is_unit_norm(self, spark, sf_dir):
+        from target_parquet_spark.queries_r8 import pca_power_component
+
+        v = np.array(pca_power_component(spark, sf_dir))
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # 6dp quantization slack
+
+
+class TestGraphAnnSearch:
+    @pytest.fixture(scope="class")
+    def result(self, spark, sf_dir):
+        return QUERIES["sim_graph_ann_search"](spark, sf_dir).collect()
+
+    def test_ranking_is_monotone_and_bounded(self, result):
+        from target_parquet_spark.queries_r8 import _ANN_K
+
+        by_q = {}
+        for r in result:
+            by_q.setdefault(r.qid, []).append(r)
+        assert by_q, "query stratum must be non-empty"
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r.rk)
+            assert len(rows) <= _ANN_K
+            assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r.score for r in rows]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_beam_never_worse_than_entry(self, spark, sf_dir, result):
+        """The rank-1 hit must score >= the entry node itself: beam
+        search keeps the frontier it started from."""
+        from target_parquet_spark.operators import similarity as S
+        from target_parquet_spark.queries_ext import td
+        from target_parquet_spark.queries_r6 import _symmetrize_degrees
+        from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+        sym, _ = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
+        entry = sym.agg(F.min("u")).collect()[0][0]
+        emb = td(spark, sf_dir, "embeddings")
+        e = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()
+        }
+        best = {r.qid: r.score for r in result if r.rk == 1}
+        for qid, sc in best.items():
+            q, n = e[qid], e[entry]
+            entry_score = round(
+                float(q @ n) / (np.linalg.norm(q) * np.linalg.norm(n)), 6
+            )
+            assert sc >= entry_score - 1e-9
+
+    def test_returned_nodes_are_graph_nodes(self, spark, sf_dir, result):
+        from target_parquet_spark.queries_r6 import _symmetrize_degrees
+        from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+        sym, _ = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
+        nodes = {r.u for r in sym.select("u").distinct().collect()}
+        assert {r.node for r in result} <= nodes
