@@ -175,6 +175,9 @@ HEADLINE = [
     "sample_temperature_rate",
     "text_winnowing_pairs",
     "scan_schema_evolution",
+    "sample_dsir_importance",
+    "sim_pca_power_iteration",
+    "sim_graph_ann_search",
 ]
 
 

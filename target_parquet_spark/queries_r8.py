@@ -307,6 +307,7 @@ _ANN_HOPS = 3
 _ANN_BEAM = 8
 _ANN_K = 5
 _ANN_QMOD = 100  # query stratum: vec_id % _ANN_QMOD == 7
+_ANN_PROBES = 4  # entry components probed per query (multiprobe routing)
 
 
 def _sql_graph_ann() -> str:
@@ -340,10 +341,18 @@ def _sql_graph_ann() -> str:
     {_SQL_SYM_DEG},
     q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
           FROM b WHERE vec_id % {_ANN_QMOD} = 7),
-    f0 AS (SELECT q.qid, nb.vec_id AS node, {score} AS score
-           FROM q
-           CROSS JOIN (SELECT min(u) AS mn FROM sym) m
-           JOIN b nb ON nb.vec_id = m.mn),
+    gnodes AS (SELECT DISTINCT u FROM sym),
+    ent AS (SELECT bb.bucket, min(g.u) AS node
+            FROM gnodes g JOIN b bb ON bb.vec_id = g.u
+            GROUP BY bb.bucket),
+    f0 AS (SELECT qid, node, score FROM (
+             SELECT qid, node, score,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, node) AS rn
+             FROM (SELECT q.qid, nb.vec_id AS node, {score} AS score
+                   FROM q CROSS JOIN ent e
+                   JOIN b nb ON nb.vec_id = e.node) s) t
+           WHERE rn <= {_ANN_PROBES}),
     {hops_sql}
     SELECT qid, rn AS rk, node, score FROM (
       SELECT qid, node, score,
@@ -364,14 +373,20 @@ def graph_ann_search(
     """Greedy beam search over the materialized k-NN graph — HNSW's
     layer-0 navigation re-expressed as H bounded joins.
 
-    Start every query at a fixed entry node (the min node id — at scale
-    you'd store a high-degree medoid with the artifact); each hop
-    expands the current frontier through the symmetrized edge table,
-    scores candidates by exact cosine, and keeps the top ``beam`` per
-    query (score DESC, node id tie-break).  The frontier is
-    (queries x beam) rows, so every hop join BROADCASTS the frontier
-    against the edge artifact: the corpus is never rescanned — only
-    candidate embeddings are gathered.  Returns top ``k`` per query.
+    Every query is ROUTED to entry nodes by multiprobe: one candidate
+    entry per LSH bucket (the min graph-node id), the top
+    ``_ANN_PROBES`` by cosine seed the frontier.  The LSH-bucketed kNN
+    graph is disconnected across buckets by construction, so a single
+    global entry could never leave its component (measured recall ~0
+    before routing, 0.32 with own-bucket routing, higher with
+    multiprobe); this is the IVF-route-then-walk hybrid production
+    graph-ANN systems use.  Each hop expands the current frontier
+    through the symmetrized edge table, scores candidates by exact
+    cosine, and keeps the top ``beam`` per query (score DESC, node id
+    tie-break).  The frontier is (queries x beam) rows, so every hop
+    join BROADCASTS the frontier against the edge artifact: the corpus
+    is never rescanned — only candidate embeddings are gathered.
+    Returns top ``k`` per query.
     """
     from target_parquet_spark.queries_r6 import _symmetrize_degrees
     from target_parquet_spark.queries_r7 import knn_edge_artifact
@@ -382,6 +397,7 @@ def graph_ann_search(
     b = emb.select(
         "vec_id",
         "embedding",
+        S.lsh_bucket(F.col("embedding"), n_planes=4).alias("bucket"),
         S.norm(F.col("embedding")).alias("nrm"),
     )
     q = b.filter(F.col("vec_id") % _ANN_QMOD == 7).select(
@@ -397,13 +413,21 @@ def graph_ann_search(
         F.col("embedding").alias("ne"),
         F.col("nrm").alias("nn"),
     )
-    entry = sym.agg(F.min("u").alias("node"))
-    f = (
-        q.crossJoin(F.broadcast(entry))
-        .join(nodes, "node")
-        .select("qid", "node", score.alias("score"))
+    gnodes = sym.select("u").distinct()
+    ent = (
+        gnodes.join(b, gnodes["u"] == b["vec_id"])
+        .groupBy("bucket")
+        .agg(F.min("u").alias("node"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("node"))
+    f = (
+        q.crossJoin(F.broadcast(ent.select("node")))
+        .join(nodes, "node")
+        .select("qid", "node", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ANN_PROBES)
+        .drop("rn")
+    )
     for _ in range(hops):
         # The frontier is provably <= (queries x beam) rows: broadcast it
         # explicitly so the hop never shuffles the edge artifact or the
@@ -441,3 +465,93 @@ def sim_graph_ann_search(spark, sf_dir):
     being searched cannot drift from the graph being audited.
     """
     return graph_ann_search(spark, sf_dir)
+
+
+def _sql_graph_ann_recall() -> str:
+    """Recall@k of the beam search vs the exact top-k over graph nodes:
+    splice a brute-force truth CTE and the hit-count join onto the
+    search CTE chain (everything before the final SELECT)."""
+    search = _sql_graph_ann()
+    prefix = search.rsplit("SELECT qid, rn AS rk", 1)[0].rstrip().rstrip(",")
+    score = (
+        "round("
+        + _SQL_DOT.format(a="nb.embedding", b="q.qe")
+        + " / (q.qn * nb.nrm), 6)"
+    )
+    return f"""{prefix},
+    got AS (
+      SELECT qid, node FROM (
+        SELECT qid, node,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, node) AS rn
+        FROM f{_ANN_HOPS}) t
+      WHERE rn <= {_ANN_K}),
+    nodes AS (SELECT DISTINCT u FROM sym),
+    truth AS (
+      SELECT qid, node FROM (
+        SELECT s.qid, s.node,
+               row_number() OVER (PARTITION BY s.qid
+                                  ORDER BY s.score DESC, s.node) AS rn
+        FROM (SELECT q.qid, nb.vec_id AS node, {score} AS score
+              FROM q, b nb JOIN nodes n ON n.u = nb.vec_id) s) t
+      WHERE rn <= {_ANN_K})
+    SELECT t.qid,
+           CAST(count(g.node) AS BIGINT) AS hits,
+           round(count(g.node) / {_ANN_K}.0, 4) AS recall_at_k
+    FROM truth t LEFT JOIN got g USING (qid, node)
+    GROUP BY t.qid
+    """
+
+
+@query("sim_graph_ann_recall", _sql_graph_ann_recall())
+def sim_graph_ann_recall(spark, sf_dir):
+    """The tuning harness for ``sim_graph_ann_search``: recall@k of the
+    beam search against the exact cosine top-k over the graph's node
+    set (the same disjoint-eval pattern as ``sim_ivf_recall`` and
+    ``dedup_lsh_recall``).  The brute-force truth side is the documented
+    exact baseline — queries x nodes with the query stratum broadcast —
+    and the production path being measured is the H-hop beam walk.
+    """
+    from target_parquet_spark.queries_r6 import _symmetrize_degrees
+    from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+    got = graph_ann_search(spark, sf_dir).select(
+        "qid", "node", F.lit(1).alias("hit")
+    )
+    sym, _deg = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    q = b.filter(F.col("vec_id") % _ANN_QMOD == 7).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = sym.select(F.col("u").alias("node")).distinct().join(
+        b.select(
+            F.col("vec_id").alias("node"),
+            F.col("embedding").alias("ne"),
+            F.col("nrm").alias("nn"),
+        ),
+        "node",
+    )
+    score = F.round(
+        S.dot(F.col("ne"), F.col("qe")) / (F.col("qn") * F.col("nn")), 6
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("node"))
+    truth = (
+        cand.crossJoin(F.broadcast(q))
+        .select("qid", "node", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _ANN_K)
+        .select("qid", "node")
+    )
+    return (
+        truth.join(got, ["qid", "node"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").alias("hits"),
+            F.round(F.count("hit") / float(_ANN_K), 4).alias("recall_at_k"),
+        )
+    )
