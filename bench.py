@@ -178,6 +178,9 @@ HEADLINE = [
     "sample_dsir_importance",
     "sim_pca_power_iteration",
     "sim_graph_ann_search",
+    "sim_graph_ann_recall",
+    "text_bigram_logprob",
+    "sample_shard_assignment",
 ]
 
 

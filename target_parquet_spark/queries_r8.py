@@ -555,3 +555,210 @@ def sim_graph_ann_recall(spark, sf_dir):
             F.round(F.count("hit") / float(_ANN_K), 4).alias("recall_at_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# held-out bigram LM with stupid backoff (the KenLM-style quality signal)
+# ---------------------------------------------------------------------------
+
+_LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+_LM_FLAG_MICRO = -9000000  # flag docs whose mean token logprob < -9
+
+
+@query(
+    "text_bigram_logprob",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    pr AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT AS gh,
+             ('0x' || substr(md5(t[i]), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(t[i+1]), 1, 15))::BIGINT AS h2
+      FROM d, unnest(range(1, len(t))) AS u(i)),
+    us AS (
+      SELECT ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+      FROM (SELECT unnest(t) AS tk FROM d WHERE doc_id % 2 = 0)),
+    ug AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM us GROUP BY h),
+    nst AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ug),
+    bg AS (
+      SELECT gh, CAST(count(*) AS BIGINT) AS c_g FROM pr
+      WHERE doc_id % 2 = 0 GROUP BY gh),
+    lp AS (
+      SELECT p.doc_id, p.source,
+             CAST(round(CASE
+               WHEN b.c_g IS NOT NULL THEN ln(b.c_g / (u1.c * 1.0))
+               ELSE ln({_LM_BACKOFF} * ((coalesce(u2.c, 0) + 1.0)
+                                        / (s.n + 1000000)))
+             END * 1000000) AS BIGINT) AS lp_micro
+      FROM pr p
+      LEFT JOIN bg b ON b.gh = p.gh
+      LEFT JOIN ug u1 ON u1.h = p.h1
+      LEFT JOIN ug u2 ON u2.h = p.h2
+      CROSS JOIN nst s),
+    docs AS (
+      SELECT doc_id, source,
+             CAST(round(sum(lp_micro) / count(*)) AS BIGINT) AS tok_lp_micro
+      FROM lp GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(tok_lp_micro) / 1000000.0 / count(*), 4) AS mean_logprob,
+           CAST(count(*) FILTER (WHERE tok_lp_micro < {_LM_FLAG_MICRO})
+                AS BIGINT) AS n_flagged
+    FROM docs GROUP BY source
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Held-out bigram LM quality scoring with stupid backoff: train
+    bigram/unigram counts on the EVEN doc_ids, score EVERY document's
+    mean per-token log-probability (observed bigrams score
+    ln(c_bigram / c_history); unseen bigrams back off to
+    0.4 * add-one-smoothed unigram), and summarize per source with a
+    perplexity flag count.  The odd half is genuinely held out, so
+    unseen-bigram backoff actually fires — the KenLM/CCNet quality
+    signal every pretraining pipeline runs.
+
+    Determinism: per-bigram log-probs are quantized to integer
+    micro-units before any cross-row sum; per-doc means are re-quantized
+    before the per-source mean (integer-cents convention).
+
+    Plan shape for 100 TB: tokens/bigrams are 60-bit md5 hashes at the
+    scan stage (narrow exchanges, the established payload convention).
+    The bigram count table is data-sized, so the scoring join is an
+    honest shuffle on the hashed bigram key; the unigram vocab is
+    Zipf-bounded (MBs after hashing) and BROADCASTS onto both the
+    history and backoff sides — the pair stream shuffles exactly once.
+    """
+    toks = td(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.tokens(F.col("text")).alias("t")
+    )
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.size("t") - 1),
+            F.slice(F.col("t"), 2, F.size("t") - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pr = (
+        toks.select("doc_id", "source", F.explode(bigrams).alias("p"))
+        .select(
+            "doc_id",
+            "source",
+            h60(F.concat(F.col("p.w1"), F.lit(" "), F.col("p.w2"))).alias("gh"),
+            h60(F.col("p.w1")).alias("h1"),
+            h60(F.col("p.w2")).alias("h2"),
+        )
+    )
+    train_tokens = toks.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode("t").alias("tk")
+    )
+    ug = train_tokens.select(h60(F.col("tk")).alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nst = ug.agg(F.sum("c").alias("n"))
+    bg = (
+        pr.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+    )
+    u1 = ug.select(F.col("h").alias("h1"), F.col("c").alias("c1"))
+    u2 = ug.select(F.col("h").alias("h2"), F.col("c").alias("c2"))
+    lp_micro = (
+        F.round(
+            F.when(
+                F.col("c_g").isNotNull(),
+                F.log(F.col("c_g") / (F.col("c1") * F.lit(1.0))),
+            ).otherwise(
+                F.log(
+                    F.lit(_LM_BACKOFF)
+                    * (
+                        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n") + F.lit(1000000))
+                    )
+                )
+            )
+            * 1000000
+        )
+    ).cast("long")
+    lp = (
+        pr.join(bg, "gh", "left")
+        .join(F.broadcast(u1), "h1", "left")
+        .join(F.broadcast(u2), "h2", "left")
+        .crossJoin(F.broadcast(nst))
+        .select("doc_id", "source", lp_micro.alias("lp_micro"))
+    )
+    docs = lp.groupBy("doc_id", "source").agg(
+        F.round(F.sum("lp_micro") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("tok_lp_micro")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("tok_lp_micro") / 1000000.0 / F.count(F.lit(1)), 4).alias(
+            "mean_logprob"
+        ),
+        F.count(F.when(F.col("tok_lp_micro") < _LM_FLAG_MICRO, F.lit(1)))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard assignment (the write-training-shards job)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@query(
+    "sample_shard_assignment",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_N_SHARDS} AS shard
+      FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS shard_sig
+    FROM s GROUP BY shard
+    """,
+)
+def sample_shard_assignment(spark, sf_dir):
+    """Deterministic training-shard assignment: every document routes to
+    md5(doc_id) % {n} — stable across engines, retries, and cluster
+    sizes, so a re-run of the shard writer reproduces byte-identical
+    shard membership (the property that makes training-data artifacts
+    auditable).  Reports per-shard document/char totals plus an ordered
+    membership signature; balanced shard sizes here double as the skew
+    check the writer would run before fanning out.
+
+    Plan shape: one scan, one {n}-ary hash aggregate (map-side
+    combinable); the signature is the only order-sensitive part and is
+    sorted per shard group in both engines.
+    """.format(n=_N_SHARDS)
+    from target_parquet_spark.queries_ops import _hash_mod
+
+    docs = td(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = docs.select(
+        "doc_id",
+        "n_chars",
+        _hash_mod(F.col("doc_id"), _N_SHARDS).alias("shard"),
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("shard_sig"),
+    )

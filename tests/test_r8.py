@@ -144,3 +144,56 @@ class TestGraphAnnSearch:
         sym, _ = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
         nodes = {r.u for r in sym.select("u").distinct().collect()}
         assert {r.node for r in result} <= nodes
+
+
+class TestBigramLogprob:
+    def test_heldout_gibberish_scores_below_fluent(self, spark, tmp_path):
+        """A held-out doc repeating TRAINED bigrams must outscore a
+        held-out doc of unseen bigrams (backoff must actually fire)."""
+        fluent = "the quick brown fox jumps over the lazy dog"
+        docs = (
+            # training half (even ids): fluent text
+            [(2 * i, "train", fluent) for i in range(10)]
+            # held-out probes (odd ids), one per source
+            + [(21, "seen", fluent)]
+            + [(23, "unseen", "zxq wvv qqj kkx vbn mmz ppw rrt yyu iio")]
+        )
+        _plant_docs(spark, tmp_path, docs)
+        out = {
+            r.source: r
+            for r in QUERIES["text_bigram_logprob"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["seen"].mean_logprob > out["unseen"].mean_logprob
+        # the unseen doc is exactly the perplexity-flag case
+        assert out["unseen"].n_flagged == 1
+        assert out["seen"].n_flagged == 0
+
+    def test_observed_bigram_probability_is_mle(self, spark, tmp_path):
+        """One training doc 'a b a b a' -> P(b|a)=2/3 (c(ab)=2, c(a)=3);
+        a held-out doc 'a b' must score ln(2/3) exactly (in micro)."""
+        import math
+
+        docs = [(0, "train", "a b a b a"), (1, "probe", "a b")]
+        _plant_docs(spark, tmp_path, docs)
+        out = {
+            r.source: r
+            for r in QUERIES["text_bigram_logprob"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        want = round(math.log(2 / 3), 4)
+        assert abs(out["probe"].mean_logprob - want) < 1e-3
+
+
+class TestShardAssignment:
+    def test_partition_is_total_and_deterministic(self, spark, sf_dir):
+        out = QUERIES["sample_shard_assignment"](spark, sf_dir).collect()
+        from target_parquet_spark.queries_ext import td
+
+        n_total = td(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in out) == n_total
+        assert all(0 <= r.shard < 16 for r in out)
+        again = QUERIES["sample_shard_assignment"](spark, sf_dir).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
