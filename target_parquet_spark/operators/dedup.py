@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from target_parquet_spark.operators.text import shingles, tokens
+from target_parquet_spark.operators.text import hash60, shingles, tokens
 
 __all__ = [
     "lineage_cut",
@@ -182,7 +182,7 @@ def _hash_shingles(sh):
     regardless."""
     return F.transform(
         sh,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        lambda s: hash60(s),
     )
 
 

@@ -48,6 +48,32 @@ def tokens(text: Column) -> Column:
     )
 
 
+def hash60(col: Column) -> Column:
+    """The repo's 60-bit md5 payload hash (perf convention: narrow
+    8-byte keys on reused exchanges instead of shuffling full strings).
+    SQL twin: ``SQL_HASH60``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+SQL_HASH60 = "('0x' || substr(md5({c}), 1, 15))::BIGINT"
+
+
+def bigrams(toks: Column, combine, out_type: str = "array<string>") -> Column:
+    """Adjacent-token pairs WITH multiplicity: zip the token array
+    against its own tail and merge each pair with ``combine``; arrays
+    shorter than 2 yield an empty array of ``out_type``.  SQL twin (used
+    verbatim by the DSIR and bigram-LM oracles): ``FROM ...,
+    unnest(range(1, len(t))) AS u(i)`` over ``t[i]``/``t[i+1]``."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            combine,
+        ),
+    ).otherwise(F.array().cast(out_type))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 

@@ -603,7 +603,7 @@ def dedup_span_ngram(spark, sf_dir):
     pre-agg left one row per doc x gram), per-doc rollup — touches the
     exploded gram stream exactly once and joins nothing."""
     corpus = _spark_corpus(spark, sf_dir)
-    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    gh = X.hash60(F.col("gram"))
     # tokenize into a bound column FIRST: inlining tokens() into _grams5
     # would duplicate the regex-split subtree into every element_at inside
     # the transform lambda (HOF lambdas don't share subexpressions), i.e.

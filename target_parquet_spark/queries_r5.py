@@ -107,7 +107,7 @@ def dedup_substring_runs(spark, sf_dir):
     # tokenize into a bound column FIRST (see dedup_span_ngram: HOF
     # lambdas don't share subexpressions across elements)
     toked = corpus.select("doc_id", X.tokens(F.col("text")).alias("toks"))
-    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    gh = X.hash60(F.col("gram"))
     g = toked.select(
         "doc_id", F.posexplode(_grams5(F.col("toks"))).alias("pos", "gram")
     ).select("doc_id", "pos", gh.alias("gh"))

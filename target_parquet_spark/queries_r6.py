@@ -636,7 +636,7 @@ def text_novelty_curve(spark, sf_dir):
     docs = td(spark, sf_dir, "documents").select(
         "doc_id", "source", X.tokens(F.col("text")).alias("toks")
     )
-    gh = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long")
+    gh = X.hash60(F.col("gram"))
     g = (
         docs.select(
             "doc_id", "source", F.explode(_grams5(F.col("toks"))).alias("gram")

@@ -882,7 +882,7 @@ def winnow_minima(toks):
     )
     g = F.transform(
         gram_strs,
-        lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        lambda c: X.hash60(c),
     )
     n_g = F.size(g)
     # Sliding-window minimum as an elementwise `least` fold over _WIN_W

@@ -104,15 +104,9 @@ def sample_dsir_importance(spark, sf_dir):
     """
     docs = td(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = docs.select("doc_id", "source", X.tokens(F.col("text")).alias("t"))
-    # bigrams with multiplicity: zip tokens against their own tail
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.zip_with(
-            F.slice(F.col("t"), 1, F.size("t") - 1),
-            F.slice(F.col("t"), 2, F.size("t") - 1),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = X.bigrams(
+        F.col("t"), lambda x, y: F.concat(x, F.lit(" "), y)
+    )
     big = toks.select(
         "doc_id", "source", F.explode(bigrams).alias("g")
     ).select(
@@ -243,7 +237,14 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS):
                 .cast("long")
             ).alias("s")
         )
-        nrm = r.agg(
+        # ONE action per round: collect the 64 exact-integer sums, then
+        # quantize on a LOCAL 64-row frame so the norm and the 6dp
+        # component use Spark's own round (oracle-parity) without a
+        # second corpus scan (review finding: two .collect()s over the
+        # uncached lineage re-ran the scan+explode per round).
+        s_rows = [(int(row["j"]), int(row["s"])) for row in r.collect()]
+        loc = spark.createDataFrame(s_rows, "j long, s long")
+        nrm = loc.agg(
             F.sqrt(
                 F.sum(
                     F.round(
@@ -255,7 +256,7 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS):
             ).alias("n")
         ).collect()[0]["n"]
         rows = (
-            r.select(
+            loc.select(
                 "j", F.round(F.col("s") / 1000000.0 / F.lit(nrm), 6).alias("v")
             )
             .orderBy("j")
@@ -310,14 +311,21 @@ _ANN_QMOD = 100  # query stratum: vec_id % _ANN_QMOD == 7
 _ANN_PROBES = 4  # entry components probed per query (multiprobe routing)
 
 
-def _sql_graph_ann() -> str:
-    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
-
-    score = (
+def _sql_ann_score() -> str:
+    return (
         "round("
         + _SQL_DOT.format(a="nb.embedding", b="q.qe")
         + " / (q.qn * nb.nrm), 6)"
     )
+
+
+def _sql_graph_ann_prefix() -> str:
+    """The shared CTE chain (graph, queries, multiprobe entries, hop
+    frontiers f0..f{H}) composed onto by BOTH the search final SELECT
+    and the recall harness — structural reuse, no string surgery."""
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+
+    score = _sql_ann_score()
     hops = []
     for h in range(1, _ANN_HOPS + 1):
         hops.append(f"""
@@ -353,7 +361,11 @@ def _sql_graph_ann() -> str:
                    FROM q CROSS JOIN ent e
                    JOIN b nb ON nb.vec_id = e.node) s) t
            WHERE rn <= {_ANN_PROBES}),
-    {hops_sql}
+    {hops_sql}"""
+
+
+def _sql_graph_ann() -> str:
+    return f"""{_sql_graph_ann_prefix()}
     SELECT qid, rn AS rk, node, score FROM (
       SELECT qid, node, score,
              row_number() OVER (PARTITION BY qid
@@ -469,16 +481,10 @@ def sim_graph_ann_search(spark, sf_dir):
 
 def _sql_graph_ann_recall() -> str:
     """Recall@k of the beam search vs the exact top-k over graph nodes:
-    splice a brute-force truth CTE and the hit-count join onto the
-    search CTE chain (everything before the final SELECT)."""
-    search = _sql_graph_ann()
-    prefix = search.rsplit("SELECT qid, rn AS rk", 1)[0].rstrip().rstrip(",")
-    score = (
-        "round("
-        + _SQL_DOT.format(a="nb.embedding", b="q.qe")
-        + " / (q.qn * nb.nrm), 6)"
-    )
-    return f"""{prefix},
+    compose a brute-force truth CTE and the hit-count join onto the
+    shared search CTE chain (``_sql_graph_ann_prefix``)."""
+    score = _sql_ann_score()
+    return f"""{_sql_graph_ann_prefix()},
     got AS (
       SELECT qid, node FROM (
         SELECT qid, node,
@@ -632,15 +638,12 @@ def text_bigram_logprob(spark, sf_dir):
     toks = td(spark, sf_dir, "documents").select(
         "doc_id", "source", X.tokens(F.col("text")).alias("t")
     )
-    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.zip_with(
-            F.slice(F.col("t"), 1, F.size("t") - 1),
-            F.slice(F.col("t"), 2, F.size("t") - 1),
-            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    h60 = X.hash60
+    bigrams = X.bigrams(
+        F.col("t"),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        "array<struct<w1:string,w2:string>>",
+    )
     pr = (
         toks.select("doc_id", "source", F.explode(bigrams).alias("p"))
         .select(
@@ -737,10 +740,10 @@ def sample_shard_assignment(spark, sf_dir):
     membership signature; balanced shard sizes here double as the skew
     check the writer would run before fanning out.
 
-    Plan shape: one scan, one {n}-ary hash aggregate (map-side
+    Plan shape: one scan, one 16-ary hash aggregate (map-side
     combinable); the signature is the only order-sensitive part and is
     sorted per shard group in both engines.
-    """.format(n=_N_SHARDS)
+    """
     from target_parquet_spark.queries_ops import _hash_mod
 
     docs = td(spark, sf_dir, "documents").select("doc_id", "n_chars")
