@@ -34,6 +34,23 @@ def query(name: str, oracle: str | None = None):
             # (its test failed against the wrong output shape) — duplicate
             # registration is always a bug, fail loudly at import time.
             raise ValueError(f"query {name!r} is already registered")
+        import inspect
+
+        required = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is p.empty
+            and p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        if len(required) != 2:
+            # A decorator once ended up attached to a 1-arg helper after
+            # an edit inserted defs between @query(...) and the intended
+            # function — catch that at import time, not at driver time.
+            raise TypeError(
+                f"query {name!r} must take (spark, sf_dir); "
+                f"{fn.__name__} takes {len(required)} required args"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

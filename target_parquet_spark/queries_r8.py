@@ -57,9 +57,9 @@ _SQL_BIGRAM_BUCKET = (
 )
 
 
-@query(
-    "sample_dsir_importance",
-    f"""
+# The oracle SQL for sample_dsir_importance (registered below — keep the
+# decorator IMMEDIATELY above the query function).
+_SQL_DSIR = f"""
     WITH tok AS (
       SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
     big AS (
@@ -83,39 +83,26 @@ _SQL_BIGRAM_BUCKET = (
       FROM big JOIN llr USING (b) GROUP BY big.doc_id, big.source)
     SELECT doc_id, source, llr_micro
     FROM sc ORDER BY llr_micro DESC, doc_id LIMIT {_DSIR_TOP}
-    """,
-)
-def sample_dsir_importance(spark, sf_dir):
-    """DSIR-style data selection: score every document by the smoothed
-    log-likelihood ratio of its hashed-bigram bag under the target
-    domain (``_DSIR_TARGET`` sources) vs the raw corpus, then take the
-    top ``_DSIR_TOP`` by weight (doc_id tie-break).
-
-    Per-feature log-ratios are quantized to integer micro-units BEFORE
-    the per-document sum, so document scores are exact BIGINT sums —
-    engine- and partitioning-independent (the integer-cents convention).
-
-    Plan shape for 100 TB: pass 1 aggregates bigram instances into a
-    ``_DSIR_B``-row feature table (map-side combine collapses the
-    explode); pass 2 re-derives bigrams and BROADCAST-joins the tiny
-    llr table, partial-aggregates per doc, and TakeOrdered picks the
-    budget.  Nothing data-sized ever shuffles except the per-doc
-    partial agg on doc_id.
     """
-    docs = td(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    toks = docs.select("doc_id", "source", X.tokens(F.col("text")).alias("t"))
-    bigrams = X.bigrams(
-        F.col("t"), lambda x, y: F.concat(x, F.lit(" "), y)
+
+
+def _dsir_bucket(g):
+    """Hashed-bigram feature bucket (the 32-bit md5 prefix convention)."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long") % _DSIR_B
     )
-    big = toks.select(
-        "doc_id", "source", F.explode(bigrams).alias("g")
-    ).select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long")
-            % _DSIR_B
-        ).alias("b"),
+
+
+def dsir_llr_state(spark, docs) -> list[tuple[int, int]]:
+    """Train the DSIR feature state: per-bucket smoothed log-likelihood
+    ratios as integer micro-units — at most ``_DSIR_B`` (bucket, w)
+    pairs, i.e. bounded literal model state (the k-means-codebook
+    convention).  One corpus scan; the quantization runs through Spark's
+    own round so the oracle's arithmetic is matched exactly."""
+    toks = docs.select("source", X.tokens(F.col("text")).alias("t"))
+    bigrams = X.bigrams(F.col("t"), lambda x, y: F.concat(x, F.lit(" "), y))
+    big = toks.select("source", F.explode(bigrams).alias("g")).select(
+        "source", _dsir_bucket(F.col("g")).alias("b")
     )
     cnt = big.groupBy("b").agg(
         F.count(F.lit(1)).alias("cq"),
@@ -123,10 +110,6 @@ def sample_dsir_importance(spark, sf_dir):
             F.when(F.col("source").isin(*_DSIR_TARGET), F.lit(1))
         ).alias("ct"),
     )
-    # The feature table is bounded (<= _DSIR_B rows) — collect it once as
-    # literal model state (the k-means-codebook convention) so the scoring
-    # plan scans the corpus exactly once more instead of re-deriving the
-    # counts for both the totals and the per-bucket ratios (3 scans -> 2).
     cnt_rows = [(int(r["b"]), int(r["cq"]), int(r["ct"])) for r in cnt.collect()]
     qn = sum(r[1] for r in cnt_rows)
     tn = sum(r[2] for r in cnt_rows)
@@ -146,10 +129,57 @@ def sample_dsir_importance(spark, sf_dir):
         .cast("long")
         .alias("w"),
     )
-    sc = (
-        big.join(F.broadcast(llr), "b")
-        .groupBy("doc_id", "source")
-        .agg(F.sum("w").alias("llr_micro"))
+    return [(int(r["b"]), int(r["w"])) for r in llr.collect()]
+
+
+def dsir_score_col(llr: list[tuple[int, int]], text_col) -> "F.Column":
+    """Stateless per-row DSIR score: sum of per-bigram llr micro-units
+    looked up in a LITERAL map — no explode, no join, no shuffle, so the
+    identical expression scores a batch scan and a structured stream
+    (``streaming/dsir_gate.py``).  Bigram buckets unseen at training
+    time contribute 0 (matching the batch inner join, where they simply
+    have no llr row)."""
+    m = F.map_from_arrays(
+        F.array(*[F.lit(b) for b, _ in llr]),
+        F.array(*[F.lit(w) for _, w in llr]),
+    )
+    toks = X.tokens(text_col)
+    bigrams = X.bigrams(toks, lambda x, y: F.concat(x, F.lit(" "), y))
+    per = F.transform(
+        bigrams,
+        lambda g: F.coalesce(
+            F.element_at(m, _dsir_bucket(g)), F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(
+        per, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+@query("sample_dsir_importance", _SQL_DSIR)
+def sample_dsir_importance(spark, sf_dir):
+    """DSIR-style data selection: score every document by the smoothed
+    log-likelihood ratio of its hashed-bigram bag under the target
+    domain (``_DSIR_TARGET`` sources) vs the raw corpus, then take the
+    top ``_DSIR_TOP`` by weight (doc_id tie-break).
+
+    Per-feature log-ratios are quantized to integer micro-units BEFORE
+    the per-document sum, so document scores are exact BIGINT sums —
+    engine- and partitioning-independent (the integer-cents convention).
+
+    Plan shape for 100 TB: pass 1 (``dsir_llr_state``) aggregates bigram
+    instances into a bounded ``_DSIR_B``-row feature table collected as
+    literal state; pass 2 scores every doc with a pure column expression
+    (``dsir_score_col`` — literal-map lookups folded per row, no explode
+    and no join) and TakeOrdered picks the budget.  The ONLY shuffle in
+    the whole job is TakeOrdered's final gather.  Docs with no bigrams
+    are excluded (matching the oracle's unnest semantics).
+    """
+    docs = td(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    llr = dsir_llr_state(spark, docs)
+    score = dsir_score_col(llr, F.col("text"))
+    sc = docs.filter(F.size(X.tokens(F.col("text"))) >= 2).select(
+        "doc_id", "source", score.alias("llr_micro")
     )
     return sc.orderBy(F.desc("llr_micro"), "doc_id").limit(_DSIR_TOP)
 

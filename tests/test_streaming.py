@@ -1217,3 +1217,82 @@ def test_streaming_rollup_k_anonymity_gate(spark, events_src, tmp_path):
     )
     want = QUERIES["audit_k_anonymity"](spark, sf_like).collect()[0].asDict()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming DSIR admission gate (stateless literal-state scoring)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_gate_stream_matches_batch_and_routes(spark, tmp_path):
+    """The gate's streaming output must equal the batch scoring of the
+    same rows (same column expression both modes), and the routing must
+    admit target-like docs while rejecting background and no-evidence
+    docs."""
+    from target_parquet_spark.queries_r8 import dsir_llr_state
+    from target_parquet_spark.streaming.dsir_gate import StreamingDsirGate
+
+    target = "quantum proofs entangle qubits across lattice codes"
+    background = "the cat sat on the mat and looked at the dog"
+    train = [(i, "src0", target) for i in range(8)] + [
+        (i + 100, "srcX", background) for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        train, "doc_id long, source string, text string"
+    )
+    gate = StreamingDsirGate(dsir_llr_state(spark, docs), threshold_micro=1)
+
+    crawl = [
+        (1000, "crawl", target),        # target-like -> keep
+        (1001, "crawl", background),    # background -> reject
+        (1002, "crawl", "one"),         # single token: no evidence -> reject
+    ]
+    src = f"{tmp_path}/crawl"
+    crawl_df = spark.createDataFrame(
+        crawl, "doc_id long, source string, text string"
+    )
+    crawl_df.write.parquet(src)
+    stream = spark.readStream.schema(crawl_df.schema).parquet(src)
+
+    q = gate.run(
+        stream, f"{tmp_path}/gated", f"{tmp_path}/ck", available_now=True
+    )
+    _await(q)
+
+    # partitionBy round-trips `keep` as a partition STRING ("true"/"false")
+    # under default partition-column inference — cast it back explicitly
+    got = sorted(
+        (r.doc_id, r.llr_micro, bool(r.keep))
+        for r in spark.read.parquet(f"{tmp_path}/gated")
+        .withColumn("keep", F.col("keep").cast("boolean"))
+        .collect()
+    )
+    want = sorted(
+        (r.doc_id, r.llr_micro, bool(r.keep))
+        for r in gate.score(crawl_df).collect()
+    )
+    assert got == want
+    keep = {d: k for d, _lp, k in got}
+    assert keep == {1000: True, 1001: False, 1002: False}
+
+
+def test_dsir_gate_replay_is_idempotent(spark, tmp_path):
+    """Restarting from the same checkpoint after the source is drained
+    must not duplicate rows (stateless projection + checkpoint)."""
+    from target_parquet_spark.queries_r8 import dsir_llr_state
+    from target_parquet_spark.streaming.dsir_gate import StreamingDsirGate
+
+    docs = spark.createDataFrame(
+        [(i, "src0", "alpha beta gamma delta") for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    gate = StreamingDsirGate(dsir_llr_state(spark, docs))
+    src = f"{tmp_path}/crawl"
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    for _ in range(2):
+        q = gate.run(
+            stream, f"{tmp_path}/gated", f"{tmp_path}/ck", available_now=True
+        )
+        _await(q)
+    assert spark.read.parquet(f"{tmp_path}/gated").count() == 4
