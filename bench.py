@@ -181,6 +181,7 @@ HEADLINE = [
     "sim_graph_ann_recall",
     "text_bigram_logprob",
     "sample_shard_assignment",
+    "sim_pca_deflation",
 ]
 
 

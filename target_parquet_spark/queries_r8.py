@@ -197,35 +197,34 @@ def _sql_vec_literal(v: list[float]) -> str:
     return "(" + "[" + ", ".join(repr(x) for x in v) + "]" + ")"
 
 
-def _sql_pca_round(prev_dot: str, r: int) -> str:
+def _sql_pca_round(r: int, prefix: str = "", src: str = "embeddings") -> str:
     """One unrolled power-iteration round: integer-microunit contribution
-    sums per dimension, exact-integer norm, 6dp-quantized component."""
+    sums per dimension, exact-integer norm, 6dp-quantized component.
+    ``prefix`` namespaces the CTEs so multiple power-iteration passes
+    (the deflation query) can coexist in one WITH chain; ``src`` is the
+    vector table the pass iterates over."""
+    prev_dot = _SQL_DOT.format(
+        a="embedding",
+        b=_sql_vec_literal(_V0) if r == 1 else f"v{prefix}{r - 1}.v",
+    )
+    join_prev = f", v{prefix}{r - 1}" if r > 1 else ""
     return f"""
-    d{r} AS (SELECT embedding, {prev_dot} AS d FROM embeddings{
-        ', v' + str(r - 1) if r > 1 else ''}),
-    r{r} AS (SELECT j,
+    d{prefix}{r} AS (SELECT embedding, {prev_dot} AS d FROM {src}{join_prev}),
+    r{prefix}{r} AS (SELECT j,
                     sum(CAST(round((d * CAST(embedding[j] AS DOUBLE))
                                    * 1000000) AS BIGINT)) AS s
-             FROM d{r}, unnest(range(1, len(embedding) + 1)) AS t(j)
+             FROM d{prefix}{r}, unnest(range(1, len(embedding) + 1)) AS t(j)
              GROUP BY j),
-    n{r} AS (SELECT sqrt(sum(CAST(round(((s / 1000000.0) * (s / 1000000.0))
+    n{prefix}{r} AS (SELECT sqrt(sum(CAST(round(((s / 1000000.0)
+                                                 * (s / 1000000.0))
                                         * 1000000) AS BIGINT))
-                         / 1000000.0) AS nrm FROM r{r}),
-    v{r} AS (SELECT list(round(s / 1000000.0 / nrm, 6) ORDER BY j) AS v
-             FROM r{r}, n{r})"""
+                         / 1000000.0) AS nrm FROM r{prefix}{r}),
+    v{prefix}{r} AS (SELECT list(round(s / 1000000.0 / nrm, 6) ORDER BY j) AS v
+             FROM r{prefix}{r}, n{prefix}{r})"""
 
 
 def _sql_pca() -> str:
-    rounds = [
-        _sql_pca_round(
-            _SQL_DOT.format(
-                a="embedding",
-                b=_sql_vec_literal(_V0) if r == 1 else f"v{r - 1}.v",
-            ),
-            r,
-        )
-        for r in range(1, _PCA_ROUNDS + 1)
-    ]
+    rounds = [_sql_pca_round(r) for r in range(1, _PCA_ROUNDS + 1)]
     final_dot = _SQL_DOT.format(a="embedding", b=f"v{_PCA_ROUNDS}.v")
     return f"""
     WITH {','.join(rounds)},
@@ -244,7 +243,7 @@ def _sql_pca() -> str:
     """
 
 
-def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS):
+def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS, emb=None):
     """Train the dominant principal component by power iteration and
     return it as a plain Python list (the literal model state).
 
@@ -254,8 +253,12 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS):
     round so the quantization matches the SQL oracle bit-for-bit.
     Model state per round is 64 floats — bounded, like the k-means
     codebook (`operators/similarity.kmeans_codebook`).
+
+    ``emb`` overrides the vector frame (a single ``embedding`` column) —
+    the deflation pass feeds residual vectors through the same rounds.
     """
-    emb = td(spark, sf_dir, "embeddings").select("embedding")
+    if emb is None:
+        emb = td(spark, sf_dir, "embeddings").select("embedding")
     v = list(_V0)
     for _ in range(n_rounds):
         lit_v = F.array(*[F.lit(x) for x in v])
@@ -327,6 +330,120 @@ def sim_pca_power_iteration(spark, sf_dir):
         F.round(
             F.sqrt(F.greatest(s2 / 1000000.0 / n - mean * mean, F.lit(0.0))), 4
         ).alias("sd_proj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-2 PCA by deflation (residual power iteration)
+# ---------------------------------------------------------------------------
+
+
+def _sql_pca_deflation() -> str:
+    """Two power-iteration passes in one WITH chain: pass a over the raw
+    embeddings yields v_a{R}; the residual CTE subtracts each vector's
+    v1-projection; pass b over the residuals yields the second
+    component; both projections of the ORIGINAL vectors are summarized
+    per label."""
+    R = _PCA_ROUNDS
+    pass_a = [_sql_pca_round(r, prefix="a") for r in range(1, R + 1)]
+    pass_b = [_sql_pca_round(r, prefix="b", src="res") for r in range(1, R + 1)]
+    dot_v1 = _SQL_DOT.format(a="embedding", b=f"va{R}.v")
+    dot_v2 = _SQL_DOT.format(a="embedding", b=f"vb{R}.v")
+    return f"""
+    WITH {','.join(pass_a)},
+    res AS (
+      SELECT label,
+             list_transform(range(1, len(embedding) + 1),
+                            j -> CAST(embedding[j] AS DOUBLE)
+                                 - ({dot_v1}) * v[j]) AS embedding
+      FROM embeddings, va{R}),
+    {','.join(pass_b)},
+    p AS (SELECT label,
+                 CAST(round(({dot_v1}) * 1000000) AS BIGINT) AS p1,
+                 CAST(round(({dot_v2}) * 1000000) AS BIGINT) AS p2
+          FROM embeddings, va{R}, vb{R})
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(p1) / 1000000.0 / count(*), 4) AS mean_p1,
+           round(sqrt(greatest(
+             sum(CAST(round(((p1 / 1000000.0) * (p1 / 1000000.0))
+                            * 1000000) AS BIGINT)) / 1000000.0 / count(*)
+             - (sum(p1) / 1000000.0 / count(*))
+               * (sum(p1) / 1000000.0 / count(*)), 0)), 4) AS sd_p1,
+           round(sum(p2) / 1000000.0 / count(*), 4) AS mean_p2,
+           round(sqrt(greatest(
+             sum(CAST(round(((p2 / 1000000.0) * (p2 / 1000000.0))
+                            * 1000000) AS BIGINT)) / 1000000.0 / count(*)
+             - (sum(p2) / 1000000.0 / count(*))
+               * (sum(p2) / 1000000.0 / count(*)), 0)), 4) AS sd_p2
+    FROM p GROUP BY label
+    """
+
+
+def pca_top2_components(spark, sf_dir):
+    """(v1, v2): dominant component over the raw embeddings, second
+    component over the v1-deflated residuals — both via the same
+    quantized power rounds (``pca_power_component``)."""
+    v1 = pca_power_component(spark, sf_dir)
+    lit1 = F.array(*[F.lit(x) for x in v1])
+    emb = td(spark, sf_dir, "embeddings").select("embedding")
+    # two-stage select: compute d once per row, THEN subtract — inlining
+    # the dot into the zip_with lambda would re-evaluate it per element
+    with_d = emb.select(
+        "embedding", S.dot(F.col("embedding"), lit1).alias("d")
+    )
+    res = with_d.select(
+        F.zip_with(
+            F.col("embedding"),
+            lit1,
+            lambda x, w: x.cast("double") - F.col("d") * w,
+        ).alias("embedding")
+    )
+    v2 = pca_power_component(spark, sf_dir, emb=res)
+    return v1, v2
+
+
+@query("sim_pca_deflation", _sql_pca_deflation())
+def sim_pca_deflation(spark, sf_dir):
+    """Top-2 principal components by deflation: the 2-D projection map
+    per label — the embedding-drift dashboard's scatter axes.  Pass 1 is
+    ``sim_pca_power_iteration``'s training; pass 2 runs the identical
+    quantized power rounds over the v1-deflated residuals (computed once
+    per row, then re-used across all 64 lambda elements).  The oracle
+    replays BOTH passes plus the residual transform as one CTE chain.
+
+    At 100 TB each pass is the same 2-scans-per-round shape as the top
+    component; deflation adds one projection expression, not a shuffle.
+    """
+    v1, v2 = pca_top2_components(spark, sf_dir)
+    emb = td(spark, sf_dir, "embeddings").select("label", "embedding")
+    lit1 = F.array(*[F.lit(x) for x in v1])
+    lit2 = F.array(*[F.lit(x) for x in v2])
+    p1 = F.round(S.dot(F.col("embedding"), lit1) * 1000000).cast("long")
+    p2 = F.round(S.dot(F.col("embedding"), lit2) * 1000000).cast("long")
+    p = emb.select("label", p1.alias("p1"), p2.alias("p2"))
+    n = F.count(F.lit(1))
+
+    def stats(c, suffix):
+        s1 = F.sum(c)
+        s2 = F.sum(
+            F.round(((c / 1000000.0) * (c / 1000000.0)) * 1000000).cast("long")
+        )
+        mean = s1 / 1000000.0 / n
+        return [
+            F.round(mean, 4).alias(f"mean_{suffix}"),
+            F.round(
+                F.sqrt(
+                    F.greatest(s2 / 1000000.0 / n - mean * mean, F.lit(0.0))
+                ),
+                4,
+            ).alias(f"sd_{suffix}"),
+        ]
+
+    return p.groupBy("label").agg(
+        n.cast("long").alias("n_vecs"),
+        *stats(F.col("p1"), "p1"),
+        *stats(F.col("p2"), "p2"),
     )
 
 

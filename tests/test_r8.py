@@ -197,3 +197,44 @@ class TestShardAssignment:
         assert all(0 <= r.shard < 16 for r in out)
         again = QUERIES["sample_shard_assignment"](spark, sf_dir).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+class TestPcaDeflation:
+    def test_top2_match_numpy_and_are_orthogonal(self, spark, tmp_path):
+        """Two planted orthogonal axes with distinct strengths: the
+        deflated pair must match numpy's top-2 eigenvectors of X^T X
+        and be mutually orthogonal."""
+        rng = np.random.default_rng(11)
+        a1 = rng.normal(size=64); a1 /= np.linalg.norm(a1)
+        a2 = rng.normal(size=64); a2 -= (a2 @ a1) * a1
+        a2 /= np.linalg.norm(a2)
+        rows = []
+        for i in range(400):
+            sign1 = -1.0 if i % 2 else 1.0
+            sign2 = -1.0 if i % 3 == 0 else 1.0
+            x = (
+                6.0 * sign1 * a1
+                + 2.0 * sign2 * a2
+                + 0.05 * rng.normal(size=64)
+            )
+            rows.append((i, [float(v) for v in x], int(i % 3)))
+        (
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/embeddings.parquet")
+        )
+        from target_parquet_spark.queries_r8 import pca_top2_components
+
+        v1, v2 = (np.array(v) for v in pca_top2_components(spark, str(tmp_path)))
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        _w, vecs = np.linalg.eigh(X.T @ X)
+        t1, t2 = vecs[:, -1], vecs[:, -2]
+
+        def cos(u, w):
+            return abs(float(u @ w) / (np.linalg.norm(u) * np.linalg.norm(w)))
+
+        assert cos(v1, t1) > 0.98
+        assert cos(v2, t2) > 0.98
+        assert abs(float(v1 @ v2)) < 1e-3
