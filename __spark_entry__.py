@@ -55,12 +55,10 @@ _CURATED_PREFIX = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q4_order_priority",
-    "q10_returned_items",
     "q18_large_orders",
     # join variants
     "join_broadcast_dim",
     "join_left_outer",
-    "join_semi",
     "join_anti",
     "join_range_banded",
     "join_salted_skew",
@@ -84,12 +82,13 @@ _CURATED_PREFIX = [
     "dedup_cdc_chunks",
     "dedup_span_ngram",
     "dedup_cross_corpus",
-    # similarity / ANN family
+    # similarity / ANN / linear-algebra family
     "sim_brute_force",
     "sim_ann_lsh",
-    "sim_ann_ivf",
     "sim_ivfpq_ann",
     "sim_knn_graph",
+    "sim_graph_ann_search",
+    "sim_pca_power_iteration",
     "scan_ivf_partitioned",
     # text analysis family
     "text_token_stats",
@@ -99,9 +98,10 @@ _CURATED_PREFIX = [
     "text_contamination",
     "text_quality_logreg_trained",
     "text_bpe_learn_merges",
+    "text_bigram_logprob",
     # sampling / CDC / governance / events
     "events_sessionize",
-    "sample_token_budget",
+    "sample_dsir_importance",
     "sample_sequence_packing",
     "cdc_scd2_history",
     "audit_k_anonymity",
