@@ -306,3 +306,36 @@ def test_quality_logreg_is_single_scan_pipeline(spark, sf_dir):
     # one partial + one final aggregate around the single groupBy shuffle
     # (formatted plans list each node in the tree AND the detail section)
     assert p.count("HashAggregate") == 4
+
+
+def test_dsir_scoring_is_single_scan_takeordered(spark, sf_dir):
+    """DSIR's scoring pass must be a pure column expression over ONE
+    corpus scan feeding TakeOrdered — no explode, no join, no shuffle
+    (the llr table is literal plan state)."""
+    import target_parquet_spark.queries_r8  # noqa: F401
+
+    p = plan(spark, sf_dir, "sample_dsir_importance")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Scan parquet") <= 2  # tree + detail of the one scan
+    assert "Generate" not in p  # no explode in the scoring plan
+    assert "Join" not in p
+
+
+def test_graph_ann_hops_broadcast_the_frontier(spark, sf_dir):
+    """Every beam-search hop must broadcast the bounded frontier —
+    a SortMergeJoin anywhere in the walk means the edge artifact or the
+    corpus was shuffled per hop."""
+    import target_parquet_spark.queries_r8  # noqa: F401
+
+    p = plan(spark, sf_dir, "sim_graph_ann_search")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_bigram_lm_unigram_sides_broadcast(spark, sf_dir):
+    """The bigram-count join is the one allowed data-sized shuffle; both
+    unigram lookups must ride broadcasts (Zipf-bounded vocab)."""
+    import target_parquet_spark.queries_r8  # noqa: F401
+
+    p = plan(spark, sf_dir, "text_bigram_logprob")
+    assert p.count("BroadcastHashJoin") >= 2
