@@ -1,0 +1,188 @@
+"""Singer JSONL as a first-class Spark data source:
+``spark.read.format("singer").load(path)``.
+
+Spark 4's Python DataSource API (`pyspark.sql.datasource`) lets a
+format plug into the reader surface directly — schema inference,
+per-file partitions, Arrow-batched record yield.  This wraps the
+engine's existing Singer machinery (``schema.resolve_schema`` for
+SCHEMA-message DDL, the same type-resolution rules the target uses) so
+Singer tap output can be explored ad hoc::
+
+    spark.dataSource.register(SingerDataSource)
+    df = spark.read.format("singer").option("stream", "users").load("out/*.jsonl")
+
+Division of labor — this is the CONVENIENCE surface, not the 100 TB
+path: the production ingest (`target.py` / `io/singer_source.py`) stays
+on the JVM route (text scan + ``from_json`` + Column-expression
+coercion, whole-stage codegen).  A Python data source pays one Python
+worker hop per partition; for interactive reads, tests, and small
+backfills that's irrelevant, and partition-per-file parallelism still
+applies.
+
+Reference parity: the reference (hotgluexyz/target-parquet) consumes
+Singer messages only through its CLI stdin loop
+(``target_parquet/__init__.py``); it has no readable *format* at all.
+This module makes the message files themselves a queryable table.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+from target_parquet_spark.schema import resolve_schema
+
+__all__ = ["SingerDataSource"]
+
+
+def _expand(path: str) -> list[str]:
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in sorted(files))
+        return sorted(out)
+    hits = sorted(_glob.glob(path))
+    return hits or [path]
+
+
+def _first_schema_msg(paths: list[str], stream: str | None) -> dict:
+    for p in paths:
+        with open(p, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    msg = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if msg.get("type") == "SCHEMA" and (
+                    stream is None or msg.get("stream") == stream
+                ):
+                    return msg
+    raise ValueError(
+        "no SCHEMA message found"
+        + (f" for stream {stream!r}" if stream else "")
+    )
+
+
+class SingerDataSource(DataSource):
+    """Read Singer JSONL message files as a table of RECORD rows.
+
+    Options:
+      * ``path`` — file, directory, or glob of Singer JSONL files.
+      * ``stream`` — optional stream name; defaults to the first SCHEMA
+        message's stream.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "singer"
+
+    def _paths(self) -> list[str]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("singer data source requires a path")
+        return _expand(path)
+
+    def schema(self):
+        paths = self._paths()
+        stream = self.options.get("stream")
+        msg = _first_schema_msg(paths, stream)
+        fields = resolve_schema(msg["schema"])
+        return T.StructType(
+            [T.StructField(f.name, f.spark_type, True) for f in fields]
+        )
+
+    def reader(self, schema):
+        stream = self.options.get("stream")
+        if stream is None:
+            stream = _first_schema_msg(self._paths(), None).get("stream")
+        return _SingerReader(self._paths(), schema, stream)
+
+
+class _SingerReader(DataSourceReader):
+    def __init__(self, paths: list[str], schema, stream: str | None):
+        self.paths = paths
+        self.schema = schema
+        self.stream = stream
+        # (name, converter) per field, resolved once driver-side
+        self.converters = [
+            (f.name, _converter(f.dataType)) for f in schema.fields
+        ]
+
+    def partitions(self):
+        # one partition per input file: the natural parallelism of a
+        # tap's sharded output, and each worker opens exactly one file
+        return [InputPartition(p) for p in self.paths]
+
+    def read(self, partition):
+        with open(partition.value, "r", encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    msg = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # reference behavior: non-JSON lines skipped
+                if msg.get("type") != "RECORD":
+                    continue
+                if self.stream is not None and msg.get("stream") != self.stream:
+                    continue
+                rec = msg.get("record") or {}
+                yield tuple(conv(rec.get(name)) for name, conv in self.converters)
+
+
+def _converter(dt: T.DataType):
+    """Python-side twin of coerce.py's cast rules for the primitive
+    types a Singer schema resolves to; unparseable values -> None (the
+    engine's repair-to-NULL contract)."""
+    if isinstance(dt, T.TimestampType):
+
+        def conv_ts(v):
+            if v is None or v == "":
+                return None
+            try:
+                s = str(v).replace("Z", "+00:00")
+                d = datetime.fromisoformat(s)
+                if d.tzinfo is None:
+                    d = d.replace(tzinfo=timezone.utc)
+                return d
+            except ValueError:
+                return None
+
+        return conv_ts
+    if isinstance(dt, T.DoubleType):
+        return lambda v: None if v is None or v == "" else _try(float, v)
+    if isinstance(dt, T.LongType):
+        return lambda v: None if v is None or v == "" else _try(_to_int, v)
+    if isinstance(dt, T.BooleanType):
+        return lambda v: None if v is None or v == "" else bool(v)
+    # string / nested: Python spellings for scalars, JSON for structures
+    def conv_str(v):
+        if v is None:
+            return None
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, separators=(",", ":"), sort_keys=True)
+        if isinstance(v, bool):
+            return "True" if v else "False"
+        return str(v)
+
+    return conv_str
+
+
+def _to_int(v):
+    return int(float(v)) if isinstance(v, str) else int(v)
+
+
+def _try(fn, v):
+    try:
+        return fn(v)
+    except (TypeError, ValueError):
+        return None

@@ -1,0 +1,127 @@
+"""Tests for the Spark 4 Python DataSource wrapping Singer JSONL
+(``spark.read.format("singer")``)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from target_parquet_spark.io.singer_datasource import SingerDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(SingerDataSource)
+
+
+def _schema_msg(stream="s", props=None):
+    props = props or {
+        "id": {"type": ["integer", "null"]},
+        "v": {"type": ["number", "null"]},
+        "name": {"type": ["string", "null"]},
+        "ts": {"type": ["string", "null"], "format": "date-time"},
+    }
+    return json.dumps(
+        {
+            "type": "SCHEMA",
+            "stream": stream,
+            "schema": {"type": "object", "properties": props},
+            "key_properties": ["id"],
+        }
+    )
+
+
+def _record(stream, **kw):
+    return json.dumps({"type": "RECORD", "stream": stream, "record": kw})
+
+
+def test_reads_typed_records_across_files(spark, tmp_path):
+    a, b = tmp_path / "a.jsonl", tmp_path / "b.jsonl"
+    a.write_text(
+        "\n".join(
+            [_schema_msg()]
+            + [_record("s", id=i, v=i * 1.5, name=f"n{i}",
+                       ts=f"2024-01-01T00:00:0{i}Z") for i in range(5)]
+        )
+    )
+    b.write_text(
+        "\n".join(
+            [_schema_msg()]
+            + [_record("s", id=i + 5, v=None, name=None, ts=None)
+               for i in range(5)]
+            + [json.dumps({"type": "STATE", "value": {}})]
+        )
+    )
+    df = spark.read.format("singer").load(f"{tmp_path}/*.jsonl")
+    assert [f.name for f in df.schema.fields] == ["id", "v", "name", "ts"]
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[1].v == 1.5 and rows[1].name == "n1"
+    assert rows[7].v is None and rows[7].ts is None
+    # one partition per file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_stream_option_filters_and_schema_follows(spark, tmp_path):
+    p = tmp_path / "m.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                _schema_msg("users", {"uid": {"type": ["integer", "null"]}}),
+                _schema_msg("events", {"eid": {"type": ["integer", "null"]}}),
+                _record("users", uid=1),
+                _record("events", eid=100),
+                _record("users", uid=2),
+            ]
+        )
+    )
+    users = (
+        spark.read.format("singer").option("stream", "users").load(str(p))
+    )
+    assert [f.name for f in users.schema.fields] == ["uid"]
+    assert sorted(r.uid for r in users.collect()) == [1, 2]
+    events = (
+        spark.read.format("singer").option("stream", "events").load(str(p))
+    )
+    assert sorted(r.eid for r in events.collect()) == [100]
+
+
+def test_repair_semantics_match_engine_contract(spark, tmp_path):
+    """Unparseable numerics/timestamps repair to NULL; nested values
+    stringify as JSON; garbage lines are skipped — the same contract as
+    the batch target."""
+    p = tmp_path / "m.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                _schema_msg(
+                    "s",
+                    {
+                        "id": {"type": ["integer", "null"]},
+                        "v": {"type": ["number", "null"]},
+                        "meta": {"type": ["object", "null"]},
+                        "ts": {"type": ["string", "null"],
+                               "format": "date-time"},
+                    },
+                ),
+                "not json at all {{{",
+                _record("s", id=1, v="not-a-number", ts="never",
+                        meta={"b": 2, "a": 1}),
+                _record("s", id="7", v="2.5", ts="2024-06-01T12:00:00Z"),
+            ]
+        )
+    )
+    rows = {r.id: r for r in spark.read.format("singer").load(str(p)).collect()}
+    assert len(rows) == 2
+    assert rows[1].v is None and rows[1].ts is None
+    assert json.loads(rows[1].meta) == {"a": 1, "b": 2}
+    assert rows[7].v == 2.5 and rows[7].ts is not None
+
+
+def test_missing_schema_message_raises(spark, tmp_path):
+    p = tmp_path / "m.jsonl"
+    p.write_text(_record("s", id=1))
+    with pytest.raises(Exception):
+        spark.read.format("singer").load(str(p)).collect()
