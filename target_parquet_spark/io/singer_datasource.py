@@ -47,7 +47,9 @@ def _expand(path: str) -> list[str]:
             out.extend(os.path.join(root, f) for f in sorted(files))
         return sorted(out)
     hits = sorted(_glob.glob(path))
-    return hits or [path]
+    if not hits:
+        raise FileNotFoundError(f"singer source: no files match {path!r}")
+    return hits
 
 
 def _first_schema_msg(paths: list[str], stream: str | None) -> dict:
@@ -90,19 +92,23 @@ class SingerDataSource(DataSource):
             raise ValueError("singer data source requires a path")
         return _expand(path)
 
+    def _schema_msg(self) -> dict:
+        # one driver-side scan per load: schema() and reader() share the
+        # discovered SCHEMA message instead of re-reading the files
+        if not hasattr(self, "_schema_msg_cache"):
+            self._schema_msg_cache = _first_schema_msg(
+                self._paths(), self.options.get("stream")
+            )
+        return self._schema_msg_cache
+
     def schema(self):
-        paths = self._paths()
-        stream = self.options.get("stream")
-        msg = _first_schema_msg(paths, stream)
-        fields = resolve_schema(msg["schema"])
+        fields = resolve_schema(self._schema_msg()["schema"])
         return T.StructType(
             [T.StructField(f.name, f.spark_type, True) for f in fields]
         )
 
     def reader(self, schema):
-        stream = self.options.get("stream")
-        if stream is None:
-            stream = _first_schema_msg(self._paths(), None).get("stream")
+        stream = self.options.get("stream") or self._schema_msg().get("stream")
         return _SingerReader(self._paths(), schema, stream)
 
 
@@ -139,31 +145,110 @@ class _SingerReader(DataSourceReader):
                 yield tuple(conv(rec.get(name)) for name, conv in self.converters)
 
 
+# strptime fallbacks mirroring the most common entries of
+# coerce._TS_FORMATS (the JVM chain is the full-leniency surface; this
+# reader covers ISO-8601 plus the frequent tap spellings and applies the
+# same millisecond truncation as the parquet sink contract)
+_PY_TS_FORMATS = [
+    "%m/%d/%Y %H:%M:%S",
+    "%m/%d/%Y",
+    "%Y/%m/%d %H:%M:%S",
+    "%Y/%m/%d",
+    "%Y%m%dT%H%M%S",
+    "%Y%m%d",
+    "%b %d, %Y",
+    "%d %b %Y",
+    "%B %d, %Y",
+]
+
+_LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
+
+
 def _converter(dt: T.DataType):
     """Python-side twin of coerce.py's cast rules for the primitive
     types a Singer schema resolves to; unparseable values -> None (the
-    engine's repair-to-NULL contract)."""
+    engine's repair-to-NULL contract).  Each branch mirrors the batch
+    path's semantics: booleans accept only the try_cast('boolean')
+    spellings, integers REJECT non-integral input rather than truncate,
+    timestamps are truncated to millisecond precision (the parquet-sink
+    parity in coerce.py)."""
     if isinstance(dt, T.TimestampType):
 
         def conv_ts(v):
             if v is None or v == "":
                 return None
+            s = str(v).strip()
+            d = None
             try:
-                s = str(v).replace("Z", "+00:00")
-                d = datetime.fromisoformat(s)
-                if d.tzinfo is None:
-                    d = d.replace(tzinfo=timezone.utc)
-                return d
+                d = datetime.fromisoformat(s.replace("Z", "+00:00"))
             except ValueError:
+                for fmt in _PY_TS_FORMATS:
+                    try:
+                        d = datetime.strptime(s, fmt)
+                        break
+                    except ValueError:
+                        continue
+            if d is None:
                 return None
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=timezone.utc)
+            # millisecond truncation: the engine writes ms-precision
+            # parquet (coerce.py date_trunc('millisecond'))
+            return d.replace(microsecond=d.microsecond - d.microsecond % 1000)
 
         return conv_ts
     if isinstance(dt, T.DoubleType):
-        return lambda v: None if v is None or v == "" else _try(float, v)
+
+        def conv_num(v):
+            if v is None or v == "" or isinstance(v, bool):
+                return None
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+
+        return conv_num
     if isinstance(dt, T.LongType):
-        return lambda v: None if v is None or v == "" else _try(_to_int, v)
+
+        def conv_int(v):
+            # parity with the batch path: string "3.2" and float 7.9 are
+            # REJECTED (repair-to-NULL), never truncated; out-of-range
+            # values also repair instead of crashing the partition
+            if v is None or v == "" or isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return v if _LONG_MIN <= v <= _LONG_MAX else None
+            if isinstance(v, float):
+                if not v.is_integer():
+                    return None
+                iv = int(v)
+                return iv if _LONG_MIN <= iv <= _LONG_MAX else None
+            try:
+                iv = int(str(v).strip())
+            except (TypeError, ValueError):
+                return None
+            return iv if _LONG_MIN <= iv <= _LONG_MAX else None
+
+        return conv_int
     if isinstance(dt, T.BooleanType):
-        return lambda v: None if v is None or v == "" else bool(v)
+
+        def conv_bool(v):
+            # try_cast('boolean') spellings only; anything else -> NULL
+            if v is None or v == "":
+                return None
+            if isinstance(v, bool):
+                return v
+            if isinstance(v, (int, float)):
+                return v != 0
+            s = str(v).strip().lower()
+            if s in ("true", "t", "yes", "y", "1"):
+                return True
+            if s in ("false", "f", "no", "n", "0"):
+                return False
+            return None
+
+        return conv_bool
+
     # string / nested: Python spellings for scalars, JSON for structures
     def conv_str(v):
         if v is None:
@@ -175,14 +260,3 @@ def _converter(dt: T.DataType):
         return str(v)
 
     return conv_str
-
-
-def _to_int(v):
-    return int(float(v)) if isinstance(v, str) else int(v)
-
-
-def _try(fn, v):
-    try:
-        return fn(v)
-    except (TypeError, ValueError):
-        return None

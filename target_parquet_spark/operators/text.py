@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens",
     "token_count",
+    "bigrams",
+    "hash60",
+    "SQL_HASH60",
     "stopword_ratio",
     "punct_ratio",
     "quality_score",

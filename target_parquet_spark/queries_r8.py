@@ -725,12 +725,12 @@ _LM_FLAG_MICRO = -9000000  # flag docs whose mean token logprob < -9
       SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
     pr AS (
       SELECT doc_id, source,
-             ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT AS gh,
-             ('0x' || substr(md5(t[i]), 1, 15))::BIGINT AS h1,
-             ('0x' || substr(md5(t[i+1]), 1, 15))::BIGINT AS h2
+             {X.SQL_HASH60.format(c="t[i] || ' ' || t[i+1]")} AS gh,
+             {X.SQL_HASH60.format(c='t[i]')} AS h1,
+             {X.SQL_HASH60.format(c='t[i+1]')} AS h2
       FROM d, unnest(range(1, len(t))) AS u(i)),
     us AS (
-      SELECT ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+      SELECT {X.SQL_HASH60.format(c='tk')} AS h
       FROM (SELECT unnest(t) AS tk FROM d WHERE doc_id % 2 = 0)),
     ug AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM us GROUP BY h),
     nst AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ug),

@@ -59,9 +59,17 @@ class StreamingDsirGate:
             "llr_micro", dsir_score_col(self.llr, F.col(text_col))
         )
         has_evidence = F.size(tokens(F.col(text_col))) >= 2
+        # coalesce: a NULL text makes has_evidence NULL, and NULL AND true
+        # is NULL — which would route the row to the Hive default
+        # partition, escaping both keep=true and keep=false.  A no-text
+        # doc is a reject, not a third state.
         return scored.withColumn(
             "keep",
-            has_evidence & (F.col("llr_micro") >= F.lit(self.threshold_micro)),
+            F.coalesce(
+                has_evidence
+                & (F.col("llr_micro") >= F.lit(self.threshold_micro)),
+                F.lit(False),
+            ),
         )
 
     def run(

@@ -125,3 +125,66 @@ def test_missing_schema_message_raises(spark, tmp_path):
     p.write_text(_record("s", id=1))
     with pytest.raises(Exception):
         spark.read.format("singer").load(str(p)).collect()
+
+
+def test_converter_parity_with_batch_coercion(spark, tmp_path):
+    """The reader's Python converters must match coerce.py's cast rules:
+    stringly booleans parse (not bool(str)!), non-integral numerics
+    repair to NULL (never truncate), timestamps truncate to ms."""
+    p = tmp_path / "m.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                _schema_msg(
+                    "s",
+                    {
+                        "id": {"type": ["integer", "null"]},
+                        "n": {"type": ["integer", "null"]},
+                        "b": {"type": ["boolean", "null"]},
+                        "ts": {"type": ["string", "null"],
+                               "format": "date-time"},
+                    },
+                ),
+                _record("s", id=1, n="3.2", b="false",
+                        ts="2024-06-01T12:00:00.123456Z"),
+                _record("s", id=2, n=7.9, b="maybe", ts="01/02/2024"),
+                _record("s", id=3, n=7.0, b="TRUE", ts=None),
+                _record("s", id=4, n="1e30", b=0, ts="2024-06-01"),
+            ]
+        )
+    )
+    rows = {r.id: r for r in spark.read.format("singer").load(str(p)).collect()}
+    assert rows[1].n is None          # "3.2" repairs, never truncates
+    assert rows[1].b is False         # "false" is False, not bool("false")
+    assert rows[1].ts.microsecond == 123000  # ms truncation (sink parity)
+    assert rows[2].n is None          # 7.9 repairs
+    assert rows[2].b is None          # garbage boolean repairs
+    assert rows[2].ts is not None     # lenient M/d/yyyy fallback parses
+    assert rows[3].n == 7             # integral float is fine
+    assert rows[3].b is True
+    assert rows[4].n is None          # out-of-long-range repairs
+    assert rows[4].b is False
+
+
+def test_unmatched_glob_raises_clear_error(spark, tmp_path):
+    with pytest.raises(Exception, match="no files match"):
+        spark.read.format("singer").load(f"{tmp_path}/nothing-*.jsonl")
+
+
+def test_gate_null_text_routes_to_reject(spark, tmp_path):
+    """A NULL-text row must land in keep=false, not the Hive default
+    partition (NULL AND true is NULL without the coalesce)."""
+    from target_parquet_spark.queries_r8 import dsir_llr_state
+    from target_parquet_spark.streaming.dsir_gate import StreamingDsirGate
+
+    docs = spark.createDataFrame(
+        [(i, "src0", "alpha beta gamma") for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    gate = StreamingDsirGate(dsir_llr_state(spark, docs))
+    probe = spark.createDataFrame(
+        [(10, "c", None), (11, "c", "alpha beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.doc_id: r.keep for r in gate.score(probe).collect()}
+    assert out == {10: False, 11: True}
