@@ -32,7 +32,15 @@ import json
 import os
 from datetime import datetime, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql import types as T
 
 from target_parquet_spark.schema import resolve_schema
@@ -111,6 +119,18 @@ class SingerDataSource(DataSource):
         stream = self.options.get("stream") or self._schema_msg().get("stream")
         return _SingerReader(self._paths(), schema, stream)
 
+    def writer(self, schema, overwrite: bool):
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("singer data source requires a path")
+        stream = self.options.get("stream", "stream")
+        keys = [
+            k.strip()
+            for k in self.options.get("key_properties", "").split(",")
+            if k.strip()
+        ]
+        return _SingerWriter(path, schema, stream, keys, overwrite)
+
 
 class _SingerReader(DataSourceReader):
     def __init__(self, paths: list[str], schema, stream: str | None):
@@ -143,6 +163,109 @@ class _SingerReader(DataSourceReader):
                     continue
                 rec = msg.get("record") or {}
                 yield tuple(conv(rec.get(name)) for name, conv in self.converters)
+
+
+def _json_schema_of(dt: T.DataType) -> dict:
+    """Inverse of schema.resolve_property for the writer: Spark type ->
+    Singer JSON-Schema property (always nullable — Spark columns are)."""
+    if isinstance(dt, T.TimestampType):
+        return {"type": ["string", "null"], "format": "date-time"}
+    if isinstance(dt, T.LongType) or isinstance(dt, T.IntegerType):
+        return {"type": ["integer", "null"]}
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return {"type": ["number", "null"]}
+    if isinstance(dt, T.BooleanType):
+        return {"type": ["boolean", "null"]}
+    return {"type": ["string", "null"]}
+
+
+def _json_value(v):
+    if v is None:
+        return None
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, (str, bool, int, float)):
+        return v
+    return str(v)
+
+
+@dataclass
+class _SingerCommit(WriterCommitMessage):
+    path: str
+    n_records: int
+
+
+class _SingerWriter(DataSourceWriter):
+    """Emit a DataFrame as Singer JSONL message shards: every partition
+    writes a self-describing file (SCHEMA message first, then its RECORD
+    lines) so each shard is independently consumable by any Singer
+    target — including this module's own reader (round-trip pinned in
+    tests).  commit() writes a ``_SUCCESS`` marker naming the shards;
+    abort() removes the files this attempt produced (task files are
+    uuid-suffixed, so a retry never collides with a committed shard)."""
+
+    def __init__(self, path, schema, stream, keys, overwrite):
+        self.path = path
+        self.schema = schema
+        self.stream = stream
+        self.keys = keys
+        self.overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(path):
+                if f.endswith(".jsonl") or f == "_SUCCESS":
+                    os.remove(os.path.join(path, f))
+
+    def _schema_line(self) -> str:
+        return json.dumps(
+            {
+                "type": "SCHEMA",
+                "stream": self.stream,
+                "schema": {
+                    "type": "object",
+                    "properties": {
+                        f.name: _json_schema_of(f.dataType)
+                        for f in self.schema.fields
+                    },
+                },
+                "key_properties": self.keys,
+            }
+        )
+
+    def write(self, iterator):
+        import uuid
+
+        names = [f.name for f in self.schema.fields]
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            fh.write(self._schema_line() + "\n")
+            for row in iterator:
+                rec = {
+                    k: _json_value(v) for k, v in zip(names, tuple(row))
+                }
+                fh.write(
+                    json.dumps(
+                        {"type": "RECORD", "stream": self.stream,
+                         "record": rec},
+                        separators=(",", ":"),
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _SingerCommit(path=out, n_records=n)
+
+    def commit(self, messages):
+        marker = os.path.join(self.path, "_SUCCESS")
+        with open(marker, "w", encoding="utf-8") as fh:
+            for m in messages:
+                if m is not None:
+                    fh.write(f"{os.path.basename(m.path)}\t{m.n_records}\n")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
 
 
 # strptime fallbacks mirroring the most common entries of
