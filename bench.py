@@ -182,6 +182,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "sample_shard_assignment",
     "sim_pca_deflation",
+    "graph_communities_lpa",
 ]
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from target_parquet_spark.operators.dedup import lineage_cut
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "lpa_communities"]
 
 
 def pagerank(
@@ -93,3 +93,56 @@ def pagerank(
             checkpoint_dir,
         )
     return ranks
+
+
+def lpa_communities(
+    sym: DataFrame,
+    rounds: int = 3,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Asynchronous-free label-propagation community detection over a
+    SYMMETRIC edge list: every node starts as its own label; each round
+    every node adopts the most frequent label among its neighbors
+    (count DESC, label ASC tie-break — fully deterministic), isolated
+    nodes keep their own.  A fixed round count keeps the result
+    oracle-replayable as unrolled CTEs; communities (dense neighbor
+    majorities) differ from connected components (min-label closure) —
+    one bridge edge does NOT merge two cliques here.
+
+    Plan shape: each round is one (node, label) count aggregate + one
+    per-node argmax window + one left join, all keyed on the node id —
+    the same key every round, so AQE reuses the exchange; labels are
+    8-byte ids, never payloads."""
+    e = sym.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(rounds):
+        nb = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("lbl").alias("_nl")
+                ),
+                "v",
+            )
+            .groupBy("u", "_nl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("u"), F.col("_nl").alias("lbl"), "cnt")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), F.col("lbl").alias("maj"))
+        )
+        labels = lineage_cut(
+            labels.join(nb, "node", "left").select(
+                "node", F.coalesce("maj", "lbl").alias("lbl")
+            ),
+            None,
+        )
+    return labels

@@ -912,3 +912,70 @@ def sample_shard_assignment(spark, sf_dir):
             )
         ).alias("shard_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# community detection over the k-NN graph (majority-label propagation)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _register_lpa_communities():
+    """Oracle reuses queries_r6's graph fragments (same contract as
+    graph_label_propagation: the graph analyzed cannot drift)."""
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    l{r} AS (
+      SELECT n.node, coalesce(m.maj, n.lbl) AS lbl
+      FROM l{r - 1} n LEFT JOIN (
+        SELECT u AS node, lbl AS maj FROM (
+          SELECT s.u, c.lbl, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY s.u
+                                    ORDER BY count(*) DESC, c.lbl) AS rn
+          FROM sym s JOIN l{r - 1} c ON c.node = s.v
+          GROUP BY s.u, c.lbl) t
+        WHERE rn = 1) m ON m.node = n.node)""")
+    rounds_sql = ",".join(rounds)
+
+    @query(
+        "graph_communities_lpa",
+        f"""
+    WITH {_SQL_KNN},
+    {_SQL_SYM_DEG},
+    l0 AS (SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)),
+    {rounds_sql}
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ROUNDS} GROUP BY lbl
+        """,
+    )
+    def graph_communities_lpa(spark, sf_dir):
+        """Unsupervised community detection on the k-NN graph: majority
+        label propagation (``operators/graph.lpa_communities``) for a
+        fixed {R} rounds from singleton labels, reported as community
+        sizes.  The curation use: communities = topical clusters of the
+        corpus without training anything — the grouping a mixture
+        sampler or dedup triage reads.  Unlike connected components, a
+        single bridge edge does not merge two dense cliques (planted
+        test in tests/test_r8.py pins exactly that difference).
+        """
+        from target_parquet_spark.operators.graph import lpa_communities
+        from target_parquet_spark.queries_r6 import _symmetrize_degrees
+        from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+        sym, _deg = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
+        labels = lpa_communities(sym, rounds=_LPA_ROUNDS)
+        return labels.groupBy(F.col("lbl").alias("community")).agg(
+            F.count(F.lit(1)).alias("n_nodes")
+        )
+
+    graph_communities_lpa.__doc__ = graph_communities_lpa.__doc__.format(
+        R=_LPA_ROUNDS
+    )
+    return graph_communities_lpa
+
+
+_register_lpa_communities()

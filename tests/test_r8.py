@@ -238,3 +238,37 @@ class TestPcaDeflation:
         assert cos(v1, t1) > 0.98
         assert cos(v2, t2) > 0.98
         assert abs(float(v1 @ v2)) < 1e-3
+
+
+class TestLpaCommunities:
+    def test_bridged_cliques_stay_two_communities(self, spark):
+        """Two 4-cliques joined by ONE bridge edge: majority propagation
+        keeps them separate (the property that distinguishes communities
+        from connected components, which would merge them)."""
+        from target_parquet_spark.operators.graph import lpa_communities
+
+        edges = []
+        for base in (0, 4):
+            for i in range(4):
+                for j in range(4):
+                    if i != j:
+                        edges.append((base + i, base + j))
+        edges += [(3, 4), (4, 3)]  # the bridge
+        sym = spark.createDataFrame(edges, "u long, v long")
+        out = lpa_communities(sym, rounds=3).collect()
+        comm = {}
+        for r in out:
+            comm.setdefault(r.lbl, set()).add(r.node)
+        assert len(comm) == 2
+        assert sorted(len(m) for m in comm.values()) == [4, 4]
+        groups = sorted(tuple(sorted(m)) for m in comm.values())
+        assert groups == [(0, 1, 2, 3), (4, 5, 6, 7)]
+
+    def test_isolated_node_keeps_own_label(self, spark):
+        from target_parquet_spark.operators.graph import lpa_communities
+
+        sym = spark.createDataFrame(
+            [(1, 2), (2, 1), (9, 9)], "u long, v long"
+        )
+        out = {r.node: r.lbl for r in lpa_communities(sym, rounds=2).collect()}
+        assert out[9] == 9
