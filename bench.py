@@ -183,6 +183,7 @@ HEADLINE = [
     "sample_shard_assignment",
     "sim_pca_deflation",
     "graph_communities_lpa",
+    "text_textrank_keywords",
 ]
 
 

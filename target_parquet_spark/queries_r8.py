@@ -979,3 +979,109 @@ def _register_lpa_communities():
 
 
 _register_lpa_communities()
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 5
+_TR_TOPK = 20
+_TR_MIN_COOC = 2
+_TR_MIN_LEN = 3
+
+
+def _sql_textrank() -> str:
+    from target_parquet_spark.operators.text import STOPWORDS
+    from target_parquet_spark.queries_ext import _sql_pagerank_ctes
+
+    swl = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    adj AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM d, unnest(range(1, len(t))) AS u(i)),
+    flt AS (
+      SELECT least(w1, w2) AS id_a, greatest(w1, w2) AS id_b
+      FROM adj
+      WHERE length(w1) >= {_TR_MIN_LEN} AND length(w2) >= {_TR_MIN_LEN}
+        AND w1 NOT IN ({swl}) AND w2 NOT IN ({swl}) AND w1 <> w2),
+    pairs AS (
+      SELECT id_a, id_b, CAST(count(*) AS DOUBLE) AS jaccard
+      FROM flt GROUP BY id_a, id_b HAVING count(*) >= {_TR_MIN_COOC}),
+    {_sql_pagerank_ctes(iters=_TR_ITERS)}
+    SELECT keyword, rank_pm FROM (
+      SELECT node AS keyword,
+             round(rank * 1000.0::DOUBLE, 4) AS rank_pm,
+             row_number() OVER (
+               ORDER BY round(rank * 1000.0::DOUBLE, 4) DESC, node) AS rn
+      FROM r{_TR_ITERS}) t
+    WHERE rn <= {_TR_TOPK}
+    """
+
+
+@query("text_textrank_keywords", _sql_textrank())
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank (Mihalcea & Tarau): corpus keywords as PageRank over the
+    word co-occurrence graph — adjacent non-stopword pairs (window 2,
+    undirected, min co-occurrence {mc}) weighted by count, 5 power
+    iterations, top {k} by rank.  Pure composition of shipped pieces:
+    the graph build is one bigram aggregate, the ranking reuses
+    ``operators/graph.pagerank`` and the oracle reuses the SAME unrolled
+    CTE chain as ``graph_pagerank_dupweb`` (`_sql_pagerank_ctes` over a
+    differently-built `pairs` CTE).
+
+    Determinism at the top-k boundary: ranking orders on the ROUNDED
+    rank (4dp per-mille) with the word as tie-break — aggregation-order
+    ulp drift between engines cannot move the cutoff.  Scale: the graph
+    is VOCAB-sized (Zipf-bounded after the min-co-occurrence filter),
+    not corpus-sized — the one corpus-linear stage is the bigram count,
+    a single map-side-combinable aggregate.
+    """
+    from target_parquet_spark.operators.graph import pagerank
+    from target_parquet_spark.operators.text import STOPWORDS
+
+    toks = td(spark, sf_dir, "documents").select(
+        X.tokens(F.col("text")).alias("t")
+    )
+    adj = toks.select(
+        F.explode(
+            X.bigrams(
+                F.col("t"),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                "array<struct<w1:string,w2:string>>",
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    flt = adj.filter(
+        (F.length("w1") >= _TR_MIN_LEN)
+        & (F.length("w2") >= _TR_MIN_LEN)
+        & ~F.col("w1").isin(*STOPWORDS)
+        & ~F.col("w2").isin(*STOPWORDS)
+        & (F.col("w1") != F.col("w2"))
+    ).select(
+        F.least("w1", "w2").alias("id_a"),
+        F.greatest("w1", "w2").alias("id_b"),
+    )
+    pairs = (
+        flt.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .filter(F.col("w") >= _TR_MIN_COOC)
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "w")
+    )
+    ranks = pagerank(sym, "src", "dst", weight="w", iters=_TR_ITERS)
+    out = ranks.select(
+        F.col("node").alias("keyword"),
+        F.round(F.col("rank") * 1000.0, 4).alias("rank_pm"),
+    )
+    return out.orderBy(F.desc("rank_pm"), "keyword").limit(_TR_TOPK)
+
+
+text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
+    mc=_TR_MIN_COOC, k=_TR_TOPK
+)

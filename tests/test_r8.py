@@ -272,3 +272,20 @@ class TestLpaCommunities:
         )
         out = {r.node: r.lbl for r in lpa_communities(sym, rounds=2).collect()}
         assert out[9] == 9
+
+
+class TestTextrankKeywords:
+    def test_hub_word_ranks_first(self, spark, tmp_path):
+        """A word co-occurring with many distinct partners must outrank
+        words that only pair with the hub (degree centrality under
+        uniform weights)."""
+        partners = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        docs = [
+            (i, "s", " ".join(f"hubword {p}" for p in partners))
+            for i in range(4)
+        ]
+        _plant_docs(spark, tmp_path, docs)
+        out = QUERIES["text_textrank_keywords"](spark, str(tmp_path)).collect()
+        ranked = sorted(out, key=lambda r: -r.rank_pm)
+        assert ranked[0].keyword == "hubword"
+        assert ranked[0].rank_pm > ranked[1].rank_pm
