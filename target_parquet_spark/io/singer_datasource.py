@@ -29,7 +29,9 @@ from __future__ import annotations
 
 import glob as _glob
 import json
+import math
 import os
+import re
 from datetime import datetime, timezone
 
 from dataclasses import dataclass
@@ -48,14 +50,26 @@ from target_parquet_spark.schema import resolve_schema
 __all__ = ["SingerDataSource"]
 
 
+def _readable(name: str) -> bool:
+    # skip writer staging files and markers: an uncommitted .pending
+    # shard (dead/speculative task attempt) must NEVER be read as data
+    return not (name.endswith(".pending") or os.path.basename(name) == "_SUCCESS")
+
+
 def _expand(path: str) -> list[str]:
     if os.path.isdir(path):
         out = []
         for root, _dirs, files in os.walk(path):
-            out.extend(os.path.join(root, f) for f in sorted(files))
+            out.extend(
+                os.path.join(root, f) for f in sorted(files) if _readable(f)
+            )
         return sorted(out)
-    hits = sorted(_glob.glob(path))
+    hits = sorted(p for p in _glob.glob(path) if _readable(p))
     if not hits:
+        # a literal filename containing glob metacharacters ([1], ?) is
+        # not a match failure — fall back to the file itself if present
+        if os.path.exists(path):
+            return [path]
         raise FileNotFoundError(f"singer source: no files match {path!r}")
     return hits
 
@@ -183,7 +197,17 @@ def _json_value(v):
     if v is None:
         return None
     if isinstance(v, datetime):
+        # Spark hands workers naive datetimes in the session timezone;
+        # every session in this engine runs UTC (see queries.t) — make
+        # the shard self-describing by emitting the explicit offset
+        # (RFC3339) instead of a naive string
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
         return v.isoformat()
+    if isinstance(v, float) and not math.isfinite(v):
+        # NaN/Infinity are not valid JSON tokens — repair to NULL (the
+        # engine's contract) instead of emitting an unparseable shard
+        return None
     if isinstance(v, (str, bool, int, float)):
         return v
     return str(v)
@@ -200,9 +224,17 @@ class _SingerWriter(DataSourceWriter):
     writes a self-describing file (SCHEMA message first, then its RECORD
     lines) so each shard is independently consumable by any Singer
     target — including this module's own reader (round-trip pinned in
-    tests).  commit() writes a ``_SUCCESS`` marker naming the shards;
-    abort() removes the files this attempt produced (task files are
-    uuid-suffixed, so a retry never collides with a committed shard)."""
+    tests).
+
+    Two-phase commit on plain files: tasks write ``*.jsonl.pending``
+    and return the path; the driver's commit() renames the committed
+    attempts to ``*.jsonl`` and writes the ``_SUCCESS`` manifest.
+    Failed or speculative attempts leave only ``.pending`` files, which
+    the reader skips — a partial shard can never be read as data.  In
+    overwrite mode the OLD shards are deleted inside commit(), after
+    every task has succeeded, so a failed overwrite leaves the previous
+    output intact; in append mode the manifest merges with the existing
+    one so it always names all live shards."""
 
     def __init__(self, path, schema, stream, keys, overwrite):
         self.path = path
@@ -211,10 +243,6 @@ class _SingerWriter(DataSourceWriter):
         self.keys = keys
         self.overwrite = overwrite
         os.makedirs(path, exist_ok=True)
-        if overwrite:
-            for f in os.listdir(path):
-                if f.endswith(".jsonl") or f == "_SUCCESS":
-                    os.remove(os.path.join(path, f))
 
     def _schema_line(self) -> str:
         return json.dumps(
@@ -236,7 +264,9 @@ class _SingerWriter(DataSourceWriter):
         import uuid
 
         names = [f.name for f in self.schema.fields]
-        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        out = os.path.join(
+            self.path, f"part-{uuid.uuid4().hex}.jsonl.pending"
+        )
         n = 0
         with open(out, "w", encoding="utf-8") as fh:
             fh.write(self._schema_line() + "\n")
@@ -256,13 +286,33 @@ class _SingerWriter(DataSourceWriter):
         return _SingerCommit(path=out, n_records=n)
 
     def commit(self, messages):
+        final = {}  # basename -> n_records, for the manifest
         marker = os.path.join(self.path, "_SUCCESS")
+        if self.overwrite:
+            # all tasks succeeded: now (and only now) retire old shards
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        elif os.path.exists(marker):
+            # append: the manifest keeps naming prior jobs' shards
+            with open(marker, "r", encoding="utf-8") as fh:
+                for line in fh:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) == 2:
+                        final[parts[0]] = parts[1]
+        for m in messages:
+            if m is None:
+                continue
+            dst = m.path[: -len(".pending")]
+            os.replace(m.path, dst)
+            final[os.path.basename(dst)] = str(m.n_records)
         with open(marker, "w", encoding="utf-8") as fh:
-            for m in messages:
-                if m is not None:
-                    fh.write(f"{os.path.basename(m.path)}\t{m.n_records}\n")
+            for name in sorted(final):
+                fh.write(f"{name}\t{final[name]}\n")
 
     def abort(self, messages):
+        # best-effort: known attempts are removed here; unknown (dead
+        # executor) attempts remain as .pending, which readers skip
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
@@ -285,6 +335,8 @@ _PY_TS_FORMATS = [
 ]
 
 _LONG_MIN, _LONG_MAX = -(2**63), 2**63 - 1
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+_NUM_RE = re.compile(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$")
 
 
 def _converter(dt: T.DataType):
@@ -325,10 +377,21 @@ def _converter(dt: T.DataType):
         def conv_num(v):
             if v is None or v == "" or isinstance(v, bool):
                 return None
-            try:
+            if isinstance(v, (int, float)):
                 return float(v)
-            except (TypeError, ValueError):
-                return None
+            # string spellings: the JVM cast's grammar, NOT Python's —
+            # underscores ("1_000") and lowercase "inf"/"nan" repair to
+            # NULL; "Infinity"/"NaN" (Java spellings) are accepted
+            s = str(v).strip()
+            if _NUM_RE.match(s):
+                return float(s)
+            if s in ("Infinity", "+Infinity"):
+                return float("inf")
+            if s == "-Infinity":
+                return float("-inf")
+            if s == "NaN":
+                return float("nan")
+            return None
 
         return conv_num
     if isinstance(dt, T.LongType):
@@ -336,20 +399,21 @@ def _converter(dt: T.DataType):
         def conv_int(v):
             # parity with the batch path: string "3.2" and float 7.9 are
             # REJECTED (repair-to-NULL), never truncated; out-of-range
-            # values also repair instead of crashing the partition
+            # values also repair instead of crashing the partition;
+            # Python-only spellings like "1_000" repair too
             if v is None or v == "" or isinstance(v, bool):
                 return None
             if isinstance(v, int):
                 return v if _LONG_MIN <= v <= _LONG_MAX else None
             if isinstance(v, float):
-                if not v.is_integer():
+                if not (math.isfinite(v) and v.is_integer()):
                     return None
                 iv = int(v)
                 return iv if _LONG_MIN <= iv <= _LONG_MAX else None
-            try:
-                iv = int(str(v).strip())
-            except (TypeError, ValueError):
+            s = str(v).strip()
+            if not _INT_RE.match(s):
                 return None
+            iv = int(s)
             return iv if _LONG_MIN <= iv <= _LONG_MAX else None
 
         return conv_int
@@ -357,12 +421,18 @@ def _converter(dt: T.DataType):
 
         def conv_bool(v):
             # try_cast('boolean') spellings only; anything else -> NULL
+            # (including JSON numbers other than 0/1 — the from_json
+            # boolean parser has no numeric coercion)
             if v is None or v == "":
                 return None
             if isinstance(v, bool):
                 return v
             if isinstance(v, (int, float)):
-                return v != 0
+                if v == 0:
+                    return False
+                if v == 1:
+                    return True
+                return None
             s = str(v).strip().lower()
             if s in ("true", "t", "yes", "y", "1"):
                 return True

@@ -104,8 +104,11 @@ def lpa_communities(
     """Asynchronous-free label-propagation community detection over a
     SYMMETRIC edge list: every node starts as its own label; each round
     every node adopts the most frequent label among its neighbors
-    (count DESC, label ASC tie-break — fully deterministic), isolated
-    nodes keep their own.  A fixed round count keeps the result
+    (count DESC, label ASC tie-break — fully deterministic).  Nodes
+    whose only edge is a self-loop keep their own label; nodes entirely
+    absent from the edge list are absent from the OUTPUT — join a node
+    table afterwards if isolated nodes must appear.  A fixed round
+    count keeps the result
     oracle-replayable as unrolled CTEs; communities (dense neighbor
     majorities) differ from connected components (min-label closure) —
     one bridge edge does NOT merge two cliques here.

@@ -264,7 +264,9 @@ class TestLpaCommunities:
         groups = sorted(tuple(sorted(m)) for m in comm.values())
         assert groups == [(0, 1, 2, 3), (4, 5, 6, 7)]
 
-    def test_isolated_node_keeps_own_label(self, spark):
+    def test_self_loop_node_keeps_own_label(self, spark):
+        """A node whose only edge is a self-loop keeps its own label
+        (truly isolated nodes are absent from the output — documented)."""
         from target_parquet_spark.operators.graph import lpa_communities
 
         sym = spark.createDataFrame(
@@ -272,6 +274,7 @@ class TestLpaCommunities:
         )
         out = {r.node: r.lbl for r in lpa_communities(sym, rounds=2).collect()}
         assert out[9] == 9
+        assert 42 not in out  # absent nodes stay absent
 
 
 class TestTextrankKeywords:
