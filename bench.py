@@ -184,6 +184,7 @@ HEADLINE = [
     "sim_pca_deflation",
     "graph_communities_lpa",
     "text_textrank_keywords",
+    "sim_embedding_standardize",
 ]
 
 

@@ -1085,3 +1085,129 @@ def text_textrank_keywords(spark, sf_dir):
 text_textrank_keywords.__doc__ = text_textrank_keywords.__doc__.format(
     mc=_TR_MIN_COOC, k=_TR_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding standardization (per-dimension whitening, literal state)
+# ---------------------------------------------------------------------------
+
+
+def _sql_standardize() -> str:
+    """Per-dim mean/std via integer-microunit sums, then per-row
+    standardized-norm audit — the same quantization discipline as the
+    PCA rounds (every cross-row float sum is an exact BIGINT sum)."""
+    return """
+    WITH ex AS (
+      SELECT label, embedding FROM embeddings),
+    st AS (
+      SELECT j,
+             sum(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000)
+                      AS BIGINT)) AS s1,
+             sum(CAST(round((CAST(embedding[j] AS DOUBLE)
+                             * CAST(embedding[j] AS DOUBLE)) * 1000000)
+                      AS BIGINT)) AS s2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex, unnest(range(1, len(embedding) + 1)) AS t(j)
+      GROUP BY j),
+    ms AS (
+      SELECT j,
+             round(s1 / 1000000.0 / n, 6) AS mu,
+             round(sqrt(greatest(
+               s2 / 1000000.0 / n
+               - (s1 / 1000000.0 / n) * (s1 / 1000000.0 / n), 0)), 6) AS sd
+      FROM st),
+    mv AS (SELECT list(mu ORDER BY j) AS mus, list(sd ORDER BY j) AS sds
+           FROM ms),
+    z AS (
+      SELECT label,
+             CAST(round(list_sum(list_transform(
+               range(1, len(embedding) + 1),
+               j -> CASE WHEN sds[j] = 0 THEN 0.0::DOUBLE
+                    ELSE ((CAST(embedding[j] AS DOUBLE) - mus[j]) / sds[j])
+                         * ((CAST(embedding[j] AS DOUBLE) - mus[j]) / sds[j])
+                    END)) * 1000000) AS BIGINT) AS zn
+      FROM ex, mv)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(zn) / 1000000.0 / count(*), 4) AS mean_znorm2,
+           round(min(zn) / 1000000.0, 4) AS min_znorm2,
+           round(max(zn) / 1000000.0, 4) AS max_znorm2
+    FROM z GROUP BY label
+    """
+
+
+def embedding_whitening_stats(spark, sf_dir):
+    """(mus, sds): per-dimension mean and std of the embedding corpus,
+    6dp-quantized through Spark's own round — bounded literal state
+    (64+64 floats), one scan + a 64-row exchange."""
+    emb = td(spark, sf_dir, "embeddings").select("embedding")
+    ex = emb.select(F.posexplode("embedding").alias("j", "x"))
+    xd = F.col("x").cast("double")
+    st = ex.groupBy("j").agg(
+        F.sum(F.round(xd * 1000000).cast("long")).alias("s1"),
+        F.sum(F.round((xd * xd) * 1000000).cast("long")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = (
+        st.select(
+            "j",
+            F.round(F.col("s1") / 1000000.0 / F.col("n"), 6).alias("mu"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("s2") / 1000000.0 / F.col("n")
+                        - (F.col("s1") / 1000000.0 / F.col("n"))
+                        * (F.col("s1") / 1000000.0 / F.col("n")),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias("sd"),
+        )
+        .orderBy("j")
+        .collect()
+    )
+    return [float(r["mu"]) for r in rows], [float(r["sd"]) for r in rows]
+
+
+@query("sim_embedding_standardize", _sql_standardize())
+def sim_embedding_standardize(spark, sf_dir):
+    """Embedding whitening audit: per-dimension mean/std trained as
+    literal state (``embedding_whitening_stats``), then every vector's
+    standardized squared norm summarized per label.  For a
+    well-conditioned corpus mean_znorm2 ~ dim; a dimension collapse or
+    scale drift (the defects ``audit_embedding_quality`` flags
+    per-vector) shows up here as a per-label shift — the preprocessing
+    gate to run before cosine ANN, where unstandardized dimensions
+    silently dominate the metric.
+
+    Plan: one scan for the stats (posexplode + 64-row agg), one scan to
+    score — the z-norm is a pure fold against two literal arrays; zero
+    data-sized shuffles (integer-microunit sums make the per-label agg
+    exact)."""
+    mus, sds = embedding_whitening_stats(spark, sf_dir)
+    emb = td(spark, sf_dir, "embeddings").select("label", "embedding")
+    lit_mu = F.array(*[F.lit(m) for m in mus])
+    lit_sd = F.array(*[F.lit(s) for s in sds])
+    zip_z = F.zip_with(
+        F.zip_with(
+            F.col("embedding"),
+            lit_mu,
+            lambda x, m: x.cast("double") - m,
+        ),
+        lit_sd,
+        lambda d, s: F.when(s == 0, F.lit(0.0)).otherwise(
+            (d / s) * (d / s)
+        ),
+    )
+    zn = F.round(
+        F.aggregate(zip_z, F.lit(0.0), lambda acc, v: acc + v) * 1000000
+    ).cast("long")
+    z = emb.select("label", zn.alias("zn"))
+    n = F.count(F.lit(1))
+    return z.groupBy("label").agg(
+        n.cast("long").alias("n_vecs"),
+        F.round(F.sum("zn") / 1000000.0 / n, 4).alias("mean_znorm2"),
+        F.round(F.min("zn") / 1000000.0, 4).alias("min_znorm2"),
+        F.round(F.max("zn") / 1000000.0, 4).alias("max_znorm2"),
+    )

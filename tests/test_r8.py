@@ -292,3 +292,33 @@ class TestTextrankKeywords:
         ranked = sorted(out, key=lambda r: -r.rank_pm)
         assert ranked[0].keyword == "hubword"
         assert ranked[0].rank_pm > ranked[1].rank_pm
+
+
+class TestEmbeddingStandardize:
+    def test_wellconditioned_corpus_znorm_near_dim(self, spark, sf_dir):
+        out = QUERIES["sim_embedding_standardize"](spark, sf_dir).collect()
+        assert out
+        for r in out:
+            assert 0.8 * 64 <= r.mean_znorm2 <= 1.2 * 64
+
+    def test_collapsed_dimension_is_guarded(self, spark, tmp_path):
+        """A constant (zero-variance) dimension must contribute 0, not
+        NaN-poison the norm."""
+        rows = [
+            (i, [float(i % 7)] * 32 + [5.0] + [float((i * 3) % 5)] * 31, 0)
+            for i in range(50)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/embeddings.parquet")
+        )
+        out = QUERIES["sim_embedding_standardize"](
+            spark, str(tmp_path)
+        ).collect()
+        assert len(out) == 1
+        import math
+
+        assert math.isfinite(out[0].mean_znorm2)
