@@ -185,6 +185,7 @@ HEADLINE = [
     "graph_communities_lpa",
     "text_textrank_keywords",
     "sim_embedding_standardize",
+    "split_leakage_safe",
 ]
 
 

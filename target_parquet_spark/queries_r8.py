@@ -1211,3 +1211,102 @@ def sim_embedding_standardize(spark, sf_dir):
         F.round(F.min("zn") / 1000000.0, 4).alias("min_znorm2"),
         F.round(F.max("zn") / 1000000.0, 4).alias("max_znorm2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/heldout split (dup groups never straddle the cut)
+# ---------------------------------------------------------------------------
+
+
+def _sql_split_leakage() -> str:
+    from target_parquet_spark.queries_ext import (
+        SQL_CORPUS,
+        SQL_MINHASH_PAIR_CTES,
+    )
+    from target_parquet_spark.queries_ops import _SQL_HASH_MOD
+
+    return f"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u AS r FROM sym
+      UNION
+      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS grp FROM reach GROUP BY u),
+    asg AS (
+      SELECT c.doc_id, coalesce(m.grp, c.doc_id) AS grp
+      FROM (SELECT doc_id FROM corpus) c LEFT JOIN comp m USING (doc_id)),
+    lab AS (
+      SELECT doc_id, grp,
+             CASE WHEN {_SQL_HASH_MOD.format(c='grp', m=10)} < 8
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM asg)
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS sel_sig
+    FROM lab GROUP BY split
+    """
+
+
+@query("split_leakage_safe", _sql_split_leakage())
+def split_leakage_safe(spark, sf_dir):
+    """Contamination-proof train/heldout split: documents are split by
+    their NEAR-DUP GROUP (connected components over the MinHash pair
+    graph; singletons are their own group), so a training document's
+    near-duplicate can never land in the heldout set — the leakage that
+    silently inflates eval scores in LLM pipelines.  The 80/20 cut is
+    the deterministic md5-bucket of the group id (same primitive as
+    sample_hash_pct), making the split reproducible across engines,
+    retries, and cluster sizes.
+
+    Composition of shipped pieces: minhash_lsh_pairs ->
+    connected_components -> hash split; the oracle replays the closure
+    as the same recursive CTE as dedup_connected_components.  The
+    leakage guarantee itself is pinned in tests: every candidate pair
+    has both ends on the same side.  Runs over the planted doubled
+    corpus so the dup groups are provably non-trivial.
+    """
+    from target_parquet_spark.operators import dedup as D
+    from target_parquet_spark.queries_ext import _spark_corpus
+    from target_parquet_spark.queries_ops import _hash_mod
+
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("grp")
+    )
+    asg = (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("grp", F.col("doc_id")).alias("grp")
+        )
+    )
+    lab = asg.select(
+        "doc_id",
+        "grp",
+        F.when(_hash_mod(F.col("grp"), 10) < 8, F.lit("train"))
+        .otherwise(F.lit("heldout"))
+        .alias("split"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("grp").cast("long").alias("n_groups"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("sel_sig"),
+    )

@@ -322,3 +322,48 @@ class TestEmbeddingStandardize:
         import math
 
         assert math.isfinite(out[0].mean_znorm2)
+
+
+class TestLeakageSafeSplit:
+    def test_no_pair_straddles_the_cut(self, spark, sf_dir):
+        """THE guarantee: every near-dup candidate pair has both ends on
+        the same side of the split."""
+        from target_parquet_spark.operators import dedup as D
+        from target_parquet_spark.queries_ext import _spark_corpus
+        from target_parquet_spark.queries_ops import _hash_mod
+
+        corpus = _spark_corpus(spark, sf_dir)
+        pairs = D.minhash_lsh_pairs(
+            corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+        )
+        comp = D.connected_components(pairs, "id_a", "id_b").select(
+            F.col("node").alias("doc_id"), F.col("component").alias("grp")
+        )
+        asg = (
+            corpus.select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select("doc_id", F.coalesce("grp", F.col("doc_id")).alias("grp"))
+        )
+        side = asg.select(
+            "doc_id", (_hash_mod(F.col("grp"), 10) < 8).alias("is_train")
+        )
+        a = side.select(
+            F.col("doc_id").alias("id_a"), F.col("is_train").alias("ta")
+        )
+        b = side.select(
+            F.col("doc_id").alias("id_b"), F.col("is_train").alias("tb")
+        )
+        straddling = (
+            pairs.join(a, "id_a").join(b, "id_b")
+            .filter(F.col("ta") != F.col("tb"))
+            .count()
+        )
+        assert straddling == 0
+        assert pairs.count() > 0  # the guarantee is not vacuous
+
+    def test_both_splits_populated(self, spark, sf_dir):
+        out = {r.split: r for r in QUERIES["split_leakage_safe"](
+            spark, sf_dir
+        ).collect()}
+        assert set(out) == {"train", "heldout"}
+        assert out["train"].n_docs > out["heldout"].n_docs > 0
