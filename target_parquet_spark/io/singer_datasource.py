@@ -288,18 +288,23 @@ class _SingerWriter(DataSourceWriter):
     def commit(self, messages):
         final = {}  # basename -> n_records, for the manifest
         marker = os.path.join(self.path, "_SUCCESS")
-        if self.overwrite:
-            # all tasks succeeded: now (and only now) retire old shards
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, f))
-        elif os.path.exists(marker):
+        # snapshot the OLD shard names before promoting anything (uuid
+        # names cannot collide with the new attempt's files)
+        old = (
+            [f for f in os.listdir(self.path) if f.endswith(".jsonl")]
+            if self.overwrite
+            else []
+        )
+        if not self.overwrite and os.path.exists(marker):
             # append: the manifest keeps naming prior jobs' shards
             with open(marker, "r", encoding="utf-8") as fh:
                 for line in fh:
                     parts = line.rstrip("\n").split("\t")
                     if len(parts) == 2:
                         final[parts[0]] = parts[1]
+        # promote FIRST: a crash mid-commit leaves old+new coexisting
+        # (duplication, recoverable via the manifest) instead of a
+        # directory with neither — delete-old-last is the safe order
         for m in messages:
             if m is None:
                 continue
@@ -309,6 +314,10 @@ class _SingerWriter(DataSourceWriter):
         with open(marker, "w", encoding="utf-8") as fh:
             for name in sorted(final):
                 fh.write(f"{name}\t{final[name]}\n")
+        for f in old:
+            p = os.path.join(self.path, f)
+            if os.path.exists(p):
+                os.remove(p)
 
     def abort(self, messages):
         # best-effort: known attempts are removed here; unknown (dead
@@ -378,18 +387,25 @@ def _converter(dt: T.DataType):
             if v is None or v == "" or isinstance(v, bool):
                 return None
             if isinstance(v, (int, float)):
-                return float(v)
+                try:
+                    return float(v)
+                except OverflowError:
+                    # a >308-digit JSON integer: the JVM double cast
+                    # saturates to +/-Infinity — mirror, never crash
+                    return float("inf") if v > 0 else float("-inf")
             # string spellings: the JVM cast's grammar, NOT Python's —
-            # underscores ("1_000") and lowercase "inf"/"nan" repair to
-            # NULL; "Infinity"/"NaN" (Java spellings) are accepted
+            # underscores ("1_000") repair to NULL; the special
+            # floating-point literals are accepted case-insensitively
+            # (Spark's UTF8String.toDouble lowercases inf/infinity/nan)
             s = str(v).strip()
             if _NUM_RE.match(s):
                 return float(s)
-            if s in ("Infinity", "+Infinity"):
+            low = s.lower()
+            if low in ("inf", "+inf", "infinity", "+infinity"):
                 return float("inf")
-            if s == "-Infinity":
+            if low in ("-inf", "-infinity"):
                 return float("-inf")
-            if s == "NaN":
+            if low == "nan":
                 return float("nan")
             return None
 
@@ -427,11 +443,15 @@ def _converter(dt: T.DataType):
                 return None
             if isinstance(v, bool):
                 return v
-            if isinstance(v, (int, float)):
+            if isinstance(v, int):
+                # JSON integers 0/1 match the batch path's "0"/"1"
+                # string spellings; floats do NOT ("1.0" casts to NULL)
                 if v == 0:
                     return False
                 if v == 1:
                     return True
+                return None
+            if isinstance(v, float):
                 return None
             s = str(v).strip().lower()
             if s in ("true", "t", "yes", "y", "1"):

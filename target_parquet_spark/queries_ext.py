@@ -375,6 +375,33 @@ SQL_MINHASH_PAIR_CTES = f"""
 """
 
 
+# Transitive closure of the `pairs` CTE as a recursive CTE — shared by
+# every oracle that needs dup GROUPS (dedup_connected_components,
+# split_leakage_safe) so the component semantics cannot drift.
+SQL_CC_CTES = """sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(u, r) AS (
+      SELECT DISTINCT u, u AS r FROM sym
+      UNION
+      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
+    comp AS (SELECT u AS doc_id, min(r) AS component_id FROM reach GROUP BY u)"""
+
+
+def corpus_components(spark, sf_dir):
+    """(corpus, comp): the planted doubled corpus and its near-dup
+    connected components (node -> component) — the Spark twin of
+    ``SQL_MINHASH_PAIR_CTES`` + ``SQL_CC_CTES``, shared by the CC query
+    and the leakage-safe split."""
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    comp = D.connected_components(pairs, "id_a", "id_b")
+    return corpus, comp
+
+
 @query(
     "dedup_minhash_lsh_pairs",
     f"""
@@ -398,15 +425,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     f"""
     WITH RECURSIVE {SQL_CORPUS},
     {SQL_MINHASH_PAIR_CTES},
-    sym AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION
-      SELECT id_b AS u, id_a AS v FROM pairs),
-    reach(u, r) AS (
-      SELECT DISTINCT u, u AS r FROM sym
-      UNION
-      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
-    comp AS (SELECT u AS doc_id, min(r) AS component_id FROM reach GROUP BY u)
+    {SQL_CC_CTES}
     SELECT c.doc_id, c.component_id, g.group_size
     FROM comp c
     JOIN (SELECT component_id, count(*) AS group_size
@@ -422,11 +441,7 @@ def dedup_connected_components(spark, sf_dir):
     the same closure via a recursive CTE over the identical pair set."""
     from pyspark.sql import Window
 
-    corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
-    comp = D.connected_components(pairs, "id_a", "id_b")
+    _corpus, comp = corpus_components(spark, sf_dir)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("component_id")
     ).withColumn(

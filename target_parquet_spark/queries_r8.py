@@ -1220,6 +1220,7 @@ def sim_embedding_standardize(spark, sf_dir):
 
 def _sql_split_leakage() -> str:
     from target_parquet_spark.queries_ext import (
+        SQL_CC_CTES,
         SQL_CORPUS,
         SQL_MINHASH_PAIR_CTES,
     )
@@ -1228,17 +1229,9 @@ def _sql_split_leakage() -> str:
     return f"""
     WITH RECURSIVE {SQL_CORPUS},
     {SQL_MINHASH_PAIR_CTES},
-    sym AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION
-      SELECT id_b AS u, id_a AS v FROM pairs),
-    reach(u, r) AS (
-      SELECT DISTINCT u, u AS r FROM sym
-      UNION
-      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
-    comp AS (SELECT u AS doc_id, min(r) AS grp FROM reach GROUP BY u),
+    {SQL_CC_CTES},
     asg AS (
-      SELECT c.doc_id, coalesce(m.grp, c.doc_id) AS grp
+      SELECT c.doc_id, coalesce(m.component_id, c.doc_id) AS grp
       FROM (SELECT doc_id FROM corpus) c LEFT JOIN comp m USING (doc_id)),
     lab AS (
       SELECT doc_id, grp,
@@ -1272,15 +1265,11 @@ def split_leakage_safe(spark, sf_dir):
     has both ends on the same side.  Runs over the planted doubled
     corpus so the dup groups are provably non-trivial.
     """
-    from target_parquet_spark.operators import dedup as D
-    from target_parquet_spark.queries_ext import _spark_corpus
+    from target_parquet_spark.queries_ext import corpus_components
     from target_parquet_spark.queries_ops import _hash_mod
 
-    corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
-    comp = D.connected_components(pairs, "id_a", "id_b").select(
+    corpus, comp = corpus_components(spark, sf_dir)
+    comp = comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("grp")
     )
     asg = (

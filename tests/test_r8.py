@@ -329,14 +329,18 @@ class TestLeakageSafeSplit:
         """THE guarantee: every near-dup candidate pair has both ends on
         the same side of the split."""
         from target_parquet_spark.operators import dedup as D
-        from target_parquet_spark.queries_ext import _spark_corpus
+        from target_parquet_spark.queries_ext import (
+            _spark_corpus,
+            corpus_components,
+        )
         from target_parquet_spark.queries_ops import _hash_mod
 
         corpus = _spark_corpus(spark, sf_dir)
         pairs = D.minhash_lsh_pairs(
             corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
         )
-        comp = D.connected_components(pairs, "id_a", "id_b").select(
+        _c, comp0 = corpus_components(spark, sf_dir)
+        comp = comp0.select(
             F.col("node").alias("doc_id"), F.col("component").alias("grp")
         )
         asg = (

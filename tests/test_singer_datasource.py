@@ -222,3 +222,75 @@ def test_writer_nan_inf_repair_and_utc_offset(spark, tmp_path):
     assert "+00:00" in "".join(lines)
     back = {r.id: r for r in spark.read.format("singer").load(out).collect()}
     assert back[1].v is None and back[2].v is None
+
+
+def test_write_round_trip(spark, tmp_path):
+    """df -> write singer -> read singer must reproduce rows and types;
+    every shard is self-describing (SCHEMA first line) and _SUCCESS
+    names the shards."""
+    import os
+    from datetime import datetime, timezone
+
+    src = spark.createDataFrame(
+        [
+            (1, 1.5, "a", True,
+             datetime(2024, 6, 1, 12, 0, 0, 123000, tzinfo=timezone.utc)),
+            (2, None, None, None, None),
+        ],
+        "id long, v double, name string, ok boolean, ts timestamp",
+    )
+    out = f"{tmp_path}/singer_out"
+    (
+        src.coalesce(2)
+        .write.format("singer")
+        .option("stream", "users")
+        .option("key_properties", "id")
+        .mode("overwrite")
+        .save(out)
+    )
+    assert os.path.exists(f"{out}/_SUCCESS")
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert shards
+    for s in shards:
+        first = open(f"{out}/{s}").readline()
+        assert json.loads(first)["type"] == "SCHEMA"
+
+    back = spark.read.format("singer").load(f"{out}/*.jsonl")
+    got = {r.id: r for r in back.collect()}
+    assert dict(back.dtypes) == dict(src.dtypes)
+    assert got[1].v == 1.5 and got[1].ok is True
+    assert got[1].ts == datetime(2024, 6, 1, 12, 0, 0, 123000)
+    assert got[2].v is None and got[2].ts is None
+
+
+def test_converter_special_numeric_spellings(spark, tmp_path):
+    """JVM-grammar corners: case-insensitive inf/nan strings parse,
+    huge JSON integers saturate to Infinity (never crash), float 1.0 in
+    a boolean field repairs to NULL."""
+    import math
+
+    p = tmp_path / "m.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                _schema_msg(
+                    "s",
+                    {
+                        "id": {"type": ["integer", "null"]},
+                        "v": {"type": ["number", "null"]},
+                        "b": {"type": ["boolean", "null"]},
+                    },
+                ),
+                _record("s", id=1, v="inf", b=1.0),
+                _record("s", id=2, v="NaN", b=1),
+                json.dumps(
+                    {"type": "RECORD", "stream": "s",
+                     "record": {"id": 3, "v": int("9" * 400), "b": None}}
+                ),
+            ]
+        )
+    )
+    rows = {r.id: r for r in spark.read.format("singer").load(str(p)).collect()}
+    assert rows[1].v == float("inf") and rows[1].b is None
+    assert math.isnan(rows[2].v) and rows[2].b is True
+    assert rows[3].v == float("inf")

@@ -1316,41 +1316,3 @@ def test_dsir_gate_null_text_routes_to_reject(spark):
     out = {r.doc_id: r.keep for r in gate.score(probe).collect()}
     assert out == {10: False, 11: True}
 
-
-def test_write_round_trip(spark, tmp_path):
-    """df -> write singer -> read singer must reproduce rows and types;
-    every shard is self-describing (SCHEMA first line) and _SUCCESS
-    names the shards."""
-    import os
-    from datetime import datetime, timezone
-
-    src = spark.createDataFrame(
-        [
-            (1, 1.5, "a", True,
-             datetime(2024, 6, 1, 12, 0, 0, 123000, tzinfo=timezone.utc)),
-            (2, None, None, None, None),
-        ],
-        "id long, v double, name string, ok boolean, ts timestamp",
-    )
-    out = f"{tmp_path}/singer_out"
-    (
-        src.coalesce(2)
-        .write.format("singer")
-        .option("stream", "users")
-        .option("key_properties", "id")
-        .mode("overwrite")
-        .save(out)
-    )
-    assert os.path.exists(f"{out}/_SUCCESS")
-    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
-    assert shards
-    for s in shards:
-        first = open(f"{out}/{s}").readline()
-        assert json.loads(first)["type"] == "SCHEMA"
-
-    back = spark.read.format("singer").load(f"{out}/*.jsonl")
-    got = {r.id: r for r in back.collect()}
-    assert dict(back.dtypes) == dict(src.dtypes)
-    assert got[1].v == 1.5 and got[1].ok is True
-    assert got[1].ts == datetime(2024, 6, 1, 12, 0, 0, 123000)
-    assert got[2].v is None and got[2].ts is None
