@@ -186,6 +186,7 @@ HEADLINE = [
     "text_textrank_keywords",
     "sim_embedding_standardize",
     "split_leakage_safe",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -1299,3 +1299,84 @@ def split_leakage_safe(spark, sf_dir):
             )
         ).alias("sel_sig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold sweep (the PR-curve harness for choosing the Jaccard cut)
+# ---------------------------------------------------------------------------
+
+_SWEEP_THS = [0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9]
+
+
+def _sql_dedup_sweep() -> str:
+    from target_parquet_spark.queries_ext import (
+        SQL_CORPUS,
+        SQL_MINHASH_PAIR_CTES,
+    )
+
+    # ::DOUBLE per literal: a bare 0.55 is DECIMAL in DuckDB (the r2
+    # pagerank lesson), which would both type-mismatch the output column
+    # and change >= comparison semantics against the double jaccard
+    ths = "[" + ", ".join(f"{t!r}::DOUBLE" for t in _SWEEP_THS) + "]"
+    return f"""
+    WITH {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    ths AS (SELECT unnest({ths}) AS threshold)
+    SELECT t.threshold,
+           CAST(count(*) FILTER (WHERE p.jaccard >= t.threshold)
+                AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE p.jaccard >= t.threshold
+                                   AND p.id_b - p.id_a = 1000000)
+                AS BIGINT) AS n_planted,
+           round(count(*) FILTER (WHERE p.jaccard >= t.threshold
+                                    AND p.id_b - p.id_a = 1000000)
+                 / greatest(count(*) FILTER (WHERE p.jaccard >= t.threshold),
+                            1) * 1.0, 4) AS planted_share
+    FROM ths t CROSS JOIN pairs p
+    GROUP BY t.threshold
+    """
+
+
+@query("dedup_threshold_sweep", _sql_dedup_sweep())
+def dedup_threshold_sweep(spark, sf_dir):
+    """The tuning harness for the near-dup threshold: candidate pairs
+    (banded MinHash, verified Jaccard) swept across 9 cut points in one
+    pass, reporting pair volume, planted-twin hits (the known-dup pairs
+    the doubled corpus guarantees, id offset 1e6), and the planted
+    share — the precision proxy that tells an operator where pair
+    volume starts buying noise instead of real dups.  Completes the
+    eval family (sim_ivf_recall, dedup_lsh_recall, sim_graph_ann_recall)
+    for the parameter every dedup run must choose.
+
+    Plan: the pair table is computed ONCE; the sweep is a broadcast
+    cross join against 9 literal thresholds folded into one aggregate —
+    9 cut points cost one shuffle, not 9 pipeline runs.
+    """
+    from target_parquet_spark.queries_ext import _spark_corpus
+
+    from target_parquet_spark.operators import dedup as D
+
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THS], "threshold double"
+    )
+    hit = F.col("jaccard") >= F.col("threshold")
+    planted = hit & (F.col("id_b") - F.col("id_a") == 1000000)
+    return (
+        F.broadcast(ths)
+        .crossJoin(pairs)
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(hit, F.lit(1))).alias("n_pairs"),
+            F.count(F.when(planted, F.lit(1))).alias("n_planted"),
+            F.round(
+                F.count(F.when(planted, F.lit(1)))
+                / F.greatest(F.count(F.when(hit, F.lit(1))), F.lit(1))
+                * 1.0,
+                4,
+            ).alias("planted_share"),
+        )
+    )

@@ -371,3 +371,19 @@ class TestLeakageSafeSplit:
         ).collect()}
         assert set(out) == {"train", "heldout"}
         assert out["train"].n_docs > out["heldout"].n_docs > 0
+
+
+class TestDedupThresholdSweep:
+    def test_curve_is_monotone_and_anchored(self, spark, sf_dir):
+        out = sorted(
+            QUERIES["dedup_threshold_sweep"](spark, sf_dir).collect(),
+            key=lambda r: r.threshold,
+        )
+        assert [round(r.threshold, 2) for r in out] == [
+            0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9
+        ]
+        n = [r.n_pairs for r in out]
+        p = [r.n_planted for r in out]
+        assert n == sorted(n, reverse=True)  # volume shrinks with the cut
+        assert p == sorted(p, reverse=True)
+        assert p[0] > 0 and n[0] >= p[0]
