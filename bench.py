@@ -187,6 +187,7 @@ HEADLINE = [
     "sim_embedding_standardize",
     "split_leakage_safe",
     "dedup_threshold_sweep",
+    "text_minkprob_membership",
 ]
 
 

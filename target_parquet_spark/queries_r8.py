@@ -717,6 +717,54 @@ def sim_graph_ann_recall(spark, sf_dir):
 _LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
 _LM_FLAG_MICRO = -9000000  # flag docs whose mean token logprob < -9
 
+# The stupid-backoff per-bigram log-probability, quantized to integer
+# micro-units — ONE definition shared by text_bigram_logprob and
+# text_minkprob_membership (and their Spark twins via _lp_micro_expr)
+# so the LM semantics cannot drift between the quality gate and the
+# membership probe.
+_SQL_LP_CASE = f"""CAST(round(CASE
+               WHEN b.c_g IS NOT NULL THEN ln(b.c_g / (u1.c * 1.0))
+               ELSE ln({_LM_BACKOFF} * ((coalesce(u2.c, 0) + 1.0)
+                                        / (s.n + 1000000)))
+             END * 1000000) AS BIGINT)"""
+
+
+def _lp_micro_expr():
+    """Spark twin of ``_SQL_LP_CASE`` (expects columns c_g, c1, c2, n)."""
+    return (
+        F.round(
+            F.when(
+                F.col("c_g").isNotNull(),
+                F.log(F.col("c_g") / (F.col("c1") * F.lit(1.0))),
+            ).otherwise(
+                F.log(
+                    F.lit(_LM_BACKOFF)
+                    * (
+                        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n") + F.lit(1000000))
+                    )
+                )
+            )
+            * 1000000
+        )
+    ).cast("long")
+
+
+def _sql_lm_train(train_where: str) -> str:
+    """Training-count CTEs (unigram table, total, bigram table) over the
+    `d(doc_id, ..., t)` CTE, restricted by ``train_where``."""
+    return f"""us AS (
+      SELECT {X.SQL_HASH60.format(c='tk')} AS h
+      FROM (SELECT unnest(t) AS tk FROM d WHERE {train_where})),
+    ug AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM us GROUP BY h),
+    nst AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ug),
+    bg AS (
+      SELECT {X.SQL_HASH60.format(c="t[i] || ' ' || t[i+1]")} AS gh,
+             CAST(count(*) AS BIGINT) AS c_g
+      FROM d, unnest(range(1, len(t))) AS u(i)
+      WHERE {train_where}
+      GROUP BY gh)"""
+
 
 @query(
     "text_bigram_logprob",
@@ -729,21 +777,10 @@ _LM_FLAG_MICRO = -9000000  # flag docs whose mean token logprob < -9
              {X.SQL_HASH60.format(c='t[i]')} AS h1,
              {X.SQL_HASH60.format(c='t[i+1]')} AS h2
       FROM d, unnest(range(1, len(t))) AS u(i)),
-    us AS (
-      SELECT {X.SQL_HASH60.format(c='tk')} AS h
-      FROM (SELECT unnest(t) AS tk FROM d WHERE doc_id % 2 = 0)),
-    ug AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM us GROUP BY h),
-    nst AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ug),
-    bg AS (
-      SELECT gh, CAST(count(*) AS BIGINT) AS c_g FROM pr
-      WHERE doc_id % 2 = 0 GROUP BY gh),
+    {_sql_lm_train('doc_id % 2 = 0')},
     lp AS (
       SELECT p.doc_id, p.source,
-             CAST(round(CASE
-               WHEN b.c_g IS NOT NULL THEN ln(b.c_g / (u1.c * 1.0))
-               ELSE ln({_LM_BACKOFF} * ((coalesce(u2.c, 0) + 1.0)
-                                        / (s.n + 1000000)))
-             END * 1000000) AS BIGINT) AS lp_micro
+             {_SQL_LP_CASE} AS lp_micro
       FROM pr p
       LEFT JOIN bg b ON b.gh = p.gh
       LEFT JOIN ug u1 ON u1.h = p.h1
@@ -815,23 +852,7 @@ def text_bigram_logprob(spark, sf_dir):
     )
     u1 = ug.select(F.col("h").alias("h1"), F.col("c").alias("c1"))
     u2 = ug.select(F.col("h").alias("h2"), F.col("c").alias("c2"))
-    lp_micro = (
-        F.round(
-            F.when(
-                F.col("c_g").isNotNull(),
-                F.log(F.col("c_g") / (F.col("c1") * F.lit(1.0))),
-            ).otherwise(
-                F.log(
-                    F.lit(_LM_BACKOFF)
-                    * (
-                        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("n") + F.lit(1000000))
-                    )
-                )
-            )
-            * 1000000
-        )
-    ).cast("long")
+    lp_micro = _lp_micro_expr()
     lp = (
         pr.join(bg, "gh", "left")
         .join(F.broadcast(u1), "h1", "left")
@@ -1379,4 +1400,172 @@ def dedup_threshold_sweep(spark, sf_dir):
                 4,
             ).alias("planted_share"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Min-K%-Prob membership inference (benchmark-contamination detection)
+# ---------------------------------------------------------------------------
+
+_MINK_FRAC = 0.2  # the K: mean over the lowest 20% of token log-probs
+_MINK_MOD = 50  # probe stratum: every 50th doc
+
+
+def _sql_minkprob() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    {_sql_lm_train('TRUE')},
+    probes AS (
+      SELECT doc_id + 5000000 AS pid, 'member' AS probe_group, t
+      FROM d WHERE doc_id % {_MINK_MOD} = 0
+      UNION ALL
+      SELECT doc_id + 6000000 AS pid, 'nonmember' AS probe_group,
+             list_reverse(t) AS t
+      FROM d WHERE doc_id % {_MINK_MOD} = 0),
+    pp AS (
+      SELECT pid, probe_group, i AS pos,
+             {X.SQL_HASH60.format(c="t[i] || ' ' || t[i+1]")} AS gh,
+             {X.SQL_HASH60.format(c='t[i]')} AS h1,
+             {X.SQL_HASH60.format(c='t[i+1]')} AS h2
+      FROM probes, unnest(range(1, len(t))) AS u(i)),
+    lp AS (
+      SELECT p.pid, p.probe_group, p.pos,
+             {_SQL_LP_CASE} AS lp_micro
+      FROM pp p
+      LEFT JOIN bg b ON b.gh = p.gh
+      LEFT JOIN ug u1 ON u1.h = p.h1
+      LEFT JOIN ug u2 ON u2.h = p.h2
+      CROSS JOIN nst s),
+    rk AS (
+      SELECT pid, probe_group, lp_micro,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY lp_micro, pos) AS rn,
+             count(*) OVER (PARTITION BY pid) AS cnt
+      FROM lp),
+    mink AS (
+      SELECT pid, probe_group,
+             CAST(round(sum(lp_micro) / count(*)) AS BIGINT) AS mk
+      FROM rk
+      WHERE rn <= greatest(CAST(ceil({_MINK_FRAC}::DOUBLE * cnt) AS BIGINT), 1)
+      GROUP BY pid, probe_group)
+    SELECT probe_group,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           round(sum(mk) / 1000000.0 / count(*), 4) AS mean_minkprob
+    FROM mink GROUP BY probe_group
+    """
+
+
+@query("text_minkprob_membership", _sql_minkprob())
+def text_minkprob_membership(spark, sf_dir):
+    """Min-K%-Prob membership inference (Shi et al. 2024): score probe
+    documents under a bigram LM trained on the FULL corpus and average
+    each probe's LOWEST 20% of token log-probs — text the model trained
+    on has no catastrophically surprising tokens, so members score
+    measurably higher than non-members.  Probes: every 50th document
+    verbatim (a true member) and its token-reversal (same unigrams,
+    unseen bigrams — a calibrated non-member).  The separation is the
+    contamination signal an eval-suite audit reads; complements
+    text_contamination's n-gram-overlap probe with a model-based one.
+
+    Determinism: per-bigram log-probs are integer-microunit ints; the
+    min-K subset is selected by (lp, position) rank — fully tie-stable;
+    the LM formula is the SAME ``_SQL_LP_CASE`` / ``_lp_micro_expr``
+    pair as text_bigram_logprob, so the two LM ops cannot drift.
+
+    Plan: training joins as in text_bigram_logprob (one data-sized
+    bigram shuffle, broadcast unigrams); the probe side is corpus/50
+    rows; the rank window partitions per probe document.
+    """
+    from pyspark.sql import Window as W
+
+    h60 = X.hash60
+    toks = td(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    ug = (
+        toks.select(F.explode("t").alias("tk"))
+        .select(h60(F.col("tk")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nst = ug.agg(F.sum("c").alias("n"))
+    allpairs = toks.select(
+        F.explode(
+            X.bigrams(
+                F.col("t"),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("g")
+    )
+    bg = (
+        allpairs.select(h60(F.col("g")).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c_g"))
+    )
+    stratum = toks.filter(F.col("doc_id") % _MINK_MOD == 0)
+    probes = stratum.select(
+        (F.col("doc_id") + 5000000).alias("pid"),
+        F.lit("member").alias("probe_group"),
+        F.col("t"),
+    ).unionByName(
+        stratum.select(
+            (F.col("doc_id") + 6000000).alias("pid"),
+            F.lit("nonmember").alias("probe_group"),
+            F.reverse(F.col("t")).alias("t"),
+        )
+    )
+    pairs = X.bigrams(
+        F.col("t"),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        "array<struct<w1:string,w2:string>>",
+    )
+    pp = probes.select(
+        "pid", "probe_group", F.posexplode(pairs).alias("pos0", "p")
+    ).select(
+        "pid",
+        "probe_group",
+        (F.col("pos0") + 1).alias("pos"),
+        h60(F.concat(F.col("p.w1"), F.lit(" "), F.col("p.w2"))).alias("gh"),
+        h60(F.col("p.w1")).alias("h1"),
+        h60(F.col("p.w2")).alias("h2"),
+    )
+    u1 = ug.select(F.col("h").alias("h1"), F.col("c").alias("c1"))
+    u2 = ug.select(F.col("h").alias("h2"), F.col("c").alias("c2"))
+    lp = (
+        pp.join(bg, "gh", "left")
+        .join(F.broadcast(u1), "h1", "left")
+        .join(F.broadcast(u2), "h2", "left")
+        .crossJoin(F.broadcast(nst))
+        .select("pid", "probe_group", "pos", _lp_micro_expr().alias("lp_micro"))
+    )
+    w_rank = W.partitionBy("pid").orderBy("lp_micro", "pos")
+    w_all = W.partitionBy("pid")
+    rk = lp.select(
+        "pid",
+        "probe_group",
+        "lp_micro",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    mink = (
+        rk.filter(
+            F.col("rn")
+            <= F.greatest(
+                F.ceil(F.lit(_MINK_FRAC) * F.col("cnt")).cast("long"),
+                F.lit(1),
+            )
+        )
+        .groupBy("pid", "probe_group")
+        .agg(
+            F.round(F.sum("lp_micro") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mk")
+        )
+    )
+    return mink.groupBy("probe_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.round(F.sum("mk") / 1000000.0 / F.count(F.lit(1)), 4).alias(
+            "mean_minkprob"
+        ),
     )

@@ -387,3 +387,35 @@ class TestDedupThresholdSweep:
         assert n == sorted(n, reverse=True)  # volume shrinks with the cut
         assert p == sorted(p, reverse=True)
         assert p[0] > 0 and n[0] >= p[0]
+
+
+class TestMinkprobMembership:
+    def test_members_outscore_nonmembers(self, spark, tmp_path):
+        """Verbatim training docs must have a higher min-K logprob than
+        their token-reversals (whose bigrams the LM never saw)."""
+        fluent = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = [(i * 50, "s", fluent) for i in range(4)] + [
+            (i * 50 + 1, "s", fluent) for i in range(4)
+        ]
+        _plant_docs(spark, tmp_path, docs)
+        out = {
+            r.probe_group: r
+            for r in QUERIES["text_minkprob_membership"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["member"].n_probes == 4
+        assert out["nonmember"].n_probes == 4
+        assert (
+            out["member"].mean_minkprob
+            > out["nonmember"].mean_minkprob + 1.0
+        )
+
+    def test_direction_holds_on_real_corpus(self, spark, sf_dir):
+        out = {
+            r.probe_group: r.mean_minkprob
+            for r in QUERIES["text_minkprob_membership"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert out["member"] >= out["nonmember"]
