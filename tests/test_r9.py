@@ -1,0 +1,231 @@
+"""Planted-signal tests for the round-5 third-wave operators
+(queries_r9): CCNet perplexity buckets, hard-negative mining, the
+retrieval-metrics eval harness, and k-center greedy selection.
+
+Oracle hash-equality (scripts/check_oracle.py) is the primary gate;
+these tests pin SEMANTICS against independently-constructed inputs and
+an independent Python reimplementation (the BPE-separator lesson: both
+engines can agree on a wrong answer).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+import target_parquet_spark.queries_r9  # noqa: F401  (registers queries)
+from target_parquet_spark.queries import QUERIES
+
+
+def _plant_docs(spark, tmp_path, docs):
+    (
+        spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        .withColumn("source", F.lit("src0"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/documents.parquet")
+    )
+
+
+def _plant_embeddings(spark, tmp_path, rows):
+    (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/embeddings.parquet")
+    )
+
+
+def _vec(head, dim=64):
+    return [float(x) for x in head] + [0.0] * (dim - len(head))
+
+
+class TestCcnetBuckets:
+    def test_gibberish_lands_in_tail(self, spark, tmp_path):
+        """Docs whose bigrams never occur in the (even-id) training half
+        must score pure backoff and drag the tail bucket's mean far
+        below the head's."""
+        fluent = "alpha beta gamma delta epsilon " * 4
+        docs = [(i, "en", fluent) for i in range(0, 34)]
+        # odd ids -> held out of training; unique unseen vocabulary
+        docs += [
+            (35, "en", "zorx1 zorx2 zorx3 zorx4 zorx5 zorx6"),
+            (37, "en", "yarp1 yarp2 yarp3 yarp4 yarp5 yarp6"),
+            (39, "en", "wibb1 wibb2 wibb3 wibb4 wibb5 wibb6"),
+        ]
+        _plant_docs(spark, tmp_path, docs)
+        out = QUERIES["text_ccnet_buckets"](spark, str(tmp_path)).collect()
+        by_bucket = {r.bucket: r for r in out}
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        assert sum(r.n_docs for r in out) == 37
+        # ntile balance: bucket sizes differ by at most 1
+        sizes = [r.n_docs for r in out]
+        assert max(sizes) - min(sizes) <= 1
+        assert by_bucket["tail"].mean_logprob < by_bucket["head"].mean_logprob - 3
+        # monotone cut boundaries: head cut >= middle cut >= tail cut
+        assert (
+            by_bucket["head"].cut_logprob
+            >= by_bucket["middle"].cut_logprob
+            >= by_bucket["tail"].cut_logprob
+        )
+
+    def test_buckets_are_per_language(self, spark, tmp_path):
+        """Each language is split independently — a uniformly-scored
+        minority language still gets its own three buckets instead of
+        being crowded into the majority language's tail."""
+        fluent_en = "the quick brown fox jumps over the dog " * 3
+        fluent_de = "der schnelle braune fuchs springt hoch " * 3
+        docs = [(i, "en", fluent_en) for i in range(0, 30)]
+        docs += [(100 + i, "de", fluent_de) for i in range(0, 12)]
+        _plant_docs(spark, tmp_path, docs)
+        out = QUERIES["text_ccnet_buckets"](spark, str(tmp_path)).collect()
+        langs = {r.lang for r in out}
+        assert langs == {"en", "de"}
+        de = [r for r in out if r.lang == "de"]
+        assert {r.bucket for r in de} == {"head", "middle", "tail"}
+        assert sum(r.n_docs for r in de) == 12
+
+    def test_deterministic(self, spark, sf_dir):
+        a = QUERIES["text_ccnet_buckets"](spark, sf_dir).collect()
+        b = QUERIES["text_ccnet_buckets"](spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) > 0
+
+
+class TestHardNegatives:
+    def test_near_identical_other_label_is_rank_one(self, spark, tmp_path):
+        """A different-label vector almost collinear with the anchor must
+        be the #1 hard negative; a same-label twin must never appear."""
+        rows = [
+            (0, _vec([1.0, 0.0, 0.0]), 0),  # anchor (query)
+            (100, _vec([0.999, 0.02, 0.0]), 1),  # impostor, other label
+            (101, _vec([0.998, 0.03, 0.0]), 0),  # same-label twin
+            (102, _vec([0.0, 1.0, 0.0]), 2),
+            (103, _vec([0.0, 0.9, 0.1]), 2),
+            (104, _vec([0.1, 0.8, 0.3]), 3),
+            (105, _vec([0.0, 0.0, 1.0]), 4),
+        ]
+        # fill the query block 1..7 with far-away anchors so the output
+        # contains their rows too (vec_id < 8 is the anchor set)
+        rows += [(i, _vec([0.0, 0.0, 0.0, 1.0 + i]), 9) for i in range(1, 8)]
+        _plant_embeddings(spark, tmp_path, rows)
+        out = QUERIES["sim_hard_negatives"](spark, str(tmp_path)).collect()
+        q0 = sorted(
+            [r for r in out if r.query_id == 0], key=lambda r: r.rank
+        )
+        assert q0[0].neg_id == 100 and q0[0].neg_label == 1
+        assert all(r.neg_id != 101 for r in q0)  # same label: not a negative
+        assert all(r.neg_label != 0 for r in q0)
+        assert [r.rank for r in q0] == list(range(1, len(q0) + 1))
+
+    def test_deterministic_and_bounded(self, spark, sf_dir):
+        out = QUERIES["sim_hard_negatives"](spark, sf_dir).collect()
+        assert len(out) > 0
+        per_q = {}
+        for r in out:
+            per_q.setdefault(r.query_id, []).append(r)
+            assert r.neg_label != r.query_label
+        assert all(len(v) <= 5 for v in per_q.values())
+
+
+class TestRetrievalMetrics:
+    def test_perfect_index_scores_one(self, spark, tmp_path):
+        """Scaled copies of one direction: every vector lands in the same
+        LSH bucket with pairwise cosine exactly 1, so retrieved == truth
+        and recall/MRR/nDCG are all 1.0 for every query."""
+        # single-dimension base: k*base is float32-exact and every
+        # plane's dot is +-k*w[0] != 0 -> one shared bucket by construction
+        base = _vec([1.0])
+        rows = [
+            (k, [x * (k + 1.0) for x in base], 0) for k in range(13)
+        ]
+        _plant_embeddings(spark, tmp_path, rows)
+        out = QUERIES["sim_retrieval_metrics"](spark, str(tmp_path)).collect()
+        assert len(out) == 8
+        for r in out:
+            assert r.n_retrieved == 10
+            assert r.recall_at10 == pytest.approx(1.0)
+            assert r.mrr == pytest.approx(1.0)
+            assert r.ndcg == pytest.approx(1.0)
+
+    def test_empty_bucket_query_still_emits_row(self, spark, tmp_path):
+        """A query alone in its bucket must produce an all-zero metrics
+        row, not silently vanish from the eval."""
+        base = _vec([1.0])
+        rows = [(0, [-x for x in base], 0)]
+        rows += [(k, [x * (k + 1.0) for x in base], 0) for k in range(1, 13)]
+        _plant_embeddings(spark, tmp_path, rows)
+        out = {
+            r.query_id: r
+            for r in QUERIES["sim_retrieval_metrics"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert set(out) == set(range(8))
+        assert out[0].n_retrieved == 0
+        assert out[0].recall_at10 == 0.0
+        assert out[0].mrr == 0.0
+        assert out[0].ndcg == 0.0
+        for qid in range(1, 8):
+            assert out[qid].recall_at10 == pytest.approx(1.0)
+            assert out[qid].ndcg == pytest.approx(1.0)
+
+
+def _numpy_kcenter(path, rounds=6, seed_id=0):
+    """Independent float64 reimplementation with the query's exact
+    quantization (sequential per-dimension fold, floor(x+0.5) micro
+    rounding, (dm DESC, vec_id ASC) argmax)."""
+    tbl = pq.read_table(path).to_pydict()
+    ids = tbl["vec_id"]
+    vecs = [[float(x) for x in v] for v in tbl["embedding"]]
+    seed = vecs[ids.index(seed_id)]
+
+    def sqdist_micro(a, b):
+        total = 0.0
+        for x, y in zip(a, b):
+            total += (x - y) * (x - y)
+        return math.floor(total * 1000000 + 0.5)
+
+    dm = {i: sqdist_micro(v, seed) for i, v in zip(ids, vecs)}
+    picks = []
+    for r in range(1, rounds + 1):
+        best = max(dm, key=lambda i: (dm[i], -i))
+        picks.append((r, best, round(dm[best] / 1000000.0, 4)))
+        bv = vecs[ids.index(best)]
+        for i, v in zip(ids, vecs):
+            d = sqdist_micro(v, bv)
+            if d < dm[i]:
+                dm[i] = d
+    return picks
+
+
+class TestKcenterGreedy:
+    def test_matches_independent_numpy_greedy(self, spark, sf_dir):
+        """The full (round, id, dist) selection trace must match an
+        independent Python farthest-point traversal bit-for-bit."""
+        out = QUERIES["sim_kcenter_greedy"](spark, sf_dir).collect()
+        got = [(r.sel_round, r.vec_id, r.sel_dist) for r in out]
+        want = _numpy_kcenter(f"{sf_dir}/embeddings.parquet")
+        assert sorted(got) == want
+
+    def test_covers_far_clusters_first(self, spark, tmp_path):
+        """Three tight, far-apart clusters with the seed in cluster A:
+        the first two picks must cover clusters B and C (the
+        farthest-point property), and selection distances must be
+        non-increasing."""
+        a = [(i, _vec([1.0 + 0.01 * i, 0.0]), 0) for i in range(5)]
+        b = [(10 + i, _vec([0.0, 50.0 + 0.01 * i]), 1) for i in range(5)]
+        c = [(20 + i, _vec([-80.0 - 0.01 * i, 0.0]), 2) for i in range(5)]
+        _plant_embeddings(spark, tmp_path, a + b + c)
+        out = sorted(
+            QUERIES["sim_kcenter_greedy"](spark, str(tmp_path)).collect(),
+            key=lambda r: r.sel_round,
+        )
+        first_two = {r.vec_id // 10 for r in out[:2]}
+        assert first_two == {1, 2} or first_two == {2, 1}
+        dists = [r.sel_dist for r in out]
+        assert dists == sorted(dists, reverse=True)
