@@ -55,8 +55,6 @@ _CURATED_PREFIX = [
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
-    "q4_order_priority",
-    "q18_large_orders",
     # join variants
     "join_broadcast_dim",
     "join_left_outer",
@@ -68,7 +66,6 @@ _CURATED_PREFIX = [
     # agg / window
     "agg_distinct_count",
     "agg_rollup",
-    "agg_percentiles",
     "window_topk_per_group",
     "window_running_total",
     # set ops / scalar
@@ -90,6 +87,8 @@ _CURATED_PREFIX = [
     "sim_knn_graph",
     "sim_graph_ann_search",
     "sim_pca_power_iteration",
+    "sim_retrieval_metrics",
+    "sim_kcenter_greedy",
     "scan_ivf_partitioned",
     # text analysis family
     "text_token_stats",
@@ -100,6 +99,7 @@ _CURATED_PREFIX = [
     "text_quality_logreg_trained",
     "text_bpe_learn_merges",
     "text_bigram_logprob",
+    "text_ccnet_buckets",
     # sampling / CDC / governance / events
     "events_sessionize",
     "sample_dsir_importance",

@@ -188,6 +188,10 @@ HEADLINE = [
     "split_leakage_safe",
     "dedup_threshold_sweep",
     "text_minkprob_membership",
+    "text_ccnet_buckets",
+    "sim_hard_negatives",
+    "sim_retrieval_metrics",
+    "sim_kcenter_greedy",
 ]
 
 
