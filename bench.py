@@ -192,6 +192,9 @@ HEADLINE = [
     "sim_hard_negatives",
     "sim_retrieval_metrics",
     "sim_kcenter_greedy",
+    "events_cuped_adjustment",
+    "audit_expectations",
+    "text_bpe_fertility",
 ]
 
 

@@ -567,3 +567,338 @@ def sim_kcenter_greedy(spark, sf_dir):
     return spark.createDataFrame(
         chosen, "sel_round bigint, vec_id bigint, sel_dist double"
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment read-out
+# ---------------------------------------------------------------------------
+
+_CUPED_CUT = "2024-01-16 00:00:00"
+_AB_MOD_SQL = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % 2)"
+_VM = "CAST(round(value * 1000000) AS BIGINT)"
+
+
+@query(
+    "events_cuped_adjustment",
+    f"""
+    WITH pu AS (
+      SELECT user_id,
+             {_AB_MOD_SQL.format(c='user_id')} AS arm,
+             sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                      THEN {_VM} ELSE 0 END) / 1000000.0 AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                      THEN {_VM} ELSE 0 END) / 1000000.0 AS y
+      FROM events GROUP BY user_id),
+    g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM pu),
+    th AS (SELECT round((sxy / n - (sx / n) * (sy / n))
+                        / (sxx / n - (sx / n) * (sx / n)), 6) AS theta,
+                  round(sx / n, 6) AS mx
+           FROM g),
+    adj AS (SELECT arm, y, y - th.theta * (x - th.mx) AS ya FROM pu, th),
+    s AS (SELECT arm, count(*) AS n, sum(y) AS s1, sum(y * y) AS s2,
+                 sum(ya) AS a1, sum(ya * ya) AS a2
+          FROM adj GROUP BY arm)
+    SELECT arm,
+           CAST(n AS BIGINT) AS n_users,
+           round(s1 / n, 4) AS mean_metric,
+           round(a1 / n, 4) AS mean_adjusted,
+           round((s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1), 4)
+             AS var_metric,
+           round((a2 / n - (a1 / n) * (a1 / n)) * n / (n - 1), 4)
+             AS var_adjusted,
+           round(100.0 * (1 - (a2 / n - (a1 / n) * (a1 / n))
+                              / (s2 / n - (s1 / n) * (s1 / n))), 4)
+             AS var_reduction_pct
+    FROM s
+    """,
+)
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013) for the hash-split
+    A/B experiment: per-user pre-period covariate x (metric before the
+    cut date) and post-period metric y, pooled theta = cov(x,y)/var(x),
+    adjusted metric y' = y - theta * (x - mean_x), then per-arm
+    mean/variance of both raw and adjusted metrics and the variance
+    reduction the covariate buys.  The standard pattern for making
+    experiments sensitive: same users, same traffic, smaller variance.
+
+    Determinism: per-event values quantized to integer micro-units
+    before the per-user sums (stage 1 exact); theta and mean_x are
+    6dp-quantized 1-row model state applied identically in both engines
+    (the literal-state convention); power-sum moments follow the
+    events_ab_experiment precedent at 4dp output.
+
+    Plan shape for 100 TB: one user_id shuffle builds (x, y) per user;
+    theta is a 1-row broadcast back onto the user table; per-arm stats
+    are 2-key mergeable power sums.  The user table is scanned twice
+    (moments, then adjustment) — at scale persist it, exactly as the
+    docstring of the AB read-out family notes."""
+    from target_parquet_spark.queries_ops import _hash_mod
+
+    ev = td(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1000000).cast("long")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("ts") < F.lit(_CUPED_CUT).cast("timestamp"), vm)
+                    .otherwise(F.lit(0))
+                )
+                / 1000000.0
+            ).alias("x"),
+            (
+                F.sum(
+                    F.when(F.col("ts") >= F.lit(_CUPED_CUT).cast("timestamp"), vm)
+                    .otherwise(F.lit(0))
+                )
+                / 1000000.0
+            ).alias("y"),
+        )
+        .withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    )
+    g = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    th = g.select(
+        F.round(
+            (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+            / (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))),
+            6,
+        ).alias("theta"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mx"),
+    )
+    adj = pu.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias("ya"),
+    )
+    s = adj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        F.sum("ya").alias("a1"),
+        F.sum(F.col("ya") * F.col("ya")).alias("a2"),
+    )
+    n, s1, s2, a1, a2 = (F.col(c) for c in ("n", "s1", "s2", "a1", "a2"))
+    var_raw = (s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1)
+    var_adj = (a2 / n - (a1 / n) * (a1 / n)) * n / (n - 1)
+    return s.select(
+        "arm",
+        n.cast("long").alias("n_users"),
+        F.round(s1 / n, 4).alias("mean_metric"),
+        F.round(a1 / n, 4).alias("mean_adjusted"),
+        F.round(var_raw, 4).alias("var_metric"),
+        F.round(var_adj, 4).alias("var_adjusted"),
+        F.round(
+            100.0
+            * (
+                1
+                - (a2 / n - (a1 / n) * (a1 / n))
+                / (s2 / n - (s1 / n) * (s1 / n))
+            ),
+            4,
+        ).alias("var_reduction_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# declarative expectation-suite audit (Great-Expectations shape)
+# ---------------------------------------------------------------------------
+
+_EXP_LANGS = "('en', 'de', 'es', 'fr', 'zh')"
+_EXP_TYPES = "('click', 'error', 'purchase', 'signup', 'view')"
+
+
+@query(
+    "audit_expectations",
+    f"""
+    WITH ev AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS f_neg,
+             CAST(count(*) FILTER (WHERE value > 250) AS BIGINT) AS f_cap,
+             CAST(count(*) FILTER (WHERE event_type NOT IN {_EXP_TYPES})
+                  AS BIGINT) AS f_cat,
+             CAST(count(*) FILTER (WHERE event_type = 'error')
+                  AS BIGINT) AS f_err
+      FROM events),
+    od AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                  AS BIGINT) AS f_status,
+             CAST(count(*) FILTER (WHERE o_totalprice <= 0)
+                  AS BIGINT) AS f_price
+      FROM orders),
+    dc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE length(text) = 0)
+                  AS BIGINT) AS f_empty,
+             CAST(count(*) FILTER (WHERE n_chars <> length(text))
+                  AS BIGINT) AS f_nchars,
+             CAST(count(*) FILTER (WHERE lang NOT IN {_EXP_LANGS})
+                  AS BIGINT) AS f_lang
+      FROM documents),
+    rows_ AS (
+      SELECT 'events' AS tbl, 'value_non_negative' AS expectation,
+             n AS n_checked, f_neg AS n_failed FROM ev
+      UNION ALL SELECT 'events', 'value_below_soft_cap', n, f_cap FROM ev
+      UNION ALL SELECT 'events', 'type_in_catalog', n, f_cat FROM ev
+      UNION ALL SELECT 'events', 'no_error_events', n, f_err FROM ev
+      UNION ALL SELECT 'orders', 'status_in_set', n, f_status FROM od
+      UNION ALL SELECT 'orders', 'totalprice_positive', n, f_price FROM od
+      UNION ALL SELECT 'documents', 'text_not_empty', n, f_empty FROM dc
+      UNION ALL SELECT 'documents', 'n_chars_consistent', n, f_nchars FROM dc
+      UNION ALL SELECT 'documents', 'lang_in_catalog', n, f_lang FROM dc)
+    SELECT tbl, expectation, n_checked, n_failed,
+           CAST(CASE WHEN n_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM rows_
+    """,
+)
+def audit_expectations(spark, sf_dir):
+    """Declarative expectation-suite audit (the Great-Expectations /
+    dbt-test shape): a fixed catalog of column expectations — range,
+    set-membership, consistency, emptiness — evaluated as conditional
+    counts in ONE aggregate per table, then unpivoted to one row per
+    expectation with pass/fail status.  The suite is deliberately mixed:
+    some expectations pass and some fail on this corpus (the soft cap
+    and the no-error-events gate), so the op is non-vacuous in both
+    directions — the lesson from the join_anti vacuity finding.
+
+    Plan shape for 100 TB: each table is scanned exactly ONCE — every
+    expectation is a conditional count inside the same mergeable
+    aggregate (map-side combined), and the unpivot runs on the 1-row
+    aggregate, not the data.  Adding an expectation adds a column to
+    the agg, never a scan."""
+    ev = td(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("value") < 0, 1)).cast("long").alias("f_neg"),
+        F.count(F.when(F.col("value") > 250, 1)).cast("long").alias("f_cap"),
+        F.count(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view"
+                ),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("f_cat"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("f_err"),
+    )
+    od = td(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .cast("long")
+        .alias("f_status"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("long")
+        .alias("f_price"),
+    )
+    dc = td(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.length("text") == 0, 1)).cast("long").alias("f_empty"),
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1))
+        .cast("long")
+        .alias("f_nchars"),
+        F.count(F.when(~F.col("lang").isin("en", "de", "es", "fr", "zh"), 1))
+        .cast("long")
+        .alias("f_lang"),
+    )
+    ev_rows = ev.selectExpr(
+        "stack(4, 'value_non_negative', f_neg, 'value_below_soft_cap', f_cap,"
+        " 'type_in_catalog', f_cat, 'no_error_events', f_err)"
+        " AS (expectation, n_failed)",
+        "n AS n_checked",
+    ).select(F.lit("events").alias("tbl"), "expectation", "n_checked", "n_failed")
+    od_rows = od.selectExpr(
+        "stack(2, 'status_in_set', f_status, 'totalprice_positive', f_price)"
+        " AS (expectation, n_failed)",
+        "n AS n_checked",
+    ).select(F.lit("orders").alias("tbl"), "expectation", "n_checked", "n_failed")
+    dc_rows = dc.selectExpr(
+        "stack(3, 'text_not_empty', f_empty, 'n_chars_consistent', f_nchars,"
+        " 'lang_in_catalog', f_lang) AS (expectation, n_failed)",
+        "n AS n_checked",
+    ).select(
+        F.lit("documents").alias("tbl"), "expectation", "n_checked", "n_failed"
+    )
+    return (
+        ev_rows.unionByName(od_rows)
+        .unionByName(dc_rows)
+        .withColumn(
+            "passed",
+            F.when(F.col("n_failed") == 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility audit (per-language tokens-per-word)
+# ---------------------------------------------------------------------------
+
+
+def _sql_bpe_fertility() -> str:
+    from target_parquet_spark.operators.text import BPE_PATTERN
+    from target_parquet_spark.queries_r7 import _BPE_ROUNDS, _sql_bpe_learn
+
+    train = _sql_bpe_learn()
+    ctes = train[: train.rindex("\n    SELECT 1 AS rank")]
+    return f"""{ctes}
+    , corpus_words AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+        AS word
+      FROM documents),
+    tok AS (
+      SELECT w.lang,
+             len(list_filter(str_split(v.enc, chr(31)), x -> x != ''))
+               AS n_bpe
+      FROM corpus_words w JOIN v{_BPE_ROUNDS} v ON v.word = w.word)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS tokens_bpe,
+           round(CAST(sum(n_bpe) AS DOUBLE) / count(*), 4) AS fertility
+    FROM tok GROUP BY lang
+    """
+
+
+@query("text_bpe_fertility", _sql_bpe_fertility())
+def text_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit: BPE tokens emitted per whitespace word,
+    PER LANGUAGE, under the merge table learned on the full corpus — the
+    multilingual-fairness metric every tokenizer report publishes (a
+    language with fertility 2x pays twice the context budget per word).
+    Same learned vocabulary as text_bpe_apply; the grouping key is the
+    audit dimension.
+
+    Plan shape for 100 TB: identical to text_bpe_apply — the corpus
+    explodes to its word stream and joins the Zipf-bounded vocabulary
+    broadcast; one scan, one broadcast join, a per-language aggregate."""
+    from target_parquet_spark.queries_r7 import _BPE_SEP, learn_bpe_merges
+
+    _, vocab = learn_bpe_merges(spark, sf_dir)
+    docs = td(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(X.bpe_tokens(F.col("text"))).alias("word")
+    ).filter(~F.col("word").contains(_BPE_SEP))
+    enc_len = F.size(
+        F.filter(F.split(F.col("enc"), _BPE_SEP), lambda x: x != F.lit(""))
+    )
+    v = vocab.select("word", enc_len.alias("n_bpe"))
+    return (
+        words.join(F.broadcast(v), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("tokens_bpe"),
+            F.round(F.sum("n_bpe").cast("double") / F.count(F.lit(1)), 4).alias(
+                "fertility"
+            ),
+        )
+    )

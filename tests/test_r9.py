@@ -229,3 +229,130 @@ class TestKcenterGreedy:
         assert first_two == {1, 2} or first_two == {2, 1}
         dists = [r.sel_dist for r in out]
         assert dists == sorted(dists, reverse=True)
+
+
+def _plant_events(spark, tmp_path, rows):
+    (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/events.parquet")
+    )
+
+
+class TestCupedAdjustment:
+    def test_stable_user_trait_kills_variance(self, spark, tmp_path):
+        """When each user's post-period metric equals their pre-period
+        metric (a perfectly predictive covariate), CUPED must remove
+        almost all between-user variance in both arms."""
+        import datetime as dt
+
+        pre = dt.datetime(2024, 1, 5)
+        post = dt.datetime(2024, 1, 20)
+        rows = []
+        eid = 0
+        for u in range(40):
+            for k in range(10):
+                rows.append((eid, pre, u, "view", float(u + 1)))
+                eid += 1
+                rows.append((eid, post, u, "view", float(u + 1)))
+                eid += 1
+        _plant_events(spark, tmp_path, rows)
+        out = QUERIES["events_cuped_adjustment"](spark, str(tmp_path)).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r.var_metric > 0
+            assert r.var_reduction_pct > 95
+            # the adjustment must not move the arm mean materially
+            assert abs(r.mean_adjusted - r.mean_metric) < abs(r.mean_metric)
+
+    def test_deterministic(self, spark, sf_dir):
+        a = QUERIES["events_cuped_adjustment"](spark, sf_dir).collect()
+        b = QUERIES["events_cuped_adjustment"](spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) == 2
+
+
+class TestAuditExpectations:
+    def test_mixed_pass_fail_on_corpus(self, spark, sf_dir):
+        out = {
+            (r.tbl, r.expectation): r
+            for r in QUERIES["audit_expectations"](spark, sf_dir).collect()
+        }
+        assert len(out) == 9
+        assert out[("events", "no_error_events")].passed == 0
+        assert out[("events", "no_error_events")].n_failed > 0
+        assert out[("events", "value_non_negative")].passed == 1
+        assert out[("documents", "n_chars_consistent")].passed == 1
+        for r in out.values():
+            assert (r.n_failed == 0) == (r.passed == 1)
+            assert 0 <= r.n_failed <= r.n_checked
+
+    def test_planted_violations_are_counted(self, spark, tmp_path):
+        """A planted out-of-catalog language and inconsistent n_chars
+        must be counted exactly."""
+        import datetime as dt
+
+        docs = [
+            (0, "en", "hello world"),
+            (1, "xx", "bad lang"),
+            (2, "yy", "also bad"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        (
+            df.withColumn("source", F.lit("src0"))
+            .withColumn(
+                "n_chars",
+                F.when(F.col("doc_id") == 2, F.lit(999)).otherwise(
+                    F.length("text")
+                ).cast("long"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/documents.parquet")
+        )
+        _plant_events(
+            spark, tmp_path, [(0, dt.datetime(2024, 1, 5), 1, "click", -3.0)]
+        )
+        (
+            spark.createDataFrame(
+                [(1, "O", 10.0), (2, "X", -5.0)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/orders.parquet")
+        )
+        out = {
+            (r.tbl, r.expectation): r
+            for r in QUERIES["audit_expectations"](spark, str(tmp_path)).collect()
+        }
+        assert out[("documents", "lang_in_catalog")].n_failed == 2
+        assert out[("documents", "n_chars_consistent")].n_failed == 1
+        assert out[("events", "value_non_negative")].n_failed == 1
+        assert out[("orders", "status_in_set")].n_failed == 1
+        assert out[("orders", "totalprice_positive")].n_failed == 1
+
+
+class TestBpeFertility:
+    def test_rare_language_pays_higher_fertility(self, spark, tmp_path):
+        """Words frequent in the corpus earn merges; a language written in
+        rare words the merge table never learned stays fragmented and
+        must show strictly higher fertility."""
+        common = "abab cdcd abab cdcd abab cdcd"
+        rare = "qxzvwy jkpfgh mnrstu"
+        docs = [(i, "en", common) for i in range(20)]
+        docs += [(100 + i, "xx", rare) for i in range(2)]
+        _plant_docs(spark, tmp_path, docs)
+        out = {r.lang: r for r in QUERIES["text_bpe_fertility"](spark, str(tmp_path)).collect()}
+        assert set(out) == {"en", "xx"}
+        assert out["en"].n_words == 20 * 6
+        assert out["xx"].n_words == 2 * 3
+        assert out["xx"].fertility > out["en"].fertility
+
+    def test_fertility_bounded_by_word_length(self, spark, sf_dir):
+        out = QUERIES["text_bpe_fertility"](spark, sf_dir).collect()
+        assert len(out) > 0
+        for r in out:
+            assert 1.0 <= r.fertility
+            assert r.tokens_bpe >= r.n_words
