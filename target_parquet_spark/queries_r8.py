@@ -1417,10 +1417,10 @@ def _sql_minkprob() -> str:
       SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
     {_sql_lm_train('TRUE')},
     probes AS (
-      SELECT doc_id + 5000000 AS pid, 'member' AS probe_group, t
+      SELECT doc_id * 2 AS pid, 'member' AS probe_group, t
       FROM d WHERE doc_id % {_MINK_MOD} = 0
       UNION ALL
-      SELECT doc_id + 6000000 AS pid, 'nonmember' AS probe_group,
+      SELECT doc_id * 2 + 1 AS pid, 'nonmember' AS probe_group,
              list_reverse(t) AS t
       FROM d WHERE doc_id % {_MINK_MOD} = 0),
     pp AS (
@@ -1505,12 +1505,12 @@ def text_minkprob_membership(spark, sf_dir):
     )
     stratum = toks.filter(F.col("doc_id") % _MINK_MOD == 0)
     probes = stratum.select(
-        (F.col("doc_id") + 5000000).alias("pid"),
+        (F.col("doc_id") * 2).alias("pid"),
         F.lit("member").alias("probe_group"),
         F.col("t"),
     ).unionByName(
         stratum.select(
-            (F.col("doc_id") + 6000000).alias("pid"),
+            (F.col("doc_id") * 2 + 1).alias("pid"),
             F.lit("nonmember").alias("probe_group"),
             F.reverse(F.col("t")).alias("t"),
         )

@@ -49,13 +49,9 @@ from pyspark.sql import functions as F
 from target_parquet_spark.operators import similarity as S
 from target_parquet_spark.operators import text as X
 from target_parquet_spark.queries import query
-from target_parquet_spark.queries_ext import (
-    _PLANES,
-    _SQL_DOT,
-    SQL_TOKS,
-    sql_bucket,
-    td,
-)
+from target_parquet_spark.queries_ext import _SQL_DOT, SQL_TOKS, td
+from target_parquet_spark.queries_ops import _SQL_HASH_MOD
+from target_parquet_spark.queries_r6 import _SQL_BUCKET4
 from target_parquet_spark.queries_r8 import _SQL_LP_CASE, _lp_micro_expr
 
 # ---------------------------------------------------------------------------
@@ -312,12 +308,11 @@ _IDCG_MICRO = sum(
     math.floor(1000000.0 / math.log2(k + 1) + 0.5) for k in range(1, _RM_K + 1)
 )
 
-# 4 planes (16 buckets), not the sim_ann family's 8: at the eval scale a
-# 256-bucket index leaves ~1 candidate per query and every metric is a
-# vacuous 0 — a 16-bucket index retrieves a real candidate set, so the
-# metrics measure ranking, not emptiness.
-_RM_PLANES = S.plane_weights(n_planes=4, dim=64)
-_SQL_BUCKET_RM = sql_bucket(_RM_PLANES)
+# queries_r6's 4-plane family (16 buckets), not the sim_ann family's 8: at
+# the eval scale a 256-bucket index leaves ~1 candidate per query and every
+# metric is a vacuous 0 — a 16-bucket index retrieves a real candidate set,
+# so the metrics measure ranking, not emptiness.
+_SQL_BUCKET_RM = _SQL_BUCKET4
 
 
 @query(
@@ -369,7 +364,7 @@ _SQL_BUCKET_RM = sql_bucket(_RM_PLANES)
 )
 def sim_retrieval_metrics(spark, sf_dir):
     """The ANN eval harness: recall@10, MRR, and nDCG@10 of the
-    8-plane LSH-bucket retriever, per query, against exact brute-force
+    4-plane LSH-bucket retriever, per query, against exact brute-force
     ground truth.  Ground truth = exact cosine top-10 (self excluded);
     retrieved = the query-bucket candidates ranked by exact cosine,
     truncated to 10.  A query whose bucket holds no candidates still
@@ -503,7 +498,7 @@ def _sql_kcenter() -> str:
             )
     selects = [
         f"SELECT CAST({r} AS BIGINT) AS sel_round, vec_id, "
-        f"round(dm / 1000000.0, 4) AS sel_dist FROM c{r}"
+        f"dm / 1000000.0 AS sel_dist FROM c{r}"
         for r in range(1, _KC_ROUNDS + 1)
     ]
     return "WITH " + ",\n    ".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
@@ -555,7 +550,7 @@ def sim_kcenter_greedy(spark, sf_dir):
         top = (
             cur.orderBy(F.desc("dm"), F.asc("vec_id")).limit(1).collect()[0]
         )
-        chosen.append((r, top["vec_id"], round(top["dm"] / 1000000.0, 4)))
+        chosen.append((r, top["vec_id"], top["dm"] / 1000000.0))
         if r < _KC_ROUNDS:
             cur = cur.select(
                 "vec_id",
@@ -574,7 +569,6 @@ def sim_kcenter_greedy(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _CUPED_CUT = "2024-01-16 00:00:00"
-_AB_MOD_SQL = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8))::BIGINT % 2)"
 _VM = "CAST(round(value * 1000000) AS BIGINT)"
 
 
@@ -583,34 +577,47 @@ _VM = "CAST(round(value * 1000000) AS BIGINT)"
     f"""
     WITH pu AS (
       SELECT user_id,
-             {_AB_MOD_SQL.format(c='user_id')} AS arm,
-             sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
-                      THEN {_VM} ELSE 0 END) / 1000000.0 AS x,
-             sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
-                      THEN {_VM} ELSE 0 END) / 1000000.0 AS y
+             {_SQL_HASH_MOD.format(c='user_id', m=2)} AS arm,
+             CAST(round(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                      THEN {_VM} ELSE 0 END) / 10000.0) AS BIGINT) AS xc,
+             CAST(round(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                      THEN {_VM} ELSE 0 END) / 10000.0) AS BIGINT) AS yc
       FROM events GROUP BY user_id),
-    g AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-                 sum(x * x) AS sxx, sum(x * y) AS sxy
+    g AS (SELECT count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+                 CAST(sum(yc) AS BIGINT) AS sy,
+                 CAST(sum(xc * xc) AS BIGINT) AS sxx,
+                 CAST(sum(xc * yc) AS BIGINT) AS sxy
           FROM pu),
-    th AS (SELECT round((sxy / n - (sx / n) * (sy / n))
-                        / (sxx / n - (sx / n) * (sx / n)), 6) AS theta,
-                  round(sx / n, 6) AS mx
+    th AS (SELECT round((1.0 * sxy / n - (1.0 * sx / n) * (1.0 * sy / n))
+                        / (1.0 * sxx / n - (1.0 * sx / n) * (1.0 * sx / n)),
+                        6) AS theta,
+                  round(sx / (100.0 * n), 6) AS mx
            FROM g),
-    adj AS (SELECT arm, y, y - th.theta * (x - th.mx) AS ya FROM pu, th),
-    s AS (SELECT arm, count(*) AS n, sum(y) AS s1, sum(y * y) AS s2,
-                 sum(ya) AS a1, sum(ya * ya) AS a2
+    adj AS (SELECT arm, yc,
+                   CAST(round((yc / 100.0
+                               - th.theta * (xc / 100.0 - th.mx)) * 100)
+                        AS BIGINT) AS yac
+            FROM pu, th),
+    s AS (SELECT arm, count(*) AS n, CAST(sum(yc) AS BIGINT) AS s1,
+                 CAST(sum(yc * yc) AS BIGINT) AS s2,
+                 CAST(sum(yac) AS BIGINT) AS a1,
+                 CAST(sum(yac * yac) AS BIGINT) AS a2
           FROM adj GROUP BY arm)
     SELECT arm,
            CAST(n AS BIGINT) AS n_users,
-           round(s1 / n, 4) AS mean_metric,
-           round(a1 / n, 4) AS mean_adjusted,
-           round((s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1), 4)
+           round(s1 / (100.0 * n), 4) AS mean_metric,
+           round(a1 / (100.0 * n), 4) AS mean_adjusted,
+           round((s2 / (10000.0 * n)
+                  - (s1 / (100.0 * n)) * (s1 / (100.0 * n))) * n / (n - 1), 4)
              AS var_metric,
-           round((a2 / n - (a1 / n) * (a1 / n)) * n / (n - 1), 4)
+           round((a2 / (10000.0 * n)
+                  - (a1 / (100.0 * n)) * (a1 / (100.0 * n))) * n / (n - 1), 4)
              AS var_adjusted,
-           round(100.0 * (1 - (a2 / n - (a1 / n) * (a1 / n))
-                              / (s2 / n - (s1 / n) * (s1 / n))), 4)
-             AS var_reduction_pct
+           round(100.0 * (1 - (a2 / (10000.0 * n)
+                               - (a1 / (100.0 * n)) * (a1 / (100.0 * n)))
+                              / (s2 / (10000.0 * n)
+                                 - (s1 / (100.0 * n)) * (s1 / (100.0 * n)))),
+                 4) AS var_reduction_pct
     FROM s
     """,
 )
@@ -624,10 +631,14 @@ def events_cuped_adjustment(spark, sf_dir):
     experiments sensitive: same users, same traffic, smaller variance.
 
     Determinism: per-event values quantized to integer micro-units
-    before the per-user sums (stage 1 exact); theta and mean_x are
-    6dp-quantized 1-row model state applied identically in both engines
-    (the literal-state convention); power-sum moments follow the
-    events_ab_experiment precedent at 4dp output.
+    before the per-user sums, per-user metrics re-quantized to integer
+    CENTS, and EVERY cross-row power sum (sx, sxx, sxy, then the per-arm
+    moments of the adjusted metric) is an exact integer sum — both
+    engines feed identical integers into identical float expressions, so
+    theta, mean_x, and every output agree bit-for-bit regardless of
+    partial-aggregation order (the integer-cents convention; stricter
+    than the events_ab_experiment precedent because theta feeds forward
+    into every adjusted row).
 
     Plan shape for 100 TB: one user_id shuffle builds (x, y) per user;
     theta is a 1-row broadcast back onto the user table; per-arm stats
@@ -638,69 +649,80 @@ def events_cuped_adjustment(spark, sf_dir):
 
     ev = td(spark, sf_dir, "events")
     vm = F.round(F.col("value") * 1000000).cast("long")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
     pu = (
         ev.groupBy("user_id")
         .agg(
-            (
-                F.sum(
-                    F.when(F.col("ts") < F.lit(_CUPED_CUT).cast("timestamp"), vm)
-                    .otherwise(F.lit(0))
-                )
-                / 1000000.0
-            ).alias("x"),
-            (
-                F.sum(
-                    F.when(F.col("ts") >= F.lit(_CUPED_CUT).cast("timestamp"), vm)
-                    .otherwise(F.lit(0))
-                )
-                / 1000000.0
-            ).alias("y"),
+            F.round(
+                F.sum(F.when(F.col("ts") < cut, vm).otherwise(F.lit(0)))
+                / 10000.0
+            )
+            .cast("long")
+            .alias("xc"),
+            F.round(
+                F.sum(F.when(F.col("ts") >= cut, vm).otherwise(F.lit(0)))
+                / 10000.0
+            )
+            .cast("long")
+            .alias("yc"),
         )
         .withColumn("arm", _hash_mod(F.col("user_id"), 2))
     )
     g = pu.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
+        F.sum(F.col("xc") * F.col("yc")).cast("long").alias("sxy"),
     )
+    one = F.lit(1.0)
+    n_, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
     th = g.select(
         F.round(
-            (F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
-            / (F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))),
+            (one * sxy / n_ - (one * sx / n_) * (one * sy / n_))
+            / (one * sxx / n_ - (one * sx / n_) * (one * sx / n_)),
             6,
         ).alias("theta"),
-        F.round(F.col("sx") / F.col("n"), 6).alias("mx"),
+        F.round(sx / (100.0 * n_), 6).alias("mx"),
     )
     adj = pu.crossJoin(F.broadcast(th)).select(
         "arm",
-        "y",
-        (F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))).alias("ya"),
+        "yc",
+        F.round(
+            (
+                F.col("yc") / 100.0
+                - F.col("theta") * (F.col("xc") / 100.0 - F.col("mx"))
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("yac"),
     )
     s = adj.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("s1"),
-        F.sum(F.col("y") * F.col("y")).alias("s2"),
-        F.sum("ya").alias("a1"),
-        F.sum(F.col("ya") * F.col("ya")).alias("a2"),
+        F.sum("yc").cast("long").alias("s1"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("s2"),
+        F.sum("yac").cast("long").alias("a1"),
+        F.sum(F.col("yac") * F.col("yac")).cast("long").alias("a2"),
     )
     n, s1, s2, a1, a2 = (F.col(c) for c in ("n", "s1", "s2", "a1", "a2"))
-    var_raw = (s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1)
-    var_adj = (a2 / n - (a1 / n) * (a1 / n)) * n / (n - 1)
+    mean_raw = s1 / (100.0 * n)
+    mean_adj = a1 / (100.0 * n)
+    var_raw = (s2 / (10000.0 * n) - mean_raw * mean_raw) * n / (n - 1)
+    var_adj = (a2 / (10000.0 * n) - mean_adj * mean_adj) * n / (n - 1)
     return s.select(
         "arm",
         n.cast("long").alias("n_users"),
-        F.round(s1 / n, 4).alias("mean_metric"),
-        F.round(a1 / n, 4).alias("mean_adjusted"),
+        F.round(mean_raw, 4).alias("mean_metric"),
+        F.round(mean_adj, 4).alias("mean_adjusted"),
         F.round(var_raw, 4).alias("var_metric"),
         F.round(var_adj, 4).alias("var_adjusted"),
         F.round(
             100.0
             * (
                 1
-                - (a2 / n - (a1 / n) * (a1 / n))
-                / (s2 / n - (s1 / n) * (s1 / n))
+                - (a2 / (10000.0 * n) - mean_adj * mean_adj)
+                / (s2 / (10000.0 * n) - mean_raw * mean_raw)
             ),
             4,
         ).alias("var_reduction_pct"),
@@ -711,8 +733,18 @@ def events_cuped_adjustment(spark, sf_dir):
 # declarative expectation-suite audit (Great-Expectations shape)
 # ---------------------------------------------------------------------------
 
-_EXP_LANGS = "('en', 'de', 'es', 'fr', 'zh')"
-_EXP_TYPES = "('click', 'error', 'purchase', 'signup', 'view')"
+_EXP_LANG_LIST = ("en", "de", "es", "fr", "zh")
+_EXP_TYPE_LIST = ("click", "error", "purchase", "signup", "view")
+_EXP_STATUS_LIST = ("O", "F", "P")
+
+
+def _sql_in(vals):
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+_EXP_LANGS = _sql_in(_EXP_LANG_LIST)
+_EXP_TYPES = _sql_in(_EXP_TYPE_LIST)
+_EXP_STATUSES = _sql_in(_EXP_STATUS_LIST)
 
 
 @query(
@@ -729,7 +761,7 @@ _EXP_TYPES = "('click', 'error', 'purchase', 'signup', 'view')"
       FROM events),
     od AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN {_EXP_STATUSES})
                   AS BIGINT) AS f_status,
              CAST(count(*) FILTER (WHERE o_totalprice <= 0)
                   AS BIGINT) AS f_price
@@ -780,9 +812,7 @@ def audit_expectations(spark, sf_dir):
         F.count(F.when(F.col("value") > 250, 1)).cast("long").alias("f_cap"),
         F.count(
             F.when(
-                ~F.col("event_type").isin(
-                    "click", "error", "purchase", "signup", "view"
-                ),
+                ~F.col("event_type").isin(*_EXP_TYPE_LIST),
                 1,
             )
         )
@@ -794,7 +824,7 @@ def audit_expectations(spark, sf_dir):
     )
     od = td(spark, sf_dir, "orders").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        F.count(F.when(~F.col("o_orderstatus").isin(*_EXP_STATUS_LIST), 1))
         .cast("long")
         .alias("f_status"),
         F.count(F.when(F.col("o_totalprice") <= 0, 1))
@@ -807,7 +837,7 @@ def audit_expectations(spark, sf_dir):
         F.count(F.when(F.col("n_chars") != F.length("text"), 1))
         .cast("long")
         .alias("f_nchars"),
-        F.count(F.when(~F.col("lang").isin("en", "de", "es", "fr", "zh"), 1))
+        F.count(F.when(~F.col("lang").isin(*_EXP_LANG_LIST), 1))
         .cast("long")
         .alias("f_lang"),
     )

@@ -178,7 +178,8 @@ class TestRetrievalMetrics:
 def _numpy_kcenter(path, rounds=6, seed_id=0):
     """Independent float64 reimplementation with the query's exact
     quantization (sequential per-dimension fold, floor(x+0.5) micro
-    rounding, (dm DESC, vec_id ASC) argmax)."""
+    rounding, (dm DESC, vec_id ASC) argmax, unrounded micro/1e6
+    division for sel_dist)."""
     tbl = pq.read_table(path).to_pydict()
     ids = tbl["vec_id"]
     vecs = [[float(x) for x in v] for v in tbl["embedding"]]
@@ -194,7 +195,7 @@ def _numpy_kcenter(path, rounds=6, seed_id=0):
     picks = []
     for r in range(1, rounds + 1):
         best = max(dm, key=lambda i: (dm[i], -i))
-        picks.append((r, best, round(dm[best] / 1000000.0, 4)))
+        picks.append((r, best, dm[best] / 1000000.0))
         bv = vecs[ids.index(best)]
         for i, v in zip(ids, vecs):
             d = sqdist_micro(v, bv)
