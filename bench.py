@@ -195,6 +195,8 @@ HEADLINE = [
     "events_cuped_adjustment",
     "audit_expectations",
     "text_bpe_fertility",
+    "sim_matryoshka_recall",
+    "events_did_estimate",
 ]
 
 

@@ -932,3 +932,256 @@ def text_bpe_fertility(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation recall audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _sql_matryoshka() -> str:
+    truth_cos = _sql_cos_micro("e.embedding", "q.qv")
+    parts = [
+        f"""q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < {_HN_QUERIES}),
+    ex AS (SELECT q.query_id, e.vec_id, {truth_cos} AS sim_micro
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id),
+    truth AS (SELECT query_id, vec_id
+              FROM (SELECT query_id, vec_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY sim_micro DESC, vec_id)
+                             AS rank
+                    FROM ex)
+              WHERE rank <= {_RM_K})"""
+    ]
+    selects = []
+    for d in _MRL_DIMS:
+        cos_d = _sql_cos_micro(f"e.embedding[1:{d}]", f"q.qv[1:{d}]")
+        parts.append(
+            f"""r{d} AS (SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_micro DESC, vec_id) AS rank
+        FROM (SELECT q.query_id, e.vec_id, {cos_d} AS sim_micro
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id))"""
+        )
+        parts.append(
+            f"""h{d} AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits
+        FROM r{d} r JOIN truth t
+          ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+        WHERE r.rank <= {_RM_K}
+        GROUP BY r.query_id)"""
+        )
+        selects.append(
+            f"""SELECT CAST({d} AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           round(sum(coalesce(h.hits, 0)) / (count(*) * {_RM_K}.0), 4)
+             AS mean_recall10
+    FROM q LEFT JOIN h{d} h USING (query_id)"""
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@query("sim_matryoshka_recall", _sql_matryoshka())
+def sim_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-representation audit (Kusupati et al. 2022): recall@10
+    of brute-force retrieval using only the FIRST d dimensions of the
+    embedding, for d in 8/16/32/64, against full-dimension ground truth.
+    The curve tells a pipeline how far it can truncate stored vectors
+    (4x-8x memory/bandwidth savings at serving time) before retrieval
+    quality collapses — the d=64 row is the identity check (recall 1.0
+    by construction).
+
+    Determinism: every ranking uses micro-quantized cosine with the
+    vec_id tie-break; the truncated cosine re-normalizes over the
+    truncated prefix in BOTH engines (array slice, then the shared
+    dot/norm fold).
+
+    Plan shape for 100 TB: each dim level is one broadcast
+    (query-block) scan over the corpus — scans stack linearly in the
+    number of audited levels, never quadratically in data; at scale the
+    scan side is the IVF-pruned candidate set and the audit reuses one
+    cached scan with four sliced projections."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _HN_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+        )
+    )
+    pairs = emb.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_micro"), F.asc("vec_id")
+    )
+    truth = (
+        pairs.select(
+            "query_id",
+            "vec_id",
+            _cos_micro(F.col("embedding"), F.col("_qv")).alias("sim_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RM_K)
+        .select("query_id", "vec_id")
+    )
+    out = None
+    for d in _MRL_DIMS:
+        rd = (
+            pairs.select(
+                "query_id",
+                "vec_id",
+                _cos_micro(
+                    F.slice(F.col("embedding"), 1, d),
+                    F.slice(F.col("_qv"), 1, d),
+                ).alias("sim_micro"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _RM_K)
+        )
+        hd = rd.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("long").alias("hits")
+        )
+        md = (
+            q.select("query_id")
+            .join(hd, "query_id", "left")
+            .agg(
+                F.lit(d).cast("long").alias("dim"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(
+                    F.sum(F.coalesce(F.col("hits"), F.lit(0)))
+                    / (F.count(F.lit(1)) * float(_RM_K)),
+                    4,
+                ).alias("mean_recall10"),
+            )
+        )
+        out = md if out is None else out.unionByName(md)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# difference-in-differences experiment read-out
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_did_estimate",
+    f"""
+    WITH pu AS (
+      SELECT user_id,
+             {_SQL_HASH_MOD.format(c='user_id', m=2)} AS arm,
+             CAST(round(sum(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                      THEN {_VM} ELSE 0 END) / 10000.0) AS BIGINT) AS xc,
+             CAST(round(sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                      THEN {_VM} ELSE 0 END) / 10000.0) AS BIGINT) AS yc
+      FROM events GROUP BY user_id),
+    d AS (SELECT arm, yc - xc AS dc FROM pu),
+    s AS (SELECT arm, count(*) AS n, CAST(sum(dc) AS BIGINT) AS s1,
+                 CAST(sum(dc * dc) AS BIGINT) AS s2
+          FROM d GROUP BY arm),
+    ab AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+                  max(CASE WHEN arm = 1 THEN n END) AS n_b,
+                  max(CASE WHEN arm = 0 THEN s1 END) AS s1_a,
+                  max(CASE WHEN arm = 1 THEN s1 END) AS s1_b,
+                  max(CASE WHEN arm = 0 THEN s2 END) AS s2_a,
+                  max(CASE WHEN arm = 1 THEN s2 END) AS s2_b
+           FROM s)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(s1_a / (100.0 * n_a), 4) AS mean_delta_a,
+           round(s1_b / (100.0 * n_b), 4) AS mean_delta_b,
+           round(s1_b / (100.0 * n_b) - s1_a / (100.0 * n_a), 4) AS did,
+           CASE WHEN ((s2_a / (10000.0 * n_a)
+                       - (s1_a / (100.0 * n_a)) * (s1_a / (100.0 * n_a)))
+                      * n_a / (n_a - 1)) / n_a
+                     + ((s2_b / (10000.0 * n_b)
+                         - (s1_b / (100.0 * n_b)) * (s1_b / (100.0 * n_b)))
+                        * n_b / (n_b - 1)) / n_b > 0
+                THEN round((s1_b / (100.0 * n_b) - s1_a / (100.0 * n_a))
+                 / sqrt(((s2_a / (10000.0 * n_a)
+                          - (s1_a / (100.0 * n_a)) * (s1_a / (100.0 * n_a)))
+                         * n_a / (n_a - 1)) / n_a
+                        + ((s2_b / (10000.0 * n_b)
+                            - (s1_b / (100.0 * n_b)) * (s1_b / (100.0 * n_b)))
+                           * n_b / (n_b - 1)) / n_b), 4)
+                ELSE 0.0 END AS welch_t
+    FROM ab
+    """,
+)
+def events_did_estimate(spark, sf_dir):
+    """Difference-in-differences read-out for the hash-split experiment:
+    per-user pre->post metric delta, per-arm mean delta, DiD estimate
+    (treatment delta minus control delta) and its Welch t statistic over
+    the per-user deltas.  The panel-data shape that separates a
+    treatment effect from a shared time trend — on this A/A-like split
+    the DiD should be (and is) statistically indistinguishable from 0.
+
+    Determinism: a degenerate zero-variance split (possible on planted
+    panels) yields t = 0.0 by an explicit guard in BOTH engines — under
+    Spark 4's ANSI mode an unguarded division by zero is a runtime
+    error, and DuckDB would return inf.  Otherwise the same
+    integer-cents pipeline as events_cuped_adjustment — per-user sums micro-exact, deltas exact
+    integers, per-arm power sums exact integer sums, floats derived once
+    from identical integers in both engines.
+
+    Plan shape for 100 TB: one user_id shuffle, a 2-key mergeable
+    power-sum aggregate, a 1-row pivot — the experiment read-out family
+    never touches event rows twice."""
+    from target_parquet_spark.queries_ops import _hash_mod
+
+    ev = td(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1000000).cast("long")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ts") < cut, vm).otherwise(F.lit(0)))
+                / 10000.0
+            )
+            .cast("long")
+            .alias("xc"),
+            F.round(
+                F.sum(F.when(F.col("ts") >= cut, vm).otherwise(F.lit(0)))
+                / 10000.0
+            )
+            .cast("long")
+            .alias("yc"),
+        )
+        .withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    )
+    d = pu.select("arm", (F.col("yc") - F.col("xc")).alias("dc"))
+    s = d.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dc").cast("long").alias("s1"),
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("s2"),
+    )
+    ab = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}_{l}")
+            for a, l in ((0, "a"), (1, "b"))
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    n_a, n_b, s1_a, s1_b, s2_a, s2_b = (
+        F.col(c) for c in ("n_a", "n_b", "s1_a", "s1_b", "s2_a", "s2_b")
+    )
+    mean_a = s1_a / (100.0 * n_a)
+    mean_b = s1_b / (100.0 * n_b)
+    var_a = (s2_a / (10000.0 * n_a) - mean_a * mean_a) * n_a / (n_a - 1)
+    var_b = (s2_b / (10000.0 * n_b) - mean_b * mean_b) * n_b / (n_b - 1)
+    return ab.select(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        F.round(mean_a, 4).alias("mean_delta_a"),
+        F.round(mean_b, 4).alias("mean_delta_b"),
+        F.round(mean_b - mean_a, 4).alias("did"),
+        F.when(
+            var_a / n_a + var_b / n_b > 0,
+            F.round(
+                (mean_b - mean_a) / F.sqrt(var_a / n_a + var_b / n_b), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("welch_t"),
+    )

@@ -357,3 +357,75 @@ class TestBpeFertility:
         for r in out:
             assert 1.0 <= r.fertility
             assert r.tokens_bpe >= r.n_words
+
+
+class TestMatryoshkaRecall:
+    def test_full_dim_row_is_identity(self, spark, sf_dir):
+        out = {r.dim: r for r in QUERIES["sim_matryoshka_recall"](spark, sf_dir).collect()}
+        assert set(out) == {8, 16, 32, 64}
+        assert out[64].mean_recall10 == pytest.approx(1.0)
+        for r in out.values():
+            assert 0.0 <= r.mean_recall10 <= 1.0
+            assert r.n_queries == 8
+
+    def test_informative_prefix_beats_noise_prefix(self, spark, tmp_path):
+        """Vectors whose FIRST 8 dims carry all the signal must keep
+        recall 1.0 at every truncation level."""
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for k in range(16):
+            head = [rng.uniform(-1, 1) for _ in range(8)]
+            rows.append((k, [float(x) for x in head] + [0.0] * 56, 0))
+        _plant_embeddings(spark, tmp_path, rows)
+        out = {
+            r.dim: r
+            for r in QUERIES["sim_matryoshka_recall"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # every level >= 8 sees the whole signal: identical rankings
+        for d in (8, 16, 32, 64):
+            assert out[d].mean_recall10 == pytest.approx(1.0), d
+
+
+class TestDidEstimate:
+    def test_planted_treatment_lift_detected(self, spark, tmp_path):
+        """Arm-1 users get a post-period lift; DiD must recover it and
+        the t statistic must be large."""
+        import datetime as dt
+
+        from target_parquet_spark.queries_ops import _hash_mod
+
+        pre = dt.datetime(2024, 1, 5)
+        post = dt.datetime(2024, 1, 20)
+        # determine each user's arm with the same hash split the query uses
+        arms = {
+            r.user_id: r.arm
+            for r in spark.range(200)
+            .select(F.col("id").alias("user_id"), _hash_mod(F.col("id"), 2).alias("arm"))
+            .collect()
+        }
+        rows = []
+        eid = 0
+        for u in range(200):
+            lift = 50.0 if arms[u] == 1 else 0.0
+            rows.append((eid, pre, u, "view", 100.0))
+            eid += 1
+            rows.append((eid, post, u, "view", 100.0 + lift))
+            eid += 1
+        _plant_events(spark, tmp_path, rows)
+        out = QUERIES["events_did_estimate"](spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.mean_delta_a == pytest.approx(0.0)
+        assert r.mean_delta_b == pytest.approx(50.0)
+        assert r.did == pytest.approx(50.0)
+
+    def test_aa_split_is_null(self, spark, sf_dir):
+        """On the A/A-like corpus the DiD must be small relative to the
+        deltas' scale and |t| must not scream."""
+        r = QUERIES["events_did_estimate"](spark, sf_dir).collect()[0]
+        assert r.n_a > 0 and r.n_b > 0
+        assert abs(r.welch_t) < 5
