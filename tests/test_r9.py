@@ -429,3 +429,43 @@ class TestDidEstimate:
         r = QUERIES["events_did_estimate"](spark, sf_dir).collect()[0]
         assert r.n_a > 0 and r.n_b > 0
         assert abs(r.welch_t) < 5
+
+
+class TestR9Plans:
+    """Physical-plan pins for the round-5 third-wave ops (the SURVEY §4
+    scale claims, asserted on the formatted plan)."""
+
+    @staticmethod
+    def _plan(spark, sf_dir, name):
+        import contextlib
+        import io
+
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def test_hard_negatives_broadcasts_anchor_block(self, spark, sf_dir):
+        p = self._plan(spark, sf_dir, "sim_hard_negatives")
+        assert "BroadcastNestedLoopJoin" in p  # 8-row anchor block
+        assert "SortMergeJoin" not in p  # corpus never shuffle-joins
+
+    def test_cuped_theta_is_broadcast_literal_state(self, spark, sf_dir):
+        p = self._plan(spark, sf_dir, "events_cuped_adjustment")
+        assert "BroadcastNestedLoopJoin" in p  # 1-row theta
+        assert "SortMergeJoin" not in p
+
+    def test_expectations_scan_each_table_once(self, spark, sf_dir):
+        p = self._plan(spark, sf_dir, "audit_expectations")
+        # formatted output lists each scan twice (tree + details): count
+        # the per-scan ReadSchema detail lines instead
+        assert p.count("ReadSchema:") == 3  # events, orders, documents
+        # column pruning reaches the scan: events reads only the two
+        # audited columns
+        assert "struct<event_type:string,value:double>" in p
+
+    def test_retrieval_metrics_broadcasts_queries(self, spark, sf_dir):
+        p = self._plan(spark, sf_dir, "sim_retrieval_metrics")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
