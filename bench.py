@@ -197,6 +197,7 @@ HEADLINE = [
     "text_bpe_fertility",
     "sim_matryoshka_recall",
     "events_did_estimate",
+    "text_kneser_ney_logprob",
 ]
 
 

@@ -1185,3 +1185,143 @@ def events_did_estimate(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM (the calibrated-smoothing twin of stupid backoff)
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (Chen & Goodman 1999's fixed-D variant)
+_KN_FLAG_MICRO = -9000000
+
+
+@query(
+    "text_kneser_ney_logprob",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    pr AS (
+      SELECT doc_id, source,
+             {X.SQL_HASH60.format(c="t[i] || ' ' || t[i+1]")} AS gh,
+             {X.SQL_HASH60.format(c='t[i]')} AS h1,
+             {X.SQL_HASH60.format(c='t[i+1]')} AS h2
+      FROM d, unnest(range(1, len(t))) AS u(i)),
+    bg AS (
+      SELECT gh, h1, h2, CAST(count(*) AS BIGINT) AS c
+      FROM pr WHERE doc_id % 2 = 0
+      GROUP BY gh, h1, h2),
+    hist AS (SELECT h1, CAST(sum(c) AS BIGINT) AS c1,
+                    CAST(count(*) AS BIGINT) AS n1fw
+             FROM bg GROUP BY h1),
+    cont AS (SELECT h2, CAST(count(*) AS BIGINT) AS n1bw FROM bg GROUP BY h2),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bg),
+    lp AS (
+      SELECT p.doc_id, p.source,
+             CAST(round(ln(CASE WHEN h.c1 IS NOT NULL THEN
+                    greatest(coalesce(b.c, 0) - {_KN_D}, 0.0) / h.c1
+                    + ({_KN_D} * h.n1fw / h.c1)
+                      * ((coalesce(ct.n1bw, 0) + 1.0) / (t.ntypes + 1000000))
+                  ELSE (coalesce(ct.n1bw, 0) + 1.0) / (t.ntypes + 1000000)
+                  END) * 1000000) AS BIGINT) AS lp_micro
+      FROM pr p
+      LEFT JOIN bg b ON b.gh = p.gh
+      LEFT JOIN hist h ON h.h1 = p.h1
+      LEFT JOIN cont ct ON ct.h2 = p.h2
+      CROSS JOIN nt t),
+    docs AS (
+      SELECT doc_id, source,
+             CAST(round(sum(lp_micro) / count(*)) AS BIGINT) AS tok_lp_micro
+      FROM lp GROUP BY doc_id, source)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(tok_lp_micro) / 1000000.0 / count(*), 4)
+             AS mean_logprob_kn,
+           CAST(count(*) FILTER (WHERE tok_lp_micro < {_KN_FLAG_MICRO})
+                AS BIGINT) AS n_flagged
+    FROM docs GROUP BY source
+    """,
+)
+def text_kneser_ney_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM (Chen & Goodman 1999, fixed
+    absolute discount D=0.75) trained on the even-doc_id half, scoring
+    every document's mean per-token log-prob.  The calibrated complement
+    to text_bigram_logprob's stupid backoff: observed bigrams are
+    discounted toward a CONTINUATION unigram (how many distinct
+    histories precede the word), so a word seen in many contexts earns
+    more backoff mass than an equally-frequent word welded to one
+    context — the property the planted test pins.
+
+    Determinism: the same integer-microunit quantization and held-out
+    split as the other two LM consumers; the continuation denominator is
+    add-one smoothed exactly like the backoff unigram.
+
+    Plan shape for 100 TB: the bigram TYPE table (gh, h1, h2, c) is the
+    only data-sized state; hist/cont are vocabulary-bounded projections
+    of it and BROADCAST onto the scoring stream, which shuffles once on
+    the bigram key — the text_bigram_logprob plan with two extra
+    broadcast side-tables."""
+    toks = td(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.tokens(F.col("text")).alias("t")
+    )
+    h60 = X.hash60
+    bigram_structs = X.bigrams(
+        F.col("t"),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        "array<struct<w1:string,w2:string>>",
+    )
+    pr = toks.select(
+        "doc_id", "source", F.explode(bigram_structs).alias("p")
+    ).select(
+        "doc_id",
+        "source",
+        h60(F.concat(F.col("p.w1"), F.lit(" "), F.col("p.w2"))).alias("gh"),
+        h60(F.col("p.w1")).alias("h1"),
+        h60(F.col("p.w2")).alias("h2"),
+    )
+    bg = (
+        pr.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("gh", "h1", "h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    hist = bg.groupBy("h1").agg(
+        F.sum("c").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1fw"),
+    )
+    cont = bg.groupBy("h2").agg(F.count(F.lit(1)).cast("long").alias("n1bw"))
+    nt = bg.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+    pc = (F.coalesce(F.col("n1bw"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("ntypes") + F.lit(1000000)
+    )
+    p_kn = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c"), F.lit(0)) - F.lit(_KN_D), F.lit(0.0)
+        )
+        / F.col("c1")
+        + (F.lit(_KN_D) * F.col("n1fw") / F.col("c1")) * pc,
+    ).otherwise(pc)
+    lp = (
+        pr.join(bg.select("gh", "c"), "gh", "left")
+        .join(F.broadcast(hist), "h1", "left")
+        .join(F.broadcast(cont), "h2", "left")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.log(p_kn) * 1000000).cast("long").alias("lp_micro"),
+        )
+    )
+    docs = lp.groupBy("doc_id", "source").agg(
+        F.round(F.sum("lp_micro") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("tok_lp_micro")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("tok_lp_micro") / 1000000.0 / F.count(F.lit(1)), 4).alias(
+            "mean_logprob_kn"
+        ),
+        F.count(F.when(F.col("tok_lp_micro") < _KN_FLAG_MICRO, F.lit(1)))
+        .cast("long")
+        .alias("n_flagged"),
+    )

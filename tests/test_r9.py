@@ -469,3 +469,47 @@ class TestR9Plans:
         p = self._plan(spark, sf_dir, "sim_retrieval_metrics")
         assert "BroadcastExchange" in p
         assert "CartesianProduct" not in p
+
+
+class TestKneserNey:
+    def test_continuation_probability_property(self, spark, tmp_path):
+        """The defining KN property: after an UNSEEN history, a word that
+        follows many distinct histories ('versatile') must outscore an
+        equally-frequent word welded to one history ('rigid')."""
+        docs = []
+        # training half (even ids): 'versatile' after 10 distinct
+        # histories; 'rigid' 10 times but only ever after 'anchor'
+        for i in range(10):
+            docs.append((2 * i, "tr", f"hist{i} versatile"))
+            docs.append((100 + 2 * i, "tr", "anchor rigid"))
+        # probes (odd ids, one per source so the aggregate exposes them)
+        docs.append((1001, "po", "anchor rigid"))      # seen bigram
+        docs.append((1003, "pv", "nov3l versatile"))   # unseen history
+        docs.append((1005, "pr", "nov3l rigid"))       # unseen history
+        (
+            spark.createDataFrame(
+                docs, "doc_id long, source string, text string"
+            )
+            .withColumn("lang", F.lit("en"))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/documents.parquet")
+        )
+        out = {
+            r.source: r
+            for r in QUERIES["text_kneser_ney_logprob"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert (
+            out["po"].mean_logprob_kn
+            > out["pv"].mean_logprob_kn
+            > out["pr"].mean_logprob_kn
+        )
+
+    def test_deterministic_and_probability_bounded(self, spark, sf_dir):
+        a = QUERIES["text_kneser_ney_logprob"](spark, sf_dir).collect()
+        b = QUERIES["text_kneser_ney_logprob"](spark, sf_dir).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        for r in a:
+            assert r.mean_logprob_kn < 0  # log of probability < 1
