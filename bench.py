@@ -198,6 +198,7 @@ HEADLINE = [
     "sim_matryoshka_recall",
     "events_did_estimate",
     "text_kneser_ney_logprob",
+    "graph_trustrank_seeds",
 ]
 
 

@@ -1325,3 +1325,110 @@ def text_kneser_ney_logprob(spark, sf_dir):
         .cast("long")
         .alias("n_flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TrustRank: personalized PageRank from a trusted seed set
+# ---------------------------------------------------------------------------
+
+_PPR_SEED_MOD = 17
+_PPR_ITERS = 5
+_PPR_D = 0.85
+
+
+def _sql_ppr_ctes(iters: int = _PPR_ITERS, damping: float = _PPR_D) -> str:
+    """Unrolled personalized-PageRank CTE chain over the `pairs` CTE —
+    the DuckDB twin of operators/graph.personalized_pagerank with the
+    teleport vector uniform over the seed set (node % {mod} = 0).
+    Same ::DOUBLE literal discipline as _sql_pagerank_ctes."""
+    d = repr(damping)
+    parts = [
+        """e AS (SELECT id_a AS u, id_b AS v, jaccard AS w FROM pairs
+            UNION ALL
+            SELECT id_b AS u, id_a AS v, jaccard AS w FROM pairs)""",
+        "nd AS (SELECT DISTINCT u AS node FROM e)",
+        f"sd AS (SELECT node FROM nd WHERE node % {_PPR_SEED_MOD} = 0)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd)",
+        "ow AS (SELECT u, sum(w) AS outw FROM e GROUP BY u)",
+        """t0 AS (SELECT nd.node,
+                 CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE / ns.n
+                      ELSE 0.0::DOUBLE END AS tp
+          FROM nd LEFT JOIN sd s USING (node) CROSS JOIN ns)""",
+        "r0 AS (SELECT node, tp AS rank FROM t0)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""c{k} AS (SELECT e.v AS node, sum(r.rank / ow.outw * e.w) AS c
+                FROM e JOIN ow ON ow.u = e.u
+                       JOIN r{k - 1} r ON r.node = e.u
+                GROUP BY e.v)"""
+        )
+        parts.append(
+            f"""r{k} AS (SELECT t0.node,
+                       (1.0::DOUBLE - {d}::DOUBLE) * t0.tp
+                         + {d}::DOUBLE * coalesce(c{k}.c, 0.0::DOUBLE) AS rank
+                FROM t0 LEFT JOIN c{k} ON c{k}.node = t0.node)"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _sql_trustrank() -> str:
+    from target_parquet_spark.queries_ext import (
+        SQL_CORPUS,
+        SQL_MINHASH_PAIR_CTES,
+    )
+
+    return f"""
+    WITH {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    {_sql_ppr_ctes()}
+    SELECT node AS doc_id, round(rank * 1000.0::DOUBLE, 4) AS trust_pm
+    FROM r{_PPR_ITERS}
+    """
+
+
+@query("graph_trustrank_seeds", _sql_trustrank())
+def graph_trustrank_seeds(spark, sf_dir):
+    """TrustRank (Gyongyi et al. 2004) over the near-dup similarity
+    graph: personalized PageRank whose teleport vector is uniform over a
+    trusted seed set (every {mod}th doc) instead of uniform over all
+    nodes.  Rank mass flows outward from the seeds along similarity
+    edges — components containing no seed stay at exactly 0, so the
+    score doubles as a "connected to anything trusted?" indicator, the
+    propagation primitive behind seed-quality corpus curation (and,
+    inverted, spam-web demotion).
+
+    Determinism: same fixed-iteration unrolled-CTE oracle discipline as
+    graph_pagerank_dupweb; ranks reported per-mille at 4dp.
+
+    Plan shape for 100 TB: identical per-round cost to pagerank — one
+    src-key join plus one dst groupBy per iteration, teleport column
+    riding the node table with no extra shuffle; localCheckpoint per
+    round cuts lineage.  Edge generation shares the minhash-banding
+    scale story documented on graph_pagerank_dupweb."""
+    from target_parquet_spark.operators import dedup as D
+    from target_parquet_spark.operators.graph import personalized_pagerank
+    from target_parquet_spark.queries_ext import _spark_corpus
+
+    corpus = _spark_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "jaccard"
+        )
+    )
+    seeds = corpus.filter(F.col("doc_id") % _PPR_SEED_MOD == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    ranks = personalized_pagerank(
+        sym, seeds, "src", "dst", weight="jaccard", iters=_PPR_ITERS,
+        damping=_PPR_D,
+    )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * 1000.0, 4).alias("trust_pm"),
+    )

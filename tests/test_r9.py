@@ -513,3 +513,44 @@ class TestKneserNey:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         for r in a:
             assert r.mean_logprob_kn < 0  # log of probability < 1
+
+
+class TestTrustrankSeeds:
+    def test_seedless_component_stays_zero(self, spark, tmp_path):
+        """Trust propagates only from seeds (doc_id % 17 == 0): a
+        near-dup component containing no seed must score exactly 0."""
+        text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        text_b = "one two three four five six seven eight nine ten eleven twelve"
+        docs = [
+            (0, text_a),   # seed (0 % 17 == 0) — cluster A
+            (1, text_a),   # near-dup of the seed
+            (20, text_b),  # cluster B: 20,21 and twins are never % 17 == 0
+            (21, text_b),
+        ]
+        (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("src0"))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/documents.parquet")
+        )
+        out = {
+            r.doc_id: r.trust_pm
+            for r in QUERIES["graph_trustrank_seeds"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        b_nodes = [k for k in out if k % 1000000 in (20, 21)]
+        a_nodes = [k for k in out if k % 1000000 in (0, 1)]
+        assert b_nodes and a_nodes
+        assert all(out[k] == 0.0 for k in b_nodes)
+        assert all(out[k] > 0.0 for k in a_nodes)
+
+    def test_mass_conservation_order(self, spark, sf_dir):
+        """Ranks are nonnegative and the seed-adjacent mass dominates:
+        total trust is positive and bounded by ~1000 per-mille."""
+        out = QUERIES["graph_trustrank_seeds"](spark, sf_dir).collect()
+        total = sum(r.trust_pm for r in out)
+        assert all(r.trust_pm >= 0 for r in out)
+        assert 0 < total <= 1000.5
