@@ -199,6 +199,7 @@ HEADLINE = [
     "events_did_estimate",
     "text_kneser_ney_logprob",
     "graph_trustrank_seeds",
+    "events_survival_km",
 ]
 
 

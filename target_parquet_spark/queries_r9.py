@@ -1432,3 +1432,155 @@ def graph_trustrank_seeds(spark, sf_dir):
         F.col("node").alias("doc_id"),
         F.round(F.col("rank") * 1000.0, 4).alias("trust_pm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate of user retention
+# ---------------------------------------------------------------------------
+
+_KM_GAP_H = 24  # a >24h silence closes an activity episode
+# Episodes still running in the corpus's final day may be artifacts of
+# the observation window ending, not real endings -> censored.
+_KM_CENSOR = "2024-01-29 00:00:00"
+
+
+@query(
+    "events_survival_km",
+    f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL {_KM_GAP_H} HOUR
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    sn AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS sid
+      FROM o),
+    sess AS (
+      SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+      FROM sn GROUP BY user_id, sid),
+    dur AS (
+      SELECT CAST(floor(datediff('second', st, en) / 3600.0) AS BIGINT) AS t,
+             CASE WHEN en <= TIMESTAMP '{_KM_CENSOR}'
+                  THEN 1 ELSE 0 END AS churned
+      FROM sess),
+    et AS (
+      SELECT t,
+             CAST(count(*) FILTER (WHERE churned = 1) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM dur GROUP BY t),
+    rk AS (
+      SELECT t, d,
+             CAST(sum(ct) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+      FROM et),
+    tm AS (
+      SELECT t, d, n_risk,
+             CAST(round(ln(greatest(1.0 - 1.0 * d / n_risk, 0.000000000001))
+                        * 1000000) AS BIGINT) AS term_micro
+      FROM rk),
+    cm AS (
+      SELECT t, d, n_risk,
+             CAST(sum(term_micro) OVER (ORDER BY t ASC) AS BIGINT) AS cum
+      FROM tm)
+    SELECT t, n_risk, d AS n_churned,
+           round(exp(cum / 1000000.0), 4) AS survival
+    FROM cm WHERE d > 0
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve over ACTIVITY EPISODES: a >24h
+    silence closes an episode (sessionization at day scale), the
+    subject is the episode, duration is its elapsed hours, and episodes
+    still running on the corpus's final day are right-CENSORED (the
+    observation window ended, not the episode) — the censoring that
+    distinguishes survival analysis from a naive duration histogram.  S(t) steps down by (1 - d/n_at_risk) at each duration
+    with observed churn; censored users leave the risk set without
+    forcing a step.  The product is computed as exp of a cumulative sum
+    of per-step log terms.
+
+    Determinism: each log term is micro-quantized BEFORE the cumulative
+    sum (exact integer window sum), so the running product is identical
+    in both engines; the extinction step (d = n_at_risk) is floored at
+    1e-12 in both, rounding survival to 0.0 instead of ln(0).
+
+    Plan shape for 100 TB: one user_id shuffle carries both the
+    sessionization windows and the episode aggregate; everything after
+    runs on the DURATION table — cardinality-bounded by the observation
+    window (hours, not users), so the unpartitioned KM windows are
+    metadata-sized (the RFM/Pareto convention)."""
+    from pyspark.sql import Window as W
+
+    ev = td(spark, sf_dir, "events")
+    w_u = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w_u)
+    brk = (
+        F.when(
+            prev.isNull()
+            | (
+                F.col("ts").cast("long") - prev.cast("long")
+                > _KM_GAP_H * 3600
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    sn = ev.select(
+        "user_id", "ts", "event_id", brk.alias("brk")
+    ).select(
+        "user_id",
+        "ts",
+        F.sum("brk")
+        .over(
+            W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+        )
+        .alias("sid"),
+    )
+    sess = sn.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("st"), F.max("ts").alias("en")
+    )
+    # elapsed hours from truncated epoch seconds: cast-to-long floors the
+    # sub-second part exactly like DuckDB's second-boundary datediff
+    dur = sess.select(
+        F.floor(
+            (F.col("en").cast("long") - F.col("st").cast("long")) / 3600
+        )
+        .cast("long")
+        .alias("t"),
+        F.when(
+            F.col("en") <= F.lit(_KM_CENSOR).cast("timestamp"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    et = dur.groupBy("t").agg(
+        F.count(F.when(F.col("churned") == 1, 1)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("ct"),
+    )
+    w_desc = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    rk = et.select(
+        "t", "d", F.sum("ct").over(w_desc).cast("long").alias("n_risk")
+    )
+    term = F.round(
+        F.log(
+            F.greatest(
+                F.lit(1.0) - F.lit(1.0) * F.col("d") / F.col("n_risk"),
+                F.lit(1e-12),
+            )
+        )
+        * 1000000
+    ).cast("long")
+    tm = rk.select("t", "d", "n_risk", term.alias("term_micro"))
+    w_asc = W.orderBy(F.asc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cm = tm.select(
+        "t", "d", "n_risk", F.sum("term_micro").over(w_asc).cast("long").alias("cum")
+    )
+    return cm.filter(F.col("d") > 0).select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.round(F.exp(F.col("cum") / 1000000.0), 4).alias("survival"),
+    )

@@ -554,3 +554,43 @@ class TestTrustrankSeeds:
         total = sum(r.trust_pm for r in out)
         assert all(r.trust_pm >= 0 for r in out)
         assert 0 < total <= 1000.5
+
+
+class TestSurvivalKm:
+    def test_planted_single_step(self, spark, tmp_path):
+        """10 three-hour episodes end early (observed) while 10 six-hour
+        episodes run into the corpus's final day (censored): exactly one
+        KM step, S(3) = 0.5, with all 20 episodes at risk at the step."""
+        import datetime as dt
+
+        rows = []
+        eid = 0
+        for u in range(10):  # closed episodes: Jan 5, 00:00 -> 03:00
+            for h in (0, 3):
+                rows.append((eid, dt.datetime(2024, 1, 5, h), u, "view", 1.0))
+                eid += 1
+        for u in range(10, 20):  # still-open: Jan 29, 06:00 -> 12:00
+            for h in (6, 12):
+                rows.append((eid, dt.datetime(2024, 1, 29, h), u, "view", 1.0))
+                eid += 1
+        _plant_events(spark, tmp_path, rows)
+        out = QUERIES["events_survival_km"](spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.t == 3
+        assert r.n_risk == 20
+        assert r.n_churned == 10
+        assert r.survival == pytest.approx(0.5)
+
+    def test_curve_is_monotone(self, spark, sf_dir):
+        out = sorted(
+            QUERIES["events_survival_km"](spark, sf_dir).collect(),
+            key=lambda r: r.t,
+        )
+        assert len(out) > 0
+        surv = [r.survival for r in out]
+        assert surv == sorted(surv, reverse=True)
+        risks = [r.n_risk for r in out]
+        assert risks == sorted(risks, reverse=True)
+        for r in out:
+            assert 0.0 <= r.survival <= 1.0
