@@ -200,6 +200,8 @@ HEADLINE = [
     "text_kneser_ney_logprob",
     "graph_trustrank_seeds",
     "events_survival_km",
+    "text_cluster_topics",
+    "text_heaps_law",
 ]
 
 

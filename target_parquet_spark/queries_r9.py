@@ -1584,3 +1584,261 @@ def events_survival_km(spark, sf_dir):
         F.col("d").alias("n_churned"),
         F.round(F.exp(F.col("cum") / 1000000.0), 4).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# topic labeling for embedding clusters (BERTopic's c-TF-IDF step)
+# ---------------------------------------------------------------------------
+
+_TOPIC_K = 8
+_TOPIC_TOP = 3
+
+
+def _sql_cluster_topics() -> str:
+    from target_parquet_spark.queries_ext import _sql_kmeans_ctes
+
+    # a2 (the trainer's last assignment) is against the ROUND-1
+    # centroids; the shipped model assigns against the FINAL c2 — replay
+    # that extra assignment here, exactly as ivf_cell does.
+    d_fin = (
+        f"-({_SQL_DOT.format(a='e.embedding', b='c.c')}"
+        f" / sqrt({_SQL_DOT.format(a='c.c', b='c.c')}))"
+    )
+    return f"""
+    WITH {_sql_kmeans_ctes(iters=2, k=_TOPIC_K, metric='cos')},
+    dfin AS (SELECT e.vec_id, c.k, {d_fin} AS d
+             FROM embeddings e CROSS JOIN c2 c),
+    afin AS (SELECT vec_id, k FROM (
+               SELECT vec_id, k,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, k) AS rn
+               FROM dfin) WHERE rn = 1),
+    tok AS (
+      SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS term
+      FROM documents),
+    j AS (SELECT a.k AS cluster, t.term
+          FROM afin a JOIN tok t ON t.doc_id = a.vec_id),
+    tf AS (SELECT cluster, term, CAST(count(*) AS BIGINT) AS tf
+           FROM j GROUP BY cluster, term),
+    fw AS (SELECT term, CAST(sum(tf) AS BIGINT) AS fw FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(tf) AS BIGINT) AS s FROM tf),
+    sc AS (SELECT cluster, term, tf,
+                  CAST(round(tf * ln(1.0 + (1.0 * s / {_TOPIC_K}) / fw)
+                             * 1000000) AS BIGINT) AS sc_micro
+           FROM tf JOIN fw USING (term) CROSS JOIN tot),
+    rk AS (SELECT cluster, term, sc_micro,
+                  CAST(row_number() OVER (PARTITION BY cluster
+                                          ORDER BY sc_micro DESC, term)
+                       AS INTEGER) AS rank
+           FROM sc)
+    SELECT cluster, rank, term,
+           round(sc_micro / 1000000.0, 4) AS ctfidf
+    FROM rk WHERE rank <= {_TOPIC_TOP}
+    """
+
+
+@query("text_cluster_topics", _sql_cluster_topics())
+def text_cluster_topics(spark, sf_dir):
+    """Topic labeling for embedding clusters — BERTopic's c-TF-IDF step
+    (Grootendorst 2022): spherical k-means over the embeddings (K=8,
+    2 Lloyd rounds, the shared trained-codebook seam), then for each
+    cluster the top-3 most DISTINCTIVE terms of its documents by
+    class-based TF-IDF: tf_{{w,c}} * ln(1 + A / f_w), A = average
+    tokens per class.  Embedding row vec_id carries the text of
+    document doc_id = vec_id (the corpus pairing).  This is the label
+    that turns an opaque cluster id into something a curation reviewer
+    can read.
+
+    Determinism: cluster assignment replays the kmeans oracle CTEs
+    (6dp-quantized centroids, (d, k) tie-break); c-TF-IDF scores are
+    micro-quantized before the per-cluster rank with a term tie-break.
+
+    Plan shape for 100 TB: training as kmeans_codebook (K-row state);
+    assignment is a scan-stage argmax; the token join shuffles the word
+    stream once on doc_id; tf is (cluster x vocab)-bounded and the
+    rank window partitions by cluster."""
+    from target_parquet_spark.operators import similarity as S2
+
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = S2.kmeans_codebook(emb, n_centroids=_TOPIC_K, n_iters=2, metric="cos")
+    assign = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        S2.ivf_cell(F.col("embedding"), cb).alias("cluster"),
+    )
+    tok = td(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    j = assign.join(tok, "doc_id").select("cluster", "term")
+    tf = j.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    fw = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("fw"))
+    tot = tf.agg(F.sum("tf").cast("long").alias("s"))
+    sc = (
+        tf.join(fw, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.lit(1.0) * F.col("s") / _TOPIC_K) / F.col("fw")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("sc_micro"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("sc_micro"), F.asc("term"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPIC_TOP)
+        .select(
+            "cluster",
+            "rank",
+            "term",
+            F.round(F.col("sc_micro") / 1000000.0, 4).alias("ctfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth audit
+# ---------------------------------------------------------------------------
+
+_HEAPS_BUCKETS = 10
+
+
+@query(
+    "text_heaps_law",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM d),
+    tk AS (
+      SELECT doc_id, {X.SQL_HASH60.format(c='tok')} AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM d)),
+    fo AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS fd FROM tk GROUP BY h),
+    tok_b AS (
+      SELECT CAST(floor(t.doc_id * {_HEAPS_BUCKETS}.0 / n.n) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM tk t CROSS JOIN nn n GROUP BY b),
+    voc_b AS (
+      SELECT CAST(floor(f.fd * {_HEAPS_BUCKETS}.0 / n.n) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS v
+      FROM fo f CROSS JOIN nn n GROUP BY b),
+    spine AS (SELECT CAST(i AS BIGINT) AS b
+              FROM range(0, {_HEAPS_BUCKETS}) r(i)),
+    cum AS (
+      SELECT s.b,
+             CAST(sum(coalesce(tb.c, 0)) OVER (ORDER BY s.b) AS BIGINT)
+               AS tokens_cum,
+             CAST(sum(coalesce(vb.v, 0)) OVER (ORDER BY s.b) AS BIGINT)
+               AS vocab_cum
+      FROM spine s
+      LEFT JOIN tok_b tb ON tb.b = s.b
+      LEFT JOIN voc_b vb ON vb.b = s.b),
+    lg AS (
+      SELECT b, tokens_cum, vocab_cum,
+             CAST(round(ln(tokens_cum) * 1000000) AS BIGINT) AS lx,
+             CAST(round(ln(vocab_cum) * 1000000) AS BIGINT) AS ly
+      FROM cum),
+    fit AS (
+      SELECT round((1.0 * count(*) * sum(lx * ly) - 1.0 * sum(lx) * sum(ly))
+                   / (1.0 * count(*) * sum(lx * lx)
+                      - 1.0 * sum(lx) * sum(lx)), 4) AS beta
+      FROM lg)
+    SELECT CAST(l.b + 1 AS BIGINT) AS decile, l.tokens_cum, l.vocab_cum,
+           f.beta
+    FROM lg l CROSS JOIN fit f
+    """,
+)
+def text_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth audit: cumulative distinct-token
+    count V(N) at ten corpus prefixes (doc_id deciles) plus the fitted
+    growth exponent beta from a log-log least-squares over the ten
+    points (V ~ K * N^beta; natural text sits near beta ~ 0.5).  The
+    curve tells a pipeline whether vocabulary is still growing (novel
+    content keeps arriving) or saturating (the crawl is recycling) —
+    the corpus-level complement to text_novelty_curve's per-batch view.
+
+    Determinism: "first occurrence" is min(doc_id) per 60-bit token
+    hash (exact); prefix totals are exact integer window sums over the
+    ten-bucket spine; each log is micro-quantized before the power sums
+    in the closed-form slope.
+
+    Plan shape for 100 TB: one token-hash shuffle for first
+    occurrences, one scan-stage bucket assignment; everything after
+    runs on the TEN-row bucket table (metadata-sized windows and fit).
+    The min(doc_id) aggregate partial-combines map-side, so the
+    vocabulary table is touched once."""
+    from pyspark.sql import Window as W
+
+    d = td(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    )
+    nn = d.agg((F.max("doc_id") + 1).cast("long").alias("n"))
+    tk = d.select("doc_id", F.explode("t").alias("tok")).select(
+        "doc_id", X.hash60(F.col("tok")).alias("h")
+    )
+    fo = tk.groupBy("h").agg(F.min("doc_id").cast("long").alias("fd"))
+    bucket = lambda c: F.floor(c * float(_HEAPS_BUCKETS) / F.col("n")).cast(
+        "long"
+    )
+    tok_b = (
+        tk.crossJoin(F.broadcast(nn))
+        .groupBy(bucket(F.col("doc_id")).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    voc_b = (
+        fo.crossJoin(F.broadcast(nn))
+        .groupBy(bucket(F.col("fd")).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    spine = spark.range(_HEAPS_BUCKETS).select(F.col("id").cast("long").alias("b"))
+    w_cum = W.orderBy(F.asc("b")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = (
+        spine.join(tok_b, "b", "left")
+        .join(voc_b, "b", "left")
+        .select(
+            "b",
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)))
+            .over(w_cum)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+    )
+    lg = cum.select(
+        "b",
+        "tokens_cum",
+        "vocab_cum",
+        F.round(F.log("tokens_cum") * 1000000).cast("long").alias("lx"),
+        F.round(F.log("vocab_cum") * 1000000).cast("long").alias("ly"),
+    )
+    n_, lx, ly = F.count(F.lit(1)), F.col("lx"), F.col("ly")
+    fit = lg.agg(
+        F.round(
+            (
+                F.lit(1.0) * n_ * F.sum(lx * ly)
+                - F.lit(1.0) * F.sum(lx) * F.sum(ly)
+            )
+            / (
+                F.lit(1.0) * n_ * F.sum(lx * lx)
+                - F.lit(1.0) * F.sum(lx) * F.sum(lx)
+            ),
+            4,
+        ).alias("beta")
+    )
+    return lg.crossJoin(F.broadcast(fit)).select(
+        (F.col("b") + 1).cast("long").alias("decile"),
+        "tokens_cum",
+        "vocab_cum",
+        "beta",
+    )

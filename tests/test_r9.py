@@ -594,3 +594,76 @@ class TestSurvivalKm:
         assert risks == sorted(risks, reverse=True)
         for r in out:
             assert 0.0 <= r.survival <= 1.0
+
+
+class TestClusterTopics:
+    def test_planted_clusters_get_their_own_vocabulary(self, spark, tmp_path):
+        """Two well-separated embedding clusters whose documents use
+        disjoint vocabularies: each cluster's top terms must come from
+        its own vocabulary only."""
+        rows, docs = [], []
+        for i in range(12):
+            # cluster A near e1, cluster B near e2 (seeds 0..7 span both)
+            if i % 2 == 0:
+                rows.append((i, _vec([1.0, 0.01 * i]), 0))
+                docs.append((i, "en", "apple banana cherry apple banana"))
+            else:
+                rows.append((i, _vec([0.01 * i, 1.0]), 1))
+                docs.append((i, "en", "quark gluon lepton quark gluon"))
+        _plant_embeddings(spark, tmp_path, rows)
+        _plant_docs(spark, tmp_path, docs)
+        out = QUERIES["text_cluster_topics"](spark, str(tmp_path)).collect()
+        fruit = {"apple", "banana", "cherry"}
+        physics = {"quark", "gluon", "lepton"}
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(r.term)
+        for terms in by_cluster.values():
+            assert terms <= fruit or terms <= physics
+        # both vocabularies must surface somewhere
+        all_terms = set().union(*by_cluster.values())
+        assert all_terms & fruit and all_terms & physics
+
+    def test_ranks_and_bounds(self, spark, sf_dir):
+        out = QUERIES["text_cluster_topics"](spark, sf_dir).collect()
+        assert len(out) > 0
+        per = {}
+        for r in out:
+            per.setdefault(r.cluster, []).append(r.rank)
+            assert r.ctfidf > 0
+        for ranks in per.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+class TestHeapsLaw:
+    def test_growing_vocabulary_fits_high_beta(self, spark, tmp_path):
+        """Every document introduces fresh tokens: V grows ~linearly in
+        N, so the fitted exponent must be near 1."""
+        docs = []
+        for i in range(40):
+            fresh = f"tok{2 * i} tok{2 * i + 1}"
+            docs.append((i, "en", f"the and {fresh}"))
+        _plant_docs(spark, tmp_path, docs)
+        out = sorted(
+            QUERIES["text_heaps_law"](spark, str(tmp_path)).collect(),
+            key=lambda r: r.decile,
+        )
+        assert len(out) == 10
+        vocab = [r.vocab_cum for r in out]
+        assert vocab == sorted(vocab)
+        assert vocab[-1] > vocab[0]
+        assert out[0].beta > 0.8
+
+    def test_saturated_corpus_reports_zero_growth(self, spark, sf_dir):
+        """The synthetic corpus has a tiny closed vocabulary: every type
+        appears in the first decile, so the audit must report a flat
+        curve (beta ~ 0) — the 'crawl is recycling' signal."""
+        out = sorted(
+            QUERIES["text_heaps_law"](spark, sf_dir).collect(),
+            key=lambda r: r.decile,
+        )
+        assert len(out) == 10
+        toks = [r.tokens_cum for r in out]
+        assert toks == sorted(toks) and toks[0] > 0
+        assert out[0].beta == pytest.approx(out[-1].beta)
+        assert abs(out[0].beta) < 0.2
