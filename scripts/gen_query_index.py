@@ -22,9 +22,12 @@ def main() -> int:
     by_module: dict[str, list[tuple[str, str]]] = {}
     for name, fn in qs.items():
         doc = " ".join((fn.__doc__ or "").split())
-        if ". " in doc:
-            doc = doc.split(". ")[0]
-        doc = doc.rstrip(".")
+        # ". " inside "et al. 2022" is not a sentence boundary — shield
+        # citation dots before splitting, restore after
+        shielded = doc.replace("et al. ", "et al.\x00")
+        if ". " in shielded:
+            shielded = shielded.split(". ")[0]
+        doc = shielded.replace("\x00", " ").rstrip(".")
         mod = fn.__module__.rsplit(".", 1)[-1]
         by_module.setdefault(mod, []).append((name, doc))
 

@@ -26,6 +26,57 @@ from target_parquet_spark.operators.dedup import lineage_cut
 __all__ = ["pagerank", "personalized_pagerank", "lpa_communities"]
 
 
+
+def _edge_node_tables(edges, src, dst, weight, checkpoint_dir):
+    """Normalize (u, v, w) edges and derive the distinct node table —
+    the shared front half of every power-iteration rank op."""
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = lineage_cut(
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
+        ),
+        checkpoint_dir,
+    )
+    nodes = lineage_cut(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    return e, nodes
+
+
+def _rank_loop(e, base, init, update, iters, checkpoint_dir):
+    """The shared power-iteration body: per round, one src-key join +
+    one dst groupBy, then ``update(coalesced contribution)`` over
+    ``base`` (the node table plus any state columns, e.g. the teleport
+    vector).  ``init``/``update`` carry each caller's EXACT expression
+    tree — pagerank's scalar-teleport arithmetic and TrustRank's
+    (1-d)*tp form stay bit-identical to their oracles."""
+    outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
+    ranks = base.select("node", init.alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(outw, "u")
+            .join(ranks, ranks["node"] == e["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("outw") * F.col("w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = lineage_cut(
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                update(F.coalesce("c", F.lit(0.0))).alias("rank"),
+            ),
+            checkpoint_dir,
+        )
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -49,50 +100,19 @@ def pagerank(
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    w = F.col(weight) if weight else F.lit(1.0)
-    e = lineage_cut(
-        edges.select(
-            F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
-        ),
-        checkpoint_dir,
-    )
-
-    nodes = lineage_cut(
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct(),
-        checkpoint_dir,
-    )
+    e, nodes = _edge_node_tables(edges, src, dst, weight, checkpoint_dir)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-
-    outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    for _ in range(iters):
-        contrib = (
-            e.join(outw, "u")
-            .join(ranks, ranks["node"] == e["u"])
-            .select(
-                F.col("v").alias("node"),
-                (F.col("rank") / F.col("outw") * F.col("w")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = lineage_cut(
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                ).alias("rank"),
-            ),
-            checkpoint_dir,
-        )
-    return ranks
+    return _rank_loop(
+        e,
+        nodes,
+        F.lit(1.0 / n),
+        lambda c: F.lit(teleport) + F.lit(damping) * c,
+        iters,
+        checkpoint_dir,
+    )
 
 
 def lpa_communities(
@@ -174,19 +194,7 @@ def personalized_pagerank(
     shuffle.  The seed count is collected once (bounded scalar)."""
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    w = F.col(weight) if weight else F.lit(1.0)
-    e = lineage_cut(
-        edges.select(
-            F.col(src).alias("u"), F.col(dst).alias("v"), w.cast("double").alias("w")
-        ),
-        checkpoint_dir,
-    )
-    nodes = lineage_cut(
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct(),
-        checkpoint_dir,
-    )
+    e, nodes = _edge_node_tables(edges, src, dst, weight, checkpoint_dir)
     sd = nodes.join(seeds.select(F.col("node")), "node")
     n_seeds = sd.count()
     if n_seeds == 0:
@@ -197,28 +205,11 @@ def personalized_pagerank(
         .otherwise(F.lit(0.0))
         .alias("tp"),
     )
-    outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
-    ranks = t0.select("node", F.col("tp").alias("rank"))
-    for _ in range(iters):
-        contrib = (
-            e.join(outw, "u")
-            .join(ranks, ranks["node"] == e["u"])
-            .select(
-                F.col("v").alias("node"),
-                (F.col("rank") / F.col("outw") * F.col("w")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = lineage_cut(
-            t0.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("tp")
-                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                ).alias("rank"),
-            ),
-            checkpoint_dir,
-        )
-    return ranks
+    return _rank_loop(
+        e,
+        t0,
+        F.col("tp"),
+        lambda c: F.lit(1.0 - damping) * F.col("tp") + F.lit(damping) * c,
+        iters,
+        checkpoint_dir,
+    )

@@ -449,21 +449,45 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
-def _sql_pagerank_ctes(iters: int = 5, damping: float = 0.85) -> str:
+def _sql_pagerank_ctes(
+    iters: int = 5, damping: float = 0.85, seed_where: str | None = None
+) -> str:
     """Unrolled power-iteration CTE chain over the `pairs` CTE — the
     DuckDB twin of operators/graph.pagerank on the symmetrized
     similarity graph.  All literals are ::DOUBLE (a bare 1.0 is DECIMAL
-    in DuckDB, whose division semantics would diverge from Spark)."""
+    in DuckDB, whose division semantics would diverge from Spark).
+
+    ``seed_where`` switches to PERSONALIZED pagerank (the twin of
+    operators/graph.personalized_pagerank): the teleport vector is
+    uniform over the nodes matching the predicate instead of uniform
+    over all nodes, and the update uses (1-d)*tp — matching the Spark
+    operator's expression tree exactly.  ONE builder for both forms so
+    the chain (and its ::DOUBLE discipline) cannot drift between the
+    dupweb, TextRank, and TrustRank consumers."""
     d = repr(damping)
     parts = [
         """e AS (SELECT id_a AS u, id_b AS v, jaccard AS w FROM pairs
             UNION ALL
             SELECT id_b AS u, id_a AS v, jaccard AS w FROM pairs)""",
         "nd AS (SELECT DISTINCT u AS node FROM e)",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd)",
-        "ow AS (SELECT u, sum(w) AS outw FROM e GROUP BY u)",
-        "r0 AS (SELECT node, 1.0::DOUBLE / n.n AS rank FROM nd, nn n)",
     ]
+    if seed_where is None:
+        parts += [
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd)",
+            "ow AS (SELECT u, sum(w) AS outw FROM e GROUP BY u)",
+            "r0 AS (SELECT node, 1.0::DOUBLE / n.n AS rank FROM nd, nn n)",
+        ]
+    else:
+        parts += [
+            f"sd AS (SELECT node FROM nd WHERE {seed_where})",
+            "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd)",
+            "ow AS (SELECT u, sum(w) AS outw FROM e GROUP BY u)",
+            """t0 AS (SELECT nd.node,
+                 CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE / ns.n
+                      ELSE 0.0::DOUBLE END AS tp
+          FROM nd LEFT JOIN sd s USING (node) CROSS JOIN ns)""",
+            "r0 AS (SELECT node, tp AS rank FROM t0)",
+        ]
     for k in range(1, iters + 1):
         parts.append(
             f"""c{k} AS (SELECT e.v AS node, sum(r.rank / ow.outw * e.w) AS c
@@ -471,13 +495,21 @@ def _sql_pagerank_ctes(iters: int = 5, damping: float = 0.85) -> str:
                        JOIN r{k - 1} r ON r.node = e.u
                 GROUP BY e.v)"""
         )
-        parts.append(
-            f"""r{k} AS (SELECT nd.node,
+        if seed_where is None:
+            parts.append(
+                f"""r{k} AS (SELECT nd.node,
                        (1.0::DOUBLE - {d}::DOUBLE) / n.n
                          + {d}::DOUBLE * coalesce(c{k}.c, 0.0::DOUBLE) AS rank
                 FROM nd CROSS JOIN nn n
                 LEFT JOIN c{k} ON c{k}.node = nd.node)"""
-        )
+            )
+        else:
+            parts.append(
+                f"""r{k} AS (SELECT t0.node,
+                       (1.0::DOUBLE - {d}::DOUBLE) * t0.tp
+                         + {d}::DOUBLE * coalesce(c{k}.c, 0.0::DOUBLE) AS rank
+                FROM t0 LEFT JOIN c{k} ON c{k}.node = t0.node)"""
+            )
     return ",\n    ".join(parts)
 
 

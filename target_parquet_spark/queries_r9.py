@@ -588,9 +588,12 @@ _VM = "CAST(round(value * 1000000) AS BIGINT)"
                  CAST(sum(xc * xc) AS BIGINT) AS sxx,
                  CAST(sum(xc * yc) AS BIGINT) AS sxy
           FROM pu),
-    th AS (SELECT round((1.0 * sxy / n - (1.0 * sx / n) * (1.0 * sy / n))
+    th AS (SELECT CASE WHEN 1.0 * sxx / n
+                            - (1.0 * sx / n) * (1.0 * sx / n) > 0 THEN
+                    round((1.0 * sxy / n - (1.0 * sx / n) * (1.0 * sy / n))
                         / (1.0 * sxx / n - (1.0 * sx / n) * (1.0 * sx / n)),
-                        6) AS theta,
+                        6)
+                  ELSE 0.0 END AS theta,
                   round(sx / (100.0 * n), 6) AS mx
            FROM g),
     adj AS (SELECT arm, yc,
@@ -607,17 +610,24 @@ _VM = "CAST(round(value * 1000000) AS BIGINT)"
            CAST(n AS BIGINT) AS n_users,
            round(s1 / (100.0 * n), 4) AS mean_metric,
            round(a1 / (100.0 * n), 4) AS mean_adjusted,
-           round((s2 / (10000.0 * n)
+           CASE WHEN n > 1 THEN
+             round((s2 / (10000.0 * n)
                   - (s1 / (100.0 * n)) * (s1 / (100.0 * n))) * n / (n - 1), 4)
-             AS var_metric,
-           round((a2 / (10000.0 * n)
+           ELSE 0.0 END AS var_metric,
+           CASE WHEN n > 1 THEN
+             round((a2 / (10000.0 * n)
                   - (a1 / (100.0 * n)) * (a1 / (100.0 * n))) * n / (n - 1), 4)
-             AS var_adjusted,
-           round(100.0 * (1 - (a2 / (10000.0 * n)
+           ELSE 0.0 END AS var_adjusted,
+           CASE WHEN n > 1 THEN
+             CASE WHEN s2 / (10000.0 * n)
+                       - (s1 / (100.0 * n)) * (s1 / (100.0 * n)) > 0 THEN
+               round(100.0 * (1 - (a2 / (10000.0 * n)
                                - (a1 / (100.0 * n)) * (a1 / (100.0 * n)))
                               / (s2 / (10000.0 * n)
                                  - (s1 / (100.0 * n)) * (s1 / (100.0 * n)))),
-                 4) AS var_reduction_pct
+                 4)
+             ELSE 0.0 END
+           ELSE 0.0 END AS var_reduction_pct
     FROM s
     """,
 )
@@ -678,11 +688,16 @@ def events_cuped_adjustment(spark, sf_dir):
     one = F.lit(1.0)
     n_, sx, sy, sxx, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy"))
     th = g.select(
-        F.round(
-            (one * sxy / n_ - (one * sx / n_) * (one * sy / n_))
-            / (one * sxx / n_ - (one * sx / n_) * (one * sx / n_)),
-            6,
-        ).alias("theta"),
+        F.when(
+            one * sxx / n_ - (one * sx / n_) * (one * sx / n_) > 0,
+            F.round(
+                (one * sxy / n_ - (one * sx / n_) * (one * sy / n_))
+                / (one * sxx / n_ - (one * sx / n_) * (one * sx / n_)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
         F.round(sx / (100.0 * n_), 6).alias("mx"),
     )
     adj = pu.crossJoin(F.broadcast(th)).select(
@@ -710,22 +725,28 @@ def events_cuped_adjustment(spark, sf_dir):
     mean_adj = a1 / (100.0 * n)
     var_raw = (s2 / (10000.0 * n) - mean_raw * mean_raw) * n / (n - 1)
     var_adj = (a2 / (10000.0 * n) - mean_adj * mean_adj) * n / (n - 1)
+    pop_var_raw = s2 / (10000.0 * n) - mean_raw * mean_raw
+    pop_var_adj = a2 / (10000.0 * n) - mean_adj * mean_adj
     return s.select(
         "arm",
         n.cast("long").alias("n_users"),
         F.round(mean_raw, 4).alias("mean_metric"),
         F.round(mean_adj, 4).alias("mean_adjusted"),
-        F.round(var_raw, 4).alias("var_metric"),
-        F.round(var_adj, 4).alias("var_adjusted"),
-        F.round(
-            100.0
-            * (
-                1
-                - (a2 / (10000.0 * n) - mean_adj * mean_adj)
-                / (s2 / (10000.0 * n) - mean_raw * mean_raw)
-            ),
-            4,
-        ).alias("var_reduction_pct"),
+        F.when(n > 1, F.round(var_raw, 4)).otherwise(F.lit(0.0)).alias(
+            "var_metric"
+        ),
+        F.when(n > 1, F.round(var_adj, 4)).otherwise(F.lit(0.0)).alias(
+            "var_adjusted"
+        ),
+        F.when(
+            n > 1,
+            F.when(
+                pop_var_raw > 0,
+                F.round(100.0 * (1 - pop_var_adj / pop_var_raw), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_reduction_pct"),
     )
 
 
@@ -941,32 +962,59 @@ def text_bpe_fertility(spark, sf_dir):
 _MRL_DIMS = (8, 16, 32, 64)
 
 
+def _sql_cos_micro_safe(a: str, b: str) -> str:
+    """Zero-norm-safe micro cosine: a zero vector (likely for TRUNCATED
+    prefixes) ranks at sentinel -2e6 instead of dividing by zero —
+    Spark's ANSI mode would raise, DuckDB would emit NaN."""
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0 THEN "
+        + _sql_cos_micro(a, b)
+        + " ELSE -2000000 END"
+    )
+
+
+def _cos_micro_safe(a, b):
+    """Spark twin of ``_sql_cos_micro_safe``."""
+    return (
+        F.when(
+            (S.dot(a, a) > 0) & (S.dot(b, b) > 0),
+            _cos_micro(a, b),
+        )
+        .otherwise(F.lit(-2000000))
+        .cast("long")
+    )
+
+
 def _sql_matryoshka() -> str:
-    truth_cos = _sql_cos_micro("e.embedding", "q.qv")
+    sims = ",\n             ".join(
+        _sql_cos_micro_safe(f"e.embedding[1:{d}]", f"q.qv[1:{d}]")
+        + f" AS s{d}"
+        for d in _MRL_DIMS
+    )
     parts = [
         f"""q AS (SELECT vec_id AS query_id, embedding AS qv
           FROM embeddings WHERE vec_id < {_HN_QUERIES}),
-    ex AS (SELECT q.query_id, e.vec_id, {truth_cos} AS sim_micro
+    pr AS (SELECT q.query_id, e.vec_id,
+             {sims}
            FROM embeddings e CROSS JOIN q
            WHERE e.vec_id <> q.query_id),
     truth AS (SELECT query_id, vec_id
               FROM (SELECT query_id, vec_id,
                            row_number() OVER (PARTITION BY query_id
-                                              ORDER BY sim_micro DESC, vec_id)
-                             AS rank
-                    FROM ex)
+                                              ORDER BY s{max(_MRL_DIMS)}
+                                                DESC, vec_id) AS rank
+                    FROM pr)
               WHERE rank <= {_RM_K})"""
     ]
     selects = []
     for d in _MRL_DIMS:
-        cos_d = _sql_cos_micro(f"e.embedding[1:{d}]", f"q.qv[1:{d}]")
         parts.append(
             f"""r{d} AS (SELECT query_id, vec_id,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY sim_micro DESC, vec_id) AS rank
-        FROM (SELECT q.query_id, e.vec_id, {cos_d} AS sim_micro
-              FROM embeddings e CROSS JOIN q
-              WHERE e.vec_id <> q.query_id))"""
+                                  ORDER BY s{d} DESC, vec_id) AS rank
+        FROM pr)"""
         )
         parts.append(
             f"""h{d} AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits
@@ -993,18 +1041,18 @@ def sim_matryoshka_recall(spark, sf_dir):
     The curve tells a pipeline how far it can truncate stored vectors
     (4x-8x memory/bandwidth savings at serving time) before retrieval
     quality collapses — the d=64 row is the identity check (recall 1.0
-    by construction).
+    by construction: truth ranks by the same s64 column).
 
     Determinism: every ranking uses micro-quantized cosine with the
-    vec_id tie-break; the truncated cosine re-normalizes over the
-    truncated prefix in BOTH engines (array slice, then the shared
-    dot/norm fold).
+    vec_id tie-break; a zero-norm truncated prefix scores the -2e6
+    sentinel (ranks last) in BOTH engines instead of dividing by zero
+    (Spark ANSI would raise, DuckDB would emit NaN).
 
-    Plan shape for 100 TB: each dim level is one broadcast
-    (query-block) scan over the corpus — scans stack linearly in the
-    number of audited levels, never quadratically in data; at scale the
-    scan side is the IVF-pruned candidate set and the audit reuses one
-    cached scan with four sliced projections."""
+    Plan shape for 100 TB: ONE broadcast (query-block) scan computes
+    all four truncated sims as sibling projections of the same pair
+    stream — audit levels add projected columns, not corpus passes —
+    then one rank window per level over the shared exchange.  At scale
+    the scan side is the IVF-pruned candidate set."""
     emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = F.broadcast(
         emb.filter(F.col("vec_id") < _HN_QUERIES).select(
@@ -1012,32 +1060,37 @@ def sim_matryoshka_recall(spark, sf_dir):
             F.col("embedding").alias("_qv"),
         )
     )
-    pairs = emb.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim_micro"), F.asc("vec_id")
-    )
-    truth = (
-        pairs.select(
+    pr = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
             "query_id",
             "vec_id",
-            _cos_micro(F.col("embedding"), F.col("_qv")).alias("sim_micro"),
+            *[
+                _cos_micro_safe(
+                    F.slice(F.col("embedding"), 1, d),
+                    F.slice(F.col("_qv"), 1, d),
+                ).alias(f"s{d}")
+                for d in _MRL_DIMS
+            ],
         )
-        .withColumn("rank", F.row_number().over(w))
+    )
+    w_truth = Window.partitionBy("query_id").orderBy(
+        F.desc(f"s{max(_MRL_DIMS)}"), F.asc("vec_id")
+    )
+    truth = (
+        pr.withColumn("rank", F.row_number().over(w_truth))
         .filter(F.col("rank") <= _RM_K)
         .select("query_id", "vec_id")
     )
     out = None
     for d in _MRL_DIMS:
+        w_d = Window.partitionBy("query_id").orderBy(
+            F.desc(f"s{d}"), F.asc("vec_id")
+        )
         rd = (
-            pairs.select(
-                "query_id",
-                "vec_id",
-                _cos_micro(
-                    F.slice(F.col("embedding"), 1, d),
-                    F.slice(F.col("_qv"), 1, d),
-                ).alias("sim_micro"),
-            )
-            .withColumn("rank", F.row_number().over(w))
+            pr.select("query_id", "vec_id", f"s{d}")
+            .withColumn("rank", F.row_number().over(w_d))
             .filter(F.col("rank") <= _RM_K)
         )
         hd = rd.join(truth, ["query_id", "vec_id"]).groupBy("query_id").agg(
@@ -1091,7 +1144,8 @@ def sim_matryoshka_recall(spark, sf_dir):
            round(s1_a / (100.0 * n_a), 4) AS mean_delta_a,
            round(s1_b / (100.0 * n_b), 4) AS mean_delta_b,
            round(s1_b / (100.0 * n_b) - s1_a / (100.0 * n_a), 4) AS did,
-           CASE WHEN ((s2_a / (10000.0 * n_a)
+           CASE WHEN n_a > 1 AND n_b > 1 THEN
+             CASE WHEN ((s2_a / (10000.0 * n_a)
                        - (s1_a / (100.0 * n_a)) * (s1_a / (100.0 * n_a)))
                       * n_a / (n_a - 1)) / n_a
                      + ((s2_b / (10000.0 * n_b)
@@ -1104,7 +1158,8 @@ def sim_matryoshka_recall(spark, sf_dir):
                         + ((s2_b / (10000.0 * n_b)
                             - (s1_b / (100.0 * n_b)) * (s1_b / (100.0 * n_b)))
                            * n_b / (n_b - 1)) / n_b), 4)
-                ELSE 0.0 END AS welch_t
+                ELSE 0.0 END
+           ELSE 0.0 END AS welch_t
     FROM ab
     """,
 )
@@ -1116,8 +1171,9 @@ def events_did_estimate(spark, sf_dir):
     treatment effect from a shared time trend — on this A/A-like split
     the DiD should be (and is) statistically indistinguishable from 0.
 
-    Determinism: a degenerate zero-variance split (possible on planted
-    panels) yields t = 0.0 by an explicit guard in BOTH engines — under
+    Determinism: a degenerate split — zero pooled variance OR a
+    one-user arm (whose Bessel divisor is 0) — yields t = 0.0 by
+    nested explicit guards in BOTH engines — under
     Spark 4's ANSI mode an unguarded division by zero is a runtime
     error, and DuckDB would return inf.  Otherwise the same
     integer-cents pipeline as events_cuped_adjustment — per-user sums micro-exact, deltas exact
@@ -1177,10 +1233,13 @@ def events_did_estimate(spark, sf_dir):
         F.round(mean_b, 4).alias("mean_delta_b"),
         F.round(mean_b - mean_a, 4).alias("did"),
         F.when(
-            var_a / n_a + var_b / n_b > 0,
-            F.round(
-                (mean_b - mean_a) / F.sqrt(var_a / n_a + var_b / n_b), 4
-            ),
+            (n_a > 1) & (n_b > 1),
+            F.when(
+                var_a / n_a + var_b / n_b > 0,
+                F.round(
+                    (mean_b - mean_a) / F.sqrt(var_a / n_a + var_b / n_b), 4
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .otherwise(F.lit(0.0))
         .alias("welch_t"),
@@ -1337,39 +1396,15 @@ _PPR_D = 0.85
 
 
 def _sql_ppr_ctes(iters: int = _PPR_ITERS, damping: float = _PPR_D) -> str:
-    """Unrolled personalized-PageRank CTE chain over the `pairs` CTE —
-    the DuckDB twin of operators/graph.personalized_pagerank with the
-    teleport vector uniform over the seed set (node % {mod} = 0).
-    Same ::DOUBLE literal discipline as _sql_pagerank_ctes."""
-    d = repr(damping)
-    parts = [
-        """e AS (SELECT id_a AS u, id_b AS v, jaccard AS w FROM pairs
-            UNION ALL
-            SELECT id_b AS u, id_a AS v, jaccard AS w FROM pairs)""",
-        "nd AS (SELECT DISTINCT u AS node FROM e)",
-        f"sd AS (SELECT node FROM nd WHERE node % {_PPR_SEED_MOD} = 0)",
-        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd)",
-        "ow AS (SELECT u, sum(w) AS outw FROM e GROUP BY u)",
-        """t0 AS (SELECT nd.node,
-                 CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE / ns.n
-                      ELSE 0.0::DOUBLE END AS tp
-          FROM nd LEFT JOIN sd s USING (node) CROSS JOIN ns)""",
-        "r0 AS (SELECT node, tp AS rank FROM t0)",
-    ]
-    for k in range(1, iters + 1):
-        parts.append(
-            f"""c{k} AS (SELECT e.v AS node, sum(r.rank / ow.outw * e.w) AS c
-                FROM e JOIN ow ON ow.u = e.u
-                       JOIN r{k - 1} r ON r.node = e.u
-                GROUP BY e.v)"""
-        )
-        parts.append(
-            f"""r{k} AS (SELECT t0.node,
-                       (1.0::DOUBLE - {d}::DOUBLE) * t0.tp
-                         + {d}::DOUBLE * coalesce(c{k}.c, 0.0::DOUBLE) AS rank
-                FROM t0 LEFT JOIN c{k} ON c{k}.node = t0.node)"""
-        )
-    return ",\n    ".join(parts)
+    """TrustRank twin via the SHARED pagerank CTE builder (queries_ext)
+    with a seed-teleport predicate — one chain definition for dupweb /
+    TextRank / TrustRank, per the no-drift convention."""
+    from target_parquet_spark.queries_ext import _sql_pagerank_ctes
+
+    return _sql_pagerank_ctes(
+        iters=iters, damping=damping,
+        seed_where=f"node % {_PPR_SEED_MOD} = 0",
+    )
 
 
 def _sql_trustrank() -> str:
@@ -1391,7 +1426,7 @@ def _sql_trustrank() -> str:
 def graph_trustrank_seeds(spark, sf_dir):
     """TrustRank (Gyongyi et al. 2004) over the near-dup similarity
     graph: personalized PageRank whose teleport vector is uniform over a
-    trusted seed set (every {mod}th doc) instead of uniform over all
+    trusted seed set (every 17th doc) instead of uniform over all
     nodes.  Rank mass flows outward from the seeds along similarity
     edges — components containing no seed stay at exactly 0, so the
     score doubles as a "connected to anything trusted?" indicator, the
@@ -1451,9 +1486,10 @@ _KM_CENSOR = "2024-01-29 00:00:00"
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) IS NULL
-                    OR ts - lag(ts) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)
-                       > INTERVAL {_KM_GAP_H} HOUR
+                    OR datediff('second',
+                                lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id),
+                                ts) > {_KM_GAP_H} * 3600
                   THEN 1 ELSE 0 END AS brk
       FROM events),
     sn AS (
@@ -1503,7 +1539,11 @@ def events_survival_km(spark, sf_dir):
     forcing a step.  The product is computed as exp of a cumulative sum
     of per-step log terms.
 
-    Determinism: each log term is micro-quantized BEFORE the cumulative
+    Determinism: the episode-break gap compares SECOND-boundary
+    differences in both engines (DuckDB datediff('second') == Spark's
+    truncated epoch-cast subtraction — a raw interval comparison would
+    diverge on gaps within a second of exactly 24h); each log term is
+    micro-quantized BEFORE the cumulative
     sum (exact integer window sum), so the running product is identical
     in both engines; the extinction step (d = n_at_risk) is floored at
     1e-12 in both, rounding survival to 0.0 instead of ln(0).
@@ -1643,7 +1683,7 @@ def text_cluster_topics(spark, sf_dir):
     (Grootendorst 2022): spherical k-means over the embeddings (K=8,
     2 Lloyd rounds, the shared trained-codebook seam), then for each
     cluster the top-3 most DISTINCTIVE terms of its documents by
-    class-based TF-IDF: tf_{{w,c}} * ln(1 + A / f_w), A = average
+    class-based TF-IDF: tf(w,c) * ln(1 + A / f_w), A = average
     tokens per class.  Embedding row vec_id carries the text of
     document doc_id = vec_id (the corpus pairing).  This is the label
     that turns an opaque cluster id into something a curation reviewer

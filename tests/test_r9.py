@@ -667,3 +667,25 @@ class TestHeapsLaw:
         assert toks == sorted(toks) and toks[0] > 0
         assert out[0].beta == pytest.approx(out[-1].beta)
         assert abs(out[0].beta) < 0.2
+
+
+class TestMatryoshkaZeroPrefix:
+    def test_zero_prefix_vector_ranks_last_not_crash(self, spark, tmp_path):
+        """A vector whose first-8 dims are all zero must take the -2e6
+        sentinel at d=8 (ranking last) instead of raising Spark's ANSI
+        divide-by-zero or DuckDB's NaN."""
+        base = _vec([1.0])
+        rows = [(k, [x * (k + 1.0) for x in base], 0) for k in range(12)]
+        # vec 12: zero head, signal only in the tail
+        rows.append((12, [0.0] * 8 + [1.0] + [0.0] * 55, 0))
+        _plant_embeddings(spark, tmp_path, rows)
+        out = {
+            r.dim: r
+            for r in QUERIES["sim_matryoshka_recall"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert set(out) == {8, 16, 32, 64}
+        assert out[64].mean_recall10 == pytest.approx(1.0)
+        for r in out.values():
+            assert 0.0 <= r.mean_recall10 <= 1.0
