@@ -35,6 +35,7 @@ import target_parquet_spark.queries_r6 as _qr6  # noqa: E402  (registers into _q
 import target_parquet_spark.queries_r7 as _qr7  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r8 as _qr8  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r9 as _qr9  # noqa: E402  (registers into _q)
+import target_parquet_spark.queries_r10 as _qr10  # noqa: E402  (registers into _q)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from target_parquet_spark.operators.dedup import lineage_cut
 
-__all__ = ["pagerank", "personalized_pagerank", "lpa_communities"]
+__all__ = ["pagerank", "personalized_pagerank", "lpa_communities", "hits"]
 
 
 
@@ -212,4 +212,90 @@ def personalized_pagerank(
         lambda c: F.lit(1.0 - damping) * F.col("tp") + F.lit(damping) * c,
         iters,
         checkpoint_dir,
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge
+    list; returns ``(node, hub_micro, auth_micro)`` after exactly
+    ``iters`` mutual-reinforcement rounds from the uniform start.
+    Edges are assumed unique (dedupe upstream if not — duplicates act
+    as weights).
+
+    Numeric contract: scores live in INTEGER micro-units end-to-end.
+    Per round the raw authority mass ``a_raw(v) = sum of hub_micro(u)
+    over in-edges`` is an exact BIGINT sum (order-independent, so the
+    Spark parallel sum and a serial oracle sum see identical numbers —
+    the reason L1 normalization is safe here where a float norm would
+    drift), then ``auth_micro = round(a_raw * 1e6 / sum(a_raw))``; the
+    hub half mirrors it over out-edges.  One float multiply+divide per
+    node per round on identical integers keeps both engines bit-equal.
+
+    Scale: per round, one src-key join + dst groupBy (authorities), one
+    dst-key join + src groupBy (hubs), and two 1-row integer totals
+    broadcast back — the same two-shuffle cost profile as
+    :func:`pagerank` with per-node state of two 8-byte ints.  Lineage
+    is cut per round (localCheckpoint) as in every iterative op here.
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    e = lineage_cut(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")),
+        checkpoint_dir,
+    )
+    nodes = lineage_cut(
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+
+    def _half(scores, key_in, key_out):
+        """One normalization half: pull scores across edges onto
+        ``key_out``, L1-normalize in micro-units."""
+        raw = (
+            e.join(scores, scores["node"] == e[key_in])
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum("score").cast("long").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").cast("long").alias("s"))
+        return lineage_cut(
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.when(
+                    F.col("s") > 0,
+                    F.round(
+                        F.coalesce(F.col("raw"), F.lit(0)) * 1000000.0
+                        / F.col("s")
+                    ).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("score"),
+            ),
+            checkpoint_dir,
+        )
+
+    hub = nodes.select("node", F.lit(1000000).cast("long").alias("score"))
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "u", "v")
+        hub = _half(auth, "v", "u")
+    return nodes.join(
+        hub.select("node", F.col("score").alias("hub_micro")), "node", "left"
+    ).join(
+        auth.select("node", F.col("score").alias("auth_micro")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.coalesce("hub_micro", F.lit(0)).cast("long").alias("hub_micro"),
+        F.coalesce("auth_micro", F.lit(0)).cast("long").alias("auth_micro"),
     )

@@ -1,0 +1,262 @@
+"""Planted-signal tests for the round-5 fourth-wave operators
+(queries_r10): HITS over the k-NN graph, RRF hybrid retrieval,
+binary-quantized Hamming ANN, and the Bayesian A/B read-out.
+
+Oracle hash-equality (scripts/check_oracle.py) is the primary gate;
+these tests pin SEMANTICS against independently-constructed inputs and
+independent Python replicas (the BPE-separator lesson: both engines can
+agree on a wrong answer).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import target_parquet_spark.queries_r10  # noqa: F401  (registers queries)
+from target_parquet_spark.queries import QUERIES
+
+
+def _vec(head, dim=64):
+    return [float(x) for x in head] + [0.0] * (dim - len(head))
+
+
+def _plant_embeddings(spark, tmp_path, rows):
+    (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/embeddings.parquet")
+    )
+
+
+class TestHitsOperator:
+    def _py_hits(self, edges, iters):
+        """Independent integer-micro HITS replica."""
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        hub = {n: 1000000 for n in nodes}
+        auth = {n: 0 for n in nodes}
+
+        def half(scores, forward):
+            raw = {n: 0 for n in nodes}
+            for u, v in edges:
+                if forward:
+                    raw[v] += scores[u]
+                else:
+                    raw[u] += scores[v]
+            s = sum(raw.values())
+            if s <= 0:
+                return {n: 0 for n in nodes}
+            # floor(x+0.5) = SQL half-up round for positives
+            return {
+                n: math.floor(raw[n] * 1000000.0 / s + 0.5) for n in nodes
+            }
+
+        for _ in range(iters):
+            auth = half(hub, True)
+            hub = half(auth, False)
+        return hub, auth
+
+    def test_matches_python_replica_exactly(self, spark):
+        from target_parquet_spark.operators.graph import hits
+
+        edges = [
+            (1, 10),
+            (2, 10),
+            (3, 10),
+            (1, 11),
+            (2, 11),
+            (10, 20),
+            (11, 20),
+            (20, 1),
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {
+            r.node: (r.hub_micro, r.auth_micro)
+            for r in hits(df, iters=3).collect()
+        }
+        hub, auth = self._py_hits(edges, 3)
+        assert out == {n: (hub[n], auth[n]) for n in hub}
+
+    def test_pure_hub_and_pure_authority(self, spark):
+        """A node with only out-edges has auth 0; one with only
+        in-edges has hub 0; the shared target dominates authority."""
+        from target_parquet_spark.operators.graph import hits
+
+        edges = [(1, 9), (2, 9), (3, 9), (1, 8)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {
+            r.node: (r.hub_micro, r.auth_micro)
+            for r in hits(df, iters=2).collect()
+        }
+        assert out[9][0] == 0 and out[9][1] > out[8][1]
+        for n in (1, 2, 3):
+            assert out[n][1] == 0
+        assert out[1][0] > out[2][0]  # node 1 points at both targets
+
+    def test_corpus_mass_conserved(self, spark, sf_dir):
+        out = QUERIES["graph_hits_knn"](spark, sf_dir).collect()
+        n = len(out)
+        assert n > 0
+        for col in ("hub_micro", "auth_micro"):
+            tot = sum(getattr(r, col) for r in out)
+            # each node's score is individually rounded: n/2 max drift
+            assert abs(tot - 1000000) <= max(n, 2)
+            assert all(getattr(r, col) >= 0 for r in out)
+
+
+class TestRrfHybrid:
+    def test_fused_score_recomputes(self, spark, sf_dir):
+        """rrf_micro is exactly the sum of the two quantized rank
+        terms, and the output is the top-20 by fused score."""
+        out = QUERIES["sim_rrf_hybrid"](spark, sf_dir).collect()
+        assert 0 < len(out) <= 20
+
+        def term(rank):
+            if rank is None:
+                return 0
+            return math.floor(1000000.0 / (60 + rank) + 0.5)
+
+        for r in out:
+            assert r.rrf_micro == term(r.lex_rank) + term(r.dense_rank)
+            assert r.doc_id != 0  # probe doc held out
+        scores = [r.rrf_micro for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_doc_in_both_lists_beats_single_list_docs(self, spark, sf_dir):
+        """Any doc present in both rankings at depth d outranks every
+        doc whose single rank is worse than d in its only list —
+        the fusion property RRF exists for."""
+        out = QUERIES["sim_rrf_hybrid"](spark, sf_dir).collect()
+        both = [r for r in out if r.lex_rank and r.dense_rank]
+        only = [r for r in out if (r.lex_rank is None) != (r.dense_rank is None)]
+        if both and only:
+            best_both = max(r.rrf_micro for r in both)
+            lone_rank_1 = math.floor(1000000.0 / 61 + 0.5)
+            # a doc ranked 1 in a single list can never beat a doc
+            # ranked <=30 in both lists
+            top = [r for r in both if r.lex_rank <= 30 and r.dense_rank <= 30]
+            for r in top:
+                assert r.rrf_micro > lone_rank_1 or best_both > lone_rank_1
+
+
+class TestBinaryHammingAnn:
+    def test_planted_sign_flips_count_exactly(self, spark, tmp_path):
+        """Vectors constructed at known Hamming distances from the
+        probe's sign mask come back in flip-count order."""
+        base = [1.0] * 64
+        rows = [(0, [float(x) for x in base], 0)]
+        for k in (1, 2, 3, 17, 40):
+            v = list(base)
+            for i in range(k):
+                v[i] = -1.0
+            rows.append((k, [float(x) for x in v], 0))
+        _plant_embeddings(spark, tmp_path, rows)
+        out = QUERIES["sim_binary_hamming_ann"](
+            spark, str(tmp_path)
+        ).collect()
+        got = {r.vec_id: r.hamming for r in out}
+        assert got == {1: 1, 2: 2, 3: 3, 17: 17, 40: 40}
+
+    def test_matches_numpy_replica_on_corpus(self, spark, sf_dir):
+        """Top-10 (hamming, vec_id) matches an independent numpy
+        sign-pack + popcount replica on the real embeddings."""
+        import numpy as np
+
+        out = [
+            (r.hamming, r.vec_id)
+            for r in QUERIES["sim_binary_hamming_ann"](
+                spark, sf_dir
+            ).collect()
+        ]
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        )
+        vecs = {r.vec_id: np.array(r.embedding) for r in emb}
+        qbits = vecs[0] > 0
+        dist = sorted(
+            (int(np.sum((v > 0) != qbits)), vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        )
+        assert out == dist[:10]
+
+    def test_zero_dims_pack_as_zero_bits(self, spark, tmp_path):
+        """A 0.0 dim is NOT positive — it lands on the 0 side of the
+        sign split in both engines (the x > 0 convention)."""
+        rows = [
+            (0, _vec([1.0] * 8), 0),  # probe: 8 one-bits
+            (1, _vec([0.0] * 8), 0),  # all-zero: 8 flips from probe
+        ]
+        _plant_embeddings(spark, tmp_path, rows)
+        out = {
+            r.vec_id: r.hamming
+            for r in QUERIES["sim_binary_hamming_ann"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out == {1: 8}
+
+
+class TestBayesianAb:
+    @staticmethod
+    def _arm(user_id):
+        return int(hashlib.md5(str(user_id).encode()).hexdigest()[:8], 16) % 2
+
+    def test_planted_lift_detected(self, spark, tmp_path):
+        """Arm-1 users convert at 90%, arm-0 at 10%: exact posterior
+        counts and P(B beats A) ~ 1."""
+        import datetime as dt
+
+        rows = []
+        eid = 0
+        per_arm = {0: [], 1: []}
+        for u in range(200):
+            per_arm[self._arm(u)].append(u)
+        conv = {0: 0, 1: 0}
+        for arm, users in per_arm.items():
+            rate = 0.9 if arm == 1 else 0.1
+            n_conv = int(len(users) * rate)
+            conv[arm] = n_conv
+            for i, u in enumerate(users):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, 5, 8), u, "view", 1.0)
+                )
+                eid += 1
+                if i < n_conv:
+                    rows.append(
+                        (eid, dt.datetime(2024, 1, 5, 9), u, "purchase", 1.0)
+                    )
+                    eid += 1
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        r = QUERIES["events_bayesian_ab"](spark, str(tmp_path)).collect()[0]
+        assert r.n_a == len(per_arm[0]) and r.n_b == len(per_arm[1])
+        assert r.conv_a == conv[0] and r.conv_b == conv[1]
+        assert r.post_mean_a == pytest.approx(
+            (conv[0] + 1) / (r.n_a + 2), abs=1e-4
+        )
+        assert r.p_b_beats_a > 0.99
+        assert r.z_score > 3
+
+    def test_aa_on_corpus_is_calibrated(self, spark, sf_dir):
+        """The hash split is an A/A test on the real corpus: the
+        posterior means agree to a few points and p hovers near 0.5."""
+        r = QUERIES["events_bayesian_ab"](spark, sf_dir).collect()[0]
+        assert r.n_a > 0 and r.n_b > 0
+        assert 0.0 <= r.p_b_beats_a <= 1.0
+        assert abs(r.p_b_beats_a - 0.5) < 0.45  # not a degenerate 0/1
+        assert 0.0 <= r.post_mean_a <= 1.0 and 0.0 <= r.post_mean_b <= 1.0
