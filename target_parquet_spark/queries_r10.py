@@ -38,7 +38,7 @@ from target_parquet_spark.queries import query, t
 from target_parquet_spark.queries_ext import _SQL_DOT, SQL_TOKS, td
 from target_parquet_spark.queries_ops import _SQL_HASH_MOD, _hash_mod
 from target_parquet_spark.queries_r4 import _B, _BM25_TERMS, _K1
-from target_parquet_spark.queries_r6 import _SQL_KNN, _knn_edges
+from target_parquet_spark.queries_r6 import _SQL_BUCKET4, _SQL_KNN, _knn_edges
 from target_parquet_spark.queries_r9 import (
     _cos_micro,
     _cos_micro_safe,
@@ -501,4 +501,447 @@ def events_bayesian_ab(spark, sf_dir):
         F.round("mean_b", 4).alias("post_mean_b"),
         zq.alias("z_score"),
         F.round(1.0 / (1.0 + F.exp(-1.702 * zq)), 4).alias("p_b_beats_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup with a centroid-diversity keep rule
+# ---------------------------------------------------------------------------
+
+_SD_TAU_MICRO = 970000  # pairwise cosine >= 0.97 = semantic duplicate
+
+# integer-micro embedding: round(x * 1e6) — the exactness anchor for
+# every centroid sum below ({v} = array expr, {i} = 1-based index expr)
+_SQL_EMB_MICRO = "CAST(round({v}[{i}] * 1000000) AS BIGINT)"
+
+
+@query(
+    "dedup_semdedup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             {_SQL_BUCKET4.format(v='embedding')} AS cluster
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding,
+             {_SQL_BUCKET4.format(v='embedding')} AS cluster
+      FROM embeddings WHERE vec_id % 3 = 0),
+    ex AS (SELECT vec_id, cluster, u.i AS pos,
+                  {_SQL_EMB_MICRO.format(v='embedding', i='u.i')} AS m
+           FROM base, unnest(range(1, 65)) AS u(i)),
+    cs AS (SELECT cluster, pos, CAST(sum(m) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM ex GROUP BY cluster, pos),
+    cm AS (SELECT cluster, pos, CAST(round(1.0 * s / n) AS BIGINT) AS c
+           FROM cs),
+    vs AS (SELECT e.vec_id, e.cluster,
+                  CAST(sum(e.m * c.c) AS BIGINT) AS dot_c,
+                  CAST(sum(e.m * e.m) AS BIGINT) AS nv2,
+                  CAST(sum(c.c * c.c) AS BIGINT) AS nc2
+           FROM ex e JOIN cm c ON c.cluster = e.cluster AND c.pos = e.pos
+           GROUP BY e.vec_id, e.cluster),
+    rk AS (SELECT vec_id, cluster,
+                  CAST(round(dot_c / (sqrt(nv2) * sqrt(nc2)) * 1000000)
+                       AS BIGINT) AS cc_micro,
+                  CAST(row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY CAST(round(dot_c / (sqrt(nv2) * sqrt(nc2))
+                                           * 1000000) AS BIGINT),
+                                vec_id) AS BIGINT) AS rank_div
+           FROM vs),
+    drop_set AS (
+      SELECT DISTINCT a.vec_id
+      FROM rk a
+      JOIN rk k ON k.cluster = a.cluster AND k.rank_div < a.rank_div
+      JOIN base ba ON ba.vec_id = a.vec_id
+      JOIN base bk ON bk.vec_id = k.vec_id
+      WHERE {_sql_cos_micro('ba.embedding', 'bk.embedding')}
+              >= {_SD_TAU_MICRO})
+    SELECT r.vec_id, r.cluster,
+           round(r.cc_micro / 1000000.0, 4) AS cos_centroid,
+           r.rank_div,
+           d.vec_id IS NULL AS keep
+    FROM rk r LEFT JOIN drop_set d ON d.vec_id = r.vec_id
+    """,
+)
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, and
+    inside each cluster drop every item that has a semantic duplicate
+    (pairwise cosine >= 0.97) ranked more diverse than itself — rank =
+    ascending similarity to the cluster centroid, so of each duplicate
+    group the member FARTHEST from the cluster core survives (the
+    paper's diversity-keeping rule; tie on vec_id).  The corpus is
+    augmented with exact twins of every third vector so the keep
+    decision is exercised (same planted-twin pattern as
+    sim_embedding_dedup).  Clusters here are the 16 LSH cells; in
+    production the trained k-means codebook cells (kmeans_codebook)
+    play that role.
+
+    Determinism (the part float centroids would break): embeddings are
+    micro-quantized to integers at the scan, per-dim centroid sums are
+    exact BIGINT in any order, the centroid is re-quantized to an
+    integer micro vector (round(s/n) of identical integers), and every
+    dot/norm after that is a sum of bounded integer products (<= 64 *
+    1e12 — far inside BIGINT).  Pairwise cosine uses the sequential
+    per-row fold both engines share.
+
+    Plan shape for 100 TB: the 64x dim explode is the exactness price,
+    paid once per vector into a (cluster, pos) aggregate that
+    map-side-combines to |clusters| * 64 rows; the keep rule is one
+    bucket-local self-join (candidate volume bounded by cluster
+    occupancy — the adaptive-plane rule governs it at scale, as
+    everywhere in the LSH family) with the cheap rank precondition
+    applied BEFORE the expensive pair cosine (verify-before-distinct
+    convention)."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.unionByName(
+        emb.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    ).select(
+        "vec_id",
+        "embedding",
+        S.lsh_bucket(F.col("embedding"), n_planes=4).alias("cluster"),
+    )
+    ex = base.select(
+        "vec_id",
+        "cluster",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "cluster",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x") * 1000000).cast("long").alias("m"),
+    )
+    cs = ex.groupBy("cluster", "pos").agg(
+        F.sum("m").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cm = cs.select(
+        "cluster",
+        "pos",
+        F.round(1.0 * F.col("s") / F.col("n")).cast("long").alias("c"),
+    )
+    vs = (
+        ex.join(cm, ["cluster", "pos"])
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum(F.col("m") * F.col("c")).cast("long").alias("dot_c"),
+            F.sum(F.col("m") * F.col("m")).cast("long").alias("nv2"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("nc2"),
+        )
+    )
+    cc = F.round(
+        F.col("dot_c") / (F.sqrt("nv2") * F.sqrt("nc2")) * 1000000
+    ).cast("long")
+    w = Window.partitionBy("cluster").orderBy("cc_micro", "vec_id")
+    rk = vs.select("vec_id", "cluster", cc.alias("cc_micro")).withColumn(
+        "rank_div", F.row_number().over(w).cast("long")
+    )
+    a = rk.select(
+        F.col("vec_id").alias("_aid"),
+        F.col("cluster").alias("_ac"),
+        F.col("rank_div").alias("_ar"),
+    )
+    k = rk.select(
+        F.col("vec_id").alias("_kid"),
+        F.col("cluster").alias("_kc"),
+        F.col("rank_div").alias("_kr"),
+    )
+    bv = base.select(
+        F.col("vec_id").alias("_bid"), F.col("embedding").alias("_bemb")
+    )
+    drop_set = (
+        a.join(k, (F.col("_kc") == F.col("_ac")) & (F.col("_kr") < F.col("_ar")))
+        .join(bv, F.col("_bid") == F.col("_aid"))
+        .withColumnRenamed("_bemb", "_aemb")
+        .drop("_bid")
+        .join(bv, F.col("_bid") == F.col("_kid"))
+        .filter(
+            _cos_micro(F.col("_aemb"), F.col("_bemb")) >= _SD_TAU_MICRO
+        )
+        .select(F.col("_aid").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        rk.join(drop_set, rk["vec_id"] == drop_set["_dropped"], "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(F.col("cc_micro") / 1000000.0, 4).alias("cos_centroid"),
+            "rank_div",
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# always-valid sequential A/B monitor (normal mSPRT)
+# ---------------------------------------------------------------------------
+
+_MSPRT_TAU2 = 10000.0  # mixture variance (cents^2) — fixed plan-time prior
+_MSPRT_ALPHA = 0.05  # reject when log-Lambda > ln(1/alpha)
+
+
+@query(
+    "events_msprt_monitor",
+    f"""
+    WITH obs AS (
+      SELECT CAST(ts AS DATE) AS day,
+             {_SQL_HASH_MOD.format(c='user_id', m=2)} AS arm,
+             CAST(round(sum(value) * 100) AS BIGINT) AS v
+      FROM events GROUP BY CAST(ts AS DATE), user_id),
+    daily AS (
+      SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(v * v) AS BIGINT) AS s2
+      FROM obs GROUP BY day, arm),
+    cum AS (
+      SELECT day, arm,
+             CAST(sum(n) OVER w AS BIGINT) AS n,
+             CAST(sum(s1) OVER w AS BIGINT) AS s1,
+             CAST(sum(s2) OVER w AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY arm ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ab AS (
+      SELECT day,
+             max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             max(CASE WHEN arm = 0 THEN s1 END) AS s1_a,
+             max(CASE WHEN arm = 1 THEN s1 END) AS s1_b,
+             max(CASE WHEN arm = 0 THEN s2 END) AS s2_a,
+             max(CASE WHEN arm = 1 THEN s2 END) AS s2_b
+      FROM cum GROUP BY day),
+    st AS (
+      SELECT day, n_a, n_b,
+             1.0 * s1_b / n_b - 1.0 * s1_a / n_a AS delta,
+             ((1.0 * s2_a - 1.0 * s1_a * s1_a / n_a)
+              + (1.0 * s2_b - 1.0 * s1_b * s1_b / n_b))
+               / (n_a + n_b - 2) * (1.0 / n_a + 1.0 / n_b) AS v
+      FROM ab
+      WHERE n_a > 1 AND n_b > 1),
+    lr AS (
+      SELECT day, n_a, n_b, delta, v,
+             round(0.5 * ln(v / (v + {_MSPRT_TAU2}))
+                   + delta * delta * {_MSPRT_TAU2}
+                     / (2.0 * v * (v + {_MSPRT_TAU2})), 4) AS log_lambda
+      FROM st WHERE v > 0)
+    SELECT day, n_a, n_b,
+           round(delta / 100.0, 4) AS mean_diff,
+           round(delta / sqrt(v), 4) AS z,
+           log_lambda,
+           log_lambda > ln(1.0 / {_MSPRT_ALPHA}) AS reject
+    FROM lr
+    """,
+)
+def events_msprt_monitor(spark, sf_dir):
+    """Always-valid sequential A/B monitor: the normal mixture
+    sequential probability ratio test (mSPRT — Johari et al. 2017, the
+    'peeking-safe' test every experimentation platform runs daily).
+    Observations are per-user-day spend (integer cents), arms the
+    standard md5 hash split; per day the monitor reports the cumulative
+    mean difference, the naive z, and log Lambda_t = 0.5*ln(V/(V+tau2))
+    + delta^2*tau2/(2V(V+tau2)) where V is the Welch variance of the
+    running mean difference and tau2 the fixed mixture prior — crossing
+    ln(1/alpha) is a valid stop at ANY day, unlike the z threshold.
+    On this A/A split the monitor should never reject — which is the
+    calibration property the test pins.
+
+    Determinism: all inputs to the float math are exact integer-cent
+    power sums accumulated by a per-arm day window (cardinality =
+    days — bounded); log Lambda is rounded at 4dp.
+
+    Plan shape for 100 TB: one (day, user) shuffle for daily per-user
+    spend, one (day, arm) aggregate (map-side combined), then windows
+    and arithmetic over |days| rows — driver-scale."""
+    obs = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
+        .withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    )
+    daily = obs.groupBy("day", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "day",
+        "arm",
+        F.sum("n").over(w).cast("long").alias("n"),
+        F.sum("s1").over(w).cast("long").alias("s1"),
+        F.sum("s2").over(w).cast("long").alias("s2"),
+    )
+    ab = cum.groupBy("day").agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(f"{c2}_{l}")
+            for arm, l in ((0, "a"), (1, "b"))
+            for c, c2 in (("n", "n"), ("s1", "s1"), ("s2", "s2"))
+        ]
+    )
+    delta = 1.0 * F.col("s1_b") / F.col("n_b") - 1.0 * F.col("s1_a") / F.col(
+        "n_a"
+    )
+    v = (
+        (
+            (1.0 * F.col("s2_a") - 1.0 * F.col("s1_a") * F.col("s1_a") / F.col("n_a"))
+            + (1.0 * F.col("s2_b") - 1.0 * F.col("s1_b") * F.col("s1_b") / F.col("n_b"))
+        )
+        / (F.col("n_a") + F.col("n_b") - 2)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    st = ab.filter((F.col("n_a") > 1) & (F.col("n_b") > 1)).select(
+        "day", "n_a", "n_b", delta.alias("delta"), v.alias("v")
+    )
+    t2 = _MSPRT_TAU2
+    log_lambda = F.round(
+        0.5 * F.log(F.col("v") / (F.col("v") + t2))
+        + F.col("delta")
+        * F.col("delta")
+        * t2
+        / (2.0 * F.col("v") * (F.col("v") + t2)),
+        4,
+    )
+    return st.filter(F.col("v") > 0).select(
+        "day",
+        "n_a",
+        "n_b",
+        F.round(F.col("delta") / 100.0, 4).alias("mean_diff"),
+        F.round(F.col("delta") / F.sqrt("v"), 4).alias("z"),
+        log_lambda.alias("log_lambda"),
+        (log_lambda > float(__import__("math").log(1.0 / _MSPRT_ALPHA))).alias(
+            "reject"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (nonparametric A/B)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_mann_whitney",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_SQL_HASH_MOD.format(c='user_id', m=2)} AS arm,
+             CAST(round(sum(value) * 100) AS BIGINT) AS v
+      FROM events GROUP BY user_id),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cnt_b
+          FROM u GROUP BY v),
+    r AS (SELECT v, cnt, cnt_b,
+                 CAST(coalesce(sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM g),
+    s AS (SELECT
+            CAST(sum(cnt) AS BIGINT) AS n,
+            CAST(sum(cnt_b) AS BIGINT) AS n_b,
+            CAST(sum(cnt_b * (2 * cum_before + cnt + 1)) AS BIGINT)
+              AS two_rb,
+            CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+          FROM r),
+    stat AS (SELECT n, n - n_b AS n_a, n_b,
+                    (two_rb - n_b * (n_b + 1)) / 2.0 AS u_b,
+                    1.0 * (n - n_b) * n_b / 2.0 AS mean_u,
+                    1.0 * (n - n_b) * n_b / 12.0
+                      * ((n + 1) - 1.0 * tie3 / (n * (n - 1.0))) AS var_u
+             FROM s)
+    SELECT n_a, n_b,
+           round(u_b, 1) AS u_stat,
+           round((u_b - mean_u) / sqrt(var_u), 4) AS z,
+           round(2.0 / (1.0 + exp(1.702 * abs(round((u_b - mean_u)
+                 / sqrt(var_u), 6)))), 4) AS p_two_sided_approx
+    FROM stat
+    """,
+)
+def events_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test on per-user spend between the two
+    hash arms — the nonparametric member of the A/B family (Welch-t:
+    events_ab_experiment, Bayesian: events_bayesian_ab): no normality
+    assumption on the heavy-tailed spend distribution.  Average ranks
+    for ties, the exact tie-corrected normal variance, and the logistic
+    CDF surrogate for the two-sided p (labeled an approximation).
+
+    Determinism — and the scale trick: ranks are NEVER assigned per
+    row.  Spend is integer cents, so grouping by VALUE gives exact tie
+    groups; the average rank of a value is (2*cum_before + cnt + 1)/2,
+    so 2*R_B = sum(cnt_b * (2*cum_before + cnt + 1)) is an exact
+    integer — no float rank sums, no per-row window.  The only window
+    runs over DISTINCT spend values (bounded, far below user count).
+
+    Plan shape for 100 TB: one user_id shuffle, one value-group
+    aggregate, a window over distinct values, then one-row arithmetic.
+    The classic per-row global rank() (single-partition sort) never
+    appears."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
+        .withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    )
+    g = u.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "v",
+        "cnt",
+        "cnt_b",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.sum(
+            F.col("cnt_b") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("two_rb"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    n, n_b = F.col("n"), F.col("n_b")
+    n_a = n - n_b
+    u_b = (F.col("two_rb") - n_b * (n_b + 1)) / 2.0
+    mean_u = 1.0 * n_a * n_b / 2.0
+    var_u = (
+        1.0 * n_a * n_b / 12.0
+        * ((n + 1) - 1.0 * F.col("tie3") / (n * (n - 1.0)))
+    )
+    stat = s.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        u_b.alias("u_b"),
+        mean_u.alias("mean_u"),
+        var_u.alias("var_u"),
+    )
+    zq = F.round((F.col("u_b") - F.col("mean_u")) / F.sqrt("var_u"), 6)
+    return stat.select(
+        "n_a",
+        "n_b",
+        F.round("u_b", 1).alias("u_stat"),
+        F.round((F.col("u_b") - F.col("mean_u")) / F.sqrt("var_u"), 4).alias(
+            "z"
+        ),
+        F.round(2.0 / (1.0 + F.exp(1.702 * F.abs(zq))), 4).alias(
+            "p_two_sided_approx"
+        ),
     )

@@ -260,3 +260,176 @@ class TestBayesianAb:
         assert 0.0 <= r.p_b_beats_a <= 1.0
         assert abs(r.p_b_beats_a - 0.5) < 0.45  # not a degenerate 0/1
         assert 0.0 <= r.post_mean_a <= 1.0 and 0.0 <= r.post_mean_b <= 1.0
+
+
+class TestSemDedup:
+    def test_planted_twin_drops_clone_keeps_original(self, spark, tmp_path):
+        """An exact twin pair ties on centroid rank, so the lower id
+        survives and the clone is dropped; a lone far vector without a
+        near-duplicate is kept even when it shares the cluster."""
+        rows = [
+            (0, _vec([1.0, 1.0, 1.0, 1.0]), 0),
+            (3, _vec([1.0, 1.0, 1.0, 1.0]), 0),  # exact twin of 0
+            (7, _vec([5.0, 0.1, 0.1, 0.1]), 0),  # no near-dup anywhere
+        ]
+        _plant_embeddings(spark, tmp_path, rows)
+        out = {
+            r.vec_id: r for r in QUERIES["dedup_semdedup"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # the query self-plants a twin of every vec_id % 3 == 0
+        assert out[0].keep and not out[1000000].keep
+        assert out[7].keep
+        assert not out[3].keep or out[3].cos_centroid != out[0].cos_centroid
+
+    def test_diversity_rule_keeps_farthest_from_centroid(self, spark, tmp_path):
+        """Two near-duplicates, one pulled toward the cluster centroid
+        by a crowd of identical vectors: the far one must be kept
+        regardless of id order."""
+        crowd = [(i, _vec([1.0, 0.0, 0.0]), 0) for i in range(10, 20)]
+        # near-dup pair (cos > 0.97 to each other), ids chosen so the
+        # CLOSER-to-centroid one has the LOWER id — the diversity rule
+        # must override the id tie-break
+        pair = [
+            (1, _vec([1.0, 0.12, 0.0]), 0),   # closer to the crowd
+            (2, _vec([1.0, 0.24, 0.0]), 0),   # farther from the crowd
+        ]
+        _plant_embeddings(spark, tmp_path, crowd + pair)
+        out = {
+            r.vec_id: r
+            for r in QUERIES["dedup_semdedup"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        if out[1].cluster == out[2].cluster:  # same LSH cell
+            assert out[2].keep and not out[1].keep
+
+    def test_corpus_keep_counts(self, spark, sf_dir):
+        """Every self-planted twin group loses at least its clone; keeps
+        are a strict subset and every cluster retains >= 1 member."""
+        out = QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+        clones = [r for r in out if r.vec_id >= 1000000]
+        assert clones and all(not r.keep for r in clones)
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, []).append(r.keep)
+        for ks in by_cluster.values():
+            assert any(ks)
+
+
+class TestMsprtMonitor:
+    def test_aa_never_rejects_and_is_cumulative(self, spark, sf_dir):
+        out = sorted(
+            QUERIES["events_msprt_monitor"](spark, sf_dir).collect(),
+            key=lambda r: r.day,
+        )
+        assert len(out) > 3
+        assert all(not r.reject for r in out)  # A/A calibration
+        ns = [(r.n_a, r.n_b) for r in out]
+        assert ns == sorted(ns)  # cumulative counts are monotone
+        for r in out:
+            assert r.log_lambda <= 0.1  # near the null, Lambda ~ small
+
+    def test_planted_effect_crosses_boundary(self, spark, tmp_path):
+        """Arm 1 spends 10x arm 0 every day for 10 days: log Lambda
+        must cross ln(20) while the A/A invariant above stays green."""
+        import datetime as dt
+        import hashlib
+
+        def arm(u):
+            return int(
+                hashlib.md5(str(u).encode()).hexdigest()[:8], 16
+            ) % 2
+
+        rows, eid = [], 0
+        for day in range(1, 11):
+            for u in range(80):
+                val = 50.0 if arm(u) == 1 else 5.0
+                # deterministic per-user jitter so variance > 0
+                val += (u % 7) * 0.5
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day, 9), u, "view", val)
+                )
+                eid += 1
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        out = sorted(
+            QUERIES["events_msprt_monitor"](spark, str(tmp_path)).collect(),
+            key=lambda r: r.day,
+        )
+        assert out[-1].reject
+        assert out[-1].mean_diff == pytest.approx(45.0, abs=2.0)
+        lams = [r.log_lambda for r in out]
+        assert lams[-1] > lams[0]  # evidence accumulates
+
+
+class TestMannWhitney:
+    def test_matches_scipy_free_replica(self, spark, tmp_path):
+        """Exact U and tie-corrected z against an independent pure-
+        Python rank computation on planted spends."""
+        import datetime as dt
+        import hashlib
+        import math as m
+
+        def arm(u):
+            return int(
+                hashlib.md5(str(u).encode()).hexdigest()[:8], 16
+            ) % 2
+
+        spends = {u: float(10 + (u * 13) % 40) for u in range(60)}
+        # force heavy ties
+        for u in range(0, 60, 3):
+            spends[u] = 25.0
+        rows = [
+            (u, dt.datetime(2024, 1, 5, 9), u, "view", spends[u])
+            for u in range(60)
+        ]
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        r = QUERIES["events_mann_whitney"](spark, str(tmp_path)).collect()[0]
+        # independent replica
+        vals = sorted((int(round(v * 100)), arm(u)) for u, v in spends.items())
+        n = len(vals)
+        n_b = sum(1 for _, a in vals if a == 1)
+        n_a = n - n_b
+        ranks, i = {}, 0
+        items = [v for v, _ in vals]
+        while i < n:
+            j = i
+            while j < n and items[j] == items[i]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            ranks[items[i]] = avg
+            i = j
+        r_b = sum(ranks[v] for v, a in vals if a == 1)
+        u_b = r_b - n_b * (n_b + 1) / 2.0
+        tie3 = 0
+        for v in set(items):
+            c = items.count(v)
+            tie3 += c**3 - c
+        mean_u = n_a * n_b / 2.0
+        var_u = n_a * n_b / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0)))
+        assert r.n_a == n_a and r.n_b == n_b
+        assert r.u_stat == pytest.approx(u_b, abs=0.05)
+        assert r.z == pytest.approx((u_b - mean_u) / m.sqrt(var_u), abs=1e-3)
+
+    def test_corpus_p_is_calibrated(self, spark, sf_dir):
+        r = QUERIES["events_mann_whitney"](spark, sf_dir).collect()[0]
+        assert r.n_a > 0 and r.n_b > 0
+        assert 0.0 <= r.p_two_sided_approx <= 1.0
+        assert r.p_two_sided_approx > 0.01  # A/A split: no real effect
