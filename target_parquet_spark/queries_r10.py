@@ -945,3 +945,248 @@ def events_mann_whitney(spark, sf_dir):
             "p_two_sided_approx"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peel) over the symmetrized k-NN graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _sql_kcore_ctes(k: int, rounds: int) -> str:
+    """Unrolled peel rounds over a symmetric ``sym(u, v)`` CTE: each
+    round keeps nodes whose degree among SURVIVORS is >= k.  Fixed
+    round count (not run-to-fixpoint) keeps the chain replayable; the
+    in_core flag below reports the round-``rounds`` survivor set."""
+    parts = [
+        "n0 AS (SELECT DISTINCT u AS node FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (SELECT s.u AS node, CAST(count(*) AS BIGINT) AS d
+             FROM sym s
+             JOIN n{r - 1} a ON a.node = s.u
+             JOIN n{r - 1} b ON b.node = s.v
+             GROUP BY s.u)"""
+        )
+        parts.append(
+            f"n{r} AS (SELECT node FROM d{r} WHERE d >= {k})"
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "graph_kcore",
+    f"""
+    WITH {_SQL_KNN},
+    e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
+    sym AS (SELECT DISTINCT u, v FROM (
+              SELECT src AS u, nbr AS v FROM e
+              UNION ALL
+              SELECT nbr AS u, src AS v FROM e)),
+    {_sql_kcore_ctes(_KCORE_K, _KCORE_ROUNDS)}
+    SELECT n.node AS vec_id,
+           coalesce(d.d, 0) AS initial_degree,
+           c.node IS NOT NULL AS in_core
+    FROM n0 n
+    LEFT JOIN d1 d ON d.node = n.node
+    LEFT JOIN n{_KCORE_ROUNDS} c ON c.node = n.node
+    """,
+)
+def graph_kcore(spark, sf_dir):
+    """k-core decomposition (k=3, 4 peel rounds) of the symmetrized
+    k-NN graph: repeatedly remove nodes with fewer than k surviving
+    neighbors — the classic density filter separating the graph's
+    cohesive core (dense semantic regions worth downweighting or
+    deduplicating aggressively) from its tree-like fringe.  Fixed round
+    count, not run-to-fixpoint, so the oracle replays the peel as
+    unrolled CTEs; on this corpus the peel converges within the 4
+    rounds (pinned by the fixpoint test).
+
+    Plan shape for 100 TB: each round is the edge list joined to the
+    survivor set on BOTH endpoints (two hash joins on the same node
+    key — AQE reuses the exchange) + one degree aggregate; survivor
+    state is one id column.  Edge generation amortizes across the graph
+    family via the written k-NN artifact (see _knn_edges)."""
+    from target_parquet_spark.operators.dedup import lineage_cut
+    from target_parquet_spark.queries_r6 import _symmetrize_degrees
+
+    edges = _knn_edges(spark, sf_dir, k=3)
+    sym, _ = _symmetrize_degrees(edges)
+    sym = lineage_cut(sym, None)
+    active = sym.select(F.col("u").alias("node")).distinct()
+    n0 = active
+    d1 = None
+    for r in range(_KCORE_ROUNDS):
+        deg = (
+            sym.join(active.select(F.col("node").alias("u")), "u")
+            .join(active.select(F.col("node").alias("v")), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        if d1 is None:
+            d1 = deg
+        active = lineage_cut(
+            deg.filter(F.col("d") >= _KCORE_K).select("node"), None
+        )
+    return (
+        n0.join(d1.withColumnRenamed("d", "_d0"), "node", "left")
+        .join(active.withColumn("_core", F.lit(1)), "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.coalesce("_d0", F.lit(0)).cast("long").alias("initial_degree"),
+            F.col("_core").isNotNull().alias("in_core"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap CI for the mean
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32  # replicates
+
+# Poisson(1) CDF thresholds (cumulative e^-1 * sum 1/j!) — identical
+# literals in both engines; a uniform u maps to the smallest k with
+# u < CDF(k).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _sql_pois_w(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 7 END)"
+
+
+def _pois_w(u):
+    expr = F.lit(7)
+    for k, c in reversed(list(enumerate(_POIS_CDF))):
+        expr = F.when(u < c, F.lit(k)).otherwise(expr)
+    return expr
+
+
+@query(
+    "events_bootstrap_ci",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT) AS v
+      FROM events GROUP BY user_id),
+    rep AS (
+      SELECT u.user_id, u.v, b.b,
+             {_sql_pois_w(
+                 "(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' || "
+                 "CAST(b.b AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+             )} AS w
+      FROM u CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b),
+    rm AS (
+      SELECT b, CAST(sum(w * v) AS BIGINT) AS sv,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM rep GROUP BY b),
+    means AS (
+      SELECT b, 1.0 * sv / sw / 100.0 AS m,
+             row_number() OVER (ORDER BY 1.0 * sv / sw, b) AS rk
+      FROM rm WHERE sw > 0),
+    pt AS (SELECT 1.0 * sum(v) / count(*) / 100.0 AS mean_obs,
+                  CAST(count(*) AS BIGINT) AS n_users
+           FROM u)
+    SELECT p.n_users,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           round(p.mean_obs, 4) AS mean_obs,
+           round(min(CASE WHEN m.rk = 1 THEN m.m END), 4) AS ci_lo,
+           round(min(CASE WHEN m.rk = {_BOOT_B} THEN m.m END), 4) AS ci_hi
+    FROM means m CROSS JOIN pt p
+    GROUP BY p.n_users, p.mean_obs
+    """,
+)
+def events_bootstrap_ci(spark, sf_dir):
+    """Poisson bootstrap CI for mean user spend (Chamandy et al. 2012,
+    the Google large-scale bootstrap): each of 32 replicates reweights
+    every user by a Poisson(1) draw, replicate means are computed from
+    weighted integer sums, and the CI is the (1st, 32nd) order
+    statistics of the replicate means (~94% nominal at B=32).  The
+    bootstrap is how production metric platforms attach uncertainty to
+    arbitrary aggregates without a closed-form variance.
+
+    Determinism (the usual bootstrap is random): the Poisson draw is
+    the inverse CDF applied to a uniform derived from md5(user:b) — the
+    same hash-as-randomness convention as the sampling family, so both
+    engines draw identical weights and the CI is exactly reproducible.
+
+    Plan shape for 100 TB: one user_id shuffle, then a 32x explode of
+    per-user (v, b) pairs into a 32-row aggregate (map-side combined —
+    the explode never shuffles); order statistics over 32 rows are
+    driver-scale.  B scales the explode linearly; the replicate
+    aggregate stays 32 rows regardless of corpus size."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
+    )
+    rep = u.select(
+        "user_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "v",
+        "b",
+        _pois_w(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / 4294967296.0
+        ).alias("w"),
+    )
+    rm = rep.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("v")).cast("long").alias("sv"),
+        F.sum("w").cast("long").alias("sw"),
+    )
+    m = 1.0 * F.col("sv") / F.col("sw") / 100.0
+    means = (
+        rm.filter(F.col("sw") > 0)
+        .select("b", m.alias("m"))
+        .withColumn("rk", F.row_number().over(Window.orderBy("m", "b")))
+    )
+    pt = F.broadcast(
+        u.agg(
+            (1.0 * F.sum("v") / F.count(F.lit(1)) / 100.0).alias("mean_obs"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    )
+    return (
+        means.crossJoin(pt)
+        .groupBy("n_users", "mean_obs")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("m"))).alias("_lo"),
+            F.min(F.when(F.col("rk") == _BOOT_B, F.col("m"))).alias("_hi"),
+        )
+        .select(
+            "n_users",
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            F.round("mean_obs", 4).alias("mean_obs"),
+            F.round("_lo", 4).alias("ci_lo"),
+            F.round("_hi", 4).alias("ci_hi"),
+        )
+    )

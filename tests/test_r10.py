@@ -433,3 +433,114 @@ class TestMannWhitney:
         assert r.n_a > 0 and r.n_b > 0
         assert 0.0 <= r.p_two_sided_approx <= 1.0
         assert r.p_two_sided_approx > 0.01  # A/A split: no real effect
+
+
+class TestKcore:
+    def test_matches_python_peel_on_corpus(self, spark, sf_dir):
+        """Independent replica: peel the (oracle-checked) k-NN edge
+        list in pure Python and compare the surviving core set."""
+        edges = [
+            (r.src, r.nbr)
+            for r in QUERIES["sim_knn_graph"](spark, sf_dir).collect()
+        ]
+        sym = set()
+        for u, v in edges:
+            sym.add((u, v))
+            sym.add((v, u))
+        active = {u for u, _ in sym}
+        first_deg = None
+        for _ in range(4):
+            deg = {}
+            for u, v in sym:
+                if u in active and v in active:
+                    deg[u] = deg.get(u, 0) + 1
+            if first_deg is None:
+                first_deg = dict(deg)
+            active = {n for n, d in deg.items() if d >= 3}
+        out = QUERIES["graph_kcore"](spark, sf_dir).collect()
+        got_core = {r.vec_id for r in out if r.in_core}
+        assert got_core == active
+        for r in out:
+            assert r.initial_degree == first_deg.get(r.vec_id, 0)
+
+    def test_peel_reached_fixpoint(self, spark, sf_dir):
+        """One extra Python round after the 4 replayed rounds changes
+        nothing — the fixed round count is sufficient on this corpus
+        (the docstring's convergence claim)."""
+        edges = [
+            (r.src, r.nbr)
+            for r in QUERIES["sim_knn_graph"](spark, sf_dir).collect()
+        ]
+        sym = {(u, v) for u, v in edges} | {(v, u) for u, v in edges}
+        active = {u for u, _ in sym}
+        sets = []
+        for _ in range(5):
+            deg = {}
+            for u, v in sym:
+                if u in active and v in active:
+                    deg[u] = deg.get(u, 0) + 1
+            active = {n for n, d in deg.items() if d >= 3}
+            sets.append(frozenset(active))
+        assert sets[3] == sets[4]
+
+
+class TestBootstrapCi:
+    @staticmethod
+    def _w(user_id, b):
+        u = (
+            int(
+                hashlib.md5(f"{user_id}:{b}".encode()).hexdigest()[:8], 16
+            )
+            / 4294967296.0
+        )
+        cdf = (
+            0.36787944117144233,
+            0.7357588823428847,
+            0.9196986029286058,
+            0.9810118431238462,
+            0.9963401531726563,
+            0.9994058151824183,
+            0.9999167588507119,
+        )
+        for k, c in enumerate(cdf):
+            if u < c:
+                return k
+        return 7
+
+    def test_matches_python_replica(self, spark, tmp_path):
+        import datetime as dt
+
+        spends = {u: 10.0 + (u * 7) % 50 for u in range(100)}
+        rows = [
+            (u, dt.datetime(2024, 1, 5, 9), u, "view", spends[u])
+            for u in range(100)
+        ]
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        r = QUERIES["events_bootstrap_ci"](spark, str(tmp_path)).collect()[0]
+        cents = {u: int(round(v * 100)) for u, v in spends.items()}
+        means = []
+        for b in range(32):
+            sv = sum(self._w(u, b) * cents[u] for u in cents)
+            sw = sum(self._w(u, b) for u in cents)
+            if sw > 0:
+                means.append(sv / sw / 100.0)
+        means.sort()
+        assert r.n_users == 100 and r.n_replicates == 32
+        assert r.mean_obs == pytest.approx(
+            sum(cents.values()) / 100 / 100.0, abs=1e-4
+        )
+        assert r.ci_lo == pytest.approx(means[0], abs=1e-4)
+        assert r.ci_hi == pytest.approx(means[-1], abs=1e-4)
+
+    def test_ci_brackets_mean_on_corpus(self, spark, sf_dir):
+        r = QUERIES["events_bootstrap_ci"](spark, sf_dir).collect()[0]
+        assert r.ci_lo < r.ci_hi
+        assert r.ci_lo <= r.mean_obs <= r.ci_hi
