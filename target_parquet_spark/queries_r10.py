@@ -1190,3 +1190,171 @@ def events_bootstrap_ci(spark, sf_dir):
             F.round("_hi", 4).alias("ci_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# propensity-score matching (observational causal inference)
+# ---------------------------------------------------------------------------
+
+# pretrained logistic weights over (1, log1p(n_events), n_types,
+# log1p(total_value)) — plan-time literal model state, the same seam as
+# text_quality_logreg; the trained-GD variant follows the
+# text_quality_logreg_trained pattern if needed.
+_PSM_W = (-2.0, 0.4, 0.15, 0.1)
+_PSM_CALIPER_MICRO = 50000  # 0.05 propensity caliper
+
+
+@query(
+    "events_propensity_match",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    fe AS (SELECT user_id,
+                  CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END
+                    AS treated
+           FROM o WHERE rn = 1),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_ty,
+             CAST(round(sum(value) * 100) AS BIGINT) AS spend_c
+      FROM events GROUP BY user_id),
+    f AS (SELECT a.user_id, fe.treated, a.n_ev, a.n_ty, a.spend_c
+          FROM agg a JOIN fe USING (user_id)),
+    p AS (
+      SELECT user_id, treated, spend_c,
+             CAST(round(1.0 / (1.0 + exp(-(
+                 {_PSM_W[0]!r} + {_PSM_W[1]!r} * ln(1.0 + n_ev)
+                 + {_PSM_W[2]!r} * n_ty
+                 + {_PSM_W[3]!r} * ln(1.0 + spend_c / 100.0))))
+                 * 1000000) AS BIGINT) AS pm
+      FROM f),
+    tr AS (SELECT user_id, pm, spend_c FROM p WHERE treated = 1),
+    ct AS (SELECT user_id, pm, spend_c,
+                  pm // {_PSM_CALIPER_MICRO} AS bk
+           FROM p WHERE treated = 0),
+    cand AS (
+      SELECT t.user_id AS treated_id, t.pm AS p_t, t.spend_c AS y_t,
+             c.user_id AS control_id, c.pm AS p_c, c.spend_c AS y_c,
+             abs(t.pm - c.pm) AS gap
+      FROM tr t
+      JOIN (SELECT unnest([-1, 0, 1]) AS o) o ON TRUE
+      JOIN ct c ON c.bk = t.pm // {_PSM_CALIPER_MICRO} + o.o
+      WHERE abs(t.pm - c.pm) <= {_PSM_CALIPER_MICRO}),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY treated_id
+                                   ORDER BY gap, control_id) AS rk
+      FROM cand)
+    SELECT treated_id, control_id,
+           round(p_t / 1000000.0, 4) AS p_treated,
+           round(p_c / 1000000.0, 4) AS p_control,
+           round((y_t - y_c) / 100.0, 2) AS outcome_diff
+    FROM best WHERE rk = 1
+    """,
+)
+def events_propensity_match(spark, sf_dir):
+    """Propensity-score matching (Rosenbaum & Rubin 1983): treatment =
+    the user's FIRST event is a signup (the "joined via the signup
+    flow" cohort, ~20% of users — first-touch, so the treated/control
+    split is a real partition, unlike ever-signed-up which is nearly
+    universal here); propensity = pretrained logistic over activity
+    features (literal model state, the text_quality_logreg seam); every
+    treated user matched with replacement to its nearest control within
+    a 0.05 caliper; per-pair outcome difference (spend) is the ATT
+    ingredient.  Treated users with no control inside the caliper are
+    dropped (standard caliper matching).
+
+    Scale design — the reason this is NOT a global sort-merge: nearest-
+    propensity matching is a 1-D nearest-neighbor problem, solved here
+    as a BANDED join (the join_range_banded pattern): controls land in
+    caliper-width buckets, each treated user probes its own bucket +- 1
+    (any control within the caliper is in one of those three), and a
+    per-treated window picks argmin(gap, control_id).  Everything
+    shuffles on the bucket key; no global ordering exists anywhere.
+
+    Determinism: propensity is micro-quantized before bucketing and
+    matching; gap is an integer; ties break on control_id."""
+    e = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fe = (
+        e.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "signup", 1)
+            .otherwise(0)
+            .alias("treated"),
+        )
+    )
+    agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.countDistinct("event_type").cast("long").alias("n_ty"),
+        F.round(F.sum("value") * 100).cast("long").alias("spend_c"),
+    )
+    f = agg.join(fe, "user_id")
+    w0, w1, w2, w3 = _PSM_W
+    logit = (
+        F.lit(w0)
+        + w1 * F.log(1.0 + F.col("n_ev"))
+        + w2 * F.col("n_ty")
+        + w3 * F.log(1.0 + F.col("spend_c") / 100.0)
+    )
+    p = f.select(
+        "user_id",
+        "treated",
+        "spend_c",
+        F.round(1.0 / (1.0 + F.exp(-logit)) * 1000000)
+        .cast("long")
+        .alias("pm"),
+    )
+    tr = p.filter(F.col("treated") == 1).select(
+        F.col("user_id").alias("treated_id"),
+        F.col("pm").alias("p_t"),
+        F.col("spend_c").alias("y_t"),
+    )
+    ct = p.filter(F.col("treated") == 0).select(
+        F.col("user_id").alias("control_id"),
+        F.col("pm").alias("p_c"),
+        F.col("spend_c").alias("y_c"),
+        (F.col("pm") / _PSM_CALIPER_MICRO).cast("long").alias("bk"),
+    )
+    cand = (
+        tr.select(
+            "*",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("o"),
+        )
+        .withColumn(
+            "bk",
+            (F.col("p_t") / _PSM_CALIPER_MICRO).cast("long") + F.col("o"),
+        )
+        .join(ct, "bk")
+        .filter(
+            F.abs(F.col("p_t") - F.col("p_c")) <= _PSM_CALIPER_MICRO
+        )
+        .select(
+            "treated_id",
+            "p_t",
+            "y_t",
+            "control_id",
+            "p_c",
+            "y_c",
+            F.abs(F.col("p_t") - F.col("p_c")).alias("gap"),
+        )
+    )
+    w = Window.partitionBy("treated_id").orderBy("gap", "control_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "treated_id",
+            "control_id",
+            F.round(F.col("p_t") / 1000000.0, 4).alias("p_treated"),
+            F.round(F.col("p_c") / 1000000.0, 4).alias("p_control"),
+            F.round((F.col("y_t") - F.col("y_c")) / 100.0, 2).alias(
+                "outcome_diff"
+            ),
+        )
+    )

@@ -544,3 +544,80 @@ class TestBootstrapCi:
         r = QUERIES["events_bootstrap_ci"](spark, sf_dir).collect()[0]
         assert r.ci_lo < r.ci_hi
         assert r.ci_lo <= r.mean_obs <= r.ci_hi
+
+
+class TestPropensityMatch:
+    def test_matches_python_replica(self, spark, tmp_path):
+        """Full pipeline replica: propensity from the literal weights,
+        banded caliper match, argmin(gap, control_id) — pairs must agree
+        exactly on planted events."""
+        import datetime as dt
+        import math as m
+
+        rows, eid = [], 0
+        # users 0..9 treated (first event signup), 10..39 controls with
+        # varied activity so propensities spread
+        for u in range(40):
+            first = "signup" if u < 10 else "view"
+            rows.append((eid, dt.datetime(2024, 1, 1, 8), u, first, 1.0))
+            eid += 1
+            for j in range(u % 13):
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 1, 2, 8 + j % 10),
+                        u,
+                        ("view", "click", "purchase")[j % 3],
+                        5.0 + (u * 3 + j) % 20,
+                    )
+                )
+                eid += 1
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        got = {
+            r.treated_id: (r.control_id, r.p_treated, r.p_control)
+            for r in QUERIES["events_propensity_match"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # --- replica ---
+        feats = {}
+        for u in range(40):
+            evs = [r for r in rows if r[2] == u]
+            n_ev = len(evs)
+            n_ty = len({r[3] for r in evs})
+            spend_c = int(round(sum(r[4] for r in evs) * 100))
+            logit = (
+                -2.0
+                + 0.4 * m.log(1.0 + n_ev)
+                + 0.15 * n_ty
+                + 0.1 * m.log(1.0 + spend_c / 100.0)
+            )
+            pm = int(round(1.0 / (1.0 + m.exp(-logit)) * 1000000))
+            feats[u] = pm
+        want = {}
+        for tu in range(10):
+            cands = [
+                (abs(feats[tu] - feats[cu]), cu)
+                for cu in range(10, 40)
+                if abs(feats[tu] - feats[cu]) <= 50000
+            ]
+            if cands:
+                gap, cu = min(cands)
+                want[tu] = (cu, round(feats[tu] / 1e6, 4), round(feats[cu] / 1e6, 4))
+        assert got == want
+
+    def test_caliper_respected_on_corpus(self, spark, sf_dir):
+        out = QUERIES["events_propensity_match"](spark, sf_dir).collect()
+        assert len(out) > 0
+        treated_ids = [r.treated_id for r in out]
+        assert len(treated_ids) == len(set(treated_ids))  # one match each
+        for r in out:
+            assert abs(r.p_treated - r.p_control) <= 0.0501
