@@ -55,59 +55,60 @@ _CURATED_PREFIX = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "q6_forecast_revenue",
     # join variants
     "join_broadcast_dim",
-    "join_left_outer",
     "join_anti",
     "join_range_banded",
     "join_salted_skew",
     "asof_join_events",
-    "asof_join_tolerance",
+    "asof_join_nearest",
     # agg / window
-    "agg_distinct_count",
     "agg_rollup",
     "window_topk_per_group",
-    "window_running_total",
     # set ops / scalar
-    "set_union",
     "set_except",
     "scalar_string_funcs",
     # dedup family
-    "dedup_exact_keep_first",
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",
     "dedup_keep_canonical",
     "dedup_cdc_chunks",
-    "dedup_span_ngram",
     "dedup_cross_corpus",
+    "dedup_semdedup",
     # similarity / ANN / linear-algebra family
-    "sim_brute_force",
-    "sim_ann_lsh",
     "sim_ivfpq_ann",
     "sim_knn_graph",
     "sim_graph_ann_search",
     "sim_pca_power_iteration",
     "sim_retrieval_metrics",
     "sim_kcenter_greedy",
+    "sim_rrf_hybrid",
+    "sim_binary_hamming_ann",
     "scan_ivf_partitioned",
+    # graph family
+    "graph_hits_knn",
+    "graph_kcore",
     # text analysis family
-    "text_token_stats",
     "text_quality_filter",
     "text_bm25_search",
-    "text_lang_id",
     "text_contamination",
     "text_quality_logreg_trained",
     "text_bpe_learn_merges",
     "text_bigram_logprob",
     "text_ccnet_buckets",
-    # sampling / CDC / governance / events
+    # sampling / CDC / governance / events / experimentation
     "events_sessionize",
     "sample_dsir_importance",
     "sample_sequence_packing",
+    "sample_neyman_allocation",
     "cdc_scd2_history",
     "audit_k_anonymity",
     "events_active_users_hll",
+    "events_bayesian_ab",
+    "events_mann_whitney",
+    "events_msprt_monitor",
+    "events_bootstrap_ci",
+    "events_propensity_match",
     "pipeline_training_data",
 ]
 

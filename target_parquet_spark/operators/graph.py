@@ -245,24 +245,20 @@ def hits(
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    e = lineage_cut(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")),
-        checkpoint_dir,
-    )
-    nodes = lineage_cut(
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct(),
-        checkpoint_dir,
-    )
+    e, nodes = _edge_node_tables(edges, src, dst, None, checkpoint_dir)
+    e = e.select("u", "v")
 
     def _half(scores, key_in, key_out):
         """One normalization half: pull scores across edges onto
         ``key_out``, L1-normalize in micro-units."""
-        raw = (
+        # cut BEFORE the total: raw feeds both the 1-row norm and the
+        # normalize join — uncut, Spark would recompute the edge join
+        # + groupBy twice per half-round
+        raw = lineage_cut(
             e.join(scores, scores["node"] == e[key_in])
             .groupBy(F.col(key_out).alias("node"))
-            .agg(F.sum("score").cast("long").alias("raw"))
+            .agg(F.sum("score").cast("long").alias("raw")),
+            checkpoint_dir,
         )
         tot = raw.agg(F.sum("raw").cast("long").alias("s"))
         return lineage_cut(
@@ -284,7 +280,7 @@ def hits(
         )
 
     hub = nodes.select("node", F.lit(1000000).cast("long").alias("score"))
-    auth = None
+    auth = nodes.select("node", F.lit(0).cast("long").alias("score"))
     for _ in range(iters):
         auth = _half(hub, "u", "v")
         hub = _half(auth, "v", "u")

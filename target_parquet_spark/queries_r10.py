@@ -30,12 +30,14 @@ aliased identically in Spark and DuckDB, deterministic tie-breaks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from target_parquet_spark.operators import similarity as S
 from target_parquet_spark.queries import query, t
-from target_parquet_spark.queries_ext import _SQL_DOT, SQL_TOKS, td
+from target_parquet_spark.queries_ext import SQL_TOKS, td
 from target_parquet_spark.queries_ops import _SQL_HASH_MOD, _hash_mod
 from target_parquet_spark.queries_r4 import _B, _BM25_TERMS, _K1
 from target_parquet_spark.queries_r6 import _SQL_BUCKET4, _SQL_KNN, _knn_edges
@@ -421,7 +423,7 @@ def sim_binary_hamming_ann(spark, sf_dir):
     p AS (SELECT arm, n, x, x + 1 AS a, n - x + 1 AS b FROM s),
     m AS (SELECT arm, n, x, a, b,
                  1.0 * a / (a + b) AS mean,
-                 1.0 * a * b / ((a + b) * (a + b) * (a + b + 1)) AS var
+                 1.0 * a * b / ((1.0 * (a + b)) * (a + b) * (a + b + 1)) AS var
           FROM p),
     ab AS (SELECT
              max(CASE WHEN arm = 0 THEN n END) AS n_a,
@@ -478,7 +480,7 @@ def events_bayesian_ab(spark, sf_dir):
     )
     a, b = F.col("x") + 1, F.col("n") - F.col("x") + 1
     mean = 1.0 * a / (a + b)
-    var = 1.0 * a * b / ((a + b) * (a + b) * (a + b + 1))
+    var = 1.0 * a * b / ((1.0 * (a + b)) * (a + b) * (a + b + 1))
     m = s.select("arm", "n", "x", mean.alias("mean"), var.alias("var"))
     ab = m.agg(
         *[
@@ -696,12 +698,19 @@ _MSPRT_ALPHA = 0.05  # reject when log-Lambda > ln(1/alpha)
              CAST(sum(v) AS BIGINT) AS s1,
              CAST(sum(v * v) AS BIGINT) AS s2
       FROM obs GROUP BY day, arm),
+    scaf AS (
+      SELECT d.day, a.arm,
+             coalesce(dl.n, 0) AS n, coalesce(dl.s1, 0) AS s1,
+             coalesce(dl.s2, 0) AS s2
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT unnest([0, 1]) AS arm) a
+      LEFT JOIN daily dl ON dl.day = d.day AND dl.arm = a.arm),
     cum AS (
       SELECT day, arm,
              CAST(sum(n) OVER w AS BIGINT) AS n,
              CAST(sum(s1) OVER w AS BIGINT) AS s1,
              CAST(sum(s2) OVER w AS BIGINT) AS s2
-      FROM daily
+      FROM scaf
       WINDOW w AS (PARTITION BY arm ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     ab AS (
@@ -750,7 +759,9 @@ def events_msprt_monitor(spark, sf_dir):
 
     Determinism: all inputs to the float math are exact integer-cent
     power sums accumulated by a per-arm day window (cardinality =
-    days — bounded); log Lambda is rounded at 4dp.
+    days — bounded); log Lambda is rounded at 4dp.  A day x arm
+    scaffold zero-fills arms with no events that day, so cumulative
+    state carries forward and no monitoring day is silently dropped.
 
     Plan shape for 100 TB: one (day, user) shuffle for daily per-user
     spend, one (day, arm) aggregate (map-side combined), then windows
@@ -769,12 +780,30 @@ def events_msprt_monitor(spark, sf_dir):
         F.sum("v").cast("long").alias("s1"),
         F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
     )
+    # day x arm scaffold: a day where one arm happens to have no events
+    # must still carry that arm's cumulative state forward (a boundary
+    # crossing on such a day would otherwise be silently dropped)
+    scaf = (
+        daily.select("day")
+        .distinct()
+        .select(
+            "day", F.explode(F.array(F.lit(0), F.lit(1))).alias("arm")
+        )
+        .join(daily, ["day", "arm"], "left")
+        .select(
+            "day",
+            "arm",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("s1", F.lit(0)).alias("s1"),
+            F.coalesce("s2", F.lit(0)).alias("s2"),
+        )
+    )
     w = (
         Window.partitionBy("arm")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = daily.select(
+    cum = scaf.select(
         "day",
         "arm",
         F.sum("n").over(w).cast("long").alias("n"),
@@ -818,7 +847,7 @@ def events_msprt_monitor(spark, sf_dir):
         F.round(F.col("delta") / 100.0, 4).alias("mean_diff"),
         F.round(F.col("delta") / F.sqrt("v"), 4).alias("z"),
         log_lambda.alias("log_lambda"),
-        (log_lambda > float(__import__("math").log(1.0 / _MSPRT_ALPHA))).alias(
+        (log_lambda > float(math.log(1.0 / _MSPRT_ALPHA))).alias(
             "reject"
         ),
     )
@@ -850,7 +879,7 @@ def events_msprt_monitor(spark, sf_dir):
             CAST(sum(cnt_b) AS BIGINT) AS n_b,
             CAST(sum(cnt_b * (2 * cum_before + cnt + 1)) AS BIGINT)
               AS two_rb,
-            CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+            sum(1.0 * cnt * cnt * cnt - cnt) AS tie3
           FROM r),
     stat AS (SELECT n, n - n_b AS n_a, n_b,
                     (two_rb - n_b * (n_b + 1)) / 2.0 AS u_b,
@@ -914,9 +943,9 @@ def events_mann_whitney(spark, sf_dir):
         )
         .cast("long")
         .alias("two_rb"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
-        .cast("long")
-        .alias("tie3"),
+        F.sum(
+            1.0 * F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        ).alias("tie3"),
     )
     n, n_b = F.col("n"), F.col("n_b")
     n_a = n - n_b

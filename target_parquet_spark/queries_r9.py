@@ -1994,8 +1994,8 @@ _NEYMAN_BUDGET = 1000
       FROM documents GROUP BY source),
     w AS (
       SELECT source, n, s1, s2,
-             CAST(round(n * sqrt(1.0 * s2 / n
-                                 - (1.0 * s1 / n) * (1.0 * s1 / n))
+             CAST(round(n * sqrt(greatest(1.0 * s2 / n
+                                 - (1.0 * s1 / n) * (1.0 * s1 / n), 0))
                         * 1000000) AS BIGINT) AS wm
       FROM s),
     tot AS (SELECT CAST(sum(wm) AS BIGINT) AS sw,
@@ -2003,8 +2003,8 @@ _NEYMAN_BUDGET = 1000
             FROM w)
     SELECT w.source,
            w.n AS n_docs,
-           round(sqrt(1.0 * w.s2 / w.n
-                      - (1.0 * w.s1 / w.n) * (1.0 * w.s1 / w.n)), 2)
+           round(sqrt(greatest(1.0 * w.s2 / w.n
+                      - (1.0 * w.s1 / w.n) * (1.0 * w.s1 / w.n), 0)), 2)
              AS sd_chars,
            CAST(round({_NEYMAN_BUDGET}.0 * w.n / t.nn) AS BIGINT)
              AS prop_alloc,
@@ -2038,7 +2038,14 @@ def sample_neyman_allocation(spark, sf_dir):
     )
     one = F.lit(1.0)
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
-    sd = F.sqrt(one * s2 / n - (one * s1 / n) * (one * s1 / n))
+    # greatest(.., 0): float rounding can push a near-constant
+    # stratum's variance a hair negative — sqrt would NaN (Spark) or
+    # error (DuckDB); same guard as queries_r3's variance ops
+    sd = F.sqrt(
+        F.greatest(
+            one * s2 / n - (one * s1 / n) * (one * s1 / n), F.lit(0.0)
+        )
+    )
     w = st.select(
         "source", "n", "s1", "s2",
         F.round(n * sd * 1000000).cast("long").alias("wm"),

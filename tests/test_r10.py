@@ -621,3 +621,91 @@ class TestPropensityMatch:
         assert len(treated_ids) == len(set(treated_ids))  # one match each
         for r in out:
             assert abs(r.p_treated - r.p_control) <= 0.0501
+
+
+class TestReviewFixes:
+    def test_hits_zero_iters_returns_init(self, spark):
+        from target_parquet_spark.operators.graph import hits
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        out = {
+            r.node: (r.hub_micro, r.auth_micro)
+            for r in hits(df, iters=0).collect()
+        }
+        assert out == {n: (1000000, 0) for n in (1, 2, 3)}
+
+    def test_msprt_day_without_one_arm_still_reported(self, spark, tmp_path):
+        """A day where only one arm has events must still emit a monitor
+        row carrying the other arm's cumulative state forward."""
+        import datetime as dt
+        import hashlib
+
+        def arm(u):
+            return int(
+                hashlib.md5(str(u).encode()).hexdigest()[:8], 16
+            ) % 2
+
+        users = list(range(40))
+        a_users = [u for u in users if arm(u) == 0]
+        b_users = [u for u in users if arm(u) == 1]
+        rows, eid = [], 0
+        for day in (1, 2, 3):
+            for u in a_users + b_users:
+                # day 2: arm-1 users are silent
+                if day == 2 and arm(u) == 1:
+                    continue
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 1, day, 9),
+                        u,
+                        "view",
+                        10.0 + u % 5,
+                    )
+                )
+                eid += 1
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        out = {
+            r.day.day: r
+            for r in QUERIES["events_msprt_monitor"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        # arm-1 cumulative count is flat across the silent day
+        assert out[2].n_b == out[1].n_b
+        assert out[3].n_b == out[1].n_b + len(b_users)
+
+    def test_neyman_near_constant_stratum_no_crash(self, spark, tmp_path):
+        """A constant-length stratum must yield sd 0.0, not a sqrt
+        domain error, even when the variance rounds a hair negative."""
+        docs = [(i, "en", "x" * 1000000) for i in range(50)]
+        docs += [(100 + i, "de", "y" * (10 + i)) for i in range(50)]
+        (
+            spark.createDataFrame(
+                docs, "doc_id long, lang string, text string"
+            )
+            .withColumn(
+                "source",
+                F.when(F.col("lang") == "en", "big").otherwise("small"),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/documents.parquet")
+        )
+        out = {
+            r.source: r
+            for r in QUERIES["sample_neyman_allocation"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["big"].sd_chars == pytest.approx(0.0)
+        assert out["big"].neyman_alloc == 0
