@@ -202,6 +202,18 @@ HEADLINE = [
     "events_survival_km",
     "text_cluster_topics",
     "text_heaps_law",
+"asof_join_nearest",
+    "sample_neyman_allocation",
+    "graph_hits_knn",
+    "graph_kcore",
+    "sim_rrf_hybrid",
+    "sim_binary_hamming_ann",
+    "dedup_semdedup",
+    "events_bayesian_ab",
+    "events_mann_whitney",
+    "events_msprt_monitor",
+    "events_bootstrap_ci",
+    "events_propensity_match",
 ]
 
 
