@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from target_parquet_spark.operators import similarity as S
 from target_parquet_spark.queries import query, t
-from target_parquet_spark.queries_ext import SQL_TOKS, td
+from target_parquet_spark.queries_ext import SQL_TOKS, sql_bucket, td
 from target_parquet_spark.queries_ops import _SQL_HASH_MOD, _hash_mod
 from target_parquet_spark.queries_r4 import _B, _BM25_TERMS, _K1
 from target_parquet_spark.queries_r6 import _SQL_BUCKET4, _SQL_KNN, _knn_edges
@@ -516,18 +516,31 @@ _SD_TAU_MICRO = 970000  # pairwise cosine >= 0.97 = semantic duplicate
 # every centroid sum below ({v} = array expr, {i} = 1-based index expr)
 _SQL_EMB_MICRO = "CAST(round({v}[{i}] * 1000000) AS BIGINT)"
 
+# candidate generation INSIDE a cluster: two independent 8-plane fine
+# families, OR-amplified — a near-dup pair is a candidate if it agrees
+# on either sub-bucket (exact twins agree on both by construction).
+# This bounds in-cluster pair volume by sub-bucket occupancy instead of
+# cluster occupancy (the cluster self-join is quadratic at scale — the
+# sf1 probe caught it); the recall trade is the dedup family's standard
+# banded-LSH contract (dedup_minhash_lsh_pairs).
+_SD_SUB_A = sql_bucket(S.plane_weights(n_planes=8, dim=64, table=1))
+_SD_SUB_B = sql_bucket(S.plane_weights(n_planes=8, dim=64, table=2))
+
 
 @query(
     "dedup_semdedup",
     f"""
-    WITH base AS (
-      SELECT vec_id, embedding,
-             {_SQL_BUCKET4.format(v='embedding')} AS cluster
-      FROM embeddings
+    WITH raw0 AS (
+      SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, embedding,
-             {_SQL_BUCKET4.format(v='embedding')} AS cluster
+      SELECT vec_id + 1000000 AS vec_id, embedding
       FROM embeddings WHERE vec_id % 3 = 0),
+    base AS (
+      SELECT vec_id, embedding,
+             {_SQL_BUCKET4.format(v='embedding')} AS cluster,
+             {_SD_SUB_A.format(v='embedding')} AS sub_a,
+             {_SD_SUB_B.format(v='embedding')} AS sub_b
+      FROM raw0),
     ex AS (SELECT vec_id, cluster, u.i AS pos,
                   {_SQL_EMB_MICRO.format(v='embedding', i='u.i')} AS m
            FROM base, unnest(range(1, 65)) AS u(i)),
@@ -551,12 +564,23 @@ _SQL_EMB_MICRO = "CAST(round({v}[{i}] * 1000000) AS BIGINT)"
                                            * 1000000) AS BIGINT),
                                 vec_id) AS BIGINT) AS rank_div
            FROM vs),
+    rkb AS (SELECT r.vec_id, r.cluster, r.rank_div, b.sub_a, b.sub_b
+            FROM rk r JOIN base b USING (vec_id)),
+    cand AS (
+      SELECT a.vec_id AS aid, k.vec_id AS kid
+      FROM rkb a JOIN rkb k
+        ON k.cluster = a.cluster AND k.sub_a = a.sub_a
+       AND k.rank_div < a.rank_div
+      UNION
+      SELECT a.vec_id AS aid, k.vec_id AS kid
+      FROM rkb a JOIN rkb k
+        ON k.cluster = a.cluster AND k.sub_b = a.sub_b
+       AND k.rank_div < a.rank_div),
     drop_set AS (
-      SELECT DISTINCT a.vec_id
-      FROM rk a
-      JOIN rk k ON k.cluster = a.cluster AND k.rank_div < a.rank_div
-      JOIN base ba ON ba.vec_id = a.vec_id
-      JOIN base bk ON bk.vec_id = k.vec_id
+      SELECT DISTINCT c.aid AS vec_id
+      FROM cand c
+      JOIN base ba ON ba.vec_id = c.aid
+      JOIN base bk ON bk.vec_id = c.kid
       WHERE {_sql_cos_micro('ba.embedding', 'bk.embedding')}
               >= {_SD_TAU_MICRO})
     SELECT r.vec_id, r.cluster,
@@ -587,14 +611,21 @@ def dedup_semdedup(spark, sf_dir):
     1e12 — far inside BIGINT).  Pairwise cosine uses the sequential
     per-row fold both engines share.
 
+    Candidate generation is NOT the cluster self-join (quadratic in
+    cluster occupancy — the sf0.1->sf1 probe caught it): a duplicate
+    pair must also agree on one of TWO independent 8-plane fine
+    sub-buckets (OR-amplified; exact twins agree on both), so pair
+    volume is bounded by sub-bucket occupancy.  The recall trade is
+    the dedup family's standard banded-LSH contract, and the oracle
+    replays the identical candidate rule.
+
     Plan shape for 100 TB: the 64x dim explode is the exactness price,
     paid once per vector into a (cluster, pos) aggregate that
-    map-side-combines to |clusters| * 64 rows; the keep rule is one
-    bucket-local self-join (candidate volume bounded by cluster
-    occupancy — the adaptive-plane rule governs it at scale, as
-    everywhere in the LSH family) with the cheap rank precondition
-    applied BEFORE the expensive pair cosine (verify-before-distinct
-    convention)."""
+    map-side-combines to |clusters| * 64 rows; the keep rule is two
+    (cluster, sub-bucket)-keyed self-joins with the cheap rank
+    precondition applied BEFORE the expensive pair cosine
+    (verify-before-distinct convention), unioned and deduped on
+    16-byte id pairs before the verify."""
     emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = emb.unionByName(
         emb.filter(F.col("vec_id") % 3 == 0).select(
@@ -604,6 +635,8 @@ def dedup_semdedup(spark, sf_dir):
         "vec_id",
         "embedding",
         S.lsh_bucket(F.col("embedding"), n_planes=4).alias("cluster"),
+        S.lsh_bucket(F.col("embedding"), n_planes=8, table=1).alias("sub_a"),
+        S.lsh_bucket(F.col("embedding"), n_planes=8, table=2).alias("sub_b"),
     )
     ex = base.select(
         "vec_id",
@@ -640,22 +673,38 @@ def dedup_semdedup(spark, sf_dir):
     rk = vs.select("vec_id", "cluster", cc.alias("cc_micro")).withColumn(
         "rank_div", F.row_number().over(w).cast("long")
     )
-    a = rk.select(
+    rkb = rk.join(base.select("vec_id", "sub_a", "sub_b"), "vec_id")
+    a = rkb.select(
         F.col("vec_id").alias("_aid"),
         F.col("cluster").alias("_ac"),
         F.col("rank_div").alias("_ar"),
+        F.col("sub_a").alias("_asa"),
+        F.col("sub_b").alias("_asb"),
     )
-    k = rk.select(
+    k = rkb.select(
         F.col("vec_id").alias("_kid"),
         F.col("cluster").alias("_kc"),
         F.col("rank_div").alias("_kr"),
+        F.col("sub_a").alias("_ksa"),
+        F.col("sub_b").alias("_ksb"),
+    )
+
+    def _branch(sub_a_col, sub_k_col):
+        return a.join(
+            k,
+            (F.col("_kc") == F.col("_ac"))
+            & (F.col(sub_k_col) == F.col(sub_a_col))
+            & (F.col("_kr") < F.col("_ar")),
+        ).select("_aid", "_kid")
+
+    cand = (
+        _branch("_asa", "_ksa").unionByName(_branch("_asb", "_ksb")).distinct()
     )
     bv = base.select(
         F.col("vec_id").alias("_bid"), F.col("embedding").alias("_bemb")
     )
     drop_set = (
-        a.join(k, (F.col("_kc") == F.col("_ac")) & (F.col("_kr") < F.col("_ar")))
-        .join(bv, F.col("_bid") == F.col("_aid"))
+        cand.join(bv, F.col("_bid") == F.col("_aid"))
         .withColumnRenamed("_bemb", "_aemb")
         .drop("_bid")
         .join(bv, F.col("_bid") == F.col("_kid"))
@@ -1386,4 +1435,219 @@ def events_propensity_match(spark, sf_dir):
                 "outcome_diff"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-format sources: CSV and JSONL round-trips through the warehouse
+# ---------------------------------------------------------------------------
+
+# integer content checksum shared by the round-trip queries and their
+# oracles: any mangling of text by the interchange format breaks the sum
+_SQL_TEXT_CRC = (
+    "(('0x' || substr(md5({c}), 1, 8))::BIGINT)"
+)
+
+
+def _text_crc(c):
+    """Spark twin of _SQL_TEXT_CRC: first 8 md5 hex chars as BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+_SQL_DOCS_CHECKSUM = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({_SQL_TEXT_CRC.format(c='text')}) AS BIGINT)
+             AS content_crc
+    FROM documents GROUP BY lang
+"""
+
+
+def _docs_checksum(df):
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(_text_crc(F.col("text"))).cast("long").alias("content_crc"),
+    )
+
+
+def _roundtrip_artifact(spark, sf_dir, fmt: str):
+    """Materialize documents in ``fmt`` (csv | json) under the warehouse
+    (content-fingerprinted, two-phase build — the scan_schema_evolution
+    pattern) and read it back with an EXPLICIT schema."""
+    import os
+    import shutil
+
+    from target_parquet_spark.io.layout import (
+        _tag,
+        content_fingerprint,
+        warehouse_dir,
+    )
+
+    docs = td(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    fp = content_fingerprint(
+        docs, ["doc_id", "n_chars"], extra=(f"roundtrip_{fmt}",)
+    )
+    path = os.path.join(warehouse_dir(), f"rt_{fmt}_{_tag(sf_dir)}_{fp}")
+    done = os.path.join(path, "_RT_DONE")
+    if not os.path.exists(done):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        w = docs.write.mode("overwrite")
+        if fmt == "csv":
+            # RFC-4180 quoting (doubled quotes) so embedded quotes,
+            # commas and newlines in text survive the round-trip
+            w.options(header=True, quoteAll=True, escape='"').csv(tmp)
+        else:
+            w.json(tmp)
+        with open(os.path.join(tmp, "_RT_DONE"), "w") as fh:
+            fh.write("ok")
+        os.rename(tmp, path)
+    schema = (
+        "doc_id long, lang string, source string, n_chars long, text string"
+    )
+    if fmt == "csv":
+        return spark.read.schema(schema).options(
+            header=True, multiLine=True, escape='"'
+        ).csv(path)
+    return spark.read.schema(schema).json(path)
+
+
+@query("scan_csv_source", _SQL_DOCS_CHECKSUM)
+def scan_csv_source(spark, sf_dir):
+    """CSV as a source format: documents written to RFC-4180-quoted CSV
+    (quoteAll + doubled-quote escape) in the warehouse, read back with
+    an explicit schema + multiLine, and checksummed per language.  The
+    oracle computes the identical checksum over the ORIGINAL parquet —
+    equality proves the interchange format preserved every byte of
+    text (embedded quotes, commas, newlines) and every numeric column.
+
+    Plan shape: schema is explicit, so no inference pass; multiLine CSV
+    is the one format where a file is a split boundary (quoted newlines
+    make rows non-splittable) — the warehouse artifact is written from
+    the source partitioning, so parallelism survives as one file per
+    input partition.  At 100 TB you ingest CSV once and convert to
+    parquet (this query IS that conversion's verification gate)."""
+    return _docs_checksum(_roundtrip_artifact(spark, sf_dir, "csv"))
+
+
+@query("scan_jsonl_source", _SQL_DOCS_CHECKSUM)
+def scan_jsonl_source(spark, sf_dir):
+    """JSON-lines as a source format: the same round-trip gate as
+    scan_csv_source through Spark's json writer/reader (one JSON object
+    per line, \\n and unicode escaped by the writer).  JSONL splits by
+    line, so unlike multiLine CSV the scan parallelizes within files;
+    explicit schema skips inference.  Together with the Singer
+    DataSource (spark.read.format("singer")) and parquet this completes
+    the source-format matrix."""
+    return _docs_checksum(_roundtrip_artifact(spark, sf_dir, "json"))
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch reading ease)
+# ---------------------------------------------------------------------------
+
+# syllable proxy: runs of vowels (incl. y) per word — the standard
+# dictionary-free approximation; identical regex both engines
+_SQL_SYL = (
+    "greatest(len(regexp_extract_all(lower({c}), '[aeiouy]+')), 1)"
+)
+
+
+@query(
+    "text_readability",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, {SQL_TOKS.format(c='text')} AS toks,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sent
+      FROM documents),
+    w AS (SELECT doc_id, lang, n_sent,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST((SELECT sum({_SQL_SYL.format(c='tk')})
+                       FROM unnest(toks) AS u(tk)) AS BIGINT) AS n_syl
+          FROM d WHERE len(toks) > 0),
+    f AS (SELECT doc_id, lang, n_words,
+                 round(206.835 - 1.015 * (1.0 * n_words / n_sent)
+                       - 84.6 * (1.0 * n_syl / n_words), 4) AS flesch
+          FROM w)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(flesch), 4) AS mean_flesch,
+           CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_very_hard,
+           CAST(sum(CASE WHEN flesch >= 70 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_easy
+    FROM f GROUP BY lang
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per language (Flesch 1948): 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/word), with the standard
+    dictionary-free syllable proxy (runs of vowels incl. y, min 1 per
+    word) — the readability screen quality pipelines run next to the
+    Gopher heuristics (a corpus whose mean Flesch collapses is OCR
+    garbage or boilerplate, not prose).  Reported per language with
+    very-hard (<30) and easy (>=70) tail counts.
+
+    Determinism: words/sentences/syllables are integer counts from the
+    shared tokenizer and identical regexes; per-doc flesch is rounded
+    4dp before the per-lang mean (avg of identical rounded doubles —
+    sum order immaterial at 4dp output rounding).
+
+    Plan shape for 100 TB: pure scan-stage expressions (two
+    regexp_extract_all + one fold over tokens), one lang aggregate —
+    no joins, no windows, map-side combined."""
+    docs = td(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    from target_parquet_spark.operators import text as X
+
+    toks = X.tokens(F.col("text"))
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    syl = lambda tk: F.greatest(  # noqa: E731
+        F.size(
+            F.expr(f"regexp_extract_all(lower({tk}), '[aeiouy]+', 0)")
+        ),
+        F.lit(1),
+    )
+    w = docs.select(
+        "doc_id",
+        "lang",
+        n_sent.alias("n_sent"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, tk: acc
+            + F.greatest(
+                F.size(
+                    F.regexp_extract_all(
+                        F.lower(tk), F.lit("[aeiouy]+"), F.lit(0)
+                    )
+                ),
+                F.lit(1),
+            ).cast("long"),
+        ).alias("n_syl"),
+    ).filter(F.col("n_words") > 0)
+    flesch = F.round(
+        206.835
+        - 1.015 * (1.0 * F.col("n_words") / F.col("n_sent"))
+        - 84.6 * (1.0 * F.col("n_syl") / F.col("n_words")),
+        4,
+    )
+    f = w.select("lang", F.col("n_words"), flesch.alias("flesch"))
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("flesch"), 4).alias("mean_flesch"),
+        F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_very_hard"),
+        F.sum(F.when(F.col("flesch") >= 70, 1).otherwise(0))
+        .cast("long")
+        .alias("n_easy"),
     )

@@ -302,7 +302,24 @@ class TestSemDedup:
                 spark, str(tmp_path)
             ).collect()
         }
-        if out[1].cluster == out[2].cluster:  # same LSH cell
+
+        # the keep rule applies only to candidate pairs: same cluster
+        # AND a shared fine sub-bucket (either of the two families)
+        def _bucket(vec, planes):
+            return "".join(
+                "1" if sum(a * b for a, b in zip(vec, p)) > 0 else "0"
+                for p in planes
+            )
+
+        from target_parquet_spark.operators.similarity import plane_weights
+
+        v1, v2 = _vec([1.0, 0.12, 0.0]), _vec([1.0, 0.24, 0.0])
+        shares_sub = any(
+            _bucket(v1, plane_weights(8, 64, table=tb))
+            == _bucket(v2, plane_weights(8, 64, table=tb))
+            for tb in (1, 2)
+        )
+        if out[1].cluster == out[2].cluster and shares_sub:
             assert out[2].keep and not out[1].keep
 
     def test_corpus_keep_counts(self, spark, sf_dir):
