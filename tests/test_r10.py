@@ -726,3 +726,78 @@ class TestReviewFixes:
         }
         assert out["big"].sd_chars == pytest.approx(0.0)
         assert out["big"].neyman_alloc == 0
+
+
+class TestFormatSources:
+    def test_csv_roundtrip_survives_hostile_text(self, spark, tmp_path):
+        """Text with embedded quotes, commas, and newlines must survive
+        the CSV round-trip byte-exact (checksum parity with parquet)."""
+        docs = [
+            (0, "en", 'he said "hi, there"\nand left'),
+            (1, "en", "plain text"),
+            (2, "de", 'tab\there, "quoted", comma,\n\nblank line'),
+        ]
+        (
+            spark.createDataFrame(docs, "doc_id long, lang string, text string")
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/documents.parquet")
+        )
+        for q in ("scan_csv_source", "scan_jsonl_source"):
+            out = {
+                r.lang: r for r in QUERIES[q](spark, str(tmp_path)).collect()
+            }
+            import hashlib as h
+
+            def crc(s):
+                return int(h.md5(s.encode()).hexdigest()[:8], 16)
+
+            assert out["en"].n_docs == 2
+            assert out["en"].content_crc == crc(docs[0][2]) + crc(docs[1][2])
+            assert out["de"].content_crc == crc(docs[2][2])
+
+    def test_csv_and_jsonl_agree_on_corpus(self, spark, sf_dir):
+        a = {
+            r.lang: (r.n_docs, r.sum_chars, r.content_crc)
+            for r in QUERIES["scan_csv_source"](spark, sf_dir).collect()
+        }
+        b = {
+            r.lang: (r.n_docs, r.sum_chars, r.content_crc)
+            for r in QUERIES["scan_jsonl_source"](spark, sf_dir).collect()
+        }
+        assert a == b and len(a) > 0
+
+
+class TestReadability:
+    def test_planted_easy_vs_hard(self, spark, tmp_path):
+        """Short mono-syllabic sentences score easy (>=70); long
+        polysyllabic run-ons score very hard (<30)."""
+        easy = "the cat sat. the dog ran. we go now. it is fun. " * 5
+        hard = (
+            "extraordinary organizational considerations necessitate "
+            "unimpeachable epistemological reevaluation "
+        ) * 10
+        docs = [(0, "easy", easy), (1, "hard", hard)]
+        (
+            spark.createDataFrame(docs, "doc_id long, lang string, text string")
+            .withColumn("source", F.lit("s"))
+            .withColumn("n_chars", F.length("text").cast("long"))
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/documents.parquet")
+        )
+        out = {
+            r.lang: r
+            for r in QUERIES["text_readability"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert out["easy"].mean_flesch >= 70 and out["easy"].n_easy == 1
+        assert out["hard"].mean_flesch < 30 and out["hard"].n_very_hard == 1
+
+    def test_corpus_scores_bounded(self, spark, sf_dir):
+        out = QUERIES["text_readability"](spark, sf_dir).collect()
+        assert len(out) > 0
+        for r in out:
+            assert -400 <= r.mean_flesch <= 121.22  # theoretical max
+            assert r.n_very_hard + r.n_easy <= r.n_docs
