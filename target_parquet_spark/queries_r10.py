@@ -824,6 +824,15 @@ def events_msprt_monitor(spark, sf_dir):
         .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
         .withColumn("arm", _hash_mod(F.col("user_id"), 2))
     )
+    return msprt_readout(obs)
+
+
+def msprt_readout(obs):
+    """The mSPRT read-out over ``(day, arm, v)`` observation rows —
+    shared by the batch query above and the streaming monitor
+    (``streaming/sequential_monitor.py``), so the two surfaces cannot
+    drift.  See ``events_msprt_monitor`` for the math and scaffold
+    contract."""
     daily = obs.groupBy("day", "arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v").cast("long").alias("s1"),

@@ -1316,3 +1316,52 @@ def test_dsir_gate_null_text_routes_to_reject(spark):
     out = {r.doc_id: r.keep for r in gate.score(probe).collect()}
     assert out == {10: False, 11: True}
 
+
+
+def test_sequential_monitor_matches_batch_and_handles_split_user_day(
+    spark, events_src, tmp_path
+):
+    """Streaming mSPRT == batch mSPRT over the same events; a user-day
+    split across micro-batches merges correctly at (day, user) grain
+    (second moments square only merged totals); epoch replay is
+    idempotent."""
+    from target_parquet_spark.streaming.sequential_monitor import (
+        StreamingSequentialMonitor,
+    )
+
+    path, schema = events_src
+    out = str(tmp_path / "seqmon")
+    m = StreamingSequentialMonitor(spark, out)
+
+    # maxFilesPerTrigger=1 forces multiple micro-batches, so the same
+    # user-day WILL straddle epochs (the decomposition hazard)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    _await(m.start(stream, available_now=True))
+
+    cols = ["day", "n_a", "n_b", "mean_diff", "z", "log_lambda", "reject"]
+    from target_parquet_spark.queries_ops import _hash_mod
+    from target_parquet_spark.queries_r10 import msprt_readout
+
+    obs = (
+        spark.read.parquet(path)
+        .groupBy(F.col("ts").cast("date").alias("day"), "user_id")
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
+        .withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    )
+    assert _rows(m.read(), cols) == _rows(msprt_readout(obs), cols)
+
+    # replay idempotence: rewriting epoch 0 with the same half-batch
+    # twice yields identical read-outs
+    half = spark.read.parquet(path).limit(100)
+    m._merge_batch(half, 0)
+    once = _rows(m.read(), cols)
+    m._merge_batch(half, 0)
+    assert _rows(m.read(), cols) == once
+
+    # compaction preserves the read-out
+    m.compact()
+    assert _rows(m.read(), cols) == once
