@@ -339,3 +339,59 @@ def test_bigram_lm_unigram_sides_broadcast(spark, sf_dir):
 
     p = plan(spark, sf_dir, "text_bigram_logprob")
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_binary_hamming_no_shuffle_join_takeordered(spark, sf_dir):
+    """Binary ANN: one broadcast of the 1-row probe, XOR+popcount in the
+    scan stage, TakeOrderedAndProject — never a shuffled pair join."""
+    import target_parquet_spark.queries_r10  # noqa: F401
+
+    p = plan(spark, sf_dir, "sim_binary_hamming_ann")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_rrf_both_retrievers_takeordered(spark, sf_dir):
+    """Both RRF retrievers truncate via TakeOrderedAndProject BEFORE
+    rank assignment — no global sort materializes a full ranking."""
+    import target_parquet_spark.queries_r10  # noqa: F401
+
+    p = plan(spark, sf_dir, "sim_rrf_hybrid")
+    assert p.count("TakeOrderedAndProject") >= 2
+
+
+def test_propensity_match_no_pair_join(spark, sf_dir):
+    """PSM must stay a window scan: exactly two scans of events, no
+    sort-merge/cartesian pair join between treated and controls (the
+    quadratic form the sf1 probe caught)."""
+    import target_parquet_spark.queries_r10  # noqa: F401
+
+    p = plan(spark, sf_dir, "events_propensity_match")
+    # formatted plan is pre-AQE (the executed plan reuses down to 2
+    # scans); the load-bearing pin is the absence of any pair join
+    assert p.count("Scan parquet") <= 4
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bootstrap_explode_before_aggregate(spark, sf_dir):
+    """The 32x replicate explode feeds a partial (map-side) aggregate —
+    replicated rows never shuffle raw."""
+    import target_parquet_spark.queries_r10  # noqa: F401
+
+    p = plan(spark, sf_dir, "events_bootstrap_ci")
+    gen = p.find("Generate")
+    agg = p.find("HashAggregate")
+    assert gen != -1 and agg != -1
+    assert "partial_sum" in p
+
+
+def test_semdedup_no_cluster_self_join(spark, sf_dir):
+    """SemDeDup candidates join on (cluster, sub-bucket) keys — the
+    join keys must include a sub-bucket, never the bare 4-bit cluster
+    (the quadratic form the sf1 probe caught)."""
+    import target_parquet_spark.queries_r10  # noqa: F401
+
+    p = plan(spark, sf_dir, "dedup_semdedup")
+    assert "sub_a" in p and "sub_b" in p
