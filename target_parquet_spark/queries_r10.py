@@ -1719,3 +1719,223 @@ def text_readability(spark, sf_dir):
         .cast("long")
         .alias("n_easy"),
     )
+
+
+@query("scan_orc_source", _SQL_DOCS_CHECKSUM)
+def scan_orc_source(spark, sf_dir):
+    """ORC as a source format: the same warehouse round-trip gate as
+    scan_csv_source/scan_jsonl_source through Spark's native ORC
+    writer/reader (columnar + footer statistics like parquet, the
+    Hive-ecosystem interchange format).  DuckDB cannot read ORC, so the
+    oracle — as for every round-trip query — checksums the ORIGINAL
+    parquet: equality proves byte-exact preservation.  Completes the
+    source matrix: parquet, CSV, JSONL, ORC, Singer."""
+    import os
+    import shutil
+
+    from target_parquet_spark.io.layout import (
+        _tag,
+        content_fingerprint,
+        warehouse_dir,
+    )
+
+    docs = td(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    fp = content_fingerprint(
+        docs, ["doc_id", "n_chars"], extra=("roundtrip_orc",)
+    )
+    path = os.path.join(warehouse_dir(), f"rt_orc_{_tag(sf_dir)}_{fp}")
+    done = os.path.join(path, "_RT_DONE")
+    if not os.path.exists(done):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        docs.write.mode("overwrite").orc(tmp)
+        with open(os.path.join(tmp, "_RT_DONE"), "w") as fh:
+            fh.write("ok")
+        os.rename(tmp, path)
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long, text string"
+    ).orc(path)
+    return _docs_checksum(back)
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks over the k-NN graph (node2vec-style sampler)
+# ---------------------------------------------------------------------------
+
+_WALK_LEN = 4
+
+_SQL_WALK_H = (
+    "md5(CAST({cur} AS VARCHAR) || ':{step}:' || CAST({nbr} AS VARCHAR))"
+)
+
+
+def _sql_walk_ctes(steps: int) -> str:
+    parts = ["w0 AS (SELECT DISTINCT src AS start, src AS cur FROM e)"]
+    for s in range(1, steps + 1):
+        parts.append(
+            f"""w{s} AS (
+          SELECT start,
+                 min(struct_pack(h := {_SQL_WALK_H.format(
+                     cur='w.cur', step=s, nbr='e.nbr')},
+                                 nbr := e.nbr)).nbr AS cur
+          FROM w{s - 1} w JOIN e ON e.src = w.cur
+          GROUP BY start)"""
+        )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "graph_random_walk",
+    f"""
+    WITH {_SQL_KNN},
+    e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
+    {_sql_walk_ctes(_WALK_LEN)}
+    SELECT start,
+           {", ".join(f"w{s}.cur AS step{s}" for s in range(1, _WALK_LEN + 1))}
+    FROM w1 {" ".join(f"JOIN w{s} USING (start)" for s in range(2, _WALK_LEN + 1))}
+    """,
+)
+def graph_random_walk(spark, sf_dir):
+    """Length-4 pseudo-random walk from EVERY node of the directed k-NN
+    graph — the node2vec/DeepWalk sampling primitive that feeds graph
+    embedding training.  "Random" is the repo's hash-as-randomness
+    convention: at step s the walker at ``cur`` moves to the neighbor
+    minimizing md5(cur:s:nbr) — uniform over neighbors, reproducible
+    across engines and reruns (a seeded PRNG would be neither), and
+    varying by step so walks do not 2-cycle.
+
+    Determinism: the argmin is min(struct(h, nbr)) — lexicographic on
+    (hash, nbr) in both engines, so even an md5 collision ties
+    deterministically.
+
+    Plan shape for 100 TB: each step is one walkers-join-edges on the
+    current-node key + a per-walker argmin aggregate (map-side
+    combined) — walk state is 2 ids per walker; k bounds the per-step
+    candidate fan-out at 3.  At scale the same loop runs over the
+    written k-NN edge artifact, and W independent walks per node just
+    add a walk_id to the key."""
+    edges = _knn_edges(spark, sf_dir, k=3).select("src", "nbr")
+    walkers = edges.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur")
+    )
+    outs = []
+    for s in range(1, _WALK_LEN + 1):
+        h = F.md5(
+            F.concat_ws(
+                "", F.col("cur").cast("string"), F.lit(f":{s}:"),
+                F.col("nbr").cast("string"),
+            )
+        )
+        walkers = (
+            walkers.join(edges, walkers["cur"] == edges["src"])
+            .groupBy("start")
+            .agg(
+                F.min(F.struct(h.alias("h"), F.col("nbr").alias("nbr")))[
+                    "nbr"
+                ].alias("cur")
+            )
+        )
+        outs.append(walkers.select("start", F.col("cur").alias(f"step{s}")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.join(o, "start")
+    return res
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV curves
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cohort_ltv",
+    """
+    WITH fu AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+           FROM fu GROUP BY cohort_week),
+    rev AS (
+      SELECT f.cohort_week,
+             CAST(datediff('week', f.cohort_week,
+                           CAST(date_trunc('week', e.ts) AS DATE))
+                  AS BIGINT) AS age_weeks,
+             CAST(round(sum(e.value) * 100) AS BIGINT) AS rev_c
+      FROM events e JOIN fu f USING (user_id)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_week, age_weeks,
+             CAST(sum(rev_c) OVER (PARTITION BY cohort_week
+                    ORDER BY age_weeks
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_rev_c
+      FROM rev)
+    SELECT c.cohort_week, c.age_weeks, s.cohort_users,
+           round(c.cum_rev_c / 100.0, 2) AS cum_revenue,
+           round(c.cum_rev_c / 100.0 / s.cohort_users, 4) AS ltv_per_user
+    FROM cum c JOIN cs s USING (cohort_week)
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: users grouped by first-seen week, cumulative
+    revenue per cohort by age-in-weeks, normalized per cohort user —
+    the value-dimension companion to events_retention_cohorts (which
+    counts activity; this accumulates spend).  The curve every
+    growth/finance readout starts from.
+
+    Determinism: revenue in integer cents; the cumulative window runs
+    over (cohort, age) aggregate rows — cardinality weeks x weeks.
+
+    Plan shape for 100 TB: one user_id shuffle for first-seen, one
+    broadcast-sized cohort join back to events (fu is |users| rows —
+    at extreme scale it shuffles on user_id, the key events already
+    hash by), one (cohort, age) aggregate, windows over week-grain
+    rows."""
+    e = t(spark, sf_dir, "events")
+    fu = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    cs = fu.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        e.join(fu, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", F.col("ts")).cast("date"),
+                        F.col("cohort_week"),
+                    )
+                    / 7
+                )
+            )
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_week",
+        "age_weeks",
+        F.sum("rev_c").over(w).cast("long").alias("cum_rev_c"),
+    )
+    return cum.join(cs, "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "cohort_users",
+        F.round(F.col("cum_rev_c") / 100.0, 2).alias("cum_revenue"),
+        F.round(
+            F.col("cum_rev_c") / 100.0 / F.col("cohort_users"), 4
+        ).alias("ltv_per_user"),
+    )

@@ -744,7 +744,7 @@ class TestFormatSources:
             .write.mode("overwrite")
             .parquet(f"{tmp_path}/documents.parquet")
         )
-        for q in ("scan_csv_source", "scan_jsonl_source"):
+        for q in ("scan_csv_source", "scan_jsonl_source", "scan_orc_source"):
             out = {
                 r.lang: r for r in QUERIES[q](spark, str(tmp_path)).collect()
             }
@@ -766,7 +766,11 @@ class TestFormatSources:
             r.lang: (r.n_docs, r.sum_chars, r.content_crc)
             for r in QUERIES["scan_jsonl_source"](spark, sf_dir).collect()
         }
-        assert a == b and len(a) > 0
+        c = {
+            r.lang: (r.n_docs, r.sum_chars, r.content_crc)
+            for r in QUERIES["scan_orc_source"](spark, sf_dir).collect()
+        }
+        assert a == b == c and len(a) > 0
 
 
 class TestReadability:
@@ -801,3 +805,94 @@ class TestReadability:
         for r in out:
             assert -400 <= r.mean_flesch <= 121.22  # theoretical max
             assert r.n_very_hard + r.n_easy <= r.n_docs
+
+
+class TestRandomWalk:
+    def test_matches_python_replica(self, spark, sf_dir):
+        """Walk replay: same md5 argmin over the oracle-checked k-NN
+        edge list in pure Python."""
+        edges = {}
+        for r in QUERIES["sim_knn_graph"](spark, sf_dir).collect():
+            edges.setdefault(r.src, []).append(r.nbr)
+        want = {}
+        for start in edges:
+            cur, path = start, []
+            for s in range(1, 5):
+                cur = min(
+                    edges[cur],
+                    key=lambda nbr: (
+                        hashlib.md5(f"{cur}:{s}:{nbr}".encode()).hexdigest(),
+                        nbr,
+                    ),
+                )
+                path.append(cur)
+            want[start] = tuple(path)
+        got = {
+            r.start: (r.step1, r.step2, r.step3, r.step4)
+            for r in QUERIES["graph_random_walk"](spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_steps_follow_edges(self, spark, sf_dir):
+        edges = {
+            (r.src, r.nbr)
+            for r in QUERIES["sim_knn_graph"](spark, sf_dir).collect()
+        }
+        for r in QUERIES["graph_random_walk"](spark, sf_dir).collect():
+            hops = [r.start, r.step1, r.step2, r.step3, r.step4]
+            for a, b in zip(hops, hops[1:]):
+                assert (a, b) in edges
+
+
+class TestCohortLtv:
+    def test_planted_two_cohorts(self, spark, tmp_path):
+        """Two one-week-apart cohorts with known weekly spend: exact
+        cumulative curves, per-user normalization."""
+        import datetime as dt
+
+        rows, eid = [], 0
+        # cohort A: users 0-9, first seen week of Jan 1 (Mon), spend 10
+        # that week and 5 the next
+        for u in range(10):
+            rows.append((eid, dt.datetime(2024, 1, 2, 9), u, "view", 10.0))
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 9, 9), u, "view", 5.0))
+            eid += 1
+        # cohort B: users 10-14, first seen week of Jan 8, spend 20
+        for u in range(10, 15):
+            rows.append((eid, dt.datetime(2024, 1, 9, 10), u, "view", 20.0))
+            eid += 1
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        out = {
+            (r.cohort_week.isoformat(), r.age_weeks): r
+            for r in QUERIES["events_cohort_ltv"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        a0 = out[("2024-01-01", 0)]
+        a1 = out[("2024-01-01", 1)]
+        b0 = out[("2024-01-08", 0)]
+        assert a0.cohort_users == 10 and a0.cum_revenue == 100.0
+        assert a1.cum_revenue == 150.0 and a1.ltv_per_user == 15.0
+        assert b0.cohort_users == 5 and b0.ltv_per_user == 20.0
+
+    def test_curves_monotone_on_corpus(self, spark, sf_dir):
+        rows = QUERIES["events_cohort_ltv"](spark, sf_dir).collect()
+        assert rows
+        by_cohort = {}
+        for r in rows:
+            by_cohort.setdefault(r.cohort_week, []).append(
+                (r.age_weeks, r.ltv_per_user)
+            )
+        for curve in by_cohort.values():
+            curve.sort()
+            vals = [v for _, v in curve]
+            assert vals == sorted(vals)  # LTV never decreases
