@@ -1430,6 +1430,13 @@ def events_propensity_match(spark, sf_dir):
     )
     # per bucket: sorted once; controls sort before treated at equal pm
     # so a zero-gap control is visible in the "prev" frame
+    # BOTH directions as running-PREFIX frames: Spark's WindowExec is
+    # incremental only for UnboundedPreceding..CurrentRow; a
+    # CurrentRow..UnboundedFollowing max/min re-aggregates per row —
+    # O(rows^2) per bucket (the sf10 probe measured minutes per task).
+    # The "next" side therefore runs over the REVERSED sort order: the
+    # prefix of (pm DESC, is_t DESC, uid DESC) is exactly the ASC
+    # following-frame including the current row.
     order = [F.col("pm"), F.col("is_t"), F.col("uid")]
     w_prev = (
         Window.partitionBy("bk")
@@ -1438,8 +1445,10 @@ def events_propensity_match(spark, sf_dir):
     )
     w_next = (
         Window.partitionBy("bk")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.col("pm").desc(), F.col("is_t").desc(), F.col("uid").desc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c_struct = F.when(
         F.col("is_t") == 0,
