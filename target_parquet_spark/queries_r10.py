@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 from target_parquet_spark.operators import similarity as S
 from target_parquet_spark.queries import query, t
-from target_parquet_spark.queries_ext import SQL_TOKS, sql_bucket, td
+from target_parquet_spark.queries_ext import (
+    SQL_CC_CTES,
+    SQL_CORPUS,
+    SQL_MINHASH_PAIR_CTES,
+    SQL_TOKS,
+    sql_bucket,
+    td,
+)
 from target_parquet_spark.queries_ops import _SQL_HASH_MOD, _hash_mod
 from target_parquet_spark.queries_r4 import _B, _BM25_TERMS, _K1
 from target_parquet_spark.queries_r6 import _SQL_BUCKET4, _SQL_KNN, _knn_edges
@@ -1947,4 +1954,267 @@ def events_cohort_ltv(spark, sf_dir):
         F.round(
             F.col("cum_rev_c") / 100.0 / F.col("cohort_users"), 4
         ).alias("ltv_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# soft dedup: down-weight duplicate groups instead of dropping
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_soft_dedup_weights",
+    f"""
+    WITH RECURSIVE {SQL_CORPUS},
+    {SQL_MINHASH_PAIR_CTES},
+    {SQL_CC_CTES},
+    gs AS (SELECT component_id, CAST(count(*) AS BIGINT) AS group_size
+           FROM comp GROUP BY component_id)
+    SELECT c.doc_id AS doc_id,
+           coalesce(g.group_size, 1) AS group_size,
+           CAST(round(1000000.0 / coalesce(g.group_size, 1)) AS BIGINT)
+             AS weight_micro
+    FROM corpus c
+    LEFT JOIN comp USING (doc_id)
+    LEFT JOIN gs g USING (component_id)
+    """,
+)
+def sample_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup (down-weighting, not dropping): every document in a
+    near-dup connected component gets sampling weight 1/group_size, so
+    a duplicated document contributes ONE document's worth of expected
+    training mass however many copies exist, while singletons keep
+    weight 1 — the SoftDeDup alternative to hard removal (duplicates
+    often carry quality signal; weight, don't delete).  Consumes the
+    SAME minhash-pair + connected-component machinery as
+    dedup_connected_components / split_leakage_safe (shared fragments,
+    cannot drift).
+
+    Plan shape for 100 TB: the pair/CC stages are the dedup family's
+    bucketed path; the weight assignment is two key joins (component
+    id, group size) — weights ride as one BIGINT column into whatever
+    sampler consumes them (sample_weighted_quality's shape)."""
+    from target_parquet_spark.queries_ext import corpus_components
+
+    corpus, comp = corpus_components(spark, sf_dir)
+    gs = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(gs, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_size", F.lit(1)).alias("group_size"),
+            F.round(1000000.0 / F.coalesce("group_size", F.lit(1)))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# modularity of the LPA communities
+# ---------------------------------------------------------------------------
+
+
+def _register_graph_modularity():
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+    from target_parquet_spark.queries_r8 import _LPA_ROUNDS
+
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    l{r} AS (
+      SELECT n.node, coalesce(m.maj, n.lbl) AS lbl
+      FROM l{r - 1} n LEFT JOIN (
+        SELECT u AS node, lbl AS maj FROM (
+          SELECT s.u, c.lbl, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY s.u
+                                    ORDER BY count(*) DESC, c.lbl) AS rn
+          FROM sym s JOIN l{r - 1} c ON c.node = s.v
+          GROUP BY s.u, c.lbl) t
+        WHERE rn = 1) m ON m.node = n.node)""")
+    rounds_sql = ",".join(rounds)
+
+    @query(
+        "graph_modularity",
+        f"""
+    WITH {_SQL_KNN},
+    {_SQL_SYM_DEG},
+    l0 AS (SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM sym)),
+    {rounds_sql},
+    m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM sym),
+    intra AS (
+      SELECT a.lbl AS community, CAST(count(*) AS BIGINT) AS e_in
+      FROM sym s
+      JOIN l{_LPA_ROUNDS} a ON a.node = s.u
+      JOIN l{_LPA_ROUNDS} b ON b.node = s.v
+      WHERE a.lbl = b.lbl GROUP BY a.lbl),
+    dsum AS (
+      SELECT l.lbl AS community, CAST(sum(d.d) AS BIGINT) AS d_c,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM l{_LPA_ROUNDS} l JOIN deg d ON d.u = l.node
+      GROUP BY l.lbl),
+    contrib AS (
+      SELECT ds.community, ds.n_nodes,
+             CAST(round((coalesce(i.e_in, 0) * 1.0 / m.m2
+                   - (ds.d_c * 1.0 / m.m2) * (ds.d_c * 1.0 / m.m2))
+                   * 1000000) AS BIGINT) AS q_micro
+      FROM dsum ds LEFT JOIN intra i USING (community) CROSS JOIN m2 m)
+    SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(max(n_nodes) AS BIGINT) AS largest,
+           round(sum(q_micro) / 1000000.0, 4) AS modularity
+    FROM contrib
+        """,
+    )
+    def graph_modularity(spark, sf_dir):
+        """Newman modularity Q of the LPA communities over the k-NN
+        graph — the quality score that tells a curation pipeline
+        whether its topical clusters are real structure (Q well above
+        0) or noise (Q ~ 0):
+        Q = sum_c [ e_c/2m - (d_c/2m)^2 ] computed on the directed
+        double-counted edge set (|sym| = 2m).  Shares the LPA round
+        CTEs with graph_communities_lpa verbatim, so the partition
+        scored is exactly the partition reported there.
+
+        Determinism: per-community contributions are micro-quantized
+        from exact integer edge/degree counts BEFORE the cross-
+        community sum (float sum order never matters).
+
+        Plan shape for 100 TB: two label joins over the edge list +
+        two bounded aggregates; everything keys on node/community
+        ids."""
+        from target_parquet_spark.operators.graph import lpa_communities
+        from target_parquet_spark.queries_r6 import _symmetrize_degrees
+        from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+        sym, deg = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
+        labels = lpa_communities(sym, rounds=_LPA_ROUNDS)
+        m2v = sym.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+        la = labels.select(
+            F.col("node").alias("u"), F.col("lbl").alias("_la")
+        )
+        lb = labels.select(
+            F.col("node").alias("v"), F.col("lbl").alias("_lb")
+        )
+        intra = (
+            sym.join(la, "u")
+            .join(lb, "v")
+            .filter(F.col("_la") == F.col("_lb"))
+            .groupBy(F.col("_la").alias("community"))
+            .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+        )
+        dsum = (
+            labels.join(deg, labels["node"] == deg["u"])
+            .groupBy(F.col("lbl").alias("community"))
+            .agg(
+                F.sum("d").cast("long").alias("d_c"),
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            )
+        )
+        contrib = (
+            dsum.join(intra, "community", "left")
+            .crossJoin(F.broadcast(m2v))
+            .select(
+                "n_nodes",
+                F.round(
+                    (
+                        F.coalesce("e_in", F.lit(0)) * 1.0 / F.col("m2")
+                        - (F.col("d_c") * 1.0 / F.col("m2"))
+                        * (F.col("d_c") * 1.0 / F.col("m2"))
+                    )
+                    * 1000000
+                )
+                .cast("long")
+                .alias("q_micro"),
+            )
+        )
+        return contrib.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("n_nodes").cast("long").alias("largest"),
+            F.round(F.sum("q_micro") / 1000000.0, 4).alias("modularity"),
+        )
+
+    return graph_modularity
+
+
+_register_graph_modularity()
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis (sample-size planning from pilot variance)
+# ---------------------------------------------------------------------------
+
+_PWR_Z_ALPHA = 1.959964  # two-sided alpha = 0.05
+_PWR_Z_BETA = 0.841621  # power = 0.80
+_PWR_Z2 = (_PWR_Z_ALPHA + _PWR_Z_BETA) ** 2
+
+
+@query(
+    "events_power_analysis",
+    f"""
+    WITH u AS (
+      SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT) AS v
+      FROM events GROUP BY user_id),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s1,
+                 CAST(sum(v * v) AS BIGINT) AS s2
+          FROM u),
+    st AS (SELECT n, 1.0 * s1 / n AS mean_c,
+                  greatest((1.0 * s2 - 1.0 * s1 * s1 / n) / (n - 1), 0)
+                    AS var_c
+           FROM s),
+    mde AS (SELECT unnest([1, 2, 5, 10]) AS mde_pct)
+    SELECT m.mde_pct,
+           round(st.mean_c / 100.0, 4) AS pilot_mean,
+           round(sqrt(st.var_c) / 100.0, 4) AS pilot_sd,
+           CAST(ceil(2.0 * st.var_c * {_PWR_Z2!r}
+                / ((st.mean_c * m.mde_pct / 100.0)
+                   * (st.mean_c * m.mde_pct / 100.0))) AS BIGINT)
+             AS n_per_arm
+    FROM mde m CROSS JOIN st
+    """,
+)
+def events_power_analysis(spark, sf_dir):
+    """A/B sample-size planning from pilot variance: n per arm =
+    2*sigma^2*(z_a + z_b)^2 / delta^2 at alpha=0.05 two-sided, power
+    0.80, for minimum detectable effects of 1/2/5/10% of the pilot
+    mean — the calculator every experiment starts with, fed by the
+    same integer-cents power sums as the rest of the A/B family.
+
+    Determinism: one exact integer power-sum row; four literal MDE
+    rows; every float op runs on identical inputs in both engines.
+
+    Plan shape: one user shuffle, one 1-row aggregate, a 4-row literal
+    cross join — driver-scale."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
+    )
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+    )
+    mean_c = 1.0 * F.col("s1") / F.col("n")
+    var_c = F.greatest(
+        (1.0 * F.col("s2") - 1.0 * F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    st = s.select(mean_c.alias("mean_c"), var_c.alias("var_c"))
+    mde = spark.createDataFrame(
+        [(1,), (2,), (5,), (10,)], "mde_pct int"
+    )
+    delta = F.col("mean_c") * F.col("mde_pct") / 100.0
+    return mde.crossJoin(F.broadcast(st)).select(
+        "mde_pct",
+        F.round(F.col("mean_c") / 100.0, 4).alias("pilot_mean"),
+        F.round(F.sqrt("var_c") / 100.0, 4).alias("pilot_sd"),
+        F.ceil(2.0 * F.col("var_c") * _PWR_Z2 / (delta * delta))
+        .cast("long")
+        .alias("n_per_arm"),
     )

@@ -896,3 +896,66 @@ class TestCohortLtv:
             curve.sort()
             vals = [v for _, v in curve]
             assert vals == sorted(vals)  # LTV never decreases
+
+
+class TestSoftDedupWeights:
+    def test_planted_group_mass_is_one(self, spark, sf_dir):
+        """Every near-dup group's weights sum to ~1 document of mass;
+        singletons keep exactly weight 1."""
+        out = QUERIES["sample_soft_dedup_weights"](spark, sf_dir).collect()
+        assert out
+        groups = {}
+        for r in out:
+            assert r.weight_micro == round(1000000.0 / r.group_size)
+            groups.setdefault((r.group_size, r.doc_id // 2000000), 0)
+        singles = [r for r in out if r.group_size == 1]
+        multi = [r for r in out if r.group_size > 1]
+        assert multi, "planted doubled corpus must create dup groups"
+        for r in singles:
+            assert r.weight_micro == 1000000
+        # expected corpus mass: strictly below the raw doc count (dups
+        # exist), at least one unit per singleton plus one per group
+        mass = sum(r.weight_micro for r in out) / 1e6
+        assert len(singles) + 1 <= mass < len(out)
+
+
+class TestModularity:
+    def test_communities_beat_random_partition(self, spark, sf_dir):
+        """LPA communities on the k-NN graph must score Q meaningfully
+        above 0 (a random partition's expectation)."""
+        r = QUERIES["graph_modularity"](spark, sf_dir).collect()[0]
+        assert r.n_communities >= 1
+        assert -1.0 <= r.modularity <= 1.0
+        assert r.modularity > 0.05
+
+    def test_singleton_partition_bound(self, spark, sf_dir):
+        """Sanity on the formula inputs: the largest community cannot
+        exceed the node count implied by community count."""
+        r = QUERIES["graph_modularity"](spark, sf_dir).collect()[0]
+        lpa = QUERIES["graph_communities_lpa"](spark, sf_dir).collect()
+        assert r.n_communities == len(lpa)
+        assert r.largest == max(x.n_nodes for x in lpa)
+
+
+class TestPowerAnalysis:
+    def test_matches_closed_form_and_monotone(self, spark, sf_dir):
+        import math as m
+
+        rows = {
+            r.mde_pct: r
+            for r in QUERIES["events_power_analysis"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(rows) == {1, 2, 5, 10}
+        # smaller MDE needs more samples — inverse-square, so 1% needs
+        # ~4x the 2% requirement and ~100x the 10% requirement
+        assert rows[1].n_per_arm > rows[2].n_per_arm > rows[5].n_per_arm
+        assert rows[1].n_per_arm >= 0.9 * 4 * rows[2].n_per_arm
+        r5 = rows[5]
+        z2 = (1.959964 + 0.841621) ** 2
+        want = m.ceil(
+            2.0 * (r5.pilot_sd**2) * z2 / ((r5.pilot_mean * 0.05) ** 2)
+        )
+        # pilot_sd/mean are 4dp-rounded in the output, so allow slack
+        assert abs(r5.n_per_arm - want) <= max(3, 0.01 * want)
