@@ -202,7 +202,7 @@ HEADLINE = [
     "events_survival_km",
     "text_cluster_topics",
     "text_heaps_law",
-"asof_join_nearest",
+    "asof_join_nearest",
     "sample_neyman_allocation",
     "graph_hits_knn",
     "graph_kcore",

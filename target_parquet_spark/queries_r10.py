@@ -1573,7 +1573,7 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
         "doc_id", "lang", "source", "n_chars", "text"
     )
     fp = content_fingerprint(
-        docs, ["doc_id", "n_chars"], extra=(f"roundtrip_{fmt}",)
+        docs, ["doc_id", "n_chars", "text"], extra=(f"roundtrip_{fmt}",)
     )
     path = os.path.join(warehouse_dir(), f"rt_{fmt}_{_tag(sf_dir)}_{fp}")
     done = os.path.join(path, "_RT_DONE")
@@ -1586,6 +1586,8 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
             # RFC-4180 quoting (doubled quotes) so embedded quotes,
             # commas and newlines in text survive the round-trip
             w.options(header=True, quoteAll=True, escape='"').csv(tmp)
+        elif fmt == "orc":
+            w.orc(tmp)
         else:
             w.json(tmp)
         with open(os.path.join(tmp, "_RT_DONE"), "w") as fh:
@@ -1598,6 +1600,8 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
         return spark.read.schema(schema).options(
             header=True, multiLine=True, escape='"'
         ).csv(path)
+    if fmt == "orc":
+        return spark.read.schema(schema).orc(path)
     return spark.read.schema(schema).json(path)
 
 
@@ -1655,7 +1659,7 @@ _SQL_SYL = (
                  CAST((SELECT sum({_SQL_SYL.format(c='tk')})
                        FROM unnest(toks) AS u(tk)) AS BIGINT) AS n_syl
           FROM d WHERE len(toks) > 0),
-    f AS (SELECT doc_id, lang, n_words,
+    f AS (SELECT doc_id, lang,
                  round(206.835 - 1.015 * (1.0 * n_words / n_sent)
                        - 84.6 * (1.0 * n_syl / n_words), 4) AS flesch
           FROM w)
@@ -1693,12 +1697,6 @@ def text_readability(spark, sf_dir):
     n_sent = F.greatest(
         F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
     )
-    syl = lambda tk: F.greatest(  # noqa: E731
-        F.size(
-            F.expr(f"regexp_extract_all(lower({tk}), '[aeiouy]+', 0)")
-        ),
-        F.lit(1),
-    )
     w = docs.select(
         "doc_id",
         "lang",
@@ -1724,7 +1722,7 @@ def text_readability(spark, sf_dir):
         - 84.6 * (1.0 * F.col("n_syl") / F.col("n_words")),
         4,
     )
-    f = w.select("lang", F.col("n_words"), flesch.alias("flesch"))
+    f = w.select("lang", flesch.alias("flesch"))
     return f.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("flesch"), 4).alias("mean_flesch"),
@@ -1746,35 +1744,7 @@ def scan_orc_source(spark, sf_dir):
     oracle — as for every round-trip query — checksums the ORIGINAL
     parquet: equality proves byte-exact preservation.  Completes the
     source matrix: parquet, CSV, JSONL, ORC, Singer."""
-    import os
-    import shutil
-
-    from target_parquet_spark.io.layout import (
-        _tag,
-        content_fingerprint,
-        warehouse_dir,
-    )
-
-    docs = td(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", "n_chars", "text"
-    )
-    fp = content_fingerprint(
-        docs, ["doc_id", "n_chars"], extra=("roundtrip_orc",)
-    )
-    path = os.path.join(warehouse_dir(), f"rt_orc_{_tag(sf_dir)}_{fp}")
-    done = os.path.join(path, "_RT_DONE")
-    if not os.path.exists(done):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(path, ignore_errors=True)
-        docs.write.mode("overwrite").orc(tmp)
-        with open(os.path.join(tmp, "_RT_DONE"), "w") as fh:
-            fh.write("ok")
-        os.rename(tmp, path)
-    back = spark.read.schema(
-        "doc_id long, lang string, source string, n_chars long, text string"
-    ).orc(path)
-    return _docs_checksum(back)
+    return _docs_checksum(_roundtrip_artifact(spark, sf_dir, "orc"))
 
 
 # ---------------------------------------------------------------------------
@@ -2021,22 +1991,9 @@ def sample_soft_dedup_weights(spark, sf_dir):
 
 def _register_graph_modularity():
     from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
-    from target_parquet_spark.queries_r8 import _LPA_ROUNDS
+    from target_parquet_spark.queries_r8 import _LPA_ROUNDS, _sql_lpa_rounds
 
-    rounds = []
-    for r in range(1, _LPA_ROUNDS + 1):
-        rounds.append(f"""
-    l{r} AS (
-      SELECT n.node, coalesce(m.maj, n.lbl) AS lbl
-      FROM l{r - 1} n LEFT JOIN (
-        SELECT u AS node, lbl AS maj FROM (
-          SELECT s.u, c.lbl, count(*) AS cnt,
-                 row_number() OVER (PARTITION BY s.u
-                                    ORDER BY count(*) DESC, c.lbl) AS rn
-          FROM sym s JOIN l{r - 1} c ON c.node = s.v
-          GROUP BY s.u, c.lbl) t
-        WHERE rn = 1) m ON m.node = n.node)""")
-    rounds_sql = ",".join(rounds)
+    rounds_sql = _sql_lpa_rounds(_LPA_ROUNDS)
 
     @query(
         "graph_modularity",

@@ -942,13 +942,13 @@ def sample_shard_assignment(spark, sf_dir):
 _LPA_ROUNDS = 3
 
 
-def _register_lpa_communities():
-    """Oracle reuses queries_r6's graph fragments (same contract as
-    graph_label_propagation: the graph analyzed cannot drift)."""
-    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
-
+def _sql_lpa_rounds(n_rounds: int) -> str:
+    """Unrolled majority-label-propagation round CTEs over ``sym`` and
+    an ``l0(node, lbl)`` seed — ONE builder shared by the
+    graph_communities_lpa and graph_modularity oracles so the partition
+    they analyze cannot drift."""
     rounds = []
-    for r in range(1, _LPA_ROUNDS + 1):
+    for r in range(1, n_rounds + 1):
         rounds.append(f"""
     l{r} AS (
       SELECT n.node, coalesce(m.maj, n.lbl) AS lbl
@@ -960,7 +960,15 @@ def _register_lpa_communities():
           FROM sym s JOIN l{r - 1} c ON c.node = s.v
           GROUP BY s.u, c.lbl) t
         WHERE rn = 1) m ON m.node = n.node)""")
-    rounds_sql = ",".join(rounds)
+    return ",".join(rounds)
+
+
+def _register_lpa_communities():
+    """Oracle reuses queries_r6's graph fragments (same contract as
+    graph_label_propagation: the graph analyzed cannot drift)."""
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+
+    rounds_sql = _sql_lpa_rounds(_LPA_ROUNDS)
 
     @query(
         "graph_communities_lpa",

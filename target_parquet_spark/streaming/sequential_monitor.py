@@ -53,7 +53,7 @@ class StreamingSequentialMonitor:
         self._store = EpochStore(
             spark,
             out_dir,
-            "day date, user_id bigint, sum_cents bigint",
+            "day date, user_id bigint, sum_micro bigint",
         )
 
     # -- write path ----------------------------------------------------------
@@ -72,10 +72,16 @@ class StreamingSequentialMonitor:
         return writer.start()
 
     def _merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # partials in MICRO-units of value: per-epoch cent rounding
+        # would drift from the batch twin when a user-day's sub-cent
+        # values split across micro-batches; micro partials add exactly
+        # and round to cents once, at read
         delta = batch_df.groupBy(
             F.col("ts").cast("date").alias("day"),
             F.col("user_id"),
-        ).agg(F.round(F.sum("value") * 100).cast("long").alias("sum_cents"))
+        ).agg(
+            F.round(F.sum("value") * 1000000).cast("long").alias("sum_micro")
+        )
         self._store.write_epoch(delta, epoch_id)
 
     # -- read path -----------------------------------------------------------
@@ -83,9 +89,9 @@ class StreamingSequentialMonitor:
     @staticmethod
     def _fold(df: DataFrame) -> DataFrame:
         return (
-            df.select("day", "user_id", "sum_cents")
+            df.select("day", "user_id", "sum_micro")
             .groupBy("day", "user_id")
-            .agg(F.sum("sum_cents").cast("long").alias("sum_cents"))
+            .agg(F.sum("sum_micro").cast("long").alias("sum_micro"))
         )
 
     def read(self) -> DataFrame:
@@ -97,7 +103,7 @@ class StreamingSequentialMonitor:
         obs = self._fold(self._store.state_df()).select(
             "day",
             _hash_mod(F.col("user_id"), 2).alias("arm"),
-            F.col("sum_cents").alias("v"),
+            F.round(F.col("sum_micro") / 10000.0).cast("long").alias("v"),
         )
         return msprt_readout(obs)
 

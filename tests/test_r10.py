@@ -904,10 +904,8 @@ class TestSoftDedupWeights:
         singletons keep exactly weight 1."""
         out = QUERIES["sample_soft_dedup_weights"](spark, sf_dir).collect()
         assert out
-        groups = {}
         for r in out:
             assert r.weight_micro == round(1000000.0 / r.group_size)
-            groups.setdefault((r.group_size, r.doc_id // 2000000), 0)
         singles = [r for r in out if r.group_size == 1]
         multi = [r for r in out if r.group_size > 1]
         assert multi, "planted doubled corpus must create dup groups"
