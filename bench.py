@@ -214,6 +214,15 @@ HEADLINE = [
     "events_msprt_monitor",
     "events_bootstrap_ci",
     "events_propensity_match",
+    "scan_csv_source",
+    "scan_jsonl_source",
+    "scan_orc_source",
+    "text_readability",
+    "graph_random_walk",
+    "events_cohort_ltv",
+    "sample_soft_dedup_weights",
+    "graph_modularity",
+    "events_power_analysis",
 ]
 
 
