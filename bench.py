@@ -223,6 +223,7 @@ HEADLINE = [
     "sample_soft_dedup_weights",
     "graph_modularity",
     "events_power_analysis",
+    "events_srm_check",
 ]
 
 

@@ -2175,3 +2175,75 @@ def events_power_analysis(spark, sf_dir):
         .cast("long")
         .alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample-ratio-mismatch (SRM) health check
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_srm_check",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_SQL_HASH_MOD.format(c='user_id', m=2)} AS arm
+      FROM events GROUP BY user_id),
+    s AS (SELECT
+            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM u),
+    chi AS (SELECT n_a, n_b,
+                   round((n_a - (n_a + n_b) / 2.0)
+                         * (n_a - (n_a + n_b) / 2.0)
+                         / ((n_a + n_b) / 4.0), 6) AS chi2
+            FROM s)
+    SELECT n_a, n_b, chi2,
+           round(2.0 / (1.0 + exp(1.702 * sqrt(chi2))), 4)
+             AS p_approx,
+           chi2 > 10.83 AS srm_detected
+    FROM chi
+    """,
+)
+def events_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check — the first health gate every
+    experiment readout runs (Fabijan et al. 2019): under a 50/50
+    assignment the arm counts follow Binomial(n, 0.5), so the 1-dof
+    chi-square chi2 = (n_a - n/2)^2 / (n/4) flags a broken
+    randomizer / logging loss when it exceeds the conventional 0.001
+    threshold (10.83).  Any downstream significance claim is void when
+    SRM fires — which is why this ships alongside the Welch / Bayesian
+    / Mann-Whitney / mSPRT readouts.  p is the logistic CDF surrogate
+    of the normal tail (|z| = sqrt(chi2)); labeled an approximation.
+
+    Determinism: integer arm counts; chi2 quantized at 6dp before the
+    transcendental; threshold compares the quantized value.
+
+    Plan shape: one user_id shuffle, a 1-row integer aggregate,
+    driver-scale arithmetic."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.first(F.lit(1)))
+        .select("user_id", _hash_mod(F.col("user_id"), 2).alias("arm"))
+    )
+    s = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    chi2 = F.round(
+        (F.col("n_a") - n / 2.0) * (F.col("n_a") - n / 2.0) / (n / 4.0), 6
+    )
+    return s.select("n_a", "n_b", chi2.alias("chi2")).select(
+        "n_a",
+        "n_b",
+        "chi2",
+        F.round(2.0 / (1.0 + F.exp(1.702 * F.sqrt("chi2"))), 4).alias(
+            "p_approx"
+        ),
+        (F.col("chi2") > 10.83).alias("srm_detected"),
+    )

@@ -957,3 +957,45 @@ class TestPowerAnalysis:
         )
         # pilot_sd/mean are 4dp-rounded in the output, so allow slack
         assert abs(r5.n_per_arm - want) <= max(3, 0.01 * want)
+
+
+class TestSrmCheck:
+    def test_balanced_split_is_clean(self, spark, sf_dir):
+        r = QUERIES["events_srm_check"](spark, sf_dir).collect()[0]
+        assert r.n_a > 0 and r.n_b > 0
+        assert not r.srm_detected  # md5 split is genuinely 50/50
+        assert 0.0 <= r.p_approx <= 1.0
+
+    def test_planted_imbalance_fires(self, spark, tmp_path):
+        """A logging bug that drops most of one arm must trip the
+        0.001 chi-square threshold."""
+        import datetime as dt
+        import hashlib
+
+        def arm(u):
+            return int(
+                hashlib.md5(str(u).encode()).hexdigest()[:8], 16
+            ) % 2
+
+        rows, eid = [], 0
+        for u in range(4000):
+            if arm(u) == 1 and u % 10 != 0:
+                continue  # 90% of arm-1 users lost
+            rows.append((eid, dt.datetime(2024, 1, 5, 9), u, "view", 1.0))
+            eid += 1
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        r = QUERIES["events_srm_check"](spark, str(tmp_path)).collect()[0]
+        assert r.srm_detected
+        assert r.chi2 > 100
+        expected_chi2 = (r.n_a - (r.n_a + r.n_b) / 2) ** 2 / (
+            (r.n_a + r.n_b) / 4
+        )
+        assert r.chi2 == pytest.approx(expected_chi2, abs=1e-4)
