@@ -224,6 +224,8 @@ HEADLINE = [
     "graph_modularity",
     "events_power_analysis",
     "events_srm_check",
+    "events_winsorized_ab",
+    "events_quantile_treatment_effect",
 ]
 
 

@@ -2247,3 +2247,227 @@ def events_srm_check(spark, sf_dir):
         ),
         (F.col("chi2") > 10.83).alias("srm_detected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized-mean A/B and quantile treatment effects
+# ---------------------------------------------------------------------------
+
+_WINS_PCT = 99  # winsorize at the pooled p99
+
+# exact type-1 (lower) quantile from value-group cumulative counts: the
+# smallest v whose cumulative count reaches ceil(q * n) — integer-exact,
+# no per-row global window (the Mann-Whitney machinery)
+_SQL_VALUE_GROUPS = """
+    u AS (
+      SELECT user_id, {arm} AS arm,
+             CAST(round(sum(value) * 100) AS BIGINT) AS v
+      FROM events GROUP BY user_id),
+    g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY v),
+    r AS (SELECT v, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum
+          FROM g),
+    nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g)
+"""
+
+
+@query(
+    "events_winsorized_ab",
+    f"""
+    WITH {_SQL_VALUE_GROUPS.format(arm=_SQL_HASH_MOD.format(c='user_id', m=2))},
+    cap AS (
+      SELECT min(v) AS cap_v FROM r CROSS JOIN nn
+      WHERE cum >= CAST(ceil({_WINS_PCT} / 100.0 * n) AS BIGINT)),
+    w AS (SELECT arm, least(v, cap.cap_v) AS wv FROM u CROSS JOIN cap),
+    s AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(wv) AS BIGINT) AS s1,
+                 CAST(sum(wv * wv) AS BIGINT) AS s2
+          FROM w GROUP BY arm),
+    m AS (SELECT arm, n, 1.0 * s1 / n AS mean,
+                 (1.0 * s2 - 1.0 * s1 * s1 / n) / (n - 1) AS var
+          FROM s),
+    ab AS (SELECT
+             max(CASE WHEN arm = 0 THEN n END) AS n_a,
+             max(CASE WHEN arm = 1 THEN n END) AS n_b,
+             max(CASE WHEN arm = 0 THEN mean END) AS mean_a,
+             max(CASE WHEN arm = 1 THEN mean END) AS mean_b,
+             max(CASE WHEN arm = 0 THEN var END) AS var_a,
+             max(CASE WHEN arm = 1 THEN var END) AS var_b
+           FROM m)
+    SELECT n_a, n_b,
+           round((SELECT cap_v FROM cap) / 100.0, 2) AS cap_value,
+           round(mean_a / 100.0, 4) AS wmean_a,
+           round(mean_b / 100.0, 4) AS wmean_b,
+           round((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 4)
+             AS welch_t
+    FROM ab
+    """,
+)
+def events_winsorized_ab(spark, sf_dir):
+    """Winsorized-mean A/B read-out: per-user spend clipped at the
+    POOLED exact p99 before the Welch comparison — the standard
+    heavy-tail treatment (one whale in one arm otherwise owns the
+    t-statistic; clipping at a pooled cap keeps the estimator unbiased
+    between arms).  Complements events_ab_experiment (raw means) and
+    events_mann_whitney (ranks) in the robustness spectrum.
+
+    Determinism — and the scale trick: the p99 is EXACT but computed
+    from value-group cumulative counts (the Mann-Whitney machinery),
+    never a per-row global sort; the cap is a 1-row broadcast; clipped
+    moments are integer power sums.
+
+    Plan shape for 100 TB: one user shuffle, one value-group aggregate
+    + a window over DISTINCT spend values, a broadcast cap join, a
+    2-row moment aggregate."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
+        .withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    )
+    g = u.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        "v", "cnt", F.sum("cnt").over(wv).cast("long").alias("cum")
+    )
+    nn = g.agg(F.sum("cnt").cast("long").alias("n"))
+    cap = (
+        r.crossJoin(F.broadcast(nn))
+        .filter(
+            F.col("cum")
+            >= F.ceil(_WINS_PCT / 100.0 * F.col("n")).cast("long")
+        )
+        .agg(F.min("v").alias("cap_v"))
+    )
+    w = u.crossJoin(F.broadcast(cap)).select(
+        "arm", F.least(F.col("v"), F.col("cap_v")).alias("wv"), "cap_v"
+    )
+    s = w.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wv").cast("long").alias("s1"),
+        F.sum(F.col("wv") * F.col("wv")).cast("long").alias("s2"),
+        F.first("cap_v").alias("cap_v"),
+    )
+    mean = 1.0 * F.col("s1") / F.col("n")
+    var = (1.0 * F.col("s2") - 1.0 * F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    m = s.select(
+        "arm", "n", "cap_v", mean.alias("mean"), var.alias("var")
+    )
+    ab = m.agg(
+        *[
+            F.max(F.when(F.col("arm") == arm, F.col(c))).alias(f"{c}_{l}")
+            for arm, l in ((0, "a"), (1, "b"))
+            for c in ("n", "mean", "var")
+        ],
+        F.max("cap_v").alias("cap_v"),
+    )
+    return ab.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("cap_v") / 100.0, 2).alias("cap_value"),
+        F.round(F.col("mean_a") / 100.0, 4).alias("wmean_a"),
+        F.round(F.col("mean_b") / 100.0, 4).alias("wmean_b"),
+        F.round(
+            (F.col("mean_b") - F.col("mean_a"))
+            / F.sqrt(
+                F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+            ),
+            4,
+        ).alias("welch_t"),
+    )
+
+
+_QTE_DECILES = (10, 25, 50, 75, 90)
+
+
+@query(
+    "events_quantile_treatment_effect",
+    f"""
+    WITH u AS (
+      SELECT user_id, {_SQL_HASH_MOD.format(c='user_id', m=2)} AS arm,
+             CAST(round(sum(value) * 100) AS BIGINT) AS v
+      FROM events GROUP BY user_id),
+    g AS (SELECT arm, v, CAST(count(*) AS BIGINT) AS cnt
+          FROM u GROUP BY arm, v),
+    r AS (SELECT arm, v, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY arm ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum
+          FROM g),
+    nn AS (SELECT arm, CAST(sum(cnt) AS BIGINT) AS n FROM g GROUP BY arm),
+    q AS (SELECT unnest({list(_QTE_DECILES)}) AS pct),
+    qv AS (
+      SELECT q.pct, r.arm, min(r.v) AS qv
+      FROM q CROSS JOIN r JOIN nn ON nn.arm = r.arm
+      WHERE r.cum >= CAST(ceil(q.pct / 100.0 * nn.n) AS BIGINT)
+      GROUP BY q.pct, r.arm)
+    SELECT pct,
+           round(max(CASE WHEN arm = 0 THEN qv END) / 100.0, 2) AS q_a,
+           round(max(CASE WHEN arm = 1 THEN qv END) / 100.0, 2) AS q_b,
+           round((max(CASE WHEN arm = 1 THEN qv END)
+                  - max(CASE WHEN arm = 0 THEN qv END)) / 100.0, 2)
+             AS qte
+    FROM qv GROUP BY pct
+    """,
+)
+def events_quantile_treatment_effect(spark, sf_dir):
+    """Quantile treatment effects: the per-arm EXACT spend quantiles
+    (p10/p25/p50/p75/p90) and their differences — where in the
+    distribution an effect lives (a mean shift from whales looks
+    nothing like a median shift from everyone), the distributional
+    companion to the mean-based A/B readouts.  On this A/A hash split
+    every QTE should hover near 0.
+
+    Determinism & scale: type-1 quantiles from per-arm value-group
+    cumulative counts (windows over DISTINCT values per arm) — the
+    exact-quantile-without-global-sort trick shared with
+    events_mann_whitney / events_winsorized_ab; quantile picks are
+    min-aggregates over the (pct, arm) candidate sets."""
+    u = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("v"))
+        .withColumn("arm", _hash_mod(F.col("user_id"), 2))
+    )
+    g = u.groupBy("arm", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = (
+        Window.partitionBy("arm")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = g.select(
+        "arm", "v", F.sum("cnt").over(wv).cast("long").alias("cum")
+    )
+    nn = g.groupBy("arm").agg(F.sum("cnt").cast("long").alias("n"))
+    q = spark.createDataFrame([(p,) for p in _QTE_DECILES], "pct int")
+    qv = (
+        q.crossJoin(r.join(nn, "arm"))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("pct") / 100.0 * F.col("n")).cast("long")
+        )
+        .groupBy("pct", "arm")
+        .agg(F.min("v").alias("qv"))
+    )
+    return qv.groupBy("pct").agg(
+        F.round(
+            F.max(F.when(F.col("arm") == 0, F.col("qv"))) / 100.0, 2
+        ).alias("q_a"),
+        F.round(
+            F.max(F.when(F.col("arm") == 1, F.col("qv"))) / 100.0, 2
+        ).alias("q_b"),
+        F.round(
+            (
+                F.max(F.when(F.col("arm") == 1, F.col("qv")))
+                - F.max(F.when(F.col("arm") == 0, F.col("qv")))
+            )
+            / 100.0,
+            2,
+        ).alias("qte"),
+    )

@@ -999,3 +999,100 @@ class TestSrmCheck:
             (r.n_a + r.n_b) / 4
         )
         assert r.chi2 == pytest.approx(expected_chi2, abs=1e-4)
+
+
+class TestWinsorizedAb:
+    def test_whale_is_clipped(self, spark, tmp_path):
+        """One extreme whale in arm B must not move the winsorized
+        means: cap = pooled p99, whale clipped to it."""
+        import datetime as dt
+        import hashlib
+
+        def arm(u):
+            return int(
+                hashlib.md5(str(u).encode()).hexdigest()[:8], 16
+            ) % 2
+
+        b_users = [u for u in range(400) if arm(u) == 1]
+        whale = b_users[0]
+        rows = []
+        for eid, u in enumerate(range(400)):
+            val = 1000000.0 if u == whale else 10.0 + u % 5
+            rows.append((eid, dt.datetime(2024, 1, 5, 9), u, "view", val))
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/events.parquet")
+        )
+        r = QUERIES["events_winsorized_ab"](spark, str(tmp_path)).collect()[0]
+        assert r.cap_value < 1000000.0  # the whale defines nothing
+        assert abs(r.wmean_b - r.wmean_a) < 1.0  # clipped: arms agree
+        assert abs(r.welch_t) < 5
+
+    def test_matches_python_replica(self, spark, sf_dir):
+        """Exact replica: pooled p99 cap + clipped Welch on the corpus."""
+        import hashlib
+        import math as m
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        spend = {}
+        for e in ev:
+            spend[e.user_id] = spend.get(e.user_id, 0.0) + e.value
+        cents = {u: int(round(v * 100)) for u, v in spend.items()}
+        vals = sorted(cents.values())
+        n = len(vals)
+        cap = vals[m.ceil(0.99 * n) - 1]
+        arms = {
+            u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+            for u in cents
+        }
+        stat = {0: [], 1: []}
+        for u, v in cents.items():
+            stat[arms[u]].append(min(v, cap))
+        means = {a: sum(xs) / len(xs) for a, xs in stat.items()}
+        var = {
+            a: (sum(x * x for x in xs) - sum(xs) ** 2 / len(xs))
+            / (len(xs) - 1)
+            for a, xs in stat.items()
+        }
+        t_stat = (means[1] - means[0]) / m.sqrt(
+            var[0] / len(stat[0]) + var[1] / len(stat[1])
+        )
+        r = QUERIES["events_winsorized_ab"](spark, sf_dir).collect()[0]
+        assert r.cap_value == pytest.approx(cap / 100.0, abs=0.01)
+        assert r.wmean_a == pytest.approx(means[0] / 100.0, abs=1e-3)
+        assert r.welch_t == pytest.approx(t_stat, abs=1e-3)
+
+
+class TestQte:
+    def test_matches_python_quantiles(self, spark, sf_dir):
+        import hashlib
+        import math as m
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        spend = {}
+        for e in ev:
+            spend[e.user_id] = spend.get(e.user_id, 0.0) + e.value
+        cents = {u: int(round(v * 100)) for u, v in spend.items()}
+        arms = {
+            u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+            for u in cents
+        }
+        out = {
+            r.pct: r
+            for r in QUERIES["events_quantile_treatment_effect"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(out) == {10, 25, 50, 75, 90}
+        for a, col in ((0, "q_a"), (1, "q_b")):
+            vals = sorted(v for u, v in cents.items() if arms[u] == a)
+            for pct, r in out.items():
+                want = vals[m.ceil(pct / 100.0 * len(vals)) - 1] / 100.0
+                assert getattr(r, col) == pytest.approx(want, abs=0.01)
+        for r in out.values():
+            assert r.qte == pytest.approx(r.q_b - r.q_a, abs=0.011)
