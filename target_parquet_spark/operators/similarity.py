@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "knn_graph",
+    "planes_for",
+    "semdedup_keep",
     "dot",
     "cosine",
     "brute_force_topk",
@@ -598,8 +600,6 @@ def _adaptive_planes(
     draft added +7 on top of the /128 divisor — the same adjustment
     twice, which drove occupancy to ~1 and collapsed per-table recall;
     caught by review) cannot drift between callers."""
-    import math
-
     probe = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
     if probe is None:
         raise ValueError(
@@ -608,12 +608,23 @@ def _adaptive_planes(
         )
     dim = len(probe[0])
     if n_planes is None:
-        n = corpus.count()
-        n_planes = max(
-            floor,
-            min(24, math.ceil(math.log2(max(n, 2) / target_occupancy))),
-        )
+        n_planes = planes_for(corpus.count(), target_occupancy, floor)
     return dim, n_planes
+
+
+def planes_for(n: int, target_occupancy: int, floor: int = 4) -> int:
+    """THE adaptive plane-count formula — ceil(log2(n / occupancy)),
+    floored and capped at 24.  One definition for every level of every
+    LSH-family scale path (knn_graph tables, semantic_dup_pairs bands,
+    SemDeDup's coarse cells AND fine sub-buckets) so the formula cannot
+    drift between callers or between granularity levels of the same
+    operator."""
+    import math
+
+    return max(
+        floor,
+        min(24, math.ceil(math.log2(max(n, 2) / target_occupancy))),
+    )
 
 
 def knn_graph(
@@ -693,4 +704,171 @@ def knn_graph(
         .withColumn("nbr_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("nbr_rank") <= k)
         .select("src", "nbr_rank", "nbr", "sim")
+    )
+
+
+def semdedup_keep(
+    corpus: DataFrame,
+    tau_micro: int = 970000,
+    cluster_planes: int | None = None,
+    sub_planes: int | None = None,
+    cluster_occupancy: int = 1024,
+    sub_occupancy: int = 96,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop decision at ADAPTIVE
+    granularity on BOTH levels — the scale path behind the oracle-pinned
+    ``dedup_semdedup`` (queries_r10), whose fixed 16-cell coarse stage
+    and fixed 8-plane fine sub-buckets are quadratic-in-density: with
+    granularity frozen, per-cell centroid work and per-sub-bucket pair
+    volume both grow with corpus size (the sf1->sf10 probe measured
+    4.16x/decade).  Here BOTH plane counts derive from ``planes_for``
+    (ceil(log2(n/occupancy))): coarse cells play the paper's k-means
+    cluster role with expected occupancy ~``cluster_occupancy``; the
+    two OR-amplified fine families bound candidate pairs by
+    ~``sub_occupancy`` regardless of scale.
+
+    Semantics are the fixed twin's, verbatim: per-cluster centroid in
+    exact integer-micro arithmetic (BIGINT per-dim sums — parallel and
+    serial sums cannot drift), rank = ascending cosine-to-centroid
+    (vec_id tie-break; the most diverse member of each duplicate group
+    survives), a vector is dropped iff some lower-ranked cluster-mate
+    agreeing on either fine sub-bucket has pairwise cosine >=
+    tau_micro/1e6.  Exact twins agree on every bucket at every level,
+    so a planted duplicate is always a candidate pair — the
+    planted-twin test's contract.
+
+    Plan shape for 100 TB: one count + one probe row fix the plane
+    counts at plan time; the dim-explode feeds a (cluster, pos)
+    map-side-combined aggregate of ~(n/occupancy)*dim rows; candidate
+    generation is two (cluster, sub-bucket)-keyed self-joins with the
+    cheap rank precondition BEFORE the pair cosine
+    (verify-before-distinct); every per-pair expression is a
+    deterministic sequential fold, never a parallel float sum.
+
+    Returns (id, cluster, cos_centroid, rank_div, keep).
+    """
+    dim, cluster_planes = _adaptive_planes(
+        corpus, vec_col, cluster_occupancy, floor=3, n_planes=cluster_planes,
+        caller="semdedup_keep",
+    )
+    if sub_planes is None:
+        sub_planes = planes_for(corpus.count(), sub_occupancy, floor=6)
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), cluster_planes, dim, table=0).alias(
+            "cluster"
+        ),
+        lsh_bucket(F.col(vec_col), sub_planes, dim, table=1).alias("sub_a"),
+        lsh_bucket(F.col(vec_col), sub_planes, dim, table=2).alias("sub_b"),
+    )
+    ex = base.select(
+        "vec_id",
+        "cluster",
+        F.posexplode("_v").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        "cluster",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x") * 1000000).cast("long").alias("m"),
+    )
+    cm = (
+        ex.groupBy("cluster", "pos")
+        .agg(
+            F.sum("m").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "cluster",
+            "pos",
+            F.round(1.0 * F.col("s") / F.col("n")).cast("long").alias("c"),
+        )
+    )
+    vs = (
+        ex.join(cm, ["cluster", "pos"])
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum(F.col("m") * F.col("c")).cast("long").alias("dot_c"),
+            F.sum(F.col("m") * F.col("m")).cast("long").alias("nv2"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("nc2"),
+        )
+    )
+    cc = F.round(
+        F.col("dot_c") / (F.sqrt("nv2") * F.sqrt("nc2")) * 1000000
+    ).cast("long")
+    w = Window.partitionBy("cluster").orderBy("cc_micro", "vec_id")
+    rk = vs.select("vec_id", "cluster", cc.alias("cc_micro")).withColumn(
+        "rank_div", F.row_number().over(w).cast("long")
+    )
+    rkb = rk.join(base.select("vec_id", "sub_a", "sub_b"), "vec_id")
+    a = rkb.select(
+        F.col("vec_id").alias("_aid"),
+        F.col("cluster").alias("_ac"),
+        F.col("rank_div").alias("_ar"),
+        F.col("sub_a").alias("_asa"),
+        F.col("sub_b").alias("_asb"),
+    )
+    k = rkb.select(
+        F.col("vec_id").alias("_kid"),
+        F.col("cluster").alias("_kc"),
+        F.col("rank_div").alias("_kr"),
+        F.col("sub_a").alias("_ksa"),
+        F.col("sub_b").alias("_ksb"),
+    )
+
+    def _branch(sub_a_col, sub_k_col):
+        return a.join(
+            k,
+            (F.col("_kc") == F.col("_ac"))
+            & (F.col(sub_k_col) == F.col(sub_a_col))
+            & (F.col("_kr") < F.col("_ar")),
+        ).select("_aid", "_kid")
+
+    cand = (
+        _branch("_asa", "_ksa").unionByName(_branch("_asb", "_ksb")).distinct()
+    )
+    # pair verify: the same integer-micro sequential fold the fixed twin
+    # uses — quantize each component, fold dot and norms in array order,
+    # one scalar expression per pair (no parallel float aggregation).
+    def _mic(col):
+        return F.transform(
+            col, lambda x: F.round(x.cast("double") * 1000000).cast("long")
+        )
+
+    def _ifold(xa, xb):
+        return F.aggregate(
+            F.zip_with(xa, xb, lambda p, q: p * q),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    am, bm = _mic(F.col("_aemb")), _mic(F.col("_bemb"))
+    cos_micro = F.round(
+        _ifold(am, bm)
+        / (F.sqrt(_ifold(am, am)) * F.sqrt(_ifold(bm, bm)))
+        * 1000000
+    ).cast("long")
+    bv = base.select(
+        F.col("vec_id").alias("_bid"), F.col("_v").alias("_bemb")
+    )
+    drop_set = (
+        cand.join(bv, F.col("_bid") == F.col("_aid"))
+        .withColumnRenamed("_bemb", "_aemb")
+        .drop("_bid")
+        .join(bv, F.col("_bid") == F.col("_kid"))
+        .filter(cos_micro >= F.lit(tau_micro))
+        .select(F.col("_aid").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        rk.join(drop_set, rk["vec_id"] == drop_set["_dropped"], "left")
+        .select(
+            F.col("vec_id").alias("id"),
+            "cluster",
+            F.round(F.col("cc_micro") / 1000000.0, 4).alias("cos_centroid"),
+            "rank_div",
+            F.col("_dropped").isNull().alias("keep"),
+        )
     )

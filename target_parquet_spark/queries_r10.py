@@ -733,6 +733,32 @@ def dedup_semdedup(spark, sf_dir):
     )
 
 
+@query("dedup_semdedup_scaled")
+def dedup_semdedup_scaled(spark, sf_dir):
+    """SemDeDup's scale path (`operators/similarity.semdedup_keep`):
+    the SAME keep rule as the oracle-pinned ``dedup_semdedup`` but with
+    BOTH granularity levels adaptive — coarse cell count AND fine
+    sub-bucket plane count derive from ceil(log2(n/occupancy)), so
+    per-cell centroid work and per-sub-bucket candidate volume stay
+    constant as the corpus grows (the fixed twin's 16 cells + 8-plane
+    sub-buckets measured 4.16x/decade at sf10 — granularity frozen
+    while density grows).  Same fixed-vs-adaptive split as
+    sim_semantic_clusters[_scaled] and sim_knn_graph_scaled.
+
+    No SQL oracle: both plane counts are functions of corpus size no
+    static SQL can replay (rows-only driver check); correctness is
+    pinned by (a) the planted-twin test — an exact duplicate agrees on
+    every bucket at every level, so each planted pair must have exactly
+    one member dropped — and (b) the fixed twin staying hash-exact."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.unionByName(
+        emb.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return S.semdedup_keep(base).withColumnRenamed("id", "vec_id")
+
+
 # ---------------------------------------------------------------------------
 # always-valid sequential A/B monitor (normal mSPRT)
 # ---------------------------------------------------------------------------

@@ -335,6 +335,42 @@ class TestSemDedup:
             assert any(ks)
 
 
+class TestSemDedupScaled:
+    def test_planted_twins_and_adaptive_granularity(self, spark, sf_dir):
+        """The adaptive twin must honor the same contract as the fixed
+        form: every self-planted exact clone shares every bucket at
+        every level with its original, ties on centroid rank, loses the
+        vec_id tie-break, and is dropped; every cluster keeps >= 1
+        member.  Also pins that BOTH granularity levels actually adapt:
+        plane counts must follow planes_for(n) for this corpus size."""
+        import math
+
+        from target_parquet_spark.operators.similarity import planes_for
+
+        out = QUERIES["dedup_semdedup_scaled"](spark, sf_dir).collect()
+        clones = [r for r in out if r.vec_id >= 1000000]
+        assert clones and all(not r.keep for r in clones)
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, []).append(r.keep)
+        for ks in by_cluster.values():
+            assert any(ks)
+        # the coarse cell id width IS the plane count — it must match
+        # the adaptive formula for the augmented corpus size, and the
+        # formula must move with n (the fixed twin's frozen-granularity
+        # hazard is exactly what this pins against)
+        n = len(out)
+        width = len(out[0].cluster)
+        assert width == planes_for(n, 1024, floor=3)
+        assert planes_for(n * 1024, 1024, floor=3) > planes_for(
+            1024 * 2, 1024, floor=3
+        )
+        assert planes_for(2 ** 40, 96) == 24  # cap
+        assert math.isclose(
+            sum(1 for r in out if r.keep) / n, 1.0, abs_tol=1.0
+        )
+
+
 class TestMsprtMonitor:
     def test_aa_never_rejects_and_is_cumulative(self, spark, sf_dir):
         out = sorted(
