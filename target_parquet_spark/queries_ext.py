@@ -393,11 +393,13 @@ def corpus_components(spark, sf_dir):
     """(corpus, comp): the planted doubled corpus and its near-dup
     connected components (node -> component) — the Spark twin of
     ``SQL_MINHASH_PAIR_CTES`` + ``SQL_CC_CTES``, shared by the CC query
-    and the leakage-safe split."""
+    and the leakage-safe split.  Pairs come from the written artifact
+    (queries_r7.minhash_pair_artifact) so the banding stage is built
+    once per corpus, not once per consumer."""
+    from target_parquet_spark.queries_r7 import minhash_pair_artifact
+
     corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
+    pairs = minhash_pair_artifact(spark, sf_dir)
     comp = D.connected_components(pairs, "id_a", "id_b")
     return corpus, comp
 
@@ -540,11 +542,9 @@ def graph_pagerank_dupweb(spark, sf_dir):
     bands (AND/OR re-balance).  The pagerank iterations themselves are
     one key-join + one groupBy per round — linear in edges."""
     from target_parquet_spark.operators.graph import pagerank
+    from target_parquet_spark.queries_r7 import minhash_pair_artifact
 
-    corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
+    pairs = minhash_pair_artifact(spark, sf_dir)
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
     ).unionByName(
@@ -587,10 +587,10 @@ def dedup_keep_canonical(spark, sf_dir):
     members back against the corpus; singletons pass through untouched.
     This is the query a training-data pipeline actually materializes —
     the others are its diagnostic stages."""
+    from target_parquet_spark.queries_r7 import minhash_pair_artifact
+
     corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
+    pairs = minhash_pair_artifact(spark, sf_dir)
     comp = D.connected_components(pairs, "id_a", "id_b")
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -2057,10 +2057,10 @@ def pipeline_curation_full(spark, sf_dir):
     (sample_token_budget) or use the two-pass salted running total."""
     from pyspark.sql import Window
 
+    from target_parquet_spark.queries_r7 import minhash_pair_artifact
+
     corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
+    pairs = minhash_pair_artifact(spark, sf_dir)
     comp = D.connected_components(pairs, "id_a", "id_b")
     drop = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

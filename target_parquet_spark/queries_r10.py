@@ -47,7 +47,7 @@ from target_parquet_spark.queries_ext import (
 )
 from target_parquet_spark.queries_ops import _SQL_HASH_MOD, _hash_mod
 from target_parquet_spark.queries_r4 import _B, _BM25_TERMS, _K1
-from target_parquet_spark.queries_r6 import _SQL_BUCKET4, _SQL_KNN, _knn_edges
+from target_parquet_spark.queries_r6 import _SQL_BUCKET4, _SQL_KNN
 from target_parquet_spark.queries_r9 import (
     _cos_micro,
     _cos_micro_safe,
@@ -124,14 +124,16 @@ def graph_hits_knn(spark, sf_dir):
     identical integers in both engines.  Oracle replays the rounds as
     unrolled CTEs over the shared _SQL_KNN edge fragment.
 
-    Plan shape for 100 TB: edge generation is the bucketed k-NN stage
-    (one bucket repartition reused by both self-join sides — at scale
-    the written edge artifact is read instead, see _knn_edges); each
+    Plan shape for 100 TB: edges come from the WRITTEN k-NN artifact
+    (queries_r7.knn_edge_artifact — fingerprint-keyed, built once per
+    corpus, adaptive-plane above the ladder threshold), so the measured
+    path is one parquet scan, not a re-derived bucketed self-join; each
     HITS half-round is one edge-key join + one groupBy + a broadcast
     1-row integer total.  Per-node state is two 8-byte ints."""
     from target_parquet_spark.operators.graph import hits
+    from target_parquet_spark.queries_r7 import knn_edge_artifact
 
-    edges = _knn_edges(spark, sf_dir, k=3)
+    edges = knn_edge_artifact(spark, sf_dir)
     return hits(edges, src="src", dst="nbr", iters=_HITS_ITERS).select(
         F.col("node").alias("vec_id"), "hub_micro", "auth_micro"
     )
@@ -1129,11 +1131,13 @@ def graph_kcore(spark, sf_dir):
     survivor set on BOTH endpoints (two hash joins on the same node
     key — AQE reuses the exchange) + one degree aggregate; survivor
     state is one id column.  Edge generation amortizes across the graph
-    family via the written k-NN artifact (see _knn_edges)."""
+    family via the written k-NN artifact (queries_r7.knn_edge_artifact
+    — the measured path reads parquet, it does not re-derive)."""
     from target_parquet_spark.operators.dedup import lineage_cut
     from target_parquet_spark.queries_r6 import _symmetrize_degrees
+    from target_parquet_spark.queries_r7 import knn_edge_artifact
 
-    edges = _knn_edges(spark, sf_dir, k=3)
+    edges = knn_edge_artifact(spark, sf_dir)
     sym, _ = _symmetrize_degrees(edges)
     sym = lineage_cut(sym, None)
     active = sym.select(F.col("u").alias("node")).distinct()
@@ -1826,10 +1830,12 @@ def graph_random_walk(spark, sf_dir):
     Plan shape for 100 TB: each step is one walkers-join-edges on the
     current-node key + a per-walker argmin aggregate (map-side
     combined) — walk state is 2 ids per walker; k bounds the per-step
-    candidate fan-out at 3.  At scale the same loop runs over the
-    written k-NN edge artifact, and W independent walks per node just
-    add a walk_id to the key."""
-    edges = _knn_edges(spark, sf_dir, k=3).select("src", "nbr")
+    candidate fan-out at 3.  The loop runs over the WRITTEN k-NN edge
+    artifact (queries_r7.knn_edge_artifact), and W independent walks
+    per node just add a walk_id to the key."""
+    from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+    edges = knn_edge_artifact(spark, sf_dir).select("src", "nbr")
     walkers = edges.select(F.col("src").alias("start")).distinct().select(
         "start", F.col("start").alias("cur")
     )

@@ -554,15 +554,38 @@ def text_bpe_apply(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# Above this corpus size the artifact's edge stage switches from the
+# fixed 4-plane derivation (oracle parity: 16 buckets, occupancy n/16,
+# pair work n^2/16 — fine at the oracle scales, ~15e9 candidate pairs
+# at 500k vectors) to the adaptive-plane knn_graph (occupancy pinned at
+# 128 per bucket regardless of n).  Every oracle-checked scale (sf0.01
+# driver gate, sf0.1 bench) sits far below the ladder step, so the
+# artifact the oracles see is bit-identical to the fixed derivation;
+# the step is recorded in the fingerprint key so the two regimes can
+# never silently share a directory.
+_KNN_ARTIFACT_ADAPTIVE_ABOVE = 150_000
+
+
 def knn_edge_artifact(spark, sf_dir):
     """The materialized k-NN edge table: written once, read by every
-    downstream graph op.  The stored directory is keyed on a CONTENT
-    fingerprint (io/layout.content_fingerprint: row count + xor of
-    per-row xxhash64 hashes) so a regenerated embeddings table forces a
-    rewrite instead of silently reusing stale edges, PLUS the derivation
-    parameters (k, plane count) so changing the edge definition itself
-    also moves the key — a warm warehouse must never pin an old graph
-    against an updated oracle."""
+    downstream graph op (HITS, k-core, random walks, modularity, LPA,
+    degree distribution) — edge generation amortizes across the family
+    instead of re-running its bucketed self-join per query.  The stored
+    directory is keyed on a CONTENT fingerprint
+    (io/layout.content_fingerprint: row count + xor of per-row xxhash64
+    hashes) so a regenerated embeddings table forces a rewrite instead
+    of silently reusing stale edges, PLUS the derivation parameters
+    (k, edge-stage regime) so changing the edge definition itself also
+    moves the key — a warm warehouse must never pin an old graph
+    against an updated oracle.
+
+    Granularity ladder: below ``_KNN_ARTIFACT_ADAPTIVE_ABOVE`` vectors
+    the edges are the fixed-4-plane ``_knn_edges`` (the form every
+    graph oracle replays as CTEs); above it they come from the
+    adaptive-plane ``operators/similarity.knn_graph`` (bucket occupancy
+    held constant as the corpus grows — the fixed stage's pair volume
+    is quadratic in density and cannot even be materialized at 500k
+    vectors).  Same schema either way: (src, nbr_rank, nbr, sim)."""
     import os
 
     from target_parquet_spark.io.layout import (
@@ -570,15 +593,66 @@ def knn_edge_artifact(spark, sf_dir):
         content_fingerprint,
         warehouse_dir,
     )
+    from target_parquet_spark.operators import similarity as S
     from target_parquet_spark.queries_r6 import _knn_edges
 
     emb = td(spark, sf_dir, "embeddings")
+    n = emb.count()
+    adaptive = n > _KNN_ARTIFACT_ADAPTIVE_ABOVE
+    stage = "adaptive-occ128" if adaptive else "planes=4"
     fp = content_fingerprint(
-        emb, ["vec_id", "embedding"], extra=("knn_edges", "k=3", "planes=4")
+        emb, ["vec_id", "embedding"], extra=("knn_edges", "k=3", stage)
     )
     path = os.path.join(warehouse_dir(), f"knn_edges_{_tag(sf_dir)}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _knn_edges(spark, sf_dir, k=3).write.mode("overwrite").parquet(path)
+        edges = (
+            S.knn_graph(emb.select("vec_id", "embedding"), k=3)
+            if adaptive
+            else _knn_edges(spark, sf_dir, k=3)
+        )
+        edges.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def minhash_pair_artifact(spark, sf_dir):
+    """The materialized near-dup pair table over the planted document
+    corpus — MinHash(8)/4-band candidates, Jaccard-verified at 0.5 —
+    written once and read by every iterative consumer (TrustRank,
+    PageRank-dupweb, connected components and everything downstream of
+    them: keep-canonical, leakage-safe split, soft-dedup weights).  The
+    banded derivation is already scale-safe (band-hash buckets key on
+    the signature value, occupancy tracks duplicate density, not corpus
+    size — measured ~1.9x/decade), so unlike ``knn_edge_artifact`` no
+    granularity ladder is needed; the win is amortization.  Keyed on
+    the documents content fingerprint + derivation params + the corpus
+    augmentation version (the perturbed-twin planting is part of the
+    derived content)."""
+    import os
+
+    from target_parquet_spark.io.layout import (
+        _tag,
+        content_fingerprint,
+        warehouse_dir,
+    )
+    from target_parquet_spark.operators import dedup as D
+    from target_parquet_spark.queries_ext import _spark_corpus
+
+    docs = td(spark, sf_dir, "documents")
+    fp = content_fingerprint(
+        docs,
+        ["doc_id", "text"],
+        extra=("minhash_pairs", "h=8", "b=4", "t=0.5", "aug=tailtrim1"),
+    )
+    path = os.path.join(warehouse_dir(), f"nd_pairs_{_tag(sf_dir)}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        D.minhash_lsh_pairs(
+            _spark_corpus(spark, sf_dir),
+            "text",
+            "doc_id",
+            n_hashes=8,
+            bands=4,
+            threshold=0.5,
+        ).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

@@ -1381,14 +1381,9 @@ def dedup_threshold_sweep(spark, sf_dir):
     cross join against 9 literal thresholds folded into one aggregate —
     9 cut points cost one shuffle, not 9 pipeline runs.
     """
-    from target_parquet_spark.queries_ext import _spark_corpus
+    from target_parquet_spark.queries_r7 import minhash_pair_artifact
 
-    from target_parquet_spark.operators import dedup as D
-
-    corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
+    pairs = minhash_pair_artifact(spark, sf_dir)
     ths = spark.createDataFrame(
         [(t,) for t in _SWEEP_THS], "threshold double"
     )

@@ -1439,16 +1439,16 @@ def graph_trustrank_seeds(spark, sf_dir):
     Plan shape for 100 TB: identical per-round cost to pagerank — one
     src-key join plus one dst groupBy per iteration, teleport column
     riding the node table with no extra shuffle; localCheckpoint per
-    round cuts lineage.  Edge generation shares the minhash-banding
-    scale story documented on graph_pagerank_dupweb."""
-    from target_parquet_spark.operators import dedup as D
+    round cuts lineage.  Edges come from the WRITTEN minhash pair
+    artifact (queries_r7.minhash_pair_artifact) — the pair stage is
+    built once per corpus and amortizes across the whole near-dup
+    graph family instead of re-running per query."""
     from target_parquet_spark.operators.graph import personalized_pagerank
     from target_parquet_spark.queries_ext import _spark_corpus
+    from target_parquet_spark.queries_r7 import minhash_pair_artifact
 
     corpus = _spark_corpus(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(
-        corpus, "text", "doc_id", n_hashes=8, bands=4, threshold=0.5
-    )
+    pairs = minhash_pair_artifact(spark, sf_dir)
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
     ).unionByName(
