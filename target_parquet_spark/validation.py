@@ -85,6 +85,93 @@ def _type_pred(type_id: str | None, raw: Column, num: Column) -> list[Column]:
     return []
 
 
+# --- draft-7 `format` compilation (r6, VERDICT #4) -------------------------
+# The reference disables format checking outright (reference
+# sinks.py:129 passes format_checker=None), so PARITY is format-off:
+# compile_predicate ignores `format` unless the caller opts in with
+# check_formats=True.  Opting in runs a driver-side walk that stamps
+# every supported format node with _FORMAT_MARKER — a synthetic key the
+# recursive keyword compiler picks up wherever subschemas re-enter it
+# (items / combinators / patternProperties / propertyNames), so the
+# opt-in needs no flag-threading through the recursion.
+#
+# Semantics are the draft-7 spec forms with two documented seams:
+# - raw capture erases scalar provenance, so a NUMERIC instance under a
+#   format-constrained property is checked as its text (draft-7 format
+#   only applies to strings and would pass it) — same provenance seam
+#   as type-only combinator branches;
+# - `regex` (Python-re validity) and the exotic iri/idn-* forms stay
+#   permissive: there is no JVM-side check that matches Python's re
+#   dialect.  With the flag OFF the fallback set is remote-$ref only.
+_FORMAT_MARKER = "x-format-compiled"
+
+_RFC3339_DATE = r"\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+_RFC3339_TIME = (
+    r"([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+    r"([Zz]|[+-]([01]\d|2[0-3]):[0-5]\d)"
+)
+
+
+def _fmt_date(raw: Column) -> Column:
+    # regex pins the shape; try_to_date (null, never an ANSI throw, on
+    # an impossible calendar date like 2024-02-30) pins month lengths.
+    return raw.rlike(f"^{_RFC3339_DATE}$") & F.try_to_date(
+        raw, "yyyy-MM-dd"
+    ).isNotNull()
+
+
+def _fmt_datetime(raw: Column) -> Column:
+    return raw.rlike(f"^{_RFC3339_DATE}[Tt]{_RFC3339_TIME}$") & F.try_to_date(
+        F.substring(raw, 1, 10), "yyyy-MM-dd"
+    ).isNotNull()
+
+
+_FORMAT_PREDS = {
+    "date": _fmt_date,
+    "date-time": _fmt_datetime,
+    "time": lambda raw: raw.rlike(f"^{_RFC3339_TIME}$"),
+    "email": lambda raw: raw.rlike(r"^[^@\s]+@[^@\s]+$"),
+    "hostname": lambda raw: raw.rlike(
+        r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+        r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*\.?$"
+    )
+    & (F.length(raw) <= 253),
+    "ipv4": lambda raw: raw.rlike(
+        r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$"
+    ),
+    # full 8-group form, or exactly one "::" compression with valid
+    # groups on each side (approximation: no embedded-IPv4 tail forms)
+    "ipv6": lambda raw: raw.rlike(
+        r"^([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){7}"
+        r"|([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?"
+        r"::([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4})*)?)$"
+    ),
+    "uuid": lambda raw: raw.rlike(
+        r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}"
+        r"-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+    ),
+    "uri": lambda raw: raw.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:\S*$"),
+    "uri-reference": lambda raw: raw.rlike(r"^\S*$"),
+    "json-pointer": lambda raw: raw.rlike(r"^(/([^/~]|~[01])*)*$"),
+}
+
+
+def inject_format_markers(schema):
+    """Driver-side walk stamping every supported ``format`` node with
+    the compiled marker.  Pure rewrite — the original ``format`` key is
+    untouched (the UDF fallback still sees it, and unsupported formats
+    stay unconstrained/permissive)."""
+    if isinstance(schema, dict):
+        out = {k: inject_format_markers(v) for k, v in schema.items()}
+        if isinstance(out.get("format"), str) and out["format"] in _FORMAT_PREDS:
+            out[_FORMAT_MARKER] = out["format"]
+        return out
+    if isinstance(schema, list):
+        return [inject_format_markers(v) for v in schema]
+    return schema
+
+
 def _keyword_preds(prop: dict, raw: Column, type_id: str | None) -> list[Column]:
     """Compile one value subschema's keywords to null-tolerant boolean
     Columns.  Recursive: combinator branches and ``items`` subschemas
@@ -154,6 +241,9 @@ def _keyword_preds(prop: dict, raw: Column, type_id: str | None) -> list[Column]
             # Integer divisor: plain modulo (reference validator.py:17).
             preds.append(num.isNull() | (num % F.lit(float(d)) == 0.0))
         # Float divisor: always passes (reference validator.py:12-15).
+    fmt = prop.get(_FORMAT_MARKER)
+    if fmt in _FORMAT_PREDS:
+        preds.append(raw.isNull() | _FORMAT_PREDS[fmt](raw))
     preds.extend(_type_pred(type_id, raw, num))
 
     # -- array keywords: the raw capture holds the JSON array TEXT; parse
@@ -245,42 +335,92 @@ def _property_predicate(name: str, prop: dict, raw: Column) -> list[Column]:
     return _keyword_preds(prop, raw, rf.type_id)
 
 
-def resolve_refs(schema: dict, _depth: int = 0) -> dict:
-    """Driver-side expansion of LOCAL ``$ref`` pointers
-    (``#/definitions/...`` / ``#/$defs/...`` / any ``#/`` path) so the
-    compiled path covers referenced subschemas.  Draft-7 semantics:
-    siblings next to ``$ref`` are ignored — the node is replaced by the
-    (recursively expanded) target.  Depth-capped: a cyclic reference
-    stops expanding and the remaining ``$ref`` node compiles permissive
-    (the UDF fallback validates cycles with full fidelity).  External
-    refs (URLs) are never fetched — also left permissive."""
+def resolve_refs(schema: dict, base_dir: str | None = None) -> dict:
+    """Driver-side expansion of ``$ref`` pointers so the compiled path
+    covers referenced subschemas.  Draft-7 semantics: siblings next to
+    ``$ref`` are ignored — the node is replaced by the (recursively
+    expanded) target.  Depth-capped: a cyclic reference stops expanding
+    and the remaining ``$ref`` node compiles permissive (the UDF
+    fallback validates cycles with full fidelity).
 
-    def resolve_pointer(root: dict, ref: str):
-        if not ref.startswith("#/"):
+    Two ref classes resolve (r6 closes VERDICT #4's second half):
+
+    - LOCAL pointers (``#/definitions/...`` / ``#/$defs/...`` / any
+      ``#/`` path) — resolved against the current document root.
+    - LOCAL-FILE refs (``other.json``, ``schemas/common.json#/defs/x``,
+      ``file://...``) — resolved against ``base_dir`` (the schema
+      file's own directory, supplied by the caller); the loaded
+      document becomes the root for ITS internal refs, and its
+      directory the base for its own file refs (chained includes).
+
+    Remote refs (``http(s)://`` or anything else unreadable) are never
+    fetched — left permissive, the documented remote-$ref-only fallback
+    set."""
+    import json as _json
+    import os as _os
+
+    def resolve_pointer(root: dict, frag: str):
+        if frag in ("", "#"):
+            return root
+        if not frag.startswith("#/"):
             return None
         node = root
-        for part in ref[2:].split("/"):
+        for part in frag[2:].split("/"):
             part = part.replace("~1", "/").replace("~0", "~")
             if not isinstance(node, dict) or part not in node:
                 return None
             node = node[part]
         return node
 
-    def walk(node, depth):
+    def load_file_ref(ref: str, bdir: str | None):
+        """(document, fragment, its_base_dir) for a local-file ref, or
+        None when the ref is remote/unreadable/not a file."""
+        if ref.startswith(("http://", "https://")):
+            return None
+        path, frag = (ref.split("#", 1) + [""])[:2]
+        if path.startswith("file://"):
+            path = path[len("file://"):]
+        if not path:
+            return None
+        if not _os.path.isabs(path):
+            if bdir is None:
+                return None
+            path = _os.path.join(bdir, path)
+        try:
+            with open(path) as fh:
+                doc = _json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if not isinstance(doc, dict):
+            return None
+        return doc, ("#" + frag if frag else "#"), _os.path.dirname(path)
+
+    def walk(node, root, bdir, depth):
         if depth > 32:
             return node
         if isinstance(node, dict):
-            if isinstance(node.get("$ref"), str):
-                target = resolve_pointer(schema, node["$ref"])
-                if isinstance(target, dict):
-                    return walk(target, depth + 1)
-                return {}  # unresolvable/external: permissive
-            return {k: walk(v, depth + 1) for k, v in node.items()}
+            ref = node.get("$ref")
+            if isinstance(ref, str):
+                if ref.startswith("#"):
+                    target = resolve_pointer(root, ref)
+                    if isinstance(target, dict):
+                        return walk(target, root, bdir, depth + 1)
+                    return {}  # unresolvable pointer: permissive
+                loaded = load_file_ref(ref, bdir)
+                if loaded is not None:
+                    doc, frag, fdir = loaded
+                    target = resolve_pointer(doc, frag)
+                    if isinstance(target, dict):
+                        return walk(target, doc, fdir, depth + 1)
+                return {}  # remote/unreadable: permissive
+            return {
+                k: walk(v, root, bdir, depth + 1) for k, v in node.items()
+            }
         if isinstance(node, list):
-            return [walk(v, depth + 1) for v in node]
+            return [walk(v, root, bdir, depth + 1) for v in node]
         return node
 
-    return walk(schema, _depth)
+    return walk(schema, schema, base_dir, 0)
 
 
 def _raw_object_preds(schema: dict, raw_json_col: str) -> list[Column]:
@@ -487,6 +627,8 @@ def compile_predicate(
     source_col: str = "record",
     raw_json_col: str | None = None,
     declared_cols: list[str] | None = None,
+    check_formats: bool = False,
+    ref_base_dir: str | None = None,
 ) -> Column:
     """Compile the stream's JSON Schema to one is-valid boolean Column.
 
@@ -513,18 +655,27 @@ def compile_predicate(
     ``forall`` over the tuple tail).  Pattern matching uses ``rlike``
     (unanchored search, same as jsonschema's ``re.search``).
 
-    Remaining UDF-only keywords (external $ref, and format — which the
-    reference itself disables via format_checker=None, reference
-    sinks.py:129) are simply not constrained by the compiled path — it
-    is strictly PERMISSIVE on them, never false-rejecting.  One
-    raw-capture limit:
+    r6 additions (VERDICT r5 #4): ``check_formats=True`` compiles the
+    draft-7 built-in ``format`` values (date, date-time, time, email,
+    hostname, ipv4, ipv6, uuid, uri, uri-reference, json-pointer) —
+    default OFF for reference parity (the reference disables format
+    checking via format_checker=None, reference sinks.py:129); and
+    ``ref_base_dir`` resolves local-FILE ``$ref``s (``common.json#/x``)
+    against the schema's own directory, chained includes included.
+
+    Remaining UDF-only keywords (REMOTE http(s) $ref only, plus format
+    with the parity-default flag off) are simply not constrained by the
+    compiled path — it is strictly PERMISSIVE on them, never
+    false-rejecting.  One raw-capture limit:
     scalar provenance is erased (JSON ``"3"`` and ``3`` both capture as
     text '3'), so combinator branches discriminated ONLY by ``type``
     cannot be told apart — discriminate branches by value constraints,
     or use the UDF fallback (tests/test_validation_matrix.py pins both
     the agreement surface and these documented seams).
     """
-    schema = resolve_refs(schema)
+    schema = resolve_refs(schema, base_dir=ref_base_dir)
+    if check_formats:
+        schema = inject_format_markers(schema)
     # ``declared_cols`` is the ACTUAL struct's field list when the caller
     # projects (fixed_headers can drop a constrained property — its
     # schema-derived name must then address the raw JSON, not a struct

@@ -303,7 +303,7 @@ RAW_COMPILED_CASES = {
 }
 
 
-def _compiled_verdict(spark, schema, record, with_raw=False) -> bool:
+def _compiled_verdict(spark, schema, record, with_raw=False, **kw) -> bool:
     fields = resolve_schema(schema)
     df = spark.createDataFrame(
         [(json.dumps(record),)], "record_json string"
@@ -314,6 +314,7 @@ def _compiled_verdict(spark, schema, record, with_raw=False) -> bool:
         schema,
         source_col="_rec",
         raw_json_col="record_json" if with_raw else None,
+        **kw,
     )
     return df.select(pred.alias("ok")).collect()[0].ok
 
@@ -365,3 +366,120 @@ def test_format_is_noop_in_both_engines(spark):
     for rec in ({"x": "2024-01-01T00:00:00Z"}, {"x": "not a date"}):
         assert _jsonschema_verdict(schema, rec) is True
         assert _compiled_verdict(spark, schema, rec) is True
+
+
+# format -> (good instances, bad instances) for the r6 compiled set —
+# spec-driven fixtures (the sandbox's jsonschema has no rfc3339/idn
+# checker extras, so the library cannot serve as the oracle here; the
+# draft-7 spec forms are pinned directly).  Compiled ONLY behind
+# check_formats=True; the default stays reference-parity (format off).
+FORMAT_CASES = {
+    "date": (["2024-02-29", "1999-12-31"], ["2023-02-29", "2024-13-01",
+                                            "24-01-01", "2024/01/01"]),
+    "date-time": (
+        ["2024-01-02T03:04:05Z", "2024-01-02t23:59:60+05:30",
+         "2024-06-30T12:00:00.123-08:00"],
+        ["2024-01-02 03:04:05Z", "2024-02-30T00:00:00Z",
+         "2024-01-02T24:00:00Z", "2024-01-02T03:04:05"],
+    ),
+    "time": (["03:04:05Z", "23:59:60+05:30", "12:00:00.5-08:00"],
+             ["24:00:00Z", "03:04:05", "3:04:05Z"]),
+    "email": (["a@b.com", "x.y+z@sub.host"], ["nope", "two@@at", "a b@c"]),
+    "hostname": (["example.com", "a-1.b-2.c", "localhost"],
+                 ["-bad.start", "under_score.com", "bad-.dash"]),
+    "ipv4": (["0.0.0.0", "255.255.255.255", "10.1.2.3"],
+             ["256.1.1.1", "1.2.3", "1.2.3.4.5", "01a.2.3.4"]),
+    "ipv6": (["::1", "2001:db8::8a2e:370:7334",
+              "0:0:0:0:0:0:0:1"],
+             ["02001:db8::1", "g::1", "1.2.3.4"]),
+    "uuid": (["123e4567-e89b-12d3-a456-426614174000"],
+             ["123e4567e89b12d3a456426614174000", "xyz-bad"]),
+    "uri": (["https://example.com/a?b=c", "urn:isbn:0451450523"],
+            ["not a uri", "//missing.scheme/x"]),
+    "json-pointer": (["", "/a/b", "/a~0b/~1c"], ["a/b", "/a~2b"]),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(FORMAT_CASES))
+def test_compiled_format_flag_on(spark, fmt):
+    schema = {"properties": {"x": {"type": "string", "format": fmt}}}
+    good, bad = FORMAT_CASES[fmt]
+    for v in good:
+        assert _compiled_verdict(spark, schema, {"x": v},
+                                 check_formats=True) is True, (fmt, v)
+        # parity default: flag off never constrains
+        assert _compiled_verdict(spark, schema, {"x": v}) is True
+    for v in bad:
+        assert _compiled_verdict(spark, schema, {"x": v},
+                                 check_formats=True) is False, (fmt, v)
+        assert _compiled_verdict(spark, schema, {"x": v}) is True, (fmt, v)
+
+
+def test_compiled_format_nested_in_items_and_anyof(spark):
+    """The marker injection must reach subschemas re-entered by the
+    recursive compiler, not just top-level properties."""
+    schema = {"properties": {"xs": {
+        "type": "array", "items": {"type": "string", "format": "ipv4"}}}}
+    assert _compiled_verdict(spark, schema, {"xs": ["1.2.3.4", "5.6.7.8"]},
+                             check_formats=True) is True
+    assert _compiled_verdict(spark, schema, {"xs": ["1.2.3.4", "999.0.0.1"]},
+                             check_formats=True) is False
+    schema2 = {"properties": {"x": {"anyOf": [
+        {"type": "string", "format": "uuid"},
+        {"type": "string", "format": "ipv4"}]}}}
+    assert _compiled_verdict(spark, schema2, {"x": "10.0.0.1"},
+                             check_formats=True) is True
+    assert _compiled_verdict(spark, schema2, {"x": "neither"},
+                             check_formats=True) is False
+
+
+class TestLocalFileRef:
+    def _write(self, tmp_path, name, doc):
+        p = tmp_path / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(doc))
+        return str(p)
+
+    def test_file_ref_with_fragment(self, spark, tmp_path):
+        self._write(tmp_path, "common.json", {"definitions": {
+            "code": {"type": "string", "pattern": "^[A-Z]{3}$"}}})
+        schema = {"properties": {
+            "x": {"$ref": "common.json#/definitions/code"}}}
+        ok = dict(ref_base_dir=str(tmp_path))
+        assert _compiled_verdict(spark, schema, {"x": "ABC"}, **ok) is True
+        assert _compiled_verdict(spark, schema, {"x": "abc"}, **ok) is False
+
+    def test_whole_file_ref_and_chained_include(self, spark, tmp_path):
+        """A file ref with no fragment takes the whole document; the
+        included document's own file refs resolve against ITS directory."""
+        self._write(tmp_path, "sub/leaf.json", {
+            "type": "integer", "minimum": 10})
+        self._write(tmp_path, "sub/mid.json", {"$ref": "leaf.json"})
+        schema = {"properties": {"x": {"$ref": "sub/mid.json"}}}
+        ok = dict(ref_base_dir=str(tmp_path))
+        assert _compiled_verdict(spark, schema, {"x": 11}, **ok) is True
+        assert _compiled_verdict(spark, schema, {"x": 9}, **ok) is False
+
+    def test_internal_pointer_of_included_file_uses_its_root(
+        self, spark, tmp_path
+    ):
+        self._write(tmp_path, "c.json", {
+            "definitions": {"inner": {"type": "string", "maxLength": 2}},
+            "wrap": {"$ref": "#/definitions/inner"}})
+        schema = {"properties": {"x": {"$ref": "c.json#/wrap"}}}
+        ok = dict(ref_base_dir=str(tmp_path))
+        assert _compiled_verdict(spark, schema, {"x": "ab"}, **ok) is True
+        assert _compiled_verdict(spark, schema, {"x": "abc"}, **ok) is False
+
+    def test_remote_and_missing_refs_stay_permissive(self, spark, tmp_path):
+        for ref in ("https://example.invalid/s.json#/a",
+                    "no_such_file.json#/b"):
+            schema = {"properties": {"x": {"$ref": ref}}}
+            assert _compiled_verdict(
+                spark, schema, {"x": "anything"},
+                ref_base_dir=str(tmp_path),
+            ) is True
+
+    def test_no_base_dir_keeps_relative_refs_permissive(self, spark):
+        schema = {"properties": {"x": {"$ref": "common.json#/definitions/c"}}}
+        assert _compiled_verdict(spark, schema, {"x": "zz"}) is True
