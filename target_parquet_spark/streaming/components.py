@@ -1,0 +1,246 @@
+"""Incrementally-maintained near-dup CONNECTED COMPONENTS — the last
+batch-only pillar of the dedup family made streaming (VERDICT r5 #5).
+
+The batch twin is ``dedup_connected_components`` (queries_ext):
+``minhash_lsh_pairs`` -> ``connected_components``.  A continuously
+ingested corpus cannot afford to re-run pair discovery over everything
+it ever saw, so this module maintains the EXPENSIVE stage — banded
+MinHash pair discovery — incrementally on the shared ``EpochStore``
+protocol (``streaming/epoch_store.py``), and resolves components from
+the accumulated edge table at read time:
+
+- per micro-batch, arriving docs are banded with the SAME expressions
+  as the batch path (``lsh_band_index`` owns them — one definition),
+  joined against the accumulated band index (new-vs-corpus) and against
+  themselves (new-vs-new), and band collisions are Jaccard-verified at
+  the same threshold/rounding as the batch twin;
+- three epoch-partial tables accumulate: ``bands`` (the growing LSH
+  index), ``docs`` (one shingle-set row per doc, the verification
+  payload stored ONCE, not once per band), ``edges`` (verified pairs —
+  the union-find input).  Each micro-batch overwrites only its own
+  ``epoch=<id>`` partials, so crash replays are idempotent.
+- ``components()`` folds the edge partials and runs the standard
+  pointer-jumping label propagation (``operators/dedup.
+  connected_components``) over them — edges are near-dup pairs, a set
+  orders of magnitude smaller than the corpus, so the read-time
+  resolve is cheap and always globally consistent (no incremental
+  union-find approximation to drift).
+
+Replay semantics: a replayed epoch rewrites byte-identical ``bands``
+and ``docs`` partials, and an edge delta that can only GROW by
+verified-true pairs (the band state it joins against may have advanced
+past the original run).  Extra true edges cannot change the transitive
+closure, and the edge fold (groupBy pair, max jaccard — identical
+values anyway) keeps one row per pair, so components after any replay
+or compaction equal the batch twin exactly — pinned by
+tests/test_streaming.py.
+
+Completeness argument (why no pair is ever missed): a colliding pair
+(a, b) with a ingested no later than b is discovered when b's batch
+runs — a's bands are then either in the accumulated index
+(earlier epoch) or in b's own batch (new-vs-new).  Discovery happens
+on the LATER doc's arrival, exactly once per pair after the edge fold.
+
+Scale notes: the per-batch join touches |batch| x band-collisions, not
+|corpus|^2; the band index is the (band_idx, band_hash)-keyed table a
+real deployment bucket-partitions by band key so the stream-static
+join co-locates.  Candidate pairs cross the distinct as 16-byte id
+rows; shingle arrays are joined back in only for the surviving pairs
+(the docs table is id-keyed).  The reference has no streaming surface
+at all (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators.dedup import (
+    _jaccard,
+    connected_components,
+    lsh_band_index,
+)
+
+from .epoch_store import EpochStore
+
+__all__ = ["StreamingComponents"]
+
+
+class StreamingComponents:
+    """Near-dup connected components over a document stream: banded
+    MinHash pair discovery maintained incrementally, components
+    resolved from the accumulated verified-edge table on read."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        checkpoint: str | None = None,
+        threshold: float = 0.5,
+        n_hashes: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.spark = spark
+        self.threshold = threshold
+        self.n_hashes = n_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+        self.checkpoint = checkpoint or os.path.join(out_dir, "_checkpoint")
+        self._bands = EpochStore(
+            spark,
+            os.path.join(out_dir, "bands"),
+            "doc_id bigint, band_idx int, band_hash string",
+        )
+        self._docs = EpochStore(
+            spark,
+            os.path.join(out_dir, "docs"),
+            "doc_id bigint, sh array<bigint>",
+        )
+        self._edges = EpochStore(
+            spark,
+            os.path.join(out_dir, "edges"),
+            "id_a bigint, id_b bigint, jaccard double",
+        )
+
+    # -- write path ----------------------------------------------------------
+
+    def start(self, docs: DataFrame, available_now: bool = False):
+        writer = (
+            docs.writeStream.foreachBatch(self._merge_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .queryName("near-dup-components")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def _merge_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        new_banded = lsh_band_index(
+            batch_df,
+            self.text_col,
+            self.id_col,
+            n_hashes=self.n_hashes,
+            bands=self.bands,
+            shingle_n=self.shingle_n,
+        )
+        # the banding pipeline feeds three consumers in this one batch
+        # job (bands delta, docs delta, both sides of the candidate
+        # join); shuffle-back the interpreted shingle+md5 work once
+        new_banded = new_banded.repartition("band_idx", "band_hash")
+        new_sh = new_banded.select("doc_id", "sh").dropDuplicates(["doc_id"])
+
+        # candidates: new-vs-corpus (accumulated index) + new-vs-new.
+        # Pairs normalize to (least, greatest) and cross the distinct as
+        # id-only rows; the state side carries no shingles, so
+        # verification joins the docs table back in for the SURVIVORS of
+        # the distinct — the inverse trade of the batch path's
+        # verify-before-distinct (there the payload already rides the
+        # band exchange; here it would be a second copy of the corpus).
+        n = new_banded.alias("n")
+        state = self._bands.state_df().alias("c")
+        vs_corpus = n.join(
+            state,
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        ).select(
+            F.least("n.doc_id", "c.doc_id").alias("id_a"),
+            F.greatest("n.doc_id", "c.doc_id").alias("id_b"),
+        )
+        m = new_banded.alias("m")
+        vs_new = n.join(
+            m,
+            (F.col("n.band_idx") == F.col("m.band_idx"))
+            & (F.col("n.band_hash") == F.col("m.band_hash"))
+            & (F.col("n.doc_id") < F.col("m.doc_id")),
+        ).select(
+            F.col("n.doc_id").alias("id_a"), F.col("m.doc_id").alias("id_b")
+        )
+        cand = vs_corpus.unionByName(vs_new).distinct()
+
+        # verify with the batch twin's exact expressions: same shingle
+        # universe (60-bit md5 longs), same Jaccard, same 4dp rounding,
+        # same >= threshold — stream==batch equality depends on it
+        sh_lookup = (
+            self._docs.state_df()
+            .unionByName(new_sh)
+            .dropDuplicates(["doc_id"])
+        )
+        a = sh_lookup.select(
+            F.col("doc_id").alias("id_a"), F.col("sh").alias("_sha")
+        )
+        b = sh_lookup.select(
+            F.col("doc_id").alias("id_b"), F.col("sh").alias("_shb")
+        )
+        edges = (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(_jaccard(F.col("_sha"), F.col("_shb")), 4).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+        )
+
+        # Write ORDER is load-bearing: the edge delta is the only one
+        # that READS accumulated state, and on a replay the bands/docs
+        # overwrites below delete the very epoch files that state read
+        # still needs (lazy evaluation — the edge job would hit
+        # FILE_NOT_EXIST mid-scan).  Edges first, while the state
+        # partials are intact; bands/docs derive from batch_df alone.
+        self._edges.write_epoch(edges, epoch_id)
+        self._bands.write_epoch(
+            new_banded.select("doc_id", "band_idx", "band_hash"), epoch_id
+        )
+        self._docs.write_epoch(new_sh, epoch_id)
+
+    # -- folds ---------------------------------------------------------------
+
+    @staticmethod
+    def _fold_bands(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", "band_idx", "band_hash").distinct()
+
+    @staticmethod
+    def _fold_docs(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", "sh").dropDuplicates(["doc_id"])
+
+    @staticmethod
+    def _fold_edges(df: DataFrame) -> DataFrame:
+        # a pair rediscovered by a replay carries the identical jaccard
+        # (same shingle sets); max is just the idempotent fold spelling
+        return (
+            df.select("id_a", "id_b", "jaccard")
+            .groupBy("id_a", "id_b")
+            .agg(F.max("jaccard").alias("jaccard"))
+        )
+
+    # -- read path -----------------------------------------------------------
+
+    def edges(self) -> DataFrame:
+        """Folded verified near-dup pairs: one (id_a, id_b, jaccard) row
+        per discovered pair — the batch twin's pair-table shape."""
+        return self._fold_edges(self._edges.state_df())
+
+    def components(self) -> DataFrame:
+        """(node, component) via pointer-jumping label propagation over
+        the accumulated edges — identical to running the batch CC over
+        the same corpus (only edge-incident nodes appear, matching the
+        batch operator's contract)."""
+        return connected_components(self.edges(), "id_a", "id_b")
+
+    def compact(self) -> None:
+        """Fold every store's partials into one ``base-v<N>``; safe
+        while the stream is live (see epoch_store docstring)."""
+        self._bands.compact(self._fold_bands)
+        self._docs.compact(self._fold_docs)
+        self._edges.compact(self._fold_edges)

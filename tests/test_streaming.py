@@ -1365,3 +1365,60 @@ def test_sequential_monitor_matches_batch_and_handles_split_user_day(
     # compaction preserves the read-out
     m.compact()
     assert _rows(m.read(), cols) == once
+
+
+def test_streaming_components_equal_batch_after_replay_and_compaction(
+    spark, sf_dir, tmp_path
+):
+    """Incremental near-dup connected components (VERDICT r5 #5): a
+    multi-epoch stream over the planted doubled corpus must resolve to
+    EXACTLY the batch twin's components; replaying an epoch (with a
+    superset delta — the band state has advanced), duplicate-delivering
+    old docs under a new epoch, and compacting can never change them."""
+    from target_parquet_spark.operators import dedup as D
+    from target_parquet_spark.queries_ext import _spark_corpus
+    from target_parquet_spark.streaming.components import StreamingComponents
+
+    src = str(tmp_path / "docs")
+    _spark_corpus(spark, sf_dir).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+    corpus = spark.read.parquet(src)
+
+    want_pairs = D.minhash_lsh_pairs(corpus, "text", "doc_id")
+    ccols = ["node", "component"]
+    ecols = ["id_a", "id_b", "jaccard"]
+    want = _rows(D.connected_components(want_pairs, "id_a", "id_b"), ccols)
+    want_edges = _rows(want_pairs, ecols)
+
+    sc = StreamingComponents(spark, str(tmp_path / "cc"))
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    _await(sc.start(stream, available_now=True))
+
+    assert want and want_edges  # the planted twins guarantee real groups
+    assert _rows(sc.components(), ccols) == want
+    assert _rows(sc.edges(), ecols) == want_edges
+
+    # replay epoch 0 with the FULL corpus (a superset of the original
+    # file: by replay time the band state had advanced past it) — the
+    # overwritten delta may gain verified-true pairs, never lose any
+    sc._merge_batch(corpus, 0)
+    assert _rows(sc.components(), ccols) == want
+    assert _rows(sc.edges(), ecols) == want_edges
+
+    # compaction folds bands/docs/edges without changing the answer
+    sc.compact()
+    assert _rows(sc.components(), ccols) == want
+
+    # duplicate delivery of already-seen docs under a fresh epoch id
+    # (at-least-once upstream) merges with compacted history, no change
+    sc._merge_batch(corpus.limit(50), 9)
+    assert _rows(sc.components(), ccols) == want
+    assert _rows(sc.edges(), ecols) == want_edges
+
+    sc.compact()
+    assert _rows(sc.components(), ccols) == want
