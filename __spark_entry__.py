@@ -36,6 +36,7 @@ import target_parquet_spark.queries_r7 as _qr7  # noqa: E402  (registers into _q
 import target_parquet_spark.queries_r8 as _qr8  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r9 as _qr9  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r10 as _qr10  # noqa: E402  (registers into _q)
+import target_parquet_spark.queries_r11 as _qr11  # noqa: E402  (registers into _q)
 
 
 def entry(spark: SparkSession) -> DataFrame:

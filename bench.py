@@ -226,6 +226,10 @@ HEADLINE = [
     "events_srm_check",
     "events_winsorized_ab",
     "events_quantile_treatment_effect",
+    # round 6
+    "dedup_semdedup_scaled",
+    "dedup_keep_best_quality",
+    "text_pii_scan",
 ]
 
 
