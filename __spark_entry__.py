@@ -108,8 +108,10 @@ _CURATED_PREFIX = [
     "events_bayesian_ab",
     "events_mann_whitney",
     "events_msprt_monitor",
-    "events_bootstrap_ci",
-    "events_propensity_match",
+    # round 6 (bootstrap_ci and propensity_match rotated out after their
+    # r5 driver-green rows; the full sweep still covers them)
+    "dedup_keep_best_quality",
+    "text_pii_scan",
     "pipeline_training_data",
 ]
 
