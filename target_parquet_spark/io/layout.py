@@ -58,6 +58,28 @@ def _tag(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
 
 
+def content_stats(df, cols: list[str]) -> tuple[int, int]:
+    """(row count, xor of per-row xxhash64 over ``cols``) in ONE
+    aggregation job — callers that need the count anyway (e.g. the
+    artifact granularity ladder) reuse it instead of paying a second
+    scan (review r6)."""
+    from pyspark.sql import functions as F
+
+    key = ", ".join(f"`{c}`" for c in cols)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"coalesce(bit_xor(xxhash64({key})), 0)").alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+def fingerprint_from_stats(n: int, h: int, extra: tuple = ()) -> str:
+    """Fingerprint from precomputed ``content_stats`` — lets a caller
+    fold derivation parameters that themselves DEPEND on the count
+    (the ladder regime) into the key without a second scan."""
+    return hashlib.md5(repr((n, h, tuple(extra))).encode()).hexdigest()[:10]
+
+
 def content_fingerprint(df, cols: list[str], extra: tuple = ()) -> str:
     """Short content fingerprint for keying materialized artifacts: row
     count + xor of per-row xxhash64 over ``cols`` (order-insensitive,
@@ -66,15 +88,8 @@ def content_fingerprint(df, cols: list[str], extra: tuple = ()) -> str:
     plane counts, a version token — anything that changes the DERIVED
     artifact without changing the source data).  The xor coalesces to 0
     on an empty frame (bit_xor over zero rows is NULL)."""
-    from pyspark.sql import functions as F
-
-    key = ", ".join(f"`{c}`" for c in cols)
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr(f"coalesce(bit_xor(xxhash64({key})), 0)").alias("h"),
-    ).collect()[0]
-    src = repr((int(row.n), int(row.h), tuple(extra)))
-    return hashlib.md5(src.encode()).hexdigest()[:10]
+    n, h = content_stats(df, cols)
+    return fingerprint_from_stats(n, h, extra)
 
 
 def ensure_bucketed(

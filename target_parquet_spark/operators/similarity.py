@@ -729,15 +729,18 @@ def semdedup_keep(
     two OR-amplified fine families bound candidate pairs by
     ~``sub_occupancy`` regardless of scale.
 
-    Semantics are the fixed twin's, verbatim: per-cluster centroid in
-    exact integer-micro arithmetic (BIGINT per-dim sums — parallel and
-    serial sums cannot drift), rank = ascending cosine-to-centroid
-    (vec_id tie-break; the most diverse member of each duplicate group
+    Semantics are the fixed twin's, verbatim — ``dedup_semdedup``
+    (queries_r10) now DELEGATES here with pinned plane counts, so there
+    is exactly one implementation: per-cluster centroid in exact
+    integer-micro arithmetic (BIGINT per-dim sums — parallel and serial
+    sums cannot drift), rank = ascending cosine-to-centroid (vec_id
+    tie-break; the most diverse member of each duplicate group
     survives), a vector is dropped iff some lower-ranked cluster-mate
     agreeing on either fine sub-bucket has pairwise cosine >=
-    tau_micro/1e6.  Exact twins agree on every bucket at every level,
-    so a planted duplicate is always a candidate pair — the
-    planted-twin test's contract.
+    tau_micro/1e6 (raw-double fold, quantized at the end — the oracle's
+    _sql_cos_micro formula).  Exact twins agree on every bucket at
+    every level, so a planted duplicate is always a candidate pair —
+    the planted-twin test's contract.
 
     Plan shape for 100 TB: one count + one probe row fix the plane
     counts at plan time; the dim-explode feeds a (cluster, pos)
@@ -749,12 +752,19 @@ def semdedup_keep(
 
     Returns (id, cluster, cos_centroid, rank_div, keep).
     """
-    dim, cluster_planes = _adaptive_planes(
-        corpus, vec_col, cluster_occupancy, floor=3, n_planes=cluster_planes,
-        caller="semdedup_keep",
-    )
-    if sub_planes is None:
-        sub_planes = planes_for(corpus.count(), sub_occupancy, floor=6)
+    probe = corpus.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        raise ValueError(
+            "semdedup_keep: corpus has no non-null vectors to derive "
+            "the embedding width from"
+        )
+    dim = len(probe[0])
+    if cluster_planes is None or sub_planes is None:
+        n = corpus.count()  # ONE count job feeds both levels
+        if cluster_planes is None:
+            cluster_planes = planes_for(n, cluster_occupancy, floor=3)
+        if sub_planes is None:
+            sub_planes = planes_for(n, sub_occupancy, floor=6)
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
@@ -829,26 +839,12 @@ def semdedup_keep(
     cand = (
         _branch("_asa", "_ksa").unionByName(_branch("_asb", "_ksb")).distinct()
     )
-    # pair verify: the same integer-micro sequential fold the fixed twin
-    # uses — quantize each component, fold dot and norms in array order,
-    # one scalar expression per pair (no parallel float aggregation).
-    def _mic(col):
-        return F.transform(
-            col, lambda x: F.round(x.cast("double") * 1000000).cast("long")
-        )
-
-    def _ifold(xa, xb):
-        return F.aggregate(
-            F.zip_with(xa, xb, lambda p, q: p * q),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    am, bm = _mic(F.col("_aemb")), _mic(F.col("_bemb"))
+    # pair verify: the raw-double sequential cosine fold quantized at
+    # the END — byte-for-byte the fixed twin's _cos_micro formula
+    # (micro-quantizing components FIRST would flip pairs sitting
+    # exactly on the tau boundary; review caught that drift).
     cos_micro = F.round(
-        _ifold(am, bm)
-        / (F.sqrt(_ifold(am, am)) * F.sqrt(_ifold(bm, bm)))
-        * 1000000
+        cosine(F.col("_aemb"), F.col("_bemb")) * 1000000
     ).cast("long")
     bv = base.select(
         F.col("vec_id").alias("_bid"), F.col("_v").alias("_bemb")

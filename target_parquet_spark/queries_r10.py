@@ -640,98 +640,19 @@ def dedup_semdedup(spark, sf_dir):
         emb.filter(F.col("vec_id") % 3 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
         )
+    )
+    # ONE implementation of the keep rule (operators/similarity.
+    # semdedup_keep — review r6: two hand-synced copies had already
+    # drifted on the pair-verify quantization); the fixed twin is the
+    # operator with its granularity pinned to the oracle's plane counts.
+    return S.semdedup_keep(
+        base, tau_micro=_SD_TAU_MICRO, cluster_planes=4, sub_planes=8
     ).select(
-        "vec_id",
-        "embedding",
-        S.lsh_bucket(F.col("embedding"), n_planes=4).alias("cluster"),
-        S.lsh_bucket(F.col("embedding"), n_planes=8, table=1).alias("sub_a"),
-        S.lsh_bucket(F.col("embedding"), n_planes=8, table=2).alias("sub_b"),
-    )
-    ex = base.select(
-        "vec_id",
+        F.col("id").alias("vec_id"),
         "cluster",
-        F.posexplode("embedding").alias("pos0", "x"),
-    ).select(
-        "vec_id",
-        "cluster",
-        (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("x") * 1000000).cast("long").alias("m"),
-    )
-    cs = ex.groupBy("cluster", "pos").agg(
-        F.sum("m").cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    cm = cs.select(
-        "cluster",
-        "pos",
-        F.round(1.0 * F.col("s") / F.col("n")).cast("long").alias("c"),
-    )
-    vs = (
-        ex.join(cm, ["cluster", "pos"])
-        .groupBy("vec_id", "cluster")
-        .agg(
-            F.sum(F.col("m") * F.col("c")).cast("long").alias("dot_c"),
-            F.sum(F.col("m") * F.col("m")).cast("long").alias("nv2"),
-            F.sum(F.col("c") * F.col("c")).cast("long").alias("nc2"),
-        )
-    )
-    cc = F.round(
-        F.col("dot_c") / (F.sqrt("nv2") * F.sqrt("nc2")) * 1000000
-    ).cast("long")
-    w = Window.partitionBy("cluster").orderBy("cc_micro", "vec_id")
-    rk = vs.select("vec_id", "cluster", cc.alias("cc_micro")).withColumn(
-        "rank_div", F.row_number().over(w).cast("long")
-    )
-    rkb = rk.join(base.select("vec_id", "sub_a", "sub_b"), "vec_id")
-    a = rkb.select(
-        F.col("vec_id").alias("_aid"),
-        F.col("cluster").alias("_ac"),
-        F.col("rank_div").alias("_ar"),
-        F.col("sub_a").alias("_asa"),
-        F.col("sub_b").alias("_asb"),
-    )
-    k = rkb.select(
-        F.col("vec_id").alias("_kid"),
-        F.col("cluster").alias("_kc"),
-        F.col("rank_div").alias("_kr"),
-        F.col("sub_a").alias("_ksa"),
-        F.col("sub_b").alias("_ksb"),
-    )
-
-    def _branch(sub_a_col, sub_k_col):
-        return a.join(
-            k,
-            (F.col("_kc") == F.col("_ac"))
-            & (F.col(sub_k_col) == F.col(sub_a_col))
-            & (F.col("_kr") < F.col("_ar")),
-        ).select("_aid", "_kid")
-
-    cand = (
-        _branch("_asa", "_ksa").unionByName(_branch("_asb", "_ksb")).distinct()
-    )
-    bv = base.select(
-        F.col("vec_id").alias("_bid"), F.col("embedding").alias("_bemb")
-    )
-    drop_set = (
-        cand.join(bv, F.col("_bid") == F.col("_aid"))
-        .withColumnRenamed("_bemb", "_aemb")
-        .drop("_bid")
-        .join(bv, F.col("_bid") == F.col("_kid"))
-        .filter(
-            _cos_micro(F.col("_aemb"), F.col("_bemb")) >= _SD_TAU_MICRO
-        )
-        .select(F.col("_aid").alias("_dropped"))
-        .distinct()
-    )
-    return (
-        rk.join(drop_set, rk["vec_id"] == drop_set["_dropped"], "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.round(F.col("cc_micro") / 1000000.0, 4).alias("cos_centroid"),
-            "rank_div",
-            F.col("_dropped").isNull().alias("keep"),
-        )
+        "cos_centroid",
+        "rank_div",
+        "keep",
     )
 
 

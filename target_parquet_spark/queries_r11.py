@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from target_parquet_spark.operators import text as X
 from target_parquet_spark.queries import query, t as td
 from target_parquet_spark.queries_ext import (
+    SQL_CC_CTES,
     SQL_CORPUS,
     SQL_MINHASH_PAIR_CTES,
     SQL_TOKS,
@@ -36,18 +37,10 @@ from target_parquet_spark.queries_ext import (
     f"""
     WITH RECURSIVE {SQL_CORPUS},
     {SQL_MINHASH_PAIR_CTES},
-    sym AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION
-      SELECT id_b AS u, id_a AS v FROM pairs),
-    reach(u, r) AS (
-      SELECT DISTINCT u, u AS r FROM sym
-      UNION
-      SELECT s.v AS u, reach.r FROM reach JOIN sym s ON s.u = reach.u),
-    comp AS (SELECT u AS doc_id, min(r) AS comp_id FROM reach GROUP BY u),
+    {SQL_CC_CTES},
     scored AS (
       SELECT c.doc_id,
-             coalesce(m.comp_id, c.doc_id) AS component_id,
+             coalesce(m.component_id, c.doc_id) AS component_id,
              {_SQL_QSCORE.format(t=SQL_TOKS.format(c='c.text'), x='c.text')}
                AS quality
       FROM corpus c LEFT JOIN comp m ON m.doc_id = c.doc_id),
@@ -117,6 +110,60 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+\d[0-9 ]{7,}\d"
 _PII_IPV4 = r"\b(\d{1,3}\.)(\d{1,3}\.)(\d{1,3}\.)\d{1,3}\b"
 
+def pii_augment(docs):
+    """The deterministic planting frame — module-level so the query AND
+    its tests build the identical augmented corpus (review r6: a
+    hand-copied planting expression in the test would silently stop
+    covering the shipped query when either copy changes)."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    d.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 415 555 0"),
+                    (d % 100).cast("string"),
+                    F.lit(" soon"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (d % 200).cast("string"),
+                    F.lit("."),
+                    (d % 250).cast("string"),
+                    F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def pii_redact(col):
+    """All three patterns replaced, email -> phone -> ipv4 (order is
+    part of the contract: the SQL oracle nests identically)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IPV4,
+        "[IPV4]",
+    )
+
+
 _SQL_PII_AUG = """
     aug AS (
       SELECT doc_id,
@@ -174,48 +221,8 @@ def text_pii_scan(spark, sf_dir):
     it runs once per doc in codegen), and the output is filtered to
     the hit worklist before anything shuffles."""
     docs = td(spark, sf_dir, "documents").select("doc_id", "text")
-    d = F.col("doc_id")
-    aug = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                d % 7 == 0,
-                F.concat(
-                    F.lit(" contact user"),
-                    d.cast("string"),
-                    F.lit("@example.com now"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                d % 11 == 0,
-                F.concat(
-                    F.lit(" call +1 415 555 0"),
-                    (d % 100).cast("string"),
-                    F.lit(" soon"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                d % 13 == 0,
-                F.concat(
-                    F.lit(" host 10.0."),
-                    (d % 200).cast("string"),
-                    F.lit("."),
-                    (d % 250).cast("string"),
-                    F.lit(" up"),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
-            _PII_PHONE,
-            "[PHONE]",
-        ),
-        _PII_IPV4,
-        "[IPV4]",
-    )
+    aug = pii_augment(docs)
+    red = pii_redact(F.col("text"))
     hits = aug.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))

@@ -590,19 +590,19 @@ def knn_edge_artifact(spark, sf_dir):
 
     from target_parquet_spark.io.layout import (
         _tag,
-        content_fingerprint,
+        content_stats,
+        fingerprint_from_stats,
         warehouse_dir,
     )
     from target_parquet_spark.operators import similarity as S
     from target_parquet_spark.queries_r6 import _knn_edges
 
     emb = td(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # one scan yields count (regime pick) AND content hash (key)
+    n, h = content_stats(emb, ["vec_id", "embedding"])
     adaptive = n > _KNN_ARTIFACT_ADAPTIVE_ABOVE
-    stage = "adaptive-occ128" if adaptive else "planes=4"
-    fp = content_fingerprint(
-        emb, ["vec_id", "embedding"], extra=("knn_edges", "k=3", stage)
-    )
+    stage = "adaptive-occ128-tables=2" if adaptive else "planes=4"
+    fp = fingerprint_from_stats(n, h, extra=("knn_edges", "k=3", stage))
     path = os.path.join(warehouse_dir(), f"knn_edges_{_tag(sf_dir)}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         edges = (
@@ -641,7 +641,8 @@ def minhash_pair_artifact(spark, sf_dir):
     fp = content_fingerprint(
         docs,
         ["doc_id", "text"],
-        extra=("minhash_pairs", "h=8", "b=4", "t=0.5", "aug=tailtrim1"),
+        extra=("minhash_pairs", "h=8", "b=4", "t=0.5", "sh=3",
+               "aug=tailtrim1"),
     )
     path = os.path.join(warehouse_dir(), f"nd_pairs_{_tag(sf_dir)}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):

@@ -130,10 +130,13 @@ class StreamingComponents:
             bands=self.bands,
             shingle_n=self.shingle_n,
         )
-        # the banding pipeline feeds three consumers in this one batch
-        # job (bands delta, docs delta, both sides of the candidate
-        # join); shuffle-back the interpreted shingle+md5 work once
-        new_banded = new_banded.repartition("band_idx", "band_hash")
+        # the banding pipeline feeds THREE SEPARATE write jobs (edges,
+        # bands delta, docs delta) plus both sides of the candidate
+        # join — exchange reuse does not span jobs, so without an
+        # explicit persist the interpreted shingle+md5 work would run
+        # ~3x per micro-batch (review r6); the batch is micro-batch
+        # sized, so caching it is bounded by construction
+        new_banded = new_banded.repartition("band_idx", "band_hash").persist()
         new_sh = new_banded.select("doc_id", "sh").dropDuplicates(["doc_id"])
 
         # candidates: new-vs-corpus (accumulated index) + new-vs-new.
@@ -198,11 +201,15 @@ class StreamingComponents:
         # still needs (lazy evaluation — the edge job would hit
         # FILE_NOT_EXIST mid-scan).  Edges first, while the state
         # partials are intact; bands/docs derive from batch_df alone.
-        self._edges.write_epoch(edges, epoch_id)
-        self._bands.write_epoch(
-            new_banded.select("doc_id", "band_idx", "band_hash"), epoch_id
-        )
-        self._docs.write_epoch(new_sh, epoch_id)
+        try:
+            self._edges.write_epoch(edges, epoch_id)
+            self._bands.write_epoch(
+                new_banded.select("doc_id", "band_idx", "band_hash"),
+                epoch_id,
+            )
+            self._docs.write_epoch(new_sh, epoch_id)
+        finally:
+            new_banded.unpersist()
 
     # -- folds ---------------------------------------------------------------
 

@@ -366,8 +366,12 @@ class TestSemDedupScaled:
             1024 * 2, 1024, floor=3
         )
         assert planes_for(2 ** 40, 96) == 24  # cap
+        # clones are exactly 1/4 of the augmented corpus and all drop;
+        # natural near-dups above 0.97 cosine are rare in the synthetic
+        # embeddings, so the keep ratio must sit near 0.75 (the earlier
+        # abs_tol=1.0 band accepted any ratio — review r6)
         assert math.isclose(
-            sum(1 for r in out if r.keep) / n, 1.0, abs_tol=1.0
+            sum(1 for r in out if r.keep) / n, 0.75, abs_tol=0.05
         )
 
 

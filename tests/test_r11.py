@@ -133,34 +133,16 @@ class TestPiiScan:
         assert len(re.findall(_PII_IPV4, s)) == 1  # "1.2" must NOT hit
 
     def test_redacted_text_has_no_residual_hits(self, spark, sf_dir):
-        """Rebuild the redacted text with the query's own expressions
-        and prove zero residual pattern hits — md5 equality against the
-        oracle pins cross-engine identity, this pins actual removal."""
+        """Rebuild the redacted text with the query's OWN helper
+        expressions (imported, not copied) and prove zero residual
+        pattern hits — md5 equality against the oracle pins
+        cross-engine identity, this pins actual removal."""
         from target_parquet_spark.queries import t as td
+        from target_parquet_spark.queries_r11 import pii_augment, pii_redact
 
         docs = td(spark, sf_dir, "documents").select("doc_id", "text")
-        d = F.col("doc_id")
-        aug = docs.select(
-            "doc_id",
-            F.concat(
-                F.col("text"),
-                F.when(d % 7 == 0, F.concat(
-                    F.lit(" contact user"), d.cast("string"),
-                    F.lit("@example.com now"))).otherwise(F.lit("")),
-                F.when(d % 11 == 0, F.concat(
-                    F.lit(" call +1 415 555 0"), (d % 100).cast("string"),
-                    F.lit(" soon"))).otherwise(F.lit("")),
-                F.when(d % 13 == 0, F.concat(
-                    F.lit(" host 10.0."), (d % 200).cast("string"),
-                    F.lit("."), (d % 250).cast("string"),
-                    F.lit(" up"))).otherwise(F.lit("")),
-            ).alias("text"),
-        )
-        red = F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
-                _PII_PHONE, "[PHONE]"),
-            _PII_IPV4, "[IPV4]")
+        aug = pii_augment(docs)
+        red = pii_redact(F.col("text"))
         residual = aug.select(
             (F.regexp_count(red, F.lit(_PII_EMAIL))
              + F.regexp_count(red, F.lit(_PII_PHONE))
