@@ -374,7 +374,15 @@ def resolve_refs(schema: dict, base_dir: str | None = None) -> dict:
 
     def load_file_ref(ref: str, bdir: str | None):
         """(document, fragment, its_base_dir) for a local-file ref, or
-        None when the ref is remote/unreadable/not a file."""
+        None when the ref is remote/unreadable/not a file.
+
+        ALL file refs — absolute paths and ``file://`` URLs included —
+        are gated on ``bdir`` being non-None (ADVICE r6): a caller who
+        never opted into filesystem resolution via ``ref_base_dir``
+        must not have schemas direct the compiler to read arbitrary
+        readable JSON; such refs stay permissive, like remote ones."""
+        if bdir is None:
+            return None
         if ref.startswith(("http://", "https://")):
             return None
         path, frag = (ref.split("#", 1) + [""])[:2]
@@ -383,8 +391,6 @@ def resolve_refs(schema: dict, base_dir: str | None = None) -> dict:
         if not path:
             return None
         if not _os.path.isabs(path):
-            if bdir is None:
-                return None
             path = _os.path.join(bdir, path)
         try:
             with open(path) as fh:

@@ -483,3 +483,20 @@ class TestLocalFileRef:
     def test_no_base_dir_keeps_relative_refs_permissive(self, spark):
         schema = {"properties": {"x": {"$ref": "common.json#/definitions/c"}}}
         assert _compiled_verdict(spark, schema, {"x": "zz"}) is True
+
+    def test_no_base_dir_gates_absolute_and_file_url_refs(
+        self, spark, tmp_path
+    ):
+        """ADVICE r6: without ref_base_dir, ABSOLUTE-path and file://
+        refs must not read the driver filesystem either — they stay
+        permissive; with base_dir opted in, the same refs resolve."""
+        p = self._write(tmp_path, "abs.json", {
+            "type": "string", "maxLength": 1})
+        for ref in (p, "file://" + p):
+            schema = {"properties": {"x": {"$ref": ref}}}
+            # opted out: permissive even though the file exists
+            assert _compiled_verdict(spark, schema, {"x": "zz"}) is True
+            # opted in: the very same ref resolves and rejects
+            assert _compiled_verdict(
+                spark, schema, {"x": "zz"}, ref_base_dir=str(tmp_path)
+            ) is False
