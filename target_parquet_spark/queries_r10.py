@@ -1060,16 +1060,25 @@ def graph_kcore(spark, sf_dir):
 
     edges = knn_edge_artifact(spark, sf_dir)
     sym, _ = _symmetrize_degrees(edges)
-    sym = lineage_cut(sym, None)
+    # r7 tail fix: materialize the edge table ONCE, hash-partitioned on
+    # v (localCheckpoint freezes the partitioning), and restructure each
+    # peel round as  count(active v-neighbors) GROUP BY u  followed by
+    # an inner join with the survivor set on the node key — the edge
+    # table is never re-exchanged (previously it shuffled twice per
+    # round, once per endpoint join); only the node-sized survivor set
+    # and the map-side-combined (u, cnt) partials move.  Identical
+    # survivor sets: counting pairs with both endpoints active grouped
+    # by u == counting active-v neighbors per u then keeping active u.
+    sym = lineage_cut(sym.repartition("v"), None)
     active = sym.select(F.col("u").alias("node")).distinct()
     n0 = active
     d1 = None
     for r in range(_KCORE_ROUNDS):
         deg = (
-            sym.join(active.select(F.col("node").alias("u")), "u")
-            .join(active.select(F.col("node").alias("v")), "v")
+            sym.join(active.select(F.col("node").alias("v")), "v")
             .groupBy(F.col("u").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
+            .join(active, "node")
         )
         if d1 is None:
             d1 = deg
