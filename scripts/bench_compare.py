@@ -9,6 +9,13 @@ and >2x loudly — BASELINE.md documents ±20-30% box jitter, so compare
 medians across runs before acting on a single flag.
 
 Usage: python scripts/bench_compare.py OLD.json NEW.json [--top 20]
+
+Blind spot, by convention (VERDICT r6 #2): the bench runs with the
+fingerprint-keyed artifacts (knn_edge_artifact, minhash_pair_artifact)
+WARM, so this compare guards only the read path.  A regression in the
+artifact BUILD path is invisible here — run
+`python scripts/artifact_build_probe.py` once per round and compare
+against the build-cost table in BASELINE.md.
 """
 
 from __future__ import annotations
