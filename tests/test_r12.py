@@ -1,0 +1,125 @@
+"""Planted-signal tests for the round-7 operators (queries_r12):
+payment-card (Luhn) + national-ID (SSA rules) PII scan.
+
+Python ``re`` plus a hand-written Luhn/SSA implementation is the third
+engine on the pattern dialect and the checksum arithmetic — oracle
+hash-equality cannot catch a bug both engines share (the BPE lesson).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+import target_parquet_spark.queries_r12  # noqa: F401  (registers queries)
+from target_parquet_spark.queries import QUERIES
+from target_parquet_spark.queries_r12 import (
+    _PII_CARD,
+    _PII_SSN,
+    pii_idcard_augment,
+)
+
+
+def _luhn_py(c: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(c)):
+        d = int(ch)
+        if i % 2 == 1:  # every second from the right (check digit is i=0)
+            d = d * 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _ssn_py(s: str) -> bool:
+    area, grp, ser = int(s[0:3]), int(s[4:6]), int(s[7:11])
+    return area not in (0, 666) and area < 900 and grp != 0 and ser != 0
+
+
+def _scan_py(text: str):
+    cards = re.findall(_PII_CARD, text)
+    ssns = re.findall(_PII_SSN, text)
+    red = re.sub(_PII_SSN, "[SSN]", re.sub(_PII_CARD, "[CARD]", text))
+    return (
+        len(cards),
+        sum(_luhn_py(c) for c in cards),
+        len(ssns),
+        sum(_ssn_py(s) for s in ssns),
+        hashlib.md5(red.encode()).hexdigest(),
+    )
+
+
+class TestPiiIdcardScan:
+    def test_matches_python_re_third_engine(self, spark, sf_dir):
+        out = {
+            r.doc_id: (
+                r.n_card,
+                r.n_card_valid,
+                r.n_ssn,
+                r.n_ssn_valid,
+                r.redacted_md5,
+            )
+            for r in QUERIES["text_pii_idcard_scan"](spark, sf_dir).collect()
+        }
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        want = {}
+        for r in pii_idcard_augment(docs).collect():
+            got = _scan_py(r.text)
+            if got[0] + got[2] > 0:
+                want[r.doc_id] = got
+        assert out == want
+
+    def test_both_validity_sides_non_vacuous(self, spark, sf_dir):
+        rows = QUERIES["text_pii_idcard_scan"](spark, sf_dir).collect()
+        # Luhn: valid cards exist (the planted 4111111111111111 at
+        # least) AND invalid candidates exist (derived cards mostly
+        # fail the checksum) — the verification is doing work
+        assert any(r.n_card_valid > 0 for r in rows)
+        assert any(r.n_card > r.n_card_valid for r in rows)
+        # SSA rules: same in both directions (area 666 / group 00 /
+        # serial 0000 all occur among the planted ids)
+        assert any(r.n_ssn_valid > 0 for r in rows)
+        assert any(r.n_ssn > r.n_ssn_valid for r in rows)
+
+    def test_luhn_classic_vectors(self, spark):
+        """Known Luhn vectors through the SPARK lambda (not just the
+        Python twin): the classic valid test PANs and their
+        one-digit-off corruptions."""
+        valid = ["4111111111111111", "5500005555555559", "4012888888881881"]
+        invalid = [v[:-1] + str((int(v[-1]) + 1) % 10) for v in valid]
+        df = spark.createDataFrame(
+            [(c, True) for c in valid] + [(c, False) for c in invalid],
+            "card string, want boolean",
+        )
+        from target_parquet_spark.queries_r12 import _luhn_ok
+
+        got = df.select(
+            "want",
+            F.size(
+                F.filter(F.array(F.col("card")), _luhn_ok)
+            ).alias("n"),
+        ).collect()
+        for r in got:
+            assert (r.n == 1) == r.want
+
+    def test_redaction_removes_every_candidate(self, spark, sf_dir):
+        """After redaction no candidate pattern survives — re-scan the
+        redacted text (Python re) and require zero hits."""
+        from target_parquet_spark.queries_r12 import pii_idcard_redact
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        red = (
+            pii_idcard_augment(docs)
+            .select(pii_idcard_redact(F.col("text")).alias("t"))
+            .collect()
+        )
+        for r in red:
+            assert not re.search(_PII_CARD, r.t)
+            assert not re.search(_PII_SSN, r.t)
