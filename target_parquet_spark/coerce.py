@@ -108,7 +108,57 @@ _TS_FORMATS = [
     "yyyy-MM-dd h a",
     "yyyy-MM-dd H:m:s zzz",
     "yyyy-MM-dd'T'H:m:s zzz",
+    # r7 (VERDICT r6 #6): numeric-offset variants fed by the tzinfos
+    # substitution below (a trailing mapped abbreviation becomes
+    # "+HH:MM" in the cleaning pass — dateutil needs the same literal
+    # map via its tzinfos= argument, which is the parity contract)
+    "yyyy-MM-dd H:m:s XXX",
+    "yyyy-MM-dd'T'H:m:s XXX",
+    "M/d/yyyy H:m:s XXX",
+    "d/M/yyyy H:m:s XXX",
+    "MMM d yyyy H:m:s XXX",
+    "MMMM d yyyy H:m:s XXX",
+    "d MMM yyyy H:m:s XXX",
+    "M/d/yyyy h:m:s a XXX",
+    "M/d/yyyy h:m a XXX",
+    "MMM d yyyy h:m:s a XXX",
+    "MMM d yyyy h:m a XXX",
+    "yyyy-MM-dd h:m:s a XXX",
+    "yyyy-MM-dd h:m a XXX",
 ]
+
+# r7: literal abbreviation -> offset map (VERDICT r6 #6).  dateutil
+# cannot resolve these either without an explicit ``tzinfos`` mapping;
+# THIS dict is that mapping's single source of truth — the test corpus
+# passes the same dict (converted to seconds) to dateutil, so the two
+# engines agree by construction.  UTC/GMT stay on the zzz path above
+# (dateutil resolves those itself).  Ambiguous abbreviations (CST, IST)
+# resolve to the offset recorded here — an explicit tzinfos map is the
+# only way dateutil disambiguates them too.
+TZ_ABBREV_OFFSETS = {
+    "EST": "-05:00", "EDT": "-04:00",
+    "CST": "-06:00", "CDT": "-05:00",
+    "MST": "-07:00", "MDT": "-06:00",
+    "PST": "-08:00", "PDT": "-07:00",
+    "AKST": "-09:00", "AKDT": "-08:00",
+    "HST": "-10:00",
+    "WET": "+00:00", "WEST": "+01:00",
+    "CET": "+01:00", "CEST": "+02:00",
+    "EET": "+02:00", "EEST": "+03:00",
+    "BST": "+01:00",
+    "IST": "+05:30",
+    "SGT": "+08:00", "HKT": "+08:00",
+    "JST": "+09:00", "KST": "+09:00",
+    "AEST": "+10:00", "AEDT": "+11:00",
+    "NZST": "+12:00", "NZDT": "+13:00",
+}
+
+# The XXX-offset formats above are tried against the tz-substituted
+# string only; the pre-r7 formats keep the smaller cleaning tree (a
+# single Column expression is re-inlined per format attempt, so tree
+# size is a real codegen-memory budget — the first cut of this feature
+# OOM'd the JVM by inlining a 26-branch CASE into all 57 attempts).
+_N_TZ_FORMATS = 13
 
 # Leading weekday tokens dateutil skips ("Tuesday, June 3, 2021");
 # anchored, so month names containing weekday substrings can't be hit.
@@ -140,9 +190,25 @@ def lenient_timestamp(raw: Column) -> Column:
     cleaned = F.regexp_replace(cleaned, r",\s*", " ")
     cleaned = F.regexp_replace(cleaned, r"(?i)(\d)\s*(am|pm)\b", "$1 $2")
     cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    # tzinfos substitution (r7): a trailing mapped abbreviation becomes
+    # its numeric offset so the XXX formats pick it up.  A LINEAR chain
+    # of anchored replaces (each leaves non-matching strings untouched;
+    # at most one can match, and the \s anchor keeps 3-letter tails of
+    # 4-letter abbreviations — EST in WEST/CEST/AEST, KST in AKST —
+    # from double-firing) keeps the expression tree linear in the map
+    # size, where a CASE-chain re-inlining the cleaning tree per branch
+    # blew up codegen.
+    cleaned_tz = cleaned
+    for k, v in TZ_ABBREV_OFFSETS.items():
+        cleaned_tz = F.regexp_replace(cleaned_tz, rf"\s{k}$", f" {v}")
+    old_formats, tz_formats = (
+        _TS_FORMATS[: -_N_TZ_FORMATS],
+        _TS_FORMATS[-_N_TZ_FORMATS:],
+    )
     parsed = F.coalesce(
         raw.try_cast("timestamp"),
-        *[F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in _TS_FORMATS],
+        *[F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in old_formats],
+        *[F.try_to_timestamp(cleaned_tz, F.lit(fmt)) for fmt in tz_formats],
     )
     return F.date_trunc("millisecond", parsed)
 

@@ -138,6 +138,66 @@ def test_lenient_timestamp_matches_dateutil_corpus(spark):
     )
 
 
+def test_lenient_timestamp_tzinfos_abbreviations(spark):
+    """r7 (VERDICT r6 #6): trailing timezone abbreviations resolve via
+    the literal TZ_ABBREV_OFFSETS map — dateutil itself needs the SAME
+    map through its ``tzinfos=`` argument, so parity is checked against
+    dateutil parameterized with exactly that dict (converted to
+    seconds).  An unmapped abbreviation still nulls out (dateutil
+    raises there without tzinfos; our contract is null-never-error)."""
+    import datetime as dt
+
+    from dateutil import parser as du
+
+    from target_parquet_spark.coerce import (
+        TZ_ABBREV_OFFSETS,
+        lenient_timestamp,
+    )
+
+    def _secs(off: str) -> int:
+        sign = -1 if off[0] == "-" else 1
+        h, m = off[1:].split(":")
+        return sign * (int(h) * 3600 + int(m) * 60)
+
+    tzinfos = {k: _secs(v) for k, v in TZ_ABBREV_OFFSETS.items()}
+    corpus = [
+        "2024-01-15 10:30:00 EST",
+        "2024-01-15T10:30:00 PST",
+        "1/15/2024 10:30:00 CET",
+        "15/01/2024 10:30:00 CEST",
+        "Jan 15 2024 10:30:00 JST",
+        "January 15, 2024 10:30:00 IST",   # half-hour offset
+        "15 Jan 2024 10:30:00 AEDT",       # 4-letter, ST-suffix overlap
+        "1/15/2024 10:30 PM NZDT",
+        "Jan 15, 2024 10:30:45 PM HST",
+        "2024-01-15 10:30 PM AKST",
+        "Tuesday, Jan 16, 2024 10:30:00 BST",  # weekday + comma + tz
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "raw string")
+    got = {
+        r.raw: r.ts
+        for r in df.select(
+            "raw", lenient_timestamp(F.col("raw")).alias("ts")
+        ).collect()
+    }
+    for s in corpus:
+        want = du.parse(s, tzinfos=tzinfos)
+        want = want.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        want = want.replace(microsecond=want.microsecond // 1000 * 1000)
+        assert got[s] == want, f"{s!r}: spark={got[s]!r} dateutil={want!r}"
+
+    # unmapped abbreviation: dateutil (no tzinfos) raises; we null
+    bad = spark.createDataFrame(
+        [("2024-01-15 10:30:00 XQZT",)], "raw string"
+    )
+    assert (
+        bad.select(lenient_timestamp(F.col("raw")).alias("ts"))
+        .collect()[0]
+        .ts
+        is None
+    )
+
+
 # ---------------------------------------------------------------------------
 # VERDICT r2 #4: NTZ regression armor
 # ---------------------------------------------------------------------------
