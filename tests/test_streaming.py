@@ -1422,3 +1422,52 @@ def test_streaming_components_equal_batch_after_replay_and_compaction(
 
     sc.compact()
     assert _rows(sc.components(), ccols) == want
+
+
+def test_streaming_knn_edges_equal_batch_after_replay_and_compaction(
+    spark, sf_dir, tmp_path
+):
+    """Incremental k-NN edge maintenance (VERDICT r6 #4): a multi-epoch
+    vector stream must resolve to EXACTLY the batch twin's edge table
+    (same bucketing, same rounded cosine, same ranking window);
+    replaying an epoch (with a superset candidate delta — the vector
+    state has advanced), duplicate-delivering old vectors under a new
+    epoch, and compacting can never change the top-k."""
+    from target_parquet_spark.queries_r6 import _knn_edges
+    from target_parquet_spark.streaming.knn_edges import StreamingKnnEdges
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "vecs")
+    emb.repartition(3).write.mode("overwrite").parquet(src)
+
+    ecols = ["src", "nbr_rank", "nbr", "sim"]
+    want = _rows(_knn_edges(spark, sf_dir, k=3), ecols)
+    assert want  # non-vacuous: the corpus has real neighbors
+
+    ske = StreamingKnnEdges(spark, str(tmp_path / "knn"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    _await(ske.start(stream, available_now=True))
+    assert _rows(ske.edges(k=3), ecols) == want
+
+    # replay epoch 0 with the FULL corpus: the candidate delta is a
+    # superset of the original run's (state advanced past it) — folded
+    # to one row per ordered pair, top-k unchanged
+    ske._merge_batch(spark.read.parquet(src), 0)
+    assert _rows(ske.edges(k=3), ecols) == want
+
+    # compaction folds vecs/cand without changing the answer
+    ske.compact()
+    assert _rows(ske.edges(k=3), ecols) == want
+
+    # duplicate delivery of already-seen vectors under a fresh epoch id
+    ske._merge_batch(spark.read.parquet(src).limit(20), 9)
+    assert _rows(ske.edges(k=3), ecols) == want
+
+    ske.compact()
+    assert _rows(ske.edges(k=3), ecols) == want
