@@ -22,6 +22,7 @@ the third engine in tests.  No reference counterpart (the reference's
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from target_parquet_spark.queries import query, t as td
@@ -221,4 +222,150 @@ def text_pii_idcard_scan(spark, sf_dir):
         F.size("ssns").cast("long").alias("n_ssn"),
         F.size(F.filter("ssns", _ssn_ok)).cast("long").alias("n_ssn_valid"),
         "redacted_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity privacy triad)
+# ---------------------------------------------------------------------------
+
+_TCLOSE_BANDS = 10
+_TCLOSE_T_MICRO = 450_000  # t > 0.05  <=>  sum_micro > 0.05 * 9 * 1e6
+# 0.05 rather than the textbook 0.2: the synthetic corpus is well-mixed
+# (max_t ~ 0.09 at sf0.01), and a violation counter that can never fire
+# is vacuous — the threshold is release-gate config, the EMD is the op.
+
+
+@query(
+    "audit_t_closeness",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             least({_TCLOSE_BANDS - 1},
+                   greatest(0, CAST(floor(value) AS INT))) AS band
+      FROM events),
+    gb AS (SELECT event_type, day, band, count(*) AS cnt
+           FROM e GROUP BY event_type, day, band),
+    gt AS (SELECT event_type, day, sum(cnt) AS n
+           FROM gb GROUP BY event_type, day),
+    qb AS (SELECT band, count(*) AS qcnt FROM e GROUP BY band),
+    qt AS (SELECT sum(qcnt) AS qn FROM qb),
+    scaffold AS (
+      SELECT g.event_type, g.day, b.band
+      FROM (SELECT DISTINCT event_type, day FROM e) g
+      CROSS JOIN (SELECT unnest(generate_series(0, {_TCLOSE_BANDS - 1}))
+                  AS band) b),
+    pq AS (
+      SELECT s.event_type, s.day, s.band,
+             coalesce(gb.cnt, 0) * 1.0 / gt.n AS p,
+             coalesce(qb.qcnt, 0) * 1.0 / qt.qn AS q
+      FROM scaffold s
+      LEFT JOIN gb ON gb.event_type = s.event_type AND gb.day = s.day
+                  AND gb.band = s.band
+      JOIN gt ON gt.event_type = s.event_type AND gt.day = s.day
+      LEFT JOIN qb ON qb.band = s.band
+      CROSS JOIN qt),
+    c AS (
+      SELECT event_type, day,
+             CAST(round(abs(sum(p - q) OVER (
+               PARTITION BY event_type, day ORDER BY band)) * 1000000)
+               AS BIGINT) AS cum_micro
+      FROM pq),
+    emd AS (
+      SELECT event_type, day,
+             CAST(sum(cum_micro) AS BIGINT) AS t_micro
+      FROM c GROUP BY event_type, day)
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           round(max(t_micro) / {(_TCLOSE_BANDS - 1) * 1e6}, 4) AS max_t,
+           CAST(count(*) FILTER (WHERE t_micro > {_TCLOSE_T_MICRO})
+                AS BIGINT) AS n_violating,
+           CAST(CASE WHEN max(t_micro) <= {_TCLOSE_T_MICRO} THEN 1 ELSE 0 END
+                AS INTEGER) AS t_satisfied
+    FROM emd
+    """,
+)
+def audit_t_closeness(spark, sf_dir):
+    """t-closeness audit (Li et al. 2007) over the same quasi-identifier
+    as audit_k_anonymity / audit_l_diversity (event_type, day), with
+    the banded event value as the ordered sensitive attribute:
+    l-diversity bounds distinct COUNT, but a group whose value
+    distribution diverges sharply from the corpus-wide one still leaks
+    (the classic low-salary-cluster example) — each group's
+    distribution must sit within Earth-Mover's Distance t of the
+    global.  For an ordered domain EMD is the mean absolute cumulative
+    difference; the triad (k, l, t) is the standard pre-release
+    battery.
+
+    Determinism: per-band cumulative sums run in band order (a fixed
+    10-step sequential window — identical order both engines); each
+    group's |cumulative| terms are micro-quantized to integers BEFORE
+    the per-group sum, so Spark's unordered aggregation cannot drift
+    against the oracle's (house convention), and the t > 0.05 violation
+    compare runs on the integers.
+
+    Plan shape for 100 TB: one (QI, band) count shuffle — cardinality-
+    bounded, never row-bounded — a broadcast-sized global band
+    histogram, a QI x 10-band scaffold, and a 10-row window per group."""
+    ev = td(spark, sf_dir, "events")
+    bands = _TCLOSE_BANDS
+    e = ev.select(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.least(
+            F.lit(bands - 1),
+            F.greatest(F.lit(0), F.floor("value").cast("int")),
+        ).alias("band"),
+    )
+    gb = e.groupBy("event_type", "day", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gt = gb.groupBy("event_type", "day").agg(F.sum("cnt").alias("n"))
+    qb = e.groupBy("band").agg(F.count(F.lit(1)).alias("qcnt"))
+    qt = qb.agg(F.sum("qcnt").alias("qn"))
+    scaffold = (
+        gt.select("event_type", "day")
+        .select(
+            "event_type",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        )
+    )
+    pq = (
+        scaffold.join(gb, ["event_type", "day", "band"], "left")
+        .join(gt, ["event_type", "day"])
+        .join(F.broadcast(qb), "band", "left")
+        .crossJoin(F.broadcast(qt))
+        .select(
+            "event_type",
+            "day",
+            "band",
+            (F.coalesce("cnt", F.lit(0)) * 1.0 / F.col("n")).alias("p"),
+            (F.coalesce("qcnt", F.lit(0)) * 1.0 / F.col("qn")).alias("q"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pq.select(
+        "event_type",
+        "day",
+        F.round(F.abs(F.sum(F.col("p") - F.col("q")).over(w)) * 1000000.0)
+        .cast("long")
+        .alias("cum_micro"),
+    )
+    emd = c.groupBy("event_type", "day").agg(
+        F.sum("cum_micro").cast("long").alias("t_micro")
+    )
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.round(F.max("t_micro") / ((bands - 1) * 1e6), 4).alias("max_t"),
+        F.count(F.when(F.col("t_micro") > _TCLOSE_T_MICRO, F.lit(1)))
+        .cast("long")
+        .alias("n_violating"),
+        F.when(F.max("t_micro") <= _TCLOSE_T_MICRO, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("t_satisfied"),
     )

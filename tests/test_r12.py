@@ -123,3 +123,37 @@ class TestPiiIdcardScan:
         for r in red:
             assert not re.search(_PII_CARD, r.t)
             assert not re.search(_PII_SSN, r.t)
+
+
+class TestTCloseness:
+    def test_hand_computed_emd(self, spark, tmp_path):
+        """Two groups against a hand-computed ordered EMD.  Corpus:
+        6 rows, bands from floor(value): group A = [0, 0, 1],
+        group B = [9, 9, 9].  Global Q = {0: 2/6, 1: 1/6, 9: 3/6}.
+        A's EMD: p-q cumdiffs over bands 0..9 =
+          (2/3-1/3)=1/3, +(1/3-1/6)=1/2, then flat 1/2 x 7, band9 -> 0
+        sum|cum| = 1/3 + 1/2*8 = 13/3; t = (13/3)/9 = 0.4815.
+        B mirrors with p mass at 9: cum = -1/3, -1/2 x 8, 0 ->
+        same t.  max_t = 0.4815, both violate at 0.05."""
+        import datetime as dt
+
+        rows = []
+        day_a = dt.datetime(2024, 1, 1, 10)
+        day_b = dt.datetime(2024, 1, 2, 10)
+        for i, v in enumerate([0.2, 0.7, 1.5]):
+            rows.append((i, day_a, i, "a", v, "{}"))
+        for i, v in enumerate([9.1, 9.5, 12.0]):  # 12 clamps to band 9
+            rows.append((10 + i, day_b, i, "a", v, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+        from target_parquet_spark.queries import QUERIES
+
+        out = QUERIES["audit_t_closeness"](spark, str(tmp_path)).collect()[0]
+        assert out.n_groups == 2
+        assert out.max_t == round((1 / 3 + 0.5 * 8) / 9, 4) == 0.4815
+        assert out.n_violating == 2
+        assert out.t_satisfied == 0
