@@ -369,3 +369,125 @@ def audit_t_closeness(spark, sf_dir):
         .cast("int")
         .alias("t_satisfied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition (edge-support peel) over the symmetrized k-NN graph
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 4  # keep edges in >= k-2 = 2 triangles
+_KTRUSS_ROUNDS = 3
+
+
+def _sql_ktruss_ctes(k: int, rounds: int) -> str:
+    """Unrolled peel rounds: per round, each surviving canonical edge
+    (u < v) counts its common neighbors over the surviving SYMMETRIC
+    edge set (its triangle support), and edges below k-2 drop.  Fixed
+    round count keeps the chain oracle-replayable (the kcore
+    convention); the final flag reports round-``rounds`` survivors."""
+    parts = [
+        "e0 AS (SELECT u, v FROM sym WHERE u < v)",
+        "s0 AS (SELECT u, v FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""sup{r} AS (
+          SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+          FROM e{r - 1} e
+          JOIN s{r - 1} a ON a.u = e.u
+          JOIN s{r - 1} b ON b.u = e.v AND b.v = a.v
+          GROUP BY e.u, e.v)"""
+        )
+        parts.append(
+            f"e{r} AS (SELECT u, v FROM sup{r} WHERE sup >= {k - 2})"
+        )
+        parts.append(
+            f"s{r} AS (SELECT u, v FROM e{r}"
+            f" UNION ALL SELECT v AS u, u AS v FROM e{r})"
+        )
+    return ",\n    ".join(parts)
+
+
+def _register_ktruss():
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+
+    sym_frag = _SQL_SYM_DEG.split(",\n    deg AS")[0]  # e + sym CTEs only
+
+    @query(
+        "graph_ktruss",
+        f"""
+        WITH {_SQL_KNN},
+        {sym_frag},
+        {_sql_ktruss_ctes(_KTRUSS_K, _KTRUSS_ROUNDS)}
+        SELECT e.u, e.v,
+               coalesce(s.sup, 0) AS support_initial,
+               t.u IS NOT NULL AS in_truss
+        FROM e0 e
+        LEFT JOIN sup1 s ON s.u = e.u AND s.v = e.v
+        LEFT JOIN e{_KTRUSS_ROUNDS} t ON t.u = e.u AND t.v = e.v
+        """,
+    )
+    def graph_ktruss(spark, sf_dir):
+        """k-truss decomposition (k=4, 3 peel rounds) of the
+        symmetrized k-NN graph: repeatedly drop edges supported by
+        fewer than k-2 triangles — the edge-level density filter next
+        to k-core's node-level one (an edge survives only inside a
+        tightly-knit neighborhood, so the truss isolates the cohesive
+        near-dup/semantic cores more aggressively than degree alone).
+        Fixed round count, not run-to-fixpoint, so the oracle replays
+        the peel as unrolled CTEs; the fixpoint-within-rounds property
+        is pinned by test.
+
+        Plan shape for 100 TB: the quadratic step is the triangle
+        posting join keyed on the edge endpoint (per-key work
+        deg x deg); each round re-joins only SURVIVING edges (the set
+        shrinks monotonically), the survivor set is edge-shaped (two
+        8-byte ids), and edges come from the written k-NN artifact —
+        one parquet scan, no re-derivation."""
+        from target_parquet_spark.operators.dedup import lineage_cut
+        from target_parquet_spark.queries_r6 import _symmetrize_degrees
+        from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+        edges = knn_edge_artifact(spark, sf_dir)
+        sym, _ = _symmetrize_degrees(edges)
+        sym = lineage_cut(sym, None)
+        e = sym.filter(F.col("u") < F.col("v"))
+        s = sym
+        sup1 = None
+        e0 = e
+        for _ in range(_KTRUSS_ROUNDS):
+            a = s.select(F.col("u").alias("_au"), F.col("v").alias("_w"))
+            b = s.select(F.col("u").alias("_bu"), F.col("v").alias("_bw"))
+            sup = (
+                e.join(a, a["_au"] == e["u"])
+                .join(b, (b["_bu"] == e["v"]) & (b["_bw"] == F.col("_w")))
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+            )
+            if sup1 is None:
+                sup1 = lineage_cut(sup, None)
+                sup = sup1
+            e = lineage_cut(
+                sup.filter(F.col("sup") >= _KTRUSS_K - 2).select("u", "v"),
+                None,
+            )
+            s = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+        return (
+            e0.join(sup1.withColumnRenamed("sup", "_s1"), ["u", "v"], "left")
+            .join(e.withColumn("_t", F.lit(1)), ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                F.coalesce("_s1", F.lit(0)).cast("long").alias(
+                    "support_initial"
+                ),
+                F.col("_t").isNotNull().alias("in_truss"),
+            )
+        )
+
+    return graph_ktruss
+
+
+_register_ktruss()

@@ -157,3 +157,38 @@ class TestTCloseness:
         assert out.max_t == round((1 / 3 + 0.5 * 8) / 9, 4) == 0.4815
         assert out.n_violating == 2
         assert out.t_satisfied == 0
+
+
+class TestKtruss:
+    def test_truss_properties_and_fixpoint(self, spark, sf_dir):
+        """Independent verification on the REAL graph: (a) both flag
+        sides are non-vacuous, (b) every surviving edge has >= k-2
+        common neighbors WITHIN the surviving edge set (the truss
+        closure property — i.e. the peel reached its fixpoint within
+        the unrolled rounds), (c) support_initial matches a hand
+        triangle count over the full graph."""
+        from collections import defaultdict
+
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import _KTRUSS_K
+
+        rows = QUERIES["graph_ktruss"](spark, sf_dir).collect()
+        kept = {(r.u, r.v) for r in rows if r.in_truss}
+        dropped = [r for r in rows if not r.in_truss]
+        assert kept and dropped  # non-vacuous both ways
+
+        # full-graph adjacency for the support_initial check
+        adj = defaultdict(set)
+        for r in rows:
+            adj[r.u].add(r.v)
+            adj[r.v].add(r.u)
+        for r in rows:
+            assert r.support_initial == len(adj[r.u] & adj[r.v]), (r.u, r.v)
+
+        # fixpoint: support within the kept set alone still >= k-2
+        kadj = defaultdict(set)
+        for u, v in kept:
+            kadj[u].add(v)
+            kadj[v].add(u)
+        for u, v in kept:
+            assert len(kadj[u] & kadj[v]) >= _KTRUSS_K - 2, (u, v)
