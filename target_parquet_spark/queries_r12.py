@@ -491,3 +491,127 @@ def _register_ktruss():
 
 
 _register_ktruss()
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping (web-corpus ingest: tag/script/nav removal +
+# entity decode, cleaned text pinned by md5)
+# ---------------------------------------------------------------------------
+
+# shared dialect (Java regex == RE2 == Python re): inline (?is) flags,
+# non-greedy block bodies, no lookaround
+_HTML_SCRIPT = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+_HTML_CHROME = (
+    r"(?is)<(nav|footer|header|aside|title)[^>]*>"
+    r".*?</(nav|footer|header|aside|title)>"
+)
+_HTML_TAG = r"(?s)<[^>]+>"
+
+# decode order is part of the contract: &amp; LAST, so "&amp;lt;" decodes
+# to the literal "&lt;" (one level), never to "<"
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_augment(docs):
+    """Deterministic page wrapper around every doc (module-level: query
+    and tests share it).  Chrome zones (title/style/script/nav/footer)
+    carry doc-id-derived content that MUST NOT survive the strip; the
+    body carries the original text plus an entity-bearing paragraph."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            d.cast("string"),
+            F.lit("</title><style>p{margin:0}</style><script>var x="),
+            d.cast("string"),
+            F.lit(";</script></head><body><nav>home | about</nav><p>"),
+            F.col("text"),
+            F.lit('</p><p>Tom &amp; Jerry &lt;3 &quot;quotes&quot;'),
+            F.lit(" &#39;s&nbsp;here</p><footer>&copy; 2024 corp "),
+            d.cast("string"),
+            F.lit("</footer></body></html>"),
+        ).alias("html"),
+    )
+
+
+def html_strip(col):
+    """The strip pipeline: script/style blocks, chrome zones, remaining
+    tags -> space, entity decode, whitespace collapse."""
+    out = F.regexp_replace(col, _HTML_SCRIPT, " ")
+    out = F.regexp_replace(out, _HTML_CHROME, " ")
+    out = F.regexp_replace(out, _HTML_TAG, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def _sql_html_strip(col: str) -> str:
+    out = f"regexp_replace({col}, '{_HTML_SCRIPT}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_CHROME}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_TAG}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        sq = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{sq}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_SQL_HTML_AUG = """
+    aug AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id
+             || '</title><style>p{{margin:0}}</style><script>var x='
+             || doc_id
+             || ';</script></head><body><nav>home | about</nav><p>'
+             || text
+             || '</p><p>Tom &amp; Jerry &lt;3 &quot;quotes&quot;'
+             || ' &#39;s&nbsp;here</p><footer>&copy; 2024 corp ' || doc_id
+             || '</footer></body></html>' AS html
+      FROM documents)""".replace("{{", "{").replace("}}", "}")
+
+
+@query(
+    "text_html_boilerplate_strip",
+    f"""
+    WITH {_SQL_HTML_AUG}
+    SELECT doc_id,
+           CAST(len(html) AS BIGINT) AS n_chars_raw,
+           CAST(len({_sql_html_strip('html')}) AS BIGINT) AS n_chars_clean,
+           md5({_sql_html_strip('html')}) AS clean_md5
+    FROM aug
+    """,
+)
+def text_html_boilerplate_strip(spark, sf_dir):
+    """HTML boilerplate removal — the first stage of every web-corpus
+    ingest (C4/CCNet-style): script/style blocks and chrome zones
+    (nav/footer/header/aside) are excised wholesale, remaining tags
+    become whitespace, the common HTML entities decode (&amp; last, so
+    double-encoded entities decode exactly one level), and whitespace
+    collapses.  The cleaned text is pinned by md5 — the hash proves the
+    two engines produced IDENTICAL cleaned bytes, not just equal
+    lengths — over a deterministically-wrapped corpus whose chrome
+    carries doc-id-derived content that must not survive.
+
+    Pattern dialect: inline (?is) flags and non-greedy block bodies are
+    the full extent of the syntax — shared by Java regex, RE2, and
+    Python re (the third engine in tests).
+
+    Plan shape for 100 TB: one corpus scan, the whole pipeline in one
+    codegen projection, zero shuffles, zero UDFs."""
+    docs = td(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = html_augment(docs)
+    return aug.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_chars_raw"),
+        F.length(html_strip(F.col("html"))).cast("long").alias(
+            "n_chars_clean"
+        ),
+        F.md5(html_strip(F.col("html"))).alias("clean_md5"),
+    )

@@ -192,3 +192,66 @@ class TestKtruss:
             kadj[v].add(u)
         for u, v in kept:
             assert len(kadj[u] & kadj[v]) >= _KTRUSS_K - 2, (u, v)
+
+
+class TestHtmlStrip:
+    def test_matches_python_re_third_engine(self, spark, sf_dir):
+        from target_parquet_spark.queries_r12 import (
+            _HTML_CHROME,
+            _HTML_ENTITIES,
+            _HTML_SCRIPT,
+            _HTML_TAG,
+            html_augment,
+        )
+
+        def strip_py(h: str) -> str:
+            out = re.sub(_HTML_SCRIPT, " ", h)
+            out = re.sub(_HTML_CHROME, " ", out)
+            out = re.sub(_HTML_TAG, " ", out)
+            for ent, rep in _HTML_ENTITIES:
+                out = out.replace(ent, rep)
+            return re.sub(r"\s+", " ", out).strip()
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        from target_parquet_spark.queries import QUERIES
+
+        got = {
+            r.doc_id: (r.n_chars_raw, r.n_chars_clean, r.clean_md5)
+            for r in QUERIES["text_html_boilerplate_strip"](
+                spark, sf_dir
+            ).collect()
+        }
+        for r in html_augment(docs).collect():
+            clean = strip_py(r.html)
+            want = (
+                len(r.html),
+                len(clean),
+                hashlib.md5(clean.encode()).hexdigest(),
+            )
+            assert got[r.doc_id] == want, r.doc_id
+
+    def test_chrome_content_does_not_survive(self, spark, sf_dir):
+        """The wrapper's title/script/nav/footer payloads (including
+        the doc-id-derived bits) must be gone; the body text and the
+        decoded entities must remain."""
+        from target_parquet_spark.queries_r12 import html_augment, html_strip
+
+        docs = spark.createDataFrame(
+            [(7, "the quick brown fox")], "doc_id long, text string"
+        )
+        out = (
+            html_augment(docs)
+            .select(html_strip(F.col("html")).alias("clean"))
+            .collect()[0]
+            .clean
+        )
+        assert "the quick brown fox" in out
+        assert 'Tom & Jerry <3 "quotes" \'s here' in out
+        for gone in ("Doc 7", "var x=", "home | about", "corp 7",
+                     "margin", "<", "&amp;"):
+            if gone == "<":
+                assert "<3" in out and "<html" not in out
+            else:
+                assert gone not in out, gone
