@@ -615,3 +615,153 @@ def text_html_boilerplate_strip(spark, sf_dir):
         ),
         F.md5(html_strip(F.col("html"))).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the C4/CC pipeline's first
+# dedup stage: many crawled variants, one canonical page)
+# ---------------------------------------------------------------------------
+
+_URL_PAGES = 97  # distinct canonical pages; 4 variants each by doc_id % 4
+_URL_TRACKING = r"[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*"
+
+
+def url_augment(docs):
+    """Deterministic crawl-URL planting: doc_id % 97 picks the page,
+    doc_id % 4 the surface variant — scheme, host case, www, default
+    port, trailing slash, fragment, and tracking params all vary while
+    the canonical page is identical, so URL dedup MUST collapse them."""
+    d = F.col("doc_id")
+    page = (d % _URL_PAGES).cast("string")
+    variant = d % 4
+    return docs.select(
+        "doc_id",
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("https://www.Example.com/articles/p"), page, F.lit("/")
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("http://example.com:80/articles/p"),
+                page,
+                F.lit("?utm_source=x"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("https://EXAMPLE.COM:443/articles/p"),
+                page,
+                F.lit("#section2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/articles/p"),
+                page,
+                F.lit("?utm_campaign=y&utm_medium=z"),
+            )
+        )
+        .alias("url"),
+    )
+
+
+_SQL_URL_AUG = f"""
+    aug AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://www.Example.com/articles/p'
+                           || (doc_id % {_URL_PAGES}) || '/'
+               WHEN 1 THEN 'http://example.com:80/articles/p'
+                           || (doc_id % {_URL_PAGES}) || '?utm_source=x'
+               WHEN 2 THEN 'https://EXAMPLE.COM:443/articles/p'
+                           || (doc_id % {_URL_PAGES}) || '#section2'
+               ELSE 'https://example.com/articles/p'
+                    || (doc_id % {_URL_PAGES})
+                    || '?utm_campaign=y&utm_medium=z'
+             END AS url
+      FROM documents)"""
+
+
+def url_canonicalize(col):
+    """scheme off; host lowercased, www. and default ports stripped
+    (path case PRESERVED — only the authority is case-insensitive);
+    fragment off; tracking params off (first surviving param promoted
+    back to '?'); trailing '?'/'&' and trailing slashes off."""
+    u = F.regexp_replace(col, r"^https?://", "")
+    host = F.regexp_extract(u, r"^[^/?#]+", 0)
+    rest = F.substring(u, F.length(host) + 1, F.length(u))
+    chost = F.regexp_replace(
+        F.regexp_replace(F.lower(host), r"^www\.", ""), r":(80|443)$", ""
+    )
+    r1 = F.regexp_replace(rest, r"#.*", "")
+    r2 = F.regexp_replace(r1, _URL_TRACKING, "")
+    r3 = F.regexp_replace(r2, r"^([^?]*)&", r"$1?")
+    r4 = F.regexp_replace(F.regexp_replace(r3, r"[?&]+$", ""), r"/+$", "")
+    return F.concat(chost, r4)
+
+
+def _sql_url_canonicalize(col: str) -> str:
+    u = f"regexp_replace({col}, '^https?://', '')"
+    host = f"regexp_extract({u}, '^[^/?#]+')"
+    rest = f"substr({u}, len({host}) + 1)"
+    chost = (
+        f"regexp_replace(regexp_replace(lower({host}), '^www\\.', ''),"
+        f" ':(80|443)$', '')"
+    )
+    r1 = f"regexp_replace({rest}, '#.*', '')"
+    r2 = f"regexp_replace({r1}, '{_URL_TRACKING}', '', 'g')"
+    r3 = f"regexp_replace({r2}, '^([^?]*)&', '\\1?')"
+    r4 = (
+        f"regexp_replace(regexp_replace({r3}, '[?&]+$', ''), '/+$', '')"
+    )
+    return f"({chost} || {r4})"
+
+
+@query(
+    "dedup_url_canonical",
+    f"""
+    WITH {_SQL_URL_AUG},
+    canon AS (
+      SELECT doc_id, url, {_sql_url_canonicalize('url')} AS canonical_url
+      FROM aug)
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_surface_forms,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-level dedup after canonicalization — the cheapest and first
+    dedup stage of a web-crawl pipeline (C4 dropped ~30% of its pages
+    here before any content hashing): scheme, host case, www, default
+    ports, fragments, tracking parameters and trailing slashes are
+    surface noise; pages whose CANONICAL url collides are crawl
+    duplicates, and the keep-one policy keeps the smallest doc_id.
+    Reports each collided canonical url with its doc count and the
+    number of distinct surface forms collapsed into it.
+
+    Plan shape for 100 TB: canonicalization is a codegen regex chain in
+    the scan projection; the only shuffle keys on the canonical url
+    (the 16-byte-hash convention applies at scale); no UDFs, no joins."""
+    docs = td(spark, sf_dir, "documents").select("doc_id")
+    canon = url_augment(docs).select(
+        "doc_id", "url", url_canonicalize(F.col("url")).alias(
+            "canonical_url"
+        )
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("url").cast("long").alias("n_surface_forms"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

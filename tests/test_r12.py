@@ -255,3 +255,50 @@ class TestHtmlStrip:
                 assert "<3" in out and "<html" not in out
             else:
                 assert gone not in out, gone
+
+
+class TestUrlCanonical:
+    def test_all_variants_collapse_and_match_python(self, spark, sf_dir):
+        """Python (urllib.parse-based) canonicalizer as the third
+        engine; every planted page must collapse its 4 surface
+        variants (including across hosts' case / ports / tracking)."""
+        from urllib.parse import urlsplit
+
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import url_augment
+
+        def canon_py(url: str) -> str:
+            sp = urlsplit(url)
+            host = sp.netloc.lower()
+            host = host[4:] if host.startswith("www.") else host
+            for suf in (":80", ":443"):
+                if host.endswith(suf):
+                    host = host[: -len(suf)]
+            q = "&".join(
+                p
+                for p in sp.query.split("&")
+                if p
+                and not re.match(r"(utm_[a-z]+|gclid|fbclid)=", p)
+            )
+            path = sp.path.rstrip("/")
+            return host + path + (("?" + q) if q else "")
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        planted = url_augment(docs).collect()
+        want = {}
+        for r in planted:
+            want.setdefault(canon_py(r.url), []).append((r.doc_id, r.url))
+        want_rows = {
+            cu: (len(ds), len({u for _, u in ds}), min(d for d, _ in ds))
+            for cu, ds in want.items()
+            if len(ds) >= 2
+        }
+        got = {
+            r.canonical_url: (r.n_docs, r.n_surface_forms, r.keep_doc)
+            for r in QUERIES["dedup_url_canonical"](spark, sf_dir).collect()
+        }
+        assert got == want_rows
+        # the planting guarantees real collapses: 4 surface forms/page
+        assert any(v[1] >= 4 for v in got.values())
