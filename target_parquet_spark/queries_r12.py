@@ -765,3 +765,113 @@ def dedup_url_canonical(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (ColBERT MaxSim) reranking with deterministic
+# 16-bit token signatures
+# ---------------------------------------------------------------------------
+
+_MAXSIM_QDOC = 0  # probe document supplying the query tokens
+_MAXSIM_QTOKS = 8
+_MAXSIM_TOPK = 20
+_MAXSIM_BITS = 16
+
+
+def _register_maxsim():
+    from target_parquet_spark.operators.text import SQL_HASH60
+    from target_parquet_spark.queries_ext import SQL_TOKS
+
+    sig_sql = f"({SQL_HASH60.format(c='tok')} % {1 << _MAXSIM_BITS})"
+
+    @query(
+        "sim_colbert_maxsim",
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS tok
+          FROM documents),
+        sigs AS (
+          SELECT DISTINCT doc_id, {sig_sql} AS sig FROM toks),
+        q AS (
+          SELECT tok, {sig_sql} AS qsig
+          FROM (SELECT DISTINCT tok FROM toks
+                WHERE doc_id = {_MAXSIM_QDOC})
+          ORDER BY tok LIMIT {_MAXSIM_QTOKS}),
+        per_qtok AS (
+          SELECT s.doc_id, q.tok,
+                 max({_MAXSIM_BITS} - bit_count(xor(s.sig, q.qsig)))
+                   AS best
+          FROM sigs s CROSS JOIN q
+          WHERE s.doc_id <> {_MAXSIM_QDOC}
+          GROUP BY s.doc_id, q.tok)
+        SELECT doc_id, CAST(sum(best) AS BIGINT) AS maxsim
+        FROM per_qtok
+        GROUP BY doc_id
+        ORDER BY maxsim DESC, doc_id
+        LIMIT {_MAXSIM_TOPK}
+        """,
+    )
+    def sim_colbert_maxsim(spark, sf_dir):
+        """Late-interaction reranking (ColBERT's MaxSim, Khattab &
+        Zaharia 2020): score(q, d) = sum over query tokens of the MAX
+        per-token similarity against any doc token — finer-grained than
+        one pooled vector per doc (a doc matching all 8 query terms in
+        scattered places outranks one matching a single term strongly),
+        the standard second-stage reranker behind a BM25/dense first
+        stage.  Token "embeddings" here are deterministic 16-bit
+        signatures (the repo's 60-bit md5 hash folded to 16 bits);
+        similarity = matching bit count — EXACT integers end to end, so
+        the ranking has no float boundary and the oracle replays it
+        verbatim.
+
+        Plan shape for 100 TB: the doc side reduces to DISTINCT
+        (doc_id, sig) rows (vocabulary-bounded per doc); the query side
+        is <= 8 rows broadcast; per-qtok maxes partial-aggregate
+        map-side and the final sum is doc-cardinality.  No UDFs, one
+        broadcast join, two map-combinable aggregates, one top-k."""
+        from target_parquet_spark.operators import text as X
+
+        docs = td(spark, sf_dir, "documents").select("doc_id", "text")
+        toks = docs.select(
+            "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+        )
+        sig = F.pmod(X.hash60(F.col("tok")), F.lit(1 << _MAXSIM_BITS))
+        sigs = (
+            toks.select("doc_id", sig.alias("sig"))
+            .distinct()
+            .filter(F.col("doc_id") != _MAXSIM_QDOC)
+        )
+        q = (
+            toks.filter(F.col("doc_id") == _MAXSIM_QDOC)
+            .select("tok")
+            .distinct()
+            .orderBy("tok")
+            .limit(_MAXSIM_QTOKS)
+            .select("tok", sig.alias("qsig"))
+        )
+        per_qtok = (
+            sigs.crossJoin(F.broadcast(q))
+            .select(
+                "doc_id",
+                "tok",
+                (
+                    F.lit(_MAXSIM_BITS)
+                    - F.bit_count(
+                        F.col("sig").bitwiseXOR(F.col("qsig"))
+                    )
+                ).alias("m"),
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.max("m").alias("best"))
+        )
+        return (
+            per_qtok.groupBy("doc_id")
+            .agg(F.sum("best").cast("long").alias("maxsim"))
+            .orderBy(F.desc("maxsim"), "doc_id")
+            .limit(_MAXSIM_TOPK)
+        )
+
+    return sim_colbert_maxsim
+
+
+_register_maxsim()

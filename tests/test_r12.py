@@ -302,3 +302,56 @@ class TestUrlCanonical:
         assert got == want_rows
         # the planting guarantees real collapses: 4 surface forms/page
         assert any(v[1] >= 4 for v in got.values())
+
+
+class TestColbertMaxsim:
+    def test_planted_exact_match_saturates(self, spark, tmp_path):
+        """A doc containing every query token must score the exact
+        saturation value (8 query tokens x 16 bits) and rank first; a
+        partial-overlap doc lands strictly between; scores match a
+        hand-computed MaxSim over the same signatures."""
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import (
+            _MAXSIM_BITS,
+            _MAXSIM_QTOKS,
+        )
+
+        qtext = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            (0, qtext, "en", "t", len(qtext)),
+            (1, qtext + " extra words here", "en", "t", 10),
+            (2, "alpha bravo unrelated tail", "en", "t", 10),
+            (3, "zzz yyy xxx www", "en", "t", 10),
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+        out = QUERIES["sim_colbert_maxsim"](spark, str(tmp_path)).collect()
+        got = {r.doc_id: r.maxsim for r in out}
+        sat = _MAXSIM_QTOKS * _MAXSIM_BITS
+        assert got[1] == sat  # superset doc saturates
+        assert got[2] < sat  # partial overlap strictly below
+        assert got[3] < got[2]  # unrelated below partial
+        assert out[0].doc_id == 1  # ranked first
+
+        # hand recompute doc 2's score over the same signatures
+        import hashlib as _h
+
+        def sig(tok):
+            return int(_h.md5(tok.encode()).hexdigest()[:15], 16) % (
+                1 << _MAXSIM_BITS
+            )
+
+        qsigs = [sig(t) for t in sorted(qtext.split())[:_MAXSIM_QTOKS]]
+        d2 = {sig(t) for t in "alpha bravo unrelated tail".split()}
+        want2 = sum(
+            max(
+                _MAXSIM_BITS - bin(qs ^ ds).count("1")
+                for ds in d2
+            )
+            for qs in qsigs
+        )
+        assert got[2] == want2
