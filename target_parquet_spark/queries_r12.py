@@ -875,3 +875,68 @@ def _register_maxsim():
 
 
 _register_maxsim()
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast over the daily revenue series
+# (recursive CTE — identical SQL text on spark.sql and DuckDB)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+_HOLT_HORIZON = 7
+
+_SQL_HOLT = f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)),
+    idx AS (
+      SELECT day, rev_c,
+             CAST(row_number() OVER (ORDER BY day) AS INT) AS i
+      FROM d),
+    holt AS (
+      SELECT i, day, CAST(rev_c AS DOUBLE) AS level,
+             CAST(0.0 AS DOUBLE) AS trend
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT i.i, i.day,
+             CAST({_HOLT_ALPHA} * i.rev_c
+               + {1 - _HOLT_ALPHA} * (h.level + h.trend) AS DOUBLE),
+             CAST({_HOLT_BETA} * (({_HOLT_ALPHA} * i.rev_c
+                 + {1 - _HOLT_ALPHA} * (h.level + h.trend)) - h.level)
+               + {1 - _HOLT_BETA} * h.trend AS DOUBLE)
+      FROM holt h JOIN idx i ON i.i = h.i + 1),
+    last_state AS (
+      SELECT h.day, h.level, h.trend FROM holt h
+      WHERE h.i = (SELECT max(i) FROM idx)),
+    horizons AS (
+      SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+      UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+      UNION ALL SELECT 7)
+    SELECT k AS horizon,
+           l.day + k AS forecast_day,
+           round((l.level + k * l.trend) / 100.0, 2) AS forecast_rev
+    FROM horizons CROSS JOIN last_state l
+    ORDER BY k
+"""
+
+
+@query("events_holt_forecast", _SQL_HOLT)
+def events_holt_forecast(spark, sf_dir):
+    """Holt double-exponential (level + trend) smoothing over the daily
+    revenue series, forecasting the next 7 days — the classic capacity
+    / budget-planning companion to the seasonal-anomaly and changepoint
+    monitors.  The recurrence is inherently sequential, so it runs as a
+    recursive CTE with IDENTICAL SQL text on spark.sql and DuckDB (the
+    sql_recursive_reachability convention): the recursion advances one
+    DAY at a time over the pre-aggregated daily series — metadata-sized
+    (~weeks) regardless of corpus size, which is the 100 TB rule for
+    recursion here; the one data-sized stage is the map-combinable
+    daily integer-cents aggregate underneath it.
+
+    Determinism: the daily series is exact integer cents (house
+    convention); the level/trend updates are a single-row float
+    recursion evaluated in identical order by both engines."""
+    td(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SQL_HOLT)

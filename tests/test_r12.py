@@ -355,3 +355,45 @@ class TestColbertMaxsim:
             for qs in qsigs
         )
         assert got[2] == want2
+
+
+class TestHoltForecast:
+    def test_hand_computed_recurrence(self, spark, tmp_path):
+        """Python recomputation of the Holt recurrence over a planted
+        3-day series, including the 7-day linear extrapolation."""
+        import datetime as dt
+
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import (
+            _HOLT_ALPHA,
+            _HOLT_BETA,
+            _HOLT_HORIZON,
+        )
+
+        days = [dt.datetime(2024, 3, d, 12) for d in (1, 2, 3)]
+        vals = [[1.0, 2.5], [4.0], [2.0, 2.0, 2.0]]  # daily sums 3.5/4/6
+        rows = []
+        eid = 0
+        for day, vs in zip(days, vals):
+            for v in vs:
+                rows.append((eid, day, eid, "buy", v, "{}"))
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+        out = QUERIES["events_holt_forecast"](spark, str(tmp_path)).collect()
+        assert len(out) == _HOLT_HORIZON
+
+        cents = [350, 400, 600]
+        level, trend = float(cents[0]), 0.0
+        for y in cents[1:]:
+            nl = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (level + trend)
+            trend = _HOLT_BETA * (nl - level) + (1 - _HOLT_BETA) * trend
+            level = nl
+        for r in out:
+            want = round((level + r.horizon * trend) / 100.0, 2)
+            assert r.forecast_rev == want, r.horizon
+            assert r.forecast_day == dt.date(2024, 3, 3 + r.horizon)
