@@ -89,7 +89,7 @@ _CURATED_PREFIX = [
     "scan_ivf_partitioned",
     # graph family
     "graph_hits_knn",
-    "graph_kcore",
+    "graph_ktruss",
     # text analysis family
     "text_quality_filter",
     "text_bm25_search",
@@ -104,15 +104,16 @@ _CURATED_PREFIX = [
     "sample_sequence_packing",
     "sample_neyman_allocation",
     "cdc_scd2_history",
-    "audit_k_anonymity",
+    "audit_t_closeness",
     "events_active_users_hll",
     "events_bayesian_ab",
     "events_mann_whitney",
     "events_msprt_monitor",
-    # round 6 (bootstrap_ci and propensity_match rotated out after their
-    # r5 driver-green rows; the full sweep still covers them)
-    "dedup_keep_best_quality",
-    "text_pii_scan",
+    # round 7 (r6's keep_best_quality/pii_scan and the long-green
+    # kcore/k_anonymity rotated out after their driver-green rows; the
+    # full sweep still covers them)
+    "text_pii_idcard_scan",
+    "dedup_url_canonical",
     "pipeline_training_data",
 ]
 

@@ -230,6 +230,14 @@ HEADLINE = [
     "dedup_semdedup_scaled",
     "dedup_keep_best_quality",
     "text_pii_scan",
+    # round 7
+    "text_pii_idcard_scan",
+    "audit_t_closeness",
+    "graph_ktruss",
+    "text_html_boilerplate_strip",
+    "dedup_url_canonical",
+    "sim_colbert_maxsim",
+    "events_holt_forecast",
 ]
 
 

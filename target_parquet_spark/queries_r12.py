@@ -886,19 +886,27 @@ _HOLT_ALPHA = 0.3
 _HOLT_BETA = 0.1
 _HOLT_HORIZON = 7
 
-_SQL_HOLT = f"""
-    WITH RECURSIVE d AS (
+# The daily-series CTE (data-sized) and the recursion (metadata-sized)
+# are SPLIT on the Spark side: Spark's recursive execution re-evaluates
+# every CTE the recursive step references ONCE PER STEP, so an inline
+# idx would re-scan the events table ~30 times (measured 11.7s at
+# sf0.1); the Spark query materializes the daily series first
+# (localCheckpoint) and recurses over the 8-byte-per-day view.  The
+# oracle keeps the inline form — DuckDB materializes CTEs.
+_SQL_HOLT_DAILY = """
+    SELECT day, rev_c,
+           CAST(row_number() OVER (ORDER BY day) AS INT) AS i
+    FROM (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
-      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)),
-    idx AS (
-      SELECT day, rev_c,
-             CAST(row_number() OVER (ORDER BY day) AS INT) AS i
-      FROM d),
-    holt AS (
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE))
+"""
+
+_SQL_HOLT_REC = f"""
+    WITH RECURSIVE holt AS (
       SELECT i, day, CAST(rev_c AS DOUBLE) AS level,
              CAST(0.0 AS DOUBLE) AS trend
-      FROM idx WHERE i = 1
+      FROM holt_idx WHERE i = 1
       UNION ALL
       SELECT i.i, i.day,
              CAST({_HOLT_ALPHA} * i.rev_c
@@ -906,10 +914,10 @@ _SQL_HOLT = f"""
              CAST({_HOLT_BETA} * (({_HOLT_ALPHA} * i.rev_c
                  + {1 - _HOLT_ALPHA} * (h.level + h.trend)) - h.level)
                + {1 - _HOLT_BETA} * h.trend AS DOUBLE)
-      FROM holt h JOIN idx i ON i.i = h.i + 1),
+      FROM holt h JOIN holt_idx i ON i.i = h.i + 1),
     last_state AS (
       SELECT h.day, h.level, h.trend FROM holt h
-      WHERE h.i = (SELECT max(i) FROM idx)),
+      WHERE h.i = (SELECT max(i) FROM holt_idx)),
     horizons AS (
       SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
       UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
@@ -922,21 +930,37 @@ _SQL_HOLT = f"""
 """
 
 
-@query("events_holt_forecast", _SQL_HOLT)
+# The oracle splices the two fragments into one statement (RECURSIVE
+# must sit on the outer WITH in DuckDB) with holt_idx inlined.
+_SQL_HOLT_ORACLE = (
+    "WITH RECURSIVE holt_idx AS ("
+    + _SQL_HOLT_DAILY
+    + "), "
+    + _SQL_HOLT_REC.split("WITH RECURSIVE ", 1)[1]
+)
+
+
+@query("events_holt_forecast", _SQL_HOLT_ORACLE)
 def events_holt_forecast(spark, sf_dir):
     """Holt double-exponential (level + trend) smoothing over the daily
     revenue series, forecasting the next 7 days — the classic capacity
     / budget-planning companion to the seasonal-anomaly and changepoint
     monitors.  The recurrence is inherently sequential, so it runs as a
-    recursive CTE with IDENTICAL SQL text on spark.sql and DuckDB (the
-    sql_recursive_reachability convention): the recursion advances one
-    DAY at a time over the pre-aggregated daily series — metadata-sized
-    (~weeks) regardless of corpus size, which is the 100 TB rule for
-    recursion here; the one data-sized stage is the map-combinable
-    daily integer-cents aggregate underneath it.
+    recursive CTE (the sql_recursive_reachability convention) advancing
+    one DAY at a time over the pre-aggregated daily series —
+    metadata-sized (~weeks) regardless of corpus size, which is the
+    100 TB rule for recursion here; the one data-sized stage is the
+    map-combinable daily integer-cents aggregate underneath it, which
+    Spark MATERIALIZES before recursing (Spark re-evaluates the
+    recursive step's inputs once per step — inlined, the corpus would
+    rescan ~30x; measured 11.7s -> ~1s at sf0.1).
 
     Determinism: the daily series is exact integer cents (house
     convention); the level/trend updates are a single-row float
     recursion evaluated in identical order by both engines."""
+    from target_parquet_spark.operators.dedup import lineage_cut
+
     td(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_SQL_HOLT)
+    daily = lineage_cut(spark.sql(_SQL_HOLT_DAILY).coalesce(1), None)
+    daily.createOrReplaceTempView("holt_idx")
+    return spark.sql(_SQL_HOLT_REC)
