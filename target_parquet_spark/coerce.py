@@ -106,12 +106,22 @@ _TS_FORMATS = [
     "d MMM yyyy h a",
     "d MMMM yyyy h a",
     "yyyy-MM-dd h a",
-    "yyyy-MM-dd H:m:s zzz",
-    "yyyy-MM-dd'T'H:m:s zzz",
-    # r7 (VERDICT r6 #6): numeric-offset variants fed by the tzinfos
-    # substitution below (a trailing mapped abbreviation becomes
-    # "+HH:MM" in the cleaning pass — dateutil needs the same literal
-    # map via its tzinfos= argument, which is the parity contract)
+]
+
+# Formats evaluated against the TZ-SUBSTITUTED string (see
+# lenient_timestamp): the XXX-offset variants fed by the tzinfos map
+# (r7, VERDICT r6 #6 — a trailing mapped abbreviation becomes "+HH:MM"
+# in the cleaning pass; dateutil needs the same literal map via its
+# tzinfos= argument, which is the parity contract), PLUS the zzz
+# zone-name formats (UTC/GMT).  The zzz formats MUST run on the
+# substituted string and AFTER the XXX ones: java.time's zone-text
+# parser resolves bare abbreviations like CST to DST-observing REGION
+# zones (America/Chicago — summer dates come back -05:00 where the
+# contract says -06:00), so mapped abbreviations have to be replaced
+# by their fixed offsets before any zzz attempt can see them (review
+# r7 finding #1).  Two lists so the split is structural, not a counted
+# slice (finding #4).
+_TZ_TS_FORMATS = [
     "yyyy-MM-dd H:m:s XXX",
     "yyyy-MM-dd'T'H:m:s XXX",
     "M/d/yyyy H:m:s XXX",
@@ -125,6 +135,8 @@ _TS_FORMATS = [
     "MMM d yyyy h:m a XXX",
     "yyyy-MM-dd h:m:s a XXX",
     "yyyy-MM-dd h:m a XXX",
+    "yyyy-MM-dd H:m:s zzz",
+    "yyyy-MM-dd'T'H:m:s zzz",
 ]
 
 # r7: literal abbreviation -> offset map (VERDICT r6 #6).  dateutil
@@ -153,12 +165,18 @@ TZ_ABBREV_OFFSETS = {
     "NZST": "+12:00", "NZDT": "+13:00",
 }
 
-# The XXX-offset formats above are tried against the tz-substituted
-# string only; the pre-r7 formats keep the smaller cleaning tree (a
-# single Column expression is re-inlined per format attempt, so tree
-# size is a real codegen-memory budget — the first cut of this feature
-# OOM'd the JVM by inlining a 26-branch CASE into all 57 attempts).
-_N_TZ_FORMATS = 13
+# Trailing-abbreviation detector on the RAW string (one cheap rlike):
+# gates the ISO cast off for rows the tzinfos map owns.
+_TZ_ABBREV_TRAILING = (
+    r"\s(" + "|".join(sorted(TZ_ABBREV_OFFSETS, key=len, reverse=True))
+    + r")\s*$"
+)
+
+# The _TZ_TS_FORMATS are tried against the tz-substituted string only;
+# the base formats keep the smaller cleaning tree (a single Column
+# expression is re-inlined per format attempt, so tree size is a real
+# codegen-memory budget — the first cut of this feature OOM'd the JVM
+# by inlining a 26-branch CASE into all 57 attempts).
 
 # Leading weekday tokens dateutil skips ("Tuesday, June 3, 2021");
 # anchored, so month names containing weekday substrings can't be hit.
@@ -201,14 +219,23 @@ def lenient_timestamp(raw: Column) -> Column:
     cleaned_tz = cleaned
     for k, v in TZ_ABBREV_OFFSETS.items():
         cleaned_tz = F.regexp_replace(cleaned_tz, rf"\s{k}$", f" {v}")
-    old_formats, tz_formats = (
-        _TS_FORMATS[: -_N_TZ_FORMATS],
-        _TS_FORMATS[-_N_TZ_FORMATS:],
+    # The ISO cast ALSO resolves bare zone abbreviations — to java.time
+    # REGION zones with DST ("... CST" in July casts as America/Chicago
+    # = -05:00 where the map's contract says -06:00), so it must be
+    # suppressed whenever the raw string ends with a mapped
+    # abbreviation; those rows parse through the substituted XXX chain
+    # instead (review r7 finding #1; the summer-CST rows in
+    # tests/test_r3_hardening.py pin this).
+    iso = F.when(
+        ~raw.rlike(_TZ_ABBREV_TRAILING), raw.try_cast("timestamp")
     )
     parsed = F.coalesce(
-        raw.try_cast("timestamp"),
-        *[F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in old_formats],
-        *[F.try_to_timestamp(cleaned_tz, F.lit(fmt)) for fmt in tz_formats],
+        iso,
+        *[F.try_to_timestamp(cleaned, F.lit(fmt)) for fmt in _TS_FORMATS],
+        *[
+            F.try_to_timestamp(cleaned_tz, F.lit(fmt))
+            for fmt in _TZ_TS_FORMATS
+        ],
     )
     return F.date_trunc("millisecond", parsed)
 

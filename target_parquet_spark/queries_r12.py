@@ -689,36 +689,46 @@ _SQL_URL_AUG = f"""
 def url_canonicalize(col):
     """scheme off; host lowercased, www. and default ports stripped
     (path case PRESERVED — only the authority is case-insensitive);
-    fragment off; tracking params off (first surviving param promoted
-    back to '?'); trailing '?'/'&' and trailing slashes off."""
+    fragment off; trailing PATH slashes off (split from the query
+    first, so '/p5/?x=1' collapses with '/p5?x=1' and a query VALUE
+    ending in '/' survives untouched — review r7 finding #3); tracking
+    params off (first surviving param promoted back to '?'); trailing
+    '?'/'&' off."""
     u = F.regexp_replace(col, r"^https?://", "")
     host = F.regexp_extract(u, r"^[^/?#]+", 0)
-    rest = F.substring(u, F.length(host) + 1, F.length(u))
+    rest = F.regexp_replace(
+        F.substring(u, F.length(host) + 1, F.length(u)), r"#.*", ""
+    )
     chost = F.regexp_replace(
         F.regexp_replace(F.lower(host), r"^www\.", ""), r":(80|443)$", ""
     )
-    r1 = F.regexp_replace(rest, r"#.*", "")
-    r2 = F.regexp_replace(r1, _URL_TRACKING, "")
-    r3 = F.regexp_replace(r2, r"^([^?]*)&", r"$1?")
-    r4 = F.regexp_replace(F.regexp_replace(r3, r"[?&]+$", ""), r"/+$", "")
-    return F.concat(chost, r4)
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^?]*", 0), r"/+$", ""
+    )
+    q = F.substring(
+        rest, F.length(F.regexp_extract(rest, r"^[^?]*", 0)) + 1,
+        F.length(rest),
+    )
+    q = F.regexp_replace(q, _URL_TRACKING, "")
+    q = F.regexp_replace(q, r"^&", "?")
+    q = F.regexp_replace(q, r"[?&]+$", "")
+    return F.concat(chost, path, q)
 
 
 def _sql_url_canonicalize(col: str) -> str:
     u = f"regexp_replace({col}, '^https?://', '')"
     host = f"regexp_extract({u}, '^[^/?#]+')"
-    rest = f"substr({u}, len({host}) + 1)"
+    rest = f"regexp_replace(substr({u}, len({host}) + 1), '#.*', '')"
     chost = (
         f"regexp_replace(regexp_replace(lower({host}), '^www\\.', ''),"
         f" ':(80|443)$', '')"
     )
-    r1 = f"regexp_replace({rest}, '#.*', '')"
-    r2 = f"regexp_replace({r1}, '{_URL_TRACKING}', '', 'g')"
-    r3 = f"regexp_replace({r2}, '^([^?]*)&', '\\1?')"
-    r4 = (
-        f"regexp_replace(regexp_replace({r3}, '[?&]+$', ''), '/+$', '')"
-    )
-    return f"({chost} || {r4})"
+    path = f"regexp_replace(regexp_extract({rest}, '^[^?]*'), '/+$', '')"
+    q = f"substr({rest}, len(regexp_extract({rest}, '^[^?]*')) + 1)"
+    q = f"regexp_replace({q}, '{_URL_TRACKING}', '', 'g')"
+    q = f"regexp_replace({q}, '^&', '?')"
+    q = f"regexp_replace({q}, '[?&]+$', '')"
+    return f"({chost} || {path} || {q})"
 
 
 @query(
@@ -963,4 +973,10 @@ def events_holt_forecast(spark, sf_dir):
     td(spark, sf_dir, "events").createOrReplaceTempView("events")
     daily = lineage_cut(spark.sql(_SQL_HOLT_DAILY).coalesce(1), None)
     daily.createOrReplaceTempView("holt_idx")
+    # one level per DAY: Spark's default recursion cap is 100 levels,
+    # so any corpus spanning >100 days would crash mid-query (review
+    # r7 finding #2).  The day count is already materialized (the
+    # lineage cut is eager) — size the cap to the actual span + slack.
+    n_days = daily.count()
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", max(1000, n_days + 10))
     return spark.sql(_SQL_HOLT_REC)

@@ -304,6 +304,29 @@ class TestUrlCanonical:
         assert any(v[1] >= 4 for v in got.values())
 
 
+    def test_slash_before_query_and_slash_valued_params(self, spark):
+        """Review r7 #3: '/p5/?x=1' must collapse with '/p5?x=1' (the
+        path slash is surface noise even when a query follows), while a
+        query VALUE ending in '/' is data and survives."""
+        from target_parquet_spark.queries_r12 import url_canonicalize
+
+        df = spark.createDataFrame(
+            [
+                ("https://example.com/articles/p5/?x=1",),
+                ("https://example.com/articles/p5?x=1",),
+                ("https://example.com/login?next=/home/",),
+            ],
+            "url string",
+        )
+        got = [
+            r.c
+            for r in df.select(url_canonicalize(F.col("url")).alias("c"))
+            .collect()
+        ]
+        assert got[0] == got[1] == "example.com/articles/p5?x=1"
+        assert got[2] == "example.com/login?next=/home/"
+
+
 class TestColbertMaxsim:
     def test_planted_exact_match_saturates(self, spark, tmp_path):
         """A doc containing every query token must score the exact
@@ -397,3 +420,36 @@ class TestHoltForecast:
             want = round((level + r.horizon * trend) / 100.0, 2)
             assert r.forecast_rev == want, r.horizon
             assert r.forecast_day == dt.date(2024, 3, 3 + r.horizon)
+
+    def test_corpus_longer_than_default_recursion_cap(self, spark, tmp_path):
+        """Review r7 #2: one recursion level per day + Spark's default
+        100-level cap would crash any corpus spanning >100 days; the
+        query sizes the cap to the span.  150 days, checked against the
+        Python recurrence."""
+        import datetime as dt
+
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import _HOLT_ALPHA, _HOLT_BETA
+
+        base = dt.datetime(2024, 1, 1, 12)
+        rows = [
+            (i, base + dt.timedelta(days=i), i, "buy", float(1 + i % 5), "{}")
+            for i in range(150)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+        out = QUERIES["events_holt_forecast"](spark, str(tmp_path)).collect()
+        cents = [round((1 + i % 5) * 100) for i in range(150)]
+        level, trend = float(cents[0]), 0.0
+        for y in cents[1:]:
+            nl = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (level + trend)
+            trend = _HOLT_BETA * (nl - level) + (1 - _HOLT_BETA) * trend
+            level = nl
+        for r in out:
+            assert r.forecast_rev == round(
+                (level + r.horizon * trend) / 100.0, 2
+            )

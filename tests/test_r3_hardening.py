@@ -172,6 +172,16 @@ def test_lenient_timestamp_tzinfos_abbreviations(spark):
         "Jan 15, 2024 10:30:45 PM HST",
         "2024-01-15 10:30 PM AKST",
         "Tuesday, Jan 16, 2024 10:30:00 BST",  # weekday + comma + tz
+        # review r7 #1 (the zzz hijack): java.time resolves bare
+        # abbreviations to DST-observing REGION zones, so summer CST
+        # parsed via zzz would be America/Chicago's -05:00 instead of
+        # the map's fixed -06:00 (and BST London instead of +01:00...
+        # in winter, -00:00!).  The XXX formats must see the
+        # substituted string FIRST — these rows pin that order.
+        "2024-07-15 10:30:00 CST",
+        "2024-07-15T10:30:00 PST",
+        "2024-07-15 10:30:00 CET",
+        "2024-01-16 10:30:00 BST",
     ]
     df = spark.createDataFrame([(s,) for s in corpus], "raw string")
     got = {
