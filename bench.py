@@ -238,6 +238,8 @@ HEADLINE = [
     "dedup_url_canonical",
     "sim_colbert_maxsim",
     "events_holt_forecast",
+    "sample_weighted_without_replacement",
+    "events_seasonal_decompose",
 ]
 
 

@@ -980,3 +980,182 @@ def events_holt_forecast(spark, sf_dir):
     n_days = daily.count()
     spark.conf.set("spark.sql.cteRecursionLevelLimit", max(1000, n_days + 10))
     return spark.sql(_SQL_HOLT_REC)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling WITHOUT replacement (Efraimidis-Spirakis exponential race)
+# ---------------------------------------------------------------------------
+
+_WWR_K = 100
+
+# the sampling family's hash-as-randomness convention: md5(doc_id) ->
+# uniform; +0.5 keeps u strictly inside (0, 1) so pow(u, 1/w) never
+# collapses to 0/1 exactly
+_SQL_WWR_U = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)"
+    " / 4294967296.0)"
+)
+
+
+@query(
+    "sample_weighted_without_replacement",
+    f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt
+      FROM documents WHERE n_chars > 0),
+    k AS (
+      SELECT doc_id, wt, pow({_SQL_WWR_U}, 1.0 / wt) AS ky
+      FROM w)
+    SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+           round(ky, 6) AS sample_key,
+           CAST(row_number() OVER (ORDER BY ky DESC, doc_id) AS BIGINT)
+             AS rk
+    FROM k ORDER BY ky DESC, doc_id LIMIT {_WWR_K}
+    """,
+)
+def sample_weighted_without_replacement(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006): each doc draws key u^(1/w) from a per-doc uniform and the
+    top-k keys ARE a weighted sample without replacement — the exact
+    one-pass distributed algorithm behind 'sample 100k docs
+    proportionally to length/quality, no duplicates' (with-replacement
+    samplers like sample_temperature_mixture cannot guarantee
+    distinctness).  Weight = n_chars here.
+
+    Determinism: the uniform is the md5-of-id convention the sampling
+    family already uses (both engines compute the identical double),
+    pow/division are IEEE-identical expressions, ranking tie-breaks on
+    doc_id, and the reported key is rounded at 6dp.
+
+    Plan shape for 100 TB: one scan computes the key (no shuffle), and
+    top-k is TakeOrderedAndProject — per-partition heaps of k, one
+    k-row merge at the driver; no global sort, no join."""
+    docs = td(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", F.col("n_chars").cast("double").alias("wt")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    k = w.select("doc_id", "wt", F.pow(u, 1.0 / F.col("wt")).alias("ky"))
+    ranked = k.orderBy(F.desc("ky"), "doc_id").limit(_WWR_K)
+    from pyspark.sql import Window as _W
+
+    return ranked.select(
+        "doc_id",
+        F.col("wt").cast("long").alias("weight"),
+        F.round("ky", 6).alias("sample_key"),
+        F.row_number()
+        .over(_W.orderBy(F.desc("ky"), "doc_id"))
+        .cast("long")
+        .alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition of the daily revenue series (trend / weekly
+# seasonal / residual — the classical additive decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_seasonal_decompose",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)),
+    tr AS (
+      SELECT day, rev_c,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(round(avg(rev_c) OVER w7 * 10000) AS BIGINT)
+             END AS trend_myr
+      FROM d
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT day, rev_c, trend_myr,
+             CAST(datediff('day', DATE '2024-01-01', day) % 7 + 7 AS INT)
+               % 7 AS dow,
+             rev_c * 10000 - trend_myr AS det_myr
+      FROM tr),
+    seas AS (
+      SELECT dow,
+             CAST(round(avg(det_myr)) AS BIGINT) AS seasonal_myr
+      FROM det WHERE det_myr IS NOT NULL GROUP BY dow)
+    SELECT d.day, round(d.rev_c / 100.0, 2) AS revenue,
+           round(d.trend_myr / 1000000.0, 4) AS trend,
+           round(s.seasonal_myr / 1000000.0, 4) AS seasonal,
+           round((d.rev_c * 10000 - d.trend_myr - s.seasonal_myr)
+                 / 1000000.0, 4) AS residual
+    FROM det d LEFT JOIN seas s ON s.dow = d.dow
+    WHERE d.trend_myr IS NOT NULL
+    """,
+)
+def events_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of daily revenue:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-weekday mean of the detrended series, residual =
+    what's left — the explainability companion to the anomaly/
+    changepoint monitors (an alert on the RESIDUAL doesn't re-fire
+    every Saturday).
+
+    Determinism: daily revenue is integer cents; the 7-day average of
+    7 BIGINTs and the per-weekday means are quantized to integer
+    micro-revenue (x1e4 cents) BEFORE differencing, so every
+    subtraction is integer arithmetic and only the final /1e6 display
+    division is float.  Weekday = days-since-fixed-epoch mod 7 —
+    engine-independent (dayofweek() conventions differ).
+
+    Plan shape for 100 TB: one map-combinable daily aggregate; the
+    windows and joins run over the day-cardinality series."""
+    ev = td(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("rev_c"))
+    w7 = (
+        Window.orderBy("day").rowsBetween(-3, 3)
+    )
+    tr = d.select(
+        "day",
+        "rev_c",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.round(F.avg("rev_c").over(w7) * 10000).cast("long"),
+        ).alias("trend_myr"),
+    )
+    det = tr.select(
+        "day",
+        "rev_c",
+        "trend_myr",
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")), F.lit(7)
+        ).cast("int").alias("dow"),
+        (F.col("rev_c") * 10000 - F.col("trend_myr")).alias("det_myr"),
+    )
+    seas = (
+        det.filter(F.col("det_myr").isNotNull())
+        .groupBy("dow")
+        .agg(F.round(F.avg("det_myr")).cast("long").alias("seasonal_myr"))
+    )
+    return (
+        det.join(F.broadcast(seas), "dow", "left")
+        .filter(F.col("trend_myr").isNotNull())
+        .select(
+            "day",
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("trend_myr") / 1000000.0, 4).alias("trend"),
+            F.round(F.col("seasonal_myr") / 1000000.0, 4).alias("seasonal"),
+            F.round(
+                (
+                    F.col("rev_c") * 10000
+                    - F.col("trend_myr")
+                    - F.col("seasonal_myr")
+                )
+                / 1000000.0,
+                4,
+            ).alias("residual"),
+        )
+    )

@@ -453,3 +453,85 @@ class TestHoltForecast:
             assert r.forecast_rev == round(
                 (level + r.horizon * trend) / 100.0, 2
             )
+
+
+class TestWeightedWithoutReplacement:
+    def test_matches_python_and_biases_heavy(self, spark, sf_dir):
+        import hashlib as _h
+
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import _WWR_K
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "n_chars"
+        )
+        rows = [(r.doc_id, r.n_chars) for r in docs.collect() if r.n_chars > 0]
+
+        def key(doc_id, w):
+            u = (
+                int(_h.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 0.5
+            ) / 4294967296.0
+            return u ** (1.0 / float(w))
+
+        want = sorted(
+            ((key(d, w), d, w) for d, w in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:_WWR_K]
+        got = QUERIES["sample_weighted_without_replacement"](
+            spark, sf_dir
+        ).collect()
+        assert [r.doc_id for r in got] == [d for _, d, _ in want]
+        assert [r.rk for r in got] == list(range(1, len(want) + 1))
+        # without-replacement: all distinct
+        assert len({r.doc_id for r in got}) == len(got)
+        # weighting does work: the selected mean weight beats the corpus mean
+        corpus_mean = sum(w for _, w in rows) / len(rows)
+        sel_mean = sum(r.weight for r in got) / len(got)
+        assert sel_mean > corpus_mean
+
+
+class TestSeasonalDecompose:
+    def test_python_recompute(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from target_parquet_spark.queries import QUERIES
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "ts", "value"
+        )
+        daily = defaultdict(float)
+        for r in ev.collect():
+            daily[r.ts.date()] += r.value
+        days = sorted(daily)
+        cents = {d: round(daily[d] * 100) for d in days}
+
+        trend = {}
+        for i, d in enumerate(days):
+            win = days[max(0, i - 3) : i + 4]
+            if len(win) == 7 and i >= 3:
+                trend[d] = round(sum(cents[x] for x in win) / 7 * 10000)
+        import datetime as dt
+
+        epoch = dt.date(2024, 1, 1)
+        det = {d: cents[d] * 10000 - trend[d] for d in trend}
+        bydow = defaultdict(list)
+        for d, v in det.items():
+            bydow[(d - epoch).days % 7].append(v)
+        seas = {k: round(sum(v) / len(v)) for k, v in bydow.items()}
+
+        got = {
+            r.day: (r.revenue, r.trend, r.seasonal, r.residual)
+            for r in QUERIES["events_seasonal_decompose"](
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(got) == set(trend)
+        for d in trend:
+            dow = (d - epoch).days % 7
+            want = (
+                round(cents[d] / 100.0, 2),
+                round(trend[d] / 1e6, 4),
+                round(seas[dow] / 1e6, 4),
+                round((cents[d] * 10000 - trend[d] - seas[dow]) / 1e6, 4),
+            )
+            assert got[d] == want, d
