@@ -240,6 +240,7 @@ HEADLINE = [
     "events_holt_forecast",
     "sample_weighted_without_replacement",
     "events_seasonal_decompose",
+    "graph_betweenness_sampled",
 ]
 
 

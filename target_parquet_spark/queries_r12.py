@@ -1159,3 +1159,214 @@ def events_seasonal_decompose(spark, sf_dir):
             ).alias("residual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sampled-source betweenness centrality (Brandes) over the symmetrized
+# k-NN graph — exact integer-nano dependency accumulation
+# ---------------------------------------------------------------------------
+
+_BC_SEED_MOD = 41
+_BC_DEPTH = 3
+_BC_TOPK = 50
+_BC_NANO = 1_000_000_000
+
+
+def _sql_betweenness_ctes(depth: int) -> str:
+    """Unrolled Brandes over a symmetric ``sym(u, v)`` CTE: forward BFS
+    levels l0..l{depth} carry exact BIGINT shortest-path counts per
+    (seed, node); the backward pass accumulates dependencies in integer
+    NANOS — each successor contribution rounds ONCE
+    (sig_v * (1e9 + delta_w) / sig_w), after which every sum is a
+    BIGINT and therefore aggregation-order-independent in both
+    engines."""
+    parts = [
+        f"seeds AS (SELECT DISTINCT u AS node FROM sym"
+        f" WHERE u % {_BC_SEED_MOD} = 0)",
+        "l0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sig"
+        " FROM seeds)",
+        "v0 AS (SELECT seed, node FROM l0)",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(
+            f"""l{k} AS (
+          SELECT f.seed, s.v AS node, CAST(sum(f.sig) AS BIGINT) AS sig
+          FROM l{k - 1} f JOIN sym s ON s.u = f.node
+          LEFT JOIN v{k - 1} vis ON vis.seed = f.seed AND vis.node = s.v
+          WHERE vis.node IS NULL
+          GROUP BY f.seed, s.v)"""
+        )
+        parts.append(
+            f"v{k} AS (SELECT seed, node FROM v{k - 1}"
+            f" UNION ALL SELECT seed, node FROM l{k})"
+        )
+    # backward: delta at the deepest level is 0
+    parts.append(
+        f"d{depth} AS (SELECT seed, node, CAST(0 AS BIGINT) AS dn"
+        f" FROM l{depth})"
+    )
+    for k in range(depth - 1, -1, -1):
+        parts.append(
+            f"""d{k} AS (
+          SELECT a.seed, a.node,
+                 CAST(coalesce(sum(CAST(round(
+                   1.0 * a.sig * ({_BC_NANO} + w.dn) / w.sig)
+                   AS BIGINT)), 0) AS BIGINT) AS dn
+          FROM l{k} a
+          LEFT JOIN (
+            SELECT bl.seed, bl.sig, bd.dn, s.u AS pred
+            FROM l{k + 1} bl
+            JOIN d{k + 1} bd ON bd.seed = bl.seed AND bd.node = bl.node
+            JOIN sym s ON s.v = bl.node) w
+            ON w.seed = a.seed AND w.pred = a.node
+          GROUP BY a.seed, a.node)"""
+        )
+    return ",\n    ".join(parts)
+
+
+
+def _register_betweenness():
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+
+    sym_frag = _SQL_SYM_DEG.split(",\n    deg AS")[0]  # e + sym CTEs only
+    union_d = " UNION ALL ".join(
+        f"SELECT node, dn FROM d{k}" for k in range(1, _BC_DEPTH + 1)
+    )
+
+    @query(
+        "graph_betweenness_sampled",
+        f"""
+        WITH {_SQL_KNN},
+        {sym_frag},
+        {_sql_betweenness_ctes(_BC_DEPTH)},
+        bet AS (
+          SELECT node, CAST(sum(dn) AS BIGINT) AS bn
+          FROM ({union_d}) GROUP BY node)
+        SELECT node AS vec_id,
+               round(bn / {_BC_NANO}.0, 4) AS betweenness
+        FROM bet
+        ORDER BY bn DESC, node LIMIT {_BC_TOPK}
+        """,
+    )
+    def graph_betweenness_sampled(spark, sf_dir):
+        """Sampled-source betweenness centrality (Brandes 2001, the
+        standard sampling approximation) over the symmetrized k-NN
+        graph, depth-capped at {depth}: forward BFS from every
+        {mod}-th node carries EXACT BIGINT shortest-path counts; the
+        backward pass accumulates each node's dependency in integer
+        NANOS — every successor contribution rounds exactly once
+        (sig_v * (1e9 + delta_w) / sig_w), after which all sums are
+        BIGINT and aggregation order cannot drift between engines.
+        Betweenness ranks the bridge nodes whose removal disconnects
+        semantic regions — the complement of the density filters
+        (k-core keeps cohesion, betweenness finds the connectors),
+        and completes the centrality suite next to PageRank / HITS /
+        TrustRank / k-core / k-truss.
+
+        Plan shape for 100 TB: sampled sources (|S| = nodes/{mod}) and
+        a fixed depth cap bound state at |S| x reachable rows of three
+        8-byte ints; each level is one edge join + one grouped integer
+        sum keyed on (seed, node); the backward pass mirrors it.  The
+        oracle replays the levels as unrolled CTEs."""
+        from target_parquet_spark.operators.dedup import lineage_cut
+        from target_parquet_spark.queries_r6 import _symmetrize_degrees
+        from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+        edges = knn_edge_artifact(spark, sf_dir)
+        sym, _ = _symmetrize_degrees(edges)
+        sym = lineage_cut(sym.repartition("u"), None)
+
+        seeds = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .filter(F.col("node") % _BC_SEED_MOD == 0)
+        )
+        l0 = seeds.select(
+            F.col("node").alias("seed"),
+            "node",
+            F.lit(1).cast("long").alias("sig"),
+        )
+        levels = [lineage_cut(l0, None)]
+        visited = levels[0].select("seed", "node")
+        for _k in range(1, _BC_DEPTH + 1):
+            f = levels[-1]
+            nxt = (
+                f.join(sym, sym["u"] == f["node"])
+                .join(
+                    visited.withColumnRenamed("node", "v"),
+                    ["seed", "v"],
+                    "left_anti",
+                )
+                .groupBy("seed", F.col("v").alias("node"))
+                .agg(F.sum("sig").cast("long").alias("sig"))
+            )
+            nxt = lineage_cut(nxt, None)
+            levels.append(nxt)
+            visited = visited.unionByName(nxt.select("seed", "node"))
+        deltas = [None] * (_BC_DEPTH + 1)
+        deltas[_BC_DEPTH] = levels[_BC_DEPTH].select(
+            "seed", "node", F.lit(0).cast("long").alias("dn")
+        )
+        for k in range(_BC_DEPTH - 1, -1, -1):
+            bl = levels[k + 1].join(
+                deltas[k + 1], ["seed", "node"]
+            )  # (seed, node, sig, dn) of the deeper level
+            w = bl.join(sym, sym["v"] == bl["node"]).select(
+                "seed",
+                F.col("u").alias("pred"),
+                "sig",
+                "dn",
+            )
+            a = levels[k].select(
+                "seed",
+                "node",
+                F.col("sig").alias("_asig"),
+            )
+            contrib = a.join(
+                w,
+                (w["seed"] == a["seed"]) & (w["pred"] == a["node"]),
+                "left",
+            ).select(
+                a["seed"].alias("seed"),
+                a["node"].alias("node"),
+                F.round(
+                    1.0
+                    * F.col("_asig")
+                    * (F.lit(_BC_NANO) + F.col("dn"))
+                    / F.col("sig")
+                )
+                .cast("long")
+                .alias("cn"),
+            )
+            deltas[k] = lineage_cut(
+                contrib.groupBy("seed", "node").agg(
+                    F.coalesce(F.sum("cn"), F.lit(0))
+                    .cast("long")
+                    .alias("dn")
+                ),
+                None,
+            )
+        alld = deltas[1]
+        for k in range(2, _BC_DEPTH + 1):
+            alld = alld.unionByName(deltas[k])
+        bet = alld.groupBy("node").agg(F.sum("dn").cast("long").alias("bn"))
+        return (
+            bet.orderBy(F.desc("bn"), "node")
+            .limit(_BC_TOPK)
+            .select(
+                F.col("node").alias("vec_id"),
+                F.round(F.col("bn") / float(_BC_NANO), 4).alias(
+                    "betweenness"
+                ),
+            )
+        )
+
+    graph_betweenness_sampled.__doc__ = (
+        graph_betweenness_sampled.__doc__
+        .replace("{depth}", str(_BC_DEPTH))
+        .replace("{mod}", str(_BC_SEED_MOD))
+    )
+    return graph_betweenness_sampled
+
+
+_register_betweenness()

@@ -535,3 +535,75 @@ class TestSeasonalDecompose:
                 round((cents[d] * 10000 - trend[d] - seas[dow]) / 1e6, 4),
             )
             assert got[d] == want, d
+
+
+class TestBetweennessSampled:
+    def test_python_brandes_recompute(self, spark, sf_dir):
+        """Independent Python Brandes (depth-capped, same seed set,
+        same integer-nano quantization) over the same artifact edges —
+        the third engine on the whole forward/backward recursion."""
+        import math as _math
+        from collections import defaultdict
+
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import (
+            _BC_DEPTH,
+            _BC_NANO,
+            _BC_SEED_MOD,
+            _BC_TOPK,
+        )
+        from target_parquet_spark.queries_r6 import _symmetrize_degrees
+        from target_parquet_spark.queries_r7 import knn_edge_artifact
+
+        sym, _ = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
+        adj = defaultdict(set)
+        for r in sym.collect():
+            adj[r.u].add(r.v)
+        nodes = sorted(adj)
+        bn = defaultdict(int)
+        for s in nodes:
+            if s % _BC_SEED_MOD != 0:
+                continue
+            # forward
+            level = {0: {s: 1}}
+            seen = {s}
+            for k in range(1, _BC_DEPTH + 1):
+                nxt = defaultdict(int)
+                for u, sig in level[k - 1].items():
+                    for v in adj[u]:
+                        if v not in seen:
+                            nxt[v] += sig
+                level[k] = dict(nxt)
+                seen |= set(nxt)
+            # backward (integer nanos, one rounding per contribution)
+            delta = {v: 0 for v in level[_BC_DEPTH]}
+            for k in range(_BC_DEPTH - 1, -1, -1):
+                dk = {}
+                for u, sig in level[k].items():
+                    tot = 0
+                    for w, wsig in level[k + 1].items():
+                        if w in adj[u]:
+                            # round-half-away-from-zero (SQL round),
+                            # NOT Python banker's
+                            x = 1.0 * sig * (_BC_NANO + delta[w]) / wsig
+                            tot += int(_math.floor(x + 0.5))
+                    dk[u] = tot
+                for u, d in dk.items():
+                    if k >= 1:
+                        bn[u] += d
+                delta = dk
+        # d is accumulated for levels k>=1 only, matching the query's
+        # union over d1..d{depth} (d{depth} is all zeros; d0 = seeds
+        # themselves, excluded — betweenness never counts endpoints).
+        want = sorted(
+            bn.items(), key=lambda t: (-t[1], t[0])
+        )[:_BC_TOPK]
+        got = [
+            (r.vec_id, r.betweenness)
+            for r in QUERIES["graph_betweenness_sampled"](
+                spark, sf_dir
+            ).collect()
+        ]
+        assert got == [(v, round(b / _BC_NANO, 4)) for v, b in want]
+        # non-vacuous: real bridge mass exists
+        assert any(b > 0 for _, b in want)
