@@ -409,9 +409,9 @@ def _sql_ktruss_ctes(k: int, rounds: int) -> str:
 
 
 def _register_ktruss():
-    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM
 
-    sym_frag = _SQL_SYM_DEG.split(",\n    deg AS")[0]  # e + sym CTEs only
+    sym_frag = _SQL_SYM
 
     @query(
         "graph_ktruss",
@@ -1004,7 +1004,7 @@ _SQL_WWR_U = (
       SELECT doc_id, CAST(n_chars AS DOUBLE) AS wt
       FROM documents WHERE n_chars > 0),
     k AS (
-      SELECT doc_id, wt, pow({_SQL_WWR_U}, 1.0 / wt) AS ky
+      SELECT doc_id, wt, round(pow({_SQL_WWR_U}, 1.0 / wt), 9) AS ky
       FROM w)
     SELECT doc_id, CAST(wt AS BIGINT) AS weight,
            round(ky, 6) AS sample_key,
@@ -1023,9 +1023,13 @@ def sample_weighted_without_replacement(spark, sf_dir):
     distinctness).  Weight = n_chars here.
 
     Determinism: the uniform is the md5-of-id convention the sampling
-    family already uses (both engines compute the identical double),
-    pow/division are IEEE-identical expressions, ranking tie-breaks on
-    doc_id, and the reported key is rounded at 6dp.
+    family already uses (both engines compute the identical double);
+    pow is LIBM, guaranteed only to 1 ulp across engines, so the
+    RANKING key is quantized at 9dp (the repo's round-pow-before-use
+    convention) — keys landing in the same 1e-9 cell tie and break on
+    doc_id identically; a cross-engine flip would need a value within
+    ~1 ulp of a 9dp boundary AND adjacency to the k-th rank.  The
+    reported key is further rounded to 6dp.
 
     Plan shape for 100 TB: one scan computes the key (no shuffle), and
     top-k is TakeOrderedAndProject — per-partition heaps of k, one
@@ -1040,16 +1044,16 @@ def sample_weighted_without_replacement(spark, sf_dir):
         ).cast("long")
         + 0.5
     ) / 4294967296.0
-    k = w.select("doc_id", "wt", F.pow(u, 1.0 / F.col("wt")).alias("ky"))
+    k = w.select(
+        "doc_id", "wt", F.round(F.pow(u, 1.0 / F.col("wt")), 9).alias("ky")
+    )
     ranked = k.orderBy(F.desc("ky"), "doc_id").limit(_WWR_K)
-    from pyspark.sql import Window as _W
-
     return ranked.select(
         "doc_id",
         F.col("wt").cast("long").alias("weight"),
         F.round("ky", 6).alias("sample_key"),
         F.row_number()
-        .over(_W.orderBy(F.desc("ky"), "doc_id"))
+        .over(Window.orderBy(F.desc("ky"), "doc_id"))
         .cast("long")
         .alias("rk"),
     )
@@ -1226,11 +1230,15 @@ def _sql_betweenness_ctes(depth: int) -> str:
 
 
 def _register_betweenness():
-    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM_DEG
+    from target_parquet_spark.queries_r6 import _SQL_KNN, _SQL_SYM
 
-    sym_frag = _SQL_SYM_DEG.split(",\n    deg AS")[0]  # e + sym CTEs only
+    sym_frag = _SQL_SYM
+    # d{depth} is identically zero (it exists only as backward-pass
+    # input) — excluded from the union so the zero-betweenness tail of
+    # the top-k draws from the SAME node universe in all three engines
+    # (review r7 second pass).
     union_d = " UNION ALL ".join(
-        f"SELECT node, dn FROM d{k}" for k in range(1, _BC_DEPTH + 1)
+        f"SELECT node, dn FROM d{k}" for k in range(1, _BC_DEPTH)
     )
 
     @query(
@@ -1347,7 +1355,7 @@ def _register_betweenness():
                 None,
             )
         alld = deltas[1]
-        for k in range(2, _BC_DEPTH + 1):
+        for k in range(2, _BC_DEPTH):
             alld = alld.unionByName(deltas[k])
         bet = alld.groupBy("node").agg(F.sum("dn").cast("long").alias("bn"))
         return (

@@ -94,14 +94,21 @@ _SQL_KNN = f"""
 # fragment (and one Spark helper, _symmetrize_degrees) shared by the
 # link-prediction and degree-distribution oracles so the graph they
 # analyze cannot drift.
-_SQL_SYM_DEG = """
+# e + sym alone (no deg) — consumers that need just the symmetric edge
+# set (k-truss, betweenness) compose this instead of string-splitting
+# _SQL_SYM_DEG (review r7: the split was a silent-degradation hazard).
+_SQL_SYM = """
     e AS (SELECT src, nbr FROM r WHERE nbr_rank <= 3),
     sym AS (SELECT DISTINCT u, v FROM (
               SELECT src AS u, nbr AS v FROM e
               UNION ALL
-              SELECT nbr AS u, src AS v FROM e)),
-    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)
+              SELECT nbr AS u, src AS v FROM e))
 """
+
+_SQL_SYM_DEG = (
+    _SQL_SYM
+    + ",\n    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u)\n"
+)
 
 
 def _symmetrize_degrees(edges):

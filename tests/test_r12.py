@@ -471,7 +471,11 @@ class TestWeightedWithoutReplacement:
             u = (
                 int(_h.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 0.5
             ) / 4294967296.0
-            return u ** (1.0 / float(w))
+            # match the query's 9dp ranking quantization (SQL round is
+            # half-away-from-zero; values are positive)
+            import math
+
+            return math.floor(u ** (1.0 / float(w)) * 1e9 + 0.5) / 1e9
 
         want = sorted(
             ((key(d, w), d, w) for d, w in rows),
@@ -505,11 +509,16 @@ class TestSeasonalDecompose:
         days = sorted(daily)
         cents = {d: round(daily[d] * 100) for d in days}
 
+        import math
+
+        def _round_half_up(x):  # SQL round(), not Python banker's
+            return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
         trend = {}
         for i, d in enumerate(days):
             win = days[max(0, i - 3) : i + 4]
             if len(win) == 7 and i >= 3:
-                trend[d] = round(sum(cents[x] for x in win) / 7 * 10000)
+                trend[d] = _round_half_up(sum(cents[x] for x in win) / 7 * 10000)
         import datetime as dt
 
         epoch = dt.date(2024, 1, 1)
@@ -517,7 +526,7 @@ class TestSeasonalDecompose:
         bydow = defaultdict(list)
         for d, v in det.items():
             bydow[(d - epoch).days % 7].append(v)
-        seas = {k: round(sum(v) / len(v)) for k, v in bydow.items()}
+        seas = {k: _round_half_up(sum(v) / len(v)) for k, v in bydow.items()}
 
         got = {
             r.day: (r.revenue, r.trend, r.seasonal, r.residual)
