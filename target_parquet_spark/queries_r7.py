@@ -585,7 +585,14 @@ def knn_edge_artifact(spark, sf_dir):
     adaptive-plane ``operators/similarity.knn_graph`` (bucket occupancy
     held constant as the corpus grows — the fixed stage's pair volume
     is quadratic in density and cannot even be materialized at 500k
-    vectors).  Same schema either way: (src, nbr_rank, nbr, sim)."""
+    vectors).  Same schema either way: (src, nbr_rank, nbr, sim).
+
+    Incremental twin: ``streaming/knn_edges.StreamingKnnEdges`` (r7)
+    maintains the same (src, nbr_rank, nbr, sim) table from a vector
+    STREAM — candidate discovery per micro-batch, top-k at read — for
+    deployments where rebuilding on every fingerprint move is too
+    expensive; stream==batch equality is pinned in
+    tests/test_streaming.py."""
     import os
 
     from target_parquet_spark.io.layout import (
