@@ -241,6 +241,7 @@ HEADLINE = [
     "sample_weighted_without_replacement",
     "events_seasonal_decompose",
     "graph_betweenness_sampled",
+    "scan_compaction_binpack",
 ]
 
 

@@ -1378,3 +1378,102 @@ def _register_betweenness():
 
 
 _register_betweenness()
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction (bin-pack rewrite) — the table-maintenance op
+# every long-lived 100 TB table needs
+# ---------------------------------------------------------------------------
+
+_COMPACT_SMALL_FILES = 48  # the deliberately-fragmented "before" layout
+_COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # bin-pack target per output file
+
+
+def compaction_artifacts(spark, sf_dir):
+    """(small_path, compacted_path): a deliberately fragmented copy of
+    documents (48 files) and its bin-packed rewrite (ceil(bytes/4MiB)
+    files, >=1), both content-fingerprint-keyed in the warehouse with
+    the two-phase build convention.  Returns paths so tests can count
+    files; the query reads only the compacted side."""
+    import math
+    import os
+    import shutil
+
+    from target_parquet_spark.io.layout import (
+        _tag,
+        content_fingerprint,
+        warehouse_dir,
+    )
+
+    docs = td(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    fp = content_fingerprint(
+        docs,
+        ["doc_id", "n_chars", "text"],
+        extra=(
+            "compaction",
+            f"small={_COMPACT_SMALL_FILES}",
+            f"target={_COMPACT_TARGET_BYTES}",
+        ),
+    )
+    small = os.path.join(warehouse_dir(), f"cmp_small_{_tag(sf_dir)}_{fp}")
+    packed = os.path.join(warehouse_dir(), f"cmp_packed_{_tag(sf_dir)}_{fp}")
+    if not os.path.exists(os.path.join(small, "_CMP_DONE")):
+        tmp = small + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(small, ignore_errors=True)
+        docs.repartition(_COMPACT_SMALL_FILES).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, small)
+        open(os.path.join(small, "_CMP_DONE"), "w").close()
+    if not os.path.exists(os.path.join(packed, "_CMP_DONE")):
+        data_bytes = sum(
+            os.path.getsize(os.path.join(small, f))
+            for f in os.listdir(small)
+            if f.endswith(".parquet")
+        )
+        n_out = max(1, math.ceil(data_bytes / _COMPACT_TARGET_BYTES))
+        tmp = packed + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(packed, ignore_errors=True)
+        # coalesce, not repartition: compaction merges existing files
+        # without a shuffle — the whole point of the maintenance op
+        spark.read.parquet(small).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, packed)
+        open(os.path.join(packed, "_CMP_DONE"), "w").close()
+    return small, packed
+
+
+def _register_compaction():
+    from target_parquet_spark.queries_r10 import (
+        _SQL_DOCS_CHECKSUM,
+        _docs_checksum,
+    )
+
+    @query("scan_compaction_binpack", _SQL_DOCS_CHECKSUM)
+    def scan_compaction_binpack(spark, sf_dir):
+        """Small-file compaction: a fragmented 48-file copy of the
+        corpus is bin-packed into ceil(bytes / 4 MiB) files with a
+        shuffle-free coalesce rewrite, and the compacted layout is
+        checksummed against the ORIGINAL table (the oracle computes the
+        identical per-language content CRC over the source parquet) —
+        the layout changed twice, the answer must not.  Small-file
+        proliferation is the dominant operational failure of long-lived
+        tables (every scan pays per-file open + footer costs; at 100 TB
+        a 10x file-count reduction is a 10x scan-setup reduction), and
+        compaction is the maintenance op that fixes it.
+
+        Plan shape: the rewrite is coalesce (partition merge, zero
+        exchange) — compaction must never pay a shuffle; file counts
+        before/after are pinned by test."""
+        _, packed = compaction_artifacts(spark, sf_dir)
+        return _docs_checksum(spark.read.parquet(packed))
+
+    return scan_compaction_binpack
+
+
+_register_compaction()

@@ -616,3 +616,45 @@ class TestBetweennessSampled:
         assert got == [(v, round(b / _BC_NANO, 4)) for v, b in want]
         # non-vacuous: real bridge mass exists
         assert any(b > 0 for _, b in want)
+
+
+class TestCompaction:
+    def test_file_count_shrinks_and_content_survives(self, spark, sf_dir):
+        import math
+        import os
+
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.queries_r12 import (
+            _COMPACT_TARGET_BYTES,
+            compaction_artifacts,
+        )
+
+        small, packed = compaction_artifacts(spark, sf_dir)
+
+        def nfiles(p):
+            return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+        data_bytes = sum(
+            os.path.getsize(os.path.join(small, f))
+            for f in os.listdir(small)
+            if f.endswith(".parquet")
+        )
+        want_out = max(1, math.ceil(data_bytes / _COMPACT_TARGET_BYTES))
+        assert nfiles(small) == 48
+        assert nfiles(packed) == want_out < nfiles(small)
+
+        # content identical to the ORIGINAL table, not just to `small`
+        orig = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = spark.read.parquet(packed)
+        assert got.count() == orig.count()
+        a = sorted(
+            tuple(r)
+            for r in got.select("doc_id", "n_chars", "text").collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in orig.select("doc_id", "n_chars", "text").collect()
+        )
+        assert a == b
+        # the registered query runs and is non-empty
+        assert QUERIES["scan_compaction_binpack"](spark, sf_dir).count() > 0
