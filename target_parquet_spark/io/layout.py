@@ -92,6 +92,29 @@ def content_fingerprint(df, cols: list[str], extra: tuple = ()) -> str:
     return fingerprint_from_stats(n, h, extra)
 
 
+def two_phase_artifact(path: str, marker: str, build) -> str:
+    """Crash-atomic warehouse-artifact build: if ``path/marker`` is
+    absent, run ``build(tmp_path)`` (which must WRITE the artifact into
+    ``tmp_path``), touch the marker INSIDE tmp, then ``os.rename`` tmp
+    over path — the rename is the commit point, so a crash at any
+    instant leaves either nothing (rebuild) or a fully-marked artifact
+    (reuse); there is no window where a populated-but-unmarked final
+    directory can be rmtree'd out from under a concurrent reader
+    (review r7 third pass — the hand-rolled copies had drifted on
+    exactly this ordering)."""
+    import os
+    import shutil
+
+    if not os.path.exists(os.path.join(path, marker)):
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        build(tmp)
+        open(os.path.join(tmp, marker), "w").close()
+        os.rename(tmp, path)
+    return path
+
+
 def ensure_bucketed(
     spark: SparkSession,
     sf_dir: str,

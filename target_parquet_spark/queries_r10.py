@@ -1521,11 +1521,11 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
     (content-fingerprinted, two-phase build — the scan_schema_evolution
     pattern) and read it back with an EXPLICIT schema."""
     import os
-    import shutil
 
     from target_parquet_spark.io.layout import (
         _tag,
         content_fingerprint,
+        two_phase_artifact,
         warehouse_dir,
     )
 
@@ -1536,11 +1536,8 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
         docs, ["doc_id", "n_chars", "text"], extra=(f"roundtrip_{fmt}",)
     )
     path = os.path.join(warehouse_dir(), f"rt_{fmt}_{_tag(sf_dir)}_{fp}")
-    done = os.path.join(path, "_RT_DONE")
-    if not os.path.exists(done):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(path, ignore_errors=True)
+
+    def _build(tmp):
         w = docs.write.mode("overwrite")
         if fmt == "csv":
             # RFC-4180 quoting (doubled quotes) so embedded quotes,
@@ -1550,9 +1547,8 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
             w.orc(tmp)
         else:
             w.json(tmp)
-        with open(os.path.join(tmp, "_RT_DONE"), "w") as fh:
-            fh.write("ok")
-        os.rename(tmp, path)
+
+    two_phase_artifact(path, "_RT_DONE", _build)
     schema = (
         "doc_id long, lang string, source string, n_chars long, text string"
     )

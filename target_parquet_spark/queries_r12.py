@@ -1391,17 +1391,27 @@ _COMPACT_TARGET_BYTES = 4 * 1024 * 1024  # bin-pack target per output file
 
 def compaction_artifacts(spark, sf_dir):
     """(small_path, compacted_path): a deliberately fragmented copy of
-    documents (48 files) and its bin-packed rewrite (ceil(bytes/4MiB)
-    files, >=1), both content-fingerprint-keyed in the warehouse with
-    the two-phase build convention.  Returns paths so tests can count
-    files; the query reads only the compacted side."""
+    documents (48 files) and its sort-clustered compaction rewrite
+    (EXACTLY ceil(bytes/4MiB) files, >=1, range-clustered by doc_id),
+    both content-fingerprint-keyed in the warehouse and built through
+    the shared crash-atomic ``two_phase_artifact`` helper.  Returns
+    paths so tests can count files; the query reads the compacted side.
+
+    Why repartitionByRange and not coalesce: coalesce caps at the SCAN
+    partition count — it can only merge, never split, and the scan's
+    packing (maxSplitBytes = f(cores, openCost)) varies per box, so the
+    'ceil(bytes/target)' file-count contract would silently degrade the
+    moment data outgrows the fragment count or cores shrink (review r7
+    third pass).  The one range exchange buys a DETERMINISTIC file
+    count plus doc_id clustering — the OPTIMIZE-with-sort shape real
+    table formats run."""
     import math
     import os
-    import shutil
 
     from target_parquet_spark.io.layout import (
         _tag,
         content_fingerprint,
+        two_phase_artifact,
         warehouse_dir,
     )
 
@@ -1415,36 +1425,34 @@ def compaction_artifacts(spark, sf_dir):
             "compaction",
             f"small={_COMPACT_SMALL_FILES}",
             f"target={_COMPACT_TARGET_BYTES}",
+            "cluster=doc_id",
         ),
     )
     small = os.path.join(warehouse_dir(), f"cmp_small_{_tag(sf_dir)}_{fp}")
     packed = os.path.join(warehouse_dir(), f"cmp_packed_{_tag(sf_dir)}_{fp}")
-    if not os.path.exists(os.path.join(small, "_CMP_DONE")):
-        tmp = small + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(small, ignore_errors=True)
-        docs.repartition(_COMPACT_SMALL_FILES).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        os.rename(tmp, small)
-        open(os.path.join(small, "_CMP_DONE"), "w").close()
-    if not os.path.exists(os.path.join(packed, "_CMP_DONE")):
+    two_phase_artifact(
+        small,
+        "_CMP_DONE",
+        lambda tmp: docs.repartition(_COMPACT_SMALL_FILES)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+
+    def _build_packed(tmp):
         data_bytes = sum(
             os.path.getsize(os.path.join(small, f))
             for f in os.listdir(small)
             if f.endswith(".parquet")
         )
         n_out = max(1, math.ceil(data_bytes / _COMPACT_TARGET_BYTES))
-        tmp = packed + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(packed, ignore_errors=True)
-        # coalesce, not repartition: compaction merges existing files
-        # without a shuffle — the whole point of the maintenance op
-        spark.read.parquet(small).coalesce(n_out).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        os.rename(tmp, packed)
-        open(os.path.join(packed, "_CMP_DONE"), "w").close()
+        (
+            spark.read.parquet(small)
+            .repartitionByRange(n_out, "doc_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+    two_phase_artifact(packed, "_CMP_DONE", _build_packed)
     return small, packed
 
 
@@ -1467,9 +1475,13 @@ def _register_compaction():
         a 10x file-count reduction is a 10x scan-setup reduction), and
         compaction is the maintenance op that fixes it.
 
-        Plan shape: the rewrite is coalesce (partition merge, zero
-        exchange) — compaction must never pay a shuffle; file counts
-        before/after are pinned by test."""
+        Plan shape: the rewrite pays ONE range exchange
+        (repartitionByRange on doc_id) in return for a deterministic
+        output file count and clustered scans — the OPTIMIZE-with-sort
+        shape; a shuffle-free coalesce caps at the scan partition
+        count, which varies with cores and data size (see
+        compaction_artifacts).  File counts before/after are pinned by
+        test."""
         _, packed = compaction_artifacts(spark, sf_dir)
         return _docs_checksum(spark.read.parquet(packed))
 
