@@ -124,6 +124,12 @@ _TS_FORMATS = [
 _TZ_TS_FORMATS = [
     "yyyy-MM-dd H:m:s XXX",
     "yyyy-MM-dd'T'H:m:s XXX",
+    # ADVICE r7: fractional-second shapes.  Without them the abbrev
+    # gate (which suppresses the ISO cast for any mapped trailing
+    # abbreviation) nulled strings like "2024-01-15 10:30:00.123 EST"
+    # that the plain cast used to parse (correctly only in winter).
+    "yyyy-MM-dd H:m:s.SSS XXX",
+    "yyyy-MM-dd'T'H:m:s.SSS XXX",
     "M/d/yyyy H:m:s XXX",
     "d/M/yyyy H:m:s XXX",
     "MMM d yyyy H:m:s XXX",

@@ -93,25 +93,47 @@ def content_fingerprint(df, cols: list[str], extra: tuple = ()) -> str:
 
 
 def two_phase_artifact(path: str, marker: str, build) -> str:
-    """Crash-atomic warehouse-artifact build: if ``path/marker`` is
-    absent, run ``build(tmp_path)`` (which must WRITE the artifact into
-    ``tmp_path``), touch the marker INSIDE tmp, then ``os.rename`` tmp
-    over path — the rename is the commit point, so a crash at any
-    instant leaves either nothing (rebuild) or a fully-marked artifact
-    (reuse); there is no window where a populated-but-unmarked final
-    directory can be rmtree'd out from under a concurrent reader
-    (review r7 third pass — the hand-rolled copies had drifted on
-    exactly this ordering)."""
+    """Crash-atomic AND concurrent-safe warehouse-artifact build: if
+    ``path/marker`` is absent, run ``build(tmp_path)`` (which must WRITE
+    the artifact into ``tmp_path``), touch the marker INSIDE tmp, then
+    ``os.rename`` tmp over path — the rename is the commit point, so a
+    crash at any instant leaves either nothing (rebuild) or a
+    fully-marked artifact (reuse); there is no window where a
+    populated-but-unmarked final directory can be rmtree'd out from
+    under a concurrent reader (review r7 third pass).
+
+    Concurrency (ADVICE r7): each builder uses a UNIQUE tmp path
+    (pid + random suffix), so two racing processes never share a
+    staging directory, and a loser never deletes the winner's committed
+    artifact.  If the final rename fails because the winner already
+    committed (ENOTEMPTY/EEXIST on a non-empty ``path``), the loser
+    re-checks the marker, treats the winner's artifact as its own
+    success, and discards its staging copy.  Content fingerprinting
+    upstream guarantees both builders were producing identical bytes.
+    """
     import os
     import shutil
+    import uuid
 
     if not os.path.exists(os.path.join(path, marker)):
-        tmp = path + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(path, ignore_errors=True)
-        build(tmp)
-        open(os.path.join(tmp, marker), "w").close()
-        os.rename(tmp, path)
+        # A populated-but-unmarked ``path`` is a crash leftover from a
+        # pre-rename-commit build — the committing rename below never
+        # creates one.  Clear it so the rename-onto-path can succeed.
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+        tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            build(tmp)
+            open(os.path.join(tmp, marker), "w").close()
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # Another builder won the race (path exists, non-empty).
+                # Its marker proves a complete artifact — reuse it.
+                if not os.path.exists(os.path.join(path, marker)):
+                    raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -499,12 +499,15 @@ _register_ktruss()
 # ---------------------------------------------------------------------------
 
 # shared dialect (Java regex == RE2 == Python re): inline (?is) flags,
-# non-greedy block bodies, no lookaround
-_HTML_SCRIPT = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
-_HTML_CHROME = (
-    r"(?is)<(nav|footer|header|aside|title)[^>]*>"
-    r".*?</(nav|footer|header|aside|title)>"
-)
+# non-greedy block bodies, no lookaround.  ONE pattern PER tag name —
+# an open/close ALTERNATION can close a different tag than it opened
+# (e.g. "<header>..<nav>x</nav>..rest</header>" would match from
+# <header> to </nav> and leak "rest" into the body text; ADVICE r7) —
+# per-tag passes force open and close to match.  Nesting of the SAME
+# tag inside itself is still out of scope (non-greedy stops at the
+# inner close), which HTML5 forbids for all seven of these elements.
+_HTML_BLOCK_TAGS = ["script", "style", "nav", "footer", "header", "aside", "title"]
+_HTML_BLOCK_PATTERNS = [rf"(?is)<{tag}[^>]*>.*?</{tag}>" for tag in _HTML_BLOCK_TAGS]
 _HTML_TAG = r"(?s)<[^>]+>"
 
 # decode order is part of the contract: &amp; LAST, so "&amp;lt;" decodes
@@ -545,8 +548,9 @@ def html_augment(docs):
 def html_strip(col):
     """The strip pipeline: script/style blocks, chrome zones, remaining
     tags -> space, entity decode, whitespace collapse."""
-    out = F.regexp_replace(col, _HTML_SCRIPT, " ")
-    out = F.regexp_replace(out, _HTML_CHROME, " ")
+    out = col
+    for pat in _HTML_BLOCK_PATTERNS:
+        out = F.regexp_replace(out, pat, " ")
     out = F.regexp_replace(out, _HTML_TAG, " ")
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
@@ -554,8 +558,9 @@ def html_strip(col):
 
 
 def _sql_html_strip(col: str) -> str:
-    out = f"regexp_replace({col}, '{_HTML_SCRIPT}', ' ', 'g')"
-    out = f"regexp_replace({out}, '{_HTML_CHROME}', ' ', 'g')"
+    out = col
+    for pat in _HTML_BLOCK_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
     out = f"regexp_replace({out}, '{_HTML_TAG}', ' ', 'g')"
     for ent, rep in _HTML_ENTITIES:
         sq = rep.replace("'", "''")
@@ -978,8 +983,19 @@ def events_holt_forecast(spark, sf_dir):
     # r7 finding #2).  The day count is already materialized (the
     # lineage cut is eager) — size the cap to the actual span + slack.
     n_days = daily.count()
+    # The cap is read at EXECUTION time, so it must stay raised while
+    # the recursion runs — materialize the (7-row) result under the
+    # raised cap, then restore the previous value so the shared session
+    # conf carries no cross-query side effect (ADVICE r7).
+    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", max(1000, n_days + 10))
-    return spark.sql(_SQL_HOLT_REC)
+    try:
+        return lineage_cut(spark.sql(_SQL_HOLT_REC), None)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
 
 
 # ---------------------------------------------------------------------------
@@ -1466,7 +1482,7 @@ def _register_compaction():
     def scan_compaction_binpack(spark, sf_dir):
         """Small-file compaction: a fragmented 48-file copy of the
         corpus is bin-packed into ceil(bytes / 4 MiB) files with a
-        shuffle-free coalesce rewrite, and the compacted layout is
+        range-clustered repartitionByRange rewrite, and the compacted layout is
         checksummed against the ORIGINAL table (the oracle computes the
         identical per-language content CRC over the source parquet) —
         the layout changed twice, the answer must not.  Small-file

@@ -197,16 +197,16 @@ class TestKtruss:
 class TestHtmlStrip:
     def test_matches_python_re_third_engine(self, spark, sf_dir):
         from target_parquet_spark.queries_r12 import (
-            _HTML_CHROME,
+            _HTML_BLOCK_PATTERNS,
             _HTML_ENTITIES,
-            _HTML_SCRIPT,
             _HTML_TAG,
             html_augment,
         )
 
         def strip_py(h: str) -> str:
-            out = re.sub(_HTML_SCRIPT, " ", h)
-            out = re.sub(_HTML_CHROME, " ", out)
+            out = h
+            for pat in _HTML_BLOCK_PATTERNS:
+                out = re.sub(pat, " ", out)
             out = re.sub(_HTML_TAG, " ", out)
             for ent, rep in _HTML_ENTITIES:
                 out = out.replace(ent, rep)
@@ -256,8 +256,20 @@ class TestHtmlStrip:
             else:
                 assert gone not in out, gone
 
+    def test_nested_chrome_does_not_leak_body(self, spark):
+        """Different chrome tags nested inside each other must strip as
+        a unit: '<header>..<nav>x</nav>..rest</header>body' must not
+        leak 'rest' (the old open/close ALTERNATION matched <header> to
+        </nav> and let 'rest' survive; ADVICE r7)."""
+        from target_parquet_spark.queries_r12 import html_strip
 
-class TestUrlCanonical:
+        html = (
+            "<header>site <nav>home | about</nav> tagline rest</header>"
+            "<p>real body text</p><footer>foot <aside>ad</aside> end</footer>"
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        out = df.select(html_strip(F.col("html")).alias("c")).collect()[0].c
+        assert out == "real body text", out
     def test_all_variants_collapse_and_match_python(self, spark, sf_dir):
         """Python (urllib.parse-based) canonicalizer as the third
         engine; every planted page must collapse its 4 surface

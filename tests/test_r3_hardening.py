@@ -182,6 +182,13 @@ def test_lenient_timestamp_tzinfos_abbreviations(spark):
         "2024-07-15T10:30:00 PST",
         "2024-07-15 10:30:00 CET",
         "2024-01-16 10:30:00 BST",
+        # ADVICE r7: fractional seconds + mapped abbreviation — the
+        # abbrev gate suppresses the ISO cast for these, so without
+        # .SSS variants in _TZ_TS_FORMATS they nulled out entirely.
+        "2024-01-15 10:30:00.123 EST",
+        "2024-07-15 10:30:00.123 CST",   # summer: must be map's -06:00
+        "2024-01-15T10:30:00.456 PST",
+        "2024-01-15 10:30:00.5 JST",     # 1-digit fraction
     ]
     df = spark.createDataFrame([(s,) for s in corpus], "raw string")
     got = {
