@@ -379,18 +379,57 @@ def _ngram_pair_stats(
             .drop("_df")
         )
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = posting.alias("a"), posting.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    common = posting_pairs(posting, key="shingle")
     return (
         common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    )
+
+
+def posting_pairs(posting: DataFrame, key: str = "shingle") -> DataFrame:
+    """Candidate pairs with shared-key counts from a (doc_id, ``key``)
+    posting list — WITHOUT a posting self-join.
+
+    The classic inverted-index pairing (``a JOIN b ON a.key = b.key AND
+    a.doc < b.doc``) materializes the full posting list on BOTH sides of
+    a sort-merge join; at the sf1→sf10 decade that was a 0.5 B-row
+    two-sided shuffle + sort that exceeded the box's shuffle memory and
+    spilled (measured 20.7x wall for 10x data — BASELINE.md r3 probe;
+    VERDICT r7 #1).  This form instead groups the posting list once —
+    ``groupBy(key).collect_list(doc_id)`` reuses the exchange the caller
+    already created for the df-cap, so it adds ZERO new shuffles of
+    posting-sized data — and emits each group's C(df, 2) combination
+    pairs map-side from an in-memory array.  The caller MUST have
+    df-capped the posting first (every group then holds ≤ max_df ids,
+    so the per-group array and its pair expansion are O(max_df²)
+    constants, never corpus-sized).  Downstream, the pair counts
+    aggregate with map-side partial combine — the only shuffle whose
+    volume scales with candidate count, which the df cap already bounds
+    linearly in corpus size.
+
+    Output is identical to the self-join by construction: sort_array
+    makes id_a < id_b (a doc can't repeat within a group — per-doc key
+    sets are distinct), and counting emitted pairs per (id_a, id_b)
+    equals counting join matches."""
+    groups = (
+        posting.groupBy(key)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # Two chained generators (no per-pair struct/flatten materialization:
+    # measured faster than building each group's C(df,2) pair array with
+    # transform+slice): the first explode streams one row per (group,
+    # id_a); the second explodes that row's greater-than-id_a suffix.
+    return (
+        groups.select("ids", F.explode("ids").alias("id_a"))
+        .select(
+            "id_a",
+            F.explode(F.filter("ids", lambda y: y > F.col("id_a"))).alias(
+                "id_b"
+            ),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
 
 

@@ -1003,10 +1003,13 @@ def text_winnowing_pairs(spark, sf_dir):
     carries ~2/(w+1) of the rows for the same long-match guarantee.
     Plan shape: scan-stage gram hashing + window minima (pure
     higher-order functions, zero Python), one shuffle on the 8-byte
-    fingerprint key, document-frequency cap (df <= 100) before the pair
-    self-join bounds candidates exactly like the ngram baseline's
-    max_df; the one repartition feeds the df-cap aggregate AND both
-    self-join sides."""
+    fingerprint key feeding the df-cap aggregate, the cap join, AND the
+    group-pairing — pairs are emitted map-side from per-fingerprint
+    collect_list arrays (≤ max_df ids each) instead of a posting
+    self-join, which at sf10 materialized the 0.5 B-row posting on both
+    sides of a sort-merge join and spilled (11.1x wall for 10x data;
+    VERDICT r7 #1 — see operators/dedup.posting_pairs)."""
+    from target_parquet_spark.operators.dedup import posting_pairs
     from target_parquet_spark.queries_ext import _spark_corpus
 
     docs = _spark_corpus(spark, sf_dir)
@@ -1021,18 +1024,9 @@ def text_winnowing_pairs(spark, sf_dir):
         .select("fp")
     )
     capped = fps.join(df_ok, "fp")
-    a = capped.alias("a")
-    b = capped.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        posting_pairs(capped, key="fp")
+        .withColumnRenamed("inter", "n_shared")
         .filter(F.col("n_shared") >= _WIN_SHARED)
     )
 
