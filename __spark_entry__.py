@@ -47,75 +47,79 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness gate samples the FIRST 50 registry entries, so the
-# prefix is curated to be a representative cross-section of every operator
-# family (TPC-H core, join variants, agg/window, set ops, and one hash-exact
-# representative per LLM-pipeline family) rather than raw registration order.
-# Everything else follows in registration order; scripts/check_oracle.py still
-# sweeps all entries.
+# The driver's correctness gate samples the FIRST 50 registry entries.  Only
+# 93 of 318 distinct queries had a driver-green row after seven rounds
+# (VERDICT r7 #3), so from r8 the prefix ROTATES: ~10 long-green anchors stay
+# for continuity, the other ~40 slots are drawn from queries that have NEVER
+# had a driver row (plus this round's new/changed ops), prioritizing families
+# without any driver-green representative.  scripts/check_oracle.py still
+# sweeps all entries every round; cumulative coverage is tracked below.
+#
+# Cumulative distinct driver-gated before this round: 93/318 (r1-r7).
+# This prefix adds 40 never-gated names -> 133/318 expected after r8.
 _CURATED_PREFIX = [
-    # TPC-H / relational core
+    # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    # join variants
     "join_broadcast_dim",
-    "join_anti",
-    "join_range_banded",
-    "join_salted_skew",
     "asof_join_events",
-    "asof_join_nearest",
-    # agg / window
-    "agg_rollup",
     "window_topk_per_group",
-    # set ops / scalar
-    "set_except",
-    "scalar_string_funcs",
-    # dedup family
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",
-    "dedup_keep_canonical",
-    "dedup_cdc_chunks",
-    "dedup_cross_corpus",
-    "dedup_semdedup",
-    # similarity / ANN / linear-algebra family
     "sim_ivfpq_ann",
-    "sim_knn_graph",
-    "sim_graph_ann_search",
-    "sim_pca_power_iteration",
-    "sim_retrieval_metrics",
-    "sim_kcenter_greedy",
-    "sim_rrf_hybrid",
-    "sim_binary_hamming_ann",
-    "scan_ivf_partitioned",
-    # graph family
-    "graph_hits_knn",
-    "graph_ktruss",
-    # text analysis family
-    "text_quality_filter",
     "text_bm25_search",
-    "text_contamination",
-    "text_quality_logreg_trained",
-    "text_bpe_learn_merges",
-    "text_bigram_logprob",
-    "text_ccnet_buckets",
-    # sampling / CDC / governance / events / experimentation
     "events_sessionize",
-    "sample_dsir_importance",
-    "sample_sequence_packing",
-    "sample_neyman_allocation",
-    "cdc_scd2_history",
-    "audit_t_closeness",
-    "events_active_users_hll",
-    "events_bayesian_ab",
-    "events_mann_whitney",
-    "events_msprt_monitor",
-    # round 7 (r6's keep_best_quality/pii_scan and the long-green
-    # kcore/k_anonymity rotated out after their driver-green rows; the
-    # full sweep still covers them)
-    "text_pii_idcard_scan",
-    "dedup_url_canonical",
     "pipeline_training_data",
+    # --- never-gated rotation, round 8 ---
+    # TPC-H tail (none of q2/q7/q8/q9/q21 ever driver-gated)
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    # joins / scans / layout
+    "join_bucketed_colocated",
+    "join_bloom_prefilter",
+    "join_null_safe",
+    "scan_zorder_pruned",
+    "scan_dpp_join",
+    "scan_csv_source",
+    "scan_schema_evolution",
+    # agg / window
+    "agg_cube_grouping_marker",
+    "agg_heavy_hitters_cms",
+    "agg_weighted_percentile",
+    "window_rolling_quantile",
+    "window_value_functions",
+    # sql / scalar / lateral
+    "sql_recursive_reachability",
+    "sql_correlated_subqueries",
+    "scalar_null_semantics",
+    "scalar_map_funcs",
+    "lateral_udtf_sentences",
+    # dedup (ngram pair path rewritten this round — gate it)
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_simhash_pairs",
+    # similarity
+    "sim_kmeans_lloyd",
+    "sim_ann_multiprobe",
+    "sim_mmr_select",
+    # graph (incl. this round's capped twins)
+    "graph_pagerank_dupweb",
+    "graph_modularity",
+    "graph_ktruss_capped",
+    "graph_trustrank_capped",
+    # text (winnowing rewritten this round — gate it)
+    "text_winnowing_pairs",
+    "text_lang_id",
+    "text_cluster_topics",
+    # events (holt/seasonal refactored this round — gate them)
+    "events_holt_forecast",
+    "events_seasonal_decompose",
+    "events_funnel_sessions",
+    # governance / sampling / multimodal (new decode query)
+    "audit_ks_drift",
+    "multimodal_decode_bmp",
 ]
 
 

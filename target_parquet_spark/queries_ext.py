@@ -452,7 +452,10 @@ def dedup_connected_components(spark, sf_dir):
 
 
 def _sql_pagerank_ctes(
-    iters: int = 5, damping: float = 0.85, seed_where: str | None = None
+    iters: int = 5,
+    damping: float = 0.85,
+    seed_where: str | None = None,
+    out_cap: int | None = None,
 ) -> str:
     """Unrolled power-iteration CTE chain over the `pairs` CTE — the
     DuckDB twin of operators/graph.pagerank on the symmetrized
@@ -465,13 +468,32 @@ def _sql_pagerank_ctes(
     over all nodes, and the update uses (1-d)*tp — matching the Spark
     operator's expression tree exactly.  ONE builder for both forms so
     the chain (and its ::DOUBLE discipline) cannot drift between the
-    dupweb, TextRank, and TrustRank consumers."""
+    dupweb, TextRank, and TrustRank consumers.
+
+    ``out_cap`` (r8, VERDICT r7 #7) applies the production hub guard:
+    each source keeps only its ``out_cap`` strongest out-edges
+    (w DESC, v ASC tie-break — deterministic across engines on the
+    4dp-rounded weights).  The node universe is taken from the UNCAPPED
+    edge set so capping never drops nodes, only dampens hub fan-out."""
     d = repr(damping)
-    parts = [
-        """e AS (SELECT id_a AS u, id_b AS v, jaccard AS w FROM pairs
+    e_body = """SELECT id_a AS u, id_b AS v, jaccard AS w FROM pairs
             UNION ALL
-            SELECT id_b AS u, id_a AS v, jaccard AS w FROM pairs)""",
-        "nd AS (SELECT DISTINCT u AS node FROM e)",
+            SELECT id_b AS u, id_a AS v, jaccard AS w FROM pairs"""
+    if out_cap is None:
+        parts = [f"e AS ({e_body})"]
+    else:
+        parts = [
+            f"e_raw AS ({e_body})",
+            f"""e AS (SELECT u, v, w FROM (
+              SELECT u, v, w,
+                     row_number() OVER (PARTITION BY u
+                                        ORDER BY w DESC, v) AS rn
+              FROM e_raw) WHERE rn <= {out_cap})""",
+        ]
+    parts += [
+        "nd AS (SELECT DISTINCT u AS node FROM "
+        + ("e" if out_cap is None else "e_raw")
+        + ")",
     ]
     if seed_where is None:
         parts += [

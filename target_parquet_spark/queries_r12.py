@@ -379,15 +379,17 @@ _KTRUSS_K = 4  # keep edges in >= k-2 = 2 triangles
 _KTRUSS_ROUNDS = 3
 
 
-def _sql_ktruss_ctes(k: int, rounds: int) -> str:
+def _sql_ktruss_ctes(k: int, rounds: int, src: str = "sym") -> str:
     """Unrolled peel rounds: per round, each surviving canonical edge
     (u < v) counts its common neighbors over the surviving SYMMETRIC
     edge set (its triangle support), and edges below k-2 drop.  Fixed
     round count keeps the chain oracle-replayable (the kcore
-    convention); the final flag reports round-``rounds`` survivors."""
+    convention); the final flag reports round-``rounds`` survivors.
+    ``src`` names the symmetric base relation (the capped twin peels
+    over a degree-capped copy — r8)."""
     parts = [
-        "e0 AS (SELECT u, v FROM sym WHERE u < v)",
-        "s0 AS (SELECT u, v FROM sym)",
+        f"e0 AS (SELECT u, v FROM {src} WHERE u < v)",
+        f"s0 AS (SELECT u, v FROM {src})",
     ]
     for r in range(1, rounds + 1):
         parts.append(
@@ -406,6 +408,51 @@ def _sql_ktruss_ctes(k: int, rounds: int) -> str:
             f" UNION ALL SELECT v AS u, u AS v FROM e{r})"
         )
     return ",\n    ".join(parts)
+
+
+def ktruss_peel(sym, k: int = _KTRUSS_K, rounds: int = _KTRUSS_ROUNDS):
+    """The k-truss peel over a symmetric (u, v) edge frame — shared by
+    graph_ktruss and its degree-capped twin (r8) so the loop cannot
+    drift between them.  Returns the canonical-edge report frame
+    (u, v, support_initial, in_truss)."""
+    from target_parquet_spark.operators.dedup import lineage_cut
+
+    sym = lineage_cut(sym, None)
+    e = sym.filter(F.col("u") < F.col("v"))
+    s = sym
+    sup1 = None
+    e0 = e
+    for _ in range(rounds):
+        a = s.select(F.col("u").alias("_au"), F.col("v").alias("_w"))
+        b = s.select(F.col("u").alias("_bu"), F.col("v").alias("_bw"))
+        sup = (
+            e.join(a, a["_au"] == e["u"])
+            .join(b, (b["_bu"] == e["v"]) & (b["_bw"] == F.col("_w")))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+        )
+        if sup1 is None:
+            sup1 = lineage_cut(sup, None)
+            sup = sup1
+        e = lineage_cut(
+            sup.filter(F.col("sup") >= k - 2).select("u", "v"),
+            None,
+        )
+        s = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    return (
+        e0.join(sup1.withColumnRenamed("sup", "_s1"), ["u", "v"], "left")
+        .join(e.withColumn("_t", F.lit(1)), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("_s1", F.lit(0)).cast("long").alias(
+                "support_initial"
+            ),
+            F.col("_t").isNotNull().alias("in_truss"),
+        )
+    )
 
 
 def _register_ktruss():
@@ -444,48 +491,12 @@ def _register_ktruss():
         shrinks monotonically), the survivor set is edge-shaped (two
         8-byte ids), and edges come from the written k-NN artifact —
         one parquet scan, no re-derivation."""
-        from target_parquet_spark.operators.dedup import lineage_cut
         from target_parquet_spark.queries_r6 import _symmetrize_degrees
         from target_parquet_spark.queries_r7 import knn_edge_artifact
 
         edges = knn_edge_artifact(spark, sf_dir)
         sym, _ = _symmetrize_degrees(edges)
-        sym = lineage_cut(sym, None)
-        e = sym.filter(F.col("u") < F.col("v"))
-        s = sym
-        sup1 = None
-        e0 = e
-        for _ in range(_KTRUSS_ROUNDS):
-            a = s.select(F.col("u").alias("_au"), F.col("v").alias("_w"))
-            b = s.select(F.col("u").alias("_bu"), F.col("v").alias("_bw"))
-            sup = (
-                e.join(a, a["_au"] == e["u"])
-                .join(b, (b["_bu"] == e["v"]) & (b["_bw"] == F.col("_w")))
-                .groupBy("u", "v")
-                .agg(F.count(F.lit(1)).cast("long").alias("sup"))
-            )
-            if sup1 is None:
-                sup1 = lineage_cut(sup, None)
-                sup = sup1
-            e = lineage_cut(
-                sup.filter(F.col("sup") >= _KTRUSS_K - 2).select("u", "v"),
-                None,
-            )
-            s = e.unionByName(
-                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            )
-        return (
-            e0.join(sup1.withColumnRenamed("sup", "_s1"), ["u", "v"], "left")
-            .join(e.withColumn("_t", F.lit(1)), ["u", "v"], "left")
-            .select(
-                "u",
-                "v",
-                F.coalesce("_s1", F.lit(0)).cast("long").alias(
-                    "support_initial"
-                ),
-                F.col("_t").isNotNull().alias("in_truss"),
-            )
-        )
+        return ktruss_peel(sym, _KTRUSS_K, _KTRUSS_ROUNDS)
 
     return graph_ktruss
 
@@ -908,13 +919,15 @@ _HOLT_HORIZON = 7
 # sf0.1); the Spark query materializes the daily series first
 # (localCheckpoint) and recurses over the 8-byte-per-day view.  The
 # oracle keeps the inline form — DuckDB materializes CTEs.
-_SQL_HOLT_DAILY = """
-    SELECT day, rev_c,
-           CAST(row_number() OVER (ORDER BY day) AS INT) AS i
-    FROM (
+_SQL_HOLT_DAILY_AGG = """
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(round(sum(value) * 100) AS BIGINT) AS rev_c
-      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE))
+      FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)"""
+
+_SQL_HOLT_DAILY = f"""
+    SELECT day, rev_c,
+           CAST(row_number() OVER (ORDER BY day) AS INT) AS i
+    FROM ({_SQL_HOLT_DAILY_AGG})
 """
 
 _SQL_HOLT_REC = f"""
@@ -973,16 +986,32 @@ def events_holt_forecast(spark, sf_dir):
     Determinism: the daily series is exact integer cents (house
     convention); the level/trend updates are a single-row float
     recursion evaluated in identical order by both engines."""
+    td(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return holt_forecast_over(spark, spark.sql(_SQL_HOLT_DAILY_AGG))
+
+
+def holt_forecast_over(spark, daily):
+    """The Holt recursion + 7-day forecast over a (day, rev_c) daily
+    frame — shared by the batch query above and the streaming read path
+    (streaming/forecast.py, r8) so the recursion cannot drift between
+    them."""
     from target_parquet_spark.operators.dedup import lineage_cut
 
-    td(spark, sf_dir, "events").createOrReplaceTempView("events")
-    daily = lineage_cut(spark.sql(_SQL_HOLT_DAILY).coalesce(1), None)
-    daily.createOrReplaceTempView("holt_idx")
+    daily.createOrReplaceTempView("_holt_daily_src")
+    idx = lineage_cut(
+        spark.sql(
+            "SELECT day, rev_c,"
+            " CAST(row_number() OVER (ORDER BY day) AS INT) AS i"
+            " FROM _holt_daily_src"
+        ).coalesce(1),
+        None,
+    )
+    idx.createOrReplaceTempView("holt_idx")
     # one level per DAY: Spark's default recursion cap is 100 levels,
     # so any corpus spanning >100 days would crash mid-query (review
     # r7 finding #2).  The day count is already materialized (the
     # lineage cut is eager) — size the cap to the actual span + slack.
-    n_days = daily.count()
+    n_days = idx.count()
     # The cap is read at EXECUTION time, so it must stay raised while
     # the recursion runs — materialize the (7-row) result under the
     # raised cap, then restore the previous value so the shared session
@@ -1135,6 +1164,13 @@ def events_seasonal_decompose(spark, sf_dir):
     d = ev.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
     ).agg(F.round(F.sum("value") * 100).cast("long").alias("rev_c"))
+    return seasonal_decompose_over(d)
+
+
+def seasonal_decompose_over(d):
+    """The decomposition over a (day, rev_c) daily frame — shared by
+    the batch query above and the streaming read path
+    (streaming/forecast.py, r8)."""
     w7 = (
         Window.orderBy("day").rowsBetween(-3, 3)
     )

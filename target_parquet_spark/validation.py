@@ -335,7 +335,11 @@ def _property_predicate(name: str, prop: dict, raw: Column) -> list[Column]:
     return _keyword_preds(prop, raw, rf.type_id)
 
 
-def resolve_refs(schema: dict, base_dir: str | None = None) -> dict:
+def resolve_refs(
+    schema: dict,
+    base_dir: str | None = None,
+    registry: dict[str, dict] | None = None,
+) -> dict:
     """Driver-side expansion of ``$ref`` pointers so the compiled path
     covers referenced subschemas.  Draft-7 semantics: siblings next to
     ``$ref`` are ignored — the node is replaced by the (recursively
@@ -353,11 +357,33 @@ def resolve_refs(schema: dict, base_dir: str | None = None) -> dict:
       document becomes the root for ITS internal refs, and its
       directory the base for its own file refs (chained includes).
 
-    Remote refs (``http(s)://`` or anything else unreadable) are never
-    fetched — left permissive, the documented remote-$ref-only fallback
-    set."""
+    Remote refs (``http(s)://``) are NEVER fetched.  With ``registry``
+    (r8, VERDICT r7 #6 — a pre-fetched ``{url: schema_document}`` store,
+    opt-in exactly like ``base_dir``) they resolve OFFLINE: the ref's
+    fragment-free URL is looked up in the store, the fragment is a JSON
+    pointer into that document, the document's own ``#/`` refs resolve
+    against itself, and its RELATIVE refs resolve against its URL
+    (urljoin) back into the store — chained remote includes work with
+    zero network.  URLs absent from the store stay permissive, same as
+    before (anything unreadable never false-rejects)."""
     import json as _json
     import os as _os
+    from urllib.parse import urljoin as _urljoin
+
+    def load_registry_ref(ref: str, base_url: str | None):
+        """(document, fragment, its_base_url) for a registry-resolved
+        remote ref, or None when no registry / not present."""
+        if not registry:
+            return None
+        if not ref.startswith(("http://", "https://")):
+            if base_url is None:
+                return None  # relative ref outside any remote document
+            ref = _urljoin(base_url, ref)
+        url, frag = (ref.split("#", 1) + [""])[:2]
+        doc = registry.get(url)
+        if not isinstance(doc, dict):
+            return None
+        return doc, ("#" + frag if frag else "#"), url
 
     def resolve_pointer(root: dict, frag: str):
         if frag in ("", "#"):
@@ -401,7 +427,7 @@ def resolve_refs(schema: dict, base_dir: str | None = None) -> dict:
             return None
         return doc, ("#" + frag if frag else "#"), _os.path.dirname(path)
 
-    def walk(node, root, bdir, depth):
+    def walk(node, root, bdir, burl, depth):
         if depth > 32:
             return node
         if isinstance(node, dict):
@@ -410,23 +436,34 @@ def resolve_refs(schema: dict, base_dir: str | None = None) -> dict:
                 if ref.startswith("#"):
                     target = resolve_pointer(root, ref)
                     if isinstance(target, dict):
-                        return walk(target, root, bdir, depth + 1)
+                        return walk(target, root, bdir, burl, depth + 1)
                     return {}  # unresolvable pointer: permissive
-                loaded = load_file_ref(ref, bdir)
-                if loaded is not None:
-                    doc, frag, fdir = loaded
+                # Inside a registry document, relative refs belong to its
+                # URL space; at the top level, file refs win (existing
+                # ref_base_dir behavior) and only http(s) tries the store.
+                if burl is None:
+                    loaded = load_file_ref(ref, bdir)
+                    if loaded is not None:
+                        doc, frag, fdir = loaded
+                        target = resolve_pointer(doc, frag)
+                        if isinstance(target, dict):
+                            return walk(target, doc, fdir, None, depth + 1)
+                remote = load_registry_ref(ref, burl)
+                if remote is not None:
+                    doc, frag, furl = remote
                     target = resolve_pointer(doc, frag)
                     if isinstance(target, dict):
-                        return walk(target, doc, fdir, depth + 1)
-                return {}  # remote/unreadable: permissive
+                        return walk(target, doc, None, furl, depth + 1)
+                return {}  # remote-unregistered/unreadable: permissive
             return {
-                k: walk(v, root, bdir, depth + 1) for k, v in node.items()
+                k: walk(v, root, bdir, burl, depth + 1)
+                for k, v in node.items()
             }
         if isinstance(node, list):
-            return [walk(v, root, bdir, depth + 1) for v in node]
+            return [walk(v, root, bdir, burl, depth + 1) for v in node]
         return node
 
-    return walk(schema, schema, base_dir, 0)
+    return walk(schema, schema, base_dir, None, 0)
 
 
 def _raw_object_preds(schema: dict, raw_json_col: str) -> list[Column]:
@@ -635,6 +672,7 @@ def compile_predicate(
     declared_cols: list[str] | None = None,
     check_formats: bool = False,
     ref_base_dir: str | None = None,
+    ref_registry: dict[str, dict] | None = None,
 ) -> Column:
     """Compile the stream's JSON Schema to one is-valid boolean Column.
 
@@ -669,17 +707,21 @@ def compile_predicate(
     ``ref_base_dir`` resolves local-FILE ``$ref``s (``common.json#/x``)
     against the schema's own directory, chained includes included.
 
-    Remaining UDF-only keywords (REMOTE http(s) $ref only, plus format
-    with the parity-default flag off) are simply not constrained by the
-    compiled path — it is strictly PERMISSIVE on them, never
-    false-rejecting.  One raw-capture limit:
+    r8 addition (VERDICT r7 #6): ``ref_registry`` — a pre-fetched
+    ``{url: schema_document}`` store — resolves REMOTE ``http(s)://``
+    $refs offline (nothing is ever fetched); see :func:`resolve_refs`.
+
+    Remaining UDF-only keywords (remote $refs absent from the registry,
+    plus format with the parity-default flag off) are simply not
+    constrained by the compiled path — it is strictly PERMISSIVE on
+    them, never false-rejecting.  One raw-capture limit:
     scalar provenance is erased (JSON ``"3"`` and ``3`` both capture as
     text '3'), so combinator branches discriminated ONLY by ``type``
     cannot be told apart — discriminate branches by value constraints,
     or use the UDF fallback (tests/test_validation_matrix.py pins both
     the agreement surface and these documented seams).
     """
-    schema = resolve_refs(schema, base_dir=ref_base_dir)
+    schema = resolve_refs(schema, base_dir=ref_base_dir, registry=ref_registry)
     if check_formats:
         schema = inject_format_markers(schema)
     # ``declared_cols`` is the ACTUAL struct's field list when the caller

@@ -110,3 +110,157 @@ class TestDecodeMediaBmp:
         )
         with pytest.raises(Exception, match="NotImplementedError|pillow"):
             M.decode_media(df, target_width=2, target_height=2).collect()
+
+
+def _sym_df(spark, undirected_edges):
+    rows = []
+    for u, v in undirected_edges:
+        rows += [(u, v), (v, u)]
+    return spark.createDataFrame(rows, "u long, v long")
+
+
+def _mutual_cap(sym, cap):
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy("u").orderBy("v")
+    ranked = (
+        sym.withColumn("_rn", F.row_number().over(wn))
+        .filter(F.col("_rn") <= cap)
+        .select("u", "v")
+    )
+    return ranked.join(
+        ranked.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+    )
+
+
+class TestGraphCappedTwins:
+    """VERDICT r7 #7: the degree caps are one-sided, binding, and
+    no-ops when the cap clears the max degree."""
+
+    # a 5-clique (every edge in >= 3 triangles) + a hub (node 100)
+    # fanning to 20 spokes, two of which close one triangle with it
+    CLIQUE = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    HUB = [(100, 200 + s) for s in range(20)] + [(201, 202)]
+
+    def test_capped_truss_subset_and_clique_exact(self, spark):
+        from target_parquet_spark.queries_r12 import ktruss_peel
+
+        sym = _sym_df(spark, self.CLIQUE + self.HUB)
+        exact = {
+            (r.u, r.v)
+            for r in ktruss_peel(sym, k=4, rounds=3).collect()
+            if r.in_truss
+        }
+        capped_adj = _mutual_cap(sym, 5)
+        capped = {
+            (r.u, r.v)
+            for r in ktruss_peel(capped_adj, k=4, rounds=3).collect()
+            if r.in_truss
+        }
+        # one-sided: never adds an edge the exact truss rejects
+        assert capped <= exact
+        # all endpoints of clique edges have degree 4 <= cap: exact there
+        clique = set(self.CLIQUE)
+        assert capped & clique == exact & clique == clique
+
+    def test_mutual_cap_bounds_degree_and_binds_on_hub(self, spark):
+        sym = _sym_df(spark, self.CLIQUE + self.HUB)
+        capped = _mutual_cap(sym, 5)
+        deg = {r.u: r["count"] for r in capped.groupBy("u").count().collect()}
+        assert max(deg.values()) <= 5
+        # the hub's 20 spokes were truncated to the cap
+        assert deg.get(100, 0) == 5
+
+    def test_cap_above_max_degree_is_identity(self, spark):
+        sym = _sym_df(spark, self.CLIQUE + self.HUB)
+        capped = _mutual_cap(sym, 50)
+        assert sorted(map(tuple, capped.collect())) == sorted(
+            map(tuple, sym.collect())
+        )
+
+    def test_trustrank_cap_keeps_strongest_and_identity_when_loose(
+        self, spark
+    ):
+        from pyspark.sql import Window
+
+        rows = [(1, 200 + i, round(0.5 + i * 0.01, 4)) for i in range(10)]
+        rows += [(2, 1, 0.9)]
+        sym = spark.createDataFrame(rows, "src long, dst long, jaccard double")
+        wr = Window.partitionBy("src").orderBy(
+            F.col("jaccard").desc(), F.col("dst")
+        )
+        capped = (
+            sym.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") <= 3)
+            .drop("_rn")
+        )
+        kept = sorted(
+            (r.dst, r.jaccard) for r in capped.filter("src = 1").collect()
+        )
+        # the three strongest out-edges of node 1 (weights .57 .58 .59)
+        assert kept == [(207, 0.57), (208, 0.58), (209, 0.59)]
+        assert capped.filter("src = 2").count() == 1  # under-cap: untouched
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    query.stop()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestStreamingForecastState:
+    """VERDICT r7 #8: Holt / seasonal state as an epoch store — the
+    multi-epoch streaming state reads back through the BATCH queries'
+    own code paths and equals them; replay is idempotent; compaction
+    preserves the state."""
+
+    def test_stream_matches_batch_replay_and_compaction(
+        self, spark, sf_dir, tmp_path
+    ):
+        from target_parquet_spark.queries import QUERIES
+        from target_parquet_spark.streaming.forecast import (
+            StreamingForecastState,
+        )
+
+        src = str(tmp_path / "events_src")
+        spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        st = StreamingForecastState(spark, str(tmp_path / "fc"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        _await(st.start(stream, available_now=True))
+
+        holt_cols = ["horizon", "forecast_day", "forecast_rev"]
+        want_holt = _rows(
+            QUERIES["events_holt_forecast"](spark, sf_dir), holt_cols
+        )
+        assert _rows(st.holt_forecast(), holt_cols) == want_holt
+
+        seas_cols = ["day", "revenue", "trend", "seasonal", "residual"]
+        want_seas = _rows(
+            QUERIES["events_seasonal_decompose"](spark, sf_dir), seas_cols
+        )
+        assert _rows(st.seasonal_decompose(), seas_cols) == want_seas
+
+        # replay idempotence: re-delivering an epoch (here with different
+        # contents, the harder case) OVERWRITES its partial — state after
+        # two identical deliveries equals state after one
+        half = spark.read.parquet(src).limit(500)
+        st._merge_batch(half, 0)
+        daily = _rows(st.read_daily(), ["day", "rev_c"])
+        holt_after = _rows(st.holt_forecast(), holt_cols)
+        st._merge_batch(half, 0)
+        assert _rows(st.read_daily(), ["day", "rev_c"]) == daily
+
+        # compaction folds partials without changing any read path
+        st.compact()
+        assert _rows(st.read_daily(), ["day", "rev_c"]) == daily
+        assert _rows(st.holt_forecast(), holt_cols) == holt_after

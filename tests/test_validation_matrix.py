@@ -500,3 +500,83 @@ class TestLocalFileRef:
             assert _compiled_verdict(
                 spark, schema, {"x": "zz"}, ref_base_dir=str(tmp_path)
             ) is False
+
+
+class TestRemoteRefRegistry:
+    """r8 (VERDICT r7 #6): remote http(s) $refs resolve OFFLINE from a
+    pre-fetched {url: document} store — the same cases that were
+    permissive without it flip to enforced when the registry is supplied.
+    Nothing is ever fetched."""
+
+    URL = "https://schemas.example.com/common.json"
+
+    def test_registry_flips_permissive_to_enforced(self, spark):
+        schema = {"properties": {
+            "x": {"$ref": self.URL + "#/definitions/code"}}}
+        reg = {self.URL: {"definitions": {
+            "code": {"type": "string", "pattern": "^[A-Z]{3}$"}}}}
+        # without the registry: the documented permissive fallback
+        assert _compiled_verdict(spark, schema, {"x": "abc"}) is True
+        # with it: the very same ref enforces
+        ok = dict(ref_registry=reg)
+        assert _compiled_verdict(spark, schema, {"x": "ABC"}, **ok) is True
+        assert _compiled_verdict(spark, schema, {"x": "abc"}, **ok) is False
+
+    def test_whole_document_ref(self, spark):
+        schema = {"properties": {"x": {"$ref": self.URL}}}
+        reg = {self.URL: {"type": "integer", "minimum": 10}}
+        ok = dict(ref_registry=reg)
+        assert _compiled_verdict(spark, schema, {"x": 11}, **ok) is True
+        assert _compiled_verdict(spark, schema, {"x": 9}, **ok) is False
+
+    def test_chained_remote_include_relative_url(self, spark):
+        """A registry document's own RELATIVE ref resolves against its
+        URL (urljoin) back into the store."""
+        leaf = "https://schemas.example.com/sub/leaf.json"
+        mid = "https://schemas.example.com/sub/mid.json"
+        schema = {"properties": {"x": {"$ref": mid}}}
+        reg = {
+            mid: {"$ref": "leaf.json"},
+            leaf: {"type": "string", "maxLength": 2},
+        }
+        ok = dict(ref_registry=reg)
+        assert _compiled_verdict(spark, schema, {"x": "ab"}, **ok) is True
+        assert _compiled_verdict(spark, schema, {"x": "abc"}, **ok) is False
+
+    def test_internal_pointer_of_registry_doc_uses_its_root(self, spark):
+        schema = {"properties": {"x": {"$ref": self.URL + "#/wrap"}}}
+        reg = {self.URL: {
+            "definitions": {"inner": {"type": "string", "maxLength": 2}},
+            "wrap": {"$ref": "#/definitions/inner"}}}
+        ok = dict(ref_registry=reg)
+        assert _compiled_verdict(spark, schema, {"x": "ab"}, **ok) is True
+        assert _compiled_verdict(spark, schema, {"x": "abc"}, **ok) is False
+
+    def test_unregistered_url_stays_permissive(self, spark):
+        schema = {"properties": {
+            "x": {"$ref": "https://other.example.com/s.json#/a"}}}
+        reg = {self.URL: {"type": "string"}}
+        assert _compiled_verdict(
+            spark, schema, {"x": "anything"}, ref_registry=reg
+        ) is True
+
+    def test_registry_and_base_dir_compose(self, spark, tmp_path):
+        """A local file ref and a remote ref in the same schema each
+        resolve through their own store."""
+        import json as _json
+
+        p = tmp_path / "local.json"
+        p.write_text(_json.dumps({"type": "string", "minLength": 2}))
+        schema = {"properties": {
+            "a": {"$ref": "local.json"},
+            "b": {"$ref": self.URL + "#/definitions/code"},
+        }}
+        reg = {self.URL: {"definitions": {
+            "code": {"type": "string", "pattern": "^[A-Z]{3}$"}}}}
+        ok = dict(ref_base_dir=str(tmp_path), ref_registry=reg)
+        assert _compiled_verdict(
+            spark, schema, {"a": "xy", "b": "ABC"}, **ok) is True
+        assert _compiled_verdict(
+            spark, schema, {"a": "x", "b": "ABC"}, **ok) is False
+        assert _compiled_verdict(
+            spark, schema, {"a": "xy", "b": "abc"}, **ok) is False
