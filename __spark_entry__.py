@@ -55,8 +55,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # without any driver-green representative.  scripts/check_oracle.py still
 # sweeps all entries every round; cumulative coverage is tracked below.
 #
-# Cumulative distinct driver-gated before this round: 93/318 (r1-r7).
-# This prefix adds 40 never-gated names -> 133/318 expected after r8.
+# Cumulative distinct driver-gated before this round: 93 (of the 318-query
+# r7 registry; r8 registers 3 more -> 321 total).  This prefix adds 40
+# never-gated names -> 133/321 expected after r8.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",

@@ -242,6 +242,10 @@ HEADLINE = [
     "events_seasonal_decompose",
     "graph_betweenness_sampled",
     "scan_compaction_binpack",
+    # round 8
+    "multimodal_decode_bmp",
+    "graph_ktruss_capped",
+    "graph_trustrank_capped",
 ]
 
 

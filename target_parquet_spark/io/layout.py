@@ -102,36 +102,59 @@ def two_phase_artifact(path: str, marker: str, build) -> str:
     populated-but-unmarked final directory can be rmtree'd out from
     under a concurrent reader (review r7 third pass).
 
-    Concurrency (ADVICE r7): each builder uses a UNIQUE tmp path
-    (pid + random suffix), so two racing processes never share a
-    staging directory, and a loser never deletes the winner's committed
-    artifact.  If the final rename fails because the winner already
-    committed (ENOTEMPTY/EEXIST on a non-empty ``path``), the loser
-    re-checks the marker, treats the winner's artifact as its own
-    success, and discards its staging copy.  Content fingerprinting
-    upstream guarantees both builders were producing identical bytes.
+    Concurrency (ADVICE r7, hardened r8): each builder uses a UNIQUE
+    tmp path (pid + random suffix), so two racing processes never share
+    a staging directory.  If the final rename fails because a winner
+    already committed, the loser re-checks the marker, treats the
+    winner's artifact as its own success, and discards its staging
+    copy.  Stale (crash-leftover, unmarked) final directories are never
+    rmtree'd in place — they are atomically renamed ASIDE first and
+    re-verified under exclusive ownership, so a marker that appears
+    between check and clear cannot be destroyed; a committed artifact
+    swept up by that move is put back untouched.  Content
+    fingerprinting upstream guarantees all builders of one ``path``
+    produce identical bytes.
     """
     import os
     import shutil
     import uuid
 
     if not os.path.exists(os.path.join(path, marker)):
-        # A populated-but-unmarked ``path`` is a crash leftover from a
-        # pre-rename-commit build — the committing rename below never
-        # creates one.  Clear it so the rename-onto-path can succeed.
-        if os.path.exists(path):
-            shutil.rmtree(path, ignore_errors=True)
         tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         try:
             build(tmp)
             open(os.path.join(tmp, marker), "w").close()
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                # Another builder won the race (path exists, non-empty).
-                # Its marker proves a complete artifact — reuse it.
-                if not os.path.exists(os.path.join(path, marker)):
-                    raise
+            for _ in range(8):  # bounded: each retry handles one race shape
+                try:
+                    os.rename(tmp, path)
+                    break
+                except OSError:
+                    if os.path.exists(os.path.join(path, marker)):
+                        break  # a concurrent builder committed — reuse it
+                    # A populated-but-unmarked ``path`` is a crash
+                    # leftover from a pre-rename-commit build.  Move it
+                    # ASIDE atomically (never rmtree in place: a marker
+                    # appearing between the check above and a delete
+                    # would destroy a winner's committed artifact —
+                    # review r8), re-verify what we now exclusively own,
+                    # and only then delete it.
+                    stale = f"{path}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(path, stale)
+                    except OSError:
+                        continue  # path vanished/changed underneath: retry
+                    if os.path.exists(os.path.join(stale, marker)):
+                        # We moved a freshly committed artifact — put it
+                        # back and use it (our own copy is identical by
+                        # fingerprint construction).
+                        try:
+                            os.rename(stale, path)
+                        except OSError:
+                            shutil.rmtree(stale, ignore_errors=True)
+                        break
+                    shutil.rmtree(stale, ignore_errors=True)
+            else:
+                raise OSError(f"could not commit artifact at {path}")
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     return path

@@ -379,7 +379,27 @@ def _ngram_pair_stats(
             .drop("_df")
         )
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = posting_pairs(posting, key="shingle")
+    if max_df is None:
+        # Uncapped exact baseline: per-shingle groups are unbounded, so
+        # the collect_list form of posting_pairs could build one
+        # corpus-sized array in a single task (review r8).  The
+        # sort-merge self-join streams and spills instead — the right
+        # engine behavior for the explicitly-unbounded mode.
+        a, b = posting.alias("a"), posting.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        common = posting_pairs(posting, key="shingle")
     return (
         common.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")

@@ -78,6 +78,22 @@ def encode_bmp(arr) -> bytes:
     return header + info + px
 
 
+def looks_like_bmp(data: bytes) -> bool:
+    """Conservative sniff for payloads the pure-Python decoder owns: the
+    'BM' magic alone is not enough (arbitrary text can start with "BM" —
+    review r8), so the full header must also be present and read as an
+    uncompressed 24-bit DIB of a known header size before decode_media
+    routes a payload here."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return False
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    return hdr_size in (40, 52, 56, 108, 124) and bpp == 24 and comp == 0
+
+
 def decode_bmp(data: bytes):
     """Decode an uncompressed 24-bit BI_RGB BMP to an (h, w, 3) uint8 RGB
     array.  Honors the pixel-data offset from the file header (palette /
@@ -241,8 +257,13 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
                     # skipped, never a TypeError inside the task
                     continue
                 data = bytes(payload)
-                if data[:2] == b"BM":
-                    # real decode, no imaging library needed
+                if looks_like_bmp(data):
+                    # Real decode, no imaging library needed.  The pure
+                    # decoder owns EVERY uncompressed 24-bit BMP even
+                    # when pillow is installed — its floor-mapped
+                    # nn_resize keeps the decode query's oracle pin
+                    # independent of PIL's presence (PIL's default
+                    # resampler differs).
                     out = nn_resize(
                         decode_bmp(data), target_width, target_height
                     ).tobytes()

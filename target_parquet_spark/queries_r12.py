@@ -1015,16 +1015,28 @@ def holt_forecast_over(spark, daily):
     # The cap is read at EXECUTION time, so it must stay raised while
     # the recursion runs — materialize the (7-row) result under the
     # raised cap, then restore the previous value so the shared session
-    # conf carries no cross-query side effect (ADVICE r7).
-    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", max(1000, n_days + 10))
+    # conf carries no cross-query side effect (ADVICE r7).  Reentrancy
+    # (review r8): the cap is never LOWERED (an already-sufficient
+    # value is left untouched, so an overlapping caller's raised cap
+    # survives), and the finally-restore only fires if the conf still
+    # holds OUR value — a concurrent raiser's setting is never
+    # clobbered.  (The holt_idx temp view itself is one-per-session;
+    # overlapping recursions in a single session are not a supported
+    # pattern anywhere in this repo.)
+    key = "spark.sql.cteRecursionLevelLimit"
+    needed = max(1000, n_days + 10)
+    prev = spark.conf.get(key, None)
+    if prev is not None and int(prev) >= needed:
+        return lineage_cut(spark.sql(_SQL_HOLT_REC), None)
+    spark.conf.set(key, needed)
     try:
         return lineage_cut(spark.sql(_SQL_HOLT_REC), None)
     finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
-        else:
-            spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
+        if spark.conf.get(key, None) == str(needed):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 # ---------------------------------------------------------------------------

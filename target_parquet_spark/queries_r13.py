@@ -205,45 +205,11 @@ def _register_graph_capped():
         symmetric before capping), so the node universe, the seed set,
         and the teleport vector are unchanged; what the cap drops is
         rank fan-out through weak hub tails.  Disclosed approximation;
-        graph_trustrank_seeds remains the exact path."""
-        from pyspark.sql import Window
+        graph_trustrank_seeds remains the exact path.  One shared body
+        (queries_r9.trustrank_over) for both, like ktruss_peel."""
+        from target_parquet_spark.queries_r9 import trustrank_over
 
-        from target_parquet_spark.operators.graph import (
-            personalized_pagerank,
-        )
-        from target_parquet_spark.queries_ext import _spark_corpus
-        from target_parquet_spark.queries_r7 import minhash_pair_artifact
-
-        corpus = _spark_corpus(spark, sf_dir)
-        pairs = minhash_pair_artifact(spark, sf_dir)
-        sym = pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
-        ).unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"),
-                F.col("id_a").alias("dst"),
-                "jaccard",
-            )
-        )
-        wr = Window.partitionBy("src").orderBy(
-            F.col("jaccard").desc(), F.col("dst")
-        )
-        capped = (
-            sym.withColumn("_rn", F.row_number().over(wr))
-            .filter(F.col("_rn") <= _TRUST_CAP)
-            .drop("_rn")
-        )
-        seeds = corpus.filter(F.col("doc_id") % _PPR_SEED_MOD == 0).select(
-            F.col("doc_id").alias("node")
-        )
-        ranks = personalized_pagerank(
-            capped, seeds, "src", "dst", weight="jaccard",
-            iters=_PPR_ITERS, damping=_PPR_D,
-        )
-        return ranks.select(
-            F.col("node").alias("doc_id"),
-            F.round(F.col("rank") * 1000.0, 4).alias("trust_pm"),
-        )
+        return trustrank_over(spark, sf_dir, out_cap=_TRUST_CAP)
 
     return graph_ktruss_capped, graph_trustrank_capped
 

@@ -1443,6 +1443,18 @@ def graph_trustrank_seeds(spark, sf_dir):
     artifact (queries_r7.minhash_pair_artifact) — the pair stage is
     built once per corpus and amortizes across the whole near-dup
     graph family instead of re-running per query."""
+    return trustrank_over(spark, sf_dir)
+
+
+def trustrank_over(spark, sf_dir, out_cap: int | None = None):
+    """The TrustRank body — shared by graph_trustrank_seeds and its
+    out-degree-capped twin (queries_r13, r8) so the seed rule, weight
+    column, and output projection cannot drift between them.  With
+    ``out_cap`` each source keeps only its ``out_cap`` strongest
+    out-edges (jaccard desc, neighbor-id tie-break) before the power
+    iteration — the SQL twin of _sql_pagerank_ctes(out_cap=...)."""
+    from pyspark.sql import Window
+
     from target_parquet_spark.operators.graph import personalized_pagerank
     from target_parquet_spark.queries_ext import _spark_corpus
     from target_parquet_spark.queries_r7 import minhash_pair_artifact
@@ -1456,6 +1468,15 @@ def graph_trustrank_seeds(spark, sf_dir):
             F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "jaccard"
         )
     )
+    if out_cap is not None:
+        wr = Window.partitionBy("src").orderBy(
+            F.col("jaccard").desc(), F.col("dst")
+        )
+        sym = (
+            sym.withColumn("_rn", F.row_number().over(wr))
+            .filter(F.col("_rn") <= out_cap)
+            .drop("_rn")
+        )
     seeds = corpus.filter(F.col("doc_id") % _PPR_SEED_MOD == 0).select(
         F.col("doc_id").alias("node")
     )

@@ -270,6 +270,9 @@ class TestHtmlStrip:
         df = spark.createDataFrame([(html,)], "html string")
         out = df.select(html_strip(F.col("html")).alias("c")).collect()[0].c
         assert out == "real body text", out
+
+
+class TestUrlCanonical:
     def test_all_variants_collapse_and_match_python(self, spark, sf_dir):
         """Python (urllib.parse-based) canonicalizer as the third
         engine; every planted page must collapse its 4 surface

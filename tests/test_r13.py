@@ -64,6 +64,18 @@ class TestBmpCodec:
         with pytest.raises(ValueError, match="not a BMP"):
             M.decode_bmp(b"JUNK" * 20)
 
+    def test_sniff_rejects_bm_prefixed_text(self):
+        """'BM'-prefixed arbitrary bytes (e.g. text starting with "BMW")
+        must NOT route into the BMP decoder (review r8): the sniff
+        requires a coherent uncompressed 24-bit DIB header."""
+        assert not M.looks_like_bmp(b"BMW makes cars " * 10)
+        assert not M.looks_like_bmp(b"BM")
+        assert M.looks_like_bmp(M.encode_bmp(_rand_img(2, 2)))
+        # 8bpp patch fails the sniff too (routes to PIL-or-raise instead)
+        data = bytearray(M.encode_bmp(_rand_img(2, 2)))
+        struct.pack_into("<H", data, 28, 8)
+        assert not M.looks_like_bmp(bytes(data))
+
     def test_nn_resize_floor_map(self):
         """out[Y,X] = in[(Y*h)//th, (X*w)//tw] exactly."""
         img = _rand_img(7, 9)
