@@ -1397,7 +1397,7 @@ def multimodal_frame_sample(spark, sf_dir):
     bench AS (
       SELECT DISTINCT unnest({SQL_HS.format(s=SQL_SHINGLES.format(t='bt'))})
         AS shingle
-      FROM d WHERE doc_id % 50 = 0),
+      FROM d WHERE doc_id % 50 = 0 AND doc_id < 100000),
     post AS (
       SELECT doc_id,
              unnest({SQL_HS.format(s=SQL_SHINGLES.format(t='tt'))}) AS shingle
@@ -1416,20 +1416,31 @@ def multimodal_frame_sample(spark, sf_dir):
 def text_contamination(spark, sf_dir):
     """Benchmark-contamination check: fraction of each corpus doc's
     distinct 3-gram shingles that appear in a held-out benchmark set
-    (here: perturbed copies of every 50th doc, standing in for an eval
-    suite loaded from elsewhere).
+    (here: perturbed copies of every 50th doc among ids < 100000,
+    standing in for an eval suite loaded from elsewhere).
 
-    Scale shape: the benchmark n-gram set is tiny relative to the corpus,
-    so the membership probe is a BROADCAST hash join against the exploded
-    corpus postings — the 100 TB side never shuffles for the probe.  The
-    postings are hash-partitioned once on doc_id (one exchange, reused by
-    both the size and hit branches); both downstream aggregations and the
-    final join are then exchange-free because partitioning is preserved.
-    Shingles ride that exchange as 60-bit md5 longs (the r4 MinHash
-    lesson): the reused posting exchange is the query's dominant shuffle
-    and its row narrows from ~30 B of n-gram text to 16 B; the oracle
-    hashes with the identical expression, so membership counts stay
-    engine-exact even in the ~1e-14 collision event.
+    Scale shape: an eval suite is a FIXED artifact — it does not grow
+    with the training corpus — so the stand-in is capped at a constant
+    id range (covers the whole corpus at bench scales; a constant ~2k
+    docs at probe scales).  The r8 sf100 probe caught the uncapped form
+    growing the "broadcast" side linearly with the corpus (~20M
+    shingles, 12.7x wall per decade); with the cap the probe is back to
+    the fixed-suite shape.  The benchmark n-gram set is then tiny
+    relative to the corpus, so the membership probe is a BROADCAST hash
+    join against the exploded corpus postings — the 100 TB side never
+    shuffles for the probe.
+
+    NO posting-sized exchange exists at all (r8 — the previous shape
+    additionally repartitioned the full corpus posting list on doc_id,
+    a ~1 B-row / 16 GB exchange at sf100 that spilled past box shuffle
+    memory and still measured ~11x per decade with the bench cap in
+    place): per-doc shingle counts come from ``size()`` on the
+    scan-stage shingle array (no explode, no shuffle), and the hit
+    counts partially aggregate per doc WITHIN the scan partition that
+    exploded them — the only shuffled rows are doc-cardinality
+    aggregates.  Shingles are 60-bit md5 longs (the r4 MinHash lesson);
+    the oracle hashes with the identical expression, so membership
+    counts stay engine-exact even in the ~1e-14 collision event.
     """
     from target_parquet_spark.operators.dedup import _hash_shingles
 
@@ -1437,7 +1448,7 @@ def text_contamination(spark, sf_dir):
     toks = X.tokens(F.col("text"))
     bench_text = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))))
     bench_sh = (
-        docs.filter(F.col("doc_id") % 50 == 0)
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000))
         .select(
             F.explode(_hash_shingles(X.shingles(bench_text, n=3))).alias(
                 "shingle"
@@ -1445,15 +1456,11 @@ def text_contamination(spark, sf_dir):
         )
         .distinct()
     )
-    posting = docs.select(
-        "doc_id",
-        F.explode(_hash_shingles(X.shingles(F.col("text"), n=3))).alias(
-            "shingle"
-        ),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _hash_shingles(X.shingles(F.col("text"), n=3))
+    sizes = docs.select("doc_id", F.size(sh).alias("n_sh"))
     hits = (
-        posting.join(F.broadcast(bench_sh), "shingle")
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
