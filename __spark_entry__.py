@@ -49,16 +49,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries.  Only
-# 93 of 318 distinct queries had a driver-green row after seven rounds
-# (VERDICT r7 #3), so from r8 the prefix ROTATES: ~10 long-green anchors stay
+# 92 of 318 distinct queries had a driver-green row after seven rounds
+# (VERDICT r7 #3; r8's tracking comment said 93 — off by one, corrected per
+# VERDICT r8), so from r8 the prefix ROTATES: ~10 long-green anchors stay
 # for continuity, the other ~40 slots are drawn from queries that have NEVER
 # had a driver row (plus this round's new/changed ops), prioritizing families
 # without any driver-green representative.  scripts/check_oracle.py still
 # sweeps all entries every round; cumulative coverage is tracked below.
 #
-# Cumulative distinct driver-gated before this round: 93 (of the 318-query
-# r7 registry; r8 registers 3 more -> 321 total).  This prefix adds 40
-# never-gated names -> 133/321 expected after r8.
+# Cumulative distinct driver-gated before this round: 132 (92 through r7 +
+# 40 first-time names in CORRECTNESS_r08, all green) of the 321-query r8
+# registry; r9 registers 2 more -> 323 total.  This prefix keeps the 10
+# anchors and rotates in 40 more never-gated names (plus this round's 2 new
+# queries and the kneser-ney/holt refactors) -> expected 172/323 after r9.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -71,57 +74,55 @@ _CURATED_PREFIX = [
     "text_bm25_search",
     "events_sessionize",
     "pipeline_training_data",
-    # --- never-gated rotation, round 8 ---
-    # TPC-H tail (none of q2/q7/q8/q9/q21 ever driver-gated)
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q21_waiting_suppliers",
-    # joins / scans / layout
-    "join_bucketed_colocated",
-    "join_bloom_prefilter",
-    "join_null_safe",
-    "scan_zorder_pruned",
-    "scan_dpp_join",
-    "scan_csv_source",
-    "scan_schema_evolution",
-    # agg / window
-    "agg_cube_grouping_marker",
-    "agg_heavy_hitters_cms",
-    "agg_weighted_percentile",
-    "window_rolling_quantile",
-    "window_value_functions",
-    # sql / scalar / lateral
-    "sql_recursive_reachability",
-    "sql_correlated_subqueries",
-    "scalar_null_semantics",
-    "scalar_map_funcs",
-    "lateral_udtf_sentences",
-    # dedup (ngram pair path rewritten this round — gate it)
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_simhash_pairs",
-    # similarity
-    "sim_kmeans_lloyd",
-    "sim_ann_multiprobe",
-    "sim_mmr_select",
-    # graph (incl. this round's capped twins)
-    "graph_pagerank_dupweb",
-    "graph_modularity",
-    "graph_ktruss_capped",
-    "graph_trustrank_capped",
-    # text (winnowing rewritten this round — gate it)
-    "text_winnowing_pairs",
-    "text_lang_id",
-    "text_cluster_topics",
-    # events (holt/seasonal refactored this round — gate them)
-    "events_holt_forecast",
-    "events_seasonal_decompose",
-    "events_funnel_sessions",
-    # governance / sampling / multimodal (new decode query)
-    "audit_ks_drift",
-    "multimodal_decode_bmp",
+    # --- never-gated rotation, round 9 (wave 2 of VERDICT r7 #3) ---
+    # new/changed this round — gate them first
+    "multimodal_decode_png",
+    "sim_knn_graph_quantized",
+    "text_kneser_ney_logprob",
+    # TPC-H tail (q11-q22 never driver-gated)
+    "q11_important_stock",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_shippers",
+    "q22_dormant_customers",
+    # CDC family (never gated)
+    "cdc_merge_upsert",
+    "cdc_snapshot_diff",
+    "cdc_point_in_time_join",
+    # events / experimentation tail
+    "events_ab_experiment",
+    "events_survival_km",
+    "events_cuped_adjustment",
+    "events_did_estimate",
+    "events_srm_check",
+    "events_power_analysis",
+    # governance / audits
+    "audit_l_diversity",
+    "audit_expectations",
+    "audit_benford_digits",
+    "audit_psi_drift",
+    # scan / layout tail
+    "scan_partition_pruned",
+    "scan_merge_on_read",
+    "scan_compaction_binpack",
+    "scan_orc_source",
+    "scan_jsonl_source",
+    # sampling family
+    "sample_hash_pct",
+    "sample_stratified",
+    "sample_token_budget",
+    "sample_mixture_quota",
+    "sample_temperature_mixture",
+    "sample_weighted_without_replacement",
+    # asof / window / dedup stragglers
+    "asof_join_tolerance",
+    "window_ewma_daily",
+    "dedup_duplicate_groups",
 ]
 
 

@@ -246,6 +246,9 @@ HEADLINE = [
     "multimodal_decode_bmp",
     "graph_ktruss_capped",
     "graph_trustrank_capped",
+    # round 9
+    "multimodal_decode_png",
+    "sim_knn_graph_quantized",
 ]
 
 

@@ -78,6 +78,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-k", default=None, help="comma-separated substring filters on query names")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR_CHECK", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--limit", type=int, default=None,
+        help="check only the first N registry entries (the driver gate "
+        "samples the first 50 — this replicates exactly that prefix)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -96,6 +101,8 @@ def main():
     oracles = entry.oracle_sql()
     ks = args.k.split(",") if args.k else None
     names = [n for n in qs if ks is None or any(k in n for k in ks)]
+    if args.limit is not None:
+        names = names[: args.limit]
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         t0 = time.time()

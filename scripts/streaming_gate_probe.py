@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Decade probe for the continuous ingest-time gates (VERDICT r8 #8):
+drive ``streaming/dsir_gate.StreamingDsirGate`` over the documents
+table and ``streaming/sequential_monitor.StreamingSequentialMonitor``
+over the events table in N micro-batches each, timing the epoch write
+path and the read path — the same probe format as the r7 streaming
+k-NN edge-maintenance row in BASELINE.md.
+
+Usage: python scripts/streaming_gate_probe.py [--sf DIR] [--batches 10]
+           [--out DIR]
+
+Prints one JSON line:
+  {"sf_dir": ..., "docs": N, "events": N,
+   "dsir": {"train_s": ..., "ingest_s": ..., "per_batch_s": [...],
+            "kept": N, "rejected": N},
+   "msprt": {"ingest_s": ..., "per_batch_s": [...], "read_s": ...,
+             "days": N}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def drain(q) -> None:
+    q.awaitTermination()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(REPO, ".scratch", "gate_probe"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.queries_r8 import dsir_llr_state
+    from target_parquet_spark.session import get_spark
+    from target_parquet_spark.streaming.dsir_gate import StreamingDsirGate
+    from target_parquet_spark.streaming.sequential_monitor import (
+        StreamingSequentialMonitor,
+    )
+
+    spark = get_spark(app_name="streaming_gate_probe")
+    shutil.rmtree(args.out, ignore_errors=True)
+    os.makedirs(args.out, exist_ok=True)
+    result: dict = {"sf_dir": args.sf, "batches": args.batches}
+
+    # ---- DSIR admission gate over documents --------------------------------
+    docs = spark.read.parquet(f"{args.sf}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    n_docs = docs.count()
+    result["docs"] = n_docs
+    t0 = time.time()
+    llr = dsir_llr_state(spark, docs)
+    train_s = round(time.time() - t0, 2)
+    gate = StreamingDsirGate(llr, threshold_micro=0)
+
+    # stage the corpus as N arrival batches (hash split — stable)
+    src = os.path.join(args.out, "crawl_src")
+    gated = os.path.join(args.out, "gated")
+    ck = os.path.join(args.out, "gate_ck")
+    stream_schema = docs.schema
+    per_batch = []
+    for b in range(args.batches):
+        batch = docs.filter(F.col("doc_id") % args.batches == b)
+        batch.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(stream_schema).parquet(src)
+        t0 = time.time()
+        drain(gate.run(stream, gated, ck, available_now=True))
+        per_batch.append(round(time.time() - t0, 2))
+    out = spark.read.parquet(gated).withColumn(
+        "keep", F.col("keep").cast("boolean")
+    )
+    kept = out.filter("keep").count()
+    total = out.count()
+    assert total == n_docs, f"gate lost rows: {total} != {n_docs}"
+    result["dsir"] = {
+        "train_s": train_s,
+        "ingest_s": round(sum(per_batch), 2),
+        "per_batch_s": per_batch,
+        "kept": kept,
+        "rejected": total - kept,
+    }
+
+    # ---- sequential mSPRT monitor over events -------------------------------
+    events = spark.read.parquet(f"{args.sf}/events.parquet").select(
+        "ts", "user_id", "value"
+    )
+    n_events = events.count()
+    result["events"] = n_events
+    esrc = os.path.join(args.out, "events_src")
+    mon_dir = os.path.join(args.out, "monitor")
+    mon = StreamingSequentialMonitor(spark, mon_dir)
+    per_batch_m = []
+    for b in range(args.batches):
+        batch = events.filter(F.col("user_id") % args.batches == b)
+        batch.write.mode("append").parquet(esrc)
+        stream = spark.readStream.schema(events.schema).parquet(esrc)
+        t0 = time.time()
+        drain(mon.start(stream, available_now=True))
+        per_batch_m.append(round(time.time() - t0, 2))
+    t0 = time.time()
+    readout = mon.read().collect()
+    read_s = round(time.time() - t0, 2)
+    result["msprt"] = {
+        "ingest_s": round(sum(per_batch_m), 2),
+        "per_batch_s": per_batch_m,
+        "read_s": read_s,
+        "days": len(readout),
+    }
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
                             "strict_validation": {"type": "boolean"},
                             "exact_compat": {"type": "boolean"},
                             "quarantine_path": {"type": "string"},
+                            "ref_base_dir": {"type": "string"},
+                            "ref_registry_path": {"type": "string"},
                         },
                     },
                 }

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from target_parquet_spark.operators import multimodal as M
+from target_parquet_spark.operators import similarity as S
 from target_parquet_spark.queries import query, t as td
 
 # decode target: deliberately NOT a divisor/multiple of any source dim
@@ -100,3 +101,27 @@ def multimodal_decode_png(spark, sf_dir):
         F.octet_length("pixels").cast("long").alias("n_bytes"),
         F.md5(F.hex("pixels")).alias("pixels_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantized kNN-graph scale path (VERDICT r8 #2)
+# ---------------------------------------------------------------------------
+
+
+@query("sim_knn_graph_quantized")
+def sim_knn_graph_quantized(spark, sf_dir):
+    """The k-NN graph's DESIGNATED scale path at the compute-saturated
+    decade: same adaptive-plane OR-amplified candidate generation as
+    sim_knn_graph_scaled, but candidates are scored with an SQ8 int32
+    dot product over 8-bit codes (join rows carry NO float payload) and
+    the exact float cosine is recomputed only for the per-source
+    shortlist survivors — see operators/similarity.knn_graph_quantized
+    for the full ADC/rerank rationale.  No SQL oracle, same reason as
+    the _scaled twin (the plane count is a function of corpus size no
+    static SQL can replay; rows-only driver check); correctness is
+    pinned by tests/test_r14.py: recall >= 0.95 against the float fold
+    plus the planted-twin contract (an exact duplicate quantizes to
+    identical codes, shares every bucket, and must surface as rank 1,
+    sim 1.0)."""
+    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.knn_graph_quantized(emb, k=3)

@@ -1252,6 +1252,15 @@ def events_did_estimate(spark, sf_dir):
 
 _KN_D = 0.75  # absolute discount (Chen & Goodman 1999's fixed-D variant)
 _KN_FLAG_MICRO = -9000000
+# Broadcast ceiling for the hist/cont side-tables (VERDICT r8 #4): both
+# are unigram-vocab-sized (one ~24 B row per distinct history / word).
+# 2M types ~ 50 MB per table — comfortably broadcastable; a 1e8-type web
+# vocab would make them multi-GB, so above the ceiling the scoring
+# stream falls back to shuffle (sort-merge) joins on h1/h2 instead.
+# Same algebra either way; only the join STRATEGY changes, so the oracle
+# hash is unaffected.  tests/test_r14.py forces both sides of the gate
+# and asserts the plan (BroadcastHashJoin below, SortMergeJoin above).
+_KN_BCAST_MAX_VOCAB = 2_000_000
 
 
 @query(
@@ -1316,9 +1325,16 @@ def text_kneser_ney_logprob(spark, sf_dir):
 
     Plan shape for 100 TB: the bigram TYPE table (gh, h1, h2, c) is the
     only data-sized state; hist/cont are vocabulary-bounded projections
-    of it and BROADCAST onto the scoring stream, which shuffles once on
-    the bigram key — the text_bigram_logprob plan with two extra
-    broadcast side-tables."""
+    of it, BROADCAST onto the scoring stream while the vocabulary stays
+    under ``_KN_BCAST_MAX_VOCAB`` types (~50 MB/table at 2M) and joined
+    by shuffle (sort-merge on h1/h2) above it — a 1e8-type web vocab
+    makes the tables multi-GB, exactly the contamination query's
+    fixed-vs-growing side distinction.  The vocab sizes and the bigram
+    type count come from ONE aggregate over the type table, collected
+    at plan time (the "model state as plan-time literals" convention —
+    this also turns the previous ntypes crossJoin into a literal).  The
+    scoring stream itself shuffles once on the bigram key — the
+    text_bigram_logprob plan with two side-tables."""
     toks = td(spark, sf_dir, "documents").select(
         "doc_id", "source", X.tokens(F.col("text")).alias("t")
     )
@@ -1347,9 +1363,15 @@ def text_kneser_ney_logprob(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n1fw"),
     )
     cont = bg.groupBy("h2").agg(F.count(F.lit(1)).cast("long").alias("n1bw"))
-    nt = bg.agg(F.count(F.lit(1)).cast("long").alias("ntypes"))
+    stats = bg.agg(
+        F.count(F.lit(1)).cast("long").alias("ntypes"),
+        F.countDistinct("h1").alias("v1"),
+        F.countDistinct("h2").alias("v2"),
+    ).first()
+    n_types = stats["ntypes"]
+    n_vocab = max(stats["v1"], stats["v2"])
     pc = (F.coalesce(F.col("n1bw"), F.lit(0)) + F.lit(1.0)) / (
-        F.col("ntypes") + F.lit(1000000)
+        F.lit(n_types) + F.lit(1000000)
     )
     p_kn = F.when(
         F.col("c1").isNotNull(),
@@ -1359,11 +1381,14 @@ def text_kneser_ney_logprob(spark, sf_dir):
         / F.col("c1")
         + (F.lit(_KN_D) * F.col("n1fw") / F.col("c1")) * pc,
     ).otherwise(pc)
+    if n_vocab <= _KN_BCAST_MAX_VOCAB:
+        hist_j, cont_j = F.broadcast(hist), F.broadcast(cont)
+    else:  # web-scale vocab: multi-GB side-tables — shuffle join instead
+        hist_j, cont_j = hist, cont
     lp = (
         pr.join(bg.select("gh", "c"), "gh", "left")
-        .join(F.broadcast(hist), "h1", "left")
-        .join(F.broadcast(cont), "h2", "left")
-        .crossJoin(F.broadcast(nt))
+        .join(hist_j, "h1", "left")
+        .join(cont_j, "h2", "left")
         .select(
             "doc_id",
             "source",

@@ -65,6 +65,16 @@ class SingerStreamTarget:
         self.checkpoint = self.config.get("checkpoint") or os.path.join(
             self.sink.root, "_checkpoint"
         )
+        # remote-$ref resolution config, identical to the batch target's
+        # (ref_base_dir / ref_registry / ref_registry_path sidecar file)
+        self.ref_base_dir = self.config.get("ref_base_dir")
+        self.ref_registry = self.config.get("ref_registry")
+        reg_path = self.config.get("ref_registry_path")
+        if reg_path:
+            from target_parquet_spark.validation import load_ref_registry
+
+            loaded = load_ref_registry(reg_path)
+            self.ref_registry = {**loaded, **(self.ref_registry or {})}
         # stream -> (schema dict, key_properties, version_idx,
         #            widened column map {name: [type_id, format]})
         self._registry: dict[str, tuple] = {}
@@ -324,6 +334,8 @@ class SingerStreamTarget:
             source_col="_rec",
             raw_json_col="record_json",
             declared_cols=[f.name for f in fields],
+            ref_base_dir=self.ref_base_dir,
+            ref_registry=self.ref_registry,
         )
         n_bad = 0
         if self.config.get("strict_validation"):

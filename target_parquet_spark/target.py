@@ -124,7 +124,10 @@ class SingerTarget:
     for real): filepath, file_naming_scheme, compression, fixed_headers,
     strict_validation, partition_cols, max_records_per_file, exact_compat,
     quarantine_path (lenient mode: invalid records land there instead of
-    the main sink).
+    the main sink), ref_base_dir (local-file $ref resolution root),
+    ref_registry / ref_registry_path (offline remote-$ref store — inline
+    dict / sidecar JSON file of {url: schema_document}; path entries are
+    overridable by inline ones).
     """
 
     def __init__(self, spark: SparkSession, config: dict | None = None):
@@ -133,6 +136,18 @@ class SingerTarget:
         self.sink = ParquetStreamSink(self.config)
         self.exact = bool(self.config.get("exact_compat", False))
         self.strict = bool(self.config.get("strict_validation", False))
+        self.ref_base_dir = self.config.get("ref_base_dir")
+        # remote-$ref registry: inline dict (ref_registry) or sidecar
+        # JSON file (ref_registry_path — the --config-friendly form,
+        # VERDICT r8 #7); loaded ONCE at startup, failing loudly on a
+        # malformed file rather than leaving remote refs permissive.
+        self.ref_registry = self.config.get("ref_registry")
+        reg_path = self.config.get("ref_registry_path")
+        if reg_path:
+            from target_parquet_spark.validation import load_ref_registry
+
+            loaded = load_ref_registry(reg_path)
+            self.ref_registry = {**loaded, **(self.ref_registry or {})}
 
     # -- entry points --------------------------------------------------------
 
@@ -307,6 +322,8 @@ class SingerTarget:
             source_col="_rec",
             raw_json_col="record_json",
             declared_cols=[f.name for f in fields],
+            ref_base_dir=self.ref_base_dir,
+            ref_registry=self.ref_registry,
         )
         non_nullable = [f.name for f in fields if not f.nullable]
 

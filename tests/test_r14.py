@@ -168,6 +168,116 @@ class TestPngPipeline:
         assert all(len(bytes(r["pixels"])) == 4 * 4 * 3 for r in rows)
 
 
+class TestKnnGraphQuantized:
+    """VERDICT r8 #2: the SQ8/rerank kNN-graph scale path must stay
+    within a pinned recall floor of the float fold and honor the
+    planted-twin contract."""
+
+    def test_recall_vs_float_fold(self, spark, sf_dir):
+        from target_parquet_spark.operators import similarity as S
+
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+        )
+        exact = {
+            (r["src"], r["nbr"])
+            for r in S.knn_graph(emb, k=3).collect()
+        }
+        quant = {
+            (r["src"], r["nbr"])
+            for r in S.knn_graph_quantized(emb, k=3).collect()
+        }
+        assert exact, "float kNN graph is empty"
+        recall = len(exact & quant) / len(exact)
+        assert recall >= 0.95, f"quantized kNN recall {recall:.4f} < 0.95"
+
+    def test_planted_twin_is_rank_one(self, spark, sf_dir):
+        """An exact duplicate quantizes to identical codes and shares
+        every bucket in every table: it must surface at rank 1 with
+        sim 1.0 — the same contract the float scale path pins."""
+        from target_parquet_spark.operators import similarity as S
+
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .limit(200)
+        )
+        twin = emb.filter(F.col("vec_id") == 7).select(
+            F.lit(999_999).cast("long").alias("vec_id"), "embedding"
+        )
+        g = S.knn_graph_quantized(emb.unionByName(twin), k=3)
+        top = g.filter(
+            (F.col("src") == 999_999) & (F.col("nbr_rank") == 1)
+        ).collect()
+        assert len(top) == 1
+        assert top[0]["nbr"] == 7
+        assert top[0]["sim"] == 1.0
+
+    def test_exact_sims_on_surviving_edges(self, spark, sf_dir):
+        """Edges the quantized path emits must carry the EXACT rounded
+        float cosine (the rerank is a true float verify, not the
+        quantized proxy): every (src, nbr, sim) it returns must equal
+        the float path's sim for the same pair."""
+        from target_parquet_spark.operators import similarity as S
+
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+            .limit(300)
+        )
+        fsim = {
+            (r["src"], r["nbr"]): r["sim"]
+            for r in S.knn_graph(emb, k=3).collect()
+        }
+        for r in S.knn_graph_quantized(emb, k=3).collect():
+            key = (r["src"], r["nbr"])
+            if key in fsim:
+                assert r["sim"] == fsim[key], key
+
+
+class TestKneserNeyBroadcastGate:
+    """VERDICT r8 #4: hist/cont are unigram-vocab-sized; the join
+    strategy must be broadcast below _KN_BCAST_MAX_VOCAB and shuffle
+    (sort-merge) above it, with identical algebra either way."""
+
+    def _plan(self, spark, sf_dir):
+        import target_parquet_spark.queries_r9 as r9
+
+        df = r9.text_kneser_ney_logprob.__wrapped__(spark, sf_dir) if hasattr(
+            r9.text_kneser_ney_logprob, "__wrapped__"
+        ) else r9.text_kneser_ney_logprob(spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_broadcast_below_smj_above(self, spark, sf_dir, monkeypatch):
+        import target_parquet_spark.queries_r9 as r9
+
+        # Disable auto-broadcast so the strategy visible in the plan is
+        # OUR gate's decision, not the optimizer's size estimate.
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            below = self._plan(spark, sf_dir)
+            assert "BroadcastHashJoin" in below
+            monkeypatch.setattr(r9, "_KN_BCAST_MAX_VOCAB", 0)
+            above = self._plan(spark, sf_dir)
+            assert "SortMergeJoin" in above
+            assert "BroadcastHashJoin" not in above
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    def test_result_identical_across_gate(self, spark, sf_dir, monkeypatch):
+        import target_parquet_spark.queries_r9 as r9
+
+        rows = lambda: sorted(  # noqa: E731
+            (r["source"], r["n_docs"], r["mean_logprob_kn"], r["n_flagged"])
+            for r in r9.text_kneser_ney_logprob(spark, sf_dir).collect()
+        )
+        base = rows()
+        monkeypatch.setattr(r9, "_KN_BCAST_MAX_VOCAB", 0)
+        assert rows() == base
+
+
 class TestBmpGeometryGuards:
     """ADVICE r8: decode_bmp must reject bad geometry with clear errors
     before np.frombuffer, not opaque reshape failures."""

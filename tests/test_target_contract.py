@@ -395,3 +395,84 @@ def test_compiled_validation_survives_fixed_headers_projection(spark, tmp_out):
     df, rows = rows_of(spark, res["paths"]["u"])
     assert df.columns == ["id"]
     assert res["metrics"]["validationViolations"] == {"u": 1}
+
+
+# --- ref_registry_path: offline remote-$ref store from a sidecar file -------
+# (VERDICT r8 #7: a --config JSON carries the registry as a file path)
+
+
+def _remote_ref_fixture(tmp_out):
+    """Schema whose only constraint lives behind a remote $ref, plus a
+    registry sidecar file resolving it offline."""
+    props = {
+        "id": STR_NULL,
+        "v": {"$ref": "https://example.com/defs.json#/defs/nonneg"},
+    }
+    reg_path = os.path.join(tmp_out, "registry.json")
+    with open(reg_path, "w") as fh:
+        json.dump(
+            {
+                "https://example.com/defs.json": {
+                    "defs": {
+                        "nonneg": {"type": ["integer", "null"], "minimum": 0}
+                    }
+                }
+            },
+            fh,
+        )
+    lines = [
+        msg_schema("rr", props),
+        msg_record("rr", {"id": "a", "v": 1}),
+        msg_record("rr", {"id": "b", "v": -5}),
+    ]
+    return lines, reg_path
+
+
+def test_ref_registry_path_enforces_remote_ref(spark, tmp_out):
+    """With ref_registry_path in --config, a remote-$ref constraint is
+    ENFORCED end-to-end through the target (strict mode fails on the
+    violating record); without it, the same ref stays permissive —
+    the flip the validation matrix pins at compile_predicate level,
+    here pinned through the full target pipeline."""
+    lines, reg_path = _remote_ref_fixture(tmp_out)
+    # permissive without the registry: both records land
+    _, res = run(spark, tmp_out, lines, config={"strict_validation": True})
+    assert res["metrics"]["recordCount"] == {"rr": 2}
+    # enforced with it: strict mode fails the run
+    with pytest.raises(SingerValidationError, match="rr"):
+        run(
+            spark,
+            tmp_out,
+            lines,
+            config={
+                "strict_validation": True,
+                "ref_registry_path": reg_path,
+            },
+        )
+
+
+def test_ref_registry_path_lenient_counts_violation(spark, tmp_out):
+    lines, reg_path = _remote_ref_fixture(tmp_out)
+    _, res = run(
+        spark, tmp_out, lines, config={"ref_registry_path": reg_path}
+    )
+    assert res["metrics"]["recordCount"] == {"rr": 2}
+    assert res["metrics"]["validationViolations"] == {"rr": 1}
+
+
+def test_ref_registry_path_malformed_fails_loudly(spark, tmp_out):
+    from target_parquet_spark.validation import load_ref_registry
+
+    bad = os.path.join(tmp_out, "bad.json")
+    with open(bad, "w") as fh:
+        json.dump(["not", "a", "dict"], fh)
+    with pytest.raises(ValueError, match="expected a JSON object"):
+        load_ref_registry(bad)
+    with open(bad, "w") as fh:
+        json.dump({"ftp://x/y.json": {}}, fh)
+    with pytest.raises(ValueError, match="not an http"):
+        load_ref_registry(bad)
+    with open(bad, "w") as fh:
+        json.dump({"https://x/y.json": 3}, fh)
+    with pytest.raises(ValueError, match="not a schema document"):
+        load_ref_registry(bad)
