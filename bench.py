@@ -248,6 +248,7 @@ HEADLINE = [
     "graph_trustrank_capped",
     # round 9
     "multimodal_decode_png",
+    "multimodal_decode_wav",
     "sim_knn_graph_quantized",
 ]
 

@@ -42,6 +42,11 @@ __all__ = [
     "decode_png",
     "looks_like_png",
     "attach_png_media",
+    "encode_wav",
+    "decode_wav",
+    "looks_like_wav",
+    "attach_wav_media",
+    "audio_features",
     "nn_resize",
     "decode_media",
     "resize_media",
@@ -437,6 +442,201 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "media": blobs})
 
     return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python WAV codec (r9): the AUDIO modality made real.  RIFF/WAVE
+# PCM16 is a chunked container + raw little-endian samples — fully
+# decodable with struct + numpy, so the audio seam produces REAL samples
+# end-to-end in this container the way BMP/PNG do for images.  Compressed
+# audio (MP3/AAC/FLAC/ADPCM) still needs an external codec at the same
+# seam and raises the disclosed NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 8000, extra_chunks=None) -> bytes:
+    """Encode an int16 1-D array as a genuine mono PCM16 RIFF/WAVE file.
+    ``extra_chunks`` is an optional list of ``(tag, body)`` pairs written
+    BEFORE the data chunk; odd-length bodies get the RIFF word-alignment
+    pad byte — attach_wav_media plants one so decoders that skip chunks
+    without honoring the even-padding rule misparse."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim != 1:
+        raise ValueError("encode_wav takes a 1-D int16 sample array")
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte-rate, block align 2, 16-bit
+    chunks = [(b"fmt ", fmt)]
+    for tag, body in extra_chunks or []:
+        chunks.append((bytes(tag), bytes(body)))
+    chunks.append((b"data", data))
+    payload = b"".join(
+        struct.pack("<4sI", tag, len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+        for tag, body in chunks
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+
+
+def looks_like_wav(data: bytes) -> bool:
+    """Conservative sniff mirroring looks_like_bmp/png: RIFF magic alone
+    is not enough (AVI is RIFF too) — the WAVE form tag must follow."""
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+
+
+def decode_wav(data: bytes):
+    """Decode a mono PCM16 RIFF/WAVE payload to (int16 numpy array,
+    sample_rate).  Walks the chunk list for real — unknown chunks (LIST,
+    fact, cue, ...) are skipped honoring RIFF's even-size padding rule,
+    and fmt may appear anywhere before data.  Raises
+    ``NotImplementedError`` for non-PCM or non-16-bit forms (compressed
+    WAV genuinely needs an audio codec library) and ``ValueError`` for
+    structurally broken payloads, with explicit bounds checks before
+    np.frombuffer (same executor-clarity rule as decode_bmp, ADVICE r8)."""
+    import struct
+
+    import numpy as np
+
+    if not looks_like_wav(data):
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(data)
+    fmt_info = None
+    raw = None
+    while pos + 8 <= end:
+        tag, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if pos + size > end:
+            raise ValueError(
+                f"WAV chunk {tag!r} overruns payload: "
+                f"need {size} bytes at {pos}, have {end - pos}"
+            )
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short ({size} bytes)")
+            fmt_info = struct.unpack_from("<HHIIHH", data, pos)
+        elif tag == b"data":
+            raw = data[pos : pos + size]
+        pos += size + (size & 1)  # RIFF pads chunks to even sizes
+    if fmt_info is None or raw is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    audio_format, channels, rate, _byte_rate, _align, bits = fmt_info
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise NotImplementedError(
+            f"pure-Python WAV decode handles mono PCM16 only (got "
+            f"format={audio_format}, channels={channels}, bits={bits}); "
+            f"compressed/multichannel audio needs a codec library"
+        )
+    if len(raw) & 1:
+        raise ValueError("WAV data chunk has an odd byte length for PCM16")
+    return np.frombuffer(raw, dtype="<i2"), rate
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate REAL audio media: one deterministic mono PCM16 WAV per
+    id.  Sample count and every sample value are pure integer functions
+    of the id (n = 40 + id % 37, s(t) = ((id*31 + t*t*7 + t*13) % 4096)
+    - 2048) so an oracle can recompute the expected DECODED samples and
+    their features without ever parsing RIFF — while the Spark side must
+    walk the genuine chunked container to match.  A planted LIST chunk
+    whose body length varies between odd and even ((id % 3) + 5 bytes)
+    forces the decoder to honor the RIFF even-padding rule on the skip
+    path.  numpy-vectorized per item; Arrow-batched mapInPandas, no
+    shuffle (same contract as attach_png_media)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 40 + mid % 37
+                t = np.arange(n, dtype=np.int64)
+                s = ((mid * 31 + t * t * 7 + t * 13) % 4096) - 2048
+                body = (b"INFOtool" + b"x" * 3)[: 5 + mid % 3]
+                ids.append(mid)
+                blobs.append(
+                    encode_wav(
+                        s.astype("<i2"),
+                        sample_rate=8000,
+                        extra_chunks=[(b"LIST", body)],
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads and extract fixed-width audio features in one
+    Arrow-batched mapInPandas pass: sample count, rate, duration,
+    integer sum-of-squares (energy), strict sign-change zero-crossing
+    count, and the raw little-endian sample bytes for content pinning.
+    All features are exact integer arithmetic so a SQL oracle can
+    recompute them from a known generation function.
+
+    Plan shape (the 100 TB contract): payloads never leave the task that
+    holds them — scan-stage, zero shuffles; only fixed-width features and
+    the (bounded, clip-length) sample vector exit the seam.  Non-WAV
+    payloads raise at the codec seam exactly like decode_media does for
+    unknown image formats."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("samples", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "n_samples", "sample_rate",
+                                    "duration_ms", "energy",
+                                    "zero_crossings", "samples")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if not looks_like_wav(data):
+                    raise NotImplementedError(
+                        "audio codecs unavailable for non-WAV payloads: "
+                        "this seam needs an audio library (ffmpeg/librosa) "
+                        "for compressed formats — see audio_features"
+                    )
+                s, rate = decode_wav(data)
+                s64 = s.astype(np.int64)
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(len(s))
+                rows["sample_rate"].append(rate)
+                rows["duration_ms"].append(len(s) * 1000 // rate)
+                rows["energy"].append(int((s64 * s64).sum()))
+                rows["zero_crossings"].append(
+                    int((s64[:-1] * s64[1:] < 0).sum()) if len(s) > 1 else 0
+                )
+                rows["samples"].append(s.astype("<i2").tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
 
 
 MEDIA_META_TYPE = T.StructType(

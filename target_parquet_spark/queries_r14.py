@@ -108,6 +108,77 @@ def multimodal_decode_png(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# real audio decode (r9): the WAV codec seam
+# ---------------------------------------------------------------------------
+
+# Oracle: recompute the decoded samples from attach_wav_media's generation
+# function (n = 40 + id % 37, s(t) = ((id*31 + t*t*7 + t*13) % 4096) - 2048)
+# WITHOUT ever parsing RIFF — chunk walking, even-padding skips, and the
+# PCM16 little-endian layout must all be right on the Spark side or the
+# sample-content hash (hex of LE bytes, uppercase to match Spark's hex())
+# breaks.  DuckDB lists are 1-indexed: s[t]/s[t+1] over t in range(1, n)
+# pairs consecutive samples (t-1, t) in 0-indexed terms.
+_SQL_DECODE_WAV = """
+    WITH lists AS (
+      SELECT doc_id,
+             list_transform(range(0, 40 + doc_id % 37),
+               t -> ((doc_id * 31 + t * t * 7 + t * 13) % 4096) - 2048) AS s
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             length(s) AS n,
+             list_sum(list_transform(s, x -> CAST(x * x AS BIGINT))) AS energy,
+             list_sum(list_transform(range(1, length(s)),
+               t -> CASE WHEN s[t] * s[t + 1] < 0 THEN 1 ELSE 0 END)) AS zc,
+             array_to_string(list_transform(s,
+               x -> format('{:02X}{:02X}',
+                           ((x + 65536) % 65536) % 256,
+                           ((x + 65536) % 65536) // 256)), '') AS samplehex
+      FROM lists)
+    SELECT doc_id AS media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(energy AS BIGINT) AS energy,
+           CAST(zc AS BIGINT) AS zero_crossings,
+           md5(samplehex) AS samples_hash
+    FROM feats
+"""
+
+
+@query("multimodal_decode_wav", _SQL_DECODE_WAV)
+def multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode end-to-end with zero audio libraries: one
+    genuine mono PCM16 RIFF/WAVE payload per document id
+    (attach_wav_media — chunked container with a planted LIST chunk
+    whose odd/even body length exercises the RIFF word-alignment skip
+    rule), decoded by the pure-Python chunk walker in
+    operators/multimodal.decode_wav, with integer-exact features
+    (energy, strict zero crossings) extracted in the same Arrow batch.
+    The oracle recomputes expected samples from the generation function
+    directly — it never parses RIFF — so the Spark side only matches if
+    the chunk walk, padding skips, and little-endian PCM16 layout are
+    all correct.
+
+    Plan shape: two chained Arrow-batched mapInPandas stages over the id
+    column only — scan-stage, zero shuffles; payloads never leave the
+    creating task, only fixed-width features and the bounded clip-length
+    sample vector exit (the audio twin of the BMP/PNG decode contract)."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_wav_media(docs, "doc_id")
+    feats = M.audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        "energy",
+        "zero_crossings",
+        F.md5(F.hex("samples")).alias("samples_hash"),
+    )
+
+
 @query("sim_knn_graph_quantized")
 def sim_knn_graph_quantized(spark, sf_dir):
     """The k-NN graph's DESIGNATED scale path at the compute-saturated

@@ -298,3 +298,99 @@ class TestBmpGeometryGuards:
         data = M.encode_bmp(_rand_img(4, 4))
         with pytest.raises(ValueError, match="out of range"):
             M.decode_bmp(data[:-8])
+
+
+class TestWavCodec:
+    """r9: the audio modality made real — mono PCM16 RIFF/WAVE encode/
+    decode with zero audio libraries (the audio twin of the BMP/PNG
+    codec tests above)."""
+
+    @pytest.mark.parametrize("n,rate", [(1, 8000), (40, 8000), (77, 16000), (256, 44100)])
+    def test_roundtrip(self, n, rate):
+        rng = np.random.RandomState(n)
+        s = rng.randint(-32768, 32768, size=n).astype("<i2")
+        blob = M.encode_wav(s, rate)
+        assert M.looks_like_wav(blob)
+        out, r = M.decode_wav(blob)
+        assert r == rate and np.array_equal(out, s)
+
+    @pytest.mark.parametrize("body_len", [0, 1, 4, 5, 7, 8])
+    def test_extra_chunk_padding_skipped(self, body_len):
+        """RIFF pads odd-sized chunks to even byte boundaries; a decoder
+        that skips LIST/cue chunks without honoring the pad byte walks
+        off alignment and misparses everything after.  Plant bodies of
+        both parities BEFORE data and require an exact roundtrip."""
+        s = np.arange(-5, 6, dtype="<i2")
+        blob = M.encode_wav(
+            s, 8000, [(b"LIST", b"x" * body_len), (b"cue ", b"y" * (body_len + 1))]
+        )
+        out, rate = M.decode_wav(blob)
+        assert rate == 8000 and np.array_equal(out, s)
+
+    def test_avi_riff_rejected_by_sniff(self):
+        """RIFF magic alone must not route to the WAV decoder — AVI is
+        RIFF too (same rule as the BMP 'BM' sniff, review r8)."""
+        assert not M.looks_like_wav(b"RIFF\x10\x00\x00\x00AVI LIST")
+        with pytest.raises(ValueError, match="RIFF/WAVE"):
+            M.decode_wav(b"RIFF\x10\x00\x00\x00AVI LIST")
+
+    def test_truncated_chunk_rejected(self):
+        blob = M.encode_wav(np.zeros(8, "<i2"))
+        with pytest.raises(ValueError, match="overruns"):
+            M.decode_wav(blob[:-4])
+
+    def test_missing_data_chunk_rejected(self):
+        import struct as _struct
+
+        fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        blob = (
+            _struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt), b"WAVE")
+            + _struct.pack("<4sI", b"fmt ", len(fmt))
+            + fmt
+        )
+        with pytest.raises(ValueError, match="missing"):
+            M.decode_wav(blob)
+
+    @pytest.mark.parametrize(
+        "patch,msg",
+        [({"channels": 2}, "channels=2"), ({"bits": 8}, "bits=8"), ({"fmt": 3}, "format=3")],
+    )
+    def test_unsupported_forms_raise_disclosed_seam(self, patch, msg):
+        """Compressed / multichannel / non-16-bit WAV is the disclosed
+        codec seam: NotImplementedError naming exactly what was seen."""
+        import struct as _struct
+
+        data = bytearray(M.encode_wav(np.zeros(4, "<i2")))
+        # fmt chunk body starts at 20: format(H) channels(H) rate(I) ...
+        if "fmt" in patch:
+            _struct.pack_into("<H", data, 20, patch["fmt"])
+        if "channels" in patch:
+            _struct.pack_into("<H", data, 22, patch["channels"])
+        if "bits" in patch:
+            _struct.pack_into("<H", data, 34, patch["bits"])
+        with pytest.raises(NotImplementedError, match=msg):
+            M.decode_wav(bytes(data))
+
+    def test_audio_features_integer_exact(self, spark):
+        """End-to-end through the Spark seam: features from the decoded
+        samples must equal the generation-function recomputation (the
+        same contract the DuckDB oracle pins at sf0.01)."""
+        ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+        feats = {
+            r["media_id"]: r
+            for r in M.audio_features(M.attach_wav_media(ids)).collect()
+        }
+        assert len(feats) == 12
+        for mid in range(12):
+            n = 40 + mid % 37
+            t = np.arange(n, dtype=np.int64)
+            s = ((mid * 31 + t * t * 7 + t * 13) % 4096) - 2048
+            row = feats[mid]
+            assert row["n_samples"] == n
+            assert row["sample_rate"] == 8000
+            assert row["duration_ms"] == n * 1000 // 8000
+            assert row["energy"] == int((s * s).sum())
+            assert row["zero_crossings"] == int((s[:-1] * s[1:] < 0).sum())
+            assert np.array_equal(
+                np.frombuffer(row["samples"], dtype="<i2"), s.astype("<i2")
+            )
