@@ -249,6 +249,7 @@ HEADLINE = [
     # round 9
     "multimodal_decode_png",
     "multimodal_decode_wav",
+    "multimodal_decode_jpeg",
     "sim_knn_graph_quantized",
 ]
 

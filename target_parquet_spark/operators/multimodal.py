@@ -47,6 +47,10 @@ __all__ = [
     "looks_like_wav",
     "attach_wav_media",
     "audio_features",
+    "encode_jpeg",
+    "decode_jpeg",
+    "looks_like_jpeg",
+    "attach_jpeg_media",
     "nn_resize",
     "decode_media",
     "resize_media",
@@ -639,6 +643,521 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python baseline JPEG codec (r9): the dominant LOSSY web format
+# through the codec seam with numpy alone.  Baseline sequential DCT
+# (SOF0), Huffman entropy coding, grayscale and 4:4:4 YCbCr color,
+# restart markers.  Spec: the public ITU-T T.81 / ISO 10918-1 standard —
+# FDCT/IDCT (A.3.3), canonical Huffman code generation (C.2), EXTEND
+# sign reconstruction (F.2.2.1), byte stuffing (F.1.2.3), restarts
+# (F.2.2.5).  The encoder emits its OWN canonical Huffman tables in DHT
+# (a T.81-valid table shaped like Annex K's DC luminance lengths plus a
+# flat 8-bit AC table) — a decoder must honor DHT rather than assume the
+# Annex K defaults, which is exactly the contract being pinned.
+# Progressive (SOF2), subsampled chroma, 12-bit precision, and
+# arithmetic coding raise the disclosed NotImplementedError.
+# ---------------------------------------------------------------------------
+
+# DC size categories 0..11 with the Annex-K-shaped length profile
+# (2,3,3,3,3,3,4,5,6,7,8,9 bits) — multi-length canonical decode is
+# exercised on every DC coefficient.  AC run/size symbols get a flat
+# 8-bit canonical table (162 symbols, codes 0..161; the all-ones code
+# stays unused, as T.81 C.2 requires).
+_JPEG_DC_LENGTHS = [2, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9]
+
+
+def _jpeg_dc_table():
+    bits = [0] * 16
+    for ln in _JPEG_DC_LENGTHS:
+        bits[ln - 1] += 1
+    return bits, list(range(12))
+
+
+def _jpeg_ac_table():
+    vals = [0x00, 0xF0]  # EOB, ZRL
+    vals += [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    bits = [0] * 16
+    bits[7] = len(vals)
+    return bits, vals
+
+
+def _huff_encode_map(bits, vals):
+    """T.81 C.2 canonical code generation -> {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _zigzag_pairs():
+    """The 64 (row, col) pairs in JPEG zigzag order, generated rather
+    than transcribed: even diagonals run up-right, odd run down-left."""
+    out = []
+    for s in range(15):
+        rng = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0 else range(
+            max(0, s - 7), min(s, 7) + 1
+        )
+        out.extend((r, s - r) for r in rng)
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m[0] *= np.sqrt(1 / 8)
+    m[1:] *= np.sqrt(2 / 8)
+    return m  # orthonormal: M @ f @ M.T == T.81 A.3.3 FDCT exactly
+
+
+def _bit_size(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # T.81 F.1.2.3 byte stuffing
+
+    def flush(self):
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits to byte boundary
+
+
+def encode_jpeg(arr, qtable=None, restart_interval: int = 0) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a REAL
+    baseline JPEG: SOI, JFIF APP0, DQT, SOF0, DHT (the encoder's own
+    canonical tables), optional DRI, SOS, Huffman-coded byte-stuffed
+    entropy data with RSTn restarts, EOI.  Color uses BT.601 YCbCr at
+    4:4:4 (no subsampling).  ``qtable`` is a 64-element natural-order
+    quantization table (default: flat 8s with q00=8, which keeps
+    block-constant images exactly reconstructible — the oracle pin);
+    ``restart_interval`` plants DRI/RSTn every N MCUs."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h, w) gray or (h, w, 3) RGB")
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        r, g, b = (arr[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    q = np.array(
+        qtable if qtable is not None else [8] * 64, dtype=np.float64
+    ).reshape(8, 8)
+    zz = _zigzag_pairs()
+    m = _dct_matrix()
+    dc_map = _huff_encode_map(*_jpeg_dc_table())
+    ac_map = _huff_encode_map(*_jpeg_ac_table())
+
+    bw = h // 8 + (1 if h % 8 else 0)
+    ww = w // 8 + (1 if w % 8 else 0)
+    padded = []
+    for p in planes:
+        pad = np.pad(p, ((0, bw * 8 - h), (0, ww * 8 - w)), mode="edge")
+        padded.append(pad)
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    segments = []
+    mcu_idx = 0
+    for by in range(bw):
+        for bx in range(ww):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                writer.flush()
+                segments.append(bytes(writer.out))
+                writer = _BitWriter()
+                preds = [0] * len(planes)
+            for ci, p in enumerate(padded):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = np.rint((m @ blk @ m.T) / q).astype(np.int64)
+                zzc = [int(coef[r, c]) for r, c in zz]
+                diff = zzc[0] - preds[ci]
+                preds[ci] = zzc[0]
+                s = _bit_size(diff)
+                code, ln = dc_map[s]
+                writer.put(code, ln)
+                if s:
+                    writer.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                run = 0
+                for v in zzc[1:]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_map[0xF0]
+                        writer.put(code, ln)
+                        run -= 16
+                    s = _bit_size(v)
+                    code, ln = ac_map[(run << 4) | s]
+                    writer.put(code, ln)
+                    writer.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    code, ln = ac_map[0x00]
+                    writer.put(code, ln)
+            mcu_idx += 1
+    writer.flush()
+    segments.append(bytes(writer.out))
+    entropy = bytearray(segments[0])
+    for i, seg in enumerate(segments[1:]):
+        entropy += bytes([0xFF, 0xD0 + i % 8]) + seg
+
+    def seg_marker(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
+
+    qz = bytes(int(q[r, c]) for r, c in zz)
+    dqt = seg_marker(0xDB, b"\x00" + qz)
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(ncomp)
+    )
+    sof = seg_marker(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    dc_bits, dc_vals = _jpeg_dc_table()
+    ac_bits, ac_vals = _jpeg_ac_table()
+    dht = seg_marker(
+        0xC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
+    )
+    dri = seg_marker(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sos_comps = b"".join(struct.pack(">BB", cid + 1, 0x00) for cid in range(ncomp))
+    sos = seg_marker(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+    app0 = seg_marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
+        + bytes(entropy) + b"\xff\xd9"
+    )
+
+
+def _jpeg_segments(data: bytes):
+    """Walk the marker stream up to SOS, yielding (marker, body) pairs;
+    returns (segments, sos_offset) where sos_offset points at the first
+    entropy-coded byte.  Standalone markers (SOI/EOI/RSTn/TEM) carry no
+    length field."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    segs, pos = [], 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError(f"JPEG segment 0x{marker:02X} overruns payload")
+        segs.append((marker, body))
+        pos += 2 + ln
+        if marker == 0xDA:
+            return segs, pos
+    raise ValueError("JPEG payload has no SOS segment")
+
+
+def looks_like_jpeg(data: bytes) -> bool:
+    """Sniff for payloads the pure-Python decoder owns: SOI plus a
+    BASELINE (SOF0) frame, 8-bit, 1 or 3 components, all sampling
+    factors 1x1 — the subset :func:`decode_jpeg` implements."""
+    import struct
+
+    try:
+        segs, _ = _jpeg_segments(data)
+    except ValueError:
+        return False
+    for marker, body in segs:
+        if marker == 0xC0 and len(body) >= 6:
+            prec, _h, _w, n = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or n not in (1, 3) or len(body) < 6 + 3 * n:
+                return False
+            return all(body[6 + 3 * i + 1] == 0x11 for i in range(n))
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            return False
+    return False
+
+
+class _BitReader:
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.seg):
+                raise ValueError("JPEG entropy data exhausted mid-symbol")
+            self.acc = self.seg[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tables(bits, vals):
+    """T.81 F.2.2.3 mincode/maxcode/valptr decoder tables."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code, k = 0, 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _huff_read(reader, table):
+    mincode, maxcode, valptr, vals = table
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.bit()
+        if maxcode[ln] >= 0 and code <= maxcode[ln]:
+            return vals[valptr[ln] + code - mincode[ln]]
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes):
+    """Decode a baseline JPEG to an (h, w) grayscale or (h, w, 3) RGB
+    uint8 array.  Parses DQT/DHT/SOF0/DRI/SOS for real — Huffman tables
+    and quantization come from the FILE, canonical decode per T.81
+    F.2.2.3, EXTEND per F.2.2.1, byte unstuffing, restart-marker
+    sequence verification with DC-predictor resets, edge-padded
+    dimensions cropped.  Raises ``NotImplementedError`` for progressive
+    (SOF2) / extended (SOF1+) frames, subsampled chroma, non-8-bit
+    precision, and arithmetic coding — the disclosed seam — and
+    ``ValueError`` for structurally broken payloads."""
+    import struct
+
+    import numpy as np
+
+    segs, sos_pos = _jpeg_segments(data)
+    qtables, htables = {}, {}
+    frame = None
+    restart_interval = 0
+    for marker, body in segs:
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables need the extended "
+                        "(non-baseline) JPEG profile"
+                    )
+                qtables[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                htables[(tc, th)] = _huff_decode_tables(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:
+            frame = body
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) is implemented; "
+                f"got SOF marker 0x{marker:02X} (progressive/extended/"
+                f"arithmetic forms need a full codec library)"
+            )
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            sos = body
+    if frame is None:
+        raise ValueError("JPEG payload has no SOF0 frame header")
+    prec, h, w, ncomp = struct.unpack_from(">BHHB", frame, 0)
+    if prec != 8:
+        raise NotImplementedError(f"JPEG precision {prec} unsupported (8 only)")
+    comps = []
+    for i in range(ncomp):
+        cid, sampling, tq = struct.unpack_from(">BBB", frame, 6 + 3 * i)
+        if sampling != 0x11:
+            raise NotImplementedError(
+                f"subsampled chroma (sampling 0x{sampling:02X}) needs a "
+                f"full codec library; only 4:4:4 / grayscale implemented"
+            )
+        comps.append((cid, tq))
+    ns = sos[0]
+    scan_tables = {}
+    for i in range(ns):
+        cs, tdta = struct.unpack_from(">BB", sos, 1 + 2 * i)
+        scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+
+    # split entropy data on restart markers, unstuffing as we go
+    segments, cur = [], bytearray()
+    p = sos_pos
+    expected_rst = 0
+    while p < len(data):
+        b = data[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = data[p + 1] if p + 1 < len(data) else None
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            if nxt - 0xD0 != expected_rst:
+                raise ValueError(
+                    f"JPEG restart marker out of sequence: expected "
+                    f"RST{expected_rst}, got RST{nxt - 0xD0}"
+                )
+            expected_rst = (expected_rst + 1) % 8
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:
+            break  # EOI or next marker ends the scan
+    segments.append(bytes(cur))
+
+    bw = h // 8 + (1 if h % 8 else 0)
+    ww = w // 8 + (1 if w % 8 else 0)
+    m = _dct_matrix()
+    zz = _zigzag_pairs()
+    planes = [np.zeros((bw * 8, ww * 8), dtype=np.float64) for _ in comps]
+    preds = [0] * ncomp
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    mcu_idx = 0
+    for by in range(bw):
+        for bx in range(ww):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("JPEG scan missing expected restart segment")
+                reader = _BitReader(segments[seg_idx])
+                preds = [0] * ncomp
+            for ci, (cid, tq) in enumerate(comps):
+                td, ta = scan_tables[cid]
+                if (0, td) not in htables or (1, ta) not in htables:
+                    raise ValueError("JPEG scan references undefined Huffman table")
+                if tq not in qtables:
+                    raise ValueError("JPEG frame references undefined quant table")
+                s = _huff_read(reader, htables[(0, td)])
+                diff = _extend(reader.bits(s), s) if s else 0
+                preds[ci] += diff
+                zzc = [0] * 64
+                zzc[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(reader, htables[(1, ta)])
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    size = rs & 0x0F
+                    zzc[k] = _extend(reader.bits(size), size)
+                    k += 1
+                q = qtables[tq]
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for idx, (r, c) in enumerate(zz):
+                    coef[r, c] = zzc[idx] * q[idx]
+                blk = m.T @ coef @ m + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            mcu_idx += 1
+
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate REAL lossy-compressed media: one deterministic baseline
+    grayscale JPEG per id.  Every 8x8 block is CONSTANT (block value
+    v(by, bx) = (id*37 + by*17 + bx*11) % 256, wb = 2 + id % 3 blocks
+    wide, hb = 1 + id % 2 high), so the DCT has only a DC coefficient
+    and the quantize(q00=8)/IDCT round trip reconstructs the pixels
+    EXACTLY despite JPEG being lossy in general — which is what lets a
+    SQL oracle recompute the expected decoded output without parsing
+    JPEG, while the Spark side must run genuine Huffman entropy decode
+    (DC categories vary per block), dequantization, IDCT, and — for odd
+    ids — restart-marker resequencing (DRI=2).  Arrow-batched
+    mapInPandas, no shuffle."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                wb, hb = 2 + mid % 3, 1 + mid % 2
+                by = np.arange(hb, dtype=np.int64)[:, None] * 17
+                bx = np.arange(wb, dtype=np.int64)[None, :] * 11
+                blocks = ((mid * 37 + by + bx) % 256).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                ids.append(mid)
+                blobs.append(
+                    encode_jpeg(img, restart_interval=2 if mid % 2 else 0)
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
 MEDIA_META_TYPE = T.StructType(
     [
         T.StructField("modality", T.StringType()),
@@ -742,13 +1261,25 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
                         target_width,
                         target_height,
                     ).tobytes()
+                elif looks_like_jpeg(data):
+                    # Real LOSSY decode, no imaging library needed (r9):
+                    # Huffman entropy decode + dequant + IDCT.  Grayscale
+                    # output is replicated to RGB so the fixed-size pixel
+                    # contract matches the BMP/PNG/PIL paths.
+                    arr = decode_jpeg(data)
+                    if arr.ndim == 2:
+                        import numpy as np
+
+                        arr = np.repeat(arr[:, :, None], 3, axis=2)
+                    out = nn_resize(arr, target_width, target_height).tobytes()
                 elif _PIL_Image is None:
-                    # CODEC SEAM: formats beyond BMP/PNG (JPEG, palette
-                    # or interlaced PNG, ...) need pillow.
+                    # CODEC SEAM: formats beyond BMP/PNG/baseline-JPEG
+                    # (progressive JPEG, palette or interlaced PNG, ...)
+                    # need pillow.
                     raise NotImplementedError(
-                        "media codecs unavailable for non-BMP/PNG "
-                        "payloads: install pillow (PIL) and this seam "
-                        "decodes for real — see decode_media"
+                        "media codecs unavailable for non-BMP/PNG/"
+                        "baseline-JPEG payloads: install pillow (PIL) and "
+                        "this seam decodes for real — see decode_media"
                     )
                 else:
                     img = _PIL_Image.open(io.BytesIO(data)).convert("RGB")

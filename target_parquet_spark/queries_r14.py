@@ -109,6 +109,75 @@ def multimodal_decode_png(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# real lossy decode (r9): the baseline JPEG codec seam
+# ---------------------------------------------------------------------------
+
+_JPG_W = 9
+_JPG_H = 3
+
+# Oracle: JPEG is lossy in general, but attach_jpeg_media plants images
+# whose 8x8 blocks are CONSTANT — the DCT is then DC-only and the
+# quantize(q00=8)/IDCT round trip is exact (T.81 A.3.3: a constant block's
+# AC coefficients are identically zero and its DC survives q00=8 without
+# rounding loss).  So the oracle recomputes decoded+resized pixels from
+# the generation function (block value (id*37 + by*17 + bx*11) % 256,
+# wb = 2 + id % 3, hb = 1 + id % 2 blocks) without ever parsing JPEG —
+# while the Spark side must run real Huffman entropy decode, dequantize,
+# IDCT, and restart-marker resequencing (DRI=2 on odd ids) to match.
+# Flattened row-major RGB (gray replicated x3): i -> Y = i // (W*3),
+# X = (i % (W*3)) // 3; src y = (Y*h) // H, x = (X*w) // W; block
+# by = y // 8, bx = x // 8.
+_SQL_DECODE_JPEG = f"""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents),
+    px AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, {_JPG_H * _JPG_W * 3}),
+               i -> format('{{:02X}}',
+                 (doc_id * 37
+                  + ((((i // {_JPG_W * 3}) * hb * 8) // {_JPG_H}) // 8) * 17
+                  + (((((i % {_JPG_W * 3}) // 3) * wb * 8) // {_JPG_W}) // 8) * 11
+                 ) % 256)), '') AS pixhex
+      FROM dims)
+    SELECT doc_id AS media_id,
+           CAST({_JPG_W} AS INTEGER) AS width,
+           CAST({_JPG_H} AS INTEGER) AS height,
+           CAST({_JPG_H * _JPG_W * 3} AS BIGINT) AS n_bytes,
+           md5(pixhex) AS pixels_hash
+    FROM px
+"""
+
+
+@query("multimodal_decode_jpeg", _SQL_DECODE_JPEG)
+def multimodal_decode_jpeg(spark, sf_dir):
+    """REAL lossy-format decode end-to-end with zero imaging libraries:
+    one genuine baseline JPEG per document id (attach_jpeg_media — SOI/
+    DQT/SOF0/DHT/SOS markers, the encoder's own canonical Huffman tables
+    carried in DHT, byte-stuffed entropy data, RSTn restarts on odd
+    ids), decoded by the pure-Python codec inside decode_media's seam
+    (canonical Huffman decode per T.81 F.2.2.3, dequantize, IDCT) and
+    nearest-neighbor-resized to {W}x{H} RGB.  The planted images are
+    block-constant, which makes the lossy round trip EXACT (DC-only
+    blocks) — so the oracle pins the output hash-exactly from the
+    generation function without ever parsing JPEG.
+
+    Plan shape: two chained Arrow-batched mapInPandas stages over the id
+    column only — scan-stage, zero shuffles (same contract as the BMP/
+    PNG/WAV decode pins)."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_jpeg_media(docs, "doc_id")
+    decoded = M.decode_media(media, target_width=_JPG_W, target_height=_JPG_H)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("pixels").cast("long").alias("n_bytes"),
+        F.md5(F.hex("pixels")).alias("pixels_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # real audio decode (r9): the WAV codec seam
 # ---------------------------------------------------------------------------
 

@@ -394,3 +394,107 @@ class TestWavCodec:
             assert np.array_equal(
                 np.frombuffer(row["samples"], dtype="<i2"), s.astype("<i2")
             )
+
+
+class TestJpegCodec:
+    """r9: baseline JPEG — the dominant lossy web format — encoded and
+    decoded pure-Python per the public T.81 spec.  Block-constant images
+    round-trip EXACTLY (DC-only blocks with q00=8), which is what lets
+    the multimodal_decode_jpeg oracle pin real Huffman/IDCT decode
+    hash-exactly; arbitrary images are pinned by tolerance."""
+
+    @pytest.mark.parametrize("hb,wb,dri", [(1, 2, 0), (2, 4, 0), (2, 3, 2), (3, 3, 1)])
+    def test_block_constant_exact(self, hb, wb, dri):
+        blocks = ((np.arange(hb)[:, None] * 17 + np.arange(wb)[None, :] * 11 + 5) % 256).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), np.uint8))
+        blob = M.encode_jpeg(img, restart_interval=dri)
+        assert M.looks_like_jpeg(blob)
+        assert np.array_equal(M.decode_jpeg(blob), img)
+
+    def test_block_constant_exact_odd_dims(self):
+        """Edge-replicated padding keeps partial blocks constant, so
+        non-multiple-of-8 dimensions stay exact too."""
+        blocks = ((np.arange(3)[:, None] * 17 + np.arange(4)[None, :] * 11) % 256).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), np.uint8))[:20, :27]
+        assert np.array_equal(M.decode_jpeg(M.encode_jpeg(img)), img)
+
+    @pytest.mark.parametrize("shape", [(24, 33), (8, 8), (17, 9)])
+    def test_random_gray_tolerance(self, shape):
+        """With an all-ones quant table the only loss is DCT/IDCT float
+        rounding — reconstruction must stay within +/-2 of the source."""
+        rng = np.random.RandomState(shape[0])
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = M.decode_jpeg(M.encode_jpeg(img, qtable=[1] * 64))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    def test_random_rgb_tolerance(self):
+        """4:4:4 color adds the BT.601 YCbCr round trip on top."""
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+        out = M.decode_jpeg(M.encode_jpeg(img, qtable=[1] * 64))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    def test_entropy_data_is_really_huffman(self):
+        """The scan must be genuine variable-length entropy data: two
+        images differing in one block value produce different-length
+        streams (amplitude bits track DC categories), and the stream is
+        far smaller than the raw pixels for a block-constant image."""
+        blocks = np.full((2, 4), 100, np.uint8)
+        a = M.encode_jpeg(np.kron(blocks, np.ones((8, 8), np.uint8)))
+        blocks[1, 2] = 255
+        b = M.encode_jpeg(np.kron(blocks, np.ones((8, 8), np.uint8)))
+        assert len(a) != len(b)
+        assert len(a) < 8 * 2 * 8 * 4  # way under 1 byte/pixel
+
+    def test_restart_markers_present_and_resequenced(self):
+        img = np.kron(np.arange(8, dtype=np.uint8).reshape(2, 4) * 30, np.ones((8, 8), np.uint8))
+        blob = M.encode_jpeg(img, restart_interval=2)
+        assert b"\xff\xd0" in blob and b"\xff\xd1" in blob and b"\xff\xd2" in blob
+        assert np.array_equal(M.decode_jpeg(blob), img)
+        # out-of-sequence restart must be rejected, not silently accepted
+        broken = blob.replace(b"\xff\xd1", b"\xff\xd3", 1)
+        with pytest.raises(ValueError, match="out of sequence"):
+            M.decode_jpeg(broken)
+
+    def test_progressive_raises_disclosed_seam(self):
+        blob = M.encode_jpeg(np.zeros((8, 8), np.uint8))
+        bad = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        assert not M.looks_like_jpeg(bad)
+        with pytest.raises(NotImplementedError, match="SOF"):
+            M.decode_jpeg(bad)
+
+    def test_subsampled_raises_disclosed_seam(self):
+        rgb = np.zeros((8, 8, 3), np.uint8)
+        blob = bytearray(M.encode_jpeg(rgb))
+        # SOF0 component 1 sampling byte: find SOF0, comp data at +10
+        i = bytes(blob).index(b"\xff\xc0")
+        blob[i + 5 + 6] = 0x22  # claim 2x2 sampling for component 1
+        assert not M.looks_like_jpeg(bytes(blob))
+        with pytest.raises(NotImplementedError, match="subsampl"):
+            M.decode_jpeg(bytes(blob))
+
+    def test_truncated_rejected(self):
+        blob = M.encode_jpeg(np.full((8, 8), 77, np.uint8))
+        with pytest.raises(ValueError):
+            M.decode_jpeg(blob[:30])
+
+    def test_decode_media_routes_jpeg(self, spark):
+        """End-to-end through the Spark seam: gray JPEG decodes replicate
+        to RGB and resize, matching the generation function exactly."""
+        ids = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+        out = M.decode_media(
+            M.attach_jpeg_media(ids), target_width=9, target_height=3
+        ).collect()
+        assert len(out) == 6
+        for row in out:
+            mid = row["media_id"]
+            wb, hb = 2 + mid % 3, 1 + mid % 2
+            w, h = 8 * wb, 8 * hb
+            pix = np.frombuffer(row["pixels"], np.uint8).reshape(3, 9, 3)
+            for Y in range(3):
+                for X in range(9):
+                    by, bx = ((Y * h) // 3) // 8, ((X * w) // 9) // 8
+                    v = (mid * 37 + by * 17 + bx * 11) % 256
+                    assert tuple(pix[Y, X]) == (v, v, v)
