@@ -250,6 +250,7 @@ HEADLINE = [
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "multimodal_decode_jpeg",
+    "multimodal_video_frames",
     "sim_knn_graph_quantized",
 ]
 

@@ -51,6 +51,11 @@ __all__ = [
     "decode_jpeg",
     "looks_like_jpeg",
     "attach_jpeg_media",
+    "encode_avi",
+    "decode_avi_frames",
+    "looks_like_avi",
+    "attach_avi_media",
+    "decode_video_frames",
     "nn_resize",
     "decode_media",
     "resize_media",
@@ -1156,6 +1161,221 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "media": blobs})
 
     return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python AVI/MJPEG container (r9): the VIDEO modality made real.
+# AVI is a nested RIFF container (the same chunk grammar the WAV decoder
+# walks, plus LIST recursion); Motion-JPEG stores one baseline JPEG per
+# frame, which the codec above already decodes.  Container spec: the
+# public Microsoft AVI RIFF form (avih/strh/strf/movi/idx1); frames are
+# '00dc' chunks.  Compressed video codecs (H.264/VP9/AV1) genuinely
+# need an external decoder and raise the disclosed NotImplementedError
+# at the same seam.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Encode a list of JPEG frame payloads as a REAL AVI/MJPEG file:
+    RIFF('AVI ') with a hdrl LIST (avih main header + one 'vids'/'MJPG'
+    stream's strh/strf), a movi LIST of even-padded '00dc' frame chunks,
+    and an idx1 index whose offsets point into movi — the standard
+    structure any AVI reader expects."""
+    import struct
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack("<4sI", tag, len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4h",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, 0, 0xFFFFFFFF >> 1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        # idx1 offsets point at the ckid within movi, relative to the
+        # 'movi' form tag (the common convention)
+        idx += struct.pack("<4sIII", b"00dc", 0x10, len(movi_body), len(f))
+        movi_body += chunk(b"00dc", bytes(f))
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(b"idx1", idx)
+    payload = b"AVI " + hdrl + movi + idx1
+    return struct.pack("<4sI", b"RIFF", len(payload)) + payload
+
+
+def looks_like_avi(data: bytes) -> bool:
+    """RIFF magic + the 'AVI ' form tag (mirrors looks_like_wav)."""
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def decode_avi_frames(data: bytes):
+    """Parse an AVI container and return (frame payload list, declared
+    frame count, width, height).  Walks the nested RIFF structure for
+    real — LIST recursion, even-size chunk padding, video frames from
+    '00dc'/'00db' chunks inside the movi LIST, dimensions and frame
+    count from the avih main header.  Raises ``NotImplementedError``
+    when the stream header declares a compression handler other than
+    MJPG/raw (H.264 etc. genuinely need a video codec library) and
+    ``ValueError`` for structurally broken containers."""
+    import struct
+
+    if not looks_like_avi(data):
+        raise ValueError("not a RIFF/AVI payload")
+    frames, avih, handler = [], None, None
+
+    def walk(lo: int, hi: int, in_movi: bool):
+        nonlocal avih, handler
+        pos = lo
+        while pos + 8 <= hi:
+            tag, size = struct.unpack_from("<4sI", data, pos)
+            pos += 8
+            if pos + size > hi:
+                raise ValueError(
+                    f"AVI chunk {tag!r} overruns its parent: need {size} "
+                    f"bytes at {pos}, have {hi - pos}"
+                )
+            if tag == b"LIST":
+                list_type = data[pos : pos + 4]
+                walk(pos + 4, pos + size, in_movi or list_type == b"movi")
+            elif tag == b"avih":
+                if size < 40:
+                    raise ValueError("AVI avih header too short")
+                avih = struct.unpack_from("<10I", data, pos)
+            elif tag == b"strh":
+                fcc_type, fcc_handler = struct.unpack_from("<4s4s", data, pos)
+                if fcc_type == b"vids":
+                    handler = fcc_handler
+            elif in_movi and tag[2:4] in (b"dc", b"db"):
+                frames.append(data[pos : pos + size])
+            pos += size + (size & 1)  # RIFF even-size padding
+
+    walk(12, len(data), False)
+    if avih is None:
+        raise ValueError("AVI container missing avih main header")
+    if handler is not None and handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(
+            f"AVI video handler {handler!r} needs a real video codec "
+            f"library; only MJPG (per-frame JPEG) is implemented"
+        )
+    n_declared, width, height = avih[4], avih[8], avih[9]
+    return frames, n_declared, width, height
+
+
+def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate REAL video media: one deterministic AVI/MJPEG clip per
+    id.  Frame count, dimensions, and every pixel are pure functions of
+    the id (F = 2 + id % 3 frames, wb = 2 + id % 2 x hb = 1 + id % 2
+    blocks of 8x8, block value v(f, by, bx) = (id*37 + f*53 + by*17 +
+    bx*11) % 256), with each frame a genuine block-constant baseline
+    JPEG — so the whole container round trip (RIFF walk -> per-frame
+    Huffman/IDCT decode) is exactly reconstructible by a SQL oracle that
+    never parses AVI or JPEG.  Arrow-batched mapInPandas, no shuffle."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nf = 2 + mid % 3
+                wb, hb = 2 + mid % 2, 1 + mid % 2
+                frames = []
+                for f in range(nf):
+                    by = np.arange(hb, dtype=np.int64)[:, None] * 17
+                    bx = np.arange(wb, dtype=np.int64)[None, :] * 11
+                    blocks = ((mid * 37 + f * 53 + by + bx) % 256).astype(np.uint8)
+                    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                    frames.append(encode_jpeg(img))
+                ids.append(mid)
+                blobs.append(encode_avi(frames, wb * 8, hb * 8))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def decode_video_frames(df: DataFrame, stride: int = 1) -> DataFrame:
+    """Decode video payloads into per-frame pixel rows in one
+    Arrow-batched mapInPandas pass: the AVI walk yields the frame
+    payloads, every ``stride``-th frame is JPEG-decoded, and raw
+    grayscale/RGB bytes exit with their geometry.  The declared avih
+    frame count is cross-checked against the movi chunks (a mismatched
+    container is corrupt, not silently truncated).
+
+    Plan shape (the 100 TB contract): container payloads never leave the
+    creating task — scan-stage, zero shuffles; rows multiply only by the
+    bounded per-clip frame count.  Non-AVI payloads raise at the codec
+    seam exactly like the image/audio paths."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "frame_idx", "n_frames",
+                                    "width", "height", "pixels")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if not looks_like_avi(data):
+                    raise NotImplementedError(
+                        "video codecs unavailable for non-AVI payloads: "
+                        "MP4/MKV demuxing needs a media library (ffmpeg) "
+                        "— see decode_video_frames"
+                    )
+                frames, n_declared, w, h = decode_avi_frames(data)
+                if n_declared != len(frames):
+                    raise ValueError(
+                        f"AVI declares {n_declared} frames but movi "
+                        f"carries {len(frames)}"
+                    )
+                for f in range(0, len(frames), stride):
+                    arr = decode_jpeg(frames[f])
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(arr.shape[1])
+                    rows["height"].append(arr.shape[0])
+                    rows["pixels"].append(arr.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
 
 
 MEDIA_META_TYPE = T.StructType(

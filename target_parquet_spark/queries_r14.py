@@ -178,6 +178,71 @@ def multimodal_decode_jpeg(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# real video decode (r9): the AVI/MJPEG container seam
+# ---------------------------------------------------------------------------
+
+# Oracle: recompute every frame's decoded pixels from attach_avi_media's
+# generation function (F = 2 + id % 3 frames, wb = 2 + id % 2 x
+# hb = 1 + id % 2 blocks, pixel (y, x) of frame f =
+# (id*37 + f*53 + (y//8)*17 + (x//8)*11) % 256) WITHOUT parsing AVI or
+# JPEG — the Spark side must walk the nested RIFF container (LIST
+# recursion, even-size padding, avih cross-check) and Huffman/IDCT-decode
+# each MJPEG frame to match.  Native-size grayscale bytes, row-major:
+# i -> y = i // w, x = i % w.
+_SQL_DECODE_VIDEO = """
+    WITH per_frame AS (
+      SELECT doc_id,
+             CAST(u.f AS INTEGER) AS frame_idx,
+             CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+             CAST(8 * (2 + doc_id % 2) AS INTEGER) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+      FROM documents, unnest(range(0, 2 + doc_id % 3)) AS u(f)),
+    px AS (
+      SELECT doc_id, frame_idx, n_frames, width, height,
+             array_to_string(list_transform(range(0, width * height),
+               i -> format('{:02X}',
+                 (doc_id * 37 + frame_idx * 53
+                  + ((i // width) // 8) * 17
+                  + ((i % width) // 8) * 11) % 256)), '') AS pixhex
+      FROM per_frame)
+    SELECT doc_id AS media_id, frame_idx, n_frames, width, height,
+           md5(pixhex) AS pixels_hash
+    FROM px
+"""
+
+
+@query("multimodal_video_frames", _SQL_DECODE_VIDEO)
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video decode end-to-end with zero media libraries: one
+    genuine AVI/MJPEG clip per document id (attach_avi_media — RIFF
+    container with hdrl/strh/strf headers, even-padded '00dc' movi
+    chunks, idx1 index; every frame a genuine baseline JPEG), demuxed by
+    the pure-Python nested-RIFF walker and frame-decoded through the
+    T.81 Huffman/IDCT codec (operators/multimodal.decode_video_frames).
+    The declared avih frame count is cross-checked against the movi
+    chunks.  The oracle recomputes every frame's pixels from the
+    generation function directly — it never parses AVI or JPEG — so the
+    Spark side only matches if the container walk AND the per-frame
+    lossy decode are both exactly right.
+
+    Plan shape: two chained Arrow-batched mapInPandas stages over the id
+    column only — scan-stage, zero shuffles; rows fan out only by the
+    bounded per-clip frame count (the video twin of the image/audio
+    decode contracts)."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_avi_media(docs, "doc_id")
+    frames = M.decode_video_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        F.md5(F.hex("pixels")).alias("pixels_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # real audio decode (r9): the WAV codec seam
 # ---------------------------------------------------------------------------
 
