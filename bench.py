@@ -251,6 +251,7 @@ HEADLINE = [
     "multimodal_decode_wav",
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
+    "multimodal_audio_vad",
     "sim_knn_graph_quantized",
 ]
 

@@ -47,6 +47,7 @@ __all__ = [
     "looks_like_wav",
     "attach_wav_media",
     "audio_features",
+    "audio_vad_segments",
     "encode_jpeg",
     "decode_jpeg",
     "looks_like_jpeg",
@@ -1161,6 +1162,62 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "media": blobs})
 
     return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def audio_vad_segments(df: DataFrame, threshold: int = 1024) -> DataFrame:
+    """Energy-threshold voice-activity detection over decoded WAV
+    payloads: maximal runs of consecutive samples with |s| > threshold
+    become segments, emitted as (segment index, start/end sample, length,
+    peak |s|) rows.  The VAD-before-ASR shape of a real audio pipeline —
+    and exactly integer arithmetic, so a SQL oracle can replay it as a
+    gaps-and-islands query over the generation function.
+
+    Plan shape: decode + segment extraction in ONE Arrow-batched
+    mapInPandas pass — the payload and the per-sample waveform never
+    leave the task; only bounded per-segment rows exit (never a
+    per-sample explode, which at 100 TB would be a rate x duration row
+    blowup ahead of the shuffle)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("seg_idx", T.IntegerType()),
+            T.StructField("start_sample", T.LongType()),
+            T.StructField("end_sample", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "seg_idx", "start_sample",
+                                    "end_sample", "n_samples", "peak")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                s, _rate = decode_wav(bytes(payload))
+                active = np.abs(s.astype(np.int64)) > threshold
+                if not active.any():
+                    continue
+                # run boundaries via the diff of the padded active mask
+                edges = np.flatnonzero(np.diff(np.concatenate(
+                    ([False], active, [False])).astype(np.int8)))
+                starts, ends = edges[::2], edges[1::2]  # end exclusive
+                a = np.abs(s.astype(np.int64))
+                for i, (st, en) in enumerate(zip(starts, ends)):
+                    rows["media_id"].append(int(mid))
+                    rows["seg_idx"].append(i)
+                    rows["start_sample"].append(int(st))
+                    rows["end_sample"].append(int(en - 1))
+                    rows["n_samples"].append(int(en - st))
+                    rows["peak"].append(int(a[st:en].max()))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

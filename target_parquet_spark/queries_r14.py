@@ -177,6 +177,55 @@ def multimodal_decode_jpeg(spark, sf_dir):
     )
 
 
+# Oracle: replay the VAD as a classic gaps-and-islands over the per-sample
+# rows recomputed from the WAV generation function — consecutive active
+# samples (|s| > 1024) share (t - dense rank among actives), each island
+# becomes one segment row.  The Spark side never explodes samples; this
+# oracle exists precisely to prove the scan-stage numpy run-extraction
+# equals the relational formulation.
+_SQL_AUDIO_VAD = """
+    WITH samples AS (
+      SELECT doc_id, u.t,
+             ((doc_id * 31 + u.t * u.t * 7 + u.t * 13) % 4096) - 2048 AS s
+      FROM documents, unnest(range(0, 40 + doc_id % 37)) AS u(t)),
+    active AS (
+      SELECT doc_id, t, abs(s) AS a,
+             t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+      FROM samples WHERE abs(s) > 1024),
+    islands AS (
+      SELECT doc_id, grp, min(t) AS start_sample, max(t) AS end_sample,
+             count(*) AS n_samples, max(a) AS peak
+      FROM active GROUP BY doc_id, grp)
+    SELECT doc_id AS media_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_sample)
+                - 1 AS INTEGER) AS seg_idx,
+           CAST(start_sample AS BIGINT) AS start_sample,
+           CAST(end_sample AS BIGINT) AS end_sample,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(peak AS BIGINT) AS peak
+    FROM islands
+"""
+
+
+@query("multimodal_audio_vad", _SQL_AUDIO_VAD)
+def multimodal_audio_vad(spark, sf_dir):
+    """Voice-activity segmentation over REAL decoded audio: WAV payloads
+    decode in the Arrow seam and maximal |s| > 1024 runs exit as
+    per-segment rows (start/end sample, length, peak) — the
+    VAD-before-ASR stage of a speech data pipeline.  The oracle replays
+    the segmentation as a gaps-and-islands SQL query over per-sample
+    rows recomputed from the generation function, pinning the numpy run
+    extraction against the relational semantics hash-exactly.
+
+    Plan shape: decode + segmentation in one mapInPandas pass, zero
+    shuffles, and crucially NO per-sample explode — at 100 TB a
+    sample-level row blowup (sample_rate x duration x corpus) ahead of
+    a shuffle is the difference between a scan and a catastrophe."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_wav_media(docs, "doc_id")
+    return M.audio_vad_segments(media, threshold=1024)
+
+
 # ---------------------------------------------------------------------------
 # real video decode (r9): the AVI/MJPEG container seam
 # ---------------------------------------------------------------------------

@@ -571,3 +571,35 @@ class TestAviContainer:
                 for bx in range(wb):
                     v = (mid * 37 + f * 53 + by * 17 + bx * 11) % 256
                     assert (pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all()
+
+
+class TestAudioVad:
+    """r9: energy-threshold VAD over decoded WAV — numpy run extraction
+    must equal the relational gaps-and-islands semantics."""
+
+    def test_segments_match_bruteforce(self, spark):
+        ids = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+        got = {}
+        for r in M.audio_vad_segments(M.attach_wav_media(ids), 1024).collect():
+            got.setdefault(r["media_id"], []).append(
+                (r["seg_idx"], r["start_sample"], r["end_sample"], r["n_samples"], r["peak"])
+            )
+        for mid in range(20):
+            n = 40 + mid % 37
+            t = np.arange(n, dtype=np.int64)
+            s = ((mid * 31 + t * t * 7 + t * 13) % 4096) - 2048
+            a = np.abs(s)
+            exp, start = [], None
+            for i in range(n + 1):
+                on = i < n and a[i] > 1024
+                if on and start is None:
+                    start = i
+                elif not on and start is not None:
+                    exp.append((len(exp), start, i - 1, i - start, int(a[start:i].max())))
+                    start = None
+            assert sorted(got.get(mid, [])) == exp, mid
+
+    def test_all_quiet_clip_yields_no_rows(self, spark):
+        ids = spark.range(0, 3).select(F.col("id").alias("doc_id"))
+        media = M.attach_wav_media(ids)
+        assert M.audio_vad_segments(media, threshold=3000).count() == 0
