@@ -59,9 +59,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Cumulative distinct driver-gated before this round: 132 (92 through r7 +
 # 40 first-time names in CORRECTNESS_r08, all green) of the 321-query r8
-# registry; r9 registers 2 more -> 323 total.  This prefix keeps the 10
-# anchors and rotates in 40 more never-gated names (plus this round's 2 new
-# queries and the kneser-ney/holt refactors) -> expected 172/323 after r9.
+# registry; r9 registers 6 more (multimodal decode_png/wav/jpeg,
+# video_frames, audio_vad, sim_knn_graph_quantized) -> 327 total.  This
+# prefix keeps the 10 anchors and rotates in 40 never-gated names — all six
+# r9 newcomers gate first; four wave-2 names (temperature_mixture,
+# weighted_without_replacement, ewma_daily, duplicate_groups) defer to
+# wave 3 to make room -> expected 172/327 after r9.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -77,6 +80,10 @@ _CURATED_PREFIX = [
     # --- never-gated rotation, round 9 (wave 2 of VERDICT r7 #3) ---
     # new/changed this round — gate them first
     "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_decode_jpeg",
+    "multimodal_video_frames",
+    "multimodal_audio_vad",
     "sim_knn_graph_quantized",
     "text_kneser_ney_logprob",
     # TPC-H tail (q11-q22 never driver-gated)
@@ -117,12 +124,8 @@ _CURATED_PREFIX = [
     "sample_stratified",
     "sample_token_budget",
     "sample_mixture_quota",
-    "sample_temperature_mixture",
-    "sample_weighted_without_replacement",
-    # asof / window / dedup stragglers
+    # asof straggler
     "asof_join_tolerance",
-    "window_ewma_daily",
-    "dedup_duplicate_groups",
 ]
 
 
