@@ -59,12 +59,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Cumulative distinct driver-gated before this round: 132 (92 through r7 +
 # 40 first-time names in CORRECTNESS_r08, all green) of the 321-query r8
-# registry; r9 registers 6 more (multimodal decode_png/wav/jpeg,
-# video_frames, audio_vad, sim_knn_graph_quantized) -> 327 total.  This
-# prefix keeps the 10 anchors and rotates in 40 never-gated names — all six
-# r9 newcomers gate first; four wave-2 names (temperature_mixture,
-# weighted_without_replacement, ewma_daily, duplicate_groups) defer to
-# wave 3 to make room -> expected 172/327 after r9.
+# registry; r9 registers 7 more (multimodal decode_png/wav/jpeg,
+# video_frames, audio_vad, corpus_profile, sim_knn_graph_quantized)
+# -> 328 total.  This
+# prefix keeps the 10 anchors and rotates in 40 never-gated names — all seven
+# r9 newcomers gate first; five wave-2 names (temperature_mixture,
+# weighted_without_replacement, ewma_daily, duplicate_groups,
+# mixture_quota) defer to wave 3 to make room -> expected 172/328 after r9.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -84,6 +85,7 @@ _CURATED_PREFIX = [
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
     "multimodal_audio_vad",
+    "multimodal_corpus_profile",
     "sim_knn_graph_quantized",
     "text_kneser_ney_logprob",
     # TPC-H tail (q11-q22 never driver-gated)
@@ -123,7 +125,6 @@ _CURATED_PREFIX = [
     "sample_hash_pct",
     "sample_stratified",
     "sample_token_budget",
-    "sample_mixture_quota",
     # asof straggler
     "asof_join_tolerance",
 ]

@@ -252,6 +252,7 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "multimodal_video_frames",
     "multimodal_audio_vad",
+    "multimodal_corpus_profile",
     "sim_knn_graph_quantized",
 ]
 

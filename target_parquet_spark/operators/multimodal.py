@@ -57,6 +57,8 @@ __all__ = [
     "looks_like_avi",
     "attach_avi_media",
     "decode_video_frames",
+    "attach_mixed_media",
+    "media_profile",
     "nn_resize",
     "decode_media",
     "resize_media",
@@ -1430,6 +1432,161 @@ def decode_video_frames(df: DataFrame, stride: int = 1) -> DataFrame:
                     rows["width"].append(arr.shape[1])
                     rows["height"].append(arr.shape[0])
                     rows["pixels"].append(arr.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
+def attach_mixed_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate a MIXED-modality corpus: id % 5 routes each id to one of
+    the five real formats (0 BMP, 1 PNG, 2 JPEG, 3 WAV, 4 AVI), each
+    generated by the SAME deterministic functions its dedicated
+    attach_*_media uses — so per-format oracles compose.  This is the
+    realistic ingest shape: one binary column, formats discovered by
+    sniffing, never by trusting a file extension."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                kind = mid % 5
+                if kind == 0:  # BMP (attach_bmp_media's function)
+                    w, h = 4 + mid % 9, 3 + mid % 7
+                    y = np.arange(h, dtype=np.int64)[:, None, None] * 131
+                    x = np.arange(w, dtype=np.int64)[None, :, None] * 17
+                    c = np.arange(3, dtype=np.int64)[None, None, :] * 59
+                    blob = encode_bmp(((mid * 7 + y + x + c) % 256).astype(np.uint8))
+                elif kind == 1:  # PNG (attach_png_media's function)
+                    w, h = 5 + mid % 8, 3 + mid % 6
+                    y = np.arange(h, dtype=np.int64)[:, None, None] * 89
+                    x = np.arange(w, dtype=np.int64)[None, :, None] * 29
+                    c = np.arange(3, dtype=np.int64)[None, None, :] * 47
+                    blob = encode_png(
+                        ((mid * 13 + y + x + c) % 256).astype(np.uint8),
+                        [(mid + yy) % 5 for yy in range(h)],
+                    )
+                elif kind == 2:  # JPEG (attach_jpeg_media's function)
+                    wb, hb = 2 + mid % 3, 1 + mid % 2
+                    by = np.arange(hb, dtype=np.int64)[:, None] * 17
+                    bx = np.arange(wb, dtype=np.int64)[None, :] * 11
+                    blocks = ((mid * 37 + by + bx) % 256).astype(np.uint8)
+                    blob = encode_jpeg(
+                        np.kron(blocks, np.ones((8, 8), dtype=np.uint8)),
+                        restart_interval=2 if mid % 2 else 0,
+                    )
+                elif kind == 3:  # WAV (attach_wav_media's function)
+                    n = 40 + mid % 37
+                    t = np.arange(n, dtype=np.int64)
+                    s = ((mid * 31 + t * t * 7 + t * 13) % 4096) - 2048
+                    body = (b"INFOtool" + b"x" * 3)[: 5 + mid % 3]
+                    blob = encode_wav(
+                        s.astype("<i2"), 8000, [(b"LIST", body)]
+                    )
+                else:  # AVI (attach_avi_media's function)
+                    nf = 2 + mid % 3
+                    wb, hb = 2 + mid % 2, 1 + mid % 2
+                    frames = []
+                    for f in range(nf):
+                        by = np.arange(hb, dtype=np.int64)[:, None] * 17
+                        bx = np.arange(wb, dtype=np.int64)[None, :] * 11
+                        blocks = ((mid * 37 + f * 53 + by + bx) % 256).astype(np.uint8)
+                        frames.append(
+                            encode_jpeg(np.kron(blocks, np.ones((8, 8), np.uint8)))
+                        )
+                    blob = encode_avi(frames, wb * 8, hb * 8)
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def media_profile(df: DataFrame) -> DataFrame:
+    """Sniff-route and REALLY decode every payload, emitting one profile
+    row per item: detected format, decoded unit count (pixel samples x
+    channels for images/video, audio samples for WAV), and the exact
+    integer content sum (pixel-value sum, or sample energy for audio).
+    The profiling pass a media lake runs at ingest — format census,
+    decode validation, corpus-level content stats — and the shared body
+    of the batch query and its streaming twin
+    (streaming/media_profile.StreamingMediaProfile).
+
+    Plan shape: sniff + decode + per-item reduction in ONE Arrow batch —
+    payloads never leave the task; downstream sees only (format, two
+    longs) per item, so the per-format corpus rollup is a 5-row
+    aggregate no matter the corpus size."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("n_units", T.LongType()),
+            T.StructField("value_sum", T.LongType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "format", "n_units", "value_sum")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if looks_like_bmp(data):
+                    arr = decode_bmp(data)
+                    fmt = "bmp"
+                    n_units, vsum = arr.size, int(arr.astype(np.int64).sum())
+                elif looks_like_png(data):
+                    arr = decode_png(data)
+                    fmt = "png"
+                    n_units, vsum = arr.size, int(arr.astype(np.int64).sum())
+                elif looks_like_jpeg(data):
+                    arr = decode_jpeg(data)
+                    fmt = "jpeg"
+                    n_units, vsum = arr.size, int(arr.astype(np.int64).sum())
+                elif looks_like_wav(data):
+                    s, _rate = decode_wav(data)
+                    s64 = s.astype(np.int64)
+                    fmt = "wav"
+                    n_units, vsum = len(s), int((s64 * s64).sum())
+                elif looks_like_avi(data):
+                    frames, n_declared, _w, _h = decode_avi_frames(data)
+                    if n_declared != len(frames):
+                        raise ValueError(
+                            f"AVI declares {n_declared} frames but movi "
+                            f"carries {len(frames)}"
+                        )
+                    fmt = "avi"
+                    n_units = vsum = 0
+                    for fr in frames:
+                        arr = decode_jpeg(fr)
+                        n_units += arr.size
+                        vsum += int(arr.astype(np.int64).sum())
+                else:
+                    raise NotImplementedError(
+                        "media_profile cannot decode this payload with "
+                        "zero media libraries (BMP/PNG/baseline-JPEG/WAV/"
+                        "AVI-MJPG implemented); install pillow/ffmpeg for "
+                        "the rest — see decode_media"
+                    )
+                rows["media_id"].append(int(mid))
+                rows["format"].append(fmt)
+                rows["n_units"].append(int(n_units))
+                rows["value_sum"].append(int(vsum))
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)

@@ -109,6 +109,110 @@ def multimodal_decode_png(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# mixed-modality corpus profile (r9): sniff-routed real decode census
+# ---------------------------------------------------------------------------
+
+
+def corpus_profile_over(media_df):
+    """Shared body of multimodal_corpus_profile and the streaming twin
+    (streaming/media_profile.StreamingMediaProfile): real decode of
+    every payload, then the 5-row per-format rollup.  stream == batch is
+    code-path equality, not a reimplementation."""
+    prof = M.media_profile(media_df)
+    return prof.groupBy("format").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_units").cast("long").alias("total_units"),
+        F.sum("value_sum").cast("long").alias("value_sum"),
+    )
+
+
+# Oracle: each modality's decoded content is recomputed from its
+# generation function (the same algebra the per-format decode oracles
+# pin), composed across the id % 5 routing — never parsing any format.
+# value_sum is the exact integer pixel-value sum (images/video, with the
+# JPEG/AVI block structure collapsing to 64x the block values) or the
+# sample energy (audio).
+_SQL_CORPUS_PROFILE = """
+    WITH bmp AS (
+      SELECT 'bmp' AS format,
+             (4 + doc_id % 9) * (3 + doc_id % 7) * 3 AS n_units,
+             list_sum(list_transform(
+               range(0, (4 + doc_id % 9) * (3 + doc_id % 7) * 3),
+               i -> (doc_id * 7
+                     + (i // ((4 + doc_id % 9) * 3)) * 131
+                     + ((i % ((4 + doc_id % 9) * 3)) // 3) * 17
+                     + (i % 3) * 59) % 256)) AS value_sum
+      FROM documents WHERE doc_id % 5 = 0),
+    png AS (
+      SELECT 'png' AS format,
+             (5 + doc_id % 8) * (3 + doc_id % 6) * 3 AS n_units,
+             list_sum(list_transform(
+               range(0, (5 + doc_id % 8) * (3 + doc_id % 6) * 3),
+               i -> (doc_id * 13
+                     + (i // ((5 + doc_id % 8) * 3)) * 89
+                     + ((i % ((5 + doc_id % 8) * 3)) // 3) * 29
+                     + (i % 3) * 47) % 256)) AS value_sum
+      FROM documents WHERE doc_id % 5 = 1),
+    jpg AS (
+      SELECT 'jpeg' AS format,
+             64 * (2 + doc_id % 3) * (1 + doc_id % 2) AS n_units,
+             64 * list_sum(list_transform(
+               range(0, (2 + doc_id % 3) * (1 + doc_id % 2)),
+               i -> (doc_id * 37
+                     + (i // (2 + doc_id % 3)) * 17
+                     + (i % (2 + doc_id % 3)) * 11) % 256)) AS value_sum
+      FROM documents WHERE doc_id % 5 = 2),
+    wav AS (
+      SELECT 'wav' AS format,
+             40 + doc_id % 37 AS n_units,
+             list_sum(list_transform(range(0, 40 + doc_id % 37),
+               t -> CAST((((doc_id * 31 + t * t * 7 + t * 13) % 4096) - 2048)
+                    * (((doc_id * 31 + t * t * 7 + t * 13) % 4096) - 2048)
+                    AS BIGINT))) AS value_sum
+      FROM documents WHERE doc_id % 5 = 3),
+    avi AS (
+      SELECT 'avi' AS format,
+             (2 + doc_id % 3) * 64 * (2 + doc_id % 2) * (1 + doc_id % 2) AS n_units,
+             64 * list_sum(list_transform(
+               range(0, (2 + doc_id % 3) * (2 + doc_id % 2) * (1 + doc_id % 2)),
+               i -> (doc_id * 37
+                     + (i // ((2 + doc_id % 2) * (1 + doc_id % 2))) * 53
+                     + ((i % ((2 + doc_id % 2) * (1 + doc_id % 2)))
+                        // (2 + doc_id % 2)) * 17
+                     + ((i % ((2 + doc_id % 2) * (1 + doc_id % 2)))
+                        % (2 + doc_id % 2)) * 11) % 256)) AS value_sum
+      FROM documents WHERE doc_id % 5 = 4),
+    u AS (
+      SELECT * FROM bmp UNION ALL SELECT * FROM png UNION ALL
+      SELECT * FROM jpg UNION ALL SELECT * FROM wav UNION ALL
+      SELECT * FROM avi)
+    SELECT format,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_units) AS BIGINT) AS total_units,
+           CAST(sum(value_sum) AS BIGINT) AS value_sum
+    FROM u GROUP BY format
+"""
+
+
+@query("multimodal_corpus_profile", _SQL_CORPUS_PROFILE)
+def multimodal_corpus_profile(spark, sf_dir):
+    """Mixed-modality ingest census over REAL decodes: one binary column
+    carrying all five formats (id % 5 routing), sniff-detected — never
+    extension-trusted — and fully decoded (BMP stride walk, PNG
+    inflate+unfilter, JPEG Huffman+IDCT, WAV chunk walk, AVI demux +
+    per-frame decode), reduced to a 5-row per-format rollup of exact
+    integer content sums.  The oracle recomputes every modality's
+    decoded content from its generation function, so a single wrong
+    byte anywhere in any codec breaks the corpus-level aggregate.
+
+    Plan shape: decode + per-item reduction in one Arrow batch, then a
+    5-group partial-aggregated rollup — at 100 TB the only shuffle is
+    five rows per task."""
+    docs = td(spark, sf_dir, "documents")
+    return corpus_profile_over(M.attach_mixed_media(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # real lossy decode (r9): the baseline JPEG codec seam
 # ---------------------------------------------------------------------------
 

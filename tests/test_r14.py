@@ -603,3 +603,86 @@ class TestAudioVad:
         ids = spark.range(0, 3).select(F.col("id").alias("doc_id"))
         media = M.attach_wav_media(ids)
         assert M.audio_vad_segments(media, threshold=3000).count() == 0
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    query.stop()
+
+
+def _prof_rows(df):
+    return sorted(
+        (r["format"], r["n_items"], r["total_units"], r["value_sum"])
+        for r in df.collect()
+    )
+
+
+class TestMixedMediaProfile:
+    """r9: sniff-routed mixed-modality census over real decodes, batch
+    and streaming twin."""
+
+    def test_mixed_routing_covers_all_formats(self, spark):
+        ids = spark.range(0, 25).select(F.col("id").alias("doc_id"))
+        prof = M.media_profile(M.attach_mixed_media(ids)).collect()
+        assert len(prof) == 25
+        by_fmt = {}
+        for r in prof:
+            by_fmt.setdefault(r["format"], []).append(r["media_id"])
+        assert set(by_fmt) == {"bmp", "png", "jpeg", "wav", "avi"}
+        for fmt, mids in by_fmt.items():
+            assert len(mids) == 5
+            assert len({m % 5 for m in mids}) == 1  # routing is id % 5
+
+    def test_profile_matches_dedicated_decoders(self, spark):
+        """The mixed profile must agree with the per-format decoders on
+        every item — any drift between attach_mixed_media's generation
+        and the dedicated attach functions breaks this."""
+        ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+        prof = {r["media_id"]: r for r in M.media_profile(M.attach_mixed_media(ids)).collect()}
+        for mid in range(10):
+            r = prof[mid]
+            kind = mid % 5
+            if kind == 0:
+                w, h = 4 + mid % 9, 3 + mid % 7
+                y = np.arange(h)[:, None, None] * 131
+                x = np.arange(w)[None, :, None] * 17
+                c = np.arange(3)[None, None, :] * 59
+                arr = (mid * 7 + y + x + c) % 256
+                assert (r["format"], r["n_units"], r["value_sum"]) == ("bmp", arr.size, int(arr.sum()))
+            elif kind == 3:
+                n = 40 + mid % 37
+                t = np.arange(n, dtype=np.int64)
+                s = ((mid * 31 + t * t * 7 + t * 13) % 4096) - 2048
+                assert (r["format"], r["n_units"], r["value_sum"]) == ("wav", n, int((s * s).sum()))
+
+    def test_streaming_twin_equals_batch(self, spark, tmp_path):
+        from target_parquet_spark.queries_r14 import corpus_profile_over
+        from target_parquet_spark.streaming.media_profile import StreamingMediaProfile
+
+        ids = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+        media = M.attach_mixed_media(ids)
+        src = str(tmp_path / "media_src")
+        media.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        want = _prof_rows(corpus_profile_over(spark.read.parquet(src)))
+
+        st = StreamingMediaProfile(spark, str(tmp_path / "prof"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        _await(st.start(stream, available_now=True))
+        assert _prof_rows(st.read_profile()) == want
+
+        # replay idempotence: re-delivering an epoch overwrites its partial
+        half = spark.read.parquet(src).limit(7)
+        st._merge_batch(half, 0)
+        after = _prof_rows(st.read_profile())
+        st._merge_batch(half, 0)
+        assert _prof_rows(st.read_profile()) == after
+
+        # compaction folds partials without changing the read path
+        st.compact()
+        assert _prof_rows(st.read_profile()) == after
