@@ -59,13 +59,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Cumulative distinct driver-gated before this round: 132 (92 through r7 +
 # 40 first-time names in CORRECTNESS_r08, all green) of the 321-query r8
-# registry; r9 registers 7 more (multimodal decode_png/wav/jpeg,
-# video_frames, audio_vad, corpus_profile, sim_knn_graph_quantized)
-# -> 328 total.  This
-# prefix keeps the 10 anchors and rotates in 40 never-gated names — all seven
-# r9 newcomers gate first; five wave-2 names (temperature_mixture,
-# weighted_without_replacement, ewma_daily, duplicate_groups,
-# mixture_quota) defer to wave 3 to make room -> expected 172/328 after r9.
+# registry; r9 registers 8 more (multimodal decode_png/wav/jpeg,
+# video_frames, audio_vad, corpus_profile, content_dedup,
+# sim_knn_graph_quantized) -> 329 total.  This prefix keeps the 10 anchors
+# and rotates in 40 never-gated names — all eight r9 newcomers gate first;
+# six wave-2 names (temperature_mixture, weighted_without_replacement,
+# ewma_daily, duplicate_groups, mixture_quota, token_budget) defer to
+# wave 3 to make room -> expected 172/329 after r9.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -86,6 +86,7 @@ _CURATED_PREFIX = [
     "multimodal_video_frames",
     "multimodal_audio_vad",
     "multimodal_corpus_profile",
+    "multimodal_content_dedup",
     "sim_knn_graph_quantized",
     "text_kneser_ney_logprob",
     # TPC-H tail (q11-q22 never driver-gated)
@@ -124,7 +125,6 @@ _CURATED_PREFIX = [
     # sampling family
     "sample_hash_pct",
     "sample_stratified",
-    "sample_token_budget",
     # asof straggler
     "asof_join_tolerance",
 ]

@@ -253,6 +253,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_audio_vad",
     "multimodal_corpus_profile",
+    "multimodal_content_dedup",
     "sim_knn_graph_quantized",
 ]
 

@@ -59,6 +59,8 @@ __all__ = [
     "decode_video_frames",
     "attach_mixed_media",
     "media_profile",
+    "attach_image_pair_media",
+    "image_content_keys",
     "nn_resize",
     "decode_media",
     "resize_media",
@@ -1587,6 +1589,97 @@ def media_profile(df: DataFrame) -> DataFrame:
                 rows["format"].append(fmt)
                 rows["n_units"].append(int(n_units))
                 rows["value_sum"].append(int(vsum))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
+def attach_image_pair_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate cross-container duplicate pairs: for each id ``p``, the
+    SAME pixel content (the BMP generation function: w = 4 + p % 9,
+    h = 3 + p % 7, px(y, x, c) = (p*7 + y*131 + x*17 + c*59) % 256) is
+    emitted TWICE — media_id 2p as an uncompressed BMP and 2p+1 as a
+    zlib-compressed PNG.  The two payloads share not a single byte
+    (different container, different compression), so byte-level hashing
+    can never pair them; only decoding both for real can.  This is the
+    media-lake dedup reality: mirrors re-encode, thumbnails re-compress,
+    and content identity lives BELOW the container."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                p = int(mid)
+                w, h = 4 + p % 9, 3 + p % 7
+                y = np.arange(h, dtype=np.int64)[:, None, None] * 131
+                x = np.arange(w, dtype=np.int64)[None, :, None] * 17
+                c = np.arange(3, dtype=np.int64)[None, None, :] * 59
+                arr = ((p * 7 + y + x + c) % 256).astype(np.uint8)
+                ids.extend([2 * p, 2 * p + 1])
+                blobs.extend([encode_bmp(arr), encode_png(arr)])
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def image_content_keys(df: DataFrame) -> DataFrame:
+    """Decode image payloads (sniff-routed BMP/PNG/JPEG) and emit a
+    content identity key — md5 of the decoded RGB bytes — plus the
+    container format.  Identical pixels produce identical keys no matter
+    how they were encoded; downstream dedup is then an ordinary
+    key-grouped aggregation.  One Arrow pass, payloads never leave the
+    task, only (id, format, 32-char key) rows exit."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("content_key", T.StringType()),
+        ]
+    )
+
+    def _batches(it):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "format", "content_key")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if looks_like_bmp(data):
+                    fmt, arr = "bmp", decode_bmp(data)
+                elif looks_like_png(data):
+                    fmt, arr = "png", decode_png(data)[:, :, :3]
+                elif looks_like_jpeg(data):
+                    fmt, arr = "jpeg", decode_jpeg(data)
+                    if arr.ndim == 2:
+                        arr = np.repeat(arr[:, :, None], 3, axis=2)
+                else:
+                    raise NotImplementedError(
+                        "image_content_keys needs a decodable image "
+                        "payload (BMP/PNG/baseline-JPEG) — see decode_media"
+                    )
+                rows["media_id"].append(int(mid))
+                rows["format"].append(fmt)
+                rows["content_key"].append(
+                    hashlib.md5(
+                        arr.tobytes().hex().upper().encode()
+                    ).hexdigest()
+                )
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)

@@ -213,6 +213,68 @@ def multimodal_corpus_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# cross-container content dedup (r9): dedup below the byte level
+# ---------------------------------------------------------------------------
+
+# Oracle: each pair (2p BMP, 2p+1 PNG) shares the BMP generation
+# function's pixels, so the content key is md5 of the same pixel hex the
+# decode oracles compute — recomputed here from the formula, never from
+# either container.  Byte-level identity would pair NOTHING (zlib output
+# shares no bytes with a BMP); decoded-content identity pairs everything.
+# Cross-p content collisions need p ≡ p' (mod lcm(63, 256) = 16128) — the
+# first one appears at corpus size 16128, far above the sf0.01 oracle
+# scale (500 ids) and the sf0.1 bench scale (5000); at probe scales the
+# engine legitimately merges those groups (they ARE identical content).
+_SQL_CONTENT_DEDUP = """
+    WITH px AS (
+      SELECT doc_id AS p,
+             md5(array_to_string(list_transform(
+               range(0, (4 + doc_id % 9) * (3 + doc_id % 7) * 3),
+               i -> format('{:02X}',
+                 (doc_id * 7
+                  + (i // ((4 + doc_id % 9) * 3)) * 131
+                  + ((i % ((4 + doc_id % 9) * 3)) // 3) * 17
+                  + (i % 3) * 59) % 256)), '')) AS content_key
+      FROM documents)
+    SELECT content_key,
+           CAST(2 AS BIGINT) AS n_items,
+           CAST(2 AS BIGINT) AS n_formats,
+           CAST(2 * p AS BIGINT) AS min_media_id,
+           CAST(2 * p + 1 AS BIGINT) AS max_media_id
+    FROM px
+"""
+
+
+@query("multimodal_content_dedup", _SQL_CONTENT_DEDUP)
+def multimodal_content_dedup(spark, sf_dir):
+    """Media dedup BELOW the container: every document id yields the
+    same pixels twice — once as an uncompressed BMP, once as a
+    zlib-compressed PNG (attach_image_pair_media) — so the two payloads
+    share no bytes and byte-hash dedup finds zero duplicates.  Both
+    payloads decode for real in the Arrow seam (image_content_keys) to
+    an md5 content key over the RGB bytes; an ordinary key-grouped
+    aggregation then recovers every cross-format duplicate group.  The
+    oracle recomputes the keys from the generation function, pinning
+    BOTH codecs' decoded output AND the grouping hash-exactly.
+
+    Plan shape: decode + key extraction scan-stage; the only shuffle is
+    the 32-char-key groupBy — at 100 TB that is dedup's irreducible
+    exchange, carrying keys and ids, never pixels."""
+    docs = td(spark, sf_dir, "documents")
+    keys = M.image_content_keys(M.attach_image_pair_media(docs, "doc_id"))
+    return (
+        keys.groupBy("content_key")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.countDistinct("format").cast("long").alias("n_formats"),
+            F.min("media_id").alias("min_media_id"),
+            F.max("media_id").alias("max_media_id"),
+        )
+        .where(F.col("n_items") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # real lossy decode (r9): the baseline JPEG codec seam
 # ---------------------------------------------------------------------------
 

@@ -686,3 +686,38 @@ class TestMixedMediaProfile:
         # compaction folds partials without changing the read path
         st.compact()
         assert _prof_rows(st.read_profile()) == after
+
+
+class TestContentDedup:
+    """r9: dedup below the container — same pixels as BMP and PNG share
+    no bytes but must share a content key."""
+
+    def test_pairs_share_key_and_no_bytes(self, spark):
+        ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+        media = {r["media_id"]: bytes(r["media"])
+                 for r in M.attach_image_pair_media(ids).collect()}
+        keys = {r["media_id"]: (r["format"], r["content_key"])
+                for r in M.image_content_keys(M.attach_image_pair_media(ids)).collect()}
+        for p in range(8):
+            bmp, png = media[2 * p], media[2 * p + 1]
+            # containers are byte-disjoint beyond trivial header overlap
+            assert bmp[:2] == b"BM" and png[:8] == b"\x89PNG\r\n\x1a\n"
+            assert keys[2 * p][0] == "bmp" and keys[2 * p + 1][0] == "png"
+            assert keys[2 * p][1] == keys[2 * p + 1][1]
+        # distinct ids -> distinct content below the collision period
+        assert len({v[1] for v in keys.values()}) == 8
+
+    def test_jpeg_content_key_matches_when_lossless(self):
+        """A block-constant JPEG decodes to exactly its source pixels, so
+        its content key equals the BMP encoding of the same image."""
+        import hashlib
+
+        blocks = ((np.arange(2)[:, None] * 17 + np.arange(3)[None, :] * 11) % 256).astype(np.uint8)
+        gray = np.kron(blocks, np.ones((8, 8), np.uint8))
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        want = hashlib.md5(rgb.tobytes().hex().upper().encode()).hexdigest()
+        jf = M.decode_jpeg(M.encode_jpeg(gray))
+        got = hashlib.md5(
+            np.repeat(jf[:, :, None], 3, axis=2).tobytes().hex().upper().encode()
+        ).hexdigest()
+        assert got == want
