@@ -1037,6 +1037,12 @@ def decode_jpeg(data: bytes):
     for i in range(ns):
         cs, tdta = struct.unpack_from(">BB", sos, 1 + 2 * i)
         scan_tables[cs] = (tdta >> 4, tdta & 0x0F)
+    if set(scan_tables) != {cid for cid, _ in comps}:
+        raise NotImplementedError(
+            "non-interleaved JPEG (scan does not cover every frame "
+            "component) needs multi-scan support; only single interleaved "
+            "baseline scans are implemented"
+        )
 
     # split entropy data on restart markers, unstuffing as we go
     segments, cur = [], bytearray()
