@@ -552,14 +552,25 @@ def semantic_dup_pairs(
     bucket derivation); the distinct runs over the near-dup pair set,
     which is corpus-bounded, not candidate-bounded.  The adaptive count()
     is one cheap job, model-state style like the codebook collects.
+
+    Norms are hoisted to a per-ROW scan-stage column before the join
+    (round 9): the naive ``cosine(x, y)`` in the join condition made
+    Catalyst re-run BOTH norm folds per CANDIDATE — three interpreted
+    HOF folds per pair instead of one.  sqrt(dot(v,v)) computed once per
+    row and multiplied per pair is the identical IEEE arithmetic (same
+    fold, same sqrt, same product), so the rounded sim is bit-equal —
+    verified pair-for-pair at sf0.01 (exceptAll both ways = 0) — and
+    only the per-candidate cost changes: measured 1.9x at sf10
+    (pair-gen 166s -> 86s on the same 65M-candidate, 2.48M-pair set).
     """
     dim, n_planes = _adaptive_planes(
         corpus, vec_col, target_occupancy, floor=8, n_planes=n_planes,
         caller="semantic_dup_pairs",
     )
+    based = corpus.withColumn("_nrm", norm(F.col(vec_col)))
     pair_sets = []
     for t_idx in range(n_tables):
-        b = corpus.withColumn(
+        b = based.withColumn(
             "bucket", lsh_bucket(F.col(vec_col), n_planes, dim, table=t_idx)
         )
         x, y = b.alias("x"), b.alias("y")
@@ -573,7 +584,9 @@ def semantic_dup_pairs(
                 F.col(f"x.{id_col}").alias("id_a"),
                 F.col(f"y.{id_col}").alias("id_b"),
                 F.round(
-                    cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 4
+                    dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+                    / (F.col("x._nrm") * F.col("y._nrm")),
+                    4,
                 ).alias("sim"),
             )
             .filter(F.col("sim") >= threshold)

@@ -257,15 +257,24 @@ def sim_semantic_clusters_scaled(spark, sf_dir):
     string cannot replay.  Exact duplicates are found by construction
     (identical vectors share every bucket in every table), so the planted
     copy pairs of the doubled corpus always close into their clusters —
-    pinned by tests/test_r4.py."""
+    pinned by tests/test_r4.py.
+
+    The doubling offset is max(1_000_000, max(vec_id)+1) — one bounded
+    1-row agg at plan time (the model-state convention).  A fixed
+    1_000_000 collided with real ids at the sf100 replica scale
+    (vec_id reaches 1,999,999 there), silently fusing unrelated
+    originals and copies under one id; at every oracle/test/bench scale
+    ids stay far below 1M, so the floor keeps those scales' output
+    byte-identical."""
     from pyspark.sql import Window
 
     from target_parquet_spark.operators import dedup as D
     from target_parquet_spark.operators import similarity as S
 
     emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = max(1_000_000, (emb.agg(F.max("vec_id")).first()[0] or 0) + 1)
     doubled = emb.unionByName(
-        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+        emb.select((F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding")
     )
     pairs = S.semantic_dup_pairs(
         doubled, id_col="vec_id", vec_col="embedding", threshold=0.98,
