@@ -59,13 +59,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # Cumulative distinct driver-gated before this round: 132 (92 through r7 +
 # 40 first-time names in CORRECTNESS_r08, all green) of the 321-query r8
-# registry; r9 registers 8 more (multimodal decode_png/wav/jpeg,
+# registry; r9 registers 9 more (multimodal decode_png/wav/jpeg/gif,
 # video_frames, audio_vad, corpus_profile, content_dedup,
-# sim_knn_graph_quantized) -> 329 total.  This prefix keeps the 10 anchors
-# and rotates in 40 never-gated names — all eight r9 newcomers gate first;
-# six wave-2 names (temperature_mixture, weighted_without_replacement,
-# ewma_daily, duplicate_groups, mixture_quota, token_budget) defer to
-# wave 3 to make room -> expected 172/329 after r9.
+# sim_knn_graph_quantized) -> 330 total.  This prefix keeps the 10 anchors
+# and rotates in 40 never-gated names — all nine r9 newcomers gate first;
+# seven wave-2 names (temperature_mixture, weighted_without_replacement,
+# ewma_daily, duplicate_groups, mixture_quota, token_budget, and
+# asof_join_tolerance — bumped for decode_gif) defer to wave 3 to make
+# room -> expected 172/330 after r9.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -87,6 +88,7 @@ _CURATED_PREFIX = [
     "multimodal_audio_vad",
     "multimodal_corpus_profile",
     "multimodal_content_dedup",
+    "multimodal_decode_gif",
     "sim_knn_graph_quantized",
     "text_kneser_ney_logprob",
     # TPC-H tail (q11-q22 never driver-gated)
@@ -125,8 +127,6 @@ _CURATED_PREFIX = [
     # sampling family
     "sample_hash_pct",
     "sample_stratified",
-    # asof straggler
-    "asof_join_tolerance",
 ]
 
 

@@ -255,6 +255,7 @@ HEADLINE = [
     "multimodal_corpus_profile",
     "multimodal_content_dedup",
     "sim_knn_graph_quantized",
+    "multimodal_decode_gif",
 ]
 
 

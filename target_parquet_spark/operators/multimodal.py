@@ -459,6 +459,310 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pure-Python GIF codec (r9): DICTIONARY-coded compression made real.
+# BMP covered the uncompressed layout, PNG the LZ77+Huffman (deflate)
+# family, JPEG the lossy transform family — GIF's LZW is the remaining
+# classic compression family (greedy dictionary coding with variable
+# code widths, clear/EOI control codes, LSB-first bit packing, 255-byte
+# sub-block framing), implemented here from the GIF87a/89a spec with
+# zero imaging libraries.  Palette-indexed: decoded indices map through
+# the global color table to RGB.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width starting at
+    ``min_code_size + 1`` bits, clear code ``2^min_code_size``, EOI one
+    above it, dictionary capped at 4096 codes (emit clear + reset when
+    full), codes packed LSB-first.  The width bump mirrors the decoder
+    rule exactly: after assigning code N, width grows when the NEXT
+    code to assign equals ``2^width`` (so every emitted code always
+    fits the width the decoder is reading at)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([c]): c for c in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    emit(clear, width)
+    prefix = b""
+    for k in bytes(indices):
+        cand = prefix + bytes([k])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            # dictionary full: reset (the decoder mirrors on the clear)
+            emit(clear, width)
+            table = {bytes([c]): c for c in range(clear)}
+            next_code, width = eoi + 1, min_code_size + 1
+        prefix = bytes([k])
+    if prefix:
+        emit(table[prefix], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of :func:`_lzw_compress`, including the KwKwK case (a
+    code referencing the entry being defined by this very step) and
+    mid-stream clear codes.  Raises ``ValueError`` on codes beyond the
+    table (corrupt stream) or a stream that ends without EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = acc = nbits = 0
+    seq: list[bytes] = [bytes([c]) for c in range(clear)] + [b"", b""]
+    next_index, width = eoi + 1, min_code_size + 1
+    prev: bytes | None = None
+    out = bytearray()
+
+    def read() -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            seq = [bytes([c]) for c in range(clear)] + [b"", b""]
+            next_index, width = eoi + 1, min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"LZW first code {code} not a literal")
+            out.extend(seq[code])
+            prev = seq[code]
+            continue
+        if code < next_index:
+            entry = seq[code]
+        elif code == next_index:
+            entry = prev + prev[:1]  # KwKwK: defined by this step
+        else:
+            raise ValueError(f"LZW code {code} beyond table {next_index}")
+        out.extend(entry)
+        if next_index < 4096:
+            seq.append(prev + entry[:1])
+            next_index += 1
+            # EARLY bump: the encoder's table leads this one by exactly
+            # one entry (it adds after emitting; we add after reading
+            # the NEXT code), so its width grows one entry before ours
+            # would under a naive mirror.  Growing at 2^w - 1 keeps the
+            # read width equal to the emit width for every code — the
+            # first desync would otherwise be data code #255 after a
+            # clear, far beyond what small round-trip tests touch.
+            if next_index == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def gif_palette() -> bytes:
+    """The deterministic 256-entry global color table every fabricated
+    GIF uses: palette[i] = ((i*37+11) % 256, (i*73+29) % 256,
+    (i*151+47) % 256) — pure functions an oracle can replay in SQL
+    without ever seeing the table bytes."""
+    return bytes(
+        v
+        for i in range(256)
+        for v in ((i * 37 + 11) % 256, (i * 73 + 29) % 256, (i * 151 + 47) % 256)
+    )
+
+
+def encode_gif(indices, version: bytes = b"87a", extensions: bool = False) -> bytes:
+    """Encode an (h, w) uint8 index array as a REAL single-frame GIF:
+    header, logical screen descriptor, the 256-entry global color table
+    (:func:`gif_palette`), optional 89a extension blocks, image
+    descriptor, LZW-compressed pixel data in 255-byte sub-blocks,
+    trailer.  ``extensions=True`` (with version 89a) plants a graphic
+    control extension AND a comment extension before the image
+    descriptor, so a decoder that walks blocks without honoring the
+    sub-block framing misparses."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(indices, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_gif takes an (h, w) uint8 index array")
+    h, w = arr.shape
+    # packed: global table present, color resolution 8, 2^(7+1) entries
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    parts = [b"GIF" + version, lsd, gif_palette()]
+    if extensions:
+        parts.append(b"\x21\xf9\x04\x00\x00\x00\x00\x00")  # graphic ctl
+        parts.append(b"\x21\xfe\x07comment\x00")  # comment ext
+    parts.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+    lzw = _lzw_compress(arr.reshape(-1).tobytes())
+    parts.append(b"\x08")  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        parts.append(bytes([len(block)]) + block)
+    parts.append(b"\x00\x3b")  # block terminator + trailer
+    return b"".join(parts)
+
+
+def looks_like_gif(data: bytes) -> bool:
+    """Conservative sniff mirroring looks_like_bmp/png/jpeg: magic plus
+    a complete logical screen descriptor."""
+    return len(data) >= 13 and data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def decode_gif(data: bytes):
+    """Decode a single-frame GIF to an (h, w, 3) uint8 RGB array using
+    only stdlib + numpy: logical-screen/global-table parse, extension
+    block walk (sub-block framing honored), image descriptor, LZW
+    decompression (variable widths, clear/EOI, KwKwK), palette lookup.
+    Local color tables are honored; interlaced frames raise the
+    disclosed ``NotImplementedError`` (row reordering is PIL
+    territory); truncated or over-long index streams raise
+    ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    if not looks_like_gif(data):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                size = data[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "pure-Python GIF decode handles non-interlaced "
+                    "frames only; install pillow for interlaced GIFs"
+                )
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    data, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if palette is None:
+                raise ValueError("GIF frame has no color table")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"invalid GIF dimensions {w}x{h}")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF image data")
+                size = data[pos]
+                pos += 1
+                if size == 0:
+                    break
+                lzw.extend(data[pos : pos + size])
+                pos += size
+            idx = np.frombuffer(
+                _lzw_decompress(bytes(lzw), min_code), np.uint8
+            )
+            if idx.size != w * h:
+                raise ValueError(
+                    f"GIF index stream wrong size: got {idx.size}, "
+                    f"expected {w * h}"
+                )
+            if int(idx.max(initial=0)) >= palette.shape[0]:
+                raise ValueError("GIF index beyond color table")
+            return np.ascontiguousarray(palette[idx.reshape(h, w)])
+        elif block == 0x3B:  # trailer before any frame
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate REAL LZW-compressed media: one deterministic
+    palette-indexed GIF per id.  Dimensions and indices are pure
+    functions of the id (w = 6 + id % 7, h = 4 + id % 5, index(y, x) =
+    (id*11 + y*97 + x*23) % 256) and the palette is
+    :func:`gif_palette`, so an oracle can recompute the expected
+    DECODED RGB (palette ∘ index) without ever parsing GIF or running
+    LZW — while the Spark side must round-trip through genuine
+    dictionary compression to match.  Odd ids are written as GIF89a
+    with planted graphic-control + comment extensions (the block-walk
+    skip rule), even ids as bare GIF87a.  numpy-vectorized per item;
+    Arrow-batched mapInPandas, no shuffle."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 6 + mid % 7, 4 + mid % 5
+                y = np.arange(h, dtype=np.int64)[:, None] * 97
+                x = np.arange(w, dtype=np.int64)[None, :] * 23
+                idx = ((mid * 11 + y + x) % 256).astype(np.uint8)
+                ids.append(mid)
+                blobs.append(
+                    encode_gif(
+                        idx,
+                        version=b"89a" if mid % 2 else b"87a",
+                        extensions=bool(mid % 2),
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return df.select(id_col).mapInPandas(_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
 # Pure-Python WAV codec (r9): the AUDIO modality made real.  RIFF/WAVE
 # PCM16 is a chunked container + raw little-endian samples — fully
 # decodable with struct + numpy, so the audio seam produces REAL samples
@@ -1805,14 +2109,20 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
 
                         arr = np.repeat(arr[:, :, None], 3, axis=2)
                     out = nn_resize(arr, target_width, target_height).tobytes()
+                elif looks_like_gif(data):
+                    # Real DICTIONARY-coded decode, no imaging library
+                    # needed (r9): LZW decompression + palette lookup.
+                    out = nn_resize(
+                        decode_gif(data), target_width, target_height
+                    ).tobytes()
                 elif _PIL_Image is None:
-                    # CODEC SEAM: formats beyond BMP/PNG/baseline-JPEG
-                    # (progressive JPEG, palette or interlaced PNG, ...)
-                    # need pillow.
+                    # CODEC SEAM: formats beyond BMP/PNG/baseline-JPEG/
+                    # GIF (progressive JPEG, palette or interlaced PNG,
+                    # interlaced GIF, WebP, ...) need pillow.
                     raise NotImplementedError(
                         "media codecs unavailable for non-BMP/PNG/"
-                        "baseline-JPEG payloads: install pillow (PIL) and "
-                        "this seam decodes for real — see decode_media"
+                        "baseline-JPEG/GIF payloads: install pillow (PIL) "
+                        "and this seam decodes for real — see decode_media"
                     )
                 else:
                     img = _PIL_Image.open(io.BytesIO(data)).convert("RGB")

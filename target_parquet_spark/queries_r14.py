@@ -103,6 +103,78 @@ def multimodal_decode_png(spark, sf_dir):
     )
 
 
+# decode target for the GIF pin: distinct from the BMP (6x5) and PNG
+# (7x4) targets so no two decode pins can mask each other; again not a
+# divisor/multiple of any source dim (w in 6..12, h in 4..8).
+_GIF_W = 8
+_GIF_H = 5
+
+# Oracle: out pixel (Y, X, c) = palette[index((Y*h)//_GIF_H, (X*w)//_GIF_W)]
+# with index(y, x) = (doc_id*11 + y*97 + x*23) % 256 and palette channel
+# formulas r = (i*37+11) % 256, g = (i*73+29) % 256, b = (i*151+47) % 256 —
+# the exact generation functions attach_gif_media / gif_palette use.  The
+# oracle never parses GIF, never runs LZW, never sees the color table
+# bytes; the Spark side only matches if dictionary decompression and the
+# palette lookup are both correct.
+_GIF_IDX = (
+    f"((doc_id * 11 + (((i // {_GIF_W * 3}) * h) // {_GIF_H}) * 97"
+    f" + ((((i % {_GIF_W * 3}) // 3) * w) // {_GIF_W}) * 23) % 256)"
+)
+_SQL_DECODE_GIF = f"""
+    WITH dims AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 5 AS h
+      FROM documents),
+    px AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, {_GIF_H * _GIF_W * 3}),
+               i -> format('{{:02X}}',
+                 CASE i % 3
+                   WHEN 0 THEN ({_GIF_IDX} * 37 + 11) % 256
+                   WHEN 1 THEN ({_GIF_IDX} * 73 + 29) % 256
+                   ELSE ({_GIF_IDX} * 151 + 47) % 256
+                 END)), '') AS pixhex
+      FROM dims)
+    SELECT doc_id AS media_id,
+           CAST({_GIF_W} AS INTEGER) AS width,
+           CAST({_GIF_H} AS INTEGER) AS height,
+           CAST({_GIF_H * _GIF_W * 3} AS BIGINT) AS n_bytes,
+           md5(pixhex) AS pixels_hash
+    FROM px
+"""
+
+
+@query("multimodal_decode_gif", _SQL_DECODE_GIF)
+def multimodal_decode_gif(spark, sf_dir):
+    """REAL dictionary-coded image decode end-to-end with zero imaging
+    libraries: one genuine palette-indexed GIF per document id
+    (attach_gif_media — real logical-screen/color-table/image-descriptor
+    layout, LZW-compressed indices in 255-byte sub-blocks; odd ids are
+    GIF89a with planted graphic-control + comment extension blocks so
+    the block walk must honor sub-block framing), decoded by the
+    pure-Python LZW + palette path inside decode_media's seam and
+    nearest-neighbor-resized to 8x5 RGB.  With BMP (uncompressed
+    layout), PNG (LZ77+Huffman), and JPEG (lossy transform coding),
+    LZW completes the classic compression families through the same
+    seam.  The oracle recomputes expected pixels as palette ∘ index
+    from the generation functions directly — it never parses GIF or
+    runs LZW — so variable code widths, the early width bump, clear
+    codes, and the palette mapping must all be correct to match.
+
+    Plan shape: identical to the BMP/PNG/JPEG pins — two chained
+    Arrow-batched mapInPandas stages over the id column only,
+    scan-stage, zero shuffles; payloads never leave the creating task."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_gif_media(docs, "doc_id")
+    decoded = M.decode_media(media, target_width=_GIF_W, target_height=_GIF_H)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("pixels").cast("long").alias("n_bytes"),
+        F.md5(F.hex("pixels")).alias("pixels_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # quantized kNN-graph scale path (VERDICT r8 #2)
 # ---------------------------------------------------------------------------

@@ -721,3 +721,122 @@ class TestContentDedup:
             np.repeat(jf[:, :, None], 3, axis=2).tobytes().hex().upper().encode()
         ).hexdigest()
         assert got == want
+
+
+class TestGifCodec:
+    """Pure-Python GIF87a/89a + LZW (r9): dictionary coding joins the
+    uncompressed (BMP), deflate (PNG), and transform (JPEG) families
+    through the same codec seam."""
+
+    @staticmethod
+    def _idx(mid, h, w):
+        y = np.arange(h, dtype=np.int64)[:, None] * 97
+        x = np.arange(w, dtype=np.int64)[None, :] * 23
+        return ((mid * 11 + y + x) % 256).astype(np.uint8)
+
+    @staticmethod
+    def _pal():
+        return np.frombuffer(M.gif_palette(), np.uint8).reshape(256, 3)
+
+    @pytest.mark.parametrize("mid", [0, 1, 2, 3, 11, 34])
+    def test_roundtrip_both_versions(self, mid):
+        """87a (even ids) and 89a-with-extensions (odd ids) both decode
+        to palette[index] exactly — the block walk must skip the planted
+        graphic-control and comment extensions by sub-block framing."""
+        w, h = 6 + mid % 7, 4 + mid % 5
+        idx = self._idx(mid, h, w)
+        blob = M.encode_gif(
+            idx, version=b"89a" if mid % 2 else b"87a",
+            extensions=bool(mid % 2),
+        )
+        assert M.looks_like_gif(blob)
+        assert np.array_equal(M.decode_gif(blob), self._pal()[idx])
+
+    def test_width_growth_and_dictionary_reset(self):
+        """A 200x150 high-entropy index image forces the LZW code width
+        through 9 -> 10 -> 11 -> 12 bits and past the 4096-entry
+        dictionary reset; any width-bump asymmetry (the encoder's table
+        leads the decoder's by one entry) desyncs at data code #255
+        after a clear and corrupts everything beyond it."""
+        big = ((np.arange(200 * 150).reshape(200, 150) * 7919) % 256).astype(
+            np.uint8
+        )
+        assert np.array_equal(M.decode_gif(M.encode_gif(big)), self._pal()[big])
+
+    def test_lzw_kwkwk_and_saturation(self):
+        """Raw LZW invariants: the KwKwK self-referencing code (runs like
+        ababab... emit a code the decoder has not finished defining) and
+        a 30k high-entropy stream that saturates the table and forces a
+        mid-stream clear both round-trip byte-exactly."""
+        ab = bytes([97, 98] * 100)
+        assert M._lzw_decompress(M._lzw_compress(ab)) == ab
+        runs = bytes([1, 1] * 5000)
+        assert M._lzw_decompress(M._lzw_compress(runs)) == runs
+        rng = np.random.RandomState(13)
+        noisy = rng.randint(0, 256, 30000, dtype=np.uint8).tobytes()
+        assert M._lzw_decompress(M._lzw_compress(noisy)) == noisy
+
+    def test_one_pixel_and_sniff_negatives(self):
+        one = np.array([[42]], np.uint8)
+        assert np.array_equal(M.decode_gif(M.encode_gif(one)), self._pal()[one])
+        assert not M.looks_like_gif(b"GIF87a")  # magic but no descriptor
+        assert not M.looks_like_gif(b"NOTGIF" + b"\x00" * 20)
+
+    def test_interlaced_rejected_disclosed(self):
+        """Interlaced frames are outside the pure decoder's subset and
+        must raise the disclosed NotImplementedError, not misdecode."""
+        blob = bytearray(M.encode_gif(self._idx(3, 5, 6)))
+        i = blob.index(0x2C, 13 + 768)  # image descriptor after GCT
+        blob[i + 9] |= 0x40
+        with pytest.raises(NotImplementedError):
+            M.decode_gif(bytes(blob))
+
+    def test_truncation_and_corruption_guards(self):
+        blob = M.encode_gif(self._idx(5, 4, 7))
+        with pytest.raises(ValueError):
+            M.decode_gif(blob[: len(blob) // 2])  # truncated image data
+        with pytest.raises(ValueError):
+            M.decode_gif(b"GIF87a" + blob[6:12])  # truncated descriptor
+        # index stream size contract: claim a larger frame than encoded
+        bad = bytearray(blob)
+        i = bad.index(0x2C, 13 + 768)
+        bad[i + 5] += 1  # bump descriptor width
+        with pytest.raises(ValueError):
+            M.decode_gif(bytes(bad))
+
+    def test_attach_decode_matches_generation_function(self, spark):
+        """End-to-end through Spark: attach real GIFs for ids 0..39,
+        decode+resize via decode_media, compare raw pixels against
+        palette-composed generation functions computed directly in
+        numpy — the same independence the DuckDB oracle enforces."""
+        from target_parquet_spark.queries_r14 import _GIF_H, _GIF_W
+
+        ids = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+        media = M.attach_gif_media(ids, "doc_id")
+        out = {
+            r["media_id"]: bytes(r["pixels"])
+            for r in M.decode_media(
+                media, target_width=_GIF_W, target_height=_GIF_H
+            ).collect()
+        }
+        assert len(out) == 40
+        pal = self._pal()
+        for mid in range(40):
+            w, h = 6 + mid % 7, 4 + mid % 5
+            src = pal[self._idx(mid, h, w)]
+            exp = M.nn_resize(src, _GIF_W, _GIF_H).tobytes()
+            assert out[mid] == exp, f"id {mid}"
+
+    def test_decode_media_routes_gif_without_pil(self, spark):
+        import target_parquet_spark.operators.multimodal as mm
+
+        ids = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+        media = M.attach_gif_media(ids, "doc_id")
+        prev = mm._PIL_Image
+        mm._PIL_Image = None
+        try:
+            rows = M.decode_media(media, 4, 4).collect()
+        finally:
+            mm._PIL_Image = prev
+        assert len(rows) == 5
+        assert all(len(bytes(r["pixels"])) == 4 * 4 * 3 for r in rows)
