@@ -474,10 +474,14 @@ def _lzw_compress(indices, min_code_size: int = 8) -> bytes:
     """GIF-variant LZW: variable code width starting at
     ``min_code_size + 1`` bits, clear code ``2^min_code_size``, EOI one
     above it, dictionary capped at 4096 codes (emit clear + reset when
-    full), codes packed LSB-first.  The width bump mirrors the decoder
-    rule exactly: after assigning code N, width grows when the NEXT
-    code to assign equals ``2^width`` (so every emitted code always
-    fits the width the decoder is reading at)."""
+    full), codes packed LSB-first.  Width bump follows the standard
+    GIF rule (GIF89a spec appendix F / giflib): grow when the next
+    code to assign would no longer fit the current width — i.e. after
+    assigning code ``2^width`` itself, so ``next_code == 2^width + 1``.
+    The decoder's table lags this one by exactly one entry at read
+    time, which is why its bump fires at ``next_index == 2^width``
+    (see :func:`_lzw_decompress`); GIF has no "early change" (that is
+    TIFF's variant)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -505,7 +509,7 @@ def _lzw_compress(indices, min_code_size: int = 8) -> bytes:
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
+            if next_code == (1 << width) + 1 and width < 12:
                 width += 1
         else:
             # dictionary full: reset (the decoder mirrors on the clear)
@@ -572,14 +576,15 @@ def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
         if next_index < 4096:
             seq.append(prev + entry[:1])
             next_index += 1
-            # EARLY bump: the encoder's table leads this one by exactly
-            # one entry (it adds after emitting; we add after reading
-            # the NEXT code), so its width grows one entry before ours
-            # would under a naive mirror.  Growing at 2^w - 1 keeps the
-            # read width equal to the emit width for every code — the
-            # first desync would otherwise be data code #255 after a
-            # clear, far beyond what small round-trip tests touch.
-            if next_index == (1 << width) - 1 and width < 12:
+            # Standard giflib rule: grow the read width once the table
+            # is full for the current width.  The encoder's table leads
+            # this one by exactly one entry at read time (it adds after
+            # emitting; we add after reading the NEXT code), so its
+            # bump at next_code == 2^w + 1 and ours at next_index ==
+            # 2^w fire on the same data code — the widths stay in
+            # lockstep across every boundary.  GIF has no TIFF-style
+            # early change.
+            if next_index == (1 << width) and width < 12:
                 width += 1
         prev = entry
 
@@ -2069,6 +2074,54 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
     def _batches(it):
         import io
 
+        def _pil_decode(data: bytes) -> bytes:
+            img = _PIL_Image.open(io.BytesIO(data)).convert("RGB")
+            return img.resize((target_width, target_height)).tobytes()
+
+        def _pure_or_pil(data, pure):
+            # Pure decoder first (oracle-stable: the fabricated corpus
+            # always decodes here, so pins never depend on pillow).
+            # Real-world payloads beyond the pure decoders' disclosed
+            # subset (progressive JPEG, interlaced GIF/PNG, paletted
+            # PNG, ...) fall back to PIL when available instead of
+            # failing the whole Spark task (ADVICE r9: the BMP-style
+            # "pure decoder owns the format" rationale only holds for
+            # the fabricated subset).
+            try:
+                return pure(data)
+            except (NotImplementedError, ValueError):
+                if _PIL_Image is None:
+                    raise
+                return _pil_decode(data)
+
+        def _pure_png(data):
+            # Real COMPRESSED decode, no imaging library needed (r9):
+            # stdlib zlib inflate + full filter reconstruction.  RGBA
+            # alpha is dropped so the output contract (fixed-size RGB)
+            # matches the BMP and PIL paths.
+            return nn_resize(
+                decode_png(data)[:, :, :3], target_width, target_height
+            ).tobytes()
+
+        def _pure_jpeg(data):
+            # Real LOSSY decode, no imaging library needed (r9):
+            # Huffman entropy decode + dequant + IDCT.  Grayscale
+            # output is replicated to RGB so the fixed-size pixel
+            # contract matches the BMP/PNG/PIL paths.
+            arr = decode_jpeg(data)
+            if arr.ndim == 2:
+                import numpy as np
+
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
+            return nn_resize(arr, target_width, target_height).tobytes()
+
+        def _pure_gif(data):
+            # Real DICTIONARY-coded decode, no imaging library needed
+            # (r9): LZW decompression + palette lookup.
+            return nn_resize(
+                decode_gif(data), target_width, target_height
+            ).tobytes()
+
         for pdf in it:
             ids, pix = [], []
             for mid, payload in zip(pdf["media_id"], pdf["media"]):
@@ -2088,33 +2141,11 @@ def decode_media(df: DataFrame, target_width: int = 224, target_height: int = 22
                         decode_bmp(data), target_width, target_height
                     ).tobytes()
                 elif looks_like_png(data):
-                    # Real COMPRESSED decode, no imaging library needed
-                    # (r9): stdlib zlib inflate + full filter
-                    # reconstruction.  RGBA alpha is dropped so the
-                    # output contract (fixed-size RGB) matches the BMP
-                    # and PIL paths.
-                    out = nn_resize(
-                        decode_png(data)[:, :, :3],
-                        target_width,
-                        target_height,
-                    ).tobytes()
+                    out = _pure_or_pil(data, _pure_png)
                 elif looks_like_jpeg(data):
-                    # Real LOSSY decode, no imaging library needed (r9):
-                    # Huffman entropy decode + dequant + IDCT.  Grayscale
-                    # output is replicated to RGB so the fixed-size pixel
-                    # contract matches the BMP/PNG/PIL paths.
-                    arr = decode_jpeg(data)
-                    if arr.ndim == 2:
-                        import numpy as np
-
-                        arr = np.repeat(arr[:, :, None], 3, axis=2)
-                    out = nn_resize(arr, target_width, target_height).tobytes()
+                    out = _pure_or_pil(data, _pure_jpeg)
                 elif looks_like_gif(data):
-                    # Real DICTIONARY-coded decode, no imaging library
-                    # needed (r9): LZW decompression + palette lookup.
-                    out = nn_resize(
-                        decode_gif(data), target_width, target_height
-                    ).tobytes()
+                    out = _pure_or_pil(data, _pure_gif)
                 elif _PIL_Image is None:
                     # CODEC SEAM: formats beyond BMP/PNG/baseline-JPEG/
                     # GIF (progressive JPEG, palette or interlaced PNG,

@@ -755,9 +755,13 @@ class TestGifCodec:
     def test_width_growth_and_dictionary_reset(self):
         """A 200x150 high-entropy index image forces the LZW code width
         through 9 -> 10 -> 11 -> 12 bits and past the 4096-entry
-        dictionary reset; any width-bump asymmetry (the encoder's table
-        leads the decoder's by one entry) desyncs at data code #255
-        after a clear and corrupts everything beyond it."""
+        dictionary reset.  The standard giflib bump (encoder at
+        next_code == 2^w + 1, decoder at next_index == 2^w — the
+        decoder's one-entry table lag absorbed by the offset) keeps
+        both widths in lockstep; any asymmetry desyncs at the first
+        boundary (~data code #255 after a clear) and corrupts
+        everything beyond it.  External-fixture and independent-decoder
+        checks live in tests/test_r15.py (r10, ADVICE r9 fix)."""
         big = ((np.arange(200 * 150).reshape(200, 150) * 7919) % 256).astype(
             np.uint8
         )
