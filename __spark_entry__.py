@@ -40,6 +40,7 @@ import target_parquet_spark.queries_r11 as _qr11  # noqa: E402  (registers into 
 import target_parquet_spark.queries_r12 as _qr12  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r13 as _qr13  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r14 as _qr14  # noqa: E402  (registers into _q)
+import target_parquet_spark.queries_r15 as _qr15  # noqa: E402  (registers into _q)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -57,16 +58,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # without any driver-green representative.  scripts/check_oracle.py still
 # sweeps all entries every round; cumulative coverage is tracked below.
 #
-# Cumulative distinct driver-gated before this round: 132 (92 through r7 +
-# 40 first-time names in CORRECTNESS_r08, all green) of the 321-query r8
-# registry; r9 registers 9 more (multimodal decode_png/wav/jpeg/gif,
-# video_frames, audio_vad, corpus_profile, content_dedup,
-# sim_knn_graph_quantized) -> 330 total.  This prefix keeps the 10 anchors
-# and rotates in 40 never-gated names — all nine r9 newcomers gate first;
-# seven wave-2 names (temperature_mixture, weighted_without_replacement,
-# ewma_daily, duplicate_groups, mixture_quota, token_budget, and
-# asof_join_tolerance — bumped for decode_gif) defer to wave 3 to make
-# room -> expected 172/330 after r9.
+# Cumulative distinct driver-gated through r9: 173 names, of which 171
+# are green (the r8 comment's "expected 172" was off by one — the
+# sim_knn_graph_quantized slot is structurally no_oracle and can never
+# go green; corrected per VERDICT r9 #1).  r10 registers 2 more
+# (sim_knn_graph_quantized_fixed — the hash-exact fixed-granularity
+# anchor for the quantized ANN scale path, VERDICT r9 #2 — and
+# multimodal_dhash_decoded, VERDICT r9 #8) -> 332 total.  Wave 3 keeps
+# the 10 anchors and rotates in 40 never-gated ORACLE-BACKED names (the
+# rows-only _scaled twins are deliberately not rotated in — they would
+# burn slots on rows that cannot go green): the two r10 newcomers gate
+# first, then the seven wave-3 deferrals named in r9's comment, then
+# the biggest untouched tails (events 10, sim 8, text 7, agg 6) ->
+# expected 211/332 green after r10.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -79,54 +83,53 @@ _CURATED_PREFIX = [
     "text_bm25_search",
     "events_sessionize",
     "pipeline_training_data",
-    # --- never-gated rotation, round 9 (wave 2 of VERDICT r7 #3) ---
-    # new/changed this round — gate them first
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "multimodal_decode_jpeg",
-    "multimodal_video_frames",
-    "multimodal_audio_vad",
-    "multimodal_corpus_profile",
-    "multimodal_content_dedup",
-    "multimodal_decode_gif",
-    "sim_knn_graph_quantized",
-    "text_kneser_ney_logprob",
-    # TPC-H tail (q11-q22 never driver-gated)
-    "q11_important_stock",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q22_dormant_customers",
-    # CDC family (never gated)
-    "cdc_merge_upsert",
-    "cdc_snapshot_diff",
-    "cdc_point_in_time_join",
-    # events / experimentation tail
-    "events_ab_experiment",
-    "events_survival_km",
-    "events_cuped_adjustment",
-    "events_did_estimate",
-    "events_srm_check",
-    "events_power_analysis",
-    # governance / audits
-    "audit_l_diversity",
-    "audit_expectations",
-    "audit_benford_digits",
-    "audit_psi_drift",
-    # scan / layout tail
-    "scan_partition_pruned",
-    "scan_merge_on_read",
-    "scan_compaction_binpack",
-    "scan_orc_source",
-    "scan_jsonl_source",
-    # sampling family
-    "sample_hash_pct",
-    "sample_stratified",
+    # --- never-gated rotation, round 10 (wave 3 of VERDICT r7 #3) ---
+    # new this round — gate them first
+    "sim_knn_graph_quantized_fixed",
+    "multimodal_dhash_decoded",
+    # the seven wave-2 deferrals (VERDICT r9 #1 names them)
+    "sample_temperature_mixture",
+    "sample_weighted_without_replacement",
+    "window_ewma_daily",
+    "dedup_duplicate_groups",
+    "sample_mixture_quota",
+    "sample_token_budget",
+    "asof_join_tolerance",
+    # events tail (largest never-gated family)
+    "events_gap_fill",
+    "events_retention_cohorts",
+    "events_concurrency_sweep",
+    "events_ohlc_bars",
+    "events_pattern_match",
+    "events_markov_transitions",
+    "events_merge_intervals",
+    "events_time_weighted_avg",
+    "events_top_paths",
+    "events_hourly_profile",
+    # sim tail
+    "sim_topk_per_query",
+    "sim_brute_force_topk",
+    "sim_ann_lsh_topk",
+    "sim_random_projection",
+    "sim_sq8_ann",
+    "sim_ivf_recall",
+    "sim_ivf_recall_trained",
+    "sim_pq_ann",
+    # text tail
+    "text_token_stats",
+    "text_fingerprint",
+    "text_bpe_token_stats",
+    "text_pii_scrub",
+    "text_hash_embedding",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    # agg tail
+    "agg_collect_sets",
+    "agg_hll_sketch",
+    "agg_histogram_bins",
+    "agg_correlation",
+    "agg_arg_extremum",
+    "agg_median_mode",
 ]
 
 

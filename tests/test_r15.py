@@ -264,3 +264,153 @@ class TestDecodeMediaPilFallback:
             mm._PIL_Image = prev
         assert len(rows) == 3
         assert all(len(bytes(r["pixels"])) == 48 for r in rows)
+
+
+class TestRecompressAndDhashDecoded:
+    """VERDICT r9 #8: perceptual near-dup pinned through real
+    compression round trips."""
+
+    def test_recompress_flips_container_keeps_pixels(self):
+        idx = ((np.arange(30).reshape(5, 6) * 31 + 7) % 256).astype(np.uint8)
+        a = M.encode_gif(idx, version=b"87a")
+        b = M.recompress_gif(a)
+        assert b != a
+        assert b[3:6] == b"89a" and a[3:6] == b"87a"
+        assert np.array_equal(M.decode_gif(a), M.decode_gif(b))
+        # and the round trip is an involution on the pixel content
+        c = M.recompress_gif(b)
+        assert c[3:6] == b"87a"
+        assert np.array_equal(M.decode_gif(c), M.decode_gif(a))
+
+    def test_recompress_rejects_foreign_palette(self):
+        """A GIF whose pixels did not come from the fabrication palette
+        must be rejected, not silently mis-inverted."""
+        fixtures = _external_gifs()
+        data = None
+        for p in fixtures:
+            try:
+                M.decode_gif(open(p, "rb").read())
+            except NotImplementedError:
+                continue
+            data = open(p, "rb").read()
+            break
+        if data is None:
+            pytest.skip("no decodable external GIF fixture")
+        with pytest.raises(ValueError):
+            M.recompress_gif(data)
+
+    def test_planted_pair_surfaces_at_hamming_zero(self, spark):
+        ids = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+        media = M.attach_gif_pair_media(ids, "doc_id", offset=1_000_000)
+        assert media.count() == 40
+        hashed = M.dhash_decoded(media, rows=7, cols=8)
+        pairs = M.phash_near_dup_pairs(
+            hashed, bands=4, band_bits=14, max_hamming=3, id_col="media_id"
+        )
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+        for i in range(20):
+            assert got.get((i, i + 1_000_000)) == 0, f"planted pair {i}"
+
+    def test_dhash_matches_generation_function(self, spark):
+        """Spark dHash over decoded pixels == numpy replay of the
+        generation functions (the same independence the oracle has)."""
+        ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+        media = M.attach_gif_media(ids, "doc_id")
+        got = {
+            r["media_id"]: r["phash"]
+            for r in M.dhash_decoded(media, rows=7, cols=8).collect()
+        }
+        pal = np.frombuffer(M.gif_palette(), np.uint8).reshape(256, 3)
+        for mid in range(12):
+            w, h = 6 + mid % 7, 4 + mid % 5
+            y = np.arange(h)[:, None] * 97
+            x = np.arange(w)[None, :] * 23
+            src = pal[((mid * 11 + y + x) % 256).astype(np.uint8)]
+            grid = M.nn_resize(src, 9, 7)
+            gray = grid.astype(np.int64).sum(axis=2) // 3
+            bits = (gray[:, :-1] > gray[:, 1:]).ravel()
+            exp = int((bits * (1 << np.arange(56, dtype=np.object_))).sum())
+            assert got[mid] == exp, f"id {mid}"
+
+
+class TestNativeCodecRouting:
+    """VERDICT r9 #3: SPARK_GRAFT_NATIVE_CODECS routes whole image
+    payloads through PIL when importable (decode only — nn_resize keeps
+    resampling deterministic).  Pillow is absent in this container, so
+    the routing is exercised with a planted fake and the real-pillow
+    equality check is environment-gated."""
+
+    def test_prefer_native_routes_pure_subset_through_pil(self, spark):
+        """With the flag on and (fake) PIL planted, even a pure-subset
+        GIF decodes via the native path — pixels betray the fake.
+        (Classes defined inside the test body so cloudpickle ships them
+        by value to the python workers.)"""
+        import target_parquet_spark.operators.multimodal as mm
+
+        class _Img:
+            def convert(self, mode):
+                return self
+
+            def __array__(self, dtype=None, copy=None):
+                import numpy as np
+
+                return np.full((5, 6, 3), 7, dtype=np.uint8)
+
+        class _TracingPIL:
+            @staticmethod
+            def open(buf):
+                return _Img()
+
+        ids = spark.range(0, 3).withColumnRenamed("id", "doc_id")
+        media = M.attach_gif_media(ids, "doc_id")
+        prev = mm._PIL_Image
+        mm._PIL_Image = _TracingPIL
+        try:
+            rows = M.decode_media(media, 2, 2, prefer_native=True).collect()
+        finally:
+            mm._PIL_Image = prev
+        assert len(rows) == 3
+        # nn_resize of the all-7 fake: every byte is 7
+        assert all(bytes(r["pixels"]) == b"\x07" * 12 for r in rows)
+
+    def test_prefer_native_without_pil_is_pure(self, spark):
+        """Flag on, pillow absent -> pure path, identical output to the
+        default (the flag must never be able to break decode)."""
+        import target_parquet_spark.operators.multimodal as mm
+
+        assert mm._PIL_Image is None or pytest.skip("pillow installed")
+        ids = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+        media = M.attach_gif_media(ids, "doc_id")
+        a = {r["media_id"]: bytes(r["pixels"])
+             for r in M.decode_media(media, 4, 4).collect()}
+        b = {r["media_id"]: bytes(r["pixels"])
+             for r in M.decode_media(media, 4, 4, prefer_native=True).collect()}
+        assert a == b
+
+    def test_env_flag_resolves_driver_side(self, monkeypatch):
+        import target_parquet_spark.operators.multimodal as mm
+
+        monkeypatch.delenv(mm._NATIVE_CODECS_ENV, raising=False)
+        assert not mm.native_codecs_enabled()
+        monkeypatch.setenv(mm._NATIVE_CODECS_ENV, "1")
+        assert mm.native_codecs_enabled()
+        monkeypatch.setenv(mm._NATIVE_CODECS_ENV, "off")
+        assert not mm.native_codecs_enabled()
+
+    @pytest.mark.skipif(
+        M._PIL_Image is None, reason="pillow not installed"
+    )
+    def test_native_equals_pure_on_lossless(self):
+        """Real pillow: PIL decode must equal the pure decoders
+        bit-exactly on PNG/GIF/BMP (lossless decode is deterministic) —
+        the equality the probe script also asserts."""
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        arr = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+        png = M.encode_png(arr)
+        assert np.array_equal(M.native_decode_rgb(png), M.decode_png(png))
+        pal = np.frombuffer(M.gif_palette(), np.uint8).reshape(256, 3)
+        idx = rng.randint(0, 256, (7, 11), dtype=np.uint8)
+        gif = M.encode_gif(idx)
+        assert np.array_equal(M.native_decode_rgb(gif), pal[idx])
