@@ -679,15 +679,31 @@ def looks_like_gif(data: bytes) -> bool:
     return len(data) >= 13 and data[:6] in (b"GIF87a", b"GIF89a")
 
 
+def deinterlace_rows(h: int):
+    """Row order of a GIF interlaced frame (GIF89a spec appendix E):
+    pass 1 rows 0,8,16,... then pass 2 from row 4, pass 3 from row 2
+    step 4, pass 4 from row 1 step 2.  Returns ``order`` such that
+    stored row i belongs at display row order[i] — so
+    ``out[order] = stored`` deinterlaces in one numpy scatter."""
+    import numpy as np
+
+    return np.concatenate(
+        [
+            np.arange(start, h, step, dtype=np.int64)
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        ]
+    )
+
+
 def decode_gif(data: bytes):
     """Decode a single-frame GIF to an (h, w, 3) uint8 RGB array using
     only stdlib + numpy: logical-screen/global-table parse, extension
     block walk (sub-block framing honored), image descriptor, LZW
-    decompression (variable widths, clear/EOI, KwKwK), palette lookup.
-    Local color tables are honored; interlaced frames raise the
-    disclosed ``NotImplementedError`` (row reordering is PIL
-    territory); truncated or over-long index streams raise
-    ``ValueError``."""
+    decompression (variable widths, clear/EOI, KwKwK), palette lookup,
+    and interlaced-row reordering (r10 — the four-pass order of spec
+    appendix E, one numpy scatter; closes the last disclosed GIF
+    capability guard).  Local color tables are honored; truncated or
+    over-long index streams raise ``ValueError``."""
     import struct
 
     import numpy as np
@@ -716,11 +732,7 @@ def decode_gif(data: bytes):
         elif block == 0x2C:  # image descriptor
             _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
             pos += 9
-            if ipacked & 0x40:
-                raise NotImplementedError(
-                    "pure-Python GIF decode handles non-interlaced "
-                    "frames only; install pillow for interlaced GIFs"
-                )
+            interlaced = bool(ipacked & 0x40)
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
                 palette = np.frombuffer(
@@ -753,7 +765,12 @@ def decode_gif(data: bytes):
                 )
             if int(idx.max(initial=0)) >= palette.shape[0]:
                 raise ValueError("GIF index beyond color table")
-            return np.ascontiguousarray(palette[idx.reshape(h, w)])
+            idx = idx.reshape(h, w)
+            if interlaced:
+                out = np.empty_like(idx)
+                out[deinterlace_rows(h)] = idx
+                idx = out
+            return np.ascontiguousarray(palette[idx])
         elif block == 0x3B:  # trailer before any frame
             break
         else:
@@ -2361,7 +2378,7 @@ def decode_media(
                 elif _PIL_Image is None:
                     # CODEC SEAM: formats beyond BMP/PNG/baseline-JPEG/
                     # GIF (progressive JPEG, palette or interlaced PNG,
-                    # interlaced GIF, WebP, ...) need pillow.
+                    # WebP, ...) need pillow.
                     raise NotImplementedError(
                         "media codecs unavailable for non-BMP/PNG/"
                         "baseline-JPEG/GIF payloads: install pillow (PIL) "

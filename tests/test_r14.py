@@ -786,14 +786,18 @@ class TestGifCodec:
         assert not M.looks_like_gif(b"GIF87a")  # magic but no descriptor
         assert not M.looks_like_gif(b"NOTGIF" + b"\x00" * 20)
 
-    def test_interlaced_rejected_disclosed(self):
-        """Interlaced frames are outside the pure decoder's subset and
-        must raise the disclosed NotImplementedError, not misdecode."""
-        blob = bytearray(M.encode_gif(self._idx(3, 5, 6)))
+    def test_interlaced_frames_deinterlace(self):
+        """Interlaced frames deinterlace via the four-pass row order of
+        spec appendix E (r10 — was a disclosed NotImplementedError
+        through r9).  Encode the stored-row permutation of a source
+        image, set the interlace flag, and the decode must equal the
+        ORIGINAL image."""
+        idx = self._idx(3, 20, 9)
+        order = M.deinterlace_rows(20)
+        blob = bytearray(M.encode_gif(idx[order]))
         i = blob.index(0x2C, 13 + 768)  # image descriptor after GCT
         blob[i + 9] |= 0x40
-        with pytest.raises(NotImplementedError):
-            M.decode_gif(bytes(blob))
+        assert np.array_equal(M.decode_gif(bytes(blob)), self._pal()[idx])
 
     def test_truncation_and_corruption_guards(self):
         blob = M.encode_gif(self._idx(5, 4, 7))

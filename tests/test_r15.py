@@ -173,20 +173,48 @@ class TestGifStandardWidthBump:
 class TestDecodeMediaPilFallback:
     """ADVICE r9 (medium): decode_media routed every GIF/PNG/JPEG payload
     to the pure decoder unconditionally, so with pillow installed a
-    payload beyond the pure subset (interlaced GIF, progressive JPEG)
-    failed the whole Spark task even though PIL could decode it.  The
-    pure decoder still runs first (oracle pins stay PIL-independent);
-    PIL is the fallback on NotImplementedError/ValueError."""
+    payload beyond the pure subset (chroma-subsampled or progressive
+    JPEG, paletted PNG) failed the whole Spark task even though PIL
+    could decode it.  The pure decoder still runs first (oracle pins
+    stay PIL-independent); PIL is the fallback on
+    NotImplementedError/ValueError.  (The trigger payload was an
+    interlaced GIF until r10 taught the pure decoder to deinterlace;
+    now it is a GIF whose LZW stream is truncated mid-data — passes the
+    sniff, raises ValueError in the strict pure decoder, while a
+    lenient real-world decoder like PIL can still salvage it.  The
+    subset-violating JPEG/PNG forms can't serve here: their sniffs are
+    subset-tight, so decode_media routes them to the PIL-or-raise
+    branch without ever consulting the pure decoder.)"""
 
     @staticmethod
-    def _interlaced_gif():
-        idx = ((np.arange(48).reshape(6, 8) * 31) % 256).astype(np.uint8)
-        blob = bytearray(M.encode_gif(idx))
-        blob[blob.index(0x2C, 13 + 768) + 9] |= 0x40  # set interlace flag
-        return bytes(blob)
+    def _beyond_pure_subset_gif():
+        idx = ((np.arange(18 * 11).reshape(18, 11) * 31) % 256).astype(
+            np.uint8
+        )
+        blob = M.encode_gif(idx)
+        # strip the sub-block framing, truncate the LZW stream, reframe
+        # descriptor = 0x2C + 9 bytes, then the min_code byte: framing
+        # starts 11 past the descriptor marker
+        i = blob.index(0x2C, 13 + 768) + 11
+        lzw = bytearray()
+        pos = i
+        while blob[pos]:
+            size = blob[pos]
+            lzw.extend(blob[pos + 1 : pos + 1 + size])
+            pos += 1 + size
+        cut = bytes(lzw[:-6])
+        parts = [blob[:i]]
+        for j in range(0, len(cut), 255):
+            parts.append(bytes([len(cut[j : j + 255])]) + cut[j : j + 255])
+        parts.append(b"\x00\x3b")
+        data = b"".join(parts)
+        assert M.looks_like_gif(data)
+        with pytest.raises(ValueError):
+            M.decode_gif(data)  # precondition: strict decoder rejects
+        return data
 
     def test_fallback_reaches_pil_when_available(self, spark):
-        """With a fake PIL planted, an interlaced GIF payload decodes
+        """With a fake PIL planted, a beyond-subset GIF payload decodes
         through the fallback instead of failing the task."""
         import pandas as pd
 
@@ -209,7 +237,7 @@ class TestDecodeMediaPilFallback:
             def open(buf):
                 return _FakeImg()
 
-        blob = self._interlaced_gif()
+        blob = self._beyond_pure_subset_gif()
         df = spark.createDataFrame(
             pd.DataFrame({"media_id": [1], "media": [blob]})
         )
@@ -223,14 +251,14 @@ class TestDecodeMediaPilFallback:
         assert bytes(rows[0]["pixels"]) == b"\x5a" * 48
 
     def test_without_pil_still_raises_disclosed(self, spark):
-        """No pillow -> the disclosed NotImplementedError still
-        propagates (the fallback must not swallow it)."""
+        """No pillow -> the pure decoder's diagnostic still propagates
+        (the fallback must not swallow it)."""
         import pandas as pd
 
         import target_parquet_spark.operators.multimodal as mm
 
         df = spark.createDataFrame(
-            pd.DataFrame({"media_id": [1], "media": [self._interlaced_gif()]})
+            pd.DataFrame({"media_id": [1], "media": [self._beyond_pure_subset_gif()]})
         )
         prev = mm._PIL_Image
         mm._PIL_Image = None
@@ -239,9 +267,7 @@ class TestDecodeMediaPilFallback:
                 M.decode_media(df, 4, 4).collect()
         finally:
             mm._PIL_Image = prev
-        assert "interlaced" in str(ei.value) or "NotImplementedError" in str(
-            ei.value
-        )
+        assert "EOI" in str(ei.value) or "wrong size" in str(ei.value)
 
     def test_pure_path_still_owns_fabricated_corpus(self, spark):
         """With a poison PIL planted, fabricated (non-interlaced) GIFs
@@ -414,3 +440,49 @@ class TestNativeCodecRouting:
         idx = rng.randint(0, 256, (7, 11), dtype=np.uint8)
         gif = M.encode_gif(idx)
         assert np.array_equal(M.native_decode_rgb(gif), pal[idx])
+
+
+class TestInterlacedGifDecode:
+    """r10: GIF interlaced frames deinterlace in the pure decoder (the
+    four-pass row order of spec appendix E) — previously a disclosed
+    NotImplementedError; now the two interlaced external fixtures
+    decode alongside the seven sequential ones."""
+
+    def test_external_interlaced_fixtures_decode(self):
+        import struct
+
+        fixtures = [
+            p
+            for p in _external_gifs()
+            if os.path.basename(p) in ("folder.gif", "openfolder.gif")
+        ]
+        if not fixtures:
+            pytest.skip("interlaced fixtures not present")
+        for path in fixtures:
+            data = open(path, "rb").read()
+            # precondition: the descriptor really is interlaced
+            pos = 13 + (2 << (data[10] & 7)) * 3 if data[10] & 0x80 else 13
+            while data[pos] == 0x21:
+                pos += 2
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+            assert data[pos] == 0x2C and data[pos + 9] & 0x40, path
+            arr = M.decode_gif(data)
+            sw, sh = struct.unpack_from("<HH", data, 6)
+            assert arr.shape == (sh, sw, 3), path
+
+    def test_deinterlace_order_is_a_permutation(self):
+        for h in (1, 2, 3, 4, 5, 7, 8, 16, 33, 100):
+            order = M.deinterlace_rows(h)
+            assert sorted(order.tolist()) == list(range(h)), h
+
+    def test_synthetic_interlace_roundtrip(self):
+        idx = ((np.arange(33 * 17).reshape(33, 17) * 31 + 5) % 256).astype(
+            np.uint8
+        )
+        order = M.deinterlace_rows(33)
+        blob = bytearray(M.encode_gif(idx[order]))  # stored-row order
+        blob[blob.index(0x2C, 13 + 768) + 9] |= 0x40
+        pal = np.frombuffer(M.gif_palette(), np.uint8).reshape(256, 3)
+        assert np.array_equal(M.decode_gif(bytes(blob)), pal[idx])
