@@ -280,42 +280,81 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(arr, filters=None) -> bytes:
-    """Encode an (h, w, 3|4) uint8 array as a REAL 8-bit truecolor PNG
-    (color type 2, or 6 with alpha): signature, IHDR, one zlib-deflated
-    IDAT of filter-prefixed scanlines, IEND — with correct CRCs.
-    ``filters`` picks the per-row filter type (sequence of ints 0-4, or
-    None for the default ``y % 5``, which plants every filter type in any
-    image with >= 5 rows); the encoder computes the genuinely FILTERED
-    bytes for each, so a decoder must implement the full un-filter
-    algebra to reconstruct the pixels."""
+def _pack_row(samples, depth: int) -> bytes:
+    """Pack one row of sub-byte samples MSB-first, zero-padded to a
+    byte boundary (PNG §7.2 pixel packing)."""
+    import numpy as np
+
+    bits = (
+        (samples[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def encode_png(arr, filters=None, palette=None, depth: int = 8) -> bytes:
+    """Encode a REAL PNG: signature, IHDR, optional PLTE, one
+    zlib-deflated IDAT of filter-prefixed scanlines, IEND — correct
+    CRCs throughout.  Input selects the color type: an (h, w, 3|4)
+    uint8 array is 8-bit truecolor (type 2/6, as through r9); an
+    (h, w) array is grayscale (type 0); an (h, w) array with
+    ``palette`` (an (n, 3) uint8 table) is palette-indexed (type 3).
+    Grayscale/palette accept ``depth`` in {1, 2, 4, 8} with MSB-first
+    bit packing (r10).  ``filters`` picks the per-row filter type
+    (ints 0-4, default ``y % 5`` plants every type); filtering runs
+    over the PACKED row bytes with bpp = max(1, channels*depth//8),
+    exactly as the spec defines for sub-byte depths."""
     import struct
     import zlib
 
     import numpy as np
 
     arr = np.asarray(arr, dtype=np.uint8)
-    h, w, ch = arr.shape
-    if ch not in (3, 4):
-        raise ValueError(f"encode_png expects 3 or 4 channels, got {ch}")
-    color_type = 2 if ch == 3 else 6
+    if palette is not None:
+        if arr.ndim != 2:
+            raise ValueError("palette PNG takes an (h, w) index array")
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+            raise ValueError("palette must be (n<=256, 3) uint8")
+        color_type, channels = 3, 1
+    elif arr.ndim == 2:
+        color_type, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color_type, channels = (2, 3) if arr.shape[2] == 3 else (6, 4)
+    else:
+        raise ValueError(f"encode_png cannot type shape {arr.shape}")
+    if depth not in (1, 2, 4, 8) or (color_type in (2, 6) and depth != 8):
+        raise ValueError(f"unsupported depth {depth} for type {color_type}")
+    h, w = arr.shape[:2]
+    if depth < 8 and int(arr.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample exceeds {depth}-bit range")
+    if depth == 8:
+        rows = [arr[y].reshape(-1).astype(np.int64) for y in range(h)]
+    else:
+        rows = [
+            np.frombuffer(
+                _pack_row(arr[y].astype(np.int64), depth), np.uint8
+            ).astype(np.int64)
+            for y in range(h)
+        ]
+    stride = len(rows[0]) if h else 0
+    bpp = max(1, (channels * depth) // 8)
     if filters is None:
         filters = [y % 5 for y in range(h)]
     raw = bytearray()
-    zero = np.zeros(w * ch, dtype=np.int64)
+    zero = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         ft = int(filters[y])
-        line = arr[y].reshape(-1).astype(np.int64)
-        prior = arr[y - 1].reshape(-1).astype(np.int64) if y else zero
+        line = rows[y]
+        prior = rows[y - 1] if y else zero
         if ft == 0:
             filt = line
         elif ft == 1:  # Sub
-            left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
             filt = line - left
         elif ft == 2:  # Up
             filt = line - prior
         elif ft == 3:  # Average
-            left = np.concatenate([np.zeros(ch, np.int64), line[:-ch]])
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
             filt = line - (left + prior) // 2
         elif ft == 4:  # Paeth
             ln, pr = line.tolist(), prior.tolist()
@@ -323,11 +362,11 @@ def encode_png(arr, filters=None) -> bytes:
                 [
                     ln[x]
                     - _paeth(
-                        ln[x - ch] if x >= ch else 0,
+                        ln[x - bpp] if x >= bpp else 0,
                         pr[x],
-                        pr[x - ch] if x >= ch else 0,
+                        pr[x - bpp] if x >= bpp else 0,
                     )
-                    for x in range(w * ch)
+                    for x in range(stride)
                 ],
                 dtype=np.int64,
             )
@@ -335,20 +374,20 @@ def encode_png(arr, filters=None) -> bytes:
             raise ValueError(f"unknown PNG filter type {ft}")
         raw.append(ft)
         raw.extend((filt % 256).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    chunks = [_png_chunk(b"IHDR", ihdr)]
+    if color_type == 3:
+        chunks.append(_png_chunk(b"PLTE", pal.tobytes()))
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(bytes(raw))))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
 
 
 def looks_like_png(data: bytes) -> bool:
     """Sniff for payloads the pure-Python PNG decoder owns: full 8-byte
-    signature plus an IHDR declaring 8-bit truecolor (color type 2/6),
-    deflate compression, filter method 0, no interlace — the subset
-    :func:`decode_png` implements."""
+    signature plus an IHDR inside :func:`decode_png`'s subset — 8-bit
+    truecolor RGB/RGBA, or grayscale/palette at depth 1/2/4/8 (r10);
+    deflate compression, filter method 0, no interlace."""
     import struct
 
     if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -358,23 +397,26 @@ def looks_like_png(data: bytes) -> bool:
     _, _, depth, ctype, comp, filt, interlace = struct.unpack_from(
         ">IIBBBBB", data, 16
     )
-    return (
-        depth == 8 and ctype in (2, 6) and comp == 0 and filt == 0
-        and interlace == 0
-    )
+    if comp != 0 or filt != 0 or interlace != 0:
+        return False
+    if ctype in (2, 6):
+        return depth == 8
+    return ctype in (0, 3) and depth in (1, 2, 4, 8)
 
 
 def decode_png(data: bytes):
-    """Decode an 8-bit truecolor PNG (color type 2 RGB / 6 RGBA, filter
-    method 0, no interlace) to an (h, w, 3|4) uint8 array using only
-    stdlib ``zlib`` + numpy: chunk walk (all IDAT segments concatenated),
-    inflate, then the full per-row un-filter algebra — None and Up
-    vectorized, Sub as a per-channel-lane cumulative sum (recon[x] =
-    Σ filt[x-k·bpp] mod 256), Average/Paeth as bounded per-row loops over
-    Python ints (row width bounded; runs inside Arrow-batched
-    mapInPandas).  Raises ``NotImplementedError`` for the PNG forms
-    outside this subset (palette, 16-bit, interlaced) — those genuinely
-    need an imaging library."""
+    """Decode a PNG (filter method 0, no interlace) using only stdlib
+    ``zlib`` + numpy: chunk walk (all IDAT segments concatenated, PLTE
+    captured), inflate, the full per-row un-filter algebra over PACKED
+    row bytes — None and Up vectorized, Sub as a per-byte-lane
+    cumulative sum, Average/Paeth as bounded per-row loops — then
+    MSB-first bit unpacking for sub-byte depths.  Returns (h, w, 3|4)
+    uint8 for truecolor (type 2/6, depth 8) and palette (type 3, depth
+    1/2/4/8 — indices mapped through PLTE), and an (h, w) 2-D array
+    for grayscale (type 0; sub-byte samples scaled to 0..255 by the
+    exact 255/(2^d - 1) factor, matching every standard decoder).
+    Raises ``NotImplementedError`` for the remaining forms (16-bit,
+    gray+alpha type 4, Adam7 interlace) — the disclosed seam."""
     import struct
     import zlib
 
@@ -382,7 +424,7 @@ def decode_png(data: bytes):
 
     if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, bytearray(), None
+    pos, idat, ihdr, plte = 8, bytearray(), None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -391,6 +433,12 @@ def decode_png(data: bytes):
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
             ihdr = struct.unpack_from(">IIBBBBB", data, body_off)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(
+                data, np.uint8, length, body_off
+            ).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(data[body_off : body_off + length])
         elif tag == b"IEND":
@@ -399,17 +447,23 @@ def decode_png(data: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, fmeth, interlace = ihdr
-    if depth != 8 or ctype not in (2, 6) or comp != 0 or fmeth != 0 \
-            or interlace != 0:
+    supported = (ctype in (2, 6) and depth == 8) or (
+        ctype in (0, 3) and depth in (1, 2, 4, 8)
+    )
+    if not supported or comp != 0 or fmeth != 0 or interlace != 0:
         raise NotImplementedError(
             f"pure-Python PNG decode handles 8-bit truecolor RGB/RGBA "
-            f"only (got depth={depth}, color_type={ctype}, "
-            f"interlace={interlace}); install pillow for the rest"
+            f"and 1/2/4/8-bit grayscale/palette only (got depth={depth}, "
+            f"color_type={ctype}, interlace={interlace}); install pillow "
+            f"for the rest"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    ch = 3 if ctype == 2 else 4
-    stride = w * ch
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    stride = (w * channels * depth + 7) // 8
+    bpp = max(1, (channels * depth) // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -427,9 +481,12 @@ def decode_png(data: bytes):
         prior = out[y - 1] if y else np.zeros(stride, np.uint8)
         if ft == 0:
             out[y] = line
-        elif ft == 1:  # Sub: per-lane cumsum mod 256
+        elif ft == 1:  # Sub: per-byte-lane cumsum mod 256
             out[y] = (
-                np.cumsum(line.reshape(w, ch).astype(np.int64), axis=0)
+                np.cumsum(
+                    line.reshape(stride // bpp, bpp).astype(np.int64),
+                    axis=0,
+                )
                 % 256
             ).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up
@@ -437,7 +494,7 @@ def decode_png(data: bytes):
         elif ft == 3:  # Average
             rec, pr = line.tolist(), prior.tolist()
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (rec[x] + (left + pr[x]) // 2) & 0xFF
             out[y] = rec
         elif ft == 4:  # Paeth
@@ -446,15 +503,36 @@ def decode_png(data: bytes):
                 rec[x] = (
                     rec[x]
                     + _paeth(
-                        rec[x - ch] if x >= ch else 0,
+                        rec[x - bpp] if x >= bpp else 0,
                         pr[x],
-                        pr[x - ch] if x >= ch else 0,
+                        pr[x - bpp] if x >= bpp else 0,
                     )
                 ) & 0xFF
             out[y] = rec
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-    return np.ascontiguousarray(out.reshape(h, w, ch))
+    if depth == 8:
+        samples = out
+    else:
+        # MSB-first unpack, regroup into depth-bit samples, drop the
+        # row-padding samples beyond w
+        bits = np.unpackbits(out, axis=1)
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
+        samples = (
+            bits.reshape(h, -1, depth).astype(np.int64) @ weights
+        )[:, :w].astype(np.uint8)
+    if ctype in (2, 6):
+        return np.ascontiguousarray(samples.reshape(h, w, channels))
+    if ctype == 3:
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index beyond PLTE")
+        return np.ascontiguousarray(plte[idx])
+    # grayscale: exact display scale (255 divisible by 2^d - 1)
+    scale = 255 // ((1 << depth) - 1)
+    return np.ascontiguousarray(
+        (samples.reshape(h, w).astype(np.int64) * scale).astype(np.uint8)
+    )
 
 
 def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -2367,10 +2445,16 @@ def decode_media(
         def _pure_png(data):
             # Real COMPRESSED decode, no imaging library needed (r9):
             # stdlib zlib inflate + full filter reconstruction.  RGBA
-            # alpha is dropped so the output contract (fixed-size RGB)
-            # matches the BMP and PIL paths.
+            # alpha is dropped and grayscale (2-D, r10) replicated so
+            # the output contract (fixed-size RGB) matches the BMP and
+            # PIL paths.
+            arr = decode_png(data)
+            if arr.ndim == 2:
+                import numpy as np
+
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
             return nn_resize(
-                decode_png(data)[:, :, :3], target_width, target_height
+                arr[:, :, :3], target_width, target_height
             ).tobytes()
 
         def _pure_jpeg(data):

@@ -486,3 +486,104 @@ class TestInterlacedGifDecode:
         blob[blob.index(0x2C, 13 + 768) + 9] |= 0x40
         pal = np.frombuffer(M.gif_palette(), np.uint8).reshape(256, 3)
         assert np.array_equal(M.decode_gif(bytes(blob)), pal[idx])
+
+
+class TestPngPaletteGrayscale:
+    """r10: PNG color types 0 (grayscale) and 3 (palette) at depths
+    1/2/4/8 joined the pure decoder's subset (filtering runs over
+    packed row bytes with bpp = 1, bit-unpack after reconstruction)."""
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_palette_roundtrip_all_filters(self, depth):
+        rng = np.random.RandomState(depth)
+        n = min(16, 1 << depth)
+        pal = rng.randint(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.randint(0, n, (11, 7)).astype(np.uint8)
+        blob = M.encode_png(idx, palette=pal, depth=depth)
+        assert M.looks_like_png(blob)
+        assert np.array_equal(M.decode_png(blob), pal[idx])
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_grayscale_roundtrip_exact_scale(self, depth):
+        rng = np.random.RandomState(10 + depth)
+        g = rng.randint(0, 1 << depth, (9, 13)).astype(np.uint8)
+        out = M.decode_png(M.encode_png(g, depth=depth))
+        exp = (g.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+        assert out.shape == (9, 13)
+        assert np.array_equal(out, exp)
+
+    def test_external_palette_fixtures_decode(self):
+        """Standard-encoder paletted/grayscale PNGs shipped with the
+        runtime python decode with descriptor-matching shapes."""
+        import glob as _glob
+        import struct
+        import sysconfig
+
+        root = sysconfig.get_paths()["stdlib"]
+        decoded = 0
+        for p in _glob.glob(os.path.join(root, "**", "*.png"), recursive=True):
+            data = open(p, "rb").read()
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                continue
+            w, h, depth, ctype, *_ = struct.unpack_from(">IIBBBBB", data, 16)
+            if ctype not in (0, 3):
+                continue
+            arr = M.decode_png(data)
+            exp = (h, w) if ctype == 0 else (h, w, 3)
+            assert arr.shape == exp, p
+            decoded += 1
+        if decoded == 0:
+            pytest.skip("no palette/grayscale PNG fixtures on this python")
+
+    def test_decode_media_handles_grayscale_png(self, spark):
+        import pandas as pd
+
+        g = ((np.arange(8 * 12).reshape(8, 12) * 11) % 256).astype(np.uint8)
+        blob = M.encode_png(g)
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [7], "media": [blob]})
+        )
+        rows = M.decode_media(df, 4, 4).collect()
+        assert len(rows) == 1
+        exp = M.nn_resize(
+            np.repeat(g[:, :, None], 3, axis=2), 4, 4
+        ).tobytes()
+        assert bytes(rows[0]["pixels"]) == exp
+
+
+class TestMonitorCompactEquality:
+    """VERDICT r9 #6: compaction must never change the mSPRT read-out
+    (the probe asserts it at sf10/sf100; this pins it in CI)."""
+
+    def test_compact_preserves_readout(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from target_parquet_spark.streaming.sequential_monitor import (
+            StreamingSequentialMonitor,
+        )
+
+        rng = np.random.RandomState(3)
+        n = 400
+        ev = pd.DataFrame(
+            {
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.randint(0, 10 * 86400, n), unit="s"),
+                "user_id": rng.randint(0, 40, n).astype("int64"),
+                "value": rng.uniform(0, 30, n).round(2),
+            }
+        )
+        events = spark.createDataFrame(ev)
+        src = str(tmp_path / "src")
+        mon = StreamingSequentialMonitor(spark, str(tmp_path / "mon"))
+        for b in range(3):
+            batch = events.filter(F.col("user_id") % 3 == b)
+            batch.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(events.schema).parquet(src)
+            mon.start(stream, available_now=True).awaitTermination()
+        before = sorted(map(tuple, mon.read().collect()))
+        mon.compact()
+        after = sorted(map(tuple, mon.read().collect()))
+        assert before == after and len(before) > 0
