@@ -256,6 +256,9 @@ HEADLINE = [
     "multimodal_content_dedup",
     "sim_knn_graph_quantized",
     "multimodal_decode_gif",
+    # round 10
+    "sim_knn_graph_quantized_fixed",
+    "multimodal_dhash_decoded",
 ]
 
 

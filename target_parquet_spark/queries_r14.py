@@ -614,6 +614,9 @@ def sim_knn_graph_quantized(spark, sf_dir):
     pinned by tests/test_r14.py: recall >= 0.95 against the float fold
     plus the planted-twin contract (an exact duplicate quantizes to
     identical codes, shares every bucket, and must surface as rank 1,
-    sim 1.0)."""
+    sim 1.0).  r10: the quantized ALGEBRA additionally has a hash-exact
+    driver oracle via the fixed-granularity anchor
+    ``sim_knn_graph_quantized_fixed`` (queries_r15) — the same
+    exact-anchor/adaptive-twin split as every other _scaled family."""
     emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return S.knn_graph_quantized(emb, k=3)

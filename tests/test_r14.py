@@ -474,14 +474,21 @@ class TestJpegCodec:
         with pytest.raises(NotImplementedError, match="SOF"):
             M.decode_jpeg(bad)
 
-    def test_subsampled_raises_disclosed_seam(self):
+    def test_sampling_mismatch_is_structural_error(self):
+        """r10 moved 2x2 sampling INSIDE the decoder's subset (real
+        4:2:0 decode — tests/test_r15.py pins it against the stdlib's
+        python.jpg), so a header that CLAIMS 2x2 over a 4:4:4 entropy
+        stream is no longer the disclosed seam: the sniff accepts it
+        and the decoder fails structurally (the stream runs out of
+        blocks), never silently misdecodes.  Factors above 2 remain
+        the disclosed NotImplementedError (also in test_r15)."""
         rgb = np.zeros((8, 8, 3), np.uint8)
         blob = bytearray(M.encode_jpeg(rgb))
         # SOF0 component 1 sampling byte: find SOF0, comp data at +10
         i = bytes(blob).index(b"\xff\xc0")
         blob[i + 5 + 6] = 0x22  # claim 2x2 sampling for component 1
-        assert not M.looks_like_jpeg(bytes(blob))
-        with pytest.raises(NotImplementedError, match="subsampl"):
+        assert M.looks_like_jpeg(bytes(blob))
+        with pytest.raises(ValueError):
             M.decode_jpeg(bytes(blob))
 
     def test_truncated_rejected(self):
