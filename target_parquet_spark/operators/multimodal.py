@@ -307,60 +307,33 @@ def _pack_row(samples, depth: int) -> bytes:
     return np.packbits(bits.reshape(-1)).tobytes()
 
 
-def encode_png(arr, filters=None, palette=None, depth: int = 8) -> bytes:
-    """Encode a REAL PNG: signature, IHDR, optional PLTE, one
-    zlib-deflated IDAT of filter-prefixed scanlines, IEND — correct
-    CRCs throughout.  Input selects the color type: an (h, w, 3|4)
-    uint8 array is 8-bit truecolor (type 2/6, as through r9); an
-    (h, w) array is grayscale (type 0); an (h, w) array with
-    ``palette`` (an (n, 3) uint8 table) is palette-indexed (type 3).
-    Grayscale/palette accept ``depth`` in {1, 2, 4, 8} with MSB-first
-    bit packing (r10).  ``filters`` picks the per-row filter type
-    (ints 0-4, default ``y % 5`` plants every type); filtering runs
-    over the PACKED row bytes with bpp = max(1, channels*depth//8),
-    exactly as the spec defines for sub-byte depths."""
-    import struct
-    import zlib
-
+def _png_rows(sub, depth: int):
+    """Per-row packed int64 byte arrays for one (sub-)image of samples:
+    identity packing at depth 8 (multi-channel rows flattened),
+    MSB-first bit packing below it."""
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
-    if palette is not None:
-        if arr.ndim != 2:
-            raise ValueError("palette PNG takes an (h, w) index array")
-        pal = np.asarray(palette, dtype=np.uint8)
-        if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
-            raise ValueError("palette must be (n<=256, 3) uint8")
-        color_type, channels = 3, 1
-    elif arr.ndim == 2:
-        color_type, channels = 0, 1
-    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
-        color_type, channels = (2, 3) if arr.shape[2] == 3 else (6, 4)
-    else:
-        raise ValueError(f"encode_png cannot type shape {arr.shape}")
-    if depth not in (1, 2, 4, 8) or (color_type in (2, 6) and depth != 8):
-        raise ValueError(f"unsupported depth {depth} for type {color_type}")
-    h, w = arr.shape[:2]
-    if depth < 8 and int(arr.max(initial=0)) >= (1 << depth):
-        raise ValueError(f"sample exceeds {depth}-bit range")
+    h = sub.shape[0]
     if depth == 8:
-        rows = [arr[y].reshape(-1).astype(np.int64) for y in range(h)]
-    else:
-        rows = [
-            np.frombuffer(
-                _pack_row(arr[y].astype(np.int64), depth), np.uint8
-            ).astype(np.int64)
-            for y in range(h)
-        ]
-    stride = len(rows[0]) if h else 0
-    bpp = max(1, (channels * depth) // 8)
-    if filters is None:
-        filters = [y % 5 for y in range(h)]
+        return [sub[y].reshape(-1).astype(np.int64) for y in range(h)]
+    return [
+        np.frombuffer(
+            _pack_row(sub[y].reshape(-1).astype(np.int64), depth), np.uint8
+        ).astype(np.int64)
+        for y in range(h)
+    ]
+
+
+def _png_filter_rows(rows, bpp: int, filters) -> bytearray:
+    """Filter-prefix each packed row per its type (the exact inverse of
+    :func:`_png_unfilter`); one call per image or interlace pass."""
+    import numpy as np
+
     raw = bytearray()
+    stride = len(rows[0]) if rows else 0
     zero = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
+    for y, line in enumerate(rows):
         ft = int(filters[y])
-        line = rows[y]
         prior = rows[y - 1] if y else zero
         if ft == 0:
             filt = line
@@ -390,7 +363,77 @@ def encode_png(arr, filters=None, palette=None, depth: int = 8) -> bytes:
             raise ValueError(f"unknown PNG filter type {ft}")
         raw.append(ft)
         raw.extend((filt % 256).astype(np.uint8).tobytes())
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return raw
+
+
+def encode_png(
+    arr, filters=None, palette=None, depth: int = 8, interlace: bool = False
+) -> bytes:
+    """Encode a REAL PNG: signature, IHDR, optional PLTE, one
+    zlib-deflated IDAT of filter-prefixed scanlines, IEND — correct
+    CRCs throughout.  Input selects the color type: an (h, w, 3|4)
+    uint8 array is 8-bit truecolor (type 2/6, as through r9); an
+    (h, w) array is grayscale (type 0); an (h, w) array with
+    ``palette`` (an (n, 3) uint8 table) is palette-indexed (type 3).
+    Grayscale/palette accept ``depth`` in {1, 2, 4, 8} with MSB-first
+    bit packing (r10).  ``filters`` picks the per-row filter type
+    (ints 0-4, default ``y % 5`` plants every type); filtering runs
+    over the PACKED row bytes with bpp = max(1, channels*depth//8),
+    exactly as the spec defines for sub-byte depths.
+    ``interlace=True`` (r10) writes Adam7: each of the seven passes is
+    extracted through the pass grid, packed, and filtered as an
+    independent sub-image with its own ``(pass + y) % 5`` schedule
+    (``filters`` must be None — pass geometry owns the row count)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if palette is not None:
+        if arr.ndim != 2:
+            raise ValueError("palette PNG takes an (h, w) index array")
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+            raise ValueError("palette must be (n<=256, 3) uint8")
+        color_type, channels = 3, 1
+    elif arr.ndim == 2:
+        color_type, channels = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 2:
+        color_type, channels = 4, 2  # gray+alpha (r10)
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        color_type, channels = (2, 3) if arr.shape[2] == 3 else (6, 4)
+    else:
+        raise ValueError(f"encode_png cannot type shape {arr.shape}")
+    if depth not in (1, 2, 4, 8) or (color_type in (2, 4, 6) and depth != 8):
+        raise ValueError(f"unsupported depth {depth} for type {color_type}")
+    h, w = arr.shape[:2]
+    if depth < 8 and int(arr.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample exceeds {depth}-bit range")
+    bpp = max(1, (channels * depth) // 8)
+    if interlace:
+        if filters is not None:
+            raise ValueError(
+                "interlaced PNG owns the per-pass filter schedule; "
+                "filters must be None"
+            )
+        raw = bytearray()
+        for p_idx, (xs, ys, xstep, ystep) in enumerate(_ADAM7):
+            sub = arr[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            rows = _png_rows(sub, depth)
+            raw += _png_filter_rows(
+                rows, bpp, [(p_idx + y) % 5 for y in range(len(rows))]
+            )
+    else:
+        rows = _png_rows(arr, depth)
+        if filters is None:
+            filters = [y % 5 for y in range(h)]
+        raw = _png_filter_rows(rows, bpp, filters)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     chunks = [_png_chunk(b"IHDR", ihdr)]
     if color_type == 3:
         chunks.append(_png_chunk(b"PLTE", pal.tobytes()))
@@ -403,7 +446,7 @@ def looks_like_png(data: bytes) -> bool:
     """Sniff for payloads the pure-Python PNG decoder owns: full 8-byte
     signature plus an IHDR inside :func:`decode_png`'s subset — 8-bit
     truecolor RGB/RGBA, or grayscale/palette at depth 1/2/4/8 (r10);
-    deflate compression, filter method 0, no interlace."""
+    deflate compression, filter method 0, sequential or Adam7."""
     import struct
 
     if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -413,87 +456,38 @@ def looks_like_png(data: bytes) -> bool:
     _, _, depth, ctype, comp, filt, interlace = struct.unpack_from(
         ">IIBBBBB", data, 16
     )
-    if comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         return False
-    if ctype in (2, 6):
+    if ctype in (2, 4, 6):
         return depth == 8
     return ctype in (0, 3) and depth in (1, 2, 4, 8)
 
 
-def decode_png(data: bytes):
-    """Decode a PNG (filter method 0, no interlace) using only stdlib
-    ``zlib`` + numpy: chunk walk (all IDAT segments concatenated, PLTE
-    captured), inflate, the full per-row un-filter algebra over PACKED
-    row bytes — None and Up vectorized, Sub as a per-byte-lane
-    cumulative sum, Average/Paeth as bounded per-row loops — then
-    MSB-first bit unpacking for sub-byte depths.  Returns (h, w, 3|4)
-    uint8 for truecolor (type 2/6, depth 8) and palette (type 3, depth
-    1/2/4/8 — indices mapped through PLTE), and an (h, w) 2-D array
-    for grayscale (type 0; sub-byte samples scaled to 0..255 by the
-    exact 255/(2^d - 1) factor, matching every standard decoder).
-    Raises ``NotImplementedError`` for the remaining forms (16-bit,
-    gray+alpha type 4, Adam7 interlace) — the disclosed seam."""
-    import struct
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_unfilter(raw, off: int, h: int, stride: int, bpp: int):
+    """Reconstruct ``h`` filter-prefixed scanlines of ``stride`` packed
+    bytes starting at ``raw[off]`` — the full type 0-4 algebra (None and
+    Up vectorized, Sub as a per-byte-lane cumulative sum, Average/Paeth
+    as bounded per-row loops).  Returns the (h, stride) byte grid;
+    each interlace pass un-filters independently through this."""
     import numpy as np
 
-    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, idat, ihdr, plte = 8, bytearray(), None, None
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
-        body_off = pos + 8
-        if body_off + length + 4 > len(data):
-            raise ValueError("truncated PNG chunk")
-        if tag == b"IHDR":
-            ihdr = struct.unpack_from(">IIBBBBB", data, body_off)
-        elif tag == b"PLTE":
-            if length % 3:
-                raise ValueError("PNG PLTE length not a multiple of 3")
-            plte = np.frombuffer(
-                data, np.uint8, length, body_off
-            ).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.extend(data[body_off : body_off + length])
-        elif tag == b"IEND":
-            break
-        pos = body_off + length + 4
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, comp, fmeth, interlace = ihdr
-    supported = (ctype in (2, 6) and depth == 8) or (
-        ctype in (0, 3) and depth in (1, 2, 4, 8)
-    )
-    if not supported or comp != 0 or fmeth != 0 or interlace != 0:
-        raise NotImplementedError(
-            f"pure-Python PNG decode handles 8-bit truecolor RGB/RGBA "
-            f"and 1/2/4/8-bit grayscale/palette only (got depth={depth}, "
-            f"color_type={ctype}, interlace={interlace}); install pillow "
-            f"for the rest"
-        )
-    if w <= 0 or h <= 0:
-        raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    if ctype == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE chunk")
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
-    stride = (w * channels * depth + 7) // 8
-    bpp = max(1, (channels * depth) // 8)
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as exc:
-        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG scanline data wrong size: got {len(raw)}, "
-            f"expected {h * (1 + stride)}"
-        )
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
-        off = y * (1 + stride)
-        ft = raw[off]
-        line = np.frombuffer(raw, np.uint8, stride, off + 1)
+        row_off = off + y * (1 + stride)
+        ft = raw[row_off]
+        line = np.frombuffer(raw, np.uint8, stride, row_off + 1)
         prior = out[y - 1] if y else np.zeros(stride, np.uint8)
         if ft == 0:
             out[y] = line
@@ -527,27 +521,135 @@ def decode_png(data: bytes):
             out[y] = rec
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
+    return out
+
+
+def _png_samples(rows, w: int, channels: int, depth: int):
+    """(h, stride) packed bytes -> (h, w, channels) uint8 samples:
+    identity at depth 8, MSB-first bit regrouping (row padding samples
+    dropped) below it (sub-byte implies channels == 1)."""
+    import numpy as np
+
+    h = rows.shape[0]
     if depth == 8:
-        samples = out
+        return rows.reshape(h, w, channels)
+    bits = np.unpackbits(rows, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
+    return (
+        (bits.reshape(h, -1, depth).astype(np.int64) @ weights)[:, :w]
+        .astype(np.uint8)
+        .reshape(h, w, 1)
+    )
+
+
+def decode_png(data: bytes):
+    """Decode a PNG (filter method 0) using only stdlib ``zlib`` +
+    numpy: chunk walk (all IDAT segments concatenated, PLTE captured),
+    inflate, the full per-row un-filter algebra over PACKED row bytes,
+    MSB-first bit unpacking for sub-byte depths, and (r10) Adam7
+    interlace — each of the seven passes is an independently filtered
+    sub-image scattered back through the pass grid with one numpy
+    strided assignment.  Returns (h, w, 3|4) uint8 for truecolor
+    (type 2/6, depth 8) and palette (type 3, depth 1/2/4/8 — indices
+    mapped through PLTE), and an (h, w) 2-D array for grayscale
+    (type 0; sub-byte samples scaled to 0..255 by the exact
+    255/(2^d - 1) factor, matching every standard decoder).  Gray+alpha
+    (type 4, depth 8) returns an (h, w, 2) array.  Raises
+    ``NotImplementedError`` for the one remaining form — 16-bit
+    depth — the disclosed seam."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte = 8, bytearray(), None, None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body_off = pos + 8
+        if body_off + length + 4 > len(data):
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack_from(">IIBBBBB", data, body_off)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(
+                data, np.uint8, length, body_off
+            ).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(data[body_off : body_off + length])
+        elif tag == b"IEND":
+            break
+        pos = body_off + length + 4
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, fmeth, interlace = ihdr
+    supported = (ctype in (2, 4, 6) and depth == 8) or (
+        ctype in (0, 3) and depth in (1, 2, 4, 8)
+    )
+    if not supported or comp != 0 or fmeth != 0 or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"pure-Python PNG decode handles every color type at 8-bit "
+            f"plus 1/2/4-bit grayscale/palette (got depth={depth}, "
+            f"color_type={ctype}, interlace={interlace}); 16-bit needs "
+            f"pillow"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, (channels * depth) // 8)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    if interlace == 0:
+        stride = (w * channels * depth + 7) // 8
+        if len(raw) != h * (1 + stride):
+            raise ValueError(
+                f"PNG scanline data wrong size: got {len(raw)}, "
+                f"expected {h * (1 + stride)}"
+            )
+        full = _png_samples(_png_unfilter(raw, 0, h, stride, bpp), w, channels, depth)
     else:
-        # MSB-first unpack, regroup into depth-bit samples, drop the
-        # row-padding samples beyond w
-        bits = np.unpackbits(out, axis=1)
-        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
-        samples = (
-            bits.reshape(h, -1, depth).astype(np.int64) @ weights
-        )[:, :w].astype(np.uint8)
-    if ctype in (2, 6):
-        return np.ascontiguousarray(samples.reshape(h, w, channels))
+        full = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            wp = max(0, -(-(w - xs) // xstep))
+            hp = max(0, -(-(h - ys) // ystep))
+            if wp == 0 or hp == 0:
+                continue  # empty pass carries no scanlines (spec §8.2)
+            stride_p = (wp * channels * depth + 7) // 8
+            need = hp * (1 + stride_p)
+            if off + need > len(raw):
+                raise ValueError("PNG interlaced scanline data truncated")
+            rows = _png_unfilter(raw, off, hp, stride_p, bpp)
+            off += need
+            full[ys::ystep, xs::xstep] = _png_samples(
+                rows, wp, channels, depth
+            )
+        if off != len(raw):
+            raise ValueError(
+                f"PNG interlaced scanline data wrong size: got "
+                f"{len(raw)}, expected {off}"
+            )
+    if ctype in (2, 4, 6):
+        # type 4 returns (h, w, 2) gray+alpha; consumers that need RGB
+        # replicate the gray channel (decode_media does)
+        return np.ascontiguousarray(full)
     if ctype == 3:
-        idx = samples.reshape(h, w)
+        idx = full.reshape(h, w)
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("PNG palette index beyond PLTE")
         return np.ascontiguousarray(plte[idx])
     # grayscale: exact display scale (255 divisible by 2^d - 1)
     scale = 255 // ((1 << depth) - 1)
     return np.ascontiguousarray(
-        (samples.reshape(h, w).astype(np.int64) * scale).astype(np.uint8)
+        (full.reshape(h, w).astype(np.int64) * scale).astype(np.uint8)
     )
 
 
@@ -2561,10 +2663,12 @@ def decode_media(
             # the output contract (fixed-size RGB) matches the BMP and
             # PIL paths.
             arr = decode_png(data)
-            if arr.ndim == 2:
-                import numpy as np
+            import numpy as np
 
+            if arr.ndim == 2:
                 arr = np.repeat(arr[:, :, None], 3, axis=2)
+            elif arr.shape[2] == 2:  # gray+alpha: replicate, drop alpha
+                arr = np.repeat(arr[:, :, :1], 3, axis=2)
             return nn_resize(
                 arr[:, :, :3], target_width, target_height
             ).tobytes()

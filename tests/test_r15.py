@@ -675,3 +675,91 @@ class TestJpegChromaSubsampling:
     def test_grayscale_rejects_subsample(self):
         with pytest.raises(ValueError):
             M.encode_jpeg(np.zeros((8, 8), np.uint8), subsample="420")
+
+
+class TestPngAdam7:
+    """r10: Adam7 interlace joined the pure PNG subset — seven
+    independently filtered pass sub-images scattered through the pass
+    grid.  encode_png(interlace=True) writes it, so round trips cover
+    every color type, depth, and odd-dimension geometry (passes that
+    are empty for small images carry no scanlines, per spec §8.2)."""
+
+    @pytest.mark.parametrize("hw", [(1, 1), (2, 3), (8, 8), (9, 13), (33, 31)])
+    def test_roundtrip_truecolor_and_alpha(self, hw):
+        h, w = hw
+        rng = np.random.RandomState(h * 100 + w)
+        rgb = rng.randint(0, 256, (h, w, 3), np.uint8)
+        assert np.array_equal(
+            M.decode_png(M.encode_png(rgb, interlace=True)), rgb
+        )
+        rgba = rng.randint(0, 256, (h, w, 4), np.uint8)
+        assert np.array_equal(
+            M.decode_png(M.encode_png(rgba, interlace=True)), rgba
+        )
+
+    @pytest.mark.parametrize("depth", [1, 2, 4, 8])
+    def test_roundtrip_palette_and_gray_subbyte(self, depth):
+        rng = np.random.RandomState(depth)
+        n = min(16, 1 << depth)
+        pal = rng.randint(0, 256, (n, 3), np.uint8)
+        idx = rng.randint(0, n, (17, 11)).astype(np.uint8)
+        blob = M.encode_png(idx, palette=pal, depth=depth, interlace=True)
+        assert M.looks_like_png(blob)
+        assert np.array_equal(M.decode_png(blob), pal[idx])
+        g = rng.randint(0, 1 << depth, (17, 11)).astype(np.uint8)
+        out = M.decode_png(M.encode_png(g, depth=depth, interlace=True))
+        exp = (g.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+        assert np.array_equal(out, exp)
+
+    def test_pass_grid_tiles_exactly_once(self):
+        """Structural spec property: the seven pass grids partition the
+        image — every pixel written exactly once."""
+        for h, w in [(1, 1), (3, 5), (8, 8), (13, 9), (40, 17)]:
+            hits = np.zeros((h, w), np.int64)
+            for xs, ys, xstep, ystep in M._ADAM7:
+                hits[ys::ystep, xs::xstep] += 1
+            assert (hits == 1).all(), (h, w)
+
+    def test_interlaced_flag_over_sequential_data_rejected(self):
+        rgb = ((np.arange(48).reshape(4, 4, 3) * 5) % 256).astype(np.uint8)
+        blob = bytearray(M.encode_png(rgb))
+        blob[28] = 1  # claim Adam7 over sequential scanlines
+        with pytest.raises(ValueError):
+            M.decode_png(bytes(blob))
+
+
+class TestPngGrayAlpha:
+    """r10: color type 4 (gray+alpha, depth 8) — the last non-16-bit
+    PNG form — decodes to (h, w, 2); decode_media replicates the gray
+    channel and drops alpha, matching its RGBA handling."""
+
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_roundtrip(self, interlace):
+        rng = np.random.RandomState(21)
+        la = rng.randint(0, 256, (9, 7, 2), np.uint8)
+        blob = (
+            M.encode_png(la, interlace=True) if interlace else M.encode_png(la)
+        )
+        assert M.looks_like_png(blob)
+        assert np.array_equal(M.decode_png(blob), la)
+
+    def test_decode_media_replicates_gray(self, spark):
+        import pandas as pd
+
+        g = ((np.arange(6 * 8) * 13) % 256).astype(np.uint8).reshape(6, 8)
+        la = np.stack([g, np.full_like(g, 200)], axis=2)
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [1], "media": [M.encode_png(la)]})
+        )
+        rows = M.decode_media(df, 4, 4).collect()
+        exp = M.nn_resize(np.repeat(g[:, :, None], 3, axis=2), 4, 4).tobytes()
+        assert bytes(rows[0]["pixels"]) == exp
+
+    def test_sixteen_bit_remains_disclosed(self):
+        blob = bytearray(M.encode_png(np.zeros((2, 2, 3), np.uint8)))
+        blob[24] = 16
+        assert not M.looks_like_png(bytes(blob))
+        with pytest.raises(NotImplementedError):
+            M.decode_png(bytes(blob))
