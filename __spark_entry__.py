@@ -70,7 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # burn slots on rows that cannot go green): the two r10 newcomers gate
 # first, then the seven wave-3 deferrals named in r9's comment, then
 # the biggest untouched tails (events 10, sim 8, text 7, agg 6) ->
-# expected 211/332 green after r10.
+# expected 211/333 green after r10 (multimodal_png_forms — the r10
+# PNG-forms coverage pin, registered late in the round — takes the
+# 40th slot; agg_median_mode defers to wave 4).
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -87,6 +89,7 @@ _CURATED_PREFIX = [
     # new this round — gate them first
     "sim_knn_graph_quantized_fixed",
     "multimodal_dhash_decoded",
+    "multimodal_png_forms",
     # the seven wave-2 deferrals (VERDICT r9 #1 names them)
     "sample_temperature_mixture",
     "sample_weighted_without_replacement",
@@ -129,7 +132,6 @@ _CURATED_PREFIX = [
     "agg_histogram_bins",
     "agg_correlation",
     "agg_arg_extremum",
-    "agg_median_mode",
 ]
 
 

@@ -259,6 +259,7 @@ HEADLINE = [
     # round 10
     "sim_knn_graph_quantized_fixed",
     "multimodal_dhash_decoded",
+    "multimodal_png_forms",
 ]
 
 

@@ -1044,6 +1044,80 @@ def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _fanout_ids(df, id_col).mapInPandas(_batches, schema=out_schema)
 
 
+def attach_png_forms_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate the FULL spread of real PNG forms the r10 codec covers,
+    one per id by ``id % 5``: 0 truecolor (per-row filter schedule
+    (id+y) % 5), 1 RGBA (alpha dropped at decode), 2 grayscale-8,
+    3 palette at depth 4 (sub-byte bit packing + PLTE), 4 Adam7
+    INTERLACED truecolor.  Shared dims w = 4 + id % 6, h = 3 + id % 5;
+    every form's decoded RGB is a pure function of (id, y, x, c) an
+    oracle can replay without parsing PNG, inflating zlib, un-filtering,
+    unpacking bits, or walking the pass grid:
+
+      truecolor/RGBA/interlaced: (id*13 + y*89 + x*29 + c*47) % 256
+      grayscale: all channels (id*29 + y*53 + x*19) % 256
+      palette:   q = (id + y*5 + x*3) % 16 ->
+                 ((q*91+13) % 256, (q*57+101) % 256, (q*23+7) % 256)
+
+    Arrow-batched mapInPandas over fanned-out ids, no shuffle."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 6, 3 + mid % 5
+                y = np.arange(h, dtype=np.int64)[:, None, None] * 89
+                x = np.arange(w, dtype=np.int64)[None, :, None] * 29
+                c = np.arange(3, dtype=np.int64)[None, None, :] * 47
+                rgb = ((mid * 13 + y + x + c) % 256).astype(np.uint8)
+                form = mid % 5
+                if form == 0:
+                    blob = encode_png(rgb, [(mid + yy) % 5 for yy in range(h)])
+                elif form == 1:
+                    a = (
+                        (mid * 7 + y // 89 * 31 + x // 29 * 3) % 256
+                    ).astype(np.uint8)[:, :, :1]
+                    blob = encode_png(np.concatenate([rgb, a], axis=2))
+                elif form == 2:
+                    g = (
+                        (mid * 29
+                         + np.arange(h, dtype=np.int64)[:, None] * 53
+                         + np.arange(w, dtype=np.int64)[None, :] * 19) % 256
+                    ).astype(np.uint8)
+                    blob = encode_png(g)
+                elif form == 3:
+                    q = np.arange(16, dtype=np.int64)
+                    pal = np.stack(
+                        [(q * 91 + 13) % 256, (q * 57 + 101) % 256,
+                         (q * 23 + 7) % 256],
+                        axis=1,
+                    ).astype(np.uint8)
+                    idx = (
+                        (mid
+                         + np.arange(h, dtype=np.int64)[:, None] * 5
+                         + np.arange(w, dtype=np.int64)[None, :] * 3) % 16
+                    ).astype(np.uint8)
+                    blob = encode_png(idx, palette=pal, depth=4)
+                else:
+                    blob = encode_png(rgb, interlace=True)
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return _fanout_ids(df, id_col).mapInPandas(_batches, schema=out_schema)
+
+
 def recompress_gif(data: bytes) -> bytes:
     """A GENUINE recompression round trip: decode the GIF (LZW +
     palette), recover the palette indices from the RGB pixels (the

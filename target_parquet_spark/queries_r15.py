@@ -230,3 +230,72 @@ def multimodal_dhash_decoded(spark, sf_dir):
         F.col("id_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# full-spread PNG forms decode (r10 codec coverage, driver-visible)
+# ---------------------------------------------------------------------------
+
+# decode target distinct from the BMP (6x5), PNG (7x4), and GIF pins.
+_PF_W, _PF_H = 8, 6
+
+# Expected decoded RGB per form (see attach_png_forms_media): pure
+# (id, y, x, c) functions; the oracle never parses PNG, inflates zlib,
+# un-filters, unpacks bits, or walks the Adam7 pass grid.
+_SQL_PNG_FORMS = f"""
+    WITH px AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, {_PF_H * _PF_W * 3}), i ->
+               format('{{:02X}}', CASE
+                 WHEN doc_id % 5 IN (0, 1, 4) THEN
+                   (doc_id * 13
+                    + (((i // {_PF_W * 3}) * (3 + doc_id % 5)) // {_PF_H}) * 89
+                    + ((((i % {_PF_W * 3}) // 3) * (4 + doc_id % 6)) // {_PF_W}) * 29
+                    + (i % 3) * 47) % 256
+                 WHEN doc_id % 5 = 2 THEN
+                   (doc_id * 29
+                    + (((i // {_PF_W * 3}) * (3 + doc_id % 5)) // {_PF_H}) * 53
+                    + ((((i % {_PF_W * 3}) // 3) * (4 + doc_id % 6)) // {_PF_W}) * 19) % 256
+                 ELSE
+                   (((doc_id
+                      + (((i // {_PF_W * 3}) * (3 + doc_id % 5)) // {_PF_H}) * 5
+                      + ((((i % {_PF_W * 3}) // 3) * (4 + doc_id % 6)) // {_PF_W}) * 3) % 16)
+                    * (CASE i % 3 WHEN 0 THEN 91 WHEN 1 THEN 57 ELSE 23 END)
+                    + (CASE i % 3 WHEN 0 THEN 13 WHEN 1 THEN 101 ELSE 7 END)) % 256
+               END)), '') AS pixhex
+      FROM documents)
+    SELECT doc_id AS media_id,
+           CAST({_PF_W} AS INTEGER) AS width,
+           CAST({_PF_H} AS INTEGER) AS height,
+           CAST({_PF_H * _PF_W * 3} AS BIGINT) AS n_bytes,
+           md5(pixhex) AS pixels_hash
+    FROM px
+"""
+
+
+@query("multimodal_png_forms", _SQL_PNG_FORMS)
+def multimodal_png_forms(spark, sf_dir):
+    """Every PNG form the r10 pure codec covers, decoded in one sweep
+    and pinned hash-exact: id % 5 routes each document to truecolor
+    (all five filter types planted), RGBA (alpha dropped), grayscale,
+    palette at depth 4 (sub-byte packing + PLTE), or Adam7 INTERLACED
+    truecolor (seven independently filtered pass sub-images) — see
+    operators/multimodal.attach_png_forms_media.  The oracle recomputes
+    the expected decoded+resized pixels from the generation functions
+    without touching any of that machinery, so a defect in the
+    bit-unpack, PLTE mapping, pass-grid scatter, OR the filter algebra
+    under any of those layouts breaks the match.
+
+    Plan: fanned-out id rows feed two chained Arrow-batched mapInPandas
+    stages (encode form, decode); payloads never leave their creating
+    task; only (id, 3-int, md5) rows exit."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_png_forms_media(docs, "doc_id")
+    decoded = M.decode_media(media, target_width=_PF_W, target_height=_PF_H)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("pixels").cast("long").alias("n_bytes"),
+        F.md5(F.hex("pixels")).alias("pixels_hash"),
+    )

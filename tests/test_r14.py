@@ -91,23 +91,23 @@ class TestPngCodec:
         assert np.array_equal(M.decode_png(two), img)
 
     def test_unsupported_forms_raise_not_implemented(self):
-        """16-bit / gray+alpha PNG is outside the pure decoder's
-        subset: NotImplementedError at the seam, and the sniff refuses
-        them so decode_media never routes them here.  (Palette,
-        grayscale, and Adam7 interlace moved INSIDE the subset in r10
-        — tests/test_r15.py pins them.)"""
+        """16-bit depth is the ONE remaining PNG form outside the pure
+        decoder's subset: NotImplementedError at the seam, and the
+        sniff refuses it so decode_media never routes it here.
+        (Palette, grayscale, gray+alpha, and Adam7 interlace all moved
+        INSIDE the subset in r10 — tests/test_r15.py pins them.)"""
         img = _rand_img(2, 2)
         data = bytearray(M.encode_png(img))
-        for off, val in [(24, 16), (25, 4)]:  # depth, ctype
-            bad = bytearray(data)
-            bad[off] = val
-            assert not M.looks_like_png(bytes(bad))
-            with pytest.raises(NotImplementedError):
-                M.decode_png(bytes(bad))
-        # headers that LIE about the layout: a "palette" PNG without a
-        # PLTE, and an "interlaced" flag over sequential scanline data —
-        # both in-subset for the sniff now, both structural ValueErrors
-        for off, val in [(25, 3), (28, 1)]:
+        bad = bytearray(data)
+        bad[24] = 16  # depth
+        assert not M.looks_like_png(bytes(bad))
+        with pytest.raises(NotImplementedError):
+            M.decode_png(bytes(bad))
+        # headers that LIE about the layout: "palette" without a PLTE,
+        # "gray+alpha" over RGB strides, "interlaced" over sequential
+        # scanlines — all in-subset for the sniff now, all structural
+        # ValueErrors (never a silent misdecode)
+        for off, val in [(25, 3), (25, 4), (28, 1)]:
             bad = bytearray(data)
             bad[off] = val
             assert M.looks_like_png(bytes(bad))

@@ -763,3 +763,28 @@ class TestPngGrayAlpha:
         assert not M.looks_like_png(bytes(blob))
         with pytest.raises(NotImplementedError):
             M.decode_png(bytes(blob))
+
+
+class TestPngFormsCorpus:
+    """The multimodal_png_forms corpus must actually exercise all five
+    container forms — assert per-form IHDR bytes so a regression in
+    attach_png_forms_media cannot quietly collapse to one layout."""
+
+    def test_forms_route_by_id(self, spark):
+        import struct
+
+        ids = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        blobs = {
+            r["media_id"]: bytes(r["media"])
+            for r in M.attach_png_forms_media(ids, "doc_id").collect()
+        }
+        assert len(blobs) == 10
+        for mid, data in blobs.items():
+            _, _, depth, ctype, _, _, inter = struct.unpack_from(
+                ">IIBBBBB", data, 16
+            )
+            form = mid % 5
+            exp = {0: (8, 2, 0), 1: (8, 6, 0), 2: (8, 0, 0),
+                   3: (4, 3, 0), 4: (8, 2, 1)}[form]
+            assert (depth, ctype, inter) == exp, (mid, depth, ctype, inter)
+            assert M.looks_like_png(data)
