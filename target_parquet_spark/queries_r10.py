@@ -794,6 +794,15 @@ def msprt_readout(obs):
         F.sum("v").cast("long").alias("s1"),
         F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
     )
+    return msprt_readout_from_moments(daily)
+
+
+def msprt_readout_from_moments(daily):
+    """The read-out from pre-aggregated (day, arm, n, s1, s2) moment
+    rows — split out (r10) so the streaming monitor's compacted-moments
+    fast read feeds the SAME scaffold/window/stat code the batch query
+    and the slow fold use; only the moment ACCUMULATION differs between
+    the surfaces, never the math."""
     # day x arm scaffold: a day where one arm happens to have no events
     # must still carry that arm's cumulative state forward (a boundary
     # crossing on such a day would otherwise be silently dropped)

@@ -114,6 +114,31 @@ class EpochStore:
             return self.spark.createDataFrame([], self.empty_schema)
         return self.spark.read.parquet(*paths)
 
+    def split_state(self):
+        """(base_df | None, unfolded_epochs_df | None, base_name | None)
+        — the same dirs :meth:`state_df` would union, kept separate so a
+        reader with a base-keyed sidecar (e.g. the sequential monitor's
+        moments table, r10) can delta-adjust instead of re-folding the
+        whole state."""
+        bases, epochs = self._list()
+        base_df = base_name = None
+        folded: set[str] = set()
+        if bases:
+            base_name = bases[-1]
+            folded = set(self._manifest(base_name))
+            base_df = self.spark.read.parquet(
+                os.path.join(self.out_dir, base_name)
+            )
+        delta_paths = [
+            os.path.join(self.out_dir, e)
+            for e in epochs
+            if e not in folded and self._committed(e)
+        ]
+        delta_df = (
+            self.spark.read.parquet(*delta_paths) if delta_paths else None
+        )
+        return base_df, delta_df, base_name
+
     # -- compaction ----------------------------------------------------------
 
     def compact(self, fold: Callable[[DataFrame], DataFrame]) -> None:

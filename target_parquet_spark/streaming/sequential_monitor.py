@@ -20,9 +20,13 @@ path squares only the merged totals.
 Scale notes: the per-batch aggregate shuffles on (day, user_id) —
 map-side combined, bounded by active users/day; the read path is the
 batch query's own plan over the merged store (one (day, arm) aggregate
-+ windows over |days| rows).  Late events land in their day's partial
-and simply update that day's read-out on the next read — no watermark,
-the store is the state.
++ windows over |days| rows) UNTIL the first compaction, after which a
+(day, arm) moments sidecar makes the read delta-adjusting: shuffle
+volume O(post-compaction delta + days) instead of O(user-days) — see
+``read`` (r10, VERDICT r9 #6; the sf1->sf10->sf100 decade probes showed
+the full fold as the one streaming read path whose cost tracked state
+size).  Late events land in their day's partial and simply update that
+day's read-out on the next read — no watermark, the store is the state.
 """
 
 from __future__ import annotations
@@ -94,20 +98,139 @@ class StreamingSequentialMonitor:
             .agg(F.sum("sum_micro").cast("long").alias("sum_micro"))
         )
 
+    def _moments_dir(self, base_name: str) -> str:
+        return os.path.join(self.out_dir, f"moments-{base_name}")
+
+    @staticmethod
+    def _v(micro):
+        return F.round(micro / 10000.0).cast("long")
+
     def read(self) -> DataFrame:
         """The monitor read-out (same schema and values as the batch
-        ``events_msprt_monitor`` over the ingested events)."""
-        from target_parquet_spark.queries_ops import _hash_mod
-        from target_parquet_spark.queries_r10 import msprt_readout
+        ``events_msprt_monitor`` over the ingested events).
 
-        obs = self._fold(self._store.state_df()).select(
-            "day",
-            _hash_mod(F.col("user_id"), 2).alias("arm"),
-            F.round(F.col("sum_micro") / 10000.0).cast("long").alias("v"),
+        Two regimes (r10, VERDICT r9 #6): without a compacted moments
+        sidecar the read folds the full (day, user) state — O(user-days)
+        shuffle, the path every decade probe through r9 measured.  After
+        :meth:`compact` the sidecar holds the (day, arm, n, s1, s2)
+        moments of the base, and the read DELTA-ADJUSTS them: only
+        post-compaction epoch partials (delta-sized) are folded, their
+        prior user-day totals fetched by scanning the base once against
+        a BROADCAST of the affected keys (the big side never shuffles),
+        and the per-(day, arm) moment corrections — count for new
+        user-days, Δv and Δv² for updated ones — merged into the
+        sidecar.  Shuffle volume drops from O(user-days) to
+        O(delta + days); values are bit-identical to the slow fold
+        (integer moment arithmetic, pinned by test + probe equality
+        asserts)."""
+        from target_parquet_spark.queries_ops import _hash_mod
+        from target_parquet_spark.queries_r10 import (
+            msprt_readout,
+            msprt_readout_from_moments,
         )
-        return msprt_readout(obs)
+
+        base, deltas, base_name = self._store.split_state()
+        mdir = self._moments_dir(base_name) if base_name else None
+        if (
+            base is None
+            or mdir is None
+            or not os.path.isfile(os.path.join(mdir, "_SUCCESS"))
+        ):
+            obs = self._fold(self._store.state_df()).select(
+                "day",
+                _hash_mod(F.col("user_id"), 2).alias("arm"),
+                self._v(F.col("sum_micro")).alias("v"),
+            )
+            return msprt_readout(obs)
+        moments = self.spark.read.parquet(mdir)
+        if deltas is None:
+            return msprt_readout_from_moments(moments)
+        affected = self._fold(deltas).withColumnRenamed(
+            "sum_micro", "d_micro"
+        )
+        # prior totals for ONLY the affected user-days: base streams
+        # map-side against a broadcast of the delta-sized key set
+        olds = base.join(
+            F.broadcast(affected.select("day", "user_id")),
+            ["day", "user_id"],
+        ).select(
+            "day", "user_id", F.col("sum_micro").alias("old_micro")
+        )
+        j = affected.join(F.broadcast(olds), ["day", "user_id"], "left")
+        old_v = F.when(
+            F.col("old_micro").isNotNull(), self._v(F.col("old_micro"))
+        ).otherwise(F.lit(0))
+        new_v = self._v(
+            F.coalesce(F.col("old_micro"), F.lit(0)) + F.col("d_micro")
+        )
+        adj = (
+            j.select(
+                "day",
+                _hash_mod(F.col("user_id"), 2).alias("arm"),
+                F.when(F.col("old_micro").isNull(), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("dn"),
+                (new_v - old_v).alias("ds1"),
+                (new_v * new_v - old_v * old_v).alias("ds2"),
+            )
+            .groupBy("day", "arm")
+            .agg(
+                F.sum("dn").cast("long").alias("dn"),
+                F.sum("ds1").cast("long").alias("ds1"),
+                F.sum("ds2").cast("long").alias("ds2"),
+            )
+        )
+        merged = (
+            moments.join(adj, ["day", "arm"], "full_outer")
+            .select(
+                "day",
+                "arm",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                .cast("long")
+                .alias("n"),
+                (F.coalesce("s1", F.lit(0)) + F.coalesce("ds1", F.lit(0)))
+                .cast("long")
+                .alias("s1"),
+                (F.coalesce("s2", F.lit(0)) + F.coalesce("ds2", F.lit(0)))
+                .cast("long")
+                .alias("s2"),
+            )
+        )
+        return msprt_readout_from_moments(merged)
 
     def compact(self) -> None:
         """Fold current partials into a base directory (see
-        EpochStore.compact)."""
+        EpochStore.compact), then materialize the base's (day, arm,
+        n, s1, s2) moments sidecar keyed to the base version — the
+        state the fast read path (r10) delta-adjusts.  A crash between
+        the base rename and the sidecar commit is safe: the sidecar is
+        missing (or lacks _SUCCESS) and the read falls back to the full
+        fold; stale sidecars of retired bases are removed."""
+        import shutil
+
+        from target_parquet_spark.queries_ops import _hash_mod
+
         self._store.compact(self._fold)
+        base, _deltas, base_name = self._store.split_state()
+        if base is None or base_name is None:
+            return
+        moments = (
+            base.select(
+                "day",
+                _hash_mod(F.col("user_id"), 2).alias("arm"),
+                self._v(F.col("sum_micro")).alias("v"),
+            )
+            .groupBy("day", "arm")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").cast("long").alias("s1"),
+                F.sum(F.col("v") * F.col("v")).cast("long").alias("s2"),
+            )
+        )
+        moments.write.mode("overwrite").parquet(self._moments_dir(base_name))
+        for d in os.listdir(self.out_dir):
+            if d.startswith("moments-") and d != f"moments-{base_name}":
+                shutil.rmtree(
+                    os.path.join(self.out_dir, d), ignore_errors=True
+                )

@@ -788,3 +788,110 @@ class TestPngFormsCorpus:
                    3: (4, 3, 0), 4: (8, 2, 1)}[form]
             assert (depth, ctype, inter) == exp, (mid, depth, ctype, inter)
             assert M.looks_like_png(data)
+
+
+class TestMonitorMomentsFastRead:
+    """r10 (VERDICT r9 #6): after compaction the monitor keeps a
+    (day, arm) moments sidecar and the read DELTA-ADJUSTS it — shuffle
+    volume O(delta + days), not O(user-days).  These pin bit-equality
+    between the fast path and the full fold across every delta shape:
+    updates to compacted user-days, brand-new user-days, new days."""
+
+    @staticmethod
+    def _mk_events(seed, n, users, day0="2024-01-01", days=8):
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime(day0)
+                + pd.to_timedelta(
+                    rng.randint(0, days * 86400, n), unit="s"
+                ),
+                "user_id": rng.randint(0, users, n).astype("int64"),
+                "value": rng.uniform(0, 30, n).round(2),
+            }
+        )
+
+    def _drive(self, spark, tmp_path, batches):
+        from pyspark.sql import functions as F
+
+        from target_parquet_spark.streaming.sequential_monitor import (
+            StreamingSequentialMonitor,
+        )
+
+        src = str(tmp_path / "src")
+        mon = StreamingSequentialMonitor(spark, str(tmp_path / "mon"))
+        schema = None
+        for pdf in batches:
+            df = spark.createDataFrame(pdf)
+            schema = df.schema
+            df.write.mode("append").parquet(src)
+            stream = spark.readStream.schema(schema).parquet(src)
+            mon.start(stream, available_now=True).awaitTermination()
+        return mon
+
+    def test_delta_adjusted_read_equals_full_fold(self, spark, tmp_path):
+        import shutil
+
+        mon = self._drive(
+            spark,
+            tmp_path,
+            [self._mk_events(1, 300, 30), self._mk_events(2, 300, 30)],
+        )
+        mon.compact()
+        # post-compaction deltas: overlapping users + new users + later days
+        for pdf in (
+            self._mk_events(3, 200, 30),
+            self._mk_events(4, 150, 60, day0="2024-01-06", days=6),
+        ):
+            df = spark.createDataFrame(pdf)
+            df.write.mode("append").parquet(str(tmp_path / "src"))
+            stream = spark.readStream.schema(df.schema).parquet(
+                str(tmp_path / "src")
+            )
+            mon.start(stream, available_now=True).awaitTermination()
+        fast = sorted(map(tuple, mon.read().collect()))
+        # force the slow path by hiding the sidecar, then compare
+        base_name = mon._store.split_state()[2]
+        mdir = mon._moments_dir(base_name)
+        shutil.move(mdir, mdir + ".hidden")
+        try:
+            slow = sorted(map(tuple, mon.read().collect()))
+        finally:
+            shutil.move(mdir + ".hidden", mdir)
+        assert fast == slow and len(fast) > 0
+
+    def test_read_after_compact_uses_sidecar(self, spark, tmp_path):
+        import os as _os
+
+        mon = self._drive(spark, tmp_path, [self._mk_events(5, 250, 25)])
+        before = sorted(map(tuple, mon.read().collect()))
+        mon.compact()
+        base_name = mon._store.split_state()[2]
+        assert _os.path.isfile(
+            _os.path.join(mon._moments_dir(base_name), "_SUCCESS")
+        )
+        after = sorted(map(tuple, mon.read().collect()))
+        assert before == after
+
+    def test_recompact_retires_stale_sidecar(self, spark, tmp_path):
+        import os as _os
+
+        mon = self._drive(spark, tmp_path, [self._mk_events(6, 200, 20)])
+        mon.compact()
+        first = mon._store.split_state()[2]
+        df = spark.createDataFrame(self._mk_events(7, 100, 20))
+        df.write.mode("append").parquet(str(tmp_path / "src"))
+        stream = spark.readStream.schema(df.schema).parquet(
+            str(tmp_path / "src")
+        )
+        mon.start(stream, available_now=True).awaitTermination()
+        mon.compact()
+        second = mon._store.split_state()[2]
+        assert second != first
+        names = _os.listdir(str(tmp_path / "mon"))
+        assert f"moments-{second}" in names
+        assert f"moments-{first}" not in names
+        fast = sorted(map(tuple, mon.read().collect()))
+        assert len(fast) > 0
