@@ -314,6 +314,13 @@ def _png_rows(sub, depth: int):
     import numpy as np
 
     h = sub.shape[0]
+    if depth == 16:
+        return [
+            np.frombuffer(
+                sub[y].reshape(-1).astype(">u2").tobytes(), np.uint8
+            ).astype(np.int64)
+            for y in range(h)
+        ]
     if depth == 8:
         return [sub[y].reshape(-1).astype(np.int64) for y in range(h)]
     return [
@@ -389,7 +396,11 @@ def encode_png(
 
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint16:
+        depth = 16  # r10: 16-bit input selects the 16-bit form
+    else:
+        arr = arr.astype(np.uint8)
     if palette is not None:
         if arr.ndim != 2:
             raise ValueError("palette PNG takes an (h, w) index array")
@@ -405,7 +416,12 @@ def encode_png(
         color_type, channels = (2, 3) if arr.shape[2] == 3 else (6, 4)
     else:
         raise ValueError(f"encode_png cannot type shape {arr.shape}")
-    if depth not in (1, 2, 4, 8) or (color_type in (2, 4, 6) and depth != 8):
+    if depth == 16:
+        if color_type == 3:
+            raise ValueError("palette PNG cannot be 16-bit")
+    elif depth not in (1, 2, 4, 8) or (
+        color_type in (2, 4, 6) and depth != 8
+    ):
         raise ValueError(f"unsupported depth {depth} for type {color_type}")
     h, w = arr.shape[:2]
     if depth < 8 and int(arr.max(initial=0)) >= (1 << depth):
@@ -459,8 +475,10 @@ def looks_like_png(data: bytes) -> bool:
     if comp != 0 or filt != 0 or interlace not in (0, 1):
         return False
     if ctype in (2, 4, 6):
-        return depth == 8
-    return ctype in (0, 3) and depth in (1, 2, 4, 8)
+        return depth in (8, 16)
+    return ctype == 0 and depth == 16 or (
+        ctype in (0, 3) and depth in (1, 2, 4, 8)
+    )
 
 
 # Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step).
@@ -531,6 +549,9 @@ def _png_samples(rows, w: int, channels: int, depth: int):
     import numpy as np
 
     h = rows.shape[0]
+    if depth == 16:
+        b = rows.reshape(h, w, channels, 2).astype(np.uint16)
+        return (b[..., 0] << 8) | b[..., 1]
     if depth == 8:
         return rows.reshape(h, w, channels)
     bits = np.unpackbits(rows, axis=1)
@@ -587,15 +608,14 @@ def decode_png(data: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, fmeth, interlace = ihdr
-    supported = (ctype in (2, 4, 6) and depth == 8) or (
+    supported = (ctype in (0, 2, 4, 6) and depth in (8, 16)) or (
         ctype in (0, 3) and depth in (1, 2, 4, 8)
     )
     if not supported or comp != 0 or fmeth != 0 or interlace not in (0, 1):
         raise NotImplementedError(
-            f"pure-Python PNG decode handles every color type at 8-bit "
-            f"plus 1/2/4-bit grayscale/palette (got depth={depth}, "
-            f"color_type={ctype}, interlace={interlace}); 16-bit needs "
-            f"pillow"
+            f"PNG form outside the spec lattice (got depth={depth}, "
+            f"color_type={ctype}, interlace={interlace}) — every legal "
+            f"combination decodes here (r10)"
         )
     if w <= 0 or h <= 0:
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
@@ -616,7 +636,9 @@ def decode_png(data: bytes):
             )
         full = _png_samples(_png_unfilter(raw, 0, h, stride, bpp), w, channels, depth)
     else:
-        full = np.zeros((h, w, channels), dtype=np.uint8)
+        full = np.zeros(
+            (h, w, channels), dtype=np.uint16 if depth == 16 else np.uint8
+        )
         off = 0
         for xs, ys, xstep, ystep in _ADAM7:
             wp = max(0, -(-(w - xs) // xstep))
@@ -646,6 +668,9 @@ def decode_png(data: bytes):
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("PNG palette index beyond PLTE")
         return np.ascontiguousarray(plte[idx])
+    if depth == 16:
+        # 16-bit grayscale: raw sample values, dtype uint16
+        return np.ascontiguousarray(full.reshape(h, w))
     # grayscale: exact display scale (255 divisible by 2^d - 1)
     scale = 255 // ((1 << depth) - 1)
     return np.ascontiguousarray(
@@ -2739,6 +2764,8 @@ def decode_media(
             arr = decode_png(data)
             import numpy as np
 
+            if arr.dtype == np.uint16:  # 16-bit: deterministic 8-bit view
+                arr = (arr >> 8).astype(np.uint8)
             if arr.ndim == 2:
                 arr = np.repeat(arr[:, :, None], 3, axis=2)
             elif arr.shape[2] == 2:  # gray+alpha: replicate, drop alpha

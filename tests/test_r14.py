@@ -91,23 +91,23 @@ class TestPngCodec:
         assert np.array_equal(M.decode_png(two), img)
 
     def test_unsupported_forms_raise_not_implemented(self):
-        """16-bit depth is the ONE remaining PNG form outside the pure
-        decoder's subset: NotImplementedError at the seam, and the
-        sniff refuses it so decode_media never routes it here.
-        (Palette, grayscale, gray+alpha, and Adam7 interlace all moved
-        INSIDE the subset in r10 — tests/test_r15.py pins them.)"""
+        """r10 end state: every LEGAL PNG form decodes purely, so the
+        NotImplementedError seam only fires for spec-illegal headers
+        (tests/test_r15.py pins the legal lattice); headers that are
+        legal but LIE about the layout are structural ValueErrors."""
         img = _rand_img(2, 2)
         data = bytearray(M.encode_png(img))
         bad = bytearray(data)
-        bad[24] = 16  # depth
+        bad[24] = 3  # depth 3: not legal for any color type
         assert not M.looks_like_png(bytes(bad))
         with pytest.raises(NotImplementedError):
             M.decode_png(bytes(bad))
         # headers that LIE about the layout: "palette" without a PLTE,
         # "gray+alpha" over RGB strides, "interlaced" over sequential
-        # scanlines — all in-subset for the sniff now, all structural
-        # ValueErrors (never a silent misdecode)
-        for off, val in [(25, 3), (25, 4), (28, 1)]:
+        # scanlines, "16-bit" over 8-bit strides — all in-subset for the
+        # sniff now, all structural ValueErrors (never a silent
+        # misdecode)
+        for off, val in [(25, 3), (25, 4), (28, 1), (24, 16)]:
             bad = bytearray(data)
             bad[off] = val
             assert M.looks_like_png(bytes(bad))

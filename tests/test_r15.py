@@ -757,12 +757,34 @@ class TestPngGrayAlpha:
         exp = M.nn_resize(np.repeat(g[:, :, None], 3, axis=2), 4, 4).tobytes()
         assert bytes(rows[0]["pixels"]) == exp
 
-    def test_sixteen_bit_remains_disclosed(self):
+    def test_sixteen_bit_lie_is_structural(self):
+        """16-bit joined the subset late in r10 (every legal PNG form
+        now decodes purely), so a 16-bit CLAIM over 8-bit scanlines is
+        a structural ValueError, and only spec-illegal combinations
+        (e.g. depth 3) remain NotImplementedError."""
         blob = bytearray(M.encode_png(np.zeros((2, 2, 3), np.uint8)))
         blob[24] = 16
+        assert M.looks_like_png(bytes(blob))
+        with pytest.raises(ValueError):
+            M.decode_png(bytes(blob))
+        blob[24] = 3  # not a legal PNG depth for any color type
         assert not M.looks_like_png(bytes(blob))
         with pytest.raises(NotImplementedError):
             M.decode_png(bytes(blob))
+
+    def test_sixteen_bit_roundtrips_all_types(self):
+        rng = np.random.RandomState(16)
+        for shape in [(9, 7), (6, 5, 3), (5, 8, 4), (7, 4, 2)]:
+            a = rng.randint(0, 65536, shape).astype(np.uint16)
+            for interlace in (False, True):
+                blob = (
+                    M.encode_png(a, interlace=True)
+                    if interlace
+                    else M.encode_png(a)
+                )
+                out = M.decode_png(blob)
+                assert out.dtype == np.uint16
+                assert np.array_equal(out, a), (shape, interlace)
 
 
 class TestPngFormsCorpus:
