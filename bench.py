@@ -260,6 +260,7 @@ HEADLINE = [
     "sim_knn_graph_quantized_fixed",
     "multimodal_dhash_decoded",
     "multimodal_png_forms",
+    "multimodal_gif_animation",
 ]
 
 

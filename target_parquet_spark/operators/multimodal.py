@@ -1024,6 +1024,269 @@ def decode_gif(data: bytes):
     raise ValueError("GIF contains no image frame")
 
 
+def encode_gif_animation(canvas_w: int, canvas_h: int, frames) -> bytes:
+    """Encode a REAL multi-frame GIF89a animation: logical screen with
+    the global color table (:func:`gif_palette`), a NETSCAPE2.0 loop
+    extension, then per frame a graphic control extension (delay in
+    centiseconds, disposal method, optional transparent index) followed
+    by the image descriptor at its (left, top) offset and the
+    LZW-compressed rect.  ``frames`` is a list of dicts with keys
+    ``idx`` (2-D uint8 index array), ``left``, ``top``, ``delay_cs``,
+    ``disposal`` (0 none / 1 keep / 2 restore-background / 3
+    restore-previous), and optional ``transparent`` (palette index)."""
+    import struct
+
+    import numpy as np
+
+    lsd = struct.pack("<HHBBB", canvas_w, canvas_h, 0xF7, 0, 0)
+    parts = [b"GIF89a", lsd, gif_palette()]
+    # NETSCAPE looping application extension (loop forever)
+    parts.append(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for fr in frames:
+        idx = np.asarray(fr["idx"], dtype=np.uint8)
+        h, w = idx.shape
+        left, top = int(fr.get("left", 0)), int(fr.get("top", 0))
+        if left + w > canvas_w or top + h > canvas_h:
+            raise ValueError("GIF frame rect outside the canvas")
+        tr = fr.get("transparent")
+        packed = (int(fr.get("disposal", 0)) & 0x07) << 2
+        if tr is not None:
+            packed |= 0x01
+        parts.append(
+            b"\x21\xf9\x04"
+            + struct.pack(
+                "<BHB", packed, int(fr.get("delay_cs", 0)), tr or 0
+            )
+            + b"\x00"
+        )
+        parts.append(
+            b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        )
+        lzw = _lzw_compress(idx.reshape(-1).tobytes())
+        parts.append(b"\x08")
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            parts.append(bytes([len(block)]) + block)
+        parts.append(b"\x00")
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
+def decode_gif_frames(data: bytes):
+    """Decode a (possibly animated) GIF into COMPOSITED full-canvas
+    frames — the part of GIF animation single-frame decoders skip:
+    each frame's rect is drawn onto the living canvas honoring the
+    graphic control extension's transparency index (transparent pixels
+    show the canvas beneath) and disposal method (0/1 keep, 2 restore
+    the rect to the background color, 3 restore the pre-frame canvas).
+    Returns ``(frames, delays_cs)`` with one (canvas_h, canvas_w, 3)
+    uint8 RGB array per frame.  The initial canvas is the global
+    table's background color (deterministic; browsers render it
+    transparent, a compositing policy — not pixel data — so the choice
+    is disclosed here).  Local color tables and interlaced frame rects
+    are honored; structural damage raises ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    if not looks_like_gif(data):
+        raise ValueError("not a GIF payload")
+    cw, ch, packed, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gpal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (
+        gpal[bg] if gpal is not None and bg < gpal.shape[0] else
+        np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((ch, cw, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames: list = []
+    delays: list = []
+    gce = None  # (delay_cs, disposal, transparent_idx | None)
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            subs = bytearray()
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF extension")
+                size = data[pos]
+                pos += 1
+                if size == 0:
+                    break
+                subs.extend(data[pos : pos + size])
+                pos += size
+            if label == 0xF9 and len(subs) >= 4:
+                p, delay, tidx = struct.unpack_from("<BHB", bytes(subs), 0)
+                gce = (delay, (p >> 2) & 0x07, tidx if p & 0x01 else None)
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            pal = gpal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if left + w > cw or top + h > ch or w <= 0 or h <= 0:
+                raise ValueError("GIF frame rect outside the canvas")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                if pos >= len(data):
+                    raise ValueError("truncated GIF image data")
+                size = data[pos]
+                pos += 1
+                if size == 0:
+                    break
+                lzw.extend(data[pos : pos + size])
+                pos += size
+            idx = np.frombuffer(_lzw_decompress(bytes(lzw), min_code), np.uint8)
+            if idx.size != w * h:
+                raise ValueError(
+                    f"GIF frame index stream wrong size: got {idx.size}, "
+                    f"expected {w * h}"
+                )
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("GIF index beyond color table")
+            idx = idx.reshape(h, w)
+            if ipacked & 0x40:
+                out = np.empty_like(idx)
+                out[deinterlace_rows(h)] = idx
+                idx = out
+            delay, disposal, trans = gce if gce else (0, 0, None)
+            gce = None
+            before = canvas.copy() if disposal == 3 else None
+            rect = canvas[top : top + h, left : left + w]
+            if trans is None:
+                rect[:] = pal[idx]
+            else:
+                mask = idx != trans
+                rect[mask] = pal[idx][mask]
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3:
+                canvas = before
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return frames, delays
+
+
+def attach_gif_anim_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate REAL multi-frame GIF89a animations, one per id:
+    canvas w = 8 + id % 5, h = 6 + id % 4; n = 2 + id % 3 frames.
+    Frame 0 paints the full canvas with index (id*11 + y*97 + x*23) %
+    256; frame j >= 1 paints a FULL-HEIGHT 2-column strip at columns
+    [j-1, j+1) with index (id*7 + j*131 + y*89 + X*29) % 256 (X the
+    CANVAS column), disposal 0, no transparency, delay 4 + j cs —
+    geometry chosen so the composited pixel of frame k has the closed
+    form an SQL oracle can replay: the strip of frame j covers canvas
+    column X iff j in {X, X+1}, so the latest cover j* = X+1 if
+    X+1 <= k else X if 1 <= X <= k else frame 0.  (Transparency,
+    disposal 2/3, and interlaced rects are exercised by pytest against
+    an independent numpy composition — see tests/test_r15.py.)"""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 8 + mid % 5, 6 + mid % 4
+                n = 2 + mid % 3
+                y = np.arange(h, dtype=np.int64)[:, None]
+                x = np.arange(w, dtype=np.int64)[None, :]
+                frames = [
+                    {
+                        "idx": ((mid * 11 + y * 97 + x * 23) % 256).astype(
+                            np.uint8
+                        ),
+                        "delay_cs": 4,
+                    }
+                ]
+                for j in range(1, n):
+                    xs = np.arange(j - 1, j + 1, dtype=np.int64)[None, :]
+                    frames.append(
+                        {
+                            "idx": (
+                                (mid * 7 + j * 131 + y * 89 + xs * 29) % 256
+                            ).astype(np.uint8),
+                            "left": j - 1,
+                            "delay_cs": 4 + j,
+                        }
+                    )
+                ids.append(mid)
+                blobs.append(encode_gif_animation(w, h, frames))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return _fanout_ids(df, id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def gif_animation_frames(df: DataFrame) -> DataFrame:
+    """Decode animated-GIF payloads into one row per COMPOSITED frame —
+    the GIF twin of :func:`decode_video_frames`: Arrow-batched
+    mapInPandas, payloads never leave the creating task, rows multiply
+    only by the bounded frame count; (media_id, frame_idx, n_frames,
+    width, height, delay_cs, pixels)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("delay_cs", T.IntegerType()),
+            T.StructField("pixels", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "frame_idx", "n_frames",
+                                    "width", "height", "delay_cs", "pixels")}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                frames, delays = decode_gif_frames(bytes(payload))
+                for f, (arr, d) in enumerate(zip(frames, delays)):
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(arr.shape[1])
+                    rows["height"].append(arr.shape[0])
+                    rows["delay_cs"].append(int(d))
+                    rows["pixels"].append(arr.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
 def attach_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fabricate REAL LZW-compressed media: one deterministic
     palette-indexed GIF per id.  Dimensions and indices are pure

@@ -299,3 +299,80 @@ def multimodal_png_forms(spark, sf_dir):
         F.octet_length("pixels").cast("long").alias("n_bytes"),
         F.md5(F.hex("pixels")).alias("pixels_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# animated GIF: composited frame decode (r10)
+# ---------------------------------------------------------------------------
+
+# Closed-form composited pixel (see attach_gif_anim_media): at frame k,
+# canvas column X was last painted by strip j* = X+1 if X+1 <= k else X
+# if 1 <= X <= k else frame 0; index q feeds the palette polynomial.
+_SQL_GIF_ANIMATION = """
+    WITH fr AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+             2 + doc_id % 3 AS n,
+             unnest(range(0, CAST(2 + doc_id % 3 AS BIGINT))) AS k
+      FROM documents),
+    px AS (
+      SELECT doc_id, w, h, n, k,
+             array_to_string(list_transform(range(0, h * w * 3), i ->
+               format('{:02X}', (
+                 (CASE
+                    WHEN ((i % (w * 3)) // 3) + 1 <= k THEN
+                      (doc_id * 7 + (((i % (w * 3)) // 3) + 1) * 131
+                       + (i // (w * 3)) * 89 + ((i % (w * 3)) // 3) * 29) % 256
+                    WHEN ((i % (w * 3)) // 3) >= 1
+                         AND ((i % (w * 3)) // 3) <= k THEN
+                      (doc_id * 7 + ((i % (w * 3)) // 3) * 131
+                       + (i // (w * 3)) * 89 + ((i % (w * 3)) // 3) * 29) % 256
+                    ELSE
+                      (doc_id * 11 + (i // (w * 3)) * 97
+                       + ((i % (w * 3)) // 3) * 23) % 256
+                  END)
+                 * (CASE i % 3 WHEN 0 THEN 37 WHEN 1 THEN 73 ELSE 151 END)
+                 + (CASE i % 3 WHEN 0 THEN 11 WHEN 1 THEN 29 ELSE 47 END)
+               ) % 256)), '') AS pixhex
+      FROM fr)
+    SELECT doc_id AS media_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(n AS INTEGER) AS n_frames,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(CASE WHEN k = 0 THEN 4 ELSE 4 + k END AS INTEGER) AS delay_cs,
+           md5(pixhex) AS pixels_hash
+    FROM px
+"""
+
+
+@query("multimodal_gif_animation", _SQL_GIF_ANIMATION)
+def multimodal_gif_animation(spark, sf_dir):
+    """Animated-GIF decode with real frame COMPOSITION (r10): each
+    document carries a genuine multi-frame GIF89a (NETSCAPE loop
+    extension, per-frame graphic control extensions, partial-rect
+    frames at nonzero offsets — operators/multimodal.
+    attach_gif_anim_media) and decode composites every frame onto the
+    living canvas (operators/multimodal.decode_gif_frames — the part
+    single-frame decoders skip; transparency and disposal 2/3 are
+    exercised by pytest against an independent numpy composition).
+    One output row per composited frame, pinned hash-exact: the oracle
+    replays the closed-form "which strip painted this pixel last"
+    geometry and the palette polynomial without parsing GIF, running
+    LZW, or compositing anything.
+
+    Plan: the GIF twin of multimodal_video_frames — fanned-out ids,
+    two chained Arrow-batched mapInPandas stages, payloads never leave
+    the creating task, rows multiply only by the bounded frame count."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_gif_anim_media(docs, "doc_id")
+    frames = M.gif_animation_frames(media)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "delay_cs",
+        F.md5(F.hex("pixels")).alias("pixels_hash"),
+    )

@@ -917,3 +917,116 @@ class TestMonitorMomentsFastRead:
         assert f"moments-{first}" not in names
         fast = sorted(map(tuple, mon.read().collect()))
         assert len(fast) > 0
+
+
+class TestGifAnimation:
+    """r10: multi-frame GIF89a with real composition — GCE transparency
+    (transparent pixels show the canvas beneath), disposal 0/1 keep /
+    2 restore-background / 3 restore-previous, partial rects at
+    offsets, local palettes, interlaced frame rects."""
+
+    @staticmethod
+    def _pal():
+        return np.frombuffer(M.gif_palette(), np.uint8).reshape(256, 3)
+
+    def _replay(self, cw, ch, frames):
+        """Independent numpy composition (no shared code with
+        decode_gif_frames beyond the palette constant)."""
+        pal = self._pal()
+        canvas = np.empty((ch, cw, 3), np.uint8)
+        canvas[:] = pal[0]
+        outs = []
+        for fr in frames:
+            idx = fr["idx"]
+            l, t = fr.get("left", 0), fr.get("top", 0)
+            tr, disp = fr.get("transparent"), fr.get("disposal", 0)
+            before = canvas.copy()
+            rect = canvas[t : t + idx.shape[0], l : l + idx.shape[1]]
+            if tr is None:
+                rect[:] = pal[idx]
+            else:
+                m = idx != tr
+                rect[m] = pal[idx][m]
+            outs.append(canvas.copy())
+            if disp == 2:
+                canvas[t : t + idx.shape[0], l : l + idx.shape[1]] = pal[0]
+            elif disp == 3:
+                canvas = before
+        return outs
+
+    def test_transparency_and_disposal_composition(self):
+        rng = np.random.RandomState(7)
+        cw, ch = 11, 9
+        frames = [
+            {"idx": rng.randint(0, 256, (ch, cw)).astype(np.uint8),
+             "delay_cs": 5},
+            {"idx": rng.randint(0, 256, (4, 5)).astype(np.uint8),
+             "left": 3, "top": 2, "delay_cs": 6, "disposal": 2},
+            {"idx": rng.randint(0, 256, (3, 4)).astype(np.uint8),
+             "left": 6, "top": 1, "delay_cs": 7, "transparent": 42,
+             "disposal": 3},
+            {"idx": rng.randint(0, 256, (ch, cw)).astype(np.uint8),
+             "delay_cs": 8},
+        ]
+        frames[2]["idx"][0, :2] = 42  # planted transparent pixels
+        blob = M.encode_gif_animation(cw, ch, frames)
+        got, delays = M.decode_gif_frames(blob)
+        assert delays == [5, 6, 7, 8]
+        for k, (g, e) in enumerate(zip(got, self._replay(cw, ch, frames))):
+            assert np.array_equal(g, e), k
+
+    def test_interlaced_frame_rect_composites(self):
+        rng = np.random.RandomState(9)
+        idx = rng.randint(0, 256, (16, 6)).astype(np.uint8)
+        blob = bytearray(
+            M.encode_gif_animation(
+                8, 16, [{"idx": idx[M.deinterlace_rows(16)], "left": 1}]
+            )
+        )
+        # flag the single frame's descriptor as interlaced
+        i = blob.index(0x2C, 13 + 768)
+        blob[i + 9] |= 0x40
+        got, _ = M.decode_gif_frames(bytes(blob))
+        exp = self._replay(8, 16, [{"idx": idx, "left": 1}])[0]
+        assert np.array_equal(got[0], exp)
+
+    def test_single_frame_gif_matches_decode_gif(self):
+        idx = ((np.arange(24).reshape(4, 6) * 31) % 256).astype(np.uint8)
+        blob = M.encode_gif(idx)
+        frames, delays = M.decode_gif_frames(blob)
+        assert len(frames) == 1 and delays == [0]
+        assert np.array_equal(frames[0], M.decode_gif(blob))
+
+    def test_rect_outside_canvas_rejected(self):
+        idx = np.zeros((4, 6), np.uint8)
+        with pytest.raises(ValueError):
+            M.encode_gif_animation(6, 4, [{"idx": idx, "left": 1}])
+        blob = bytearray(M.encode_gif_animation(7, 4, [{"idx": idx}]))
+        i = blob.index(0x2C, 13 + 768)
+        blob[i + 1] = 4  # shift frame left offset beyond the canvas
+        with pytest.raises(ValueError):
+            M.decode_gif_frames(bytes(blob))
+
+    def test_spark_frames_match_closed_form(self, spark):
+        ids = spark.range(0, 15).withColumnRenamed("id", "doc_id")
+        media = M.attach_gif_anim_media(ids, "doc_id")
+        rows = M.gif_animation_frames(media).collect()
+        pal = self._pal()
+        by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+        for mid in range(15):
+            w, h, n = 8 + mid % 5, 6 + mid % 4, 2 + mid % 3
+            for k in range(n):
+                r = by_key[(mid, k)]
+                assert r["n_frames"] == n and r["width"] == w
+                px = np.frombuffer(bytes(r["pixels"]), np.uint8).reshape(
+                    h, w, 3
+                )
+                for X in range(w):
+                    j = X + 1 if X + 1 <= k else (X if 1 <= X <= k else 0)
+                    for Y in range(h):
+                        q = (
+                            (mid * 7 + j * 131 + Y * 89 + X * 29) % 256
+                            if j
+                            else (mid * 11 + Y * 97 + X * 23) % 256
+                        )
+                        assert tuple(px[Y, X]) == tuple(pal[q]), (mid, k, Y, X)
