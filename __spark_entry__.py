@@ -70,10 +70,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # burn slots on rows that cannot go green): the two r10 newcomers gate
 # first, then the seven wave-3 deferrals named in r9's comment, then
 # the biggest untouched tails (events 10, sim 8, text 7, agg 6) ->
-# expected 211/334 green after r10 (multimodal_png_forms and
-# multimodal_gif_animation — r10 coverage pins registered late in the
-# round — take the 39th/40th slots; agg_arg_extremum and
-# agg_median_mode defer to wave 4).
+# expected 211/335 green after r10 (multimodal_png_forms,
+# multimodal_gif_animation, and multimodal_decode_adpcm — r10 coverage
+# pins registered late in the round — take the last three rotation
+# slots; agg_correlation, agg_arg_extremum, and agg_median_mode defer
+# to wave 4).
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -92,6 +93,7 @@ _CURATED_PREFIX = [
     "multimodal_dhash_decoded",
     "multimodal_png_forms",
     "multimodal_gif_animation",
+    "multimodal_decode_adpcm",
     # the seven wave-2 deferrals (VERDICT r9 #1 names them)
     "sample_temperature_mixture",
     "sample_weighted_without_replacement",
@@ -132,7 +134,6 @@ _CURATED_PREFIX = [
     "agg_collect_sets",
     "agg_hll_sketch",
     "agg_histogram_bins",
-    "agg_correlation",
 ]
 
 

@@ -261,6 +261,7 @@ HEADLINE = [
     "multimodal_dhash_decoded",
     "multimodal_png_forms",
     "multimodal_gif_animation",
+    "multimodal_decode_adpcm",
 ]
 
 

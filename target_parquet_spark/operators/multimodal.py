@@ -1526,6 +1526,213 @@ def dhash_decoded(df: DataFrame, rows: int = 7, cols: int = 8) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# IMA/DVI ADPCM tables (IMA "Recommended Practices for Enhancing
+# Digital Audio Compatibility", the public spec every 0x11 WAV uses)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(raw: bytes, block_align: int, n_total=None):
+    """Decode mono IMA-ADPCM block data: per block, a 4-byte header
+    (initial predictor int16 LE, step index, reserved) whose predictor
+    IS the first output sample, then 4-bit codes two-per-byte (LOW
+    nibble first) advancing the (predictor, index) recurrence —
+    diff = (step >> 3) + per-bit step fractions, sign bit 8, predictor
+    clamped to int16, index walked through _IMA_INDEX and clamped to
+    the table.  ``n_total`` (the fact chunk) truncates the final
+    block's padding samples."""
+    import struct
+
+    import numpy as np
+
+    if len(raw) % block_align:
+        raise ValueError(
+            f"ADPCM data length {len(raw)} not a multiple of "
+            f"block align {block_align}"
+        )
+    out: list = []
+    for off in range(0, len(raw), block_align):
+        pred, index, _rsv = struct.unpack_from("<hBB", raw, off)
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} beyond table")
+        out.append(pred)
+        for b in raw[off + 4 : off + block_align]:
+            for nib in (b & 0x0F, b >> 4):
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = (
+                    max(-32768, pred - diff)
+                    if nib & 8
+                    else min(32767, pred + diff)
+                )
+                index = min(88, max(0, index + _IMA_INDEX[nib]))
+                out.append(pred)
+    if n_total is not None:
+        if n_total > len(out):
+            raise ValueError(
+                f"ADPCM fact count {n_total} exceeds decoded {len(out)}"
+            )
+        out = out[:n_total]
+    return np.array(out, dtype=np.int16)
+
+
+def encode_adpcm_wav(
+    samples, sample_rate: int = 8000, block_samples: int = 505
+) -> bytes:
+    """Encode an int16 1-D array as a genuine mono IMA-ADPCM RIFF/WAVE
+    (format tag 0x11): fmt with cbSize=2 + wSamplesPerBlock, a fact
+    chunk with the true sample count, and block data — each block's
+    header carries the running (predictor, index) state, its first
+    sample is the header predictor exactly, and the remaining
+    ``block_samples - 1`` samples quantize to 4-bit codes through the
+    same recurrence the decoder walks (the encoder reconstructs each
+    sample the decoder will see, so quantization error never
+    accumulates past the step ladder's reach).  The final block is
+    zero-padded; the fact count truncates it on decode."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 1 or s.size == 0:
+        raise ValueError("encode_adpcm_wav takes a non-empty 1-D array")
+    if (block_samples - 1) % 2:
+        raise ValueError("block_samples must be odd (whole nibble bytes)")
+    n = s.size
+    per = block_samples
+    pred, index = int(s[0]), 0
+    blocks = bytearray()
+    i = 0
+    while i < n:
+        chunk = s[i : i + per]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for t in range(1, per):
+            target = int(chunk[t]) if t < chunk.size else pred
+            step = _IMA_STEPS[index]
+            diff = target - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            temp = step
+            if diff >= temp:
+                nib |= 4
+                diff -= temp
+            temp >>= 1
+            if diff >= temp:
+                nib |= 2
+                diff -= temp
+            temp >>= 1
+            if diff >= temp:
+                nib |= 1
+            # reconstruct exactly as the decoder will
+            step = _IMA_STEPS[index]
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = (
+                max(-32768, pred - d) if nib & 8 else min(32767, pred + d)
+            )
+            index = min(88, max(0, index + _IMA_INDEX[nib]))
+            nibs.append(nib)
+        for j in range(0, len(nibs), 2):
+            blocks.append(nibs[j] | (nibs[j + 1] << 4))
+        i += per
+    block_align = 4 + (per - 1) // 2
+    byte_rate = (sample_rate * block_align + per - 1) // per
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, sample_rate, byte_rate, block_align, 4, 2, per
+    )
+    fact = struct.pack("<I", n)
+    chunks = [(b"fmt ", fmt), (b"fact", fact), (b"data", bytes(blocks))]
+    payload = b"".join(
+        struct.pack("<4sI", tag, len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+        for tag, body in chunks
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE") + payload
+
+
+def attach_adpcm_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fabricate REAL compressed-audio media: one deterministic mono
+    IMA-ADPCM WAV per id, built block-by-block so the oracle has a
+    closed form: n_blocks = 2 + id % 3 blocks of 17 samples (block
+    align 12 -> 16 nibbles + the header sample), header predictor of
+    block b = ((id*37 + b*101) % 4096) - 2048, step index 0, ALL-ZERO
+    nibble codes.  At index 0 the step is 7, so a zero code moves the
+    predictor by 7 >> 3 = 0 and the index clamps at 0 — every sample
+    of block b equals its header predictor, and the oracle recomputes
+    the decoded stream as a per-block constant without touching the
+    recurrence.  The Spark side must still parse fmt/fact/data, honor
+    the block layout, and walk the real decoder (a width/sign/clamp
+    defect breaks the zero-code identity; arbitrary-code correctness
+    is pinned in pytest against an independent decoder)."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import struct
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nb = 2 + mid % 3
+                blocks = bytearray()
+                for b in range(nb):
+                    pred = ((mid * 37 + b * 101) % 4096) - 2048
+                    blocks += struct.pack("<hBB", pred, 0, 0)
+                    blocks += b"\x00" * 8  # 16 zero nibbles
+                per, align, n = 17, 12, nb * 17
+                fmt = struct.pack(
+                    "<HHIIHHHH", 0x11, 1, 8000,
+                    (8000 * align + per - 1) // per, align, 4, 2, per,
+                )
+                payload = b"".join(
+                    struct.pack("<4sI", tag, len(body)) + body
+                    + (b"\x00" if len(body) & 1 else b"")
+                    for tag, body in [
+                        (b"fmt ", fmt),
+                        (b"fact", struct.pack("<I", n)),
+                        (b"data", bytes(blocks)),
+                    ]
+                )
+                ids.append(mid)
+                blobs.append(
+                    struct.pack("<4sI4s", b"RIFF", 4 + len(payload), b"WAVE")
+                    + payload
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return _fanout_ids(df, id_col).mapInPandas(_batches, schema=out_schema)
+
+
 def encode_wav(samples, sample_rate: int = 8000, extra_chunks=None) -> bytes:
     """Encode an int16 1-D array as a genuine mono PCM16 RIFF/WAVE file.
     ``extra_chunks`` is an optional list of ``(tag, body)`` pairs written
@@ -1578,6 +1785,7 @@ def decode_wav(data: bytes):
     pos, end = 12, len(data)
     fmt_info = None
     raw = None
+    fact = None
     while pos + 8 <= end:
         tag, size = struct.unpack_from("<4sI", data, pos)
         pos += 8
@@ -1590,17 +1798,29 @@ def decode_wav(data: bytes):
             if size < 16:
                 raise ValueError(f"WAV fmt chunk too short ({size} bytes)")
             fmt_info = struct.unpack_from("<HHIIHH", data, pos)
+        elif tag == b"fact" and size >= 4:
+            (fact,) = struct.unpack_from("<I", data, pos)
         elif tag == b"data":
             raw = data[pos : pos + size]
         pos += size + (size & 1)  # RIFF pads chunks to even sizes
     if fmt_info is None or raw is None:
         raise ValueError("WAV payload missing fmt or data chunk")
-    audio_format, channels, rate, _byte_rate, _align, bits = fmt_info
+    audio_format, channels, rate, _byte_rate, align, bits = fmt_info
+    if audio_format == 0x11 and channels == 1 and bits == 4:
+        # IMA/DVI ADPCM (r10): genuinely COMPRESSED audio decoded with
+        # zero codec libraries — the audio analogue of the PNG/JPEG/GIF
+        # work.  Block-local state, so damage never propagates past a
+        # block (the format's design point).
+        if align < 5:
+            raise ValueError(f"ADPCM block align {align} too small")
+        n_total = fact if fact is not None else None
+        return _ima_adpcm_decode(raw, align, n_total), rate
     if audio_format != 1 or bits != 16 or channels != 1:
         raise NotImplementedError(
-            f"pure-Python WAV decode handles mono PCM16 only (got "
-            f"format={audio_format}, channels={channels}, bits={bits}); "
-            f"compressed/multichannel audio needs a codec library"
+            f"pure-Python WAV decode handles mono PCM16 and mono IMA "
+            f"ADPCM (format 0x11) only (got format={audio_format}, "
+            f"channels={channels}, bits={bits}); other compressed/"
+            f"multichannel audio needs a codec library"
         )
     if len(raw) & 1:
         raise ValueError("WAV data chunk has an odd byte length for PCM16")

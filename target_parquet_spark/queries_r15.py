@@ -376,3 +376,69 @@ def multimodal_gif_animation(spark, sf_dir):
         "delay_cs",
         F.md5(F.hex("pixels")).alias("pixels_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM compressed audio decode (r10)
+# ---------------------------------------------------------------------------
+
+# Expected decoded stream (see attach_adpcm_media): nb = 2 + id % 3
+# blocks of 17 samples; every sample of block b equals the block
+# header's predictor ((id*37 + b*101) % 4096) - 2048 because the
+# planted codes are all zero and at step index 0 a zero code moves the
+# predictor by 7 >> 3 = 0.  Samples serialize little-endian int16 for
+# the hash (two's complement via +65536 on negatives).
+_SQL_DECODE_ADPCM = """
+    WITH base AS (SELECT doc_id, 2 + doc_id % 3 AS nb FROM documents),
+    sm AS (
+      SELECT doc_id, nb,
+             list_transform(range(0, nb * 17), t ->
+               ((doc_id * 37 + (t // 17) * 101) % 4096) - 2048) AS v
+      FROM base)
+    SELECT doc_id AS media_id,
+           CAST(nb * 17 AS BIGINT) AS n_samples,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST((nb * 17 * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy,
+           CAST(list_sum(list_transform(range(1, nb * 17),
+             t -> CASE WHEN v[t] * v[t + 1] < 0 THEN 1 ELSE 0 END))
+             AS BIGINT) AS zero_crossings,
+           md5(array_to_string(list_transform(v, x -> format('{:02X}{:02X}',
+             (CASE WHEN x < 0 THEN x + 65536 ELSE x END) % 256,
+             (CASE WHEN x < 0 THEN x + 65536 ELSE x END) // 256)), ''))
+             AS samples_hash
+    FROM sm
+"""
+
+
+@query("multimodal_decode_adpcm", _SQL_DECODE_ADPCM)
+def multimodal_decode_adpcm(spark, sf_dir):
+    """COMPRESSED audio decode with zero codec libraries (r10): each
+    document carries a genuine mono IMA-ADPCM RIFF/WAVE (format tag
+    0x11 — fmt with wSamplesPerBlock, fact count, per-block headers
+    carrying the 4-bit recurrence's initial state), decoded by
+    operators/multimodal.decode_wav's new ADPCM branch and featurized
+    by the same audio_features pass PCM uses.  The fabricated blocks
+    plant all-zero codes whose decode is a per-block CONSTANT (at step
+    index 0 a zero code is a zero delta and the index clamps), so the
+    oracle recomputes samples, energy, boundary zero crossings, and
+    the little-endian int16 hash in closed form — while the Spark side
+    must parse the real container and walk the real recurrence (any
+    width/sign/clamp defect breaks the zero-code identity; arbitrary
+    code streams are pinned in pytest against an independent decoder
+    and an encode/decode round trip).
+
+    Plan: the audio twin of the image decode pins — fanned-out ids,
+    two chained Arrow-batched mapInPandas stages, zero shuffles."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_adpcm_media(docs, "doc_id")
+    feats = M.audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        "duration_ms",
+        "energy",
+        "zero_crossings",
+        F.md5(F.hex("samples")).alias("samples_hash"),
+    )

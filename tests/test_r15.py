@@ -1030,3 +1030,96 @@ class TestGifAnimation:
                             else (mid * 11 + Y * 97 + X * 23) % 256
                         )
                         assert tuple(px[Y, X]) == tuple(pal[q]), (mid, k, Y, X)
+
+
+def _ref_adpcm_decode(raw: bytes, align: int):
+    """Independent IMA-ADPCM decoder written straight from the IMA
+    recommended-practice tables — structured unlike multimodal's
+    (dict-free, per-block list building) so a shared defect can't
+    hide."""
+    import struct
+
+    steps = M._IMA_STEPS
+    idx_tab = M._IMA_INDEX
+    out = []
+    for off in range(0, len(raw), align):
+        pred, index, _ = struct.unpack_from("<hBB", raw, off)
+        out.append(pred)
+        nibs = []
+        for b in raw[off + 4 : off + align]:
+            nibs += [b & 15, b >> 4]
+        for nib in nibs:
+            step = steps[index]
+            delta = step >> 3
+            if nib & 1:
+                delta += step >> 2
+            if nib & 2:
+                delta += step >> 1
+            if nib & 4:
+                delta += step
+            pred = pred - delta if nib & 8 else pred + delta
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + idx_tab[nib]))
+            out.append(pred)
+    return out
+
+
+class TestAdpcm:
+    """r10: IMA-ADPCM (WAV format 0x11) — genuinely COMPRESSED audio
+    through the pure codec seam, the audio analogue of PNG/JPEG/GIF."""
+
+    def test_arbitrary_codes_match_independent_decoder(self):
+        import struct
+
+        rng = np.random.RandomState(5)
+        raw = bytearray()
+        for b in range(4):
+            raw += struct.pack("<hBB", int(rng.randint(-2048, 2048)),
+                               int(rng.randint(0, 89)), 0)
+            raw += bytes(rng.randint(0, 256, 10, dtype=np.uint8))
+        got = M._ima_adpcm_decode(bytes(raw), 14)
+        assert got.tolist() == _ref_adpcm_decode(bytes(raw), 14)
+
+    def test_encode_decode_roundtrip_tolerance(self):
+        t = np.arange(3000)
+        sig = (4000 * np.sin(t / 25) + 700 * np.sin(t / 6)).astype(np.int16)
+        dec, rate = M.decode_wav(M.encode_adpcm_wav(sig, block_samples=505))
+        assert rate == 8000 and dec.size == sig.size
+        err = np.abs(dec.astype(int) - sig.astype(int))
+        assert err.mean() < 60 and err.max() < 2500
+
+    def test_fact_truncates_final_block(self):
+        sig = np.arange(600, dtype=np.int16)  # 505 + 95: padded last block
+        dec, _ = M.decode_wav(M.encode_adpcm_wav(sig, block_samples=505))
+        assert dec.size == 600
+
+    def test_structural_guards(self):
+        import struct
+
+        sig = np.arange(40, dtype=np.int16)
+        blob = bytearray(M.encode_adpcm_wav(sig, block_samples=17))
+        # corrupt a block header's step index beyond the table
+        i = blob.index(b"data") + 8 + 2
+        blob[i] = 90
+        with pytest.raises(ValueError):
+            M.decode_wav(bytes(blob))
+        with pytest.raises(ValueError):
+            M._ima_adpcm_decode(b"\x00" * 13, 12)  # not block-aligned
+
+    def test_zero_code_identity_matches_fabrication(self, spark):
+        ids = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+        rows = M.audio_features(M.attach_adpcm_media(ids, "doc_id")).collect()
+        by_id = {r["media_id"]: r for r in rows}
+        for mid in range(9):
+            nb = 2 + mid % 3
+            exp = np.concatenate(
+                [
+                    np.full(17, ((mid * 37 + b * 101) % 4096) - 2048, np.int16)
+                    for b in range(nb)
+                ]
+            )
+            r = by_id[mid]
+            assert r["n_samples"] == nb * 17
+            assert np.array_equal(
+                np.frombuffer(bytes(r["samples"]), "<i2"), exp
+            )
