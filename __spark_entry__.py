@@ -41,6 +41,7 @@ import target_parquet_spark.queries_r12 as _qr12  # noqa: E402  (registers into 
 import target_parquet_spark.queries_r13 as _qr13  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r14 as _qr14  # noqa: E402  (registers into _q)
 import target_parquet_spark.queries_r15 as _qr15  # noqa: E402  (registers into _q)
+import target_parquet_spark.queries_r16 as _qr16  # noqa: E402  (registers into _q)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -86,6 +86,8 @@ __all__ = [
     "attach_wav_media",
     "audio_features",
     "audio_vad_segments",
+    "fwht_natural",
+    "audio_wht",
     "encode_jpeg",
     "decode_jpeg",
     "looks_like_jpeg",
@@ -1926,6 +1928,108 @@ def audio_features(df: DataFrame) -> DataFrame:
                     int((s64[:-1] * s64[1:] < 0).sum()) if len(s) > 1 else 0
                 )
                 rows["samples"].append(s.astype("<i2").tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
+def fwht_natural(v):
+    """In-place-style fast Walsh-Hadamard transform, natural (Hadamard)
+    order: W[k] = sum_t v[t] * (-1)^popcount(k & t).  Iterative
+    butterfly, O(N log N) integer adds — exact in int64 for PCM16 input
+    up to N=2^15 (|W| <= N * 32768).  The involution property
+    fwht(fwht(v)) == N*v and Parseval (sum W^2 == N * sum v^2) are
+    pinned in tests."""
+    import numpy as np
+
+    a = np.asarray(v, dtype=np.int64).copy()
+    n = len(a)
+    if n & (n - 1):
+        raise ValueError(f"WHT length must be a power of two, got {n}")
+    h = 1
+    while h < n:
+        a = a.reshape(-1, 2, h)
+        x = a[:, 0, :].copy()
+        y = a[:, 1, :].copy()
+        a[:, 0, :] = x + y
+        a[:, 1, :] = x - y
+        a = a.reshape(-1)
+        h *= 2
+    return a
+
+
+def audio_wht(df: DataFrame, n_points: int = 64) -> DataFrame:
+    """Decode WAV payloads and compute an integer Walsh-Hadamard
+    spectral signature in one Arrow-batched mapInPandas pass: the clip's
+    first ``n_points`` samples (zero-padded when shorter) go through the
+    O(N log N) FWHT butterfly, and fixed-width features exit — the DC
+    coefficient, six octave-band energies (sum of W[k]^2 over
+    k in [2^j, 2^{j+1})), total spectral energy, and an md5 over the
+    full spectrum for content pinning.  The WHT is the classic
+    integer-exact fast transform (Hadamard order), so the whole spectral
+    pipeline is replayable cross-engine with no float tolerance — the
+    oracle recomputes each coefficient from the O(N^2) DEFINITION
+    (sample * (-1)^popcount(k&t)) while this side runs the butterfly;
+    they agree only if the fast algorithm is exactly right.
+
+    Plan shape (the 100 TB contract): payloads never leave the task that
+    holds them — scan-stage, zero shuffles; only fixed-width features
+    exit the seam.  Non-WAV payloads raise at the codec seam like
+    audio_features."""
+    import pandas as pd
+
+    if n_points & (n_points - 1):
+        raise ValueError("n_points must be a power of two")
+    n_oct = n_points.bit_length() - 1  # octaves [2^j, 2^{j+1}), j<n_oct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("dc", T.LongType()),
+        ]
+        + [T.StructField(f"oct{j}", T.LongType()) for j in range(n_oct)]
+        + [
+            T.StructField("spec_energy", T.LongType()),
+            T.StructField("spectrum_hash", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _batches(it):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                if not looks_like_wav(data):
+                    raise NotImplementedError(
+                        "audio codecs unavailable for non-WAV payloads: "
+                        "this seam needs an audio library for compressed "
+                        "formats — see audio_features"
+                    )
+                s, _rate = decode_wav(data)
+                v = np.zeros(n_points, dtype=np.int64)
+                m = min(len(s), n_points)
+                v[:m] = s[:m]
+                w = fwht_natural(v)
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(len(s))
+                rows["dc"].append(int(w[0]))
+                for j in range(n_oct):
+                    lo, hi = 1 << j, 1 << (j + 1)
+                    rows[f"oct{j}"].append(int((w[lo:hi] ** 2).sum()))
+                rows["spec_energy"].append(int((w * w).sum()))
+                rows["spectrum_hash"].append(
+                    hashlib.md5(
+                        ",".join(str(int(x)) for x in w).encode()
+                    ).hexdigest()
+                )
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
