@@ -19,6 +19,8 @@ this is brief-extension surface for the LLM training-data pipeline.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import functions as F
 
 from target_parquet_spark.operators import multimodal as M
@@ -102,3 +104,109 @@ def multimodal_audio_wht(spark, sf_dir):
     docs = td(spark, sf_dir, "documents")
     media = M.attach_wav_media(docs, "doc_id")
     return M.audio_wht(media, n_points=64)
+
+
+# ---------------------------------------------------------------------------
+# differentially-private count release (deterministic geometric mechanism)
+# ---------------------------------------------------------------------------
+
+# Two-sided geometric mechanism with alpha = exp(-epsilon) = 1/2
+# (epsilon = ln 2 per released cell, sensitivity 1 for disjoint counts):
+# P(noise = k) = ((1-alpha)/(1+alpha)) * alpha^|k| = (1/3) * (1/2)^|k|.
+# The CDF is exactly rational, so inverse-CDF sampling reduces to integer
+# comparisons against precomputed thresholds — no float randomness, no
+# cross-engine ln/exp: both engines derive u from md5(cell key) and count
+# how many thresholds it clears.  Noise is clipped to [-16, 16] (total
+# clipped mass 2*(2/3)*2^-16 < 3e-5 — the release is (eps, delta)-DP with
+# that delta; the clip is what makes the threshold table finite).
+_DP_SCALE = 1 << 30
+_DP_CLIP = 16
+
+
+def _dp_thresholds() -> list[int]:
+    """floor(CDF(j) * 2^30) for j in [-CLIP, CLIP): the inverse-CDF
+    lattice.  noise(u) = -CLIP + #{j : u >= T_j} for u uniform on
+    [0, 2^30)."""
+    out = []
+    for j in range(-_DP_CLIP, _DP_CLIP):
+        if j < 0:
+            c = Fraction(2, 3) * Fraction(1, 2) ** (-j)
+        else:
+            c = 1 - Fraction(2, 3) * Fraction(1, 2) ** (j + 1)
+        out.append(int(c * _DP_SCALE))  # exact floor: int() of Fraction
+    return out
+
+
+_DP_T = _dp_thresholds()
+_DP_EPSILON = 0.6931  # round(ln 2, 4), shared literal — never computed
+
+_SQL_DP_COUNTS = f"""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             count(*) AS true_count
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    seeded AS (
+      SELECT event_type, week_start, true_count,
+             ('0x' || substr(md5(event_type || '|' ||
+                             CAST(week_start AS VARCHAR)), 1, 8))::BIGINT
+               % {_DP_SCALE} AS u
+      FROM cells),
+    noised AS (
+      SELECT event_type, week_start, true_count,
+             -{_DP_CLIP} + list_sum(list_transform(
+               [{", ".join(str(t) for t in _DP_T)}],
+               thr -> CASE WHEN u >= thr THEN 1 ELSE 0 END)) AS noise
+      FROM seeded)
+    SELECT event_type, week_start,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(true_count + noise AS BIGINT) AS noisy_count,
+           CAST({_DP_EPSILON!r} AS DOUBLE) AS epsilon
+    FROM noised
+"""
+
+
+@query("audit_dp_counts", _SQL_DP_COUNTS)
+def audit_dp_counts(spark, sf_dir):
+    """Differentially-private count release for governance pipelines:
+    per-(event_type, week) event counts released through the two-sided
+    geometric mechanism (the discrete Laplace — Ghosh/Roughgarden/
+    Sundararajan's universally-utility-maximizing mechanism for counts)
+    at epsilon = ln 2, with DETERMINISTIC noise so the release is
+    replayable and auditable: u = md5(cell key) mod 2^30 feeds an exact
+    rational inverse-CDF threshold table (alpha = 1/2 makes every CDF
+    value a dyadic-over-3 rational; thresholds are precomputed with
+    Fraction and shared verbatim with the oracle).  Output keeps
+    true_count and noise alongside noisy_count because this is the
+    utility-loss AUDIT view of the mechanism, not the public release —
+    dropping two columns yields the releasable table.
+
+    Plan shape for 100 TB: one groupBy on (type, week) with map-side
+    partial aggregation is the only shuffle; noise is a chain of 32
+    integer comparisons on the tiny post-agg cell table, entirely inside
+    whole-stage codegen (no UDF, no RNG state, no driver loop)."""
+    ev = td(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    ).agg(F.count(F.lit(1)).alias("true_count"))
+    key = F.concat_ws(
+        "|", F.col("event_type"), F.col("week_start").cast("string")
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % F.lit(_DP_SCALE)
+    )
+    noise = F.lit(-_DP_CLIP)
+    for thr in _DP_T:
+        noise = noise + F.when(u >= F.lit(thr), 1).otherwise(0)
+    return cells.select(
+        "event_type",
+        "week_start",
+        F.col("true_count").cast("long").alias("true_count"),
+        noise.cast("long").alias("noise"),
+        (F.col("true_count") + noise).cast("long").alias("noisy_count"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    )

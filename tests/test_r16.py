@@ -99,3 +99,74 @@ def test_audio_wht_rejects_non_wav(spark):
     media = M.attach_bmp_media(docs, "doc_id")
     with pytest.raises(Exception, match="audio codecs unavailable"):
         M.audio_wht(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# audit_dp_counts: the deterministic geometric mechanism
+# ---------------------------------------------------------------------------
+
+
+def _dp_noise(u: int) -> int:
+    from target_parquet_spark.queries_r16 import _DP_CLIP, _DP_T
+
+    return -_DP_CLIP + sum(1 for t in _DP_T if u >= t)
+
+
+def test_dp_thresholds_are_exact_geometric_cdf():
+    from fractions import Fraction
+
+    from target_parquet_spark.queries_r16 import _DP_CLIP, _DP_SCALE, _DP_T
+
+    assert len(_DP_T) == 2 * _DP_CLIP
+    assert _DP_T == sorted(_DP_T)
+    # CDF(0) = 2/3 exactly (P(noise <= 0) for the alpha=1/2 mechanism)
+    assert _DP_T[_DP_CLIP] == int(Fraction(2, 3) * _DP_SCALE)
+    # CDF(-1) = 1/3 exactly
+    assert _DP_T[_DP_CLIP - 1] == int(Fraction(1, 3) * _DP_SCALE)
+
+
+def test_dp_mechanism_pmf_is_two_sided_geometric():
+    """The EXACT count of u-lattice points mapping to noise k must be
+    floor-rounded P(k) mass: T_k - T_{k-1} lattice points out of 2^30,
+    vs P(k) = (1/3) * (1/2)^|k|."""
+    from fractions import Fraction
+
+    from target_parquet_spark.queries_r16 import _DP_CLIP, _DP_SCALE, _DP_T
+
+    edges = [0] + list(_DP_T) + [_DP_SCALE]
+    for idx, k in enumerate(range(-_DP_CLIP, _DP_CLIP + 1)):
+        exact_mass = Fraction(edges[idx + 1] - edges[idx], _DP_SCALE)
+        want = Fraction(1, 3) * Fraction(1, 2) ** abs(k)
+        if abs(k) == _DP_CLIP:  # clip buckets absorb the tail mass
+            assert exact_mass >= want
+        else:
+            # floor rounding moves each edge by < 1/2^30
+            assert abs(exact_mass - want) <= Fraction(2, _DP_SCALE)
+
+
+def test_dp_noise_inverse_cdf_edges():
+    from target_parquet_spark.queries_r16 import _DP_CLIP, _DP_SCALE, _DP_T
+
+    assert _dp_noise(0) == -_DP_CLIP
+    assert _dp_noise(_DP_SCALE - 1) == _DP_CLIP
+    # just below/at the CDF(-1)=1/3 edge flips noise -1 -> 0
+    third = _DP_T[_DP_CLIP - 1]
+    assert _dp_noise(third - 1) == -1
+    assert _dp_noise(third) == 0
+
+
+def test_dp_epsilon_bound_holds_on_interior_pmf():
+    """P(k)/P(k+1) <= e^eps * slack on non-clip buckets — the ratio the
+    epsilon = ln 2 guarantee is made of (exact lattice masses, so the
+    only slack is floor rounding)."""
+    from target_parquet_spark.queries_r16 import _DP_CLIP, _DP_SCALE, _DP_T
+
+    edges = [0] + list(_DP_T) + [_DP_SCALE]
+    masses = {
+        k: edges[i + 1] - edges[i]
+        for i, k in enumerate(range(-_DP_CLIP, _DP_CLIP + 1))
+    }
+    for k in range(-_DP_CLIP + 1, _DP_CLIP - 1):
+        hi = max(masses[k], masses[k + 1])
+        lo = min(masses[k], masses[k + 1])
+        assert hi <= 2 * lo + 2  # e^eps = 2, +2 for floor rounding
