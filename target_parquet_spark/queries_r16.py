@@ -23,8 +23,14 @@ from fractions import Fraction
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from target_parquet_spark.operators import multimodal as M
+from target_parquet_spark.operators import text as X
 from target_parquet_spark.queries import query, t as td
+from target_parquet_spark.queries_ext import SQL_CORPUS, SQL_TOKS, _spark_corpus
+from target_parquet_spark.queries_r2 import _SQL_GRAMS5, _grams5
+from target_parquet_spark.queries_r5 import _MIN_SPAN_TOKENS
 
 # ---------------------------------------------------------------------------
 # Walsh-Hadamard audio spectral signature
@@ -209,4 +215,328 @@ def audit_dp_counts(spark, sf_dir):
         noise.cast("long").alias("noise"),
         (F.col("true_count") + noise).cast("long").alias("noisy_count"),
         F.lit(_DP_EPSILON).alias("epsilon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring EXCISION (the removal step after detection)
+# ---------------------------------------------------------------------------
+
+_SQL_SUBSTRING_REMOVE = f"""
+    WITH {SQL_CORPUS},
+    base AS (
+      SELECT doc_id, {SQL_TOKS.format(c='text')} AS toks FROM corpus),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) < 5 THEN CAST([] AS BIGINT[])
+                         ELSE range(1, len(toks) - 3) END) AS pos,
+             ('0x' || substr(md5(unnest(
+               {_SQL_GRAMS5.format(t='toks')}
+             )), 1, 15))::BIGINT AS gh
+      FROM base),
+    gd AS (
+      SELECT gh FROM (
+        SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+      WHERE nd >= 2),
+    dup AS (
+      SELECT g.doc_id, g.pos FROM g JOIN gd USING (gh)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dup),
+    runs AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+      FROM isl GROUP BY doc_id, grp),
+    lr AS (
+      SELECT doc_id, s, e FROM runs
+      WHERE e - s + 1 >= {_MIN_SPAN_TOKENS}),
+    iv AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS ivs
+           FROM lr GROUP BY doc_id),
+    j AS (
+      SELECT b.doc_id, b.toks, COALESCE(iv.ivs, []) AS ivs
+      FROM base b LEFT JOIN iv ON b.doc_id = iv.doc_id),
+    k AS (
+      SELECT doc_id, toks, ivs,
+             list_filter(toks, (x, i) -> len(list_filter(ivs,
+               v -> i BETWEEN v.s AND v.e)) = 0) AS kept
+      FROM j)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(ivs) AS BIGINT) AS n_spans,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_hash
+    FROM k
+"""
+
+
+@query("dedup_substring_remove", _SQL_SUBSTRING_REMOVE)
+def dedup_substring_remove(spark, sf_dir):
+    """The REMOVAL step that dedup_substring_runs only detects: excise
+    every token covered by a long (>= 20-token) cross-document
+    duplicated run and emit the cleaned corpus fingerprint — per doc,
+    the before/after token counts, the number of excised spans, and an
+    md5 over the cleaned text so a single mis-kept token breaks the pin.
+    Policy: aggressive C4/Gopher-style excision (all copies removed);
+    Lee et al.'s keep-one variant is the same plan with a canonical-
+    occurrence exemption join.  Runs on the doubled corpus so long
+    duplicated runs are guaranteed.
+
+    Plan shape for 100 TB: identical linear pipeline to
+    dedup_substring_runs up to the runs CTE (grams hashed to 60-bit
+    longs in the scan stage; one (doc, gram) pre-agg; islands window
+    bounded per doc), then the per-doc interval set — a handful of
+    (start, end) pairs, NOT per-token rows — rejoins the token arrays
+    once, and the excision itself is an index-aware array filter inside
+    whole-stage codegen: tokens are never exploded for removal, so the
+    shuffle volume of the removal stage is O(runs), not O(tokens)."""
+    corpus = _spark_corpus(spark, sf_dir)
+    toked = corpus.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    gh = X.hash60(F.col("gram"))
+    g = toked.select(
+        "doc_id", F.posexplode(_grams5(F.col("toks"))).alias("pos", "gram")
+    ).select("doc_id", "pos", gh.alias("gh"))
+    gd = (
+        g.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup = g.join(gd, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(4)).alias("e")
+    )
+    lr = runs.filter(F.col("e") - F.col("s") + 1 >= _MIN_SPAN_TOKENS)
+    iv = lr.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs")
+    )
+    j = toked.join(iv, "doc_id", "left").withColumn(
+        "ivs",
+        F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"), lambda v: (i >= v["s"]) & (i <= v["e"])
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.size("ivs").cast("long").alias("n_spans"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# real TIFF decode: the tagged-container raster format
+# ---------------------------------------------------------------------------
+
+# Oracle: recompute every DECODED pixel from attach_tiff_media's
+# generation function (w = 8*(1 + id%3), h = 4*(1 + id%4),
+# px(x, y) = (id*37 + y*17 + (x//4)*11) % 256) and the container facts
+# from the id parity rules — WITHOUT ever parsing TIFF.  The Spark side
+# must walk the genuine IFD (endianness, inline-vs-offset values, strip
+# reassembly, PackBits RLE) to produce the same rows: byte_order and
+# compression are pinned from what the DECODER read out of the
+# container, n_strips from the StripOffsets array length, and the pixel
+# hash from the reassembled strips.
+_SQL_DECODE_TIFF = """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+             CAST(4 * (1 + doc_id % 4) AS INTEGER) AS height
+      FROM documents),
+    px AS (
+      SELECT doc_id, width, height,
+             array_to_string(list_transform(range(0, width * height),
+               i -> format('{:02X}',
+                 (doc_id * 37 + (i // width) * 17
+                  + ((i % width) // 4) * 11) % 256)), '') AS pixhex
+      FROM dims)
+    SELECT doc_id AS media_id, width, height,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 32773 ELSE 1 END AS INTEGER)
+             AS compression,
+           CAST((height + 3) // 4 AS INTEGER) AS n_strips,
+           md5(pixhex) AS pixels_hash
+    FROM px
+"""
+
+
+@query("multimodal_decode_tiff", _SQL_DECODE_TIFF)
+def multimodal_decode_tiff(spark, sf_dir):
+    """REAL TIFF decode end-to-end with zero imaging libraries: one
+    genuine baseline grayscale TIFF per document id (attach_tiff_media —
+    8-byte header with explicit byte order, sorted IFD,
+    inline-vs-offset tag values, multi-strip pixel layout), decoded by
+    the pure-Python IFD walker in operators/multimodal.decode_tiff.
+    Even ids are little-endian (II), odd ids big-endian (MM), and every
+    third id compresses strips with PackBits RLE (TIFF 6.0 section 9) —
+    so one query pins BOTH endian paths and both compression paths.
+    The oracle recomputes pixels and container facts from the
+    generation rules directly — it never parses TIFF — so the Spark
+    side only matches if the IFD walk, strip reassembly, and RLE decode
+    are all exactly right.
+
+    Plan shape: two chained Arrow-batched mapInPandas stages over the
+    id column only — scan-stage, zero shuffles; payloads never leave
+    the creating task (the TIFF twin of the BMP/PNG decode contract)."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_tiff_media(docs, "doc_id")
+    return M.decode_tiff_images(media)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style greedy longest-match segmentation (the BERT tokenizer
+# family — greedy maximal munch over a frequency-derived subword vocab,
+# continuation pieces marked '##'; BPE's learned-merge family lives in
+# text_bpe_*)
+# ---------------------------------------------------------------------------
+
+_WP_VOCAB_K = 24  # top-K character n-grams (len 2..4) by corpus frequency
+_WP_STEPS = 12  # >= max word length, so greedy always terminates
+
+
+def _wp_sql() -> str:
+    """Unrolled greedy segmentation: one CTE per step; each step takes
+    the LONGEST vocab piece that prefixes the remainder (unique — two
+    distinct equal-length strings cannot both prefix the same word), or
+    a single character as the out-of-vocab fallback."""
+    steps = []
+    for s in range(1, _WP_STEPS + 1):
+        steps.append(f"""
+    s{s} AS (
+      SELECT word, freq,
+             CASE WHEN rem = '' THEN rem
+                  ELSE substr(rem, length(best) + 1) END AS rem,
+             CASE WHEN rem = '' THEN pieces
+                  ELSE list_append(pieces,
+                    CASE WHEN len(pieces) = 0 THEN best
+                         ELSE '##' || best END) END AS pieces
+      FROM (
+        SELECT *, COALESCE(
+                 (SELECT max_by(v.g, length(v.g)) FROM vocab v
+                  WHERE starts_with(rem, v.g)),
+                 substr(rem, 1, 1)) AS best
+        FROM s{s - 1}))""")
+    return f"""
+    WITH w AS (
+      SELECT unnest({SQL_TOKS.format(c='text')}) AS word FROM documents),
+    words AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+    grams AS (
+      SELECT unnest(flatten(list_transform([2, 3, 4], L ->
+        CASE WHEN length(word) >= L
+             THEN list_transform(range(1, length(word) - L + 2),
+                    i -> substr(word, CAST(i AS INTEGER), CAST(L AS INTEGER)))
+             ELSE [] END))) AS g
+      FROM w),
+    vc AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    vocab AS (
+      SELECT g FROM (
+        SELECT g, row_number() OVER (ORDER BY c DESC, g) AS rk FROM vc)
+      WHERE rk <= {_WP_VOCAB_K}),
+    s0 AS (SELECT word, freq, word AS rem,
+                  CAST([] AS VARCHAR[]) AS pieces FROM words),
+    {','.join(steps)}
+    SELECT word,
+           CAST(freq AS BIGINT) AS n_occurrences,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           array_to_string(pieces, ' ') AS segmentation,
+           rem AS unconsumed
+    FROM s{_WP_STEPS}
+"""
+
+
+@query("text_wordpiece_segment", _wp_sql())
+def text_wordpiece_segment(spark, sf_dir):
+    """WordPiece-style tokenizer over the corpus's own statistics: the
+    subword vocabulary is the top-24 character n-grams (length 2-4) by
+    corpus frequency (ties broken lexicographically), and each distinct
+    word is segmented by greedy maximal munch — repeatedly take the
+    longest vocab piece that prefixes the remainder, falling back to a
+    single character when nothing matches (every word segments, the
+    WordPiece [UNK]-avoidance property); continuation pieces carry the
+    '##' marker.  This is the BERT tokenizer family (greedy
+    longest-match against a fixed vocab) as distinct from the learned-
+    merge BPE family covered by text_bpe_* — together the two span the
+    dominant subword tokenizer designs.  Output per word: corpus
+    frequency, piece count (the word's fertility), the marked
+    segmentation string, and the unconsumed remainder (always empty
+    when the step unroll covers the longest word — pinned by the
+    oracle).
+
+    Plan shape for 100 TB: the token explode + n-gram count is the only
+    heavy stage (one groupBy with map-side combine); segmentation runs
+    on the DISTINCT-words table — vocabulary-sized, orders of magnitude
+    smaller than the corpus — as a broadcast crossJoin with the single-
+    row vocab array and a 12-iteration aggregate() fold entirely inside
+    whole-stage codegen: no per-step joins, no UDF, no driver loop."""
+    docs = td(spark, sf_dir, "documents")
+    w = docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+
+    def _grams_of(L: int):
+        # closure factory, NOT a default-arg lambda: pyspark dispatches
+        # on lambda arity, so `lambda i, L=L` would be read as the
+        # (element, index) two-parameter form with L bound to the index
+        return F.when(
+            F.length("word") >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - (L - 1)),
+                lambda i: F.col("word").substr(i, F.lit(L)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = w.select(
+        F.explode(
+            F.flatten(F.array(*[_grams_of(L) for L in (2, 3, 4)]))
+        ).alias("g")
+    )
+    vc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("c").desc(), F.col("g").asc())
+    )
+    vocab_row = (
+        vc.withColumn("rk", rk)
+        .filter(F.col("rk") <= _WP_VOCAB_K)
+        .agg(F.sort_array(F.collect_list("g")).alias("vocab"))
+    )
+    words = w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    st = words.crossJoin(F.broadcast(vocab_row))
+
+    best = (
+        "coalesce(array_max(transform("
+        "  filter(vocab, p -> startswith(acc.rem, p)),"
+        "  p -> named_struct('l', length(p), 'p', p))).p,"
+        " substr(acc.rem, 1, 1))"
+    )
+    seg = F.expr(
+        f"""
+        aggregate(
+          sequence(1, {_WP_STEPS}),
+          named_struct('rem', word,
+                       'pieces', cast(array() as array<string>)),
+          (acc, step) -> CASE WHEN acc.rem = '' THEN acc ELSE
+            named_struct(
+              'rem', substr(acc.rem, length({best}) + 1),
+              'pieces', array_append(acc.pieces,
+                CASE WHEN size(acc.pieces) = 0 THEN {best}
+                     ELSE concat('##', {best}) END))
+            END,
+          acc -> acc)
+        """
+    )
+    return st.select(
+        "word",
+        F.col("freq").cast("long").alias("n_occurrences"),
+        F.size(seg["pieces"]).cast("long").alias("n_pieces"),
+        F.concat_ws(" ", seg["pieces"]).alias("segmentation"),
+        seg["rem"].alias("unconsumed"),
     )

@@ -170,3 +170,209 @@ def test_dp_epsilon_bound_holds_on_interior_pmf():
         hi = max(masses[k], masses[k + 1])
         lo = min(masses[k], masses[k + 1])
         assert hi <= 2 * lo + 2  # e^eps = 2, +2 for floor rounding
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_remove: hand-built excision check
+# ---------------------------------------------------------------------------
+
+
+def test_substring_remove_hand_check(spark, tmp_out):
+    """30 unique tokens -> the corpus doubler's truncated copy shares
+    gram positions 0..23, one run covering tokens 0..27 (28 >= 20, so it
+    is excised); a 10-token doc's shared run covers only 8 tokens and
+    survives intact."""
+    import target_parquet_spark.queries_r16  # noqa: F401  (registers)
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.queries import QUERIES
+
+    long_toks = [f"t{i}" for i in range(1, 31)]
+    short_toks = [f"s{i}" for i in range(1, 11)]
+    docs = [(0, " ".join(long_toks)), (1, " ".join(short_toks))]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/documents.parquet")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["dedup_substring_remove"](spark, tmp_out).collect()
+    }
+    assert set(got) == {0, 1, 1000000, 1000001}
+
+    # original long doc: tokens 0..27 excised, 28..29 kept
+    r = got[0]
+    assert (r["n_tokens"], r["n_kept"], r["n_removed"], r["n_spans"]) == (
+        30, 2, 28, 1,
+    )
+    assert r["cleaned_hash"] == hashlib.md5(b"t29 t30").hexdigest()
+
+    # its 28-token copy: fully covered -> empty after excision
+    r = got[1000000]
+    assert (r["n_tokens"], r["n_kept"], r["n_removed"], r["n_spans"]) == (
+        28, 0, 28, 1,
+    )
+    assert r["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+
+    # short doc: duplicated span is only 8 tokens -> nothing removed
+    r = got[1]
+    assert (r["n_tokens"], r["n_kept"], r["n_removed"], r["n_spans"]) == (
+        10, 10, 0, 0,
+    )
+    assert r["cleaned_hash"] == hashlib.md5(" ".join(short_toks).encode()).hexdigest()
+
+    # the short doc's 8-token copy: same — below the excision threshold
+    r = got[1000001]
+    assert (r["n_tokens"], r["n_kept"], r["n_removed"], r["n_spans"]) == (
+        8, 8, 0, 0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec: round trips, spec vectors, error paths
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_spec_vector():
+    """The worked example from TIFF 6.0 section 9."""
+    src = bytes(
+        [0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+         0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+         0xAA, 0xAA, 0xAA, 0xAA]
+    )
+    spec_encoding = bytes(
+        [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+         0x00, 0x2A, 0x22, 0xF7, 0xAA]
+    )
+    assert M.packbits_decode(spec_encoding, len(src)) == src
+    # our own encoding round-trips (byte choices may differ from the
+    # spec's, which is allowed — PackBits is not canonical)
+    assert M.packbits_decode(M.packbits_encode(src), len(src)) == src
+
+
+def test_packbits_run_compression_and_noop():
+    runs = bytes([7]) * 300 + bytes([9]) * 3
+    enc = M.packbits_encode(runs)
+    assert len(enc) < 16  # 300-run splits into 128-capped run packets
+    assert M.packbits_decode(enc, len(runs)) == runs
+    # 0x80 is a no-op and must be skipped
+    assert M.packbits_decode(bytes([0x80, 0x00, 0x41]), 1) == b"A"
+    with pytest.raises(ValueError, match="runs past end"):
+        M.packbits_decode(bytes([0x05]), 6)
+    with pytest.raises(ValueError, match="truncated"):
+        M.packbits_decode(b"", 1)
+
+
+def test_tiff_round_trip_endianness_compression():
+    rng = np.random.RandomState(3)
+    for bo in ("<", ">"):
+        for comp in (1, 32773):
+            for (h, w) in ((4, 8), (7, 5), (16, 24), (1, 1)):
+                a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+                blob = M.encode_tiff(
+                    a, byte_order=bo, compression=comp, rows_per_strip=4
+                )
+                dec, info = M.decode_tiff(blob)
+                assert np.array_equal(dec, a)
+                assert info["byte_order"] == ("II" if bo == "<" else "MM")
+                assert info["compression"] == comp
+                assert info["n_strips"] == (h + 3) // 4
+
+
+def test_tiff_cross_endian_same_pixels():
+    a = (np.arange(48, dtype=np.uint8)).reshape(6, 8)
+    ii = M.decode_tiff(M.encode_tiff(a, byte_order="<"))[0]
+    mm = M.decode_tiff(M.encode_tiff(a, byte_order=">"))[0]
+    assert np.array_equal(ii, mm)
+
+
+def test_tiff_error_paths():
+    a = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        M.decode_tiff(b"PK\x03\x04....")
+    with pytest.raises(NotImplementedError, match="compression"):
+        M.encode_tiff(a, compression=5)  # LZW not implemented
+    blob = bytearray(M.encode_tiff(a))
+    blob[2] = 43  # corrupt the magic number (bytes 2-3, little-endian)
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_tiff(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# text_wordpiece_segment: greedy longest-match properties
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_hand_check(spark, tmp_out):
+    """Corpus 'abcd abcd ab cd': every n-gram of 'abcd' lands in the
+    vocab, so greedy maximal munch takes whole words in one piece."""
+    import target_parquet_spark.queries_r16  # noqa: F401  (registers)
+    from pyspark.sql import functions as F
+
+    from target_parquet_spark.queries import QUERIES
+
+    (
+        spark.createDataFrame(
+            [(0, "abcd abcd ab cd")], "doc_id long, text string"
+        )
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp_out}/documents.parquet")
+    )
+    got = {
+        r["word"]: r
+        for r in QUERIES["text_wordpiece_segment"](spark, tmp_out).collect()
+    }
+    assert set(got) == {"abcd", "ab", "cd"}
+    assert got["abcd"]["segmentation"] == "abcd"
+    assert got["abcd"]["n_pieces"] == 1
+    assert got["abcd"]["n_occurrences"] == 2
+    assert got["ab"]["segmentation"] == "ab"
+    assert got["cd"]["segmentation"] == "cd"
+    assert all(r["unconsumed"] == "" for r in got.values())
+
+
+def test_wordpiece_reconstruction_invariant(spark, sf_dir):
+    """Pieces with '##' markers stripped must concatenate back to the
+    word, and greedy always terminates within the unroll budget."""
+    import target_parquet_spark.queries_r16  # noqa: F401
+
+    from target_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["text_wordpiece_segment"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["unconsumed"] == ""
+        pieces = r["segmentation"].split(" ")
+        assert len(pieces) == r["n_pieces"] >= 1
+        rebuilt = pieces[0] + "".join(p[2:] for p in pieces[1:])
+        assert rebuilt == r["word"]
+        assert all(p.startswith("##") for p in pieces[1:])
+        assert not pieces[0].startswith("##")
+
+
+def test_decode_tiff_images_end_to_end(spark):
+    import hashlib as _h
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    media = M.attach_tiff_media(docs, "doc_id")
+    out = {r["media_id"]: r for r in M.decode_tiff_images(media).collect()}
+    assert len(out) == 12
+    for mid in range(12):
+        w, h = 8 * (1 + mid % 3), 4 * (1 + mid % 4)
+        y, x = np.mgrid[0:h, 0:w]
+        px = ((mid * 37 + y * 17 + (x // 4) * 11) % 256).astype(np.uint8)
+        r = out[mid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["byte_order"] == ("II" if mid % 2 == 0 else "MM")
+        assert r["compression"] == (32773 if mid % 3 == 0 else 1)
+        assert r["n_strips"] == (h + 3) // 4
+        assert r["pixels_hash"] == _h.md5(
+            px.tobytes().hex().upper().encode()
+        ).hexdigest()
