@@ -68,14 +68,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal_dhash_decoded, VERDICT r9 #8) -> 332 total.  Wave 3 keeps
 # the 10 anchors and rotates in 40 never-gated ORACLE-BACKED names (the
 # rows-only _scaled twins are deliberately not rotated in — they would
-# burn slots on rows that cannot go green): the two r10 newcomers gate
-# first, then the seven wave-3 deferrals named in r9's comment, then
-# the biggest untouched tails (events 10, sim 8, text 7, agg 6) ->
-# expected 211/335 green after r10 (multimodal_png_forms,
-# multimodal_gif_animation, and multimodal_decode_adpcm — r10 coverage
-# pins registered late in the round — take the last three rotation
-# slots; agg_correlation, agg_arg_extremum, and agg_median_mode defer
-# to wave 4).
+# burn slots on rows that cannot go green): this round's new ops gate
+# first (the five r10 pins, then the six continuation-session ops —
+# WHT / DP counts / substring excision / TIFF / WordPiece / GDPR), then
+# the seven wave-2 deferrals named in r9's comment, then the biggest
+# untouched tails (events 10, sim 8, text 4) -> expected 211/341 green
+# after r10.  Deferred to wave 4: agg_correlation, agg_arg_extremum,
+# agg_median_mode, agg_collect_sets, agg_hll_sketch,
+# agg_histogram_bins, text_hash_embedding, text_tfidf_topterms,
+# text_unigram_logprob.
 _CURATED_PREFIX = [
     # anchors (driver-green in prior rounds; one per family for continuity)
     "q1_pricing_summary",
@@ -95,6 +96,18 @@ _CURATED_PREFIX = [
     "multimodal_png_forms",
     "multimodal_gif_animation",
     "multimodal_decode_adpcm",
+    # new in the round-10 continuation session (all oracle-backed):
+    # WHT audio spectrum, DP count release, substring excision, TIFF
+    # codec, WordPiece segmentation, GDPR erasure cascade.  The six
+    # displaced tail entries (text_hash_embedding, text_tfidf_topterms,
+    # text_unigram_logprob, agg_collect_sets, agg_hll_sketch,
+    # agg_histogram_bins) defer to wave 4 with the agg_correlation trio.
+    "multimodal_audio_wht",
+    "audit_dp_counts",
+    "dedup_substring_remove",
+    "multimodal_decode_tiff",
+    "text_wordpiece_segment",
+    "audit_gdpr_erasure",
     # the seven wave-2 deferrals (VERDICT r9 #1 names them)
     "sample_temperature_mixture",
     "sample_weighted_without_replacement",
@@ -123,18 +136,11 @@ _CURATED_PREFIX = [
     "sim_ivf_recall",
     "sim_ivf_recall_trained",
     "sim_pq_ann",
-    # text tail
+    # text tail (hash_embedding/tfidf_topterms/unigram_logprob -> wave 4)
     "text_token_stats",
     "text_fingerprint",
     "text_bpe_token_stats",
     "text_pii_scrub",
-    "text_hash_embedding",
-    "text_tfidf_topterms",
-    "text_unigram_logprob",
-    # agg tail
-    "agg_collect_sets",
-    "agg_hll_sketch",
-    "agg_histogram_bins",
 ]
 
 

@@ -262,6 +262,15 @@ HEADLINE = [
     "multimodal_png_forms",
     "multimodal_gif_animation",
     "multimodal_decode_adpcm",
+    # round 10, continuation session
+    "multimodal_audio_wht",
+    "audit_dp_counts",
+    "dedup_substring_remove",
+    "multimodal_decode_tiff",
+    "text_wordpiece_segment",
+    "audit_gdpr_erasure",
+    "scan_xml_source",
+    "sql_pipe_syntax",
 ]
 
 

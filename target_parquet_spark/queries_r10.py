@@ -1554,6 +1554,10 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
             w.options(header=True, quoteAll=True, escape='"').csv(tmp)
         elif fmt == "orc":
             w.orc(tmp)
+        elif fmt == "xml":
+            # Spark 4 native XML (the spark-xml package merged upstream):
+            # one <doc> element per row, entity-escaped text content
+            w.format("xml").options(rootTag="docs", rowTag="doc").save(tmp)
         else:
             w.json(tmp)
 
@@ -1567,6 +1571,13 @@ def _roundtrip_artifact(spark, sf_dir, fmt: str):
         ).csv(path)
     if fmt == "orc":
         return spark.read.schema(schema).orc(path)
+    if fmt == "xml":
+        return (
+            spark.read.schema(schema)
+            .format("xml")
+            .option("rowTag", "doc")
+            .load(path)
+        )
     return spark.read.schema(schema).json(path)
 
 

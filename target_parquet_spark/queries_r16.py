@@ -540,3 +540,218 @@ def text_wordpiece_segment(spark, sf_dir):
         F.concat_ws(" ", seg["pieces"]).alias("segmentation"),
         seg["rem"].alias("unconsumed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# right-to-be-forgotten erasure audit (GDPR art. 17 cascade)
+# ---------------------------------------------------------------------------
+
+_SQL_GDPR_ERASURE = """
+    WITH erased AS (
+      SELECT c_custkey FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1')),
+    eo AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erased)),
+    rows_c AS (
+      SELECT 'customer' AS table_name,
+             count(*) AS n_rows,
+             sum(CASE WHEN c_custkey IN (SELECT c_custkey FROM erased)
+                      THEN 1 ELSE 0 END) AS n_linked,
+             count(DISTINCT CASE WHEN c_custkey IN
+                      (SELECT c_custkey FROM erased)
+                      THEN c_custkey END) AS n_subjects
+      FROM customer),
+    rows_o AS (
+      SELECT 'orders', count(*),
+             sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM erased)
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN o_custkey IN
+                      (SELECT c_custkey FROM erased)
+                      THEN o_custkey END)
+      FROM orders),
+    rows_l AS (
+      SELECT 'lineitem', count(*),
+             sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM eo)
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN l_orderkey IN
+                      (SELECT o_orderkey FROM eo)
+                      THEN l_orderkey END)
+      FROM lineitem),
+    rows_e AS (
+      SELECT 'events', count(*),
+             sum(CASE WHEN user_id IN (SELECT c_custkey FROM erased)
+                      THEN 1 ELSE 0 END),
+             count(DISTINCT CASE WHEN user_id IN
+                      (SELECT c_custkey FROM erased)
+                      THEN user_id END)
+      FROM events),
+    u AS (
+      SELECT * FROM rows_c UNION ALL SELECT * FROM rows_o
+      UNION ALL SELECT * FROM rows_l UNION ALL SELECT * FROM rows_e)
+    SELECT table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_linked AS BIGINT) AS n_linked,
+           CAST(n_subjects AS BIGINT) AS n_subjects,
+           CAST(n_rows - n_linked AS BIGINT) AS n_after_erasure
+    FROM u
+"""
+
+
+@query("audit_gdpr_erasure", _SQL_GDPR_ERASURE)
+def audit_gdpr_erasure(spark, sf_dir):
+    """Right-to-be-forgotten cascade audit: a deterministic ~2/16 of
+    customers (md5 of the key, leading hex in {0,1}) files an erasure
+    request, and the audit reports — per table — how many rows the
+    cascade touches: customer directly, orders one hop away
+    (o_custkey), lineitem TWO hops away (l_orderkey through the erased
+    customers' orders — transitive erasure, the part naive
+    per-table-filter compliance tooling misses), and events via the
+    user link.  Output per table: total rows, linked rows, distinct
+    linked join keys, and the post-erasure row count.
+
+    Plan shape for 100 TB: the erased-key set is orders of magnitude
+    smaller than any fact table and is BROADCAST into per-table
+    semi-join-shaped conditional counts (one scan per table, no
+    shuffle on the fact side); the two-hop lineitem cascade broadcasts
+    the erased ORDER keys, which stay proportional to the erasure
+    fraction.  At real scale the erased-key set is a bloom/bitmap
+    sidecar and each count is the same one-scan shape."""
+    cust = td(spark, sf_dir, "customer")
+    erased = F.broadcast(
+        cust.filter(
+            F.substring(
+                F.md5(F.col("c_custkey").cast("string")), 1, 1
+            ).isin("0", "1")
+        ).select("c_custkey")
+    )
+    orders = td(spark, sf_dir, "orders")
+    eo = F.broadcast(
+        orders.join(
+            erased, orders["o_custkey"] == erased["c_custkey"], "left_semi"
+        ).select("o_orderkey")
+    )
+
+    def summarize(df, name, key, keys_df, keys_col):
+        flagged = F.col("__linked")
+        marked = df.join(
+            keys_df.withColumnRenamed(keys_col, "__k"),
+            df[key] == F.col("__k"),
+            "left",
+        ).withColumn("__linked", F.col("__k").isNotNull())
+        return marked.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(flagged.cast("long")).cast("long").alias("n_linked"),
+            F.count_distinct(
+                F.when(flagged, df[key])
+            ).cast("long").alias("n_subjects"),
+            (
+                F.count(F.lit(1)) - F.sum(flagged.cast("long"))
+            ).cast("long").alias("n_after_erasure"),
+        )
+
+    ev = td(spark, sf_dir, "events")
+    li = td(spark, sf_dir, "lineitem")
+    return (
+        summarize(cust, "customer", "c_custkey", erased, "c_custkey")
+        .unionByName(summarize(orders, "orders", "o_custkey", erased, "c_custkey"))
+        .unionByName(summarize(li, "lineitem", "l_orderkey", eo, "o_orderkey"))
+        .unionByName(summarize(ev, "events", "user_id", erased, "c_custkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# XML as a source format (Spark 4 native XML data source)
+# ---------------------------------------------------------------------------
+
+
+from target_parquet_spark.queries_r10 import _SQL_DOCS_CHECKSUM  # noqa: E402
+
+
+@query("scan_xml_source", _SQL_DOCS_CHECKSUM)
+def scan_xml_source(spark, sf_dir):
+    """XML as a source format: the same warehouse round-trip gate as
+    scan_csv_source/scan_jsonl_source/scan_orc_source through Spark 4's
+    NATIVE XML data source (the spark-xml package merged upstream in
+    4.0) — one entity-escaped <doc> element per row, read back with an
+    explicit schema and per-language checksummed.  The oracle checksums
+    the ORIGINAL parquet, so equality proves the XML writer/reader pair
+    preserved every byte of text and every numeric column.  Completes
+    the source matrix: parquet, CSV, JSONL, ORC, XML, Singer.
+
+    Plan shape: explicit schema skips inference; rowTag elements split
+    by row within a file, and the artifact keeps one file per input
+    partition, so the read parallelizes like JSONL (not like multiLine
+    CSV).  At 100 TB, XML is an ingest-once format — this query is the
+    conversion gate that proves nothing was lost on the way to
+    parquet."""
+    from target_parquet_spark.queries_r10 import (
+        _docs_checksum,
+        _roundtrip_artifact,
+    )
+
+    return _docs_checksum(_roundtrip_artifact(spark, sf_dir, "xml"))
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operator chains)
+# ---------------------------------------------------------------------------
+
+_SQL_PIPE_ORACLE = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL),
+    agg AS (
+      SELECT event_type, day,
+             count(*) AS n_events,
+             sum(cents) AS total_cents
+      FROM base GROUP BY event_type, day)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(n_events) AS BIGINT) AS peak_day_events,
+           CAST(sum(total_cents) AS BIGINT) AS total_cents
+    FROM agg
+    WHERE n_events >= 5
+    GROUP BY event_type
+"""
+
+
+@query("sql_pipe_syntax", _SQL_PIPE_ORACLE)
+def sql_pipe_syntax(spark, sf_dir):
+    """Spark 4's SQL pipe syntax (|> operator chains, from the
+    SQL-has-problems-we-can-fix lineage of GoogleSQL): the same
+    daily-rollup-then-refilter computation a nested-CTE query needs
+    three levels for, written as one top-to-bottom pipeline — WHERE,
+    EXTEND (compute day/cents), AGGREGATE ... GROUP BY (twice), with a
+    mid-pipeline WHERE on an aggregate output where ANSI needs HAVING
+    or a wrapping subquery.  The oracle is the equivalent ANSI form, so
+    the gate proves pipe syntax is pure sugar over the same plan —
+    Catalyst sees identical logical operators either way (same partial
+    aggregation, same single shuffle per AGGREGATE).
+
+    Every measure is integer (counts + cents), so the comparison is
+    engine-exact."""
+    td(spark, sf_dir, "events").createOrReplaceTempView("events_pipe")
+    return spark.sql(
+        """
+        FROM events_pipe
+        |> WHERE ts IS NOT NULL AND value IS NOT NULL
+        |> EXTEND CAST(ts AS DATE) AS day,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+        |> AGGREGATE count(*) AS n_events, sum(cents) AS total_cents
+             GROUP BY event_type, day
+        |> WHERE n_events >= 5
+        |> AGGREGATE count(*) AS n_days,
+                     sum(n_events) AS n_events,
+                     max(n_events) AS peak_day_events,
+                     sum(total_cents) AS total_cents
+             GROUP BY event_type
+        |> SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                  n_events, peak_day_events, total_cents
+        """
+    )

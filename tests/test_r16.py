@@ -303,6 +303,88 @@ def test_tiff_error_paths():
 
 
 # ---------------------------------------------------------------------------
+# audit_gdpr_erasure: cascade invariants
+# ---------------------------------------------------------------------------
+
+
+def test_gdpr_erasure_cascade_invariants(spark, sf_dir):
+    import target_parquet_spark.queries_r16  # noqa: F401  (registers)
+    from target_parquet_spark.queries import QUERIES
+
+    rows = {
+        r["table_name"]: r
+        for r in QUERIES["audit_gdpr_erasure"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    for r in rows.values():
+        assert r["n_rows"] == r["n_linked"] + r["n_after_erasure"]
+        assert 0 <= r["n_subjects"] <= r["n_linked"]
+    # the hash flags ~2/16 of customers; every erased customer is one
+    # linked row in the customer table itself
+    c = rows["customer"]
+    assert c["n_linked"] == c["n_subjects"] > 0
+    # cascade reaches every hop
+    assert rows["orders"]["n_linked"] > 0
+    assert rows["lineitem"]["n_linked"] > 0
+    assert rows["events"]["n_linked"] > 0
+    # two-hop erasure can't touch more lineitems than erased orders
+    # have lineitems: distinct erased orderkeys <= erased order rows
+    assert rows["lineitem"]["n_subjects"] <= rows["orders"]["n_linked"]
+
+
+# ---------------------------------------------------------------------------
+# sql_pipe_syntax: pipe chains are sugar over the same ANSI plan
+# ---------------------------------------------------------------------------
+
+
+def test_pipe_syntax_matches_ansi_in_spark(spark, sf_dir):
+    """Cross-engine equality is the oracle's job; this pins the
+    WITHIN-Spark claim that |> chains produce the same rows as the
+    ANSI formulation of the same computation."""
+    import target_parquet_spark.queries_r16 as r16
+
+    from target_parquet_spark.queries import QUERIES
+
+    pipe = {
+        r["event_type"]: r
+        for r in QUERIES["sql_pipe_syntax"](spark, sf_dir).collect()
+    }
+    spark.sql("SELECT 1").collect()  # view registered by the query call
+    ansi = {
+        r["event_type"]: r
+        for r in spark.sql(
+            r16._SQL_PIPE_ORACLE.replace("FROM events", "FROM events_pipe")
+        ).collect()
+    }
+    assert pipe.keys() == ansi.keys() and len(pipe) > 0
+    for k in pipe:
+        assert pipe[k].asDict() == ansi[k].asDict()
+
+
+# ---------------------------------------------------------------------------
+# scan_xml_source: entity escaping survives the round trip
+# ---------------------------------------------------------------------------
+
+
+def test_xml_roundtrip_escapes_entities(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 'a < b & "c" > d'), (2, "it's <tag/> &amp; raw")],
+        "id long, v string",
+    )
+    path = str(tmp_path / "xmlrt")
+    df.write.format("xml").options(rootTag="rows", rowTag="row").save(path)
+    back = (
+        spark.read.schema("id long, v string")
+        .format("xml")
+        .option("rowTag", "row")
+        .load(path)
+    )
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in df.collect()
+    }
+
+
+# ---------------------------------------------------------------------------
 # text_wordpiece_segment: greedy longest-match properties
 # ---------------------------------------------------------------------------
 
