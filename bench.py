@@ -271,6 +271,7 @@ HEADLINE = [
     "audit_gdpr_erasure",
     "scan_xml_source",
     "sql_pipe_syntax",
+    "agg_kmv_theta_sketch",
 ]
 
 

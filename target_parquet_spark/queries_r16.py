@@ -432,13 +432,17 @@ def _wp_sql() -> str:
       SELECT unnest({SQL_TOKS.format(c='text')}) AS word FROM documents),
     words AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
     grams AS (
-      SELECT unnest(flatten(list_transform([2, 3, 4], L ->
+      -- n-grams come from the DISTINCT word table weighted by corpus
+      -- frequency — identical counts to exploding the raw stream, one
+      -- corpus scan instead of two
+      SELECT freq,
+             unnest(flatten(list_transform([2, 3, 4], L ->
         CASE WHEN length(word) >= L
              THEN list_transform(range(1, length(word) - L + 2),
                     i -> substr(word, CAST(i AS INTEGER), CAST(L AS INTEGER)))
              ELSE [] END))) AS g
-      FROM w),
-    vc AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+      FROM words),
+    vc AS (SELECT g, sum(freq) AS c FROM grams GROUP BY g),
     vocab AS (
       SELECT g FROM (
         SELECT g, row_number() OVER (ORDER BY c DESC, g) AS rk FROM vc)
@@ -481,6 +485,9 @@ def text_wordpiece_segment(spark, sf_dir):
     whole-stage codegen: no per-step joins, no UDF, no driver loop."""
     docs = td(spark, sf_dir, "documents")
     w = docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+    # the ONLY corpus-wide shuffle: distinct words with frequencies;
+    # everything downstream works on this vocabulary-sized table
+    words = w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
     def _grams_of(L: int):
         # closure factory, NOT a default-arg lambda: pyspark dispatches
@@ -494,12 +501,13 @@ def text_wordpiece_segment(spark, sf_dir):
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    grams = w.select(
+    grams = words.select(
+        "freq",
         F.explode(
             F.flatten(F.array(*[_grams_of(L) for L in (2, 3, 4)]))
-        ).alias("g")
+        ).alias("g"),
     )
-    vc = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    vc = grams.groupBy("g").agg(F.sum("freq").alias("c"))
     rk = F.row_number().over(
         Window.orderBy(F.col("c").desc(), F.col("g").asc())
     )
@@ -508,7 +516,6 @@ def text_wordpiece_segment(spark, sf_dir):
         .filter(F.col("rk") <= _WP_VOCAB_K)
         .agg(F.sort_array(F.collect_list("g")).alias("vocab"))
     )
-    words = w.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     st = words.crossJoin(F.broadcast(vocab_row))
 
     best = (
@@ -692,6 +699,156 @@ def scan_xml_source(spark, sf_dir):
     )
 
     return _docs_checksum(_roundtrip_artifact(spark, sf_dir, "xml"))
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: the third mergeable-sketch family (k minimum values)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_DOMAIN = 1 << 60  # hash60 range
+
+_SQL_KMV = f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL),
+    h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM du),
+    rk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS r,
+             count(*) OVER (PARTITION BY event_type) AS nd
+      FROM h),
+    per_type AS (
+      -- unsaturated sketch (nd < k): the k-min set IS the exact value
+      -- set, so the row anchors on the largest seen hash instead
+      SELECT event_type AS scope, hv AS kth_hash, nd,
+             nd AS exact_distinct
+      FROM rk WHERE r = least({_KMV_K}, nd)),
+    merged_pool AS (
+      -- mergeability: the global sketch is built from the per-type
+      -- k-min SETS only, never from the raw stream
+      SELECT DISTINCT hv FROM rk WHERE r <= {_KMV_K}),
+    mrk AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS r,
+             count(*) OVER () AS pool_n
+      FROM merged_pool),
+    merged AS (
+      SELECT '__merged' AS scope, hv AS kth_hash,
+             least({_KMV_K}, pool_n) AS nd,
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE user_id IS NOT NULL) AS exact_distinct
+      FROM mrk WHERE r = least({_KMV_K}, pool_n)),
+    u AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged),
+    est AS (
+      SELECT *,
+             -- (k-1) * 2^60 overflows BIGINT: widen to HUGEINT for the
+             -- exact integer floor-division (Spark side: decimal(38,0))
+             CASE WHEN nd >= {_KMV_K}
+                  THEN CAST(CAST({_KMV_K} - 1 AS HUGEINT) * {_KMV_DOMAIN}
+                            // kth_hash AS BIGINT)
+                  ELSE CAST(nd AS BIGINT) END AS est_distinct
+      FROM u)
+    SELECT scope,
+           CAST({_KMV_K} AS BIGINT) AS k,
+           CAST(kth_hash AS BIGINT) AS kth_hash,
+           est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(100.0 * abs(est_distinct - exact_distinct)
+                 / exact_distinct, 2) AS abs_err_pct
+    FROM est
+"""
+
+
+@query("agg_kmv_theta_sketch", _SQL_KMV)
+def agg_kmv_theta_sketch(spark, sf_dir):
+    """K-minimum-values (theta) sketch — the third mergeable
+    distinct-count sketch family alongside HLL (agg_hll_sketch) and
+    roaring bitmaps (agg_bitmap_distinct): keep the k=32 smallest
+    60-bit hashes per group; the k-th smallest estimates the distinct
+    count as (k-1) * |domain| / kth_hash (the classic KMV estimator,
+    here in EXACT integer division so both engines agree bit-for-bit).
+    The '__merged' row demonstrates the property that makes sketches
+    work at 100 TB: the global estimate is computed from the per-group
+    k-min SETS alone (union, re-take k smallest) — never rescanning the
+    raw stream — exactly how a 1000-executor rollup merges partial
+    sketches at the driver.  Each row carries the exact distinct count
+    and the relative error for calibration.  An UNSATURATED sketch
+    (fewer than k distinct values) is the exact value set, so its row
+    anchors on the largest seen hash and reports the exact count with
+    zero error — the standard KMV small-cardinality convention.
+
+    Plan shape: one (type, user) distinct pre-aggregation (map-side
+    combine), a per-type window over at most the distinct keys, and a
+    k-sized merged pool — shuffle volume is O(distinct), sketch state
+    is O(k * groups).  Hash randomness is md5 (the repo convention), so
+    the 'random' permutation is reproducible across engines."""
+    ev = td(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    du = ev.select("event_type", "user_id").distinct()
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = du.select("event_type", hv.alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    rk = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nd"),
+    )
+    per_type = rk.filter(
+        F.col("r") == F.least(F.lit(_KMV_K), F.col("nd"))
+    ).select(
+        F.col("event_type").alias("scope"),
+        F.col("hv").alias("kth_hash"),
+        F.col("nd").alias("nd"),
+        F.col("nd").alias("exact_distinct"),
+    )
+    merged_pool = rk.filter(F.col("r") <= _KMV_K).select("hv").distinct()
+    mrk = merged_pool.select(
+        "hv",
+        F.row_number().over(Window.orderBy("hv")).alias("r"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("pool_n"),
+    )
+    global_nd = F.broadcast(
+        ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    merged = (
+        mrk.filter(F.col("r") == F.least(F.lit(_KMV_K), F.col("pool_n")))
+        .crossJoin(global_nd)
+        .select(
+            F.lit("__merged").alias("scope"),
+            F.col("hv").alias("kth_hash"),
+            F.least(F.lit(_KMV_K), F.col("pool_n")).cast("long").alias("nd"),
+            F.col("exact_distinct"),
+        )
+    )
+    u = per_type.unionByName(merged)
+    # (k-1) * 2^60 overflows int64: carry the numerator as an exact
+    # decimal(38,0) literal (the SQL twin widens to HUGEINT)
+    numer = F.lit(str((_KMV_K - 1) * _KMV_DOMAIN)).cast("decimal(38,0)")
+    est = numer / F.col("kth_hash").cast("decimal(38,0)")
+    est_floor = F.when(
+        F.col("nd") >= _KMV_K, F.floor(est).cast("long")
+    ).otherwise(F.col("nd").cast("long"))
+    return u.select(
+        "scope",
+        F.lit(_KMV_K).cast("long").alias("k"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        est_floor.alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        F.round(
+            F.lit(100.0)
+            * F.abs(est_floor - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            2,
+        ).alias("abs_err_pct"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -333,6 +333,45 @@ def test_gdpr_erasure_cascade_invariants(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# agg_kmv_theta_sketch: estimator + mergeability invariants
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_invariants(spark, sf_dir):
+    import target_parquet_spark.queries_r16  # noqa: F401  (registers)
+    from target_parquet_spark.queries import QUERIES
+
+    rows = {
+        r["scope"]: r
+        for r in QUERIES["agg_kmv_theta_sketch"](spark, sf_dir).collect()
+    }
+    assert "__merged" in rows and len(rows) >= 3
+    per_type = {k: v for k, v in rows.items() if k != "__merged"}
+    for r in rows.values():
+        assert r["k"] == 32
+        assert 0 < r["kth_hash"] < (1 << 60)
+        if r["exact_distinct"] >= 32 and r["scope"] != "__merged":
+            # saturated: the exact-integer KMV estimator applies
+            assert r["est_distinct"] == (31 << 60) // r["kth_hash"]
+            # k=32 keeps relative error sane (~18% std err)
+            assert r["abs_err_pct"] < 80.0
+        if r["scope"] != "__merged" and r["exact_distinct"] < 32:
+            # unsaturated: the sketch IS the exact set
+            assert r["est_distinct"] == r["exact_distinct"]
+            assert r["abs_err_pct"] == 0.0
+    # merged kth_hash is the k-th smallest of the union of per-type
+    # pools, so it can't exceed any single pool's k-th hash
+    assert rows["__merged"]["kth_hash"] <= min(
+        r["kth_hash"] for r in per_type.values()
+    )
+    # merged estimates the GLOBAL distinct count, which is at most the
+    # sum of the per-type exacts (overlap shrinks it)
+    assert rows["__merged"]["exact_distinct"] <= sum(
+        r["exact_distinct"] for r in per_type.values()
+    )
+
+
+# ---------------------------------------------------------------------------
 # sql_pipe_syntax: pipe chains are sugar over the same ANSI plan
 # ---------------------------------------------------------------------------
 
