@@ -59,6 +59,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # without any driver-green representative.  scripts/check_oracle.py still
 # sweeps all entries every round; cumulative coverage is tracked below.
 #
+# Wave-4 queue (never-gated, oracle-backed, registered too late for the
+# r10 prefix): scan_xml_source, sql_pipe_syntax, agg_kmv_theta_sketch,
+# multimodal_exif_metadata, model_calibration_bins — gate these first
+# next round, then the nine wave-3 deferrals listed below.
+#
 # Cumulative distinct driver-gated through r9: 173 names, of which 171
 # are green (the r8 comment's "expected 172" was off by one — the
 # sim_knn_graph_quantized slot is structurally no_oracle and can never

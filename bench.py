@@ -272,6 +272,10 @@ HEADLINE = [
     "scan_xml_source",
     "sql_pipe_syntax",
     "agg_kmv_theta_sketch",
+    # registered after the continuation-session floor runs started:
+    # fold into the floor at the next rebuild (the r10 late-pin pattern)
+    "multimodal_exif_metadata",
+    "model_calibration_bins",
 ]
 
 

@@ -95,6 +95,9 @@ __all__ = [
     "looks_like_tiff",
     "attach_tiff_media",
     "decode_tiff_images",
+    "tiff_metadata",
+    "attach_exif_tiff_media",
+    "tiff_metadata_scan",
     "encode_jpeg",
     "decode_jpeg",
     "looks_like_jpeg",
@@ -3302,6 +3305,7 @@ def encode_tiff(
     byte_order: str = "<",
     compression: int = _TIFF_COMPRESSION_NONE,
     rows_per_strip: int = 4,
+    ascii_tags: dict | None = None,
 ) -> bytes:
     """Encode a 2-D uint8 grayscale array as a baseline TIFF: header,
     strip data, out-of-line StripOffsets/StripByteCounts arrays, one IFD
@@ -3336,14 +3340,33 @@ def encode_tiff(
             )
     n_strips = len(strips)
 
-    # layout: header(8) | strip data | offsets array | counts array | IFD
+    # layout: header(8) | strip data | offsets array | counts array |
+    # out-of-line ASCII tag strings | IFD
     pos = 8
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
     offsets_pos, counts_pos = pos, pos + 4 * n_strips
-    ifd_pos = counts_pos + 4 * n_strips
+    strings_pos = counts_pos + 4 * n_strips
+
+    # ASCII (type 2) tags: NUL-terminated, count includes the NUL,
+    # inline when the whole value fits the 4-byte slot (TIFF 6.0 rule)
+    ascii_items = sorted((ascii_tags or {}).items())
+    strings_blob = bytearray()
+    ascii_entries: dict[int, bytes] = {}
+    for tag, text in ascii_items:
+        data = str(text).encode("ascii") + b"\x00"
+        if len(data) <= 4:
+            ascii_entries[tag] = struct.pack(
+                bo + "HHI4s", tag, 2, len(data), data.ljust(4, b"\x00")
+            )
+        else:
+            ascii_entries[tag] = struct.pack(
+                bo + "HHII", tag, 2, len(data), strings_pos + len(strings_blob)
+            )
+            strings_blob += data
+    ifd_pos = strings_pos + len(strings_blob)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # SHORT (3) values occupy the low 2 bytes of the 4-byte value
@@ -3352,25 +3375,27 @@ def encode_tiff(
             return struct.pack(bo + "HHIHH", tag, typ, count, value, 0)
         return struct.pack(bo + "HHII", tag, typ, count, value)
 
-    entries = [
-        entry(256, 4, 1, w),  # ImageWidth
-        entry(257, 4, 1, h),  # ImageLength
-        entry(258, 3, 1, 8),  # BitsPerSample
-        entry(259, 3, 1, compression),  # Compression
-        entry(262, 3, 1, 1),  # Photometric: BlackIsZero
-        (
+    numeric = {
+        256: entry(256, 4, 1, w),  # ImageWidth
+        257: entry(257, 4, 1, h),  # ImageLength
+        258: entry(258, 3, 1, 8),  # BitsPerSample
+        259: entry(259, 3, 1, compression),  # Compression
+        262: entry(262, 3, 1, 1),  # Photometric: BlackIsZero
+        273: (
             entry(273, 4, 1, strip_offsets[0])
             if n_strips == 1
             else entry(273, 4, n_strips, offsets_pos)
         ),  # StripOffsets
-        entry(277, 3, 1, 1),  # SamplesPerPixel
-        entry(278, 4, 1, rows_per_strip),  # RowsPerStrip
-        (
+        277: entry(277, 3, 1, 1),  # SamplesPerPixel
+        278: entry(278, 4, 1, rows_per_strip),  # RowsPerStrip
+        279: (
             entry(279, 4, 1, len(strips[0]))
             if n_strips == 1
             else entry(279, 4, n_strips, counts_pos)
         ),  # StripByteCounts
-    ]
+    }
+    numeric.update(ascii_entries)
+    entries = [numeric[tag] for tag in sorted(numeric)]  # TIFF: ascending
 
     out = bytearray()
     out += magic + struct.pack(bo + "HI", 42, ifd_pos)
@@ -3380,6 +3405,7 @@ def encode_tiff(
         out += struct.pack(bo + "I", off)
     for s in strips:
         out += struct.pack(bo + "I", len(s))
+    out += bytes(strings_blob)
     out += struct.pack(bo + "H", len(entries))
     for e in entries:
         out += e
@@ -3411,8 +3437,9 @@ def decode_tiff(data: bytes):
         raise ValueError(f"bad TIFF magic {magic}")
 
     (n_entries,) = struct.unpack_from(bo + "H", data, ifd_pos)
-    type_size = {3: 2, 4: 4}
+    type_size = {2: 1, 3: 2, 4: 4}
     tags: dict[int, list[int]] = {}
+    ascii_tags: dict[int, str] = {}
     for k in range(n_entries):
         tag, typ, count = struct.unpack_from(
             bo + "HHI", data, ifd_pos + 2 + 12 * k
@@ -3423,6 +3450,12 @@ def decode_tiff(data: bytes):
         total = type_size[typ] * count
         if total > 4:  # out-of-line: value slot holds the offset
             (vpos,) = struct.unpack_from(bo + "I", data, vpos)
+        if typ == 2:  # ASCII: NUL-terminated, count includes the NUL
+            raw = bytes(data[vpos : vpos + count])
+            ascii_tags[tag] = raw.split(b"\x00", 1)[0].decode(
+                "ascii", "replace"
+            )
+            continue
         fmt = "H" if typ == 3 else "I"
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, data, vpos))
 
@@ -3470,8 +3503,58 @@ def decode_tiff(data: bytes):
         "byte_order": "II" if bo == "<" else "MM",
         "compression": compression,
         "n_strips": len(offsets),
+        "ascii_tags": ascii_tags,
     }
     return arr, info
+
+
+def tiff_metadata(data: bytes):
+    """Parse ONLY the TIFF header + IFD — never touch the pixel strips.
+    Returns (width, height, byte_order, compression, n_strips,
+    ascii_tags dict).  This is the EXIF-harvest read path: at 100 TB,
+    metadata extraction must not pay for pixel decompression, and the
+    IFD walk reads a few hundred bytes regardless of image size."""
+    import struct
+
+    if not looks_like_tiff(data):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if data[:2] == b"II" else ">"
+    magic, ifd_pos = struct.unpack_from(bo + "HI", data, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_pos)
+    type_size = {2: 1, 3: 2, 4: 4}
+    num: dict[int, int] = {}
+    n_strips = 0
+    ascii_tags: dict[int, str] = {}
+    for k in range(n_entries):
+        tag, typ, count = struct.unpack_from(
+            bo + "HHI", data, ifd_pos + 2 + 12 * k
+        )
+        vpos = ifd_pos + 2 + 12 * k + 8
+        if typ not in type_size:
+            continue
+        if type_size[typ] * count > 4:
+            (vpos,) = struct.unpack_from(bo + "I", data, vpos)
+        if typ == 2:
+            raw = bytes(data[vpos : vpos + count])
+            ascii_tags[tag] = raw.split(b"\x00", 1)[0].decode(
+                "ascii", "replace"
+            )
+            continue
+        if tag == 273:
+            n_strips = count
+            continue  # metadata read: strip offsets themselves unused
+        (v,) = struct.unpack_from(bo + ("H" if typ == 3 else "I"), data, vpos)
+        num[tag] = v
+    return {
+        "width": num.get(256),
+        "height": num.get(257),
+        "byte_order": "II" if bo == "<" else "MM",
+        "compression": num.get(259, _TIFF_COMPRESSION_NONE),
+        "n_strips": n_strips,
+        "ascii_tags": ascii_tags,
+    }
 
 
 def attach_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -3520,6 +3603,107 @@ def attach_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "media": blobs})
 
     return _fanout_ids(df, id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def attach_exif_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """attach_tiff_media plus deterministic EXIF-style ASCII tags:
+    Make (271), Model (272), Software (305), DateTime (306, the EXIF
+    'YYYY:MM:DD hh:mm:ss' spelling).  Make is short enough to exercise
+    the INLINE ASCII value path; the others go out-of-line — both
+    TIFF 6.0 storage forms are covered in every payload."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = 8 * (1 + mid % 3)
+                h = 4 * (1 + mid % 4)
+                y, x = np.mgrid[0:h, 0:w]
+                px = ((mid * 37 + y * 17 + (x // 4) * 11) % 256).astype(
+                    np.uint8
+                )
+                bo = "<" if mid % 2 == 0 else ">"
+                comp = (
+                    _TIFF_COMPRESSION_PACKBITS
+                    if mid % 3 == 0
+                    else _TIFF_COMPRESSION_NONE
+                )
+                tags = {
+                    271: f"C{mid % 7}",  # Make: <= 3 chars -> inline
+                    272: f"MODEL-{mid % 13}",
+                    305: "target-parquet-spark",
+                    306: (
+                        f"2024:01:{1 + mid % 28:02d} "
+                        f"12:{mid % 60:02d}:00"
+                    ),
+                }
+                ids.append(mid)
+                blobs.append(
+                    encode_tiff(
+                        px, byte_order=bo, compression=comp, ascii_tags=tags
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    return _fanout_ids(df, id_col).mapInPandas(_batches, schema=out_schema)
+
+
+def tiff_metadata_scan(df: DataFrame) -> DataFrame:
+    """EXIF-harvest seam: one Arrow-batched mapInPandas pass that walks
+    ONLY headers + IFDs (operators/multimodal.tiff_metadata) — pixel
+    strips are never decompressed, so the per-payload cost is a few
+    hundred bytes of header reads no matter how large the image.  The
+    metadata-only twin of decode_tiff_images."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("byte_order", T.StringType()),
+            T.StructField("compression", T.IntegerType()),
+            T.StructField("n_strips", T.IntegerType()),
+            T.StructField("make", T.StringType()),
+            T.StructField("model", T.StringType()),
+            T.StructField("software", T.StringType()),
+            T.StructField("datetime_tag", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _batches(it):
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                meta = tiff_metadata(bytes(payload))
+                at = meta["ascii_tags"]
+                rows["media_id"].append(int(mid))
+                rows["width"].append(meta["width"])
+                rows["height"].append(meta["height"])
+                rows["byte_order"].append(meta["byte_order"])
+                rows["compression"].append(meta["compression"])
+                rows["n_strips"].append(meta["n_strips"])
+                rows["make"].append(at.get(271))
+                rows["model"].append(at.get(272))
+                rows["software"].append(at.get(305))
+                rows["datetime_tag"].append(at.get(306))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
 
 
 def decode_tiff_images(df: DataFrame) -> DataFrame:

@@ -395,6 +395,50 @@ def multimodal_decode_tiff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# EXIF-style metadata harvest (header-only TIFF read)
+# ---------------------------------------------------------------------------
+
+_SQL_EXIF_METADATA = """
+    SELECT doc_id AS media_id,
+           CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+           CAST(4 * (1 + doc_id % 4) AS INTEGER) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 32773 ELSE 1 END AS INTEGER)
+             AS compression,
+           CAST((4 * (1 + doc_id % 4) + 3) // 4 AS INTEGER) AS n_strips,
+           'C' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'MODEL-' || CAST(doc_id % 13 AS VARCHAR) AS model,
+           'target-parquet-spark' AS software,
+           format('2024:01:{:02d} 12:{:02d}:00',
+                  1 + doc_id % 28, doc_id % 60) AS datetime_tag
+    FROM documents
+"""
+
+
+@query("multimodal_exif_metadata", _SQL_EXIF_METADATA)
+def multimodal_exif_metadata(spark, sf_dir):
+    """EXIF-style metadata harvest WITHOUT pixel decode: genuine TIFF
+    payloads carrying ASCII tags (Make inline in the 4-byte IFD value
+    slot, Model/Software/DateTime out-of-line — both TIFF 6.0 storage
+    forms in every payload), read by a header-only IFD walk
+    (operators/multimodal.tiff_metadata) that never touches the strip
+    data.  The oracle recomputes every field from the generation rules;
+    the Spark side must parse the real container — endianness, the
+    inline-vs-offset ASCII rule, NUL termination, the tag-sorted IFD —
+    to match.
+
+    Plan shape for 100 TB: metadata extraction reads a few hundred
+    bytes per payload regardless of image size (no decompression, no
+    pixel buffers), so the seam's cost scales with file COUNT, not
+    byte volume — the same reason media_manifest prunes the binary
+    column entirely.  Two chained mapInPandas stages over the id
+    column, zero shuffles."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_exif_tiff_media(docs, "doc_id")
+    return M.tiff_metadata_scan(media)
+
+
+# ---------------------------------------------------------------------------
 # WordPiece-style greedy longest-match segmentation (the BERT tokenizer
 # family — greedy maximal munch over a frequency-derived subword vocab,
 # continuation pieces marked '##'; BPE's learned-merge family lives in
@@ -699,6 +743,91 @@ def scan_xml_source(spark, sf_dir):
     )
 
     return _docs_checksum(_roundtrip_artifact(spark, sf_dir, "xml"))
+
+
+# ---------------------------------------------------------------------------
+# calibration bins for the trained quality classifier (reliability / ECE)
+# ---------------------------------------------------------------------------
+
+
+def _sql_calibration() -> str:
+    from target_parquet_spark.queries_r7 import _sql_logreg_prefix
+
+    return f"""{_sql_logreg_prefix()},
+    b AS (SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+                 score, y
+          FROM s),
+    t AS (SELECT count(*) AS n_total FROM b),
+    per_bin AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             round(avg(score), 4) AS avg_confidence,
+             round(avg(y), 4) AS obs_rate,
+             round(abs(avg(score) - avg(y)), 4) AS abs_gap
+      FROM b GROUP BY bin)
+    SELECT bin, n_docs, n_pos, avg_confidence, obs_rate, abs_gap,
+           round(abs_gap * n_docs / t.n_total, 6) AS ece_contrib
+    FROM per_bin, t
+    """
+
+
+@query("model_calibration_bins", _sql_calibration())
+def model_calibration_bins(spark, sf_dir):
+    """Reliability diagram + expected-calibration-error decomposition
+    for the TRAINED quality classifier (text_quality_logreg_trained's
+    model, scored through the same distributed-GD / literal-weight
+    seam): predictions bucket into ten equal-width confidence bins;
+    each bin reports its mean predicted confidence, observed positive
+    rate, the |confidence - accuracy| gap, and its weighted ECE
+    contribution (bin mass x gap — summing the column IS the ECE).
+    This is the eval-harness step that decides whether the quality
+    gate's scores can be used as sampling WEIGHTS (calibrated) or only
+    as a ranking (uncalibrated), which changes how the curation
+    pipeline consumes them.
+
+    Determinism: the gap is rounded at 4dp BEFORE the ECE product (the
+    repo's 6dp-quantized-model-state convention absorbs cross-engine
+    partial-aggregation order in avg(score)); counts and the bin mass
+    ratio are exact integers.
+
+    Plan shape: training is _LR_ROUNDS one-aggregate passes (see
+    train_quality_logreg); the calibration read-out is ONE extra
+    groupBy over ten bins with map-side combine, plus a broadcast of
+    the single-row total."""
+    from target_parquet_spark.queries_r7 import (
+        _logreg_score,
+        train_quality_logreg,
+    )
+
+    z, w = train_quality_logreg(spark, sf_dir)
+    s = z.select("y", _logreg_score(w).alias("score"))
+    b = s.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        "score",
+        "y",
+    )
+    total = F.broadcast(b.agg(F.count(F.lit(1)).alias("n_total")))
+    per_bin = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.avg("score"), 4).alias("avg_confidence"),
+        F.round(F.avg("y"), 4).alias("obs_rate"),
+        F.round(F.abs(F.avg("score") - F.avg("y")), 4).alias("abs_gap"),
+    )
+    return per_bin.crossJoin(total).select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        "avg_confidence",
+        "obs_rate",
+        "abs_gap",
+        F.round(
+            F.col("abs_gap") * F.col("n_docs") / F.col("n_total"), 6
+        ).alias("ece_contrib"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -160,10 +160,12 @@ _WCOLS = ["b"] + [f"w{i}" for i in range(len(_FEATS))]
 _SQL_LABEL = "CASE WHEN f_stop >= 0.06 AND f_ttr >= 0.46 THEN 1.0 ELSE 0.0 END"
 
 
-def _sql_logreg_trained() -> str:
-    """Build the oracle: feature CTE -> standardization stats ->
-    z-features -> _LR_ROUNDS unrolled (gradient, weight-update) CTE pairs
-    -> final score decile histogram."""
+def _sql_logreg_prefix() -> str:
+    """The shared trained-logreg oracle prefix: feature CTE ->
+    standardization stats -> z-features -> _LR_ROUNDS unrolled
+    (gradient, weight-update) CTE pairs -> per-doc score CTE ``s``.
+    Consumers append their own final SELECT (decile histogram here,
+    calibration bins in queries_r16)."""
     from target_parquet_spark.operators.text import STOPWORDS
 
     swl = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -217,7 +219,12 @@ def _sql_logreg_trained() -> str:
 {rounds_sql},
     s AS (SELECT source, y,
                  1.0 / (1.0 + exp(-({zdot}))) AS score
-          FROM z, {wf})
+          FROM z, {wf})"""
+
+
+def _sql_logreg_trained() -> str:
+    """Prefix + the score decile histogram."""
+    return f"""{_sql_logreg_prefix()}
     SELECT source,
            CAST(least(floor(score * 10), 9) AS INTEGER) AS decile,
            CAST(count(*) AS BIGINT) AS n_docs,

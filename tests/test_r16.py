@@ -333,6 +333,44 @@ def test_gdpr_erasure_cascade_invariants(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# model_calibration_bins: ECE decomposition invariants
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_invariants(spark, sf_dir):
+    import target_parquet_spark.queries_r16  # noqa: F401  (registers)
+    from target_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["model_calibration_bins"](spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+        assert 0.0 <= r["avg_confidence"] <= 1.0
+        assert 0.0 <= r["obs_rate"] <= 1.0
+        # the gap column is |confidence - accuracy| rounded at 4dp
+        assert abs(
+            r["abs_gap"] - abs(round(r["avg_confidence"] - r["obs_rate"], 4))
+        ) <= 2e-4
+        # contribution = gap * bin mass (rounded composition)
+        assert (
+            abs(
+                r["ece_contrib"]
+                - round(r["abs_gap"] * r["n_docs"] / n_total, 6)
+            )
+            < 1e-9
+        )
+        # mean confidence lies inside (or within rounding of) the bin
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        assert lo - 1e-4 <= r["avg_confidence"] <= hi + 1e-4
+    # a trained ~AUC-0.95 model on this label should be reasonably
+    # calibrated: total ECE well under random-guessing territory
+    ece = sum(r["ece_contrib"] for r in rows)
+    assert 0.0 <= ece < 0.5
+
+
+# ---------------------------------------------------------------------------
 # agg_kmv_theta_sketch: estimator + mergeability invariants
 # ---------------------------------------------------------------------------
 
@@ -476,6 +514,70 @@ def test_wordpiece_reconstruction_invariant(spark, sf_dir):
         assert rebuilt == r["word"]
         assert all(p.startswith("##") for p in pieces[1:])
         assert not pieces[0].startswith("##")
+
+
+# ---------------------------------------------------------------------------
+# EXIF ASCII tags: inline + out-of-line storage, header-only walk
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_ascii_tags_roundtrip_both_forms():
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    tags = {
+        271: "C3",  # 3 bytes with NUL -> inline
+        272: "MODEL-5",  # out-of-line
+        305: "target-parquet-spark",
+        306: "2024:01:07 12:33:00",
+    }
+    for bo in ("<", ">"):
+        blob = M.encode_tiff(
+            a, byte_order=bo, compression=32773, ascii_tags=tags
+        )
+        dec, info = M.decode_tiff(blob)
+        assert np.array_equal(dec, a)
+        assert info["ascii_tags"] == tags
+        meta = M.tiff_metadata(blob)
+        assert (meta["width"], meta["height"]) == (8, 8)
+        assert meta["compression"] == 32773 and meta["n_strips"] == 2
+        assert meta["ascii_tags"] == tags
+    # tag-free payloads are unchanged
+    assert M.decode_tiff(M.encode_tiff(a))[1]["ascii_tags"] == {}
+
+
+def test_tiff_metadata_never_needs_strip_data():
+    """The header-only walk must succeed even when every strip byte is
+    gone — proof it reads no pixel data."""
+    a = np.arange(96, dtype=np.uint8).reshape(12, 8)
+    blob = bytearray(M.encode_tiff(a, ascii_tags={271: "CAM"}))
+    # uncompressed strips are exactly the 96 pixel bytes, laid out
+    # right after the 8-byte header: zero them all out
+    blob[8 : 8 + 96] = b"\x00" * 96
+    meta = M.tiff_metadata(bytes(blob))
+    assert (meta["width"], meta["height"]) == (8, 12)
+    assert meta["ascii_tags"][271] == "CAM"
+    # the full decoder, by contrast, reads the (now zeroed) pixels
+    dec, _ = M.decode_tiff(bytes(blob))
+    assert not dec.any()
+
+
+def test_exif_metadata_scan_end_to_end(spark):
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    media = M.attach_exif_tiff_media(docs, "doc_id")
+    out = {r["media_id"]: r for r in M.tiff_metadata_scan(media).collect()}
+    assert len(out) == 10
+    for mid in range(10):
+        r = out[mid]
+        assert (r["width"], r["height"]) == (
+            8 * (1 + mid % 3),
+            4 * (1 + mid % 4),
+        )
+        assert r["make"] == f"C{mid % 7}"
+        assert r["model"] == f"MODEL-{mid % 13}"
+        assert r["software"] == "target-parquet-spark"
+        assert r["datetime_tag"] == (
+            f"2024:01:{1 + mid % 28:02d} 12:{mid % 60:02d}:00"
+        )
+        assert r["n_strips"] == (4 * (1 + mid % 4) + 3) // 4
 
 
 def test_decode_tiff_images_end_to_end(spark):
