@@ -276,6 +276,8 @@ HEADLINE = [
     # fold into the floor at the next rebuild (the r10 late-pin pattern)
     "multimodal_exif_metadata",
     "model_calibration_bins",
+    "multimodal_shot_boundaries",
+    "graph_bipartite_projection",
 ]
 
 

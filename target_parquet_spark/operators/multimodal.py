@@ -107,6 +107,7 @@ __all__ = [
     "looks_like_avi",
     "attach_avi_media",
     "decode_video_frames",
+    "video_shot_boundaries",
     "attach_mixed_media",
     "media_profile",
     "attach_image_pair_media",
@@ -2969,6 +2970,67 @@ def decode_video_frames(
                     rows["width"].append(arr.shape[1])
                     rows["height"].append(arr.shape[0])
                     rows["pixels"].append(arr.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)
+
+
+def video_shot_boundaries(
+    df: DataFrame, threshold_centi: int = 10000
+) -> DataFrame:
+    """Temporal video analysis through the REAL codec path: demux each
+    AVI payload (nested-RIFF walk), JPEG-decode every frame, and emit
+    one row per successive-frame pair with the integer L1 pixel
+    distance, the mean absolute difference in centiunits
+    (l1 * 100 // n_pixels — exact integer arithmetic, no float
+    tolerance), and the shot-boundary flag (mean >= threshold).  This
+    is the shot-detection primitive of video curation pipelines
+    (scene segmentation before frame sampling), expressed over decoded
+    pixels rather than container metadata.
+
+    Plan shape (the 100 TB contract): payloads never leave the task
+    that holds them — scan-stage, zero shuffles; frames of one clip are
+    decoded and differenced inside one Arrow batch, and only
+    fixed-width per-pair statistics exit the seam."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("l1", T.LongType()),
+            T.StructField("mean_centidiff", T.LongType()),
+            T.StructField("is_boundary", T.BooleanType()),
+        ]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["media"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                frames, _n, _w, _h = decode_avi_frames(data)
+                imgs = []
+                for fr in frames:
+                    img = decode_jpeg(fr)
+                    if img.ndim == 3:  # color clip: luma-only diff
+                        img = img[:, :, 0]
+                    imgs.append(img.astype(np.int64))
+                for f in range(1, len(imgs)):
+                    a, b = imgs[f - 1], imgs[f]
+                    l1 = int(np.abs(b - a).sum())
+                    npx = a.shape[0] * a.shape[1]
+                    mc = l1 * 100 // npx
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f)
+                    rows["l1"].append(l1)
+                    rows["mean_centidiff"].append(mc)
+                    rows["is_boundary"].append(mc >= threshold_centi)
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "media").mapInPandas(_batches, schema=out_schema)

@@ -395,6 +395,93 @@ def multimodal_decode_tiff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# degree-capped bipartite projection (user-user co-engagement graph)
+# ---------------------------------------------------------------------------
+
+_BIPARTITE_DEGREE_CAP = 64
+_BIPARTITE_TOPK = 3
+
+_SQL_BIPARTITE = f"""
+    WITH inc AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (
+      SELECT item, count(*) AS d FROM inc GROUP BY item),
+    kept AS (
+      SELECT i.u, i.item FROM inc i JOIN deg USING (item)
+      WHERE deg.d <= {_BIPARTITE_DEGREE_CAP}),
+    pairs AS (
+      SELECT a.u, b.u AS v, count(*) AS shared_items
+      FROM kept a JOIN kept b USING (item)
+      WHERE a.u <> b.u
+      GROUP BY a.u, b.u),
+    rk AS (
+      SELECT u, v, shared_items,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY shared_items DESC, v) AS r
+      FROM pairs)
+    SELECT u AS custkey, CAST(r AS INTEGER) AS rank,
+           v AS neighbor,
+           CAST(shared_items AS BIGINT) AS shared_items
+    FROM rk WHERE r <= {_BIPARTITE_TOPK}
+"""
+
+
+@query("graph_bipartite_projection", _SQL_BIPARTITE)
+def graph_bipartite_projection(spark, sf_dir):
+    """Co-purchase graph by bipartite projection — the market-basket
+    primitive recommenders start from: customers connect to the parts
+    they have ordered (orders x lineitem incidence, distinct), and
+    projecting onto customers yields the weighted customer-customer
+    graph (weight = co-purchased part count); output is each customer's
+    top-3 co-purchase neighbors.  The projection DEGREE-CAPS items
+    before the self-join: a part bought by d customers contributes
+    d^2 pairs, so hub items are dropped at cap 64 — on this catalog
+    part degrees sit near 30 at EVERY scale factor (catalog and
+    customer base grow together, the realistic shape), making the cap
+    insurance against real-world hub skew rather than a filter that
+    empties at scale.
+
+    Plan shape for 100 TB: the incidence distinct and item-degree
+    count are map-side-combined aggregations; the self-join is
+    equi-keyed on item (never all-pairs) and its output is bounded by
+    sum(d_i^2) <= cap * |incidence| — linear in the data with the cap
+    as the constant; the per-customer top-k is one window over the
+    pair aggregate, partitioned by customer so state is bounded."""
+    orders = td(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = td(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inc = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    deg = inc.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
+    kept = inc.join(
+        deg.filter(F.col("d") <= _BIPARTITE_DEGREE_CAP).select("item"), "item"
+    )
+    pairs = (
+        kept.select("item", "u")
+        .join(kept.select("item", F.col("u").alias("v")), "item")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared_items"))
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("shared_items").desc(), F.col("v").asc()
+    )
+    return (
+        pairs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _BIPARTITE_TOPK)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("r").cast("int").alias("rank"),
+            F.col("v").alias("neighbor"),
+            F.col("shared_items").cast("long").alias("shared_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXIF-style metadata harvest (header-only TIFF read)
 # ---------------------------------------------------------------------------
 
@@ -436,6 +523,74 @@ def multimodal_exif_metadata(spark, sf_dir):
     docs = td(spark, sf_dir, "documents")
     media = M.attach_exif_tiff_media(docs, "doc_id")
     return M.tiff_metadata_scan(media)
+
+
+# ---------------------------------------------------------------------------
+# video shot boundaries (successive-frame L1 over decoded AVI/MJPEG)
+# ---------------------------------------------------------------------------
+
+# Oracle: recompute each frame's pixels from attach_avi_media's
+# generation function (w = 8*(2 + id%2), h = 8*(1 + id%2),
+# px(f, x, y) = (id*37 + f*53 + (y//8)*17 + (x//8)*11) % 256 — 8x8
+# block-constant, so baseline-JPEG quantization round-trips exactly)
+# and difference successive frames WITHOUT parsing AVI or JPEG.  The
+# +53-per-frame drift wraps mod 256 on pixels >= 203, so per-pixel
+# diffs are 53 or 203 and the wrapped fraction varies per (id, frame) —
+# some pairs cross the boundary threshold and some do not.
+_SHOT_THRESHOLD_CENTI = 10000
+
+_SQL_SHOT_BOUNDARIES = f"""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+             CAST(8 * (2 + doc_id % 2) AS INTEGER) AS width,
+             CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, width, height,
+             CAST(u.f AS INTEGER) AS frame_idx
+      FROM dims, unnest(range(1, n_frames)) AS u(f)),
+    diffs AS (
+      SELECT doc_id, frame_idx, width, height,
+             list_sum(list_transform(range(0, width * height),
+               i -> abs(
+                 (doc_id * 37 + frame_idx * 53
+                  + ((i // width) // 8) * 17
+                  + ((i % width) // 8) * 11) % 256
+                 - (doc_id * 37 + (frame_idx - 1) * 53
+                    + ((i // width) // 8) * 17
+                    + ((i % width) // 8) * 11) % 256))) AS l1
+      FROM pairs)
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(l1 AS BIGINT) AS l1,
+           CAST(l1 * 100 // (width * height) AS BIGINT) AS mean_centidiff,
+           l1 * 100 // (width * height) >= {_SHOT_THRESHOLD_CENTI}
+             AS is_boundary
+    FROM diffs
+"""
+
+
+@query("multimodal_shot_boundaries", _SQL_SHOT_BOUNDARIES)
+def multimodal_shot_boundaries(spark, sf_dir):
+    """Shot detection over REAL video payloads: each document's
+    AVI/MJPEG clip is demuxed by the pure nested-RIFF walker, every
+    frame JPEG-decoded, and successive frames differenced — one row per
+    frame pair with the exact integer L1 distance, the mean absolute
+    difference in centiunits, and the boundary flag at threshold 100.0
+    (the scene-segmentation primitive video curation runs before frame
+    sampling).  The oracle recomputes every frame's pixels from the
+    generation function and never parses a container, so the Spark side
+    only matches if the RIFF walk AND the per-frame lossy decode are
+    both exactly right — the temporal twin of multimodal_video_frames.
+    The generation function's +53/frame drift wraps mod 256 on bright
+    pixels, so boundary flags genuinely split both ways.
+
+    Plan shape: two chained Arrow-batched mapInPandas stages over the
+    id column only — scan-stage, zero shuffles; a clip's frames are
+    decoded and differenced inside one Arrow batch."""
+    docs = td(spark, sf_dir, "documents")
+    media = M.attach_avi_media(docs, "doc_id")
+    return M.video_shot_boundaries(media, _SHOT_THRESHOLD_CENTI)
 
 
 # ---------------------------------------------------------------------------

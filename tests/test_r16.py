@@ -333,6 +333,73 @@ def test_gdpr_erasure_cascade_invariants(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# graph_bipartite_projection: co-purchase projection invariants
+# ---------------------------------------------------------------------------
+
+
+def test_bipartite_projection_invariants(spark, sf_dir):
+    import target_parquet_spark.queries_r16  # noqa: F401  (registers)
+    from target_parquet_spark.queries import QUERIES
+
+    rows = QUERIES["graph_bipartite_projection"](spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r["custkey"] != r["neighbor"]
+        assert r["shared_items"] >= 1
+        by_user.setdefault(r["custkey"], []).append(r)
+    for recs in by_user.values():
+        recs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in recs] == list(range(1, len(recs) + 1))
+        # ranks are ordered by weight desc then neighbor asc
+        for a, b in zip(recs, recs[1:]):
+            assert (-a["shared_items"], a["neighbor"]) < (
+                -b["shared_items"],
+                b["neighbor"],
+            )
+    # projection is symmetric pre-top-k: if (u, v) survived u's top-3
+    # with weight w, then v also saw u with the same weight (possibly
+    # outside v's top-3) — spot-check weight symmetry where both survive
+    weights = {(r["custkey"], r["neighbor"]): r["shared_items"] for r in rows}
+    both = [(u, v) for (u, v) in weights if (v, u) in weights]
+    assert both  # dense enough that mutual pairs exist
+    for u, v in both[:50]:
+        assert weights[(u, v)] == weights[(v, u)]
+
+
+# ---------------------------------------------------------------------------
+# multimodal_shot_boundaries: codec-real successive-frame diffs
+# ---------------------------------------------------------------------------
+
+
+def test_shot_boundaries_match_generation_function(spark):
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    media = M.attach_avi_media(docs, "doc_id")
+    got = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in M.video_shot_boundaries(media).collect()
+    }
+    expect = {}
+    for mid in range(10):
+        n = 2 + mid % 3
+        w, h = 8 * (2 + mid % 2), 8 * (1 + mid % 2)
+        y, x = np.mgrid[0:h, 0:w]
+        for f in range(1, n):
+            a = (mid * 37 + (f - 1) * 53 + (y // 8) * 17 + (x // 8) * 11) % 256
+            b = (mid * 37 + f * 53 + (y // 8) * 17 + (x // 8) * 11) % 256
+            l1 = int(np.abs(b.astype(np.int64) - a).sum())
+            expect[(mid, f)] = (l1, l1 * 100 // (w * h))
+    assert set(got) == set(expect)
+    for k, (l1, mc) in expect.items():
+        assert got[k]["l1"] == l1
+        assert got[k]["mean_centidiff"] == mc
+        assert got[k]["is_boundary"] == (mc >= 10000)
+    # the +53 drift wraps on bright pixels: both outcomes must occur
+    flags = {r["is_boundary"] for r in got.values()}
+    assert flags == {True, False}
+
+
+# ---------------------------------------------------------------------------
 # model_calibration_bins: ECE decomposition invariants
 # ---------------------------------------------------------------------------
 
