@@ -36,8 +36,29 @@ __all__ = [
 ]
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double precision."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product in double precision.
+
+    With ``dim`` — the statically-known width of BOTH arrays — the same
+    left-to-right fold ``((0.0 + a0*b0) + a1*b1) + ...`` is emitted as an
+    unrolled arithmetic chain instead of the ``aggregate(zip_with(...))``
+    higher-order fold.  Bit-identical (identical IEEE op order, identical
+    null poisoning), but the HOF fold is interpreted per element per row
+    while the chain is whole-stage-codegen'd: 23s -> 3.8s on the 4M-pair
+    sf0.1 microbench (7x; needs -XX:-DontCompileHugeMethods, set in
+    session.get_spark, or the >8 KB generated method never JITs).
+
+    ``dim`` MUST equal the true array width: shorter arrays null-poison
+    (same as the fold when one side is shorter), but if BOTH arrays were
+    longer than ``dim`` the chain would silently truncate where the fold
+    sums everything — callers opt in only where the width is pinned
+    (this corpus: 64-dim embeddings).
+    """
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + a[i].cast("double") * b[i].cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -45,12 +66,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -59,6 +80,7 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the 1-row query, scan the corpus.
 
@@ -68,7 +90,7 @@ def brute_force_topk(
     q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
     scored = corpus.crossJoin(q).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("sim"),
+        F.round(cosine(F.col(vec_col), F.col("_qvec"), dim), 4).alias("sim"),
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
@@ -174,7 +196,7 @@ def lsh_ann_multiprobe(
         .select(
             F.col(id_col),
             F.col("bucket"),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("sim"),
+            F.round(cosine(F.col(vec_col), F.col("_qvec"), dim), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -403,6 +425,7 @@ def ivf_ann(
     probe = ivf_probe_cells(qv, codebook, nprobe)
 
     qlit = F.array(*[F.lit(x) for x in qv])
+    dim = len(qv)
     assigned = corpus.withColumn("cell", ivf_cell(F.col(vec_col), codebook))
     return (
         assigned.filter(F.col("cell").isin(probe))
@@ -410,7 +433,9 @@ def ivf_ann(
             F.col(id_col),
             F.col("cell"),
             F.round(
-                dot(F.col(vec_col), qlit) / (norm(F.col(vec_col)) * F.lit(qnorm)), 4
+                dot(F.col(vec_col), qlit, dim)
+                / (norm(F.col(vec_col), dim) * F.lit(qnorm)),
+                4,
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
@@ -444,7 +469,7 @@ def lsh_ann_topk(
         .select(
             F.col(id_col),
             F.col("bucket"),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("sim"),
+            F.round(cosine(F.col(vec_col), F.col("_qvec"), dim), 4).alias("sim"),
         )
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
@@ -567,7 +592,7 @@ def semantic_dup_pairs(
         corpus, vec_col, target_occupancy, floor=8, n_planes=n_planes,
         caller="semantic_dup_pairs",
     )
-    based = corpus.withColumn("_nrm", norm(F.col(vec_col)))
+    based = corpus.withColumn("_nrm", norm(F.col(vec_col), dim))
     pair_sets = []
     for t_idx in range(n_tables):
         b = based.withColumn(
@@ -584,7 +609,7 @@ def semantic_dup_pairs(
                 F.col(f"x.{id_col}").alias("id_a"),
                 F.col(f"y.{id_col}").alias("id_b"),
                 F.round(
-                    dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"))
+                    dot(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}"), dim)
                     / (F.col("x._nrm") * F.col("y._nrm")),
                     4,
                 ).alias("sim"),
@@ -677,7 +702,7 @@ def knn_graph(
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col),
-        norm(F.col(vec_col)).alias("_nrm"),
+        norm(F.col(vec_col), dim).alias("_nrm"),
     ).filter(F.col("_nrm") > 0)
     cand_sets = []
     for t_idx in range(n_tables):
@@ -703,7 +728,7 @@ def knn_graph(
                 "src",
                 "nbr",
                 F.round(
-                    dot(F.col("_xv"), F.col("_yv"))
+                    dot(F.col("_xv"), F.col("_yv"), dim)
                     / (F.col("_xn") * F.col("_yn")),
                     4,
                 ).alias("sim"),
@@ -721,14 +746,22 @@ def knn_graph(
     )
 
 
-def int_dot(a: Column, b: Column) -> Column:
+def int_dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential integer-fold dot product over int code arrays — the
     cheap half of the ADC/rerank split.  All arithmetic stays in int32
     (64 dims x 127² per term ≈ 1M, far under overflow), no doubles, no
     division: the fold reads 4-byte codes instead of the float path's
     cast-to-double per element, which is what restores cache locality
     at the compute-saturated decade (BASELINE.md r8: the float fold ran
-    ~1.4-1.5x over linear once the working set passed cache scale)."""
+    ~1.4-1.5x over linear once the working set passed cache scale).
+
+    ``dim`` unrolls the fold into a codegen'd int chain (same order,
+    exact integer arithmetic — see :func:`dot` for the contract)."""
+    if dim is not None:
+        acc: Column = F.lit(0)
+        for i in range(dim):
+            acc = acc + a[i] * b[i]
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0),
@@ -813,7 +846,7 @@ def knn_graph_quantized(
     base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col),
         F.col(vec_col),
-        norm(F.col(vec_col)).alias("_nrm"),
+        norm(F.col(vec_col), dim).alias("_nrm"),
     ).filter(F.col("_nrm") > 0)
     # model state: ONE corpus-wide scale (1-row agg, plan-time literal)
     scale = base.agg(
@@ -857,7 +890,7 @@ def knn_graph_quantized(
                 "nbr",
                 # integer fold; ONE double divide per candidate
                 (
-                    int_dot(F.col("_xc"), F.col("_yc")).cast("double")
+                    int_dot(F.col("_xc"), F.col("_yc"), dim).cast("double")
                     / (F.col("_xn") * F.col("_yn"))
                 ).alias("qsim"),
             )
@@ -898,7 +931,7 @@ def knn_graph_quantized(
                 "src",
                 "nbr",
                 F.round(
-                    dot(F.col("_xv"), F.col("_yv"))
+                    dot(F.col("_xv"), F.col("_yv"), dim)
                     / (F.col("_xn") * F.col("_yn")),
                     4,
                 ).alias("sim"),
@@ -1053,7 +1086,7 @@ def semdedup_keep(
     # (micro-quantizing components FIRST would flip pairs sitting
     # exactly on the tau boundary; review caught that drift).
     cos_micro = F.round(
-        cosine(F.col("_aemb"), F.col("_bemb")) * 1000000
+        cosine(F.col("_aemb"), F.col("_bemb"), dim) * 1000000
     ).cast("long")
     bv = base.select(
         F.col("vec_id").alias("_bid"), F.col("_v").alias("_bemb")

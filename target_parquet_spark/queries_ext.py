@@ -824,7 +824,9 @@ def sim_brute_force(spark, sf_dir):
         emb.crossJoin(q)
         .select(
             "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("_qvec")), 4).alias("sim"),
+            F.round(
+                S.cosine(F.col("embedding"), F.col("_qvec"), 64), 4
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.15)
     )
@@ -917,7 +919,9 @@ def sim_ann_lsh(spark, sf_dir):
     return bucketed.join(q, F.col("bucket") == F.col("_qbucket")).select(
         "vec_id",
         "bucket",
-        F.round(S.cosine(F.col("embedding"), F.col("_qvec")), 4).alias("sim"),
+        F.round(
+            S.cosine(F.col("embedding"), F.col("_qvec"), 64), 4
+        ).alias("sim"),
     )
 
 
@@ -1016,7 +1020,9 @@ def sim_embedding_dedup(spark, sf_dir):
         .select(
             F.col("x.vec_id").alias("id_a"),
             F.col("y.vec_id").alias("id_b"),
-            F.round(S.cosine(F.col("x.embedding"), F.col("y.embedding")), 4).alias("sim"),
+            F.round(
+                S.cosine(F.col("x.embedding"), F.col("y.embedding"), 64), 4
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.98)
     )
@@ -1188,7 +1194,7 @@ def sim_topk_per_query(spark, sf_dir):
     scored = emb.crossJoin(q).select(
         "query_id",
         "vec_id",
-        S.cosine(F.col("embedding"), F.col("_qv")).alias("sim_raw"),
+        S.cosine(F.col("embedding"), F.col("_qv"), 64).alias("sim_raw"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
     return (

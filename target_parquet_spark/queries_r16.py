@@ -442,12 +442,14 @@ def graph_bipartite_projection(spark, sf_dir):
     insurance against real-world hub skew rather than a filter that
     empties at scale.
 
-    Plan shape for 100 TB: the incidence distinct and item-degree
-    count are map-side-combined aggregations; the self-join is
-    equi-keyed on item (never all-pairs) and its output is bounded by
-    sum(d_i^2) <= cap * |incidence| — linear in the data with the cap
-    as the constant; the per-customer top-k is one window over the
-    pair aggregate, partitioned by customer so state is bounded."""
+    Plan shape for 100 TB: the incidence distinct is a map-side-
+    combined aggregation and the item-degree cap is a streaming count
+    window over the same item partitioning; the self-join is equi-keyed
+    on item (never all-pairs), generates each unordered pair once, and
+    its output is bounded by sum(d_i^2)/2 <= cap * |incidence| / 2 —
+    linear in the data with the cap as the constant; the per-customer
+    top-k is one window over the mirrored pair aggregate, partitioned
+    by customer so state is bounded."""
     orders = td(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = td(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     inc = (
@@ -455,16 +457,32 @@ def graph_bipartite_projection(spark, sf_dir):
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
         .distinct()
     )
-    deg = inc.groupBy("item").agg(F.count(F.lit(1)).alias("d"))
-    kept = inc.join(
-        deg.filter(F.col("d") <= _BIPARTITE_DEGREE_CAP).select("item"), "item"
+    # Degree cap via a count window over the item partition instead of
+    # a separate groupBy + join-back: the incidence (orders x lineitem
+    # + distinct) is planned ONCE, not four times, and both self-join
+    # sides hang off the same Exchange(item) so exchange reuse skips
+    # the recompute.  Hub-safe like the old shape: the window count is
+    # a streaming count per key, no per-item neighbor list is ever
+    # materialized before the cap filter drops hubs.
+    wd = Window.partitionBy("item")
+    kept = (
+        inc.withColumn("d", F.count(F.lit(1)).over(wd))
+        .filter(F.col("d") <= _BIPARTITE_DEGREE_CAP)
+        .select("item", "u")
     )
-    pairs = (
-        kept.select("item", "u")
-        .join(kept.select("item", F.col("u").alias("v")), "item")
-        .filter(F.col("u") != F.col("v"))
+    # Generate each unordered pair once (u < v), aggregate, then mirror:
+    # shared_items is symmetric, so this halves the pair shuffle and the
+    # aggregation state versus emitting both directions pre-aggregate.
+    half = (
+        kept.join(kept.select("item", F.col("u").alias("v")), "item")
+        .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared_items"))
+    )
+    pairs = half.union(
+        half.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "shared_items"
+        )
     )
     w = Window.partitionBy("u").orderBy(
         F.col("shared_items").desc(), F.col("v").asc()

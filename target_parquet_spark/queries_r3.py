@@ -744,9 +744,10 @@ def sim_ivf_recall(spark, sf_dir):
     qs = q.crossJoin(F.broadcast(cents)).select(
         "qid",
         "cid",
-        (S.dot(F.col("qv"), F.col("cv")) / F.sqrt(S.dot(F.col("cv"), F.col("cv")))).alias(
-            "score"
-        ),
+        (
+            S.dot(F.col("qv"), F.col("cv"), 64)
+            / F.sqrt(S.dot(F.col("cv"), F.col("cv"), 64))
+        ).alias("score"),
     )
     w_probe = Window.partitionBy("qid").orderBy(F.desc("score"), "cid")
     probe = (
@@ -758,7 +759,7 @@ def sim_ivf_recall(spark, sf_dir):
     # instead of one per (vector, query) pair — same IEEE double as the
     # inline sqrt (the oracle keeps the inline form, values identical)
     embn = emb.withColumn(
-        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding"), 64))
     )
     scored = (
         embn.crossJoin(F.broadcast(q))
@@ -766,7 +767,9 @@ def sim_ivf_recall(spark, sf_dir):
         .select(
             "qid",
             "vec_id",
-            (S.dot(F.col("embedding"), F.col("qv")) / F.col("nrm")).alias("score"),
+            (
+                S.dot(F.col("embedding"), F.col("qv"), 64) / F.col("nrm")
+            ).alias("score"),
         )
     )
     w_truth = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
@@ -883,7 +886,7 @@ def sim_ivf_recall_trained(spark, sf_dir):
     probe = spark.createDataFrame(probe_pairs, "qid long, cid int")
 
     embn = emb.withColumn(
-        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+        "nrm", F.sqrt(S.dot(F.col("embedding"), F.col("embedding"), 64))
     )
     scored = (
         embn.crossJoin(F.broadcast(q))
@@ -891,7 +894,9 @@ def sim_ivf_recall_trained(spark, sf_dir):
         .select(
             "qid",
             "vec_id",
-            (S.dot(F.col("embedding"), F.col("qv")) / F.col("nrm")).alias("score"),
+            (
+                S.dot(F.col("embedding"), F.col("qv"), 64) / F.col("nrm")
+            ).alias("score"),
         )
     )
     w_truth = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
@@ -1424,7 +1429,7 @@ def sim_mmr_select(spark, sf_dir):
         .select(
             "vec_id",
             "embedding",
-            S.cosine(F.col("embedding"), F.lit(qv)).alias("rel"),
+            S.cosine(F.col("embedding"), F.lit(qv), 64).alias("rel"),
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(12)
@@ -1435,7 +1440,9 @@ def sim_mmr_select(spark, sf_dir):
         sel_vecs: list[list[float]] = []
         for _rank in range(4):
             if sel_vecs:
-                sims = [S.cosine(F.col("embedding"), F.lit(v)) for v in sel_vecs]
+                sims = [
+                    S.cosine(F.col("embedding"), F.lit(v), 64) for v in sel_vecs
+                ]
                 div = sims[0] if len(sims) == 1 else F.greatest(*sims)
                 mmr = F.lit(lam) * F.col("rel") - F.lit(1 - lam) * div
             else:
@@ -3053,7 +3060,7 @@ def sim_semantic_clusters(spark, sf_dir):
             F.col("x.vec_id").alias("id_a"),
             F.col("y.vec_id").alias("id_b"),
             F.round(
-                S.cosine(F.col("x.embedding"), F.col("y.embedding")), 4
+                S.cosine(F.col("x.embedding"), F.col("y.embedding"), 64), 4
             ).alias("sim"),
         )
         .filter(F.col("sim") >= 0.98)

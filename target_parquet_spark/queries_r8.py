@@ -248,9 +248,10 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS, emb=None):
     return it as a plain Python list (the literal model state).
 
     Each round: s_j = sum_i round((x_i . v) * x_ij * 1e6) as exact
-    BIGINT sums (one scan, posexplode + map-side combine -> 64-row
-    shuffle), then v' = round(s / ||s||, 6) computed with Spark's own
-    round so the quantization matches the SQL oracle bit-for-bit.
+    BIGINT sums (one codegen scan with 64 parallel long-sum aggregates,
+    no row explosion), then v' = round(s / ||s||, 6) computed with
+    Spark's own round so the quantization matches the SQL oracle
+    bit-for-bit.
     Model state per round is 64 floats — bounded, like the k-means
     codebook (`operators/similarity.kmeans_codebook`).
 
@@ -262,40 +263,54 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS, emb=None):
     v = list(_V0)
     for _ in range(n_rounds):
         lit_v = F.array(*[F.lit(x) for x in v])
-        d = S.dot(F.col("embedding"), lit_v)
-        ex = emb.select(d.alias("d"), F.posexplode("embedding").alias("j", "x"))
-        r = ex.groupBy("j").agg(
-            F.sum(
-                F.round((F.col("d") * F.col("x").cast("double")) * 1000000)
-                .cast("long")
-            ).alias("s")
-        )
-        # ONE action per round: collect the 64 exact-integer sums, then
-        # quantize on a LOCAL 64-row frame so the norm and the 6dp
-        # component use Spark's own round (oracle-parity) without a
-        # second corpus scan (review finding: two .collect()s over the
-        # uncached lineage re-ran the scan+explode per round).
-        s_rows = [(int(row["j"]), int(row["s"])) for row in r.collect()]
-        loc = spark.createDataFrame(s_rows, "j long, s long")
-        nrm = loc.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(
-                        ((F.col("s") / 1000000.0) * (F.col("s") / 1000000.0))
-                        * 1000000
-                    ).cast("long")
-                )
-                / 1000000.0
-            ).alias("n")
-        ).collect()[0]["n"]
-        rows = (
-            loc.select(
-                "j", F.round(F.col("s") / 1000000.0 / F.lit(nrm), 6).alias("v")
+        d = S.dot(F.col("embedding"), lit_v, _PCA_DIM)
+        # ONE whole-stage-codegen pass per round: s_j as 64 parallel
+        # long-sum aggregates over the corpus — no posexplode (64x row
+        # blowup) and no groupBy(j) shuffle; the partial aggregation is
+        # map-side and the exchange carries one 64-column row per
+        # partition.  Long sums are exact in any order, so the values
+        # are identical to the old explode+groupBy form.
+        srow = (
+            emb.select(d.alias("d"), "embedding")
+            .agg(
+                *[
+                    F.sum(
+                        F.round(
+                            (
+                                F.col("d")
+                                * F.col("embedding")[j].cast("double")
+                            )
+                            * 1000000
+                        ).cast("long")
+                    ).alias(f"s{j}")
+                    for j in range(_PCA_DIM)
+                ]
             )
-            .orderBy("j")
-            .collect()
+            .collect()[0]
         )
-        v = [float(row["v"]) for row in rows]
+        s = [int(srow[f"s{j}"]) for j in range(_PCA_DIM)]
+        # Quantize with Spark's OWN round/sqrt semantics (oracle parity)
+        # but on a constant-foldable 1-row projection: the old path used
+        # a 64-row createDataFrame plus two more driver actions per
+        # round.  The long additions under the norm are exact, so
+        # folding them left-to-right matches the old F.sum.
+        nrm_expr = F.sqrt(
+            sum(
+                F.round(
+                    ((F.lit(sj) / 1000000.0) * (F.lit(sj) / 1000000.0))
+                    * 1000000
+                ).cast("long")
+                for sj in s
+            )
+            / 1000000.0
+        )
+        vrow = spark.range(1).select(
+            *[
+                F.round(F.lit(sj) / 1000000.0 / nrm_expr, 6).alias(f"v{j}")
+                for j, sj in enumerate(s)
+            ]
+        ).collect()[0]
+        v = [float(vrow[f"v{j}"]) for j in range(_PCA_DIM)]
     return v
 
 
@@ -314,7 +329,7 @@ def sim_pca_power_iteration(spark, sf_dir):
     v = pca_power_component(spark, sf_dir)
     emb = td(spark, sf_dir, "embeddings").select("label", "embedding")
     lit_v = F.array(*[F.lit(x) for x in v])
-    pi = F.round(S.dot(F.col("embedding"), lit_v) * 1000000).cast("long")
+    pi = F.round(S.dot(F.col("embedding"), lit_v, 64) * 1000000).cast("long")
     p = emb.select("label", pi.alias("pi"))
     n = F.count(F.lit(1))
     s1 = F.sum("pi")
@@ -390,7 +405,7 @@ def pca_top2_components(spark, sf_dir):
     # two-stage select: compute d once per row, THEN subtract — inlining
     # the dot into the zip_with lambda would re-evaluate it per element
     with_d = emb.select(
-        "embedding", S.dot(F.col("embedding"), lit1).alias("d")
+        "embedding", S.dot(F.col("embedding"), lit1, 64).alias("d")
     )
     res = with_d.select(
         F.zip_with(
@@ -419,8 +434,8 @@ def sim_pca_deflation(spark, sf_dir):
     emb = td(spark, sf_dir, "embeddings").select("label", "embedding")
     lit1 = F.array(*[F.lit(x) for x in v1])
     lit2 = F.array(*[F.lit(x) for x in v2])
-    p1 = F.round(S.dot(F.col("embedding"), lit1) * 1000000).cast("long")
-    p2 = F.round(S.dot(F.col("embedding"), lit2) * 1000000).cast("long")
+    p1 = F.round(S.dot(F.col("embedding"), lit1, 64) * 1000000).cast("long")
+    p2 = F.round(S.dot(F.col("embedding"), lit2, 64) * 1000000).cast("long")
     p = emb.select("label", p1.alias("p1"), p2.alias("p2"))
     n = F.count(F.lit(1))
 
@@ -557,7 +572,7 @@ def graph_ann_search(
         "vec_id",
         "embedding",
         S.lsh_bucket(F.col("embedding"), n_planes=4).alias("bucket"),
-        S.norm(F.col("embedding")).alias("nrm"),
+        S.norm(F.col("embedding"), 64).alias("nrm"),
     )
     q = b.filter(F.col("vec_id") % _ANN_QMOD == 7).select(
         F.col("vec_id").alias("qid"),
@@ -565,7 +580,7 @@ def graph_ann_search(
         F.col("nrm").alias("qn"),
     )
     score = F.round(
-        S.dot(F.col("ne"), F.col("qe")) / (F.col("qn") * F.col("nn")), 6
+        S.dot(F.col("ne"), F.col("qe"), 64) / (F.col("qn") * F.col("nn")), 6
     )
     nodes = b.select(
         F.col("vec_id").alias("node"),
@@ -674,7 +689,7 @@ def sim_graph_ann_recall(spark, sf_dir):
     sym, _deg = _symmetrize_degrees(knn_edge_artifact(spark, sf_dir))
     emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     b = emb.select(
-        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", S.norm(F.col("embedding"), 64).alias("nrm")
     )
     q = b.filter(F.col("vec_id") % _ANN_QMOD == 7).select(
         F.col("vec_id").alias("qid"),
@@ -690,7 +705,7 @@ def sim_graph_ann_recall(spark, sf_dir):
         "node",
     )
     score = F.round(
-        S.dot(F.col("ne"), F.col("qe")) / (F.col("qn") * F.col("nn")), 6
+        S.dot(F.col("ne"), F.col("qe"), 64) / (F.col("qn") * F.col("nn")), 6
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("node"))
     truth = (

@@ -71,9 +71,11 @@ def _sql_cos_micro(a: str, b: str) -> str:
     )
 
 
-def _cos_micro(a, b):
-    """Spark twin of ``_sql_cos_micro``: cosine quantized to micro-units."""
-    return F.round(S.cosine(a, b) * 1000000).cast("long")
+def _cos_micro(a, b, dim=None):
+    """Spark twin of ``_sql_cos_micro``: cosine quantized to micro-units.
+    ``dim`` (statically-known width) selects the unrolled codegen fold —
+    bit-identical, see operators/similarity.dot."""
+    return F.round(S.cosine(a, b, dim) * 1000000).cast("long")
 
 
 @query(
@@ -275,7 +277,7 @@ def sim_hard_negatives(spark, sf_dir):
             "query_label",
             F.col("vec_id").alias("neg_id"),
             F.col("label").alias("neg_label"),
-            _cos_micro(F.col("embedding"), F.col("_qv")).alias("sim_micro"),
+            _cos_micro(F.col("embedding"), F.col("_qv"), 64).alias("sim_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -404,7 +406,7 @@ def sim_retrieval_metrics(spark, sf_dir):
         .select(
             "query_id",
             "vec_id",
-            _cos_micro(F.col("embedding"), F.col("_qv")).alias("sim_micro"),
+            _cos_micro(F.col("embedding"), F.col("_qv"), 64).alias("sim_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -421,7 +423,7 @@ def sim_retrieval_metrics(spark, sf_dir):
         .select(
             "query_id",
             "vec_id",
-            _cos_micro(F.col("embedding"), F.col("_qv")).alias("sim_micro"),
+            _cos_micro(F.col("embedding"), F.col("_qv"), 64).alias("sim_micro"),
         )
     )
     ret = (
@@ -975,12 +977,12 @@ def _sql_cos_micro_safe(a: str, b: str) -> str:
     )
 
 
-def _cos_micro_safe(a, b):
+def _cos_micro_safe(a, b, dim=None):
     """Spark twin of ``_sql_cos_micro_safe``."""
     return (
         F.when(
-            (S.dot(a, a) > 0) & (S.dot(b, b) > 0),
-            _cos_micro(a, b),
+            (S.dot(a, a, dim) > 0) & (S.dot(b, b, dim) > 0),
+            _cos_micro(a, b, dim),
         )
         .otherwise(F.lit(-2000000))
         .cast("long")
@@ -1070,6 +1072,7 @@ def sim_matryoshka_recall(spark, sf_dir):
                 _cos_micro_safe(
                     F.slice(F.col("embedding"), 1, d),
                     F.slice(F.col("_qv"), 1, d),
+                    dim=d,
                 ).alias(f"s{d}")
                 for d in _MRL_DIMS
             ],

@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
         # Arrow transfer for the pandas-UDF slow paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Let HotSpot JIT long generated methods.  The unrolled
+        # fixed-width dot products (operators/similarity.dot with
+        # dim=...) emit one ~64-term arithmetic chain per call; the
+        # generated Java method exceeds HotSpot's 8 KB HugeMethodLimit,
+        # and a never-JIT'd codegen method runs in the bytecode
+        # interpreter — measured 65s vs 3.8s on the 4M-pair dot
+        # microbench (guide §4.2: per-task work).  Scale-independent: a
+        # real cluster sets the same flag on its executors (the
+        # executor option below is a no-op in local mode where
+        # executor == driver JVM).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
