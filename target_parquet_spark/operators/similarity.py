@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -36,17 +38,32 @@ __all__ = [
 ]
 
 
+#: Opt-in for the unrolled fixed-width dot kernel (see :func:`dot`).
+#: Default OFF: measured on the 246-query sf0.1 bench, the unrolled
+#: chains REGRESS real queries (suite 322s -> 376s; sim_mmr_select
+#: 1.5s -> 11.2s) because each 64-term chain is ~200 Catalyst nodes
+#: that plans instantiate many times (cosine = 3 chains; MMR/ANN
+#: verify/rerank paths dozens), so analysis + janino + JIT of the
+#: generated code dominates small-scan queries.  The chain only wins
+#: when FEW chain instances process MANY rows: 22.9s -> 3.8s on the
+#: isolated 4M-pair fold microbench (6x, with -XX:-DontCompileHugeMethods).
+#: At the compute-saturated decades (sf100 pair joins) that regime can
+#: hold — flip SPARK_GRAFT_DOT_UNROLL=1 there and re-measure; results
+#: are bit-identical either way (same IEEE op order, proven 0/4M
+#: mismatches + full oracle sweep under both kernels).
+_UNROLL_FIXED_DIM = os.environ.get("SPARK_GRAFT_DOT_UNROLL", "") == "1"
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential-fold dot product in double precision.
 
-    With ``dim`` — the statically-known width of BOTH arrays — the same
-    left-to-right fold ``((0.0 + a0*b0) + a1*b1) + ...`` is emitted as an
-    unrolled arithmetic chain instead of the ``aggregate(zip_with(...))``
+    With ``dim`` — the statically-known width of BOTH arrays — AND the
+    ``SPARK_GRAFT_DOT_UNROLL=1`` env opt-in, the same left-to-right fold
+    ``((0.0 + a0*b0) + a1*b1) + ...`` is emitted as an unrolled
+    arithmetic chain instead of the ``aggregate(zip_with(...))``
     higher-order fold.  Bit-identical (identical IEEE op order, identical
-    null poisoning), but the HOF fold is interpreted per element per row
-    while the chain is whole-stage-codegen'd: 23s -> 3.8s on the 4M-pair
-    sf0.1 microbench (7x; needs -XX:-DontCompileHugeMethods, set in
-    session.get_spark, or the >8 KB generated method never JITs).
+    null poisoning).  Trade-off and the measured numbers behind the
+    default: see ``_UNROLL_FIXED_DIM`` above.
 
     ``dim`` MUST equal the true array width: shorter arrays null-poison
     (same as the fold when one side is shorter), but if BOTH arrays were
@@ -54,10 +71,13 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     sums everything — callers opt in only where the width is pinned
     (this corpus: 64-dim embeddings).
     """
-    if dim is not None:
+    if dim is not None and _UNROLL_FIXED_DIM:
+        # F.get, not a[i]: under ANSI mode (Spark 4 default) a[i] THROWS
+        # on a short array where the fold null-poisons; get() returns
+        # null and the chain poisons identically.
         acc: Column = F.lit(0.0)
         for i in range(dim):
-            acc = acc + a[i].cast("double") * b[i].cast("double")
+            acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
         return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -755,12 +775,13 @@ def int_dot(a: Column, b: Column, dim: int | None = None) -> Column:
     at the compute-saturated decade (BASELINE.md r8: the float fold ran
     ~1.4-1.5x over linear once the working set passed cache scale).
 
-    ``dim`` unrolls the fold into a codegen'd int chain (same order,
-    exact integer arithmetic — see :func:`dot` for the contract)."""
-    if dim is not None:
+    ``dim`` (+ the ``SPARK_GRAFT_DOT_UNROLL=1`` opt-in) unrolls the fold
+    into a codegen'd int chain (same order, exact integer arithmetic —
+    see :func:`dot` for the contract and the measured trade-off)."""
+    if dim is not None and _UNROLL_FIXED_DIM:
         acc: Column = F.lit(0)
         for i in range(dim):
-            acc = acc + a[i] * b[i]
+            acc = acc + F.get(a, i) * F.get(b, i)
         return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

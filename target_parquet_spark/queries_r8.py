@@ -248,69 +248,62 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS, emb=None):
     return it as a plain Python list (the literal model state).
 
     Each round: s_j = sum_i round((x_i . v) * x_ij * 1e6) as exact
-    BIGINT sums (one codegen scan with 64 parallel long-sum aggregates,
-    no row explosion), then v' = round(s / ||s||, 6) computed with
-    Spark's own round so the quantization matches the SQL oracle
-    bit-for-bit.
+    BIGINT sums (one scan, posexplode + map-side combine -> 64-row
+    shuffle), then v' = round(s / ||s||, 6) computed with Spark's own
+    round so the quantization matches the SQL oracle bit-for-bit.
     Model state per round is 64 floats — bounded, like the k-means
     codebook (`operators/similarity.kmeans_codebook`).
 
     ``emb`` overrides the vector frame (a single ``embedding`` column) —
     the deflation pass feeds residual vectors through the same rounds.
+
+    A 64-parallel-long-sum agg rewrite of this loop (no posexplode, one
+    codegen pass) was benchmarked in the r10 optimization round and
+    REGRESSED 2x (sim_pca_power_iteration 3.1s -> 6.9s at sf0.1): the
+    64 wide round/cast aggregate expressions re-planned per round (the
+    centroid literals change every round) cost more in analysis +
+    codegen than the 64x row explosion costs to execute.  The explode
+    keeps the per-round plan tiny and the shuffle is 64 rows.
     """
     if emb is None:
         emb = td(spark, sf_dir, "embeddings").select("embedding")
     v = list(_V0)
     for _ in range(n_rounds):
         lit_v = F.array(*[F.lit(x) for x in v])
-        d = S.dot(F.col("embedding"), lit_v, _PCA_DIM)
-        # ONE whole-stage-codegen pass per round: s_j as 64 parallel
-        # long-sum aggregates over the corpus — no posexplode (64x row
-        # blowup) and no groupBy(j) shuffle; the partial aggregation is
-        # map-side and the exchange carries one 64-column row per
-        # partition.  Long sums are exact in any order, so the values
-        # are identical to the old explode+groupBy form.
-        srow = (
-            emb.select(d.alias("d"), "embedding")
-            .agg(
-                *[
-                    F.sum(
-                        F.round(
-                            (
-                                F.col("d")
-                                * F.col("embedding")[j].cast("double")
-                            )
-                            * 1000000
-                        ).cast("long")
-                    ).alias(f"s{j}")
-                    for j in range(_PCA_DIM)
-                ]
-            )
-            .collect()[0]
+        d = S.dot(F.col("embedding"), lit_v)
+        ex = emb.select(d.alias("d"), F.posexplode("embedding").alias("j", "x"))
+        r = ex.groupBy("j").agg(
+            F.sum(
+                F.round((F.col("d") * F.col("x").cast("double")) * 1000000)
+                .cast("long")
+            ).alias("s")
         )
-        s = [int(srow[f"s{j}"]) for j in range(_PCA_DIM)]
-        # Quantize with Spark's OWN round/sqrt semantics (oracle parity)
-        # but on a constant-foldable 1-row projection: the old path used
-        # a 64-row createDataFrame plus two more driver actions per
-        # round.  The long additions under the norm are exact, so
-        # folding them left-to-right matches the old F.sum.
-        nrm_expr = F.sqrt(
-            sum(
-                F.round(
-                    ((F.lit(sj) / 1000000.0) * (F.lit(sj) / 1000000.0))
-                    * 1000000
-                ).cast("long")
-                for sj in s
+        # ONE action per round: collect the 64 exact-integer sums, then
+        # quantize on a LOCAL 64-row frame so the norm and the 6dp
+        # component use Spark's own round (oracle-parity) without a
+        # second corpus scan (review finding: two .collect()s over the
+        # uncached lineage re-ran the scan+explode per round).
+        s_rows = [(int(row["j"]), int(row["s"])) for row in r.collect()]
+        loc = spark.createDataFrame(s_rows, "j long, s long")
+        nrm = loc.agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        ((F.col("s") / 1000000.0) * (F.col("s") / 1000000.0))
+                        * 1000000
+                    ).cast("long")
+                )
+                / 1000000.0
+            ).alias("n")
+        ).collect()[0]["n"]
+        rows = (
+            loc.select(
+                "j", F.round(F.col("s") / 1000000.0 / F.lit(nrm), 6).alias("v")
             )
-            / 1000000.0
+            .orderBy("j")
+            .collect()
         )
-        vrow = spark.range(1).select(
-            *[
-                F.round(F.lit(sj) / 1000000.0 / nrm_expr, 6).alias(f"v{j}")
-                for j, sj in enumerate(s)
-            ]
-        ).collect()[0]
-        v = [float(vrow[f"v{j}"]) for j in range(_PCA_DIM)]
+        v = [float(row["v"]) for row in rows]
     return v
 
 

@@ -341,3 +341,39 @@ def test_zorder_value_clamps_bit_budget(spark):
     vals = [r[0] for r in df.select(z).collect()]
     assert all(v >= 0 for v in vals)
     assert vals[0] < vals[1]
+
+
+def test_unrolled_dot_kernel_matches_hof_fold_exactly(spark, monkeypatch):
+    """The SPARK_GRAFT_DOT_UNROLL=1 kernel must be bit-identical to the
+    default higher-order fold: same left-to-right IEEE op order, same
+    null poisoning (short array -> null), for both the double and the
+    int kernels."""
+    rows = [
+        (list(float(((i * 7 + j) % 13) - 6) / 3.0 for j in range(64)),
+         list(float(((i * 5 + 3 * j) % 11) - 5) / 7.0 for j in range(64)))
+        for i in range(50)
+    ]
+    rows.append(([1.0] * 63, [1.0] * 64))  # short side: null poisoning
+    df = spark.createDataFrame(
+        rows, "a array<double>, b array<double>"
+    )
+    ints = df.select(
+        F.transform("a", lambda x: F.round(x * 100).cast("int")).alias("a"),
+        F.transform("b", lambda x: F.round(x * 100).cast("int")).alias("b"),
+    )
+
+    fold_d = [r[0] for r in df.select(S.dot(F.col("a"), F.col("b"))).collect()]
+    fold_i = [
+        r[0] for r in ints.select(S.int_dot(F.col("a"), F.col("b"))).collect()
+    ]
+    monkeypatch.setattr(S, "_UNROLL_FIXED_DIM", True)
+    chain_d = [
+        r[0] for r in df.select(S.dot(F.col("a"), F.col("b"), 64)).collect()
+    ]
+    chain_i = [
+        r[0]
+        for r in ints.select(S.int_dot(F.col("a"), F.col("b"), 64)).collect()
+    ]
+    assert chain_d == fold_d  # exact, including the trailing None
+    assert chain_i == fold_i
+    assert chain_d[-1] is None and chain_i[-1] is None
