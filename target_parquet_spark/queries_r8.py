@@ -243,14 +243,43 @@ def _sql_pca() -> str:
     """
 
 
+def _spark_round(x: float, scale: int) -> float:
+    """Spark's ``round(double, scale)`` replayed driver-side.
+
+    Spark's Round on DoubleType is ``BigDecimal.valueOf(x).setScale(
+    scale, HALF_UP).toDouble`` where ``BigDecimal.valueOf`` parses
+    ``Double.toString(x)`` — the shortest decimal that round-trips.
+    Python's ``repr(float)`` is the same shortest-round-trip decimal,
+    so ``Decimal(repr(x))`` reproduces the BigDecimal and HALF_UP is
+    ``decimal.ROUND_HALF_UP`` (round half away from zero, either sign).
+    Pinned bit-identical against F.round by
+    ``tests/test_r8.py::test_spark_round_matches_f_round``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+    )
+    return float(q)
+
+
 def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS, emb=None):
     """Train the dominant principal component by power iteration and
     return it as a plain Python list (the literal model state).
 
     Each round: s_j = sum_i round((x_i . v) * x_ij * 1e6) as exact
     BIGINT sums (one scan, posexplode + map-side combine -> 64-row
-    shuffle), then v' = round(s / ||s||, 6) computed with Spark's own
-    round so the quantization matches the SQL oracle bit-for-bit.
+    shuffle), then v' = round(s / ||s||, 6).  ONE Spark action per
+    round: the 64 exact-integer sums are collected and the norm + 6dp
+    quantization run driver-side over those 64 longs — pure,
+    deterministic double arithmetic (IEEE division and ``math.sqrt``
+    are exact; the HALF_UP rounding replays Spark's own ``round`` via
+    :func:`_spark_round`, so the values still match the SQL oracle
+    bit-for-bit).  Profiled before this change (r10): the two LOCAL
+    64-row Spark jobs that previously did this quantization cost as
+    much wall-clock per round (~1.1 s) as the corpus scan itself —
+    pure plan/launch overhead on 64 rows (guide §5: the driver should
+    do no DATA work; 64 longs of model state is not data work).
     Model state per round is 64 floats — bounded, like the k-means
     codebook (`operators/similarity.kmeans_codebook`).
 
@@ -265,6 +294,8 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS, emb=None):
     codegen than the 64x row explosion costs to execute.  The explode
     keeps the per-round plan tiny and the shuffle is 64 rows.
     """
+    import math
+
     if emb is None:
         emb = td(spark, sf_dir, "embeddings").select("embedding")
     v = list(_V0)
@@ -278,32 +309,27 @@ def pca_power_component(spark, sf_dir, n_rounds: int = _PCA_ROUNDS, emb=None):
                 .cast("long")
             ).alias("s")
         )
-        # ONE action per round: collect the 64 exact-integer sums, then
-        # quantize on a LOCAL 64-row frame so the norm and the 6dp
-        # component use Spark's own round (oracle-parity) without a
-        # second corpus scan (review finding: two .collect()s over the
-        # uncached lineage re-ran the scan+explode per round).
-        s_rows = [(int(row["j"]), int(row["s"])) for row in r.collect()]
-        loc = spark.createDataFrame(s_rows, "j long, s long")
-        nrm = loc.agg(
-            F.sqrt(
-                F.sum(
-                    F.round(
-                        ((F.col("s") / 1000000.0) * (F.col("s") / 1000000.0))
-                        * 1000000
-                    ).cast("long")
+        s = [0] * _PCA_DIM
+        for row in r.collect():
+            s[int(row["j"])] = int(row["s"])
+        # norm: sum of round((s/1e6)^2 * 1e6) as exact longs.  float(sj)
+        # FIRST: Spark casts the long to double before dividing, and
+        # Python's int/float division is correctly rounded from the
+        # exact value — different double-rounding once |s| > 2^53.  The
+        # double -> long cast in Spark truncates toward zero, as int()
+        # does on a float.
+        n2 = sum(
+            int(
+                _spark_round(
+                    (float(sj) / 1000000.0) * (float(sj) / 1000000.0) * 1000000.0,
+                    0,
                 )
-                / 1000000.0
-            ).alias("n")
-        ).collect()[0]["n"]
-        rows = (
-            loc.select(
-                "j", F.round(F.col("s") / 1000000.0 / F.lit(nrm), 6).alias("v")
             )
-            .orderBy("j")
-            .collect()
+            for sj in s
         )
-        v = [float(row["v"]) for row in rows]
+        # exact long sum, THEN long->double cast (Java order), then divide
+        nrm = math.sqrt(float(n2) / 1000000.0)
+        v = [_spark_round(float(sj) / 1000000.0 / nrm, 6) for sj in s]
     return v
 
 

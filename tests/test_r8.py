@@ -419,3 +419,94 @@ class TestMinkprobMembership:
             ).collect()
         }
         assert out["member"] >= out["nonmember"]
+
+
+class TestSparkRoundReplay:
+    """_spark_round must replay F.round(double, scale) bit-for-bit —
+    the PCA training loop quantizes its model state driver-side with it
+    (one Spark action per round instead of three)."""
+
+    def test_spark_round_matches_f_round(self, spark):
+        import random
+
+        from target_parquet_spark.queries_r8 import _spark_round
+
+        rng = random.Random(80310)
+        vals = []
+        # magnitudes the PCA path sees: 6dp components in [-1, 1] and
+        # micro-scaled squares up to ~1e17 (past 2^53)
+        for _ in range(300):
+            vals.append(rng.uniform(-1.0, 1.0))
+            vals.append(rng.uniform(-1e6, 1e6))
+            vals.append(rng.uniform(-1e17, 1e17))
+        # adversarial: exact half-boundaries at both scales and
+        # shortest-repr stress values one ulp off a boundary
+        for k in range(-50, 51):
+            vals.append(k * 1e-6 + 5e-7)
+            vals.append(float(k) + 0.5)
+            import math as m
+
+            vals.append(m.nextafter(k * 1e-6 + 5e-7, m.inf))
+            vals.append(m.nextafter(k * 1e-6 + 5e-7, -m.inf))
+        for scale in (0, 6):
+            df = spark.createDataFrame([(v,) for v in vals], "x double")
+            got = [
+                r[0]
+                for r in df.select(F.round("x", scale)).collect()
+            ]
+            want = [_spark_round(v, scale) for v in vals]
+            assert got == want, [
+                (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+            ][:5]
+
+    def test_pca_component_unchanged_by_driver_quantization(self, spark, sf_dir):
+        """The trained v after the driver-side rewrite must equal the
+        all-Spark quantization path it replaced, element for element."""
+        from target_parquet_spark.queries_r8 import (
+            _PCA_ROUNDS,
+            _V0,
+            pca_power_component,
+            td,
+        )
+        from target_parquet_spark.operators import similarity as S
+
+        v_new = pca_power_component(spark, sf_dir)
+        # replay the OLD path: local 64-row frame + Spark round
+        emb = td(spark, sf_dir, "embeddings").select("embedding")
+        v = list(_V0)
+        for _ in range(_PCA_ROUNDS):
+            lit_v = F.array(*[F.lit(x) for x in v])
+            d = S.dot(F.col("embedding"), lit_v)
+            ex = emb.select(
+                d.alias("d"), F.posexplode("embedding").alias("j", "x")
+            )
+            r = ex.groupBy("j").agg(
+                F.sum(
+                    F.round(
+                        (F.col("d") * F.col("x").cast("double")) * 1000000
+                    ).cast("long")
+                ).alias("s")
+            )
+            s_rows = [(int(row["j"]), int(row["s"])) for row in r.collect()]
+            loc = spark.createDataFrame(s_rows, "j long, s long")
+            nrm = loc.agg(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            ((F.col("s") / 1000000.0) * (F.col("s") / 1000000.0))
+                            * 1000000
+                        ).cast("long")
+                    )
+                    / 1000000.0
+                ).alias("n")
+            ).collect()[0]["n"]
+            rows = (
+                loc.select(
+                    "j",
+                    F.round(F.col("s") / 1000000.0 / F.lit(nrm), 6).alias("v"),
+                )
+                .orderBy("j")
+                .collect()
+            )
+            v = [float(row["v"]) for row in rows]
+        assert v_new == v
