@@ -298,7 +298,14 @@ def kmeans_codebook(
 
     if metric not in ("cos", "l2"):
         raise ValueError(f"metric must be 'cos' or 'l2', got {metric!r}")
-    emb = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    from target_parquet_spark.lineage import mat
+
+    # the training scan is referenced once per Lloyd round (plus the
+    # seed collect): materialize it so the parquet scan + width
+    # repartition run once for the whole loop (r10 measure-first pass).
+    emb = mat(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
     init_rows = (
         emb.filter(F.col("_id") < n_centroids).orderBy("_id").collect()
     )
@@ -311,49 +318,65 @@ def kmeans_codebook(
         int(r._id): [float(x) for x in r._v] for r in init_rows
     }
 
-    def _d2(cvec: list[float]) -> Column:
-        lit = F.array(*[F.lit(v) for v in cvec])
-        return F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                lit,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def _negscore(cvec: list[float]) -> Column:
-        # -(v·c)/||c||: negated so argmax-with-lowest-id-ties is the same
-        # array_min over (d, k) structs as the l2 branch
-        s = 0.0
-        for x in cvec:
-            s += x * x
-        nrm = math.sqrt(s)
-        if nrm == 0.0:
-            # a zero centroid has no direction: give it -0 score for
-            # every vector instead of NaN-poisoning the whole assignment
-            return F.lit(-0.0)
-        lit = F.array(*[F.lit(v) for v in cvec])
-        return -(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_v"), lit, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(nrm)
-        )
-
-    dist = _d2 if metric == "l2" else _negscore
+    # Assignment in the SINGLE-LITERAL form ivf_cell uses (one K x dim
+    # nested-array literal + one transform), not K separate fold trees:
+    # per-element arithmetic is bit-identical (same zip_with/aggregate
+    # fold over the same double literals, same -(s/n) negation, same
+    # (d, k) struct array_min tie-break), but the per-round expression
+    # tree shrinks from ~K*dim*3 Catalyst nodes to a flat literal —
+    # ivf_cell's docstring records 3.6s -> 1.7s at sf0.1 for exactly
+    # this change, and training re-plans the tree every round because
+    # the centroid literals change.
     for _ in range(n_iters):
+        ordered = [cv for _k, cv in sorted(centroids.items())]
+        mat_lit = F.lit(ordered)
+        if metric == "l2":
+            dists = F.transform(
+                mat_lit,
+                lambda cv: F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        cv,
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        else:
+            # -(v·c)/||c||: negated so argmax-with-lowest-id-ties is the
+            # same (d, k) struct array_min as the l2 branch; a zero
+            # centroid has no direction and scores -0 for every vector
+            # instead of NaN-poisoning the assignment.
+            norms = []
+            for cv in ordered:
+                s = 0.0
+                for x in cv:
+                    s += x * x
+                norms.append(math.sqrt(s))
+            dots = F.transform(
+                mat_lit,
+                lambda cv: F.aggregate(
+                    F.zip_with(
+                        F.col("_v"), cv, lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            dists = F.zip_with(
+                dots,
+                F.lit(norms),
+                lambda s, n: F.when(n == 0.0, F.lit(-0.0)).otherwise(
+                    -(s / n)
+                ),
+            )
         assign = F.array_min(
-            F.array(
-                *[
-                    F.struct(dist(c).alias("d"), F.lit(k).alias("k"))
-                    for k, c in sorted(centroids.items())
-                ]
+            F.zip_with(
+                dists,
+                F.lit(list(range(len(ordered)))),
+                lambda d, k: F.struct(d.alias("d"), k.alias("k")),
             )
         )["k"]
         # two selects: a generator (posexplode) alongside the struct-field
@@ -1028,14 +1051,23 @@ def semdedup_keep(
             cluster_planes = planes_for(n, cluster_occupancy, floor=3)
         if sub_planes is None:
             sub_planes = planes_for(n, sub_occupancy, floor=6)
-    base = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), cluster_planes, dim, table=0).alias(
-            "cluster"
-        ),
-        lsh_bucket(F.col(vec_col), sub_planes, dim, table=1).alias("sub_a"),
-        lsh_bucket(F.col(vec_col), sub_planes, dim, table=2).alias("sub_b"),
+    from target_parquet_spark.lineage import mat
+
+    # base is referenced four times downstream (dim-explode, rank
+    # join-back, both sides of the pair verify) — materialize it so the
+    # corpus scan and the three lsh_bucket plane folds run once, not
+    # once per reference (r10 plan audit: 64 parquet scans in
+    # dedup_semdedup's plan before the cut).
+    base = mat(
+        corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            lsh_bucket(F.col(vec_col), cluster_planes, dim, table=0).alias(
+                "cluster"
+            ),
+            lsh_bucket(F.col(vec_col), sub_planes, dim, table=1).alias("sub_a"),
+            lsh_bucket(F.col(vec_col), sub_planes, dim, table=2).alias("sub_b"),
+        )
     )
     ex = base.select(
         "vec_id",
@@ -1072,8 +1104,13 @@ def semdedup_keep(
         F.col("dot_c") / (F.sqrt("nv2") * F.sqrt("nc2")) * 1000000
     ).cast("long")
     w = Window.partitionBy("cluster").orderBy("cc_micro", "vec_id")
-    rk = vs.select("vec_id", "cluster", cc.alias("cc_micro")).withColumn(
-        "rank_div", F.row_number().over(w).cast("long")
+    # rk (node-sized rank table) feeds both the candidate join and the
+    # final keep join — cut it so the explode + centroid aggregate +
+    # rank window run once.
+    rk = mat(
+        vs.select("vec_id", "cluster", cc.alias("cc_micro")).withColumn(
+            "rank_div", F.row_number().over(w).cast("long")
+        )
     )
     rkb = rk.join(base.select("vec_id", "sub_a", "sub_b"), "vec_id")
     a = rkb.select(

@@ -862,7 +862,12 @@ def sim_ivf_recall_trained(spark, sf_dir):
     hash-matches, proving the trained model state is engine-exact.
     tests/test_r3_hardening.py pins that trained mean recall@10 beats
     the seed codebook at the same nprobe."""
-    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from target_parquet_spark.lineage import mat
+
+    # emb feeds training, assignment, the query stratum AND the
+    # brute-force truth side — one materialized scan instead of five
+    # (r10 plan audit).
+    emb = mat(td(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     cb = S.kmeans_codebook(emb, n_centroids=16, n_iters=2)
     assign = emb.select(
         "vec_id", S.ivf_cell(F.col("embedding"), cb).alias("cell")

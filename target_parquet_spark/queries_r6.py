@@ -113,9 +113,20 @@ _SQL_SYM_DEG = (
 
 def _symmetrize_degrees(edges):
     """(sym, deg) for a directed (src, nbr) edge list — the Spark twin
-    of _SQL_SYM_DEG."""
-    e = edges.select("src", "nbr")
-    sym = (
+    of _SQL_SYM_DEG.
+
+    Both the input edge list and the symmetrized table are materialized
+    (`lineage.mat`): ``e`` feeds both halves of the union and ``sym``
+    feeds every consumer (posting self-joins, degree aggregates, hop
+    expansions) — without the cut, each reference re-ran the whole
+    upstream edge derivation (the r10 plan audit read 40 parquet scans
+    and 9 replays of the bucketed kNN self-join in
+    ``graph_link_prediction`` alone).  Edge tables are k*n rows — model
+    state, not corpus."""
+    from target_parquet_spark.lineage import mat
+
+    e = mat(edges.select("src", "nbr"))
+    sym = mat(
         e.select(F.col("src").alias("u"), F.col("nbr").alias("v"))
         .unionByName(e.select(F.col("nbr").alias("u"), F.col("src").alias("v")))
         .distinct()

@@ -581,17 +581,24 @@ def graph_ann_search(
     is never rescanned — only candidate embeddings are gathered.
     Returns top ``k`` per query.
     """
+    from target_parquet_spark.lineage import mat
     from target_parquet_spark.queries_r6 import _symmetrize_degrees
     from target_parquet_spark.queries_r7 import knn_edge_artifact
 
     edges = knn_edge_artifact(spark, sf_dir)
     sym, _deg = _symmetrize_degrees(edges)
     emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        S.lsh_bucket(F.col("embedding"), n_planes=4).alias("bucket"),
-        S.norm(F.col("embedding"), 64).alias("nrm"),
+    # b is the routing index (id, vec, bucket, norm): scored against the
+    # frontier once per hop — materialized so the bucket/norm expressions
+    # run once, not once per lineage copy (r10 audit: 136 parquet scans
+    # in this query's plan before the cuts).
+    b = mat(
+        emb.select(
+            "vec_id",
+            "embedding",
+            S.lsh_bucket(F.col("embedding"), n_planes=4).alias("bucket"),
+            S.norm(F.col("embedding"), 64).alias("nrm"),
+        )
     )
     q = b.filter(F.col("vec_id") % _ANN_QMOD == 7).select(
         F.col("vec_id").alias("qid"),
@@ -613,7 +620,7 @@ def graph_ann_search(
         .agg(F.min("u").alias("node"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("node"))
-    f = (
+    f = mat(
         q.crossJoin(F.broadcast(ent.select("node")))
         .join(nodes, "node")
         .select("qid", "node", score.alias("score"))
@@ -625,6 +632,12 @@ def graph_ann_search(
         # The frontier is provably <= (queries x beam) rows: broadcast it
         # explicitly so the hop never shuffles the edge artifact or the
         # corpus — at 100 TB the statistics alone would not know this.
+        # Each hop's frontier is materialized (`mat`): the loop body
+        # references f TWICE (expansion + union), so without the cut the
+        # lineage DOUBLES per hop — the r10 plan audit read 2^hops
+        # replays (136-144 parquet scans at H=3) of the whole routing
+        # pipeline.  The frontier is (queries x beam) rows — trivially
+        # block-sized.
         exp = (
             F.broadcast(f).join(sym, f["node"] == sym["u"])
             .select("qid", F.col("v").alias("node"))
@@ -636,7 +649,7 @@ def graph_ann_search(
             .select("qid", "node", score.alias("score"))
         )
         uni = exp.unionByName(f.select("qid", "node", "score")).distinct()
-        f = (
+        f = mat(
             uni.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam)
             .drop("rn")

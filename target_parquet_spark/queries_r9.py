@@ -1746,9 +1746,10 @@ def text_cluster_topics(spark, sf_dir):
     assignment is a scan-stage argmax; the token join shuffles the word
     stream once on doc_id; tf is (cluster x vocab)-bounded and the
     rank window partitions by cluster."""
+    from target_parquet_spark.lineage import mat
     from target_parquet_spark.operators import similarity as S2
 
-    emb = td(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = mat(td(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     cb = S2.kmeans_codebook(emb, n_centroids=_TOPIC_K, n_iters=2, metric="cos")
     assign = emb.select(
         F.col("vec_id").alias("doc_id"),
