@@ -130,24 +130,39 @@ def connected_components(
     Components in MapReduce and Beyond", SoCC'14 — the label-prop variant
     with path doubling).
     """
+    from target_parquet_spark.lineage import mat
+
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df):
+        # LAZY cut (lineage.mat): every round's convergence sum is the
+        # action that materializes that round's blocks, so a round costs
+        # ONE job instead of two (eager-checkpoint job + sum job) — at
+        # 3-5 rounds x 4 CC consumers the launch overhead was a visible
+        # slice of the sf0.1 bench (guide §1.2 per-task/launch work).
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=False)
+        return mat(df)
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = lineage_cut(sym.repartition(_width(edges), "u"), checkpoint_dir)
+    sym = _cut(sym.repartition(_width(edges), "u"))
 
-    labels = lineage_cut(
+    labels = _cut(
         sym.select(F.col("u").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node")),
-        checkpoint_dir,
+        .withColumn("label", F.col("node"))
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     if prev_sum is None:  # no edges at all
         return labels.select("node", F.col("label").alias("component"))
 
     for _ in range(max_iters):
-        nbr_min = (
+        # nbr_min feeds BOTH sides of the pointer-jump join below — cut
+        # it so the propagate join + min aggregate run once per round,
+        # not twice.
+        nbr_min = _cut(
             sym.join(labels, sym["u"] == labels["node"])
             .select(F.col("v").alias("node"), "label")
             .unionByName(labels)
@@ -158,10 +173,9 @@ def connected_components(
         hop = nbr_min.select(
             F.col("node").alias("_jn"), F.col("label").alias("_jl")
         )
-        labels = lineage_cut(
+        labels = _cut(
             nbr_min.join(hop, nbr_min["label"] == hop["_jn"], "left")
-            .select("node", F.coalesce("_jl", "label").alias("label")),
-            checkpoint_dir,
+            .select("node", F.coalesce("_jl", "label").alias("label"))
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
