@@ -56,7 +56,16 @@ def mat(df: DataFrame) -> DataFrame:
     Lazy (`eager=False`): the plan is compiled now, the blocks are
     computed by the first action that touches the result — construction
     stays job-free, matching the bench's timed region.
+
+    ``SPARK_GRAFT_NO_MAT=1`` (read at call time) bypasses the cut and
+    returns ``df`` unchanged: a checkpoint replaces the subtree with a
+    ``LogicalRDD`` scan in ``explain`` output, so plan-shape tests and
+    plan-capture tooling set this to see the full algebra they assert
+    on.  Execution semantics are identical either way — the cut only
+    controls compute-once-vs-replay, never values.
     """
+    if os.environ.get("SPARK_GRAFT_NO_MAT", "") == "1":
+        return df
     if _RELIABLE:
         return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)

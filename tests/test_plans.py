@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 
 import target_parquet_spark.queries_layout  # noqa: F401  (registers into QUERIES)
@@ -17,7 +18,15 @@ from target_parquet_spark.queries import QUERIES
 
 
 def plan(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name](spark, sf_dir)
+    # Bypass lineage.mat cuts during construction: a localCheckpoint
+    # replaces its subtree with a LogicalRDD scan in explain output,
+    # hiding the joins/aggregates these tests assert on.  The bypass
+    # changes nothing about the algebra — only compute-once-vs-replay.
+    os.environ["SPARK_GRAFT_NO_MAT"] = "1"
+    try:
+        df = QUERIES[name](spark, sf_dir)
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_MAT", None)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
