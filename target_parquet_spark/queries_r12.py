@@ -908,11 +908,6 @@ _register_maxsim()
 # (recursive CTE — identical SQL text on spark.sql and DuckDB)
 # ---------------------------------------------------------------------------
 
-# Depth of in-flight holt recursions that RAISED the CTE recursion cap —
-# guards the conf restore when two same-session callers raise to the same
-# value (ADVICE r8); see holt_forecast_over.
-_HOLT_CAP_DEPTH = 0
-
 _HOLT_ALPHA = 0.3
 _HOLT_BETA = 0.1
 _HOLT_HORIZON = 7
@@ -999,56 +994,49 @@ def holt_forecast_over(spark, daily):
     """The Holt recursion + 7-day forecast over a (day, rev_c) daily
     frame — shared by the batch query above and the streaming read path
     (streaming/forecast.py, r8) so the recursion cannot drift between
-    them."""
-    from target_parquet_spark.operators.dedup import lineage_cut
+    them.
 
-    daily.createOrReplaceTempView("_holt_daily_src")
-    idx = lineage_cut(
-        spark.sql(
-            "SELECT day, rev_c,"
-            " CAST(row_number() OVER (ORDER BY day) AS INT) AS i"
-            " FROM _holt_daily_src"
-        ).coalesce(1),
-        None,
+    Optimization r10 (guide §1.2 "the distributed algorithm", §5): the
+    recurrence previously ran as a Spark recursive CTE advancing one day
+    per level — ~90 sequential micro-jobs over a 1-row frontier, pure
+    scheduler overhead (measured 2.44 s at sf0.1, vs ~1 s for the daily
+    aggregate underneath).  The daily series is MODEL-STATE-sized (one
+    row per day regardless of corpus size — the same bounded-collect
+    contract as the k-means centroids), so the fold now runs driver-side
+    over the collected series with the identical IEEE expression order
+    (`a*y + (1-a)*(level+trend)`, then `b*(nl-level) + (1-b)*trend` —
+    the exact Python recomputation tests/test_r12.py pins), and the
+    7 forecast rows are still produced BY SPARK from the literal
+    (level, trend, last_day) state so `round()` / date arithmetic keep
+    engine semantics.  Bit-identical to the recursive form: same
+    constants (str(double) round-trips), same fold order, same final
+    expressions.  `_SQL_HOLT_REC` remains the oracle's replay text."""
+    rows = daily.orderBy("day").collect()
+    if not rows:
+        return spark.sql(
+            f"SELECT k AS horizon, CAST(NULL AS DATE) AS forecast_day,"
+            f" CAST(NULL AS DOUBLE) AS forecast_rev"
+            f" FROM (SELECT explode(sequence(1, {_HOLT_HORIZON})) AS k)"
+            f" WHERE 1 = 0"
+        )
+    level = float(rows[0]["rev_c"])
+    trend = 0.0
+    for r in rows[1:]:
+        nl = _HOLT_ALPHA * r["rev_c"] + (1 - _HOLT_ALPHA) * (level + trend)
+        trend = _HOLT_BETA * (nl - level) + (1 - _HOLT_BETA) * trend
+        level = nl
+    last_day = rows[-1]["day"]
+    # NB: bare `1.23` literals parse as DECIMAL in Spark SQL — the string
+    # cast keeps the state DOUBLE (repr round-trips the exact bits).
+    return spark.sql(
+        f"SELECT k AS horizon,"
+        f" DATE '{last_day.isoformat()}' + k AS forecast_day,"
+        f" round((CAST('{level!r}' AS DOUBLE)"
+        f"        + k * CAST('{trend!r}' AS DOUBLE)) / 100.0, 2)"
+        f"   AS forecast_rev"
+        f" FROM (SELECT explode(sequence(1, {_HOLT_HORIZON})) AS k)"
+        f" ORDER BY k"
     )
-    idx.createOrReplaceTempView("holt_idx")
-    # one level per DAY: Spark's default recursion cap is 100 levels,
-    # so any corpus spanning >100 days would crash mid-query (review
-    # r7 finding #2).  The day count is already materialized (the
-    # lineage cut is eager) — size the cap to the actual span + slack.
-    n_days = idx.count()
-    # The cap is read at EXECUTION time, so it must stay raised while
-    # the recursion runs — materialize the (7-row) result under the
-    # raised cap, then restore the previous value so the shared session
-    # conf carries no cross-query side effect (ADVICE r7).  Reentrancy
-    # (review r8 + ADVICE r8): the cap is never LOWERED (an
-    # already-sufficient value is left untouched, so an overlapping
-    # caller's raised cap survives), and the restore is guarded BOTH by
-    # a module-level depth counter (two same-session raisers to the
-    # SAME value would otherwise defeat the conf-value check — the
-    # first finisher must not restore while the second's recursion has
-    # yet to execute) AND by the conf still holding our value (a
-    # concurrent raiser's DIFFERENT setting is never clobbered).
-    # Overlapping same-session recursions remain unsupported generally
-    # (holt_idx is one temp view per session); the counter just makes
-    # the restore path safe if it ever happens.
-    global _HOLT_CAP_DEPTH
-    key = "spark.sql.cteRecursionLevelLimit"
-    needed = max(1000, n_days + 10)
-    prev = spark.conf.get(key, None)
-    if prev is not None and int(prev) >= needed:
-        return lineage_cut(spark.sql(_SQL_HOLT_REC), None)
-    _HOLT_CAP_DEPTH += 1
-    spark.conf.set(key, needed)
-    try:
-        return lineage_cut(spark.sql(_SQL_HOLT_REC), None)
-    finally:
-        _HOLT_CAP_DEPTH -= 1
-        if _HOLT_CAP_DEPTH == 0 and spark.conf.get(key, None) == str(needed):
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
 
 
 # ---------------------------------------------------------------------------

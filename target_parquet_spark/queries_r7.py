@@ -24,6 +24,7 @@ import functools
 
 from pyspark.sql import functions as F
 
+from target_parquet_spark.lineage import mat
 from target_parquet_spark.operators import dedup as D
 from target_parquet_spark.operators import text as X
 from target_parquet_spark.queries import query
@@ -318,13 +319,19 @@ def train_quality_logreg(spark, sf_dir):
     mu = [float(stats[f"mu{i}"]) for i in range(len(_FEATS))]
     sd = [float(stats[f"sd{i}"]) or 1.0 for i in range(len(_FEATS))]
 
-    z = fl.select(
-        "source",
-        "y",
-        *[
-            ((F.col(c) - F.lit(mu[i])) / F.lit(sd[i])).alias(f"z{i}")
-            for i, c in enumerate(_FEATS)
-        ],
+    # The z frame is read 9 more times (8 gradient rounds + the caller's
+    # scoring pass); without a lineage cut every read re-runs the whole
+    # feature extraction (tokenize + 3 array folds per doc).  mat() computes
+    # it once — 2 extraction passes total (stats + z) instead of 10.
+    z = mat(
+        fl.select(
+            "source",
+            "y",
+            *[
+                ((F.col(c) - F.lit(mu[i])) / F.lit(sd[i])).alias(f"z{i}")
+                for i, c in enumerate(_FEATS)
+            ],
+        )
     )
 
     w = [0.0] * (len(_FEATS) + 1)  # [b, w0..w4]
