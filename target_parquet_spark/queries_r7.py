@@ -1028,8 +1028,18 @@ def text_winnowing_pairs(spark, sf_dir):
 
     docs = _spark_corpus(spark, sf_dir)
     minima = winnow_minima(X.tokens(F.col("text")))
-    fps = docs.select(
-        "doc_id", F.explode(F.array_distinct(minima)).alias("fp")
+    # The fingerprint pipeline feeds BOTH the df-cap aggregate and the
+    # join-back; without a lineage cut the whole tokenize+gram-hash+
+    # window-minima pipeline executed once per reference (r10 plan
+    # audit: zero ReusedExchange — the "reuses the exchange" assumption
+    # never held).  Cut at the per-doc fingerprint ARRAYS (doc-sized,
+    # pre-explode) so the expensive hashing runs once; the cheap explode
+    # replays per reference.  Cutting the exploded posting itself was
+    # measured SLOWER (4.2 s vs 3.7 s) — the posting is gram-sized and
+    # storing it costs more than re-exploding the arrays.
+    fparr = mat(docs.select("doc_id", F.array_distinct(minima).alias("fparr")))
+    fps = fparr.select(
+        "doc_id", F.explode("fparr").alias("fp")
     ).repartition(F.col("fp"))
     df_ok = (
         fps.groupBy("fp")
