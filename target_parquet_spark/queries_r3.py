@@ -234,10 +234,22 @@ def text_unigram_logprob(spark, sf_dir):
     min-count filter is MBs (Zipf), so the scoring join stays
     broadcast — the corpus never reshuffles; doc scores pre-round to 6dp
     so partial-agg order can't move the 4dp summary."""
-    toks = td(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tk")
+    from target_parquet_spark.lineage import mat
+
+    # Doc-sized token arrays cut once (the stream feeds the vocab build
+    # and the scoring join); the Zipf-bounded vocab cut once (it feeds
+    # the scalar stats and the broadcast join) — the "reused exchange"
+    # this docstring hoped for never materialized (r10 plan audit), so
+    # the cuts make it true by construction.
+    arrs = mat(
+        td(spark, sf_dir, "documents").select(
+            "doc_id", "lang", X.tokens(F.col("text")).alias("t")
+        )
     )
-    vocab = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 3)
+    toks = arrs.select("doc_id", "lang", F.explode("t").alias("tk"))
+    vocab = mat(
+        toks.groupBy("tk").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 3)
+    )
     stats = vocab.agg(
         F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).alias("v")
     )

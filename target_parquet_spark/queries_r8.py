@@ -866,8 +866,19 @@ def text_bigram_logprob(spark, sf_dir):
     Zipf-bounded (MBs after hashing) and BROADCASTS onto both the
     history and backoff sides — the pair stream shuffles exactly once.
     """
-    toks = td(spark, sf_dir, "documents").select(
-        "doc_id", "source", X.tokens(F.col("text")).alias("t")
+    from target_parquet_spark.lineage import mat
+
+    # toks feeds three pipelines (the bigram stream twice — train and
+    # score — and the train token stream) and ug three consumers (nst,
+    # u1, u2); without the cuts each reference re-ran tokenize(+hash)
+    # from the scan (r10 plan audit: zero exchange reuse).  Cuts hold
+    # doc-sized token arrays and the Zipf-bounded vocab — never the
+    # exploded gram stream (the winnowing measurement: gram-sized cuts
+    # replay slower than they save).
+    toks = mat(
+        td(spark, sf_dir, "documents").select(
+            "doc_id", "source", X.tokens(F.col("text")).alias("t")
+        )
     )
     h60 = X.hash60
     bigrams = X.bigrams(
@@ -888,8 +899,10 @@ def text_bigram_logprob(spark, sf_dir):
     train_tokens = toks.filter(F.col("doc_id") % 2 == 0).select(
         F.explode("t").alias("tk")
     )
-    ug = train_tokens.select(h60(F.col("tk")).alias("h")).groupBy("h").agg(
-        F.count(F.lit(1)).alias("c")
+    ug = mat(
+        train_tokens.select(h60(F.col("tk")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     nst = ug.agg(F.sum("c").alias("n"))
     bg = (

@@ -1338,8 +1338,14 @@ def text_kneser_ney_logprob(spark, sf_dir):
     this also turns the previous ntypes crossJoin into a literal).  The
     scoring stream itself shuffles once on the bigram key — the
     text_bigram_logprob plan with two side-tables."""
-    toks = td(spark, sf_dir, "documents").select(
-        "doc_id", "source", X.tokens(F.col("text")).alias("t")
+    from target_parquet_spark.lineage import mat
+
+    # Doc-sized token arrays, computed once: the bigram stream below is
+    # derived twice (train-half type counts and the scoring pass).
+    toks = mat(
+        td(spark, sf_dir, "documents").select(
+            "doc_id", "source", X.tokens(F.col("text")).alias("t")
+        )
     )
     h60 = X.hash60
     bigram_structs = X.bigrams(
@@ -1356,7 +1362,15 @@ def text_kneser_ney_logprob(spark, sf_dir):
         h60(F.col("p.w1")).alias("h1"),
         h60(F.col("p.w2")).alias("h2"),
     )
-    bg = (
+    # The bigram TYPE table feeds four consumers (the scoring join,
+    # hist, cont, and the plan-time stats aggregate); without a lineage
+    # cut each one re-ran the whole tokenize+explode+hash60 pipeline
+    # (r10 plan audit: zero exchange reuse).  The type table is the LM
+    # artifact a production pipeline writes out — vocabulary-bounded,
+    # never corpus-sized — so it is the right cut point (lineage.mat
+    # notes; cutting the gram-sized ``pr`` stream instead measured
+    # slower on the winnowing twin of this shape).
+    bg = mat(
         pr.filter(F.col("doc_id") % 2 == 0)
         .groupBy("gh", "h1", "h2")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
