@@ -438,7 +438,9 @@ def learn_bpe_merges(spark, sf_dir, n_rounds: int = _BPE_ROUNDS):
         .withColumn(
             "enc", F.regexp_replace("word", "(.)", _BPE_SEP + "$1" + _BPE_SEP)
         )
-        .localCheckpoint()
+        # lazy: the total_freq aggregate right below is the action that
+        # materializes the blocks — an eager cut here was one extra job
+        .localCheckpoint(eager=False)
     )
 
     def _syms(enc):
@@ -459,31 +461,55 @@ def learn_bpe_merges(spark, sf_dir, n_rounds: int = _BPE_ROUNDS):
             )
         )
 
-    merges = []
-    for rank in range(1, n_rounds + 1):
-        best = (
-            vocab.select("freq", F.explode(_pairs(F.col("enc"))).alias("p"))
+    def _pair_stats(v):
+        """ONE action per round (r10, guide §1.2): the deterministic
+        argmax (cnt desc, l, r — via min_by over a (-cnt, l, r) struct)
+        AND the total pair mass, from a single aggregate over the pair
+        table.  The total feeds the PREVIOUS round's token count via the
+        exact integer identity tokens = sum(freq * (n_pairs + 1)) =
+        total_freq + total_pairs — the separate tokens_after scan this
+        replaces cost a second driver action per round."""
+        return (
+            v.select("freq", F.explode(_pairs(F.col("enc"))).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .collect()
+            .agg(
+                F.min_by(
+                    F.struct("l", "r", "cnt"),
+                    F.struct((-F.col("cnt")).alias("nc"), "l", "r"),
+                ).alias("best"),
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias(
+                    "total_pairs"
+                ),
+            )
+            .collect()[0]
         )
-        if not best:  # degenerate: vocabulary fully merged
+
+    total_freq = int(
+        vocab.agg(F.sum("freq").cast("long")).collect()[0][0] or 0
+    )
+    merges = []
+    pending = None  # (rank, l, r, cnt) awaiting its tokens_after
+    for rank in range(1, n_rounds + 1):
+        st = _pair_stats(vocab)
+        if pending is not None:
+            merges.append(pending[:4] + (total_freq + int(st["total_pairs"]),))
+        if st["best"] is None:  # degenerate: vocabulary fully merged
+            pending = None
             break
-        b = best[0]
+        b = st["best"]
         vocab = vocab.withColumn(
             "enc",
             F.replace(
                 F.col("enc"),
-                F.lit(_BPE_SEP + b.l + _BPE_SEP + _BPE_SEP + b.r + _BPE_SEP),
-                F.lit(_BPE_SEP + b.l + b.r + _BPE_SEP),
+                F.lit(_BPE_SEP + b["l"] + _BPE_SEP + _BPE_SEP + b["r"] + _BPE_SEP),
+                F.lit(_BPE_SEP + b["l"] + b["r"] + _BPE_SEP),
             ),
         )
-        tokens_after = vocab.agg(
-            F.sum(F.col("freq") * F.size(_syms(F.col("enc")))).cast("long")
-        ).collect()[0][0]
-        merges.append((rank, b.l, b.r, int(b.cnt), int(tokens_after)))
+        pending = (rank, b["l"], b["r"], int(b["cnt"]))
+    if pending is not None:
+        st = _pair_stats(vocab)
+        merges.append(pending[:4] + (total_freq + int(st["total_pairs"]),))
     return merges, vocab
 
 
