@@ -149,8 +149,15 @@ def text_ccnet_buckets(spark, sf_dir):
     exchange further, not wider.  The tertile window partitions by
     language; with ~100 languages the split runs as ~100 independent
     sorted partitions (per-partition sort, no global order)."""
-    toks = td(spark, sf_dir, "documents").select(
-        "doc_id", "lang", X.tokens(F.col("text")).alias("t")
+    from target_parquet_spark.lineage import mat
+
+    # Same cuts as text_bigram_logprob (r10): doc-sized token arrays
+    # (feed the bigram stream twice plus the train stream) and the
+    # Zipf-bounded per-language vocab (feeds nst, u1, u2).
+    toks = mat(
+        td(spark, sf_dir, "documents").select(
+            "doc_id", "lang", X.tokens(F.col("text")).alias("t")
+        )
     )
     h60 = X.hash60
     bigram_structs = X.bigrams(
@@ -170,7 +177,7 @@ def text_ccnet_buckets(spark, sf_dir):
     train_tokens = toks.filter(F.col("doc_id") % 2 == 0).select(
         "lang", F.explode("t").alias("tk")
     )
-    ug = (
+    ug = mat(
         train_tokens.select("lang", h60(F.col("tk")).alias("h"))
         .groupBy("lang", "h")
         .agg(F.count(F.lit(1)).alias("c"))
