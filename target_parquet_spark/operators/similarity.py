@@ -733,6 +733,8 @@ def knn_graph(
     rows into the cross-table distinct; the ranking window partitions by
     the source id.  Returns (src, nbr_rank, nbr, sim), rank <= k.
     """
+    from target_parquet_spark.lineage import mat as lineage_mat
+
     dim, n_planes = _adaptive_planes(
         corpus, vec_col, target_occupancy, floor=4, n_planes=n_planes,
         caller="knn_graph",
@@ -764,9 +766,14 @@ def knn_graph(
             "bucket",
             F.col("_nrm").alias("_yn"),
         )
-        cand_sets.append(
+        # Unordered-pair halving (r10): src < nbr pays the cosine fold
+        # once per candidate pair; the fixed-width (src, nbr, sim) rows
+        # are mirrored through a lineage cut.  Bit-exact either way —
+        # the fold multiplies x[i]*y[i] in the same index order and
+        # IEEE multiplication is commutative (null-poisoning included).
+        half = lineage_mat(
             x.join(y.hint("merge"), "bucket")
-            .filter(F.col("src") != F.col("nbr"))
+            .filter(F.col("src") < F.col("nbr"))
             .select(
                 "src",
                 "nbr",
@@ -775,6 +782,15 @@ def knn_graph(
                     / (F.col("_xn") * F.col("_yn")),
                     4,
                 ).alias("sim"),
+            )
+        )
+        cand_sets.append(
+            half.unionByName(
+                half.select(
+                    F.col("nbr").alias("src"),
+                    F.col("src").alias("nbr"),
+                    "sim",
+                )
             )
         )
     cand = cand_sets[0]

@@ -171,9 +171,20 @@ def _knn_edges(spark, sf_dir, k: int = 3):
     # consume the ONE bucket repartition above (ReusedExchange, pinned in
     # tests) instead of broadcasting a duplicate of the whole
     # bucket+norm pipeline.
-    pairs = (
+    #
+    # Unordered-pair halving (r10, guide §1.2 per-task work): the join
+    # keeps src < nbr so each candidate pair pays the 64-element cosine
+    # fold ONCE, then the (src, nbr, sim) rows — fixed-width, no vector
+    # payloads — are mirrored through a lineage cut.  sim is symmetric
+    # BIT-exactly: the fold multiplies a[i]*c[i] in the same index order
+    # either way (IEEE multiplication is commutative), so the mirrored
+    # row carries the identical double the swapped fold would have
+    # produced, null-poisoning included.
+    from target_parquet_spark.lineage import mat
+
+    half = mat(
         a.join(c.hint("merge"), "bucket")
-        .filter(F.col("src") != F.col("nbr"))
+        .filter(F.col("src") < F.col("nbr"))
         .select(
             "src",
             "nbr",
@@ -182,6 +193,11 @@ def _knn_edges(spark, sf_dir, k: int = 3):
                 / (F.col("_anrm") * F.col("_cnrm")),
                 4,
             ).alias("sim"),
+        )
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("nbr").alias("src"), F.col("src").alias("nbr"), "sim"
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("nbr"))

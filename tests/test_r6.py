@@ -517,11 +517,19 @@ def test_knn_graph_plan_reuses_bucket_exchange(spark, sf_dir):
     """The bucket self-join must read ONE repartition exchange from both
     sides (the bucket index is built once) and never degrade to a
     nested-loop/cartesian product.  AQE inserts the ReusedExchange at
-    runtime, so execute first and inspect the FINAL adaptive plan."""
+    runtime, so execute first and inspect the FINAL adaptive plan.
+    Built under SPARK_GRAFT_NO_MAT so the r10 unordered-pair lineage
+    cut does not hide the self-join behind a LogicalRDD scan (the
+    test_plans bypass pattern)."""
     import contextlib
     import io
+    import os
 
-    df = QUERIES["sim_knn_graph"](spark, sf_dir)
+    os.environ["SPARK_GRAFT_NO_MAT"] = "1"
+    try:
+        df = QUERIES["sim_knn_graph"](spark, sf_dir)
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_MAT", None)
     df.collect()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
