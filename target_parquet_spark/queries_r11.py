@@ -73,8 +73,17 @@ def dedup_keep_best_quality(spark, sf_dir):
     corpus-cardinality rows — no pair-shaped data survives past the CC
     stage."""
     corpus, comp = corpus_components(spark, sf_dir)
+    # Score BEFORE the component join (guide §2.3, project before the
+    # exchange): the rubric runs in the scan stage and only
+    # (doc_id, quality) — 16 bytes — enters the join, instead of the
+    # full document text riding the shuffle when comp outgrows the
+    # broadcast threshold at scale.  Same expression, same rows: the
+    # join key is doc_id and quality depends only on the corpus side.
+    scored = corpus.select(
+        "doc_id", X.quality_score(F.col("text")).alias("quality")
+    )
     full = (
-        corpus.join(
+        scored.join(
             comp.select(
                 F.col("node").alias("doc_id"),
                 F.col("component").alias("_cid"),
@@ -85,7 +94,7 @@ def dedup_keep_best_quality(spark, sf_dir):
         .select(
             "doc_id",
             F.coalesce("_cid", "doc_id").alias("component_id"),
-            X.quality_score(F.col("text")).alias("quality"),
+            "quality",
         )
     )
     w = Window.partitionBy("component_id")
