@@ -5,6 +5,15 @@ cut plan, min-of-N per arm.  Alternation inside one process cancels the
 shared-host contention spikes that make separate before/after processes
 incomparable.  Usage: python scripts/abbench.py [-n 4] name [name ...]
 Not part of the driver contract — an optimization-round iteration tool.
+
+Caveat (ADVICE r10): the NO_MAT "before" arm is the CURRENT code with
+cuts bypassed, not necessarily the true pre-change plan.  Where a
+restructure leans on a cut — e.g. the halved kNN queries, whose
+half.unionByName(half) mirror evaluates the src<nbr self-join TWICE
+under NO_MAT where the old code ran ONE src!=nbr join — the before arm
+overstates the win.  For join-restructuring changes, benchmark against
+a git-checkout baseline (separate process, alternated manually in a
+quiet window) instead of trusting the NO_MAT arm.
 """
 
 from __future__ import annotations

@@ -16,14 +16,30 @@ first use, and hand every consumer a `LogicalRDD` scan of the stored
 blocks.  Values are bit-identical — the same deterministic plan runs,
 just once instead of N times.
 
-Scale posture: every ``mat()`` site holds a MODEL/EDGE-sized table
-(kNN edge lists, symmetrized graphs, frontier beams, centroid ranks —
-thousands to low millions of rows), never the corpus; at 100 TB these
-are exactly the intermediates a production pipeline writes out as
-artifacts (the repo's knn_edge_artifact does so explicitly).  Local
-checkpoints live in executor storage (MEMORY_AND_DISK) and die with the
-session — nothing is persisted across runs, and every invocation
-recomputes from the parquet inputs.
+Scale posture — two classes of cut site:
+
+- **Model/edge-sized** (kNN edge lists, symmetrized graphs, frontier
+  beams, centroid ranks — thousands to low millions of rows): safe to
+  localCheckpoint at any scale; these are exactly the intermediates a
+  production pipeline writes out as artifacts (the repo's
+  knn_edge_artifact does so explicitly).
+- **Corpus-sized** (the r10 LM-family cuts in queries_r3/r8/r9:
+  per-doc token arrays, vocab-weighted doc tables, deflated embedding
+  tables — one row per document/vector).  Locally these are small and
+  the cut is a clear win (the pipeline above them re-ran 3-5x per
+  query).  At 100 TB a localCheckpoint of a corpus-sized table pins
+  roughly the full derived corpus in NON-fault-tolerant executor
+  MEMORY_AND_DISK storage: a lost executor kills the job (the lineage
+  is gone).  On a real cluster either set
+  ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` (routes these cuts through
+  replayable reliable checkpoints — same semantics, survives executor
+  loss) or accept the recompute and skip the cut
+  (``SPARK_GRAFT_NO_MAT=1``); the env knobs exist precisely so this is
+  a deploy-time decision, not a code change.
+
+Local checkpoints live in executor storage (MEMORY_AND_DISK) and die
+with the session — nothing is persisted across runs, and every
+invocation recomputes from the parquet inputs.
 
 On a real cluster note: `localCheckpoint` trades fault-tolerance for
 speed (a lost executor loses its blocks and the lineage is gone).  For

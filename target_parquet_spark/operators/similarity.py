@@ -771,6 +771,12 @@ def knn_graph(
         # are mirrored through a lineage cut.  Bit-exact either way —
         # the fold multiplies x[i]*y[i] in the same index order and
         # IEEE multiplication is commutative (null-poisoning included).
+        # NOTE (ADVICE r10): under SPARK_GRAFT_NO_MAT=1 (plan tests,
+        # abbench's before arm) the cut is bypassed, so the mirrored
+        # union evaluates the UNCUT src<nbr self-join subtree TWICE —
+        # values identical, but captured plans show a doubled subtree
+        # and NO_MAT timings overstate what the cut buys (the true
+        # pre-r10 plan ran ONE src!=nbr join, not two halves).
         half = lineage_mat(
             x.join(y.hint("merge"), "bucket")
             .filter(F.col("src") < F.col("nbr"))

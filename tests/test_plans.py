@@ -22,11 +22,18 @@ def plan(spark, sf_dir, name: str) -> str:
     # replaces its subtree with a LogicalRDD scan in explain output,
     # hiding the joins/aggregates these tests assert on.  The bypass
     # changes nothing about the algebra — only compute-once-vs-replay.
+    # Save/restore rather than unconditional pop (ADVICE r10): an
+    # externally pre-set value must survive, and parallel in-process
+    # callers must not see their setting clobbered.
+    prev = os.environ.get("SPARK_GRAFT_NO_MAT")
     os.environ["SPARK_GRAFT_NO_MAT"] = "1"
     try:
         df = QUERIES[name](spark, sf_dir)
     finally:
-        os.environ.pop("SPARK_GRAFT_NO_MAT", None)
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_NO_MAT", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_MAT"] = prev
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")

@@ -525,11 +525,15 @@ def test_knn_graph_plan_reuses_bucket_exchange(spark, sf_dir):
     import io
     import os
 
+    prev = os.environ.get("SPARK_GRAFT_NO_MAT")  # save/restore (ADVICE r10)
     os.environ["SPARK_GRAFT_NO_MAT"] = "1"
     try:
         df = QUERIES["sim_knn_graph"](spark, sf_dir)
     finally:
-        os.environ.pop("SPARK_GRAFT_NO_MAT", None)
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_NO_MAT", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_MAT"] = prev
     df.collect()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
