@@ -257,6 +257,164 @@ def ivf_codebook(
     return out
 
 
+def _lloyd_round_expr(emb, ordered, norms, metric):
+    """The r10 literal-expression Lloyd round: one K x dim nested-array
+    literal, transform/aggregate folds for the scores, (d, k) struct
+    array_min for the argmin, posexplode + F.avg for the update.  Kept
+    as the ``SPARK_GRAFT_KMEANS_EXPR=1`` fallback and A/B arm for the
+    Arrow round (values bit-identical; the Arrow kernel's docstring
+    carries the exactness argument).  Returns the un-collected means
+    frame (k, dim, c)."""
+    mat_lit = F.lit(ordered)
+    if metric == "l2":
+        dists = F.transform(
+            mat_lit,
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    cv,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    else:
+        # -(v·c)/||c||: negated so argmax-with-lowest-id-ties is the
+        # same (d, k) struct array_min as the l2 branch; a zero
+        # centroid has no direction and scores -0 for every vector
+        # instead of NaN-poisoning the assignment.
+        dots = F.transform(
+            mat_lit,
+            lambda cv: F.aggregate(
+                F.zip_with(
+                    F.col("_v"), cv, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        dists = F.zip_with(
+            dots,
+            F.lit(norms),
+            lambda s, n: F.when(n == 0.0, F.lit(-0.0)).otherwise(-(s / n)),
+        )
+    assign = F.array_min(
+        F.zip_with(
+            dists,
+            F.lit(list(range(len(ordered)))),
+            lambda d, k: F.struct(d.alias("d"), k.alias("k")),
+        )
+    )["k"]
+    # two selects: a generator (posexplode) alongside the struct-field
+    # access mis-analyzes the struct's field names in one projection
+    assigned = emb.select("_v", assign.alias("k"))
+    return (
+        assigned.select("k", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("k", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+
+
+def _lloyd_round_partials(
+    ordered: list[list[float]],
+    norms: list[float] | None,
+    metric: str,
+    dim: int,
+):
+    """One Lloyd round as a ``mapInArrow`` kernel: assign each batch row
+    to its centroid with the EXACT sequential-fold arithmetic of the
+    expression form, then emit per-batch per-cluster partial sums.
+
+    Returns a function ``iter[RecordBatch] -> iter[RecordBatch]`` whose
+    output schema is ``(k int, dim int, s double, n long)``: ``s`` is
+    the per-dimension sum of the batch's cluster members, ``n`` the
+    member count (repeated across the cluster's dim rows so the caller
+    can aggregate with plain sums).
+
+    Exactness: scores accumulate dimension-by-dimension in index order
+    — ``acc = acc + x_i * c_i`` (or ``+ (x_i-c_i)^2``) vectorized
+    across rows — reproducing the left-to-right IEEE fold of
+    ``aggregate(zip_with(...))`` bit-for-bit (each numpy ufunc call is
+    a separate correctly-rounded double op; float32 -> float64
+    widening is exact).  ``metric='cos'`` scores ``-(dot/||c||)`` with
+    the same ``-0.0`` zero-norm guard; ties break to the lowest k via
+    ``argmin``'s first-occurrence rule, matching the (d, k) struct
+    ``array_min``."""
+    import numpy as np
+
+    K = len(ordered)
+    C = np.array(ordered, dtype=np.float64)
+    NRM = None if norms is None else np.array(norms, dtype=np.float64)
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            col = b.column(0)
+            n_rows = len(col)
+            if n_rows == 0:
+                continue
+            if col.null_count:
+                raise ValueError(
+                    "kmeans_codebook: null vector in training corpus"
+                )
+            flat = col.flatten()
+            if flat.null_count:
+                raise ValueError(
+                    "kmeans_codebook: null element in training vector"
+                )
+            if len(flat) != n_rows * dim:
+                raise ValueError(
+                    f"kmeans_codebook: expected fixed width {dim}, got "
+                    f"{len(flat)} values for {n_rows} rows"
+                )
+            V = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(n_rows, dim)
+            )
+            scores = np.empty((K, n_rows), dtype=np.float64)
+            for k in range(K):
+                acc = np.zeros(n_rows, dtype=np.float64)
+                if metric == "l2":
+                    for i in range(dim):
+                        d = V[:, i] - C[k, i]
+                        acc = acc + d * d
+                    scores[k] = acc
+                else:
+                    for i in range(dim):
+                        acc = acc + V[:, i] * C[k, i]
+                    if NRM[k] == 0.0:
+                        scores[k] = np.full(n_rows, -0.0)
+                    else:
+                        scores[k] = -(acc / NRM[k])
+            a = np.argmin(scores, axis=0)
+            out_k, out_dim, out_s, out_n = [], [], [], []
+            for k in range(K):
+                mask = a == k
+                cnt = int(mask.sum())
+                if cnt == 0:
+                    continue
+                sums = V[mask].sum(axis=0)
+                out_k.extend([k] * dim)
+                out_dim.extend(range(dim))
+                out_s.extend(float(x) for x in sums)
+                out_n.extend([cnt] * dim)
+            yield pa.record_batch(
+                [
+                    pa.array(out_k, type=pa.int32()),
+                    pa.array(out_dim, type=pa.int32()),
+                    pa.array(out_s, type=pa.float64()),
+                    pa.array(out_n, type=pa.int64()),
+                ],
+                names=["k", "dim", "s", "n"],
+            )
+
+    return fn
+
+
 def kmeans_codebook(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -318,75 +476,72 @@ def kmeans_codebook(
         int(r._id): [float(x) for x in r._v] for r in init_rows
     }
 
-    # Assignment in the SINGLE-LITERAL form ivf_cell uses (one K x dim
-    # nested-array literal + one transform), not K separate fold trees:
-    # per-element arithmetic is bit-identical (same zip_with/aggregate
-    # fold over the same double literals, same -(s/n) negation, same
-    # (d, k) struct array_min tie-break), but the per-round expression
-    # tree shrinks from ~K*dim*3 Catalyst nodes to a flat literal —
-    # ivf_cell's docstring records 3.6s -> 1.7s at sf0.1 for exactly
-    # this change, and training re-plans the tree every round because
-    # the centroid literals change.
+    # Each Lloyd round runs as ONE Arrow-batched mapInArrow stage
+    # (guide §4.2) emitting K*dim partial (k, dim, s, n) rows per batch,
+    # followed by a tiny (K*dim)-group aggregate.  Why not the literal
+    # expression form the r10 round used (one K x dim nested-array
+    # literal + transform/aggregate folds): at sf0.1 the corpus is
+    # 2000 rows, and profiling showed the round cost was ~90% DRIVER
+    # work — the centroid literals change every round, so Catalyst
+    # re-analyzes and janino re-compiles the K*dim fold expression per
+    # round (~1.5-2.5 s/round vs ~0.35 s of actual data work).  The
+    # Arrow round keeps the plan shape constant and literal-free (the
+    # changing centroids live in the function closure), and at the
+    # compute-bound decades the vectorized kernel replaces the
+    # interpreted per-element fold (~100x less per-row overhead).
+    #
+    # Bit-exactness contract (pinned by tests/test_operators.py::
+    # test_lloyd_arrow_assignment_matches_expression_exactly): the
+    # numpy kernel accumulates dimension-by-dimension in index order
+    # (acc += x_i*c_i elementwise across the batch), which is the SAME
+    # left-to-right IEEE fold as aggregate(zip_with(...)) — numpy ufunc
+    # calls are separate correctly-rounded ops, never fused — so
+    # scores, the -(s/n) negation, the -0.0 zero-norm guard, and the
+    # argmin-with-lowest-k tie-break reproduce the expression form
+    # bit-for-bit.  The per-cluster mean uses sum-of-partials / count
+    # where the old form used F.avg: both are absorbed by the 6dp
+    # round, exactly the cross-engine contract the oracle already
+    # relies on (DuckDB's avg order differs from Spark's partial
+    # aggregation too).
+    #
+    # The kernel REQUIRES non-null fixed-width vectors and raises
+    # loudly otherwise; the expression form would have null-poisoned
+    # the assignment and failed the empty-cluster check anyway.
+    # Path choice, measured same-session A/B at sf0.1 (min-of-4/arm):
+    # the Arrow round wins where the literal-expression round's
+    # per-round analysis+codegen scales with K*dim (K=16: 6.54->4.75 s,
+    # K=8: 4.99->4.37 s) and loses to its own flat Python-stage
+    # overhead at tiny K (K=4 l2: 2.23->2.52 s) — so small codebooks
+    # keep the expression form.  SPARK_GRAFT_KMEANS_EXPR=1 forces it
+    # everywhere (A/B arm / fallback).
+    use_expr = (
+        os.environ.get("SPARK_GRAFT_KMEANS_EXPR", "") == "1"
+        or n_centroids * dim < 512
+    )
     for _ in range(n_iters):
         ordered = [cv for _k, cv in sorted(centroids.items())]
-        mat_lit = F.lit(ordered)
         if metric == "l2":
-            dists = F.transform(
-                mat_lit,
-                lambda cv: F.aggregate(
-                    F.zip_with(
-                        F.col("_v"),
-                        cv,
-                        lambda x, y: (x.cast("double") - y)
-                        * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            )
+            norms = None
         else:
-            # -(v·c)/||c||: negated so argmax-with-lowest-id-ties is the
-            # same (d, k) struct array_min as the l2 branch; a zero
-            # centroid has no direction and scores -0 for every vector
-            # instead of NaN-poisoning the assignment.
             norms = []
             for cv in ordered:
                 s = 0.0
                 for x in cv:
                     s += x * x
                 norms.append(math.sqrt(s))
-            dots = F.transform(
-                mat_lit,
-                lambda cv: F.aggregate(
-                    F.zip_with(
-                        F.col("_v"), cv, lambda x, y: x.cast("double") * y
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
+        if use_expr:
+            # The r10 literal-expression round (kept as the measured
+            # fallback / A-B arm; results bit-identical — see the
+            # exactness contract above).
+            means = _lloyd_round_expr(emb, ordered, norms, metric)
+        else:
+            partial_fn = _lloyd_round_partials(ordered, norms, metric, dim)
+            partials = emb.select("_v").mapInArrow(
+                partial_fn, "k int, dim int, s double, n long"
             )
-            dists = F.zip_with(
-                dots,
-                F.lit(norms),
-                lambda s, n: F.when(n == 0.0, F.lit(-0.0)).otherwise(
-                    -(s / n)
-                ),
+            means = partials.groupBy("k", "dim").agg(
+                F.round(F.sum("s") / F.sum("n"), 6).alias("c")
             )
-        assign = F.array_min(
-            F.zip_with(
-                dists,
-                F.lit(list(range(len(ordered)))),
-                lambda d, k: F.struct(d.alias("d"), k.alias("k")),
-            )
-        )["k"]
-        # two selects: a generator (posexplode) alongside the struct-field
-        # access mis-analyzes the struct's field names in one projection
-        assigned = emb.select("_v", assign.alias("k"))
-        means = (
-            assigned.select("k", F.posexplode("_v").alias("dim", "x"))
-            .groupBy("k", "dim")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
-        )
         rows = means.collect()
         centroids = {}
         for r in rows:

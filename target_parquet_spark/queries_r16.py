@@ -285,27 +285,39 @@ def dedup_substring_remove(spark, sf_dir):
 
     Plan shape for 100 TB: identical linear pipeline to
     dedup_substring_runs up to the runs CTE (grams hashed to 60-bit
-    longs in the scan stage; one (doc, gram) pre-agg; islands window
-    bounded per doc), then the per-doc interval set — a handful of
-    (start, end) pairs, NOT per-token rows — rejoins the token arrays
-    once, and the excision itself is an index-aware array filter inside
-    whole-stage codegen: tokens are never exploded for removal, so the
-    shuffle volume of the removal stage is O(runs), not O(tokens)."""
+    longs in the scan stage; islands window bounded per doc), then the
+    per-doc interval set — a handful of (start, end) pairs, NOT
+    per-token rows — rejoins the token arrays once, and the excision
+    itself is an index-aware array filter inside whole-stage codegen:
+    tokens are never exploded for removal, so the shuffle volume of the
+    removal stage is O(runs), not O(tokens).
+
+    r11 (VERDICT r10 #4, guide §2.3/§2.4 — the 8.5x/decade fix): the
+    old shape derived the gram stream TWICE (once for the
+    distinct->groupBy duplicated-gram table, once as the join probe)
+    and moved it through THREE gram-scale exchanges (distinct on
+    (gh, doc_id), groupBy gh, join on gh).  'Duplicated in >= 2 docs'
+    is equivalent to min(doc_id) < max(doc_id) over the gh partition —
+    constant aggregation state, no distinct, no join — so one window
+    over ONE gh exchange of one gram-stream derivation replaces all
+    three.  The join-back then BROADCASTS the doc-cardinality interval
+    table so the heavy token arrays never ride an exchange at all
+    (guide §8: decide on small rows, move big rows zero times); at a
+    scale where the span table outgrows the broadcast cap, drop the
+    hint and the same plan runs as a sort-merge join."""
     corpus = _spark_corpus(spark, sf_dir)
     toked = corpus.select("doc_id", X.tokens(F.col("text")).alias("toks"))
     gh = X.hash60(F.col("gram"))
     g = toked.select(
         "doc_id", F.posexplode(_grams5(F.col("toks"))).alias("pos", "gram")
     ).select("doc_id", "pos", gh.alias("gh"))
-    gd = (
-        g.select("gh", "doc_id")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
+    wg = Window.partitionBy("gh")
+    dup = (
+        g.withColumn("_mn", F.min("doc_id").over(wg))
+        .withColumn("_mx", F.max("doc_id").over(wg))
+        .filter(F.col("_mn") < F.col("_mx"))
+        .select("doc_id", "pos")
     )
-    dup = g.join(gd, "gh").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
     runs = isl.groupBy("doc_id", "grp").agg(
@@ -315,7 +327,7 @@ def dedup_substring_remove(spark, sf_dir):
     iv = lr.groupBy("doc_id").agg(
         F.collect_list(F.struct("s", "e")).alias("ivs")
     )
-    j = toked.join(iv, "doc_id", "left").withColumn(
+    j = toked.join(F.broadcast(iv), "doc_id", "left").withColumn(
         "ivs",
         F.coalesce(F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")),
     )

@@ -793,14 +793,29 @@ def sim_ivf_recall(spark, sf_dir):
     cand = F.broadcast(probe).join(assign, probe.cid == assign.cell).select(
         "qid", "vec_id"
     )
-    hits = truth.join(cand, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # ONE pass over cand for both counts (VERDICT r10 #3): the old
+    # hits/nc pair consumed cand twice, re-deriving the ivf_cell
+    # assignment scan (16 centroid folds per vector) per consumer.
+    # truth is 10 qids x top-10 = 100 rows — broadcast it onto cand and
+    # count matches inline: truth rows are distinct by construction
+    # (row_number <= 10), so the left join cannot fan out and
+    # count(__hit) = |cand ∩ truth| = the old inner-join count; qids
+    # with no candidates coalesce to 0 exactly as the two-join form did.
+    per_q = (
+        cand.join(
+            F.broadcast(truth.withColumn("__hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count("__hit").alias("n_hits"),
+        )
     )
-    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
     return (
         q.select("qid")
-        .join(nc, "qid", "left")
-        .join(hits, "qid", "left")
+        .join(per_q, "qid", "left")
         .select(
             "qid",
             F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),
@@ -925,14 +940,29 @@ def sim_ivf_recall_trained(spark, sf_dir):
     cand = F.broadcast(probe).join(assign, probe.cid == assign.cell).select(
         "qid", "vec_id"
     )
-    hits = truth.join(cand, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    # ONE pass over cand for both counts (VERDICT r10 #3): the old
+    # hits/nc pair consumed cand twice, re-deriving the ivf_cell
+    # assignment scan (16 centroid folds per vector) per consumer.
+    # truth is 10 qids x top-10 = 100 rows — broadcast it onto cand and
+    # count matches inline: truth rows are distinct by construction
+    # (row_number <= 10), so the left join cannot fan out and
+    # count(__hit) = |cand ∩ truth| = the old inner-join count; qids
+    # with no candidates coalesce to 0 exactly as the two-join form did.
+    per_q = (
+        cand.join(
+            F.broadcast(truth.withColumn("__hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count("__hit").alias("n_hits"),
+        )
     )
-    nc = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
     return (
         q.select("qid")
-        .join(nc, "qid", "left")
-        .join(hits, "qid", "left")
+        .join(per_q, "qid", "left")
         .select(
             "qid",
             F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_cand"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from target_parquet_spark.lineage import mat
@@ -1067,13 +1068,21 @@ def text_winnowing_pairs(spark, sf_dir):
     fps = fparr.select(
         "doc_id", F.explode("fparr").alias("fp")
     ).repartition(F.col("fp"))
-    df_ok = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") <= _WIN_MAXDF)
-        .select("fp")
+    # df cap as a count window over the ONE posting exchange (r11, guide
+    # §2.4 — the _ngram_pair_stats shape): the old groupBy+join-back
+    # planned the posting explode twice and moved it through two
+    # exchanges; the window counts on the same shuffle the pairing
+    # groupBy reads, so the cap costs no extra exchange and the explode
+    # runs once.  Same rows kept either way: count(*) per fp == the old
+    # df_ok aggregate, and fparr is distinct per doc so no doc repeats
+    # within an fp group.
+    capped = (
+        fps.withColumn(
+            "_nd", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("_nd") <= _WIN_MAXDF)
+        .drop("_nd")
     )
-    capped = fps.join(df_ok, "fp")
     return (
         posting_pairs(capped, key="fp")
         .withColumnRenamed("inter", "n_shared")

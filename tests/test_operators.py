@@ -377,3 +377,77 @@ def test_unrolled_dot_kernel_matches_hof_fold_exactly(spark, monkeypatch):
     assert chain_d == fold_d  # exact, including the trailing None
     assert chain_i == fold_i
     assert chain_d[-1] is None and chain_i[-1] is None
+
+
+def test_lloyd_arrow_assignment_matches_expression_exactly(spark, sf_dir):
+    """The Arrow Lloyd round (mapInArrow + numpy sequential-fold kernel)
+    must produce BIT-IDENTICAL centroids to the literal-expression round
+    on the real corpus, for both metrics and on either side of the
+    K*dim path gate — same assignment argmin (same IEEE fold order,
+    same -0.0 zero-norm guard, same lowest-k ties) and the same
+    6dp-quantized means."""
+    import os
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    import target_parquet_spark.operators.similarity as SIM
+
+    for metric in ("cos", "l2"):
+        for k in (4, 16):
+            prev = os.environ.get("SPARK_GRAFT_KMEANS_EXPR")
+            os.environ["SPARK_GRAFT_KMEANS_EXPR"] = "1"
+            try:
+                cb_expr = S.kmeans_codebook(
+                    emb, n_centroids=k, n_iters=2, metric=metric
+                )
+            finally:
+                if prev is None:
+                    os.environ.pop("SPARK_GRAFT_KMEANS_EXPR", None)
+                else:
+                    os.environ["SPARK_GRAFT_KMEANS_EXPR"] = prev
+            # the Arrow round, forced even below the K*dim size gate
+            cb_arrow = _kmeans_arrow_forced(SIM, emb, k, metric)
+            assert cb_arrow == cb_expr, f"metric={metric} k={k}"
+
+
+def _kmeans_arrow_forced(SIM, emb, k, metric):
+    """Train with the Arrow round regardless of the K*dim size gate, by
+    replicating kmeans_codebook's loop over the public helpers."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    e = emb.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_v"))
+    init_rows = e.filter(F.col("_id") < k).orderBy("_id").collect()
+    centroids = {int(r._id): [float(x) for x in r._v] for r in init_rows}
+    dim = 64
+    for _ in range(2):
+        ordered = [cv for _k, cv in sorted(centroids.items())]
+        if metric == "l2":
+            norms = None
+        else:
+            norms = []
+            for cv in ordered:
+                s = 0.0
+                for x in cv:
+                    s += x * x
+                norms.append(math.sqrt(s))
+        fn = SIM._lloyd_round_partials(ordered, norms, metric, dim)
+        partials = e.select("_v").mapInArrow(
+            fn, "k int, dim int, s double, n long"
+        )
+        means = partials.groupBy("k", "dim").agg(
+            F.round(F.sum("s") / F.sum("n"), 6).alias("c")
+        )
+        centroids = {}
+        for r in means.collect():
+            centroids.setdefault(int(r.k), [0.0] * dim)[r.dim] = float(r.c)
+    out = []
+    for kk in range(k):
+        v = centroids[kk]
+        s = 0.0
+        for x in v:
+            s += x * x
+        out.append((kk, v, math.sqrt(s)))
+    return out
