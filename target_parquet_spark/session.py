@@ -43,6 +43,23 @@ def get_spark(
         # MIN/MAX/COUNT without filter/group-by answered from parquet
         # footer statistics — no row scan at all.
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Subset co-partitioning (r11, guide §2.4 remove shuffles
+        # outright): Spark's default requires a join's children to be
+        # hash-partitioned on ALL join keys before it skips the
+        # exchange.  The bucketed similarity pipelines deliberately
+        # partition on the BUCKET alone and then join on (bucket, id) —
+        # rows with equal (bucket, id) are already co-located, so the
+        # stricter default re-shuffled the embedding-carrying frames by
+        # (bucket, id) on BOTH sides of every verify join
+        # (plans/r11/sim_knn_graph_quantized_fixed_before.txt: Exchange
+        # (20)/(26)/(35) per table, corpus-payload rows).  Allowing
+        # subset co-partitioning removes those exchanges at every
+        # scale — the bigger the corpus, the bigger the win; AQE skew
+        # handling still covers the coarser partitioning.  Same-session
+        # A/B (min-of-4/arm, sf0.1): quantized kNN 4.91->4.22 / fixed
+        # 4.37->3.66, minhash pairs 5.28->4.03, ngram jaccard
+        # 4.12->3.74, anchors unchanged.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Runtime bloom-filter join pruning: when one join side is
         # selectively filtered, inject a bloom filter of its keys into the
         # other side's scan.  Irrelevant at sf0.1 (thresholds keep it off
