@@ -1780,8 +1780,15 @@ def text_cluster_topics(spark, sf_dir):
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )
     j = assign.join(tok, "doc_id").select("cluster", "term")
-    tf = j.groupBy("cluster", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+    # tf feeds THREE consumers (fw, the corpus total, and the score
+    # join) — without a cut each replays the token explode + doc_id
+    # join + (cluster, term) aggregate (r11 plan audit: 28 Exchange /
+    # 3 token-join subtrees).  The table is (cluster x vocab)-bounded —
+    # model-sized, squarely inside lineage.py's cut posture.
+    tf = mat(
+        j.groupBy("cluster", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
     )
     fw = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("fw"))
     tot = tf.agg(F.sum("tf").cast("long").alias("s"))
