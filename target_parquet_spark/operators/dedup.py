@@ -378,11 +378,27 @@ def _ngram_pair_stats(
     # equality instead of string comparison in the self-join.  The df
     # cap counts frequencies in the hashed space in BOTH engines, so the
     # oracle stays exact (see _hash_shingles on the collision trade).
-    posting = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_hash_shingles(shingles(F.col(text_col), n=n))).alias(
-            "shingle"
-        ),
+    #
+    # The per-doc hashed-shingle ARRAYS are cut (r11): the posting feeds
+    # two consumers (the pair join and the per-doc sizes, the latter
+    # instantiated twice by the id_a/id_b join-backs), and column
+    # pruning gives each a different subtree, so without the cut the
+    # interpreted tokenize+shingle+md5 pipeline re-ran once per consumer
+    # (r11 plan audit: 6 corpus scans in dedup_ngram_jaccard).  Cutting
+    # at the DOC-array level (one row per doc, the r10 LM-cut shape —
+    # corpus-sized, see lineage.py's posture) keeps the md5 fold on the
+    # per-doc codegen path; cutting the exploded gram stream instead was
+    # measured a wash in r10 and violates the posture.
+    from target_parquet_spark.lineage import mat
+
+    arr = mat(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            _hash_shingles(shingles(F.col(text_col), n=n)).alias("_sharr"),
+        )
+    )
+    posting = arr.select(
+        "doc_id", F.explode("_sharr").alias("shingle")
     ).repartition(_width(df), "shingle")
     if max_df is not None:
         posting = (
@@ -392,7 +408,12 @@ def _ngram_pair_stats(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # sizes joins back twice (id_a, id_b) — cut the doc-cardinality
+    # count table so the posting shuffle + df-cap window run once for
+    # both join-backs (model-sized: one long per doc).
+    sizes = mat(
+        posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     if max_df is None:
         # Uncapped exact baseline: per-shingle groups are unbounded, so
         # the collect_list form of posting_pairs could build one
