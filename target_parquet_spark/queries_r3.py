@@ -2341,16 +2341,19 @@ def dedup_exact_normalized(spark, sf_dir):
             F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
         ).alias("h_norm"),
     )
-    raw_g = h.groupBy("h_raw").count().filter(F.col("count") > 1)
+    # n_docs folds into the raw-hash grouping (r11, guide §1.2): every
+    # row lands in exactly one h_raw group, so sum(count) == count(*)
+    # and the corpus pipeline runs TWICE (raw + normalized groupings)
+    # instead of three times.  A mat() of h was also tried: wash across
+    # three A/B windows (-10/+1/-5%) — a corpus-sized cut with no clear
+    # win stays out per lineage.py's posture.
+    raw_stats = h.groupBy("h_raw").count().agg(
+        F.sum("count").cast("long").alias("n_docs"),
+        F.count_if(F.col("count") > 1).cast("long").alias("n_raw_dup_groups"),
+    )
     norm_g = h.groupBy("h_norm").count().filter(F.col("count") > 1)
-    return (
-        h.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .crossJoin(
-            raw_g.agg(F.count(F.lit(1)).cast("long").alias("n_raw_dup_groups"))
-        )
-        .crossJoin(
-            norm_g.agg(F.count(F.lit(1)).cast("long").alias("n_norm_dup_groups"))
-        )
+    return raw_stats.crossJoin(
+        norm_g.agg(F.count(F.lit(1)).cast("long").alias("n_norm_dup_groups"))
     )
 
 

@@ -86,7 +86,13 @@ def text_bm25_search(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
-    qtf = (
+    # qtf feeds the score join AND the df aggregate — without a cut the
+    # tokenize + explode + filter pipeline ran once per consumer (r11
+    # plan audit).  The table is |matching docs x query terms| rows —
+    # model-sized (lineage.py posture).
+    from target_parquet_spark.lineage import mat
+
+    qtf = mat(
         base.select("doc_id", "dl", F.explode("toks").alias("token"))
         .filter(F.col("token").isin(*_BM25_TERMS))
         .groupBy("doc_id", "dl", "token")
