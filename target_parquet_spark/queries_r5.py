@@ -111,15 +111,18 @@ def dedup_substring_runs(spark, sf_dir):
     g = toked.select(
         "doc_id", F.posexplode(_grams5(F.col("toks"))).alias("pos", "gram")
     ).select("doc_id", "pos", gh.alias("gh"))
-    gd = (
-        g.select("gh", "doc_id")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gh")
+    # 'Duplicated in >= 2 docs' == min(doc_id) < max(doc_id) over the
+    # gh partition (the dedup_substring_remove shape, r11): the old
+    # distinct -> groupBy -> join-back derived the gram stream twice and
+    # moved it through three gram-scale exchanges; the window needs ONE
+    # gh exchange of ONE derivation with constant aggregation state.
+    wg = Window.partitionBy("gh")
+    dup = (
+        g.withColumn("_mn", F.min("doc_id").over(wg))
+        .withColumn("_mx", F.max("doc_id").over(wg))
+        .filter(F.col("_mn") < F.col("_mx"))
+        .select("doc_id", "pos")
     )
-    dup = g.join(gd, "gh").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
     runs = (
