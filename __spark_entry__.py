@@ -94,58 +94,59 @@ _CURATED_PREFIX = [
     "text_bm25_search",
     "events_sessionize",
     "pipeline_training_data",
-    # --- never-gated rotation, round 10 (wave 3 of VERDICT r7 #3) ---
-    # new this round — gate them first
-    "sim_knn_graph_quantized_fixed",
-    "multimodal_dhash_decoded",
-    "multimodal_png_forms",
-    "multimodal_gif_animation",
-    "multimodal_decode_adpcm",
-    # new in the round-10 continuation session (all oracle-backed):
-    # WHT audio spectrum, DP count release, substring excision, TIFF
-    # codec, WordPiece segmentation, GDPR erasure cascade.  The six
-    # displaced tail entries (text_hash_embedding, text_tfidf_topterms,
-    # text_unigram_logprob, agg_collect_sets, agg_hll_sketch,
-    # agg_histogram_bins) defer to wave 4 with the agg_correlation trio.
-    "multimodal_audio_wht",
-    "audit_dp_counts",
-    "dedup_substring_remove",
-    "multimodal_decode_tiff",
-    "text_wordpiece_segment",
-    "audit_gdpr_erasure",
-    # the seven wave-2 deferrals (VERDICT r9 #1 names them)
-    "sample_temperature_mixture",
-    "sample_weighted_without_replacement",
-    "window_ewma_daily",
-    "dedup_duplicate_groups",
-    "sample_mixture_quota",
-    "sample_token_budget",
-    "asof_join_tolerance",
-    # events tail (largest never-gated family)
-    "events_gap_fill",
-    "events_retention_cohorts",
-    "events_concurrency_sweep",
-    "events_ohlc_bars",
-    "events_pattern_match",
-    "events_markov_transitions",
-    "events_merge_intervals",
-    "events_time_weighted_avg",
-    "events_top_paths",
-    "events_hourly_profile",
-    # sim tail
-    "sim_topk_per_query",
-    "sim_brute_force_topk",
-    "sim_ann_lsh_topk",
-    "sim_random_projection",
-    "sim_sq8_ann",
-    "sim_ivf_recall",
-    "sim_ivf_recall_trained",
-    "sim_pq_ann",
-    # text tail (hash_embedding/tfidf_topterms/unigram_logprob -> wave 4)
-    "text_token_stats",
-    "text_fingerprint",
-    "text_bpe_token_stats",
-    "text_pii_scrub",
+    # --- never-gated rotation, round 11 (wave 4 of VERDICT r7 #3) ---
+    # All 40 verified hash-exact by a dedicated sf0.01 sweep before this
+    # rotation landed (42 ok / 0 FAIL incl. substring-matched twins).
+    # Cumulative driver-gated through r10: 213 names (211 green);
+    # expected after r11: 253 (251 green).
+    # The wave-4 queue named in the r10 comment gates first:
+    "scan_xml_source",
+    "sql_pipe_syntax",
+    "agg_kmv_theta_sketch",
+    "multimodal_exif_metadata",
+    "model_calibration_bins",
+    # the nine wave-3 deferrals
+    "agg_correlation",
+    "agg_arg_extremum",
+    "agg_median_mode",
+    "agg_collect_sets",
+    "agg_hll_sketch",
+    "agg_histogram_bins",
+    "text_hash_embedding",
+    "text_tfidf_topterms",
+    "text_unigram_logprob",
+    # never-gated queries whose plans CHANGED in optimization rounds
+    # 10-11 (lineage cuts / window rewrites) — gate the new shapes
+    "dedup_substring_runs",
+    "sim_pca_deflation",
+    "sim_graph_ann_recall",
+    "graph_bipartite_projection",
+    "text_quality_logreg",
+    # agg tail
+    "agg_bitmap_distinct",
+    "agg_bitmap_set_ops",
+    "agg_equidepth_histogram",
+    "agg_extended_stats",
+    "agg_filtered_aggregates",
+    # events tail (still the largest never-gated family)
+    "events_active_users",
+    "events_bot_regularity",
+    "events_changepoint_cusum",
+    "events_cohort_ltv",
+    "events_conversion_latency",
+    "events_first_touch_attribution",
+    "events_rfm_segmentation",
+    # scalar-function surface (never had a driver row as a family)
+    "scalar_array_funcs",
+    "scalar_bitwise_funcs",
+    "scalar_hof_predicates",
+    "scalar_regexp_funcs",
+    "scalar_struct_funcs",
+    "scalar_try_arithmetic",
+    # text tail
+    "text_charset_profile",
+    "text_readability",
+    "text_zipf_fit",
 ]
 
 
